@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Benchmark runner: executes every declared query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing excludes SparkSession startup and includes full result
+materialization (count-style foreach) per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark import get_spark
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="lni-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so timings measure execution.
+    QUERIES["q01_scan_count"].builder(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in QUERIES.items():
+        start = time.perf_counter()
+        df = spec.builder(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "declared_query_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

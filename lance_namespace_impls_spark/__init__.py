@@ -1,0 +1,21 @@
+"""lance_namespace_impls_spark — a PySpark-native analytics engine with the
+capabilities of the lance-format/lance-namespace-impls reference
+(catalog/namespace plane) plus a full DataFrame/SQL data plane and
+LLM-data-pipeline operators, designed for 100 TB scale.
+
+Two planes (see SURVEY.md §0):
+
+* **Catalog plane** — namespace/table catalog operations with the reference's
+  semantics (declared-vs-materialized tables, creation modes, RESTRICT-only
+  drops, Lance-table filtering).  See :mod:`lance_namespace_impls_spark.catalog`.
+* **Data plane** — relational query surface (scans, filters, joins, aggregates,
+  windows, set ops, scalar functions), streaming, and LLM-pipeline operators
+  (dedup, similarity search, text analysis, multimodal columns).  See
+  :mod:`lance_namespace_impls_spark.operators`.
+"""
+
+from lance_namespace_impls_spark.session import get_spark, ensure_runtime_conf
+
+__version__ = "0.1.0"
+
+__all__ = ["get_spark", "ensure_runtime_conf", "__version__"]

@@ -1,0 +1,8 @@
+"""Data-plane operators.
+
+Importing this package registers every declared query into
+:mod:`lance_namespace_impls_spark.plans.registry`.
+"""
+
+from lance_namespace_impls_spark.operators import relational  # noqa: F401
+from lance_namespace_impls_spark.operators import llm  # noqa: F401

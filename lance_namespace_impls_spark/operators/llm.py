@@ -1,0 +1,146 @@
+"""LLM-data-pipeline operators over the ``documents`` / ``embeddings`` tables.
+
+This module holds the oracle-checkable (SQL-expressible) slice: exact
+deduplication, text statistics, token counting, quality scoring.  The
+algorithmic operators (MinHash-LSH near-dup, SimHash, embedding similarity)
+live in :mod:`lance_namespace_impls_spark.operators.dedup` and
+:mod:`lance_namespace_impls_spark.operators.similarity` and are
+property-tested rather than oracle-checked.
+
+All operators are pure built-in-function pipelines (JVM-side, whole-stage
+codegen) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+
+def normalized_text_key(col):
+    """Canonical dedup key: MD5 of lowercased, trimmed text.
+
+    Hash-based grouping keeps exact dedup a single shuffle on a short fixed-
+    width key instead of the full document body — at 100 TB the shuffle moves
+    16-byte digests, not documents.
+    """
+    return F.md5(F.lower(F.trim(col)))
+
+
+@query(
+    "q45_exact_dedup_stats",
+    "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT MD5(LOWER(TRIM(text)))) AS n_uniq "
+    "FROM documents",
+    doc="Exact-dup profile: total docs vs distinct normalized-text hashes.",
+    tags=("llm", "dedup"),
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(normalized_text_key(F.col("text"))).alias("n_uniq"),
+    )
+
+
+@query(
+    "q46_text_lang_stats",
+    "SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 2) AS avg_chars "
+    "FROM documents GROUP BY lang ORDER BY lang",
+    doc="Per-language corpus profile.",
+    tags=("llm", "text"),
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "documents", sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q47_exact_dedup_keep_first",
+    "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents "
+    "GROUP BY MD5(LOWER(TRIM(text))) ORDER BY doc_id",
+    doc="Exact dedup, keep-lowest-id policy: one survivor per normalized-text "
+    "hash. Single shuffle on the 16-byte digest.",
+    tags=("llm", "dedup"),
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy(normalized_text_key(F.col("text")).alias("_k"))
+        .agg(F.min("doc_id").cast("bigint").alias("doc_id"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q48_token_count",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+    "FROM documents ORDER BY doc_id",
+    doc="Whitespace token counting (dialect note: Spark SIZE(SPLIT(..)) == "
+    "DuckDB len(string_split(..)) on single-space-delimited text).",
+    tags=("llm", "text"),
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "documents", sf_dir)
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q49_quality_score",
+    "SELECT doc_id, CAST(ROUND("
+    "  0.5 * LEAST(CAST(n_chars AS DOUBLE) / 400.0, 1.0)"
+    "  + 0.5 * (CAST(len(string_split(text, ' ')) AS DOUBLE)"
+    "           / GREATEST(CAST(n_chars AS DOUBLE), 1.0))"
+    ", 4) AS DOUBLE) AS quality FROM documents ORDER BY doc_id",
+    doc="Deterministic text-quality score: length saturation + token density. "
+    "Pure column arithmetic; identical formula on both engines.",
+    tags=("llm", "text"),
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_chars_d = F.col("n_chars").cast("double")
+    n_tokens_d = F.size(F.split(F.col("text"), " ")).cast("double")
+    score = 0.5 * F.least(n_chars_d / 400.0, F.lit(1.0)) + 0.5 * (
+        n_tokens_d / F.greatest(n_chars_d, F.lit(1.0))
+    )
+    return (
+        load_table(spark, "documents", sf_dir)
+        .select("doc_id", F.round(score, 4).cast("double").alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q50_source_dedup_rate",
+    "SELECT source, COUNT(*) AS n_docs, "
+    "COUNT(DISTINCT MD5(LOWER(TRIM(text)))) AS n_uniq "
+    "FROM documents GROUP BY source ORDER BY source",
+    doc="Dedup rate per source — the profiling query a corpus pipeline runs "
+    "before choosing a dedup strategy.",
+    tags=("llm", "dedup"),
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(normalized_text_key(F.col("text"))).alias("n_uniq"),
+        )
+        .orderBy("source")
+    )

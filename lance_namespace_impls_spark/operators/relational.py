@@ -1,0 +1,902 @@
+"""Relational operator surface (SURVEY.md §2B Q01–Q44).
+
+Each query is expressed with the DataFrame API (the engine surface) so
+Catalyst owns predicate pushdown, column pruning, join selection, and
+whole-stage codegen; the registered oracle string is the DuckDB twin.
+
+Scale notes are attached per operator where the local plan and the
+1000-executor plan diverge (broadcast hints, shuffle keys, skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _dec(col: str, scale: int = 2):
+    """Money column → exact DECIMAL so aggregation is order-independent.
+
+    Summing doubles is non-associative; at 100 TB the partial-aggregation
+    order is nondeterministic, so money math runs on DECIMAL(18,s) and only
+    the final rounded value is cast back to DOUBLE.
+    """
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _money(expr):
+    """ROUND(expr, 2) → DOUBLE: the canonical money output shape."""
+    return F.round(expr, 2).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Scans / sources (Q01–Q03)
+
+
+@query(
+    "q01_scan_count",
+    "SELECT COUNT(*) AS n FROM lineitem",
+    doc="Parquet scan + global count; the minimum end-to-end slice.",
+    tags=("scan",),
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "lineitem", sf_dir).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q02_projection_scan",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    doc="Full-table projection scan; column pruning reaches the parquet reader.",
+    tags=("scan",),
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "region", sf_dir)
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    )
+
+
+@query(
+    "q03_catalog_resolved_scan",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    doc="Same result as q02 but resolved through a registered table name "
+    "(spark.table), exercising the catalog-resolution path.",
+    tags=("scan", "catalog"),
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "region", sf_dir).createOrReplaceTempView(
+        "lni_catalog_region"
+    )
+    return (
+        spark.table("lni_catalog_region")
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / predicates (Q04–Q08)
+
+
+@query(
+    "q04_project_alias_arith",
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS disc_price "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    doc="Projection + arithmetic + aliasing over exact decimal money math.",
+    tags=("projection",),
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = _money(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+    return li.select(
+        "l_orderkey", "l_linenumber", disc_price.alias("disc_price")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "q05_filter_predicates",
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "WHERE l_quantity > 30 AND l_discount BETWEEN 0.05 AND 0.07 "
+    "ORDER BY l_orderkey, l_linenumber",
+    doc="Comparison + boolean predicates; both push down to the parquet scan.",
+    tags=("filter",),
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.filter((F.col("l_quantity") > 30) & F.col("l_discount").between(0.05, 0.07))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q06_in_predicate",
+    "SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') "
+    "ORDER BY c_custkey",
+    doc="IN-list predicate; pushed to the scan as an In filter.",
+    tags=("filter",),
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "customer", sf_dir)
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q07_null_semantics",
+    "SELECT COUNT(*) AS n, COUNT(props) AS n_props FROM events",
+    doc="NULL semantics: COUNT(col) skips nulls, COUNT(*) does not.",
+    tags=("filter",),
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir).agg(
+        F.count(F.lit(1)).alias("n"), F.count("props").alias("n_props")
+    )
+
+
+@query(
+    "q08_like_predicate",
+    "SELECT p_partkey FROM part WHERE p_type LIKE '%BRASS%' ORDER BY p_partkey",
+    doc="LIKE predicate (StringContains pushdown).",
+    tags=("filter",),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "part", sf_dir)
+        .filter(F.col("p_type").like("%BRASS%"))
+        .select("p_partkey")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (Q09–Q17)
+
+
+@query(
+    "q09_inner_equijoin",
+    "SELECT n_name, COUNT(*) AS cnt FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    doc="Inner equi-join; Spark picks the physical strategy (AQE may convert "
+    "to broadcast at runtime given nation's size).",
+    tags=("join",),
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q10_broadcast_join",
+    "SELECT n_name, COUNT(*) AS cnt FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
+    doc="Explicit broadcast of the 25-row dimension: no shuffle of the fact "
+    "side at any scale. Must equal q09.",
+    tags=("join",),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey, "inner")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q11_multiway_join_revenue",
+    "SELECT r_name, "
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name ORDER BY r_name",
+    doc="5-way star join. Scale shape: lineitem⋈orders shuffles on orderkey; "
+    "customer enriched with broadcast nation+region, then the o_custkey join; "
+    "exact decimal revenue so partial-agg order never changes the answer.",
+    tags=("join", "agg"),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = F.broadcast(load_table(spark, "nation", sf_dir))
+    region = F.broadcast(load_table(spark, "region", sf_dir))
+    # Dimension side first: customer -> nation -> region stays broadcast-only.
+    cust_geo = cust.join(nation, cust.c_nationkey == nation.n_nationkey).join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_geo, orders.o_custkey == cust_geo.c_custkey)
+        .groupBy("r_name")
+        .agg(_money(F.sum(revenue)).alias("revenue"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "q12_left_outer_join",
+    "SELECT o_orderkey, COUNT(l_orderkey) AS n_items FROM orders "
+    "LEFT JOIN lineitem ON o_orderkey = l_orderkey "
+    "GROUP BY o_orderkey ORDER BY o_orderkey",
+    doc="Left outer join preserving unmatched orders (COUNT of null key = 0).",
+    tags=("join",),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q13_left_semi_join",
+    "SELECT c_custkey FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000) "
+    "ORDER BY c_custkey",
+    doc="EXISTS as a left-semi join; the subquery filter is applied before the "
+    "join so only qualifying orders shuffle.",
+    tags=("join",),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    big_orders = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_totalprice") > 100000
+    )
+    return (
+        cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q14_left_anti_join",
+    "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey",
+    doc="NOT EXISTS as a left-anti join.",
+    tags=("join",),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q15_theta_join",
+    "SELECT s_suppkey, COUNT(*) AS n_cheaper FROM supplier "
+    "JOIN nation ON s_nationkey = n_nationkey AND s_acctbal < 1000.0 "
+    "GROUP BY s_suppkey ORDER BY s_suppkey",
+    doc="Join with a non-key residual predicate in the ON clause.",
+    tags=("join",),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    cond = (supp.s_nationkey == nation.n_nationkey) & (supp.s_acctbal < 1000.0)
+    return (
+        supp.join(nation, cond, "inner")
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_cheaper"))
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_cross_join",
+    "SELECT COUNT(*) AS n FROM region CROSS JOIN nation",
+    doc="Cartesian product (both sides tiny; BNLJ physical plan).",
+    tags=("join",),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, "region", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return region.crossJoin(nation).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q17_self_join",
+    "SELECT a.n_nationkey AS nk_a, b.n_nationkey AS nk_b FROM nation a "
+    "JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey "
+    "ORDER BY nk_a, nk_b",
+    doc="Self-join via two aliases of the same scan; inequality pair "
+    "enumeration within region groups.",
+    tags=("join",),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, "nation", sf_dir)
+    a = nation.alias("a")
+    b = nation.alias("b")
+    cond = (F.col("a.n_regionkey") == F.col("b.n_regionkey")) & (
+        F.col("a.n_nationkey") < F.col("b.n_nationkey")
+    )
+    return (
+        a.join(b, cond, "inner")
+        .select(
+            F.col("a.n_nationkey").alias("nk_a"), F.col("b.n_nationkey").alias("nk_b")
+        )
+        .orderBy("nk_a", "nk_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (Q18–Q24)
+
+
+@query(
+    "q18_hash_agg_multi_measure",
+    "SELECT l_returnflag, l_linestatus, "
+    "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base, "
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc, "
+    "ROUND(AVG(l_quantity), 4) AS avg_qty, "
+    "COUNT(*) AS cnt "
+    "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+    "ORDER BY l_returnflag, l_linestatus",
+    doc="TPC-H Q1 shape: multi-measure hash aggregate with partial (map-side) "
+    "aggregation before the exchange — the plan Spark emits for groupBy.agg.",
+    tags=("agg",),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    disc = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _money(F.sum(_dec("l_extendedprice"))).alias("sum_base"),
+            _money(F.sum(disc)).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q19_global_agg",
+    "SELECT COUNT(*) AS n, "
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total "
+    "FROM orders",
+    doc="No-group (global) aggregate.",
+    tags=("agg",),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "orders", sf_dir).agg(
+        F.count(F.lit(1)).alias("n"),
+        _money(F.sum(_dec("o_totalprice"))).alias("total"),
+    )
+
+
+@query(
+    "q20_count_distinct",
+    "SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders",
+    doc="Exact distinct count (expand+two-phase agg plan).",
+    tags=("agg",),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "orders", sf_dir).agg(
+        F.countDistinct("o_custkey").alias("n_cust")
+    )
+
+
+@query(
+    "q21_multi_count_distinct",
+    "SELECT COUNT(DISTINCT l_partkey) AS np, COUNT(DISTINCT l_suppkey) AS ns "
+    "FROM lineitem",
+    doc="Two distinct aggregates in one pass (Expand-based plan).",
+    tags=("agg",),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "lineitem", sf_dir).agg(
+        F.countDistinct("l_partkey").alias("np"),
+        F.countDistinct("l_suppkey").alias("ns"),
+    )
+
+
+@query(
+    "q22_having",
+    "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey "
+    "HAVING COUNT(*) >= 10 ORDER BY o_custkey",
+    doc="Post-aggregation filter (HAVING).",
+    tags=("agg",),
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 10)
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "q23_grouping_sets",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+    "GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ()) "
+    "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    doc="GROUPING SETS via Expand: each input row fans out once per set.",
+    tags=("agg",),
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    li.createOrReplaceTempView("lni_q23_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lni_q23_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q24_rollup",
+    "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n FROM orders "
+    "GROUP BY ROLLUP (o_orderpriority, o_orderstatus) "
+    "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST",
+    doc="ROLLUP hierarchy totals via the DataFrame rollup() relational op.",
+    tags=("agg",),
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (Q25–Q28)
+
+
+@query(
+    "q25_window_topk_per_group",
+    "SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn FROM ("
+    "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+    "FROM orders) t WHERE rn <= 3 ORDER BY o_custkey, rn",
+    doc="Top-k per group via ROW_NUMBER; shuffles once on the partition key. "
+    "At scale Spark pushes a per-partition rank limit before the exchange.",
+    tags=("window",),
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "q26_window_lag",
+    "SELECT user_id, event_id, prev_type FROM ("
+    "SELECT user_id, event_id, LAG(event_type) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events) t "
+    "WHERE prev_type IS NOT NULL ORDER BY user_id, event_id",
+    doc="LAG analytic over event time. Spark orders by the raw epoch-nanos "
+    "column so ordering matches DuckDB's native nanosecond timestamps exactly.",
+    tags=("window",),
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "q27_window_running_sum",
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running "
+    "FROM orders ORDER BY o_custkey, o_orderkey",
+    doc="Frame-spec running sum; decimal accumulation keeps prefix sums exact.",
+    tags=("window",),
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _money(F.sum(_dec("o_totalprice")).over(w)).alias("running"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q28_ntile",
+    "SELECT c_custkey, CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) "
+    "AS quartile FROM customer ORDER BY c_custkey",
+    doc="NTILE over a global ordering. Scale note: an un-partitioned window is "
+    "a single-task sort; at 100 TB use approx percentiles or range "
+    "partitioning instead — kept here for parity with the declared surface.",
+    tags=("window",),
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        load_table(spark, "customer", sf_dir)
+        .select(
+            "c_custkey", F.ntile(4).over(w).cast("bigint").alias("quartile")
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k (Q29–Q31)
+
+
+@query(
+    "q29_global_topk",
+    "SELECT p_partkey FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 100",
+    doc="Global top-k: Spark plans TakeOrderedAndProject (per-partition heap "
+    "+ driver merge), never a full sort.",
+    tags=("sort",),
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "part", sf_dir)
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .select("p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q30_sort_nulls_ordering",
+    "SELECT event_id FROM events ORDER BY value DESC NULLS LAST, event_id LIMIT 50",
+    doc="Multi-key sort with explicit null ordering.",
+    tags=("sort",),
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf_dir)
+        .orderBy(F.col("value").desc_nulls_last(), F.col("event_id"))
+        .select("event_id")
+        .limit(50)
+    )
+
+
+@query(
+    "q31_limit_offset",
+    "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5 OFFSET 10",
+    doc="LIMIT/OFFSET over a total order.",
+    tags=("sort",),
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "nation", sf_dir)
+        .select("n_nationkey")
+        .orderBy("n_nationkey")
+        .offset(10)
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (Q32–Q35)
+
+
+@query(
+    "q32_union_all",
+    "SELECT k, COUNT(*) AS n FROM ("
+    "SELECT c_nationkey AS k FROM customer "
+    "UNION ALL SELECT s_nationkey FROM supplier) u GROUP BY k ORDER BY k",
+    doc="UNION ALL (no dedup) wrapped in a counting aggregate for a "
+    "deterministic result shape.",
+    tags=("setop",),
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("k"))
+    return (
+        c.unionAll(s).groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+    )
+
+
+@query(
+    "q33_union_distinct",
+    "SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier "
+    "ORDER BY k",
+    doc="UNION with distinct semantics (union + aggregate dedup).",
+    tags=("setop",),
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("k"))
+    s = load_table(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().orderBy("k")
+
+
+@query(
+    "q34_intersect",
+    "SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders "
+    "ORDER BY k",
+    doc="INTERSECT (distinct) — planned as a left-semi join over dedup'd sides.",
+    tags=("setop",),
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, "orders", sf_dir).select(F.col("o_custkey").alias("k"))
+    return c.intersect(o).orderBy("k")
+
+
+@query(
+    "q35_except",
+    "SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders "
+    "ORDER BY k",
+    doc="EXCEPT (distinct) — planned as a left-anti join over dedup'd sides.",
+    tags=("setop",),
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, "customer", sf_dir).select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, "orders", sf_dir).select(F.col("o_custkey").alias("k"))
+    return c.exceptAll(o.distinct()).distinct().orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (Q36–Q42)
+
+
+@query(
+    "q36_string_functions",
+    "SELECT n_nationkey, UPPER(SUBSTR(n_name, 1, 3)) AS pre, "
+    "CAST(LENGTH(n_name) AS BIGINT) AS len FROM nation ORDER BY n_nationkey",
+    doc="String function family: upper/substr/length.",
+    tags=("scalar",),
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "nation", sf_dir)
+        .select(
+            "n_nationkey",
+            F.upper(F.substring("n_name", 1, 3)).alias("pre"),
+            F.length("n_name").cast("bigint").alias("len"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
+    "q37_date_functions",
+    "SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS y, "
+    "CAST(MONTH(o_orderdate) AS BIGINT) AS m, COUNT(*) AS n "
+    "FROM orders GROUP BY y, m ORDER BY y, m",
+    doc="Date part extraction + group; timestamps are NTZ so the result is "
+    "timezone-independent.",
+    tags=("scalar",),
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("y"),
+            F.month("o_orderdate").cast("bigint").alias("m"),
+        )
+        .groupBy("y", "m")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "m")
+    )
+
+
+@query(
+    "q38_math_functions",
+    "SELECT l_orderkey, l_linenumber, CAST(FLOOR(l_quantity) AS BIGINT) AS fq, "
+    "CAST(l_orderkey % 7 AS BIGINT) AS m7 FROM lineitem WHERE l_linenumber = 1 "
+    "ORDER BY l_orderkey",
+    doc="Math function family: floor/modulo.",
+    tags=("scalar",),
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor("l_quantity").cast("bigint").alias("fq"),
+            (F.col("l_orderkey") % 7).cast("bigint").alias("m7"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "q39_case_when",
+    "SELECT o_orderkey, CASE WHEN o_totalprice > 200000 THEN 'big' "
+    "WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket "
+    "FROM orders ORDER BY o_orderkey",
+    doc="Conditional expression family (CASE WHEN).",
+    tags=("scalar",),
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = (
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small")
+    )
+    return (
+        load_table(spark, "orders", sf_dir)
+        .select("o_orderkey", bucket.alias("bucket"))
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q40_cast",
+    "SELECT CAST(l_quantity AS BIGINT) AS q, COUNT(*) AS n FROM lineitem "
+    "GROUP BY q ORDER BY q",
+    doc="Numeric cast + group (quantities are integral doubles, so Spark's "
+    "truncation and DuckDB's rounding agree).",
+    tags=("scalar",),
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .select(F.col("l_quantity").cast("bigint").alias("q"))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("q")
+    )
+
+
+@query(
+    "q41_array_functions",
+    "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim FROM embeddings "
+    "ORDER BY vec_id LIMIT 100",
+    doc="Array column scan + size — ArrayType(FloatType) embeddings are "
+    "first-class (dialect note: Spark SIZE == DuckDB len).",
+    tags=("scalar", "array"),
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", F.size("embedding").cast("bigint").alias("dim"))
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+@query(
+    "q42_json_functions",
+    "SELECT event_id, json_extract_string(props, '$.k') AS k FROM events "
+    "WHERE props IS NOT NULL ORDER BY event_id LIMIT 100",
+    doc="JSON extraction from a string column (dialect note: Spark "
+    "GET_JSON_OBJECT == DuckDB json_extract_string).",
+    tags=("scalar", "json"),
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("props").isNotNull())
+        .select(
+            "event_id", F.get_json_object("props", "$.k").alias("k")
+        )
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch twin of the streaming tumbling window (Q43)
+
+
+@query(
+    "q43_tumbling_window_batch",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h, "
+    "event_type, COUNT(*) AS n, "
+    "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv "
+    "FROM events GROUP BY h, event_type ORDER BY h, event_type",
+    doc="Batch twin of the streaming tumbling-window aggregate; hour buckets "
+    "rendered as strings so Spark/DuckDB timestamp encodings never diverge.",
+    tags=("agg", "streaming-twin"),
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    h = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.groupBy(h.alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _money(F.sum(_dec("value"))).alias("sv"),
+        )
+        .orderBy("h", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF surface (Q44)
+
+
+@query(
+    "q44_python_udf",
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS disc_price "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    doc="Scalar Python UDF reproducing q04's SQL expression exactly "
+    "(decimal HALF_UP math). Deliberately the slow path — exists to prove the "
+    "UDF surface; q04 is the production form.",
+    tags=("udf",),
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    two = Decimal("0.01")
+
+    def disc_price(price: float, discount: float) -> float:
+        p = Decimal(repr(price)).quantize(two, rounding=ROUND_HALF_UP)
+        d = Decimal(repr(discount)).quantize(two, rounding=ROUND_HALF_UP)
+        return float((p * (1 - d)).quantize(two, rounding=ROUND_HALF_UP))
+
+    udf = F.udf(disc_price, "double")
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            udf("l_extendedprice", "l_discount").alias("disc_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

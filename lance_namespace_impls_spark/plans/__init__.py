@@ -1,0 +1,11 @@
+"""Query planning utilities: the declared-query registry and the oracle harness."""
+
+from lance_namespace_impls_spark.plans.registry import (
+    QUERIES,
+    QuerySpec,
+    query,
+    queries,
+    oracle_sql,
+)
+
+__all__ = ["QUERIES", "QuerySpec", "query", "queries", "oracle_sql"]

@@ -1,0 +1,85 @@
+"""SparkSession construction tuned for the engine.
+
+Scale posture: these settings are chosen so the same code runs on
+``local[N]`` for tests and on a 1000-executor cluster unchanged —
+AQE handles runtime re-planning (partition coalescing, skew joins,
+broadcast conversion), Arrow handles the Python boundary, and
+session-timezone is pinned to UTC so timestamp semantics never depend
+on cluster locale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime (non-static) SQL confs the engine depends on.  They are applied both
+# at build time and by `ensure_runtime_conf` so that externally-provided
+# sessions (e.g. the verification driver's) behave identically.
+_RUNTIME_CONF: dict[str, str] = {
+    # Deterministic timestamp semantics regardless of host timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # The `events` fixture carries parquet TIMESTAMP(NANOS) which Spark's
+    # reader rejects by default; read as epoch-nanos LongType and convert
+    # (see sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Adaptive execution: runtime partition coalescing, skew-join splitting,
+    # and sort-merge→broadcast conversion.  Essential at 100 TB where static
+    # planning misestimates.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow-accelerated Python<->JVM exchange for pandas UDFs / toPandas.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime SQL confs to an existing session.
+
+    Safe to call repeatedly; used by every public query builder so the engine
+    works on sessions it did not construct.
+    """
+    for key, value in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Conf may be static on some builds; the builder path sets it.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "lance_namespace_impls_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores).  On a real
+    cluster, pass ``master=None`` with a pre-configured spark-submit instead.
+    ``shuffle_partitions`` defaults to the core count locally; on a cluster AQE
+    coalescing makes a generous value cheap.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus_env) if cpus_env and cpus_env.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        # Larger files-per-partition target keeps small-SF local runs from
+        # over-parallelizing; at scale the 128 MB default applies per split.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for key, value in _RUNTIME_CONF.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return ensure_runtime_conf(spark)

@@ -1,0 +1,9 @@
+"""Data sources: parquet fixture tables, Lance-format gateway, stream sources."""
+
+from lance_namespace_impls_spark.sources.tables import (
+    TABLES,
+    load_table,
+    register_views,
+)
+
+__all__ = ["TABLES", "load_table", "register_views"]

@@ -1,0 +1,67 @@
+"""Fixture-table loaders.
+
+The synthetic star schema (TESTDATA.md / FIXTURES.md §B) is one parquet file
+per table under ``/root/testdata/sf{0.001,0.01,0.1}``.  All loaders go through
+``spark.read.parquet`` so Catalyst keeps predicate pushdown / column pruning;
+the only normalization applied is the ``events.ts`` nanosecond repair (Spark's
+parquet reader rejects TIMESTAMP(NANOS); we read epoch-nanos as LongType and
+rebuild a microsecond TIMESTAMP_NTZ — DuckDB and pyarrow read the same file
+natively, so oracle comparisons stay exact to the microsecond).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.session import ensure_runtime_conf
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _normalize_events(df: DataFrame) -> DataFrame:
+    """events.ts arrives as epoch-nanos LongType (nanosAsLong conf).
+
+    Rebuild a TIMESTAMP_NTZ at microsecond precision (session tz is pinned
+    UTC, so the LTZ->NTZ cast is the identity on the epoch wall-clock) and
+    keep the raw nanos as ``ts_ns`` for precision-sensitive ordering.
+    """
+    if dict(df.dtypes).get("ts") != "bigint":
+        return df  # reader produced a timestamp directly; nothing to repair
+    # Integer division: epoch-nanos (~1.7e18) exceeds double's exact integer
+    # range, so `/ 1000` + cast would be off by ±1µs on ~half the rows.
+    ts_us = F.expr("ts DIV 1000")
+    return df.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(ts_us).cast("timestamp_ntz")
+    )
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy scan; no action)."""
+    ensure_runtime_conf(spark)
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every fixture table as a temp view named after the table."""
+    for name in TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)

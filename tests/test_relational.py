@@ -1,0 +1,71 @@
+"""Correctness spot-checks for the relational surface at sf0.001.
+
+The full oracle sweep runs via plans.oracle (and the external driver); here a
+representative subset keeps pytest fast while still executing every operator
+family end-to-end against DuckDB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401
+from lance_namespace_impls_spark.plans.oracle import check_query, duckdb_connection
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+# One per operator family: scan, filter, join, agg, window, sort, setop,
+# scalar, streaming-twin, udf, llm.
+SPOT = [
+    "q01_scan_count",
+    "q05_filter_predicates",
+    "q11_multiway_join_revenue",
+    "q12_left_outer_join",
+    "q18_hash_agg_multi_measure",
+    "q23_grouping_sets",
+    "q25_window_topk_per_group",
+    "q26_window_lag",
+    "q29_global_topk",
+    "q32_union_all",
+    "q35_except",
+    "q42_json_functions",
+    "q43_tumbling_window_batch",
+    "q44_python_udf",
+    "q45_exact_dedup_stats",
+    "q49_quality_score",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_oracle_match(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_registry_structure():
+    assert len(QUERIES) >= 50
+    for name, spec in QUERIES.items():
+        assert spec.builder is not None
+        # oracle queries must carry the determinism conventions
+        if spec.oracle and "LIMIT" in spec.oracle.upper():
+            assert "ORDER BY" in spec.oracle.upper(), f"{name}: LIMIT without ORDER BY"
+
+
+def test_broadcast_join_plan(spark):
+    """q10 must actually plan a broadcast exchange (no fact-side shuffle)."""
+    df = QUERIES["q10_broadcast_join"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_topk_plan_is_take_ordered(spark):
+    """q29 must plan TakeOrderedAndProject, not a global sort."""
+    df = QUERIES["q29_global_topk"].builder(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan

@@ -1,0 +1,43 @@
+"""Source-layer tests: fixture loading and the events nanosecond-timestamp repair."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow.parquet as pq
+
+from lance_namespace_impls_spark.sources.tables import TABLES, load_table, register_views
+
+from tests.conftest import SF_SMOKE
+
+
+def test_all_tables_load(spark):
+    for name in TABLES:
+        df = load_table(spark, name, SF_SMOKE)
+        assert df.count() > 0, name
+
+
+def test_events_ts_repair_matches_pyarrow(spark):
+    """Spark's rebuilt TIMESTAMP_NTZ must equal the file's nanos truncated to µs."""
+    ev = load_table(spark, "events", SF_SMOKE)
+    dtypes = dict(ev.dtypes)
+    assert dtypes["ts"] == "timestamp_ntz"
+    assert dtypes["ts_ns"] == "bigint"
+    spark_rows = {
+        r.event_id: r.ts for r in ev.select("event_id", "ts").orderBy("event_id").limit(50).collect()
+    }
+    table = pq.read_table(f"{SF_SMOKE}/events.parquet", columns=["event_id", "ts"])
+    for eid, ts in zip(table["event_id"].to_pylist()[:50], table["ts"].to_pylist()[:50]):
+        # pyarrow yields ns-precision Timestamps; the engine truncates to µs
+        expect = ts.floor("us").to_pydatetime().replace(tzinfo=None)
+        assert spark_rows[eid] == expect, (eid, spark_rows[eid], expect)
+
+
+def test_register_views(spark):
+    register_views(spark, SF_SMOKE)
+    n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0].n
+    assert n == 6000
+    assert isinstance(
+        spark.sql("SELECT ts FROM events LIMIT 1").collect()[0].ts,
+        datetime.datetime,
+    )
