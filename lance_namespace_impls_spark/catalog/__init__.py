@@ -1,0 +1,48 @@
+"""Catalog plane: the reference's namespace/table operation surface.
+
+Backends:
+* :class:`DirectoryNamespace` — warehouse-directory JSON metadata store.
+* :class:`SessionCatalogNamespace` — Spark session-catalog integration.
+
+Construct via :func:`connect` (short names ``dir`` / ``session`` or a full
+class path), mirroring the reference's impl registry (__init__.py:40-45).
+"""
+
+from lance_namespace_impls_spark.catalog import models
+from lance_namespace_impls_spark.catalog.directory import DirectoryNamespace
+from lance_namespace_impls_spark.catalog.errors import (
+    InternalError,
+    InvalidInput,
+    NamespaceAlreadyExists,
+    NamespaceError,
+    NamespaceNotEmpty,
+    NamespaceNotFound,
+    ServiceUnavailable,
+    TableAlreadyExists,
+    TableNotFound,
+    UnsupportedOperation,
+)
+from lance_namespace_impls_spark.catalog.identifier import ObjectIdentifier
+from lance_namespace_impls_spark.catalog.namespace import LanceNamespace
+from lance_namespace_impls_spark.catalog.registry import connect, register_namespace_impl
+from lance_namespace_impls_spark.catalog.spark_session import SessionCatalogNamespace
+
+__all__ = [
+    "models",
+    "connect",
+    "register_namespace_impl",
+    "LanceNamespace",
+    "DirectoryNamespace",
+    "SessionCatalogNamespace",
+    "ObjectIdentifier",
+    "NamespaceError",
+    "NamespaceNotFound",
+    "NamespaceAlreadyExists",
+    "NamespaceNotEmpty",
+    "TableNotFound",
+    "TableAlreadyExists",
+    "InvalidInput",
+    "ServiceUnavailable",
+    "InternalError",
+    "UnsupportedOperation",
+]

@@ -1,0 +1,60 @@
+"""Namespace error model.
+
+Mirrors the reference's exception hierarchy and numeric error-code taxonomy
+(reference: python/src/lance_namespace_impls/rest_client.py:254-294 and
+docs/src/hive2.md:55-107 — codes 1/2/3/4/5/13/17/18).  Spark-facing code maps
+these onto AnalysisException-style failures; the numeric code is preserved in
+the message so API parity is checkable.
+"""
+
+from __future__ import annotations
+
+
+class NamespaceError(Exception):
+    """Base for all catalog-plane errors; carries the spec's numeric code."""
+
+    code: int = 18
+
+    def __init__(self, message: str):
+        super().__init__(f"[{self.code}] {message}")
+        self.message = message
+
+
+class NamespaceNotFound(NamespaceError):
+    code = 1
+
+
+class NamespaceAlreadyExists(NamespaceError):
+    code = 2
+
+
+class NamespaceNotEmpty(NamespaceError):
+    code = 3
+
+
+class TableNotFound(NamespaceError):
+    code = 4
+
+
+class TableAlreadyExists(NamespaceError):
+    code = 5
+
+
+class InvalidInput(NamespaceError):
+    code = 13
+
+
+class ServiceUnavailable(NamespaceError):
+    code = 17
+
+
+class InternalError(NamespaceError):
+    code = 18
+
+
+class UnsupportedOperation(NamespaceError):
+    """Raised by default implementations of optional operations (reference:
+    tests/test_namespace.py:69-87 — unimplemented ops raise rather than
+    silently no-op)."""
+
+    code = 13

@@ -1,0 +1,68 @@
+"""Object identifiers: multi-level namespace/table names.
+
+Semantics follow the reference's ObjectIdentifier
+(java/lance-namespace-impls-core/.../util/ObjectIdentifier.java:23-34,116-126):
+an identifier is a list of non-empty string levels; root = 0 levels; string
+form joins with '.' (table ids may alternatively join with '$' per
+docs/src/hive2.md:33).  Spark mapping: Identifier.of(namespace[], name).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from lance_namespace_impls_spark.catalog.errors import InvalidInput
+
+
+@dataclass(frozen=True)
+class ObjectIdentifier:
+    levels: tuple[str, ...]
+
+    def __post_init__(self):
+        for lv in self.levels:
+            if not isinstance(lv, str) or lv == "":
+                raise InvalidInput(f"identifier levels must be non-empty strings: {self.levels!r}")
+
+    @classmethod
+    def of(cls, levels: list[str] | tuple[str, ...] | None) -> "ObjectIdentifier":
+        return cls(tuple(levels or ()))
+
+    @classmethod
+    def root(cls) -> "ObjectIdentifier":
+        return cls(())
+
+    @classmethod
+    def parse(cls, text: str, table_style: bool = False) -> "ObjectIdentifier":
+        """Parse a delimited string id; '$' join accepted for table ids."""
+        if text == "":
+            return cls.root()
+        sep = "$" if table_style and "$" in text else "."
+        return cls(tuple(text.split(sep)))
+
+    @property
+    def is_root(self) -> bool:
+        return not self.levels
+
+    def __len__(self) -> int:
+        return len(self.levels)
+
+    @property
+    def parent(self) -> "ObjectIdentifier":
+        if self.is_root:
+            raise InvalidInput("root identifier has no parent")
+        return ObjectIdentifier(self.levels[:-1])
+
+    @property
+    def name(self) -> str:
+        if self.is_root:
+            raise InvalidInput("root identifier has no name")
+        return self.levels[-1]
+
+    def child(self, name: str) -> "ObjectIdentifier":
+        return ObjectIdentifier(self.levels + (name,))
+
+    def to_delimited(self, sep: str = ".") -> str:
+        return sep.join(self.levels)
+
+    def __str__(self) -> str:
+        return self.to_delimited()

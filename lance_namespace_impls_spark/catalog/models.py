@@ -1,0 +1,207 @@
+"""Request/response models for the namespace operation set.
+
+Light dataclass equivalents of the reference's generated OpenAPI models
+(`lance_namespace_urllib3_client.models` in Python,
+`org.lance.namespace.model.*` in Java) — only the fields the backends
+actually consume (SURVEY.md §2A).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Creation modes (reference: glue.py:152-165 equivalents, hive3.py:355-367).
+MODE_CREATE = "create"
+MODE_EXIST_OK = "exist_ok"
+MODE_OVERWRITE = "overwrite"
+
+# Drop behaviors: cascade is rejected by every backend
+# (glue.py:283-286 et al.); RESTRICT is the only supported behavior.
+BEHAVIOR_RESTRICT = "restrict"
+BEHAVIOR_CASCADE = "cascade"
+
+# Drop modes: fail (default) raises on missing target, skip tolerates it
+# (Hive3Namespace.java:683-688).
+DROP_MODE_FAIL = "fail"
+DROP_MODE_SKIP = "skip"
+
+# Required table properties merged into every declared/created table
+# (hive2.py:97-102, Hive3Util.java:171-179).
+PROP_TABLE_TYPE = "table_type"
+PROP_MANAGED_BY = "managed_by"
+PROP_VERSION = "version"
+LANCE_TABLE_TYPE = "lance"
+REQUIRED_TABLE_PROPERTIES = {PROP_TABLE_TYPE: LANCE_TABLE_TYPE, PROP_MANAGED_BY: "storage"}
+
+DEFAULT_PAGE_SIZE = 100  # PageUtil.java:21
+
+
+@dataclass
+class ListNamespacesRequest:
+    id: list[str] = field(default_factory=list)
+    limit: int | None = None
+    page_token: str | None = None
+
+
+@dataclass
+class ListNamespacesResponse:
+    namespaces: list[str]
+    page_token: str | None = None
+
+
+@dataclass
+class DescribeNamespaceRequest:
+    id: list[str] = field(default_factory=list)
+
+
+@dataclass
+class DescribeNamespaceResponse:
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class CreateNamespaceRequest:
+    id: list[str] = field(default_factory=list)
+    mode: str = MODE_CREATE
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class CreateNamespaceResponse:
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class DropNamespaceRequest:
+    id: list[str] = field(default_factory=list)
+    mode: str = DROP_MODE_FAIL
+    behavior: str = BEHAVIOR_RESTRICT
+
+
+@dataclass
+class DropNamespaceResponse:
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class NamespaceExistsRequest:
+    id: list[str] = field(default_factory=list)
+
+
+@dataclass
+class ListTablesRequest:
+    id: list[str] = field(default_factory=list)
+    limit: int | None = None
+    page_token: str | None = None
+    include_declared: bool | None = None  # None → True (table_utils.py:17-19)
+
+
+@dataclass
+class ListTablesResponse:
+    tables: list[str]
+    page_token: str | None = None
+
+
+@dataclass
+class TableExistsRequest:
+    id: list[str] = field(default_factory=list)
+
+
+@dataclass
+class DescribeTableRequest:
+    id: list[str] = field(default_factory=list)
+    load_detailed_metadata: bool = False  # True rejected by all backends
+    check_declared: bool = False
+
+
+@dataclass
+class DescribeTableResponse:
+    location: str
+    properties: dict[str, str] = field(default_factory=dict)
+    storage_options: dict[str, str] | None = None
+    managed_versioning: bool = False  # hard-coded false everywhere in reference
+    is_only_declared: bool | None = None
+
+
+@dataclass
+class DeclareTableRequest:
+    id: list[str] = field(default_factory=list)
+    location: str | None = None
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class DeclareTableResponse:
+    location: str
+    properties: dict[str, str] = field(default_factory=dict)
+    storage_options: dict[str, str] | None = None
+    managed_versioning: bool = False
+
+
+@dataclass
+class CreateTableRequest:
+    id: list[str] = field(default_factory=list)
+    location: str | None = None
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class CreateTableResponse:
+    location: str
+    properties: dict[str, str] = field(default_factory=dict)
+    managed_versioning: bool = False
+
+
+@dataclass
+class DropTableRequest:
+    id: list[str] = field(default_factory=list)
+
+
+@dataclass
+class DropTableResponse:
+    id: list[str]
+    location: str | None = None
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class DeregisterTableRequest:
+    id: list[str] = field(default_factory=list)
+
+
+@dataclass
+class DeregisterTableResponse:
+    id: list[str]
+    location: str | None = None
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+def merge_table_properties(
+    user: dict[str, str] | None, required: dict[str, str] | None = None
+) -> dict[str, str]:
+    """Required keys override user keys (reference: table_utils.py:8-14)."""
+    merged = dict(user or {})
+    merged.update(required if required is not None else REQUIRED_TABLE_PROPERTIES)
+    return merged
+
+
+def include_declared_default(value: bool | None) -> bool:
+    """ListTables include_declared default: None → True (table_utils.py:17-19)."""
+    return True if value is None else value
+
+
+def split_page(
+    items: list[str], page_token: str | None, limit: int | None
+) -> tuple[list[str], str | None]:
+    """Offset-encoded-as-string pagination (reference: PageUtil.java:19-70)."""
+    try:
+        offset = int(page_token) if page_token else 0
+    except ValueError:
+        raise  # malformed token is caller error; keep the ValueError visible
+    if offset < 0:
+        offset = 0
+    size = limit if limit and limit > 0 else DEFAULT_PAGE_SIZE
+    chunk = items[offset : offset + size]
+    next_token = str(offset + size) if offset + size < len(items) else None
+    return chunk, next_token

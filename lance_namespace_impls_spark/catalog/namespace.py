@@ -1,0 +1,65 @@
+"""Abstract LanceNamespace: the 12-operation catalog contract.
+
+Mirrors the reference's backend interface (SURVEY.md §2A).  Default
+implementations raise UnsupportedOperation, matching the reference contract
+that unimplemented ops raise rather than no-op
+(reference: python/tests/test_namespace.py:69-87).
+"""
+
+from __future__ import annotations
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.errors import UnsupportedOperation
+
+
+class LanceNamespace:
+    """Base class for namespace backends.
+
+    Implementations must be driver-side objects that survive serialization
+    (drop live clients in __getstate__, rebuild lazily — reference:
+    glue.py:522-532).
+    """
+
+    def namespace_id(self) -> str:
+        """Human-readable instance id (reference: glue.py:131-135)."""
+        return type(self).__name__
+
+    # -- namespace ops ------------------------------------------------------
+
+    def list_namespaces(self, req: m.ListNamespacesRequest) -> m.ListNamespacesResponse:
+        raise UnsupportedOperation("list_namespaces not supported")
+
+    def describe_namespace(self, req: m.DescribeNamespaceRequest) -> m.DescribeNamespaceResponse:
+        raise UnsupportedOperation("describe_namespace not supported")
+
+    def create_namespace(self, req: m.CreateNamespaceRequest) -> m.CreateNamespaceResponse:
+        raise UnsupportedOperation("create_namespace not supported")
+
+    def drop_namespace(self, req: m.DropNamespaceRequest) -> m.DropNamespaceResponse:
+        raise UnsupportedOperation("drop_namespace not supported")
+
+    def namespace_exists(self, req: m.NamespaceExistsRequest) -> None:
+        raise UnsupportedOperation("namespace_exists not supported")
+
+    # -- table ops ----------------------------------------------------------
+
+    def list_tables(self, req: m.ListTablesRequest) -> m.ListTablesResponse:
+        raise UnsupportedOperation("list_tables not supported")
+
+    def table_exists(self, req: m.TableExistsRequest) -> None:
+        raise UnsupportedOperation("table_exists not supported")
+
+    def describe_table(self, req: m.DescribeTableRequest) -> m.DescribeTableResponse:
+        raise UnsupportedOperation("describe_table not supported")
+
+    def declare_table(self, req: m.DeclareTableRequest) -> m.DeclareTableResponse:
+        raise UnsupportedOperation("declare_table not supported")
+
+    def create_table(self, req: m.CreateTableRequest, data=None) -> m.CreateTableResponse:
+        raise UnsupportedOperation("create_table not supported")
+
+    def drop_table(self, req: m.DropTableRequest) -> m.DropTableResponse:
+        raise UnsupportedOperation("drop_table not supported")
+
+    def deregister_table(self, req: m.DeregisterTableRequest) -> m.DeregisterTableResponse:
+        raise UnsupportedOperation("deregister_table not supported")

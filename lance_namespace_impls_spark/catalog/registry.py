@@ -1,0 +1,52 @@
+"""Impl registry: short-name or full-class-path namespace construction.
+
+Reference contract: __init__.py:21,40-45 + tests/test_namespace.py:15-66 —
+short names resolve to registered classes, full ``module.Class`` paths load
+dynamically, and non-LanceNamespace classes are rejected.
+
+Spark mapping: this is the Python analog of
+``spark.sql.catalog.<name> = <class>`` config-driven catalog instantiation.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+from lance_namespace_impls_spark.catalog.errors import InvalidInput
+from lance_namespace_impls_spark.catalog.namespace import LanceNamespace
+
+_REGISTRY: dict[str, str] = {}
+
+
+def register_namespace_impl(short_name: str, class_path: str) -> None:
+    _REGISTRY[short_name] = class_path
+
+
+def _load_class(path: str):
+    module_name, _, class_name = path.rpartition(".")
+    if not module_name:
+        raise InvalidInput(f"not a class path: {path!r}")
+    try:
+        module = importlib.import_module(module_name)
+        return getattr(module, class_name)
+    except (ImportError, AttributeError) as exc:
+        raise InvalidInput(f"cannot load namespace impl {path!r}: {exc}")
+
+
+def connect(impl: str, properties: dict[str, str] | None = None) -> LanceNamespace:
+    """Construct a namespace backend from a short name or full class path."""
+    class_path = _REGISTRY.get(impl, impl)
+    cls = _load_class(class_path)
+    if not (isinstance(cls, type) and issubclass(cls, LanceNamespace)):
+        raise InvalidInput(f"{class_path} is not a LanceNamespace implementation")
+    return cls(properties or {})
+
+
+# Built-in backends (reference: __init__.py:40-45 registers glue/hive2/...).
+register_namespace_impl(
+    "dir", "lance_namespace_impls_spark.catalog.directory.DirectoryNamespace"
+)
+register_namespace_impl(
+    "session",
+    "lance_namespace_impls_spark.catalog.spark_session.SessionCatalogNamespace",
+)

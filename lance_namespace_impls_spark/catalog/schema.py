@@ -1,0 +1,245 @@
+"""Schema conversion: JSON-Arrow (wire) ↔ pyarrow (memory) ↔ Spark StructType.
+
+The reference's canonical schema language is JSON-Arrow (schema.py:138-209
+parses it; schema.py:77-135 emits it).  This module reimplements the matrix
+with one deliberate improvement: nested types (list/struct/map) carry full
+child types instead of the reference's lossy name-only markers
+(schema.py:128-133 → "unknown" round trips).
+
+Spark mapping (SURVEY.md §1.3): unsigned ints promote to the next wider
+signed type (uint64 → DecimalType(20,0)) because Spark has no unsigned ints.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+from pyspark.sql import types as T
+
+from lance_namespace_impls_spark.catalog.errors import InvalidInput
+
+# -- JSON-Arrow ↔ pyarrow ----------------------------------------------------
+
+_PRIMITIVES: dict[str, pa.DataType] = {
+    "null": pa.null(),
+    "bool": pa.bool_(),
+    "int8": pa.int8(),
+    "int16": pa.int16(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "uint8": pa.uint8(),
+    "uint16": pa.uint16(),
+    "uint32": pa.uint32(),
+    "uint64": pa.uint64(),
+    "float32": pa.float32(),
+    "float64": pa.float64(),
+    "utf8": pa.utf8(),
+    "binary": pa.binary(),
+    "date32": pa.date32(),
+    "date64": pa.date64(),
+}
+_PRIMITIVE_NAMES = {v: k for k, v in _PRIMITIVES.items()}
+
+
+def json_type_to_arrow(spec: str | dict[str, Any]) -> pa.DataType:
+    """Parse one JSON-Arrow type spec (reference: schema.py:138-209)."""
+    if isinstance(spec, dict):
+        kind = spec.get("type")
+        if kind == "list":
+            return pa.list_(json_type_to_arrow(spec["value_type"]))
+        if kind == "struct":
+            return pa.struct(
+                [
+                    pa.field(
+                        f["name"],
+                        json_type_to_arrow(f["type"]),
+                        nullable=f.get("nullable", True),
+                    )
+                    for f in spec.get("fields", [])
+                ]
+            )
+        if kind == "map":
+            return pa.map_(
+                json_type_to_arrow(spec["key_type"]), json_type_to_arrow(spec["value_type"])
+            )
+        raise InvalidInput(f"unsupported JSON-Arrow composite type: {kind!r}")
+    name = spec.strip()
+    if name in _PRIMITIVES:
+        return _PRIMITIVES[name]
+    if name.startswith("timestamp"):
+        # "timestamp" or "timestamp[us]" with optional ",tz=<zone>" suffix
+        # (reference parses tz at schema.py:190-196).
+        tz = None
+        if "tz=" in name:
+            tz = name.split("tz=", 1)[1].rstrip("]").strip()
+        return pa.timestamp("us", tz=tz)
+    if name.startswith("decimal"):
+        # "decimal(p,s)"; bare "decimal" defaults to (38,10)
+        # (reference: schema.py:197-207).
+        if "(" in name:
+            inner = name[name.index("(") + 1 : name.rindex(")")]
+            p, s = (int(x) for x in inner.split(","))
+        else:
+            p, s = 38, 10
+        return pa.decimal128(p, s)
+    raise InvalidInput(f"unsupported JSON-Arrow type: {name!r}")
+
+
+def arrow_type_to_json(dt: pa.DataType) -> str | dict[str, Any]:
+    """Emit a JSON-Arrow type spec; nested types keep children (improvement
+    over the reference's name-only markers, schema.py:128-133)."""
+    if dt in _PRIMITIVE_NAMES:
+        return _PRIMITIVE_NAMES[dt]
+    if pa.types.is_timestamp(dt):
+        return f"timestamp[us],tz={dt.tz}" if dt.tz else "timestamp[us]"
+    if pa.types.is_decimal(dt):
+        return f"decimal({dt.precision},{dt.scale})"
+    if pa.types.is_list(dt) or pa.types.is_large_list(dt):
+        return {"type": "list", "value_type": arrow_type_to_json(dt.value_type)}
+    if pa.types.is_struct(dt):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": f.name,
+                    "type": arrow_type_to_json(f.type),
+                    "nullable": f.nullable,
+                }
+                for f in dt
+            ],
+        }
+    if pa.types.is_map(dt):
+        return {
+            "type": "map",
+            "key_type": arrow_type_to_json(dt.key_type),
+            "value_type": arrow_type_to_json(dt.item_type),
+        }
+    if pa.types.is_large_string(dt):
+        return "utf8"
+    if pa.types.is_large_binary(dt):
+        return "binary"
+    raise InvalidInput(f"unsupported arrow type: {dt}")
+
+
+def json_schema_to_arrow(fields: list[dict[str, Any]]) -> pa.Schema:
+    return pa.schema(
+        [
+            pa.field(f["name"], json_type_to_arrow(f["type"]), nullable=f.get("nullable", True))
+            for f in fields
+        ]
+    )
+
+
+def arrow_schema_to_json(schema: pa.Schema) -> list[dict[str, Any]]:
+    return [
+        {"name": f.name, "type": arrow_type_to_json(f.type), "nullable": f.nullable}
+        for f in schema
+    ]
+
+
+# -- pyarrow ↔ Spark ---------------------------------------------------------
+
+_ARROW_TO_SPARK: list[tuple] = [
+    (pa.types.is_null, lambda dt: T.NullType()),
+    (pa.types.is_boolean, lambda dt: T.BooleanType()),
+    (pa.types.is_int8, lambda dt: T.ByteType()),
+    (pa.types.is_int16, lambda dt: T.ShortType()),
+    (pa.types.is_int32, lambda dt: T.IntegerType()),
+    (pa.types.is_int64, lambda dt: T.LongType()),
+    # Unsigned promotion: Spark has no unsigned ints (SURVEY.md §1.3).
+    (pa.types.is_uint8, lambda dt: T.ShortType()),
+    (pa.types.is_uint16, lambda dt: T.IntegerType()),
+    (pa.types.is_uint32, lambda dt: T.LongType()),
+    (pa.types.is_uint64, lambda dt: T.DecimalType(20, 0)),
+    (pa.types.is_float32, lambda dt: T.FloatType()),
+    (pa.types.is_float64, lambda dt: T.DoubleType()),
+    (pa.types.is_date, lambda dt: T.DateType()),  # date64 truncates to day
+]
+
+
+def arrow_type_to_spark(dt: pa.DataType) -> T.DataType:
+    for pred, make in _ARROW_TO_SPARK:
+        if pred(dt):
+            return make(dt)
+    if pa.types.is_timestamp(dt):
+        return T.TimestampType() if dt.tz else T.TimestampNTZType()
+    if pa.types.is_decimal(dt):
+        return T.DecimalType(dt.precision, dt.scale)
+    if pa.types.is_string(dt) or pa.types.is_large_string(dt):
+        return T.StringType()
+    if pa.types.is_binary(dt) or pa.types.is_large_binary(dt):
+        return T.BinaryType()
+    if pa.types.is_list(dt) or pa.types.is_large_list(dt):
+        return T.ArrayType(arrow_type_to_spark(dt.value_type))
+    if pa.types.is_struct(dt):
+        return T.StructType(
+            [
+                T.StructField(f.name, arrow_type_to_spark(f.type), f.nullable)
+                for f in dt
+            ]
+        )
+    if pa.types.is_map(dt):
+        return T.MapType(
+            arrow_type_to_spark(dt.key_type), arrow_type_to_spark(dt.item_type)
+        )
+    raise InvalidInput(f"unsupported arrow type for Spark: {dt}")
+
+
+def spark_type_to_arrow(dt: T.DataType) -> pa.DataType:
+    mapping = {
+        T.NullType: pa.null(),
+        T.BooleanType: pa.bool_(),
+        T.ByteType: pa.int8(),
+        T.ShortType: pa.int16(),
+        T.IntegerType: pa.int32(),
+        T.LongType: pa.int64(),
+        T.FloatType: pa.float32(),
+        T.DoubleType: pa.float64(),
+        T.StringType: pa.utf8(),
+        T.BinaryType: pa.binary(),
+        T.DateType: pa.date32(),
+        T.TimestampNTZType: pa.timestamp("us"),
+    }
+    if type(dt) in mapping:
+        return mapping[type(dt)]
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(spark_type_to_arrow(dt.elementType))
+    if isinstance(dt, T.StructType):
+        return pa.struct(
+            [
+                pa.field(f.name, spark_type_to_arrow(f.dataType), nullable=f.nullable)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.MapType):
+        return pa.map_(spark_type_to_arrow(dt.keyType), spark_type_to_arrow(dt.valueType))
+    raise InvalidInput(f"unsupported Spark type for arrow: {dt}")
+
+
+def arrow_schema_to_spark(schema: pa.Schema) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f.name, arrow_type_to_spark(f.type), f.nullable)
+            for f in schema
+        ]
+    )
+
+
+def spark_schema_to_arrow(schema: T.StructType) -> pa.Schema:
+    return pa.schema(
+        [
+            pa.field(f.name, spark_type_to_arrow(f.dataType), nullable=f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
+def parse_ipc_schema(data: bytes) -> pa.Schema:
+    """Read the schema from an Arrow IPC stream (reference: unity.py:639-645)."""
+    with pa.ipc.open_stream(data) as reader:
+        return reader.schema

@@ -1,0 +1,257 @@
+"""SessionCatalogNamespace: namespace ops mapped onto Spark's session catalog.
+
+The Spark-native integration the reference delegates to external catalog
+servers: namespaces become session-catalog databases (``CREATE NAMESPACE``),
+tables become external parquet/lance tables (``CREATE TABLE ... USING ...
+LOCATION``), and listings go through ``spark.catalog``.  Hierarchy shape is
+one level under root — the Glue/Hive2 shape (SURVEY.md §1.2).
+
+Lance-table identification uses TBLPROPERTIES (table_type=lance), mirroring
+the reference's property-based filtering (glue.py:504-520).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.directory import has_storage_components
+from lance_namespace_impls_spark.catalog.errors import (
+    InvalidInput,
+    NamespaceAlreadyExists,
+    NamespaceNotEmpty,
+    NamespaceNotFound,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from lance_namespace_impls_spark.catalog.namespace import LanceNamespace
+
+
+def _q(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+class SessionCatalogNamespace(LanceNamespace):
+    """properties: none required; optional ``default_location_root``.
+
+    Holds no live SparkSession (pickle-safe, reference glue.py:522-532):
+    the active session is resolved per call.
+    """
+
+    def __init__(self, properties: dict[str, str] | None = None):
+        self._properties = dict(properties or {})
+
+    @property
+    def _spark(self) -> SparkSession:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise InvalidInput("no active SparkSession")
+        return spark
+
+    def namespace_id(self) -> str:
+        return "SessionCatalogNamespace(spark_catalog)"
+
+    # -- namespace ops ------------------------------------------------------
+
+    @staticmethod
+    def _one_level(levels: list[str]) -> str:
+        if len(levels) != 1:
+            raise InvalidInput(
+                f"session catalog namespaces are exactly one level, got {levels!r}"
+            )
+        return levels[0]
+
+    def list_namespaces(self, req: m.ListNamespacesRequest) -> m.ListNamespacesResponse:
+        if req.id:
+            # Nested namespaces don't exist: empty child list (glue.py:186-188).
+            return m.ListNamespacesResponse(namespaces=[])
+        names = sorted(db.name for db in self._spark.catalog.listDatabases())
+        page, token = m.split_page(names, req.page_token, req.limit)
+        return m.ListNamespacesResponse(namespaces=page, page_token=token)
+
+    def describe_namespace(self, req: m.DescribeNamespaceRequest) -> m.DescribeNamespaceResponse:
+        db = self._one_level(req.id)
+        if not self._spark.catalog.databaseExists(db):
+            raise NamespaceNotFound(f"namespace not found: {db}")
+        info = self._spark.catalog.getDatabase(db)
+        props = {"location": info.locationUri}
+        if info.description:
+            props["comment"] = info.description
+        return m.DescribeNamespaceResponse(properties=props)
+
+    def create_namespace(self, req: m.CreateNamespaceRequest) -> m.CreateNamespaceResponse:
+        db = self._one_level(req.id)
+        if req.mode not in (m.MODE_CREATE, m.MODE_EXIST_OK, m.MODE_OVERWRITE):
+            raise InvalidInput(f"unknown creation mode: {req.mode}")
+        exists = self._spark.catalog.databaseExists(db)
+        if exists:
+            if req.mode == m.MODE_CREATE:
+                raise NamespaceAlreadyExists(f"namespace exists: {db}")
+            if req.mode == m.MODE_OVERWRITE:
+                # Spark has no overwrite mode: drop (cascade, Glue's
+                # delete_database shape) + recreate.
+                self._spark.sql(f"DROP DATABASE {_q(db)} CASCADE")
+                exists = False
+        if not exists:
+            clauses = ""
+            props = {k: v for k, v in req.properties.items() if k != "comment"}
+            if "comment" in req.properties:
+                comment = req.properties["comment"].replace("'", "\\'")
+                clauses += f" COMMENT '{comment}'"
+            if props:
+                kv = ", ".join(
+                    f"'{k}'='{v}'" for k, v in sorted(props.items())
+                )
+                clauses += f" WITH DBPROPERTIES ({kv})"
+            self._spark.sql(f"CREATE NAMESPACE {_q(db)}{clauses}")
+        return m.CreateNamespaceResponse(properties=dict(req.properties))
+
+    def drop_namespace(self, req: m.DropNamespaceRequest) -> m.DropNamespaceResponse:
+        if req.behavior == m.BEHAVIOR_CASCADE:
+            raise InvalidInput("cascade drop is not supported; drop contents first")
+        db = self._one_level(req.id)
+        if not self._spark.catalog.databaseExists(db):
+            if req.mode == m.DROP_MODE_SKIP:
+                return m.DropNamespaceResponse(properties={})
+            raise NamespaceNotFound(f"namespace not found: {db}")
+        if self._spark.catalog.listTables(db):
+            raise NamespaceNotEmpty(f"namespace not empty: {db}")
+        self._spark.sql(f"DROP DATABASE {_q(db)} RESTRICT")
+        return m.DropNamespaceResponse(properties={})
+
+    def namespace_exists(self, req: m.NamespaceExistsRequest) -> None:
+        db = self._one_level(req.id)
+        if not self._spark.catalog.databaseExists(db):
+            raise NamespaceNotFound(f"namespace not found: {db}")
+
+    # -- table ops ----------------------------------------------------------
+
+    @staticmethod
+    def _table_parts(table_id: list[str]) -> tuple[str, str]:
+        if len(table_id) != 2:
+            raise InvalidInput(f"table ids are [database, table], got {table_id!r}")
+        return table_id[0], table_id[1]
+
+    # Spark 4 reserves bare keys like ``table_type`` in TBLPROPERTIES, so
+    # every namespace-plane property is stored under the ``lance.`` prefix and
+    # translated back on read.
+    _PREFIX = "lance."
+
+    def _table_props(self, db: str, tbl: str) -> dict[str, str]:
+        rows = self._spark.sql(f"SHOW TBLPROPERTIES {_q(db)}.{_q(tbl)}").collect()
+        return {
+            r.key[len(self._PREFIX):]: r.value
+            for r in rows
+            if r.key.startswith(self._PREFIX)
+        }
+
+    def _require_lance_table(self, table_id: list[str]) -> dict[str, str]:
+        db, tbl = self._table_parts(table_id)
+        if not self._spark.catalog.tableExists(f"{db}.{tbl}"):
+            raise TableNotFound(f"table not found: {db}.{tbl}")
+        props = self._table_props(db, tbl)
+        if props.get(m.PROP_TABLE_TYPE, "").lower() != m.LANCE_TABLE_TYPE:
+            raise TableNotFound(f"not a lance table: {db}.{tbl}")
+        return props
+
+    def list_tables(self, req: m.ListTablesRequest) -> m.ListTablesResponse:
+        db = self._one_level(req.id)
+        if not self._spark.catalog.databaseExists(db):
+            raise NamespaceNotFound(f"namespace not found: {db}")
+        names = []
+        for t in self._spark.catalog.listTables(db):
+            if t.tableType == "TEMPORARY":
+                continue
+            props = self._table_props(db, t.name)
+            if props.get(m.PROP_TABLE_TYPE, "").lower() != m.LANCE_TABLE_TYPE:
+                continue
+            if not m.include_declared_default(req.include_declared):
+                location = props.get("__location__", "")
+                if not location or not has_storage_components(location):
+                    continue
+            names.append(t.name)
+        names.sort()
+        page, token = m.split_page(names, req.page_token, req.limit)
+        return m.ListTablesResponse(tables=page, page_token=token)
+
+    def table_exists(self, req: m.TableExistsRequest) -> None:
+        self._require_lance_table(req.id)
+
+    def describe_table(self, req: m.DescribeTableRequest) -> m.DescribeTableResponse:
+        if req.load_detailed_metadata:
+            raise InvalidInput("load_detailed_metadata is not supported")
+        props = self._require_lance_table(req.id)
+        location = props.get("__location__", "")
+        is_only_declared = None
+        if req.check_declared:
+            is_only_declared = not has_storage_components(location)
+        public = {k: v for k, v in props.items() if not k.startswith("__")}
+        return m.DescribeTableResponse(
+            location=location,
+            properties=public,
+            managed_versioning=False,
+            is_only_declared=is_only_declared,
+        )
+
+    def declare_table(self, req: m.DeclareTableRequest) -> m.DeclareTableResponse:
+        db, tbl = self._table_parts(req.id)
+        if not self._spark.catalog.databaseExists(db):
+            raise NamespaceNotFound(f"namespace not found: {db}")
+        if self._spark.catalog.tableExists(f"{db}.{tbl}"):
+            raise TableAlreadyExists(f"table exists: {db}.{tbl}")
+        root = self._properties.get("default_location_root") or self._spark.catalog.getDatabase(
+            db
+        ).locationUri.removeprefix("file:")
+        location = req.location or f"{root}/{tbl}.lance"
+        properties = m.merge_table_properties(req.properties)
+        # Placeholder schema for declared tables (hive2.py:491-497,
+        # glue.py:415-422): the real schema lives in storage.
+        kv = ", ".join(
+            f"'{self._PREFIX}{k}'='{v}'"
+            for k, v in sorted({**properties, "__location__": location}.items())
+        )
+        self._spark.sql(
+            f"CREATE TABLE {_q(db)}.{_q(tbl)} (__placeholder_id BIGINT) "
+            f"USING parquet TBLPROPERTIES ({kv})"
+        )
+        return m.DeclareTableResponse(
+            location=location, properties=properties, managed_versioning=False
+        )
+
+    def create_table(self, req: m.CreateTableRequest, data=None) -> m.CreateTableResponse:
+        declared = self.declare_table(
+            m.DeclareTableRequest(id=req.id, location=req.location, properties=req.properties)
+        )
+        if data is not None:
+            data.write.mode("overwrite").parquet(declared.location)
+        return m.CreateTableResponse(
+            location=declared.location,
+            properties=declared.properties,
+            managed_versioning=False,
+        )
+
+    def drop_table(self, req: m.DropTableRequest) -> m.DropTableResponse:
+        props = self._require_lance_table(req.id)
+        db, tbl = self._table_parts(req.id)
+        location = props.get("__location__", "")
+        self._spark.sql(f"DROP TABLE {_q(db)}.{_q(tbl)}")
+        if location:
+            import os
+            import shutil
+
+            if os.path.isdir(location):
+                shutil.rmtree(location, ignore_errors=True)
+        public = {k: v for k, v in props.items() if not k.startswith("__")}
+        return m.DropTableResponse(id=list(req.id), location=location, properties=public)
+
+    def deregister_table(self, req: m.DeregisterTableRequest) -> m.DeregisterTableResponse:
+        props = self._require_lance_table(req.id)
+        db, tbl = self._table_parts(req.id)
+        location = props.get("__location__", "")
+        self._spark.sql(f"DROP TABLE {_q(db)}.{_q(tbl)}")  # keep data
+        public = {k: v for k, v in props.items() if not k.startswith("__")}
+        return m.DeregisterTableResponse(id=list(req.id), location=location, properties=public)
+
+    def read_table(self, spark: SparkSession, table_id: list[str]):
+        desc = self.describe_table(m.DescribeTableRequest(id=table_id))
+        return spark.read.parquet(desc.location)

@@ -66,16 +66,26 @@ def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q03_catalog_resolved_scan",
     "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
-    doc="Same result as q02 but resolved through a registered table name "
-    "(spark.table), exercising the catalog-resolution path.",
+    doc="Same result as q02 but resolved through the catalog plane: the table "
+    "is declared in a DirectoryNamespace and read via its registered location "
+    "(the reference's describe_table -> open-dataset path, glue.py:353-395).",
     tags=("scan", "catalog"),
 )
 def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, "region", sf_dir).createOrReplaceTempView(
-        "lni_catalog_region"
+    import tempfile
+
+    from lance_namespace_impls_spark.catalog import DirectoryNamespace
+    from lance_namespace_impls_spark.catalog import models as cm
+
+    ns = DirectoryNamespace({"root": tempfile.mkdtemp(prefix="lni_q03_")})
+    ns.create_namespace(cm.CreateNamespaceRequest(id=["main"]))
+    ns.declare_table(
+        cm.DeclareTableRequest(
+            id=["main", "region"], location=f"{sf_dir}/region.parquet"
+        )
     )
     return (
-        spark.table("lni_catalog_region")
+        ns.read_table(spark, ["main", "region"])
         .select("r_regionkey", "r_name")
         .orderBy("r_regionkey")
     )

@@ -1,0 +1,219 @@
+"""Catalog-plane tests: semantics ported from the reference's unit suites
+(creation modes, RESTRICT drops, include_declared, Lance-table filtering,
+pagination, pickling — SURVEY.md §5 layer 1)."""
+
+from __future__ import annotations
+
+import pickle
+
+import pytest
+
+from lance_namespace_impls_spark.catalog import (
+    DirectoryNamespace,
+    InvalidInput,
+    NamespaceAlreadyExists,
+    NamespaceNotEmpty,
+    NamespaceNotFound,
+    ObjectIdentifier,
+    TableAlreadyExists,
+    TableNotFound,
+    UnsupportedOperation,
+    connect,
+    models as m,
+)
+from lance_namespace_impls_spark.catalog.namespace import LanceNamespace
+
+
+@pytest.fixture
+def ns(tmp_path):
+    return DirectoryNamespace({"root": str(tmp_path / "warehouse")})
+
+
+# -- connect registry (reference: tests/test_namespace.py:15-66) -------------
+
+
+def test_connect_short_name(tmp_path):
+    ns = connect("dir", {"root": str(tmp_path / "w")})
+    assert isinstance(ns, DirectoryNamespace)
+
+
+def test_connect_class_path(tmp_path):
+    ns = connect(
+        "lance_namespace_impls_spark.catalog.directory.DirectoryNamespace",
+        {"root": str(tmp_path / "w")},
+    )
+    assert isinstance(ns, DirectoryNamespace)
+
+
+def test_connect_rejects_non_namespace():
+    with pytest.raises(InvalidInput):
+        connect("lance_namespace_impls_spark.catalog.errors.InvalidInput", {})
+
+
+def test_default_methods_raise():
+    base = LanceNamespace()
+    with pytest.raises(UnsupportedOperation):
+        base.list_namespaces(m.ListNamespacesRequest())
+    with pytest.raises(UnsupportedOperation):
+        base.declare_table(m.DeclareTableRequest(id=["a", "t"]))
+
+
+# -- identifier --------------------------------------------------------------
+
+
+def test_identifier_semantics():
+    root = ObjectIdentifier.root()
+    assert root.is_root and len(root) == 0
+    tid = ObjectIdentifier.parse("cat.db.tbl")
+    assert tid.levels == ("cat", "db", "tbl")
+    assert tid.name == "tbl" and tid.parent.levels == ("cat", "db")
+    assert ObjectIdentifier.parse("db$tbl", table_style=True).levels == ("db", "tbl")
+    with pytest.raises(InvalidInput):
+        ObjectIdentifier.of(["", "x"])
+
+
+# -- namespace CRUD ----------------------------------------------------------
+
+
+def test_namespace_crud(ns):
+    ns.create_namespace(m.CreateNamespaceRequest(id=["db1"], properties={"owner": "me"}))
+    assert ns.describe_namespace(m.DescribeNamespaceRequest(id=["db1"])).properties == {
+        "owner": "me"
+    }
+    assert ns.list_namespaces(m.ListNamespacesRequest()).namespaces == ["db1"]
+    ns.namespace_exists(m.NamespaceExistsRequest(id=["db1"]))
+    ns.drop_namespace(m.DropNamespaceRequest(id=["db1"]))
+    with pytest.raises(NamespaceNotFound):
+        ns.describe_namespace(m.DescribeNamespaceRequest(id=["db1"]))
+
+
+def test_create_modes(ns):
+    ns.create_namespace(m.CreateNamespaceRequest(id=["db"], properties={"a": "1"}))
+    with pytest.raises(NamespaceAlreadyExists):
+        ns.create_namespace(m.CreateNamespaceRequest(id=["db"]))
+    resp = ns.create_namespace(m.CreateNamespaceRequest(id=["db"], mode="exist_ok"))
+    assert resp.properties == {"a": "1"}  # exist_ok returns existing props
+    resp = ns.create_namespace(
+        m.CreateNamespaceRequest(id=["db"], mode="overwrite", properties={"b": "2"})
+    )
+    assert resp.properties == {"b": "2"}
+    assert ns.describe_namespace(m.DescribeNamespaceRequest(id=["db"])).properties == {
+        "b": "2"
+    }
+    with pytest.raises(InvalidInput):
+        ns.create_namespace(m.CreateNamespaceRequest(id=["x"], mode="bogus"))
+
+
+def test_nested_namespaces(ns):
+    ns.create_namespace(m.CreateNamespaceRequest(id=["a"]))
+    ns.create_namespace(m.CreateNamespaceRequest(id=["a", "b"]))
+    with pytest.raises(NamespaceNotFound):  # parent must exist
+        ns.create_namespace(m.CreateNamespaceRequest(id=["zz", "c"]))
+    assert ns.list_namespaces(m.ListNamespacesRequest(id=["a"])).namespaces == ["b"]
+    with pytest.raises(NamespaceNotEmpty):  # restrict: child blocks drop
+        ns.drop_namespace(m.DropNamespaceRequest(id=["a"]))
+
+
+def test_cascade_rejected_everywhere(ns):
+    ns.create_namespace(m.CreateNamespaceRequest(id=["db"]))
+    with pytest.raises(InvalidInput):
+        ns.drop_namespace(m.DropNamespaceRequest(id=["db"], behavior="cascade"))
+
+
+def test_drop_mode_skip(ns):
+    resp = ns.drop_namespace(m.DropNamespaceRequest(id=["ghost"], mode="skip"))
+    assert resp.properties == {}
+    with pytest.raises(NamespaceNotFound):
+        ns.drop_namespace(m.DropNamespaceRequest(id=["ghost"]))
+
+
+# -- table lifecycle ---------------------------------------------------------
+
+
+def test_declare_describe_deregister(ns, tmp_path):
+    ns.create_namespace(m.CreateNamespaceRequest(id=["db"]))
+    resp = ns.declare_table(m.DeclareTableRequest(id=["db", "t1"], properties={"k": "v"}))
+    # Required props merged, required keys win (table_utils.py:8-14)
+    assert resp.properties["table_type"] == "lance"
+    assert resp.properties["managed_by"] == "storage"
+    assert resp.properties["k"] == "v"
+    assert resp.location.endswith("t1.lance")
+    assert not resp.managed_versioning
+
+    desc = ns.describe_table(m.DescribeTableRequest(id=["db", "t1"], check_declared=True))
+    assert desc.is_only_declared is True  # no data written yet
+    with pytest.raises(InvalidInput):
+        ns.describe_table(
+            m.DescribeTableRequest(id=["db", "t1"], load_detailed_metadata=True)
+        )
+    with pytest.raises(TableAlreadyExists):
+        ns.declare_table(m.DeclareTableRequest(id=["db", "t1"]))
+
+    dereg = ns.deregister_table(m.DeregisterTableRequest(id=["db", "t1"]))
+    assert dereg.location == resp.location
+    with pytest.raises(TableNotFound):
+        ns.describe_table(m.DescribeTableRequest(id=["db", "t1"]))
+
+
+def test_create_table_with_arrow_data(ns):
+    import pyarrow as pa
+
+    ns.create_namespace(m.CreateNamespaceRequest(id=["db"]))
+    # Arrow IPC payload shape from the reference (TestHelper.java:38-47)
+    table = pa.table({"id": pa.array([1, 2], pa.int32()), "name": ["a", "b"]})
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    resp = ns.create_table(
+        m.CreateTableRequest(id=["db", "t2"]), data=sink.getvalue().to_pybytes()
+    )
+    desc = ns.describe_table(m.DescribeTableRequest(id=["db", "t2"], check_declared=True))
+    assert desc.is_only_declared is False  # materialized now
+    assert resp.location == desc.location
+
+    # include_declared=False filters declared-only tables (storage probe)
+    ns.declare_table(m.DeclareTableRequest(id=["db", "t3"]))
+    all_tables = ns.list_tables(m.ListTablesRequest(id=["db"])).tables
+    materialized = ns.list_tables(
+        m.ListTablesRequest(id=["db"], include_declared=False)
+    ).tables
+    assert all_tables == ["t2", "t3"]
+    assert materialized == ["t2"]
+
+    # namespace with tables refuses RESTRICT drop
+    with pytest.raises(NamespaceNotEmpty):
+        ns.drop_namespace(m.DropNamespaceRequest(id=["db"]))
+
+    # drop_table removes data; deregister keeps it
+    import os
+
+    loc = desc.location
+    ns.drop_table(m.DropTableRequest(id=["db", "t2"]))
+    assert not os.path.exists(loc)
+    with pytest.raises(TableNotFound):
+        ns.table_exists(m.TableExistsRequest(id=["db", "t2"]))
+
+
+def test_pagination(ns):
+    ns.create_namespace(m.CreateNamespaceRequest(id=["db"]))
+    for i in range(7):
+        ns.declare_table(m.DeclareTableRequest(id=["db", f"t{i:02d}"]))
+    page1 = ns.list_tables(m.ListTablesRequest(id=["db"], limit=3))
+    assert page1.tables == ["t00", "t01", "t02"] and page1.page_token == "3"
+    page2 = ns.list_tables(
+        m.ListTablesRequest(id=["db"], limit=3, page_token=page1.page_token)
+    )
+    assert page2.tables == ["t03", "t04", "t05"] and page2.page_token == "6"
+    page3 = ns.list_tables(
+        m.ListTablesRequest(id=["db"], limit=3, page_token=page2.page_token)
+    )
+    assert page3.tables == ["t06"] and page3.page_token is None
+
+
+def test_pickle_roundtrip(ns):
+    """Serialization-safety contract (reference: test_glue.py:346-383)."""
+    ns.create_namespace(m.CreateNamespaceRequest(id=["db"]))
+    clone = pickle.loads(pickle.dumps(ns))
+    assert clone.list_namespaces(m.ListNamespacesRequest()).namespaces == ["db"]
+    clone.declare_table(m.DeclareTableRequest(id=["db", "t"]))
+    assert ns.list_tables(m.ListTablesRequest(id=["db"])).tables == ["t"]

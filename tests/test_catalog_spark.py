@@ -1,0 +1,102 @@
+"""Spark-integration tests for the catalog plane: SessionCatalogNamespace DDL
+mapping and the catalog-resolved data-plane read (the reference's
+integration-test story: create ns → declare → describe → list → deregister →
+drop ns, test_hive2_integration.py:93-159)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lance_namespace_impls_spark.catalog import (
+    NamespaceNotEmpty,
+    SessionCatalogNamespace,
+    TableNotFound,
+    models as m,
+)
+from lance_namespace_impls_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture
+def session_ns(spark):
+    ns = SessionCatalogNamespace({})
+    # ensure clean slate
+    for db in ("lni_it",):
+        if spark.catalog.databaseExists(db):
+            spark.sql(f"DROP DATABASE {db} CASCADE")
+    yield ns
+    for db in ("lni_it",):
+        if spark.catalog.databaseExists(db):
+            spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_full_crud_story(spark, session_ns, tmp_path):
+    ns = session_ns
+    # create ns → describe → list
+    ns.create_namespace(
+        m.CreateNamespaceRequest(id=["lni_it"], properties={"comment": "it db"})
+    )
+    desc = ns.describe_namespace(m.DescribeNamespaceRequest(id=["lni_it"]))
+    assert "location" in desc.properties
+    assert "lni_it" in ns.list_namespaces(m.ListNamespacesRequest()).namespaces
+
+    # declare (metadata only) → describe → declared-only probe
+    loc = str(tmp_path / "t1.lance")
+    resp = ns.declare_table(m.DeclareTableRequest(id=["lni_it", "t1"], location=loc))
+    assert resp.properties["table_type"] == "lance"
+    desc = ns.describe_table(
+        m.DescribeTableRequest(id=["lni_it", "t1"], check_declared=True)
+    )
+    assert desc.location == loc
+    assert desc.is_only_declared is True
+
+    # create with data (executor write path) → materialized
+    df = load_table(spark, "region", SF_SMOKE)
+    ns.create_table(
+        m.CreateTableRequest(id=["lni_it", "t2"], location=str(tmp_path / "t2.lance")),
+        data=df,
+    )
+    desc2 = ns.describe_table(
+        m.DescribeTableRequest(id=["lni_it", "t2"], check_declared=True)
+    )
+    assert desc2.is_only_declared is False
+
+    # catalog-resolved read returns the data plane
+    out = ns.read_table(spark, ["lni_it", "t2"])
+    assert out.count() == 5
+
+    # list: both tables; materialized-only filter drops t1
+    assert ns.list_tables(m.ListTablesRequest(id=["lni_it"])).tables == ["t1", "t2"]
+    assert ns.list_tables(
+        m.ListTablesRequest(id=["lni_it"], include_declared=False)
+    ).tables == ["t2"]
+
+    # non-empty namespace refuses RESTRICT drop
+    with pytest.raises(NamespaceNotEmpty):
+        ns.drop_namespace(m.DropNamespaceRequest(id=["lni_it"]))
+
+    # deregister keeps data; drop_table removes it
+    import os
+
+    ns.deregister_table(m.DeregisterTableRequest(id=["lni_it", "t1"]))
+    ns.drop_table(m.DropTableRequest(id=["lni_it", "t2"]))
+    assert not os.path.exists(str(tmp_path / "t2.lance"))
+    with pytest.raises(TableNotFound):
+        ns.table_exists(m.TableExistsRequest(id=["lni_it", "t2"]))
+
+    # empty now: drop succeeds
+    ns.drop_namespace(m.DropNamespaceRequest(id=["lni_it"]))
+    assert not spark.catalog.databaseExists("lni_it")
+
+
+def test_non_lance_tables_hidden(spark, session_ns):
+    ns = session_ns
+    ns.create_namespace(m.CreateNamespaceRequest(id=["lni_it"]))
+    # a plain (non-lance) table must be invisible to list_tables
+    spark.sql("CREATE TABLE lni_it.plain (x INT) USING parquet")
+    assert ns.list_tables(m.ListTablesRequest(id=["lni_it"])).tables == []
+    with pytest.raises(TableNotFound):
+        ns.describe_table(m.DescribeTableRequest(id=["lni_it", "plain"]))
+    spark.sql("DROP TABLE lni_it.plain")
+    ns.drop_namespace(m.DropNamespaceRequest(id=["lni_it"]))

@@ -1,0 +1,105 @@
+"""Schema-conversion matrix tests (reference: python/tests/test_schema.py:19-167)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import types as T
+
+from lance_namespace_impls_spark.catalog.errors import InvalidInput
+from lance_namespace_impls_spark.catalog.schema import (
+    arrow_schema_to_json,
+    arrow_schema_to_spark,
+    arrow_type_to_spark,
+    json_schema_to_arrow,
+    json_type_to_arrow,
+    parse_ipc_schema,
+    spark_schema_to_arrow,
+)
+
+
+def test_primitive_matrix():
+    for name, dt in [
+        ("bool", pa.bool_()),
+        ("int8", pa.int8()),
+        ("int64", pa.int64()),
+        ("uint32", pa.uint32()),
+        ("float64", pa.float64()),
+        ("utf8", pa.utf8()),
+        ("binary", pa.binary()),
+        ("date32", pa.date32()),
+    ]:
+        assert json_type_to_arrow(name) == dt
+
+
+def test_timestamp_tz_parsing():
+    # reference: schema.py:190-196
+    assert json_type_to_arrow("timestamp[us]") == pa.timestamp("us")
+    assert json_type_to_arrow("timestamp[us],tz=UTC") == pa.timestamp("us", tz="UTC")
+    assert json_type_to_arrow("timestamp[us],tz=America/New_York") == pa.timestamp(
+        "us", tz="America/New_York"
+    )
+
+
+def test_decimal_parsing():
+    # reference: schema.py:197-207 — bare decimal defaults to (38,10)
+    assert json_type_to_arrow("decimal(10,2)") == pa.decimal128(10, 2)
+    assert json_type_to_arrow("decimal") == pa.decimal128(38, 10)
+
+
+def test_unsupported_type_raises():
+    # reference: schema.py:208-209 / test_schema.py:136-139
+    with pytest.raises(InvalidInput):
+        json_type_to_arrow("quaternion")
+
+
+def test_full_roundtrip():
+    # reference round-trip schema (test_schema.py:141-167)
+    schema = pa.schema(
+        [
+            pa.field("id", pa.int64(), nullable=False),
+            pa.field("name", pa.utf8()),
+            pa.field("score", pa.float64()),
+            pa.field("tags", pa.list_(pa.utf8())),
+            pa.field("meta", pa.struct([pa.field("k", pa.utf8())])),
+        ]
+    )
+    json_fields = arrow_schema_to_json(schema)
+    back = json_schema_to_arrow(json_fields)
+    # Improvement over the reference: nested child types survive the trip.
+    assert back == schema
+
+
+def test_unsigned_promotion_to_spark():
+    # SURVEY.md §1.3: no unsigned ints in Spark
+    assert arrow_type_to_spark(pa.uint8()) == T.ShortType()
+    assert arrow_type_to_spark(pa.uint16()) == T.IntegerType()
+    assert arrow_type_to_spark(pa.uint32()) == T.LongType()
+    assert arrow_type_to_spark(pa.uint64()) == T.DecimalType(20, 0)
+
+
+def test_arrow_spark_roundtrip():
+    schema = pa.schema(
+        [
+            pa.field("id", pa.int64(), nullable=False),
+            pa.field("emb", pa.list_(pa.float32())),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("tstz", pa.timestamp("us", tz="UTC")),
+            pa.field("d", pa.decimal128(10, 2)),
+            pa.field("m", pa.map_(pa.utf8(), pa.int32())),
+        ]
+    )
+    spark_schema = arrow_schema_to_spark(schema)
+    assert spark_schema["ts"].dataType == T.TimestampNTZType()
+    assert spark_schema["tstz"].dataType == T.TimestampType()
+    assert spark_schema["emb"].dataType == T.ArrayType(T.FloatType())
+    assert spark_schema_to_arrow(spark_schema) == schema
+
+
+def test_parse_ipc_schema():
+    # reference: unity.py:639-645
+    table = pa.table({"id": pa.array([1], pa.int32()), "name": ["x"]})
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    assert parse_ipc_schema(sink.getvalue().to_pybytes()) == table.schema
