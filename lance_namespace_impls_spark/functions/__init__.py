@@ -1,0 +1,49 @@
+"""Column-function library: text, hashing (MinHash/SimHash), vectors.
+
+Everything here is a composition of built-in Spark functions (higher-order
+array functions included) — JVM-side, whole-stage-codegen-eligible, no UDFs.
+"""
+
+from lance_namespace_impls_spark.functions.hashing import (
+    band_keys,
+    hamming64,
+    minhash_signature,
+    simhash64,
+)
+from lance_namespace_impls_spark.functions.text import (
+    jaccard,
+    lang_id,
+    rolling_fingerprint,
+    stopword_ratio,
+    token_hashes,
+    tokens,
+    word_shingles,
+)
+from lance_namespace_impls_spark.functions.vectors import (
+    cosine,
+    dot,
+    hyperplane_signature,
+    int_dot,
+    int_projected,
+    norm,
+)
+
+__all__ = [
+    "tokens",
+    "word_shingles",
+    "jaccard",
+    "token_hashes",
+    "rolling_fingerprint",
+    "stopword_ratio",
+    "lang_id",
+    "minhash_signature",
+    "band_keys",
+    "simhash64",
+    "hamming64",
+    "dot",
+    "norm",
+    "cosine",
+    "int_projected",
+    "int_dot",
+    "hyperplane_signature",
+]

@@ -1,0 +1,98 @@
+"""MinHash and SimHash signature functions — pure Catalyst expressions.
+
+Scale design: signatures are fixed-width arrays computed map-side in one pass
+over each document; the only shuffle any downstream dedup needs is on short
+band-key digests, never on document bodies.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.text import HASH_PRIME
+
+
+def _hash_params(num: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod P."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, HASH_PRIME), rng.randrange(0, HASH_PRIME)) for _ in range(num)]
+
+
+def minhash_signature(
+    shingle_hashes: Column, num_hashes: int = 64, seed: int = 42
+) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of permuted shingle
+    hashes.  Empty-shingle docs get a sentinel signature of P (never collides
+    with real minima).
+
+    Input must already be hashed into [0, P) (``text.token_hashes`` /
+    hashed shingles) so ``a*h + b`` stays within bigint under ANSI mode.
+    """
+    def permute(a: int, b: int):
+        # separate factory: PySpark derives lambda arity from the signature,
+        # so default-arg closures would read as multi-arg lambdas
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(HASH_PRIME))
+
+    mins = [
+        F.coalesce(F.array_min(F.transform(shingle_hashes, permute(a, b))), F.lit(HASH_PRIME))
+        for a, b in _hash_params(num_hashes, seed)
+    ]
+    return F.array(*mins)
+
+
+def band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of ``num_bands`` digests, one per signature slice.
+
+    Two docs sharing any band digest are near-dup candidates.  Each digest is
+    a short string ``"<band>:<hash>"`` — the shuffle key for candidate
+    generation.
+    """
+    keys = [
+        F.concat_ws(
+            ":",
+            F.lit(i),
+            F.xxhash64(
+                F.concat_ws(",", F.slice(signature, i * rows_per_band + 1, rows_per_band))
+            ),
+        )
+        for i in range(num_bands)
+    ]
+    return F.array(*keys)
+
+
+def simhash64(toks: Column) -> Column:
+    """SimHash signature from a token string array.
+
+    bit_j(simhash) = 1 iff the majority of full-64-bit token hashes have
+    bit_j set; the bit-votes and the final fold are higher-order-function
+    expressions, so the whole signature is one codegen'd projection.
+    """
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+
+    def bit_vote(j: int):
+        # mask literal must be a Python int (bit positions aren't column
+        # expressions for shiftleft); j=63 would need an unsigned literal, so
+        # the signature is 63 bits — still far beyond near-dup needs.
+        def has_bit(h):
+            return h.bitwiseAND(F.lit(1 << j)) != 0
+
+        return (
+            F.when(F.size(F.filter(hashes, has_bit)) * 2 >= n, F.lit(1 << j))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+
+    sig = bit_vote(0)
+    for j in range(1, 63):
+        sig = sig + bit_vote(j)
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures via popcount(xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,94 @@
+"""Text column functions — all built-in-function compositions (JVM-side,
+whole-stage codegen); no Python UDFs anywhere in this module.
+
+These are the building blocks for the dedup / text-analysis operators
+(SURVEY.md §2B LLM rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^31-1 (Mersenne prime): modulus for universal hashing.  Keeping hash values
+# below 2^31 means a*h products stay under 2^62 — no bigint overflow under
+# ANSI mode.
+HASH_PRIME = 2_147_483_647
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (lowercased, trimmed)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-gram word shingles via higher-order functions.
+
+    ``transform(sequence(0, size-n), i -> concat_ws(' ', slice(toks, i+1, n)))``
+    — pure Catalyst expressions, no UDF; empty array when the doc is shorter
+    than ``n`` tokens.
+    """
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (set semantics)."""
+    a_set = F.array_distinct(a)
+    b_set = F.array_distinct(b)
+    inter = F.size(F.array_intersect(a_set, b_set)).cast("double")
+    union = F.size(F.array_union(a_set, b_set)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def token_hashes(toks: Column) -> Column:
+    """Per-token 64-bit hashes folded into [0, HASH_PRIME) for universal
+    hashing downstream."""
+    return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(HASH_PRIME)))
+
+
+def rolling_fingerprint(toks: Column) -> Column:
+    """Order-sensitive polynomial rolling hash of the token stream.
+
+    fingerprint = fold(tokens, 0, (acc, t) -> (acc*31 + h(t)) mod P) — a
+    document fingerprint that, unlike a set hash, distinguishes permutations.
+    """
+    return F.aggregate(
+        token_hashes(toks),
+        F.lit(0).cast("long"),
+        lambda acc, h: F.pmod(acc * F.lit(31) + h, F.lit(HASH_PRIME)),
+    )
+
+
+# Stopword profiles for the n-gram/stopword language-ID heuristic.  Tiny,
+# deterministic, and expressible identically in any SQL dialect — these are
+# intentionally not a "real" language model (the container has no langid
+# packages; SURVEY.md LLM rows call for an n-gram heuristic).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "en", "por", "que"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "他", "这", "不"),
+}
+
+
+def stopword_ratio(toks: Column, lang: str) -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    words = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(words, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def lang_id(toks: Column) -> Column:
+    """Heuristic language ID: argmax of per-language stopword ratios,
+    'und' (undetermined) when no profile matches at all."""
+    scored = None
+    for lang in LANG_STOPWORDS:
+        entry = F.struct(stopword_ratio(toks, lang).alias("score"), F.lit(lang).alias("lang"))
+        scored = entry if scored is None else F.when(entry["score"] > scored["score"], entry).otherwise(scored)
+    return F.when(scored["score"] > 0, scored["lang"]).otherwise(F.lit("und"))

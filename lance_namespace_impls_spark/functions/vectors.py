@@ -1,0 +1,61 @@
+"""Vector column functions over ``array<float>`` embeddings.
+
+All dot products / norms are ``zip_with`` + ``aggregate`` higher-order
+functions — JVM-side, no Python boundary.  For 100 TB-scale similarity the
+operators in operators/similarity.py bucket with random-hyperplane LSH so the
+exact math below only runs within candidate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = norm(a) * norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def int_projected(a: Column, scale: int = 1000) -> Column:
+    """Integer projection of a float vector: round(x * scale) per element.
+
+    Integer dot products are exact (no float summation-order issues), which
+    makes similarity results oracle-comparable across engines.
+    """
+    return F.transform(a, lambda x: F.round(x * scale).cast("long"))
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hyperplane_signature(a: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bit signature: bit_i = sign(a · plane_i).
+
+    ``planes`` are driver-side deterministic literals (seeded), so the
+    signature is a pure expression over the embedding column.
+    """
+    bits = [
+        F.when(dot(a, F.array(*[F.lit(float(v)) for v in plane])) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        for plane in planes
+    ]
+    return F.concat_ws("", *[b.cast("string") for b in bits])

@@ -6,3 +6,8 @@ Importing this package registers every declared query into
 
 from lance_namespace_impls_spark.operators import relational  # noqa: F401
 from lance_namespace_impls_spark.operators import llm  # noqa: F401
+from lance_namespace_impls_spark.operators import dedup  # noqa: F401
+from lance_namespace_impls_spark.operators import similarity  # noqa: F401
+from lance_namespace_impls_spark.operators import textops  # noqa: F401
+from lance_namespace_impls_spark.operators import multimodal  # noqa: F401
+from lance_namespace_impls_spark.streaming import windows  # noqa: F401

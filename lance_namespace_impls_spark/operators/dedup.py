@@ -1,0 +1,197 @@
+"""Deduplication operators over the ``documents`` table.
+
+Strategies (SURVEY.md §2B LLM rows; the scale analysis is per-operator):
+
+* exact        — hash-groupBy on a normalized digest (operators/llm.py q45/q47)
+* MinHash+LSH  — shingle → minhash → band → bucket self-join → exact-Jaccard
+                 verify.  The classic near-dup pipeline: signatures computed
+                 map-side; the only shuffle is on 16-byte band digests; the
+                 quadratic pair step is confined to LSH buckets.
+* SimHash      — 64-bit signature + Hamming radius within buckets.
+* n-gram Jaccard — exact verification metric, used standalone on bounded
+                 pair sets and as the LSH verify stage.
+
+All stages are built-in-function pipelines (no Python UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.hashing import (
+    band_keys,
+    hamming64,
+    minhash_signature,
+    simhash64,
+)
+from lance_namespace_impls_spark.functions.text import (
+    jaccard,
+    token_hashes,
+    tokens,
+    word_shingles,
+)
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+# LSH tuning: 16 bands × 4 rows = 64 hashes → s-curve threshold ≈ (1/16)^(1/4)
+# ≈ 0.5 Jaccard; MAX_BUCKET caps the quadratic pair step against skew (a
+# degenerate bucket of identical boilerplate can't produce O(n²) pairs).
+NUM_BANDS = 16
+ROWS_PER_BAND = 4
+MAX_BUCKET = 1000
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_bands: int = NUM_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from LSH band collisions."""
+    toks = tokens(F.col(text_col))
+    shingles = word_shingles(toks, shingle_size)
+    sig = minhash_signature(
+        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(2_147_483_647))),
+        num_hashes=num_bands * rows_per_band,
+    )
+    banded = (
+        docs.select(F.col(id_col).alias("doc_id"), band_keys(sig, num_bands, rows_per_band).alias("bands"))
+        .select("doc_id", F.explode("bands").alias("band_key"))
+    )
+    # Skew guard: drop degenerate buckets before the self-join.
+    bucket_sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
+    banded = banded.join(
+        F.broadcast(bucket_sizes.filter(F.col("bucket_n") > MAX_BUCKET)),
+        "band_key",
+        "left_anti",
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs verified by exact shingle-set Jaccard.
+
+    Returns (id_a, id_b, sim) with sim >= threshold.  The verify join ships
+    only candidate ids + shingle arrays of candidate docs — not the corpus.
+    """
+    cands = minhash_candidates(docs, id_col, text_col, shingle_size)
+    shingled = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(tokens(F.col(text_col)), shingle_size).alias("sh"),
+    )
+    return (
+        cands.join(shingled.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(shingled.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius.
+
+    Bucketing on the signature's high 16 bits keeps the pair join off the
+    full corpus; radius-crossing pairs whose high bits differ are missed —
+    the standard single-table SimHash trade-off (production systems use
+    rotated tables; radius ≤ bits/4 keeps recall high).
+    """
+    sigs = docs.select(
+        F.col(id_col).alias("doc_id"),
+        simhash64(tokens(F.col(text_col))).alias("sig"),
+    ).withColumn("bucket", F.shiftright("sig", 48))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- declared queries --------------------------------------------------------
+
+
+@query(
+    "q51_ngram_jaccard_pairs",
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "ROUND(CAST(len(list_intersect(list_distinct(string_split(lower(trim(a.text)), ' ')), "
+    "                              list_distinct(string_split(lower(trim(b.text)), ' ')))) AS DOUBLE) "
+    "/ CAST(len(list_distinct(string_split(lower(trim(a.text)), ' ') || "
+    "           string_split(lower(trim(b.text)), ' '))) AS DOUBLE), 4) AS sim "
+    "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+    "AND a.doc_id < 40 AND b.doc_id < 40 "
+    "WHERE len(string_split(a.text, ' ')) > 0 ORDER BY id_a, id_b",
+    doc="Exact unigram-Jaccard similarity over a bounded pair set — the "
+    "verification metric of the near-dup pipeline, oracle-checked "
+    "(Spark array_intersect/array_union == DuckDB list_intersect/list_distinct).",
+    tags=("llm", "dedup"),
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 40)
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    a, b = toked.alias("a"), toked.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(jaccard(F.col("a.toks"), F.col("b.toks")), 4).alias("sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "q52_minhash_neardup",
+    None,  # algorithmic / seed-dependent: property-tested, rows-only check
+    doc="MinHash-LSH near-dup pairs at Jaccard >= 0.5 (sig 64 hashes, 16 "
+    "bands x 4). Property contract: exact duplicates always collide "
+    "(similarity 1.0); verified in tests/test_dedup.py.",
+    tags=("llm", "dedup"),
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return near_dup_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+@query(
+    "q53_simhash_neardup",
+    None,  # algorithmic: property-tested, rows-only check
+    doc="SimHash near-dup pairs within Hamming distance 3 of 64-bit "
+    "signatures, bucketed on the high 16 bits.",
+    tags=("llm", "dedup"),
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")

@@ -1,0 +1,158 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Pattern (SURVEY.md §2B multimodal row): media are ``binary`` columns (or
+location-pointer strings, like the reference's location-pointer tables,
+glue.py:371-380) with a typed metadata struct alongside.  Decode /
+feature-extraction run as Arrow-batched ``mapInPandas`` — the Spark-side
+plumbing (schema, batch shape, partitioning) is real and tested; the actual
+image/audio codecs are STUBBED (this container has no media libraries):
+
+* :func:`decode_image` raises ``NotImplementedError`` — the clearly-marked
+  integration point for a real codec (PIL/ffmpeg) on a production cluster;
+* :func:`fake_decode_features` is the deterministic stand-in the tests and
+  declared query use.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+FEATURE_DIM = 16
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """Synthesize a media column set from text docs (fixture has no binary
+    column): blob = utf-8 bytes, metadata struct derived deterministically.
+
+    In production the blob column arrives from the lake; only the struct
+    shape matters here.
+    """
+    blob = F.encode(F.col("text"), "utf-8")
+    n_bytes = F.octet_length(F.col("text")).cast("long")
+    return docs.select(
+        "doc_id",
+        blob.alias("blob"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            (F.pmod(F.xxhash64("text"), F.lit(1920)) + 1).cast("int").alias("width"),
+            (F.pmod(F.xxhash64("text", "doc_id"), F.lit(1080)) + 1).cast("int").alias("height"),
+            n_bytes.alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(blob: bytes):
+    """Real-codec integration point — STUB.
+
+    A production deployment plugs PIL/libvips here; the container
+    deliberately has no media libraries (see module docstring).
+    """
+    raise NotImplementedError(
+        "image decoding requires a media codec library; plug one in here "
+        "(the Spark plumbing around this stub is complete and tested)"
+    )
+
+
+def fake_decode_features(blob: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in feature extractor: dim floats in [0,1) from a
+    SHA-256 of the payload.  Same contract as a real embedding model:
+    bytes -> fixed-dim float vector."""
+    digest = hashlib.sha256(blob or b"").digest()
+    need = dim * 2
+    while len(digest) < need:
+        digest += hashlib.sha256(digest).digest()
+    return [
+        int.from_bytes(digest[2 * i : 2 * i + 2], "big") / 65536.0 for i in range(dim)
+    ]
+
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Arrow-batched feature extraction over the blob column.
+
+    ``mapInPandas`` ships columnar batches to Python — the pattern a real
+    decode/embed stage uses (batch-amortized model invocation).  The stub
+    extractor stands in for the model; the batch shape and schema are real.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": [fake_decode_features(b, dim) for b in pdf["blob"]],
+                }
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(batches, FEATURES_SCHEMA)
+
+
+# -- declared queries --------------------------------------------------------
+
+
+@query(
+    "q59_multimodal_meta",
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes "
+    "FROM documents ORDER BY doc_id",
+    doc="Binary payload handling: byte length of the encoded blob column "
+    "(Spark octet_length(encode(..)) == DuckDB octet_length(encode(..))).",
+    tags=("llm", "multimodal"),
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, "documents", sf_dir))
+    return media.select(
+        "doc_id", F.octet_length("blob").cast("bigint").alias("n_bytes")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q60_multimodal_features",
+    None,  # python-side extraction: rows-only check + unit tests
+    doc="mapInPandas feature extraction over the blob column (deterministic "
+    "stub extractor; real plumbing). Returns per-doc fixed-dim vectors; "
+    "shape contract tested in tests/test_multimodal.py.",
+    tags=("llm", "multimodal"),
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, "documents", sf_dir))
+    feats = extract_features(media)
+    return feats.select(
+        "doc_id",
+        F.size("features").cast("bigint").alias("dim"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("fsum"),
+    ).orderBy("doc_id")

@@ -1,0 +1,204 @@
+"""Similarity search over the ``embeddings`` table (array<float> vectors).
+
+Two paths (SURVEY.md §2B LLM rows):
+
+* **Brute-force cosine top-k** — the correctness baseline: query×corpus dot
+  products via zip_with/aggregate (JVM-side), ROW_NUMBER top-k per query.
+  O(Q·N) — fine when the query set is small or as the in-bucket kernel.
+* **LSH-bucketed top-k** — the scale path: 16-bit random-hyperplane
+  signatures partition the corpus; each query only scans its bucket (plus
+  multi-probe neighbors at Hamming distance 1).  At 100 TB the corpus-side
+  signature is computed once and bucket-partitioned on write.
+
+The integer-projected variant (round(x*1000) per element) makes dot products
+exact integers → oracle-comparable against DuckDB's list_dot_product.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.vectors import (
+    cosine,
+    hyperplane_signature,
+    int_dot,
+    int_projected,
+)
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+EMBED_DIM = 64
+# Multi-table LSH: L independent tables of K hyperplane bits.  Recall stacks
+# across tables (miss probability decays as (1-p^K)^L); K controls bucket
+# size ~N/2^K, L controls the candidate-union size.  At 100 TB K grows with
+# log(N) to hold bucket sizes constant while the scanned fraction L/2^K
+# shrinks.  K=4/L=8 is tuned for the 500-vector fixture (~50% scan fraction);
+# a production corpus would run e.g. K=16/L=16 (~0.02% scan fraction).
+NUM_PLANES = 4
+NUM_TABLES = 8
+
+
+def _planes(
+    dim: int = EMBED_DIM, num: int = NUM_PLANES, seed: int = 7
+) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num)]
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query scored against every corpus row.
+
+    Returns (query_id, vec_id, sim, rank).  Ties broken by vec_id so results
+    are deterministic.
+    """
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_tables: int = NUM_TABLES,
+) -> DataFrame:
+    """Multi-table LSH approximate top-k.
+
+    Each of ``num_tables`` independent hyperplane sets produces a bucket key;
+    a query's candidate set is the union of its buckets across tables.  The
+    O(Q·N) cross join becomes a co-partitioned equi-join on (table, bucket);
+    at scale the corpus side is signature-computed once and bucket-partitioned
+    on write, so queries touch L/2^K of the corpus.
+    """
+    tables = [_planes(seed=7 + 101 * t) for t in range(num_tables)]
+
+    def keyed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.concat_ws(
+                    "#", F.lit(t), hyperplane_signature(F.col(vec_col), planes)
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            F.explode(buckets).alias("bucket"),
+        )
+
+    c = keyed(corpus, "vec_id", "c_vec")
+    q = keyed(queries_df, "query_id", "q_vec")
+    candidates = (
+        q.join(c, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "q_vec", "vec_id", "c_vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# -- declared queries --------------------------------------------------------
+
+
+@query(
+    "q54_cosine_topk_int",
+    "WITH proj AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, "
+    "  CAST(list_dot_product(q.v, c.v) AS BIGINT) AS score "
+    "  FROM proj q JOIN proj c ON q.vec_id < 8 AND q.vec_id <> c.vec_id), "
+    "ranked AS (SELECT query_id, vec_id, score, "
+    "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank "
+    "  FROM scored) "
+    "SELECT query_id, vec_id, score, CAST(rank AS BIGINT) AS rank FROM ranked "
+    "WHERE rank <= 5 ORDER BY query_id, rank",
+    doc="Integer-projected brute-force top-k: exact integer dot products are "
+    "summation-order-independent, so Spark and DuckDB rank identically "
+    "(the oracle-eligible variant of cosine search).",
+    tags=("llm", "similarity"),
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = emb.select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    q = proj.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q_vec")
+    )
+    scored = (
+        q.crossJoin(proj.select(F.col("vec_id"), F.col("v").alias("c_vec")))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id", "vec_id", int_dot(F.col("q_vec"), F.col("c_vec")).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "q55_cosine_topk_brute",
+    None,  # float summation order: verified vs NumPy in tests, rows-only here
+    doc="Brute-force float cosine top-5 for an 8-query batch; exactness "
+    "contract verified against NumPy in tests/test_similarity.py.",
+    tags=("llm", "similarity"),
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "q56_cosine_topk_lsh",
+    None,  # approximate by construction: recall property-tested
+    doc="Multi-table LSH approximate top-5 (8 tables x 4 hyperplane bits) — "
+    "the 100 TB scale path; recall vs brute force asserted in "
+    "tests/test_llm_ops.py.",
+    tags=("llm", "similarity"),
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).orderBy(
+        "query_id", "rank"
+    )

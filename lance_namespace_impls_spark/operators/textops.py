@@ -1,0 +1,79 @@
+"""Text-analysis operators: language ID, fingerprinting (SURVEY.md §2B).
+
+Language ID is the stopword-profile heuristic from functions/text.py — the
+oracle SQL reproduces the identical formula (ratios + earliest-index argmax),
+so the operator is fully oracle-checked despite being a heuristic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.text import (
+    LANG_STOPWORDS,
+    lang_id,
+    rolling_fingerprint,
+    tokens,
+)
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+
+def _duck_ratio(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(toks, t -> list_contains([{words}], t))) AS DOUBLE)"
+        f" / CAST(greatest(len(toks), 1) AS DOUBLE)"
+    )
+
+
+def _duck_lang_id_sql() -> str:
+    """DuckDB twin of functions.text.lang_id: per-language stopword ratios,
+    argmax with earliest-profile tie-break (en,de,fr,es,zh), 'und' on zero."""
+    langs = list(LANG_STOPWORDS)  # insertion order = tie-break order
+    ratios = ", ".join(f"{_duck_ratio(lang)} AS s_{lang}" for lang in langs)
+    # lang i wins iff its score strictly exceeds every earlier profile's score
+    cases = []
+    for i in range(len(langs) - 1, 0, -1):
+        earlier = ", ".join(f"s_{l}" for l in langs[:i])
+        cases.append(f"WHEN s_{langs[i]} > greatest({earlier}) THEN '{langs[i]}'")
+    case_chain = " ".join(cases)
+    all_scores = ", ".join(f"s_{l}" for l in langs)
+    return (
+        "WITH toked AS (SELECT doc_id, lang, string_split(lower(trim(text)), ' ') AS toks FROM documents), "
+        f"scored AS (SELECT doc_id, lang, {ratios} FROM toked) "
+        f"SELECT doc_id, lang, CASE WHEN greatest({all_scores}) = 0 THEN 'und' "
+        f"{case_chain} ELSE '{langs[0]}' END AS pred FROM scored ORDER BY doc_id"
+    )
+
+
+@query(
+    "q57_lang_id",
+    _duck_lang_id_sql(),
+    doc="Heuristic language ID (stopword-profile argmax) per document, "
+    "alongside the labeled lang — the formula is reproduced exactly in the "
+    "oracle SQL, so this heuristic is hash-checked, not just smoke-checked.",
+    tags=("llm", "text"),
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", "lang", lang_id(tokens(F.col("text"))).alias("pred")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q58_fingerprint",
+    None,  # xxhash64 has no DuckDB twin: rows-only check + unit tests
+    doc="Order-sensitive rolling-hash document fingerprint: distinguishes "
+    "token permutations that set-based hashes collapse. Unit contract: "
+    "identical docs share fingerprints, permuted docs don't "
+    "(tests/test_textops.py).",
+    tags=("llm", "text"),
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", rolling_fingerprint(tokens(F.col("text"))).alias("fingerprint")
+    ).orderBy("doc_id")

@@ -1,0 +1,24 @@
+"""Structured Streaming surface: windowed aggregations, watermarks, stateful
+dedup, and the streaming==batch equivalence harness."""
+
+from lance_namespace_impls_spark.streaming.windows import (
+    dedup_events,
+    events_batch,
+    events_file_stream,
+    run_stream,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+    watermarked_tumbling,
+)
+
+__all__ = [
+    "events_file_stream",
+    "events_batch",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_counts",
+    "dedup_events",
+    "watermarked_tumbling",
+    "run_stream",
+]

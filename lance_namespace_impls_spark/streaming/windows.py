@@ -1,0 +1,210 @@
+"""Structured Streaming surface over the ``events`` table.
+
+The reference has zero streaming code (SURVEY.md §2B streaming preamble); this
+is the north-star extension.  Design rule: every streaming aggregation is a
+function of a DataFrame that works identically on a batch frame and a
+streaming frame — correctness is then checked by streaming==batch equivalence
+on the same bounded input (tests/test_streaming.py), which is exactly how the
+driver's weaker rows-only check treats non-SQL ops.
+
+Scale posture: watermarks bound state; windowed aggs shuffle once on
+(window, key); ``availableNow`` triggers give bounded backfills the same code
+path as live streams.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lance_namespace_impls_spark.session import ensure_runtime_conf
+from lance_namespace_impls_spark.sources.tables import load_table
+
+# Raw parquet schema of events (ts as epoch-nanos long — nanosAsLong read).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    """Rebuild a microsecond TIMESTAMP event-time column from epoch nanos.
+
+    Watermarks need TimestampType (not NTZ); session tz is pinned UTC so the
+    wall-clock is unambiguous.
+    """
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def events_file_stream(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int = 1
+) -> tuple[DataFrame, str]:
+    """Replay the bounded events fixture as a file stream.
+
+    Copies the fixture parquet into a staging dir (a file-stream source needs
+    a directory it can list) and returns (stream_df, staging_dir).
+    """
+    ensure_runtime_conf(spark)
+    staging = os.path.join(tempfile.gettempdir(), f"lni_stream_{uuid.uuid4().hex}")
+    os.makedirs(staging)
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(staging, "events.parquet"))
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(staging)
+    )
+    return _with_event_time(stream), staging
+
+
+def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream: same columns, same event-time type."""
+    df = load_table(spark, "events", sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))).drop("ts_ns")
+
+
+# -- window aggregations (batch == streaming by construction) ----------------
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sv"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("h"),
+            "event_type",
+            "n",
+            "sv",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: sessions close after ``gap`` of inactivity."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n",
+        )
+    )
+
+
+def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exact dedup by event_id; the watermark bounds dedup state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def watermarked_tumbling(events: DataFrame, watermark: str, width: str = "1 hour") -> DataFrame:
+    """Tumbling agg with a watermark: append-mode emission, late data beyond
+    the watermark is dropped (the unit-testable late-data contract)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("h"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+# -- execution harness -------------------------------------------------------
+
+
+def run_stream(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a (bounded) streaming frame to completion into a memory sink and
+    return the result as a batch DataFrame."""
+    name = f"lni_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+# -- declared queries --------------------------------------------------------
+# Registered here (imported by operators/__init__) so the driver exercises the
+# real streaming path: file-stream replay → windowed agg → memory sink.
+
+from lance_namespace_impls_spark.plans.registry import query  # noqa: E402
+
+
+@query(
+    "q61_streaming_tumbling",
+    # Same oracle as the batch twin q43: the streaming run over the bounded
+    # replay must equal the batch aggregate, which must equal DuckDB.
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h, "
+    "event_type, COUNT(*) AS n, "
+    "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv "
+    "FROM events GROUP BY h, event_type ORDER BY h, event_type",
+    doc="Tumbling-window aggregate executed through Structured Streaming "
+    "(file replay, availableNow trigger, memory sink) — oracle-checked "
+    "against the batch-twin SQL, proving streaming==batch==oracle.",
+    tags=("streaming",),
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, staging = events_file_stream(spark, sf_dir)
+    try:
+        result = run_stream(tumbling_counts(stream), "complete")
+        return result.orderBy("h", "event_type")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+@query(
+    "q62_streaming_dedup",
+    None,  # stateful streaming: equivalence-tested in tests/test_streaming.py
+    doc="Stateful streaming dedup by event_id under a 1h watermark; returns "
+    "per-type counts of the deduplicated stream.",
+    tags=("streaming",),
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, staging = events_file_stream(spark, sf_dir)
+    try:
+        deduped = run_stream(dedup_events(stream), "append")
+        return (
+            deduped.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type")
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

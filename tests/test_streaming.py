@@ -1,0 +1,159 @@
+"""Streaming surface tests: streaming==batch equivalence on bounded input,
+watermark late-data semantics, stateful dedup (SURVEY.md §2B streaming table)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.streaming.windows import (
+    dedup_events,
+    events_batch,
+    events_file_stream,
+    run_stream,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+    watermarked_tumbling,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture
+def stream_pair(spark):
+    stream, staging = events_file_stream(spark, SF_SMOKE)
+    batch = events_batch(spark, SF_SMOKE)
+    yield stream, batch
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_tumbling_equivalence(spark, stream_pair):
+    stream, batch = stream_pair
+    got = run_stream(tumbling_counts(stream), "complete")
+    want = tumbling_counts(batch)
+    assert _rows(got, ["h", "event_type", "n", "sv"]) == _rows(
+        want, ["h", "event_type", "n", "sv"]
+    )
+
+
+def test_sliding_equivalence(spark, stream_pair):
+    stream, batch = stream_pair
+    got = run_stream(sliding_counts(stream), "complete")
+    want = sliding_counts(batch)
+    assert _rows(got, ["ws", "event_type", "n"]) == _rows(want, ["ws", "event_type", "n"])
+
+
+def test_session_equivalence(spark, stream_pair):
+    stream, batch = stream_pair
+    got = run_stream(session_counts(stream), "complete")
+    want = session_counts(batch)
+    assert _rows(got, ["user_id", "session_start", "n"]) == _rows(
+        want, ["user_id", "session_start", "n"]
+    )
+
+
+def test_stateful_dedup_equivalence(spark, tmp_path):
+    """Duplicate the input file: the streaming dedup must collapse the
+    doubled stream back to the batch-distinct row set."""
+    staging = str(tmp_path / "dups")
+    os.makedirs(staging)
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{staging}/a.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{staging}/b.parquet")
+    from lance_namespace_impls_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        _with_event_time,
+    )
+
+    stream = _with_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    got = run_stream(dedup_events(stream), "append")
+    batch_n = events_batch(spark, SF_SMOKE).count()
+    assert got.count() == batch_n
+    assert got.select(F.count_distinct("event_id")).first()[0] == batch_n
+
+
+def test_watermark_finalized_windows_are_immutable(spark, tmp_path):
+    """Late-data contract (Spark's actual watermark guarantee): once the
+    watermark passes a window and append mode emits it, a late row beyond the
+    watermark can never merge into that finalized aggregate.
+
+    (Spark does not input-filter late rows for streaming aggregation — a late
+    row may create a fresh group — but finalized rows are immutable; that
+    immutability is the deterministic, testable guarantee.)"""
+    staging = str(tmp_path / "late")
+    os.makedirs(staging)
+    base = events_batch(spark, SF_SMOKE)
+    max_ts = base.agg(F.max("ts")).first()[0]
+
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")  # ts as long nanos
+    # single part-file: the watermark must observe the max event time in
+    # trigger 1, before the late file arrives in trigger 2
+    raw.coalesce(1).write.parquet(f"{staging}/batch1_dir")
+
+    # Target a window/type that HAS data in batch 1, then send one late row
+    # into it 10 hours before stream max — far beyond the 10-minute watermark.
+    target = (
+        tumbling_counts(base)
+        .filter(F.col("h") < F.date_format(F.date_trunc("hour", F.lit(max_ts)), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy(F.desc("h"))
+        .first()
+    )
+    import datetime
+
+    late_dt = datetime.datetime.strptime(target.h, "%Y-%m-%d %H:%M:%S") + datetime.timedelta(
+        minutes=30
+    )
+    late_ns = int(late_dt.timestamp() * 1e9)
+    row_schema = (
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+    import time
+
+    # Intermediate batch: watermark eviction lags one batch (the operative
+    # watermark for batch N derives from batches < N), so a dummy recent row
+    # is needed for batch 1 to close out batch 0's windows before the late
+    # row arrives in batch 2.
+    max_ns = int(max_ts.timestamp() * 1e9)
+    dummy = spark.createDataFrame([(999998, max_ns, 1, "dummy", 1.0, None)], row_schema)
+    time.sleep(1.1)  # file-stream orders batches by modification time
+    dummy.coalesce(1).write.parquet(f"{staging}/batch2_dir")
+
+    late = spark.createDataFrame(
+        [(999999, late_ns, 1, target.event_type, 1.0, None)], row_schema
+    )
+    time.sleep(1.1)
+    late.coalesce(1).write.parquet(f"{staging}/batch3_dir")
+
+    from lance_namespace_impls_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        _with_event_time,
+    )
+
+    stream = _with_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{staging}/*_dir")
+    )
+    got = run_stream(watermarked_tumbling(stream, "10 minutes"), "append")
+    emitted = [
+        r.n
+        for r in got.filter(
+            (F.col("h") == target.h) & (F.col("event_type") == target.event_type)
+        ).collect()
+    ]
+    # The finalized batch-1 aggregate is present unchanged; the late row was
+    # never merged into it (it may appear as a separate n=1 re-emission, but
+    # must not inflate the finalized count).
+    assert target.n in emitted, (target, emitted)
+    assert target.n + 1 not in emitted, (target, emitted)
