@@ -22,6 +22,58 @@ def _hash_params(num: int, seed: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, HASH_PRIME), rng.randrange(0, HASH_PRIME)) for _ in range(num)]
 
 
+def minhash_min_exprs(h: Column, num_hashes: int = 64, seed: int = 42) -> list[Column]:
+    """MinHash as aggregate expressions over an *exploded* (id, hash) relation.
+
+    ``min((a_i*h + b_i) mod P)`` per hash function — the scale-correct shape:
+    each expression is a trivial codegen'd aggregate with map-side partial
+    combine, so the shuffle carries one 64-slot partial per (task, doc) instead
+    of re-evaluating an interpreted higher-order-function pipeline per slot
+    (the column-form :func:`minhash_signature` does the latter; it exists for
+    single-pass column contexts, not for corpus signatures).
+
+    Output columns are named ``mh0..mh{n-1}``.
+    """
+    return [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(HASH_PRIME))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
+    ]
+
+
+def band_key_exprs(num_bands: int, rows_per_band: int) -> list[Column]:
+    """LSH band digests from ``mh*`` signature columns (one short string per
+    band): ``"<band>:<xxhash64 over the band's signature slice>"``."""
+    return [
+        F.concat_ws(
+            ":",
+            F.lit(i),
+            F.xxhash64(*[F.col(f"mh{i * rows_per_band + j}") for j in range(rows_per_band)]),
+        ).alias(f"band{i}")
+        for i in range(num_bands)
+    ]
+
+
+def simhash_vote_exprs(h: Column, bits: int = 63) -> list[Column]:
+    """SimHash bit votes as aggregate expressions over an exploded (id, hash)
+    relation: ``sum(bit_j(h) ? +1 : -1)`` per bit — sign of the sum is the
+    majority vote.  Output columns ``v0..v{bits-1}``."""
+    return [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+
+
+def simhash_from_votes(bits: int = 63) -> Column:
+    """Fold ``v*`` vote columns into the 63-bit signature (ties → 1, matching
+    ``count_set*2 >= n``)."""
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
 def minhash_signature(
     shingle_hashes: Column, num_hashes: int = 64, seed: int = 42
 ) -> Column:

@@ -85,10 +85,20 @@ def stopword_ratio(toks: Column, lang: str) -> Column:
 
 
 def lang_id(toks: Column) -> Column:
-    """Heuristic language ID: argmax of per-language stopword ratios,
-    'und' (undetermined) when no profile matches at all."""
-    scored = None
-    for lang in LANG_STOPWORDS:
-        entry = F.struct(stopword_ratio(toks, lang).alias("score"), F.lit(lang).alias("lang"))
-        scored = entry if scored is None else F.when(entry["score"] > scored["score"], entry).otherwise(scored)
-    return F.when(scored["score"] > 0, scored["lang"]).otherwise(F.lit("und"))
+    """Heuristic language ID: argmax of per-language stopword ratios with
+    earliest-profile tie-break, 'und' (undetermined) when no profile matches.
+
+    Shaped as ``array_max`` over (score, -profile_index, lang) structs —
+    struct comparison gives the argmax and the tie-break in one expression,
+    and each per-language filter is evaluated exactly once (a chained
+    when/otherwise doubles the tree per language: 2^n blowup)."""
+    entries = [
+        F.struct(
+            stopword_ratio(toks, lang).alias("score"),
+            F.lit(-i).alias("neg_idx"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(LANG_STOPWORDS)
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))

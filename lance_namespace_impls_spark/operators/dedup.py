@@ -20,14 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lance_namespace_impls_spark.functions.hashing import (
-    band_keys,
+    band_key_exprs,
     hamming64,
-    minhash_signature,
-    simhash64,
+    minhash_min_exprs,
+    simhash_from_votes,
+    simhash_vote_exprs,
 )
 from lance_namespace_impls_spark.functions.text import (
+    HASH_PRIME,
     jaccard,
-    token_hashes,
     tokens,
     word_shingles,
 )
@@ -50,17 +51,32 @@ def minhash_candidates(
     num_bands: int = NUM_BANDS,
     rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) from LSH band collisions."""
-    toks = tokens(F.col(text_col))
-    shingles = word_shingles(toks, shingle_size)
-    sig = minhash_signature(
-        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(2_147_483_647))),
-        num_hashes=num_bands * rows_per_band,
+    """Candidate near-dup pairs (id_a < id_b) from LSH band collisions.
+
+    Shape chosen for both codegen and cluster scale: shingle hashes are
+    exploded once per document, the 64-slot signature is 64 trivial ``min``
+    aggregates (map-side partial combine — the shuffle carries one partial
+    signature per (task, doc), never shingles), and band digests come from
+    ``xxhash64`` over signature columns.  The banded relation is persisted
+    because three plan branches consume it (skew census + both join sides);
+    at cluster scale this is where signatures would be written to storage.
+    """
+    shingle_hashes = F.array_distinct(
+        F.transform(
+            word_shingles(tokens(F.col(text_col)), shingle_size),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_PRIME)),
+        )
     )
-    banded = (
-        docs.select(F.col(id_col).alias("doc_id"), band_keys(sig, num_bands, rows_per_band).alias("bands"))
-        .select("doc_id", F.explode("bands").alias("band_key"))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingle_hashes).alias("h")
     )
+    sig = exploded.groupBy("doc_id").agg(
+        *minhash_min_exprs(F.col("h"), num_hashes=num_bands * rows_per_band)
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.array(*band_key_exprs(num_bands, rows_per_band))).alias("band_key"),
+    ).persist()
     # Skew guard: drop degenerate buckets before the self-join.
     bucket_sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
     banded = banded.join(
@@ -118,11 +134,22 @@ def simhash_pairs(
     full corpus; radius-crossing pairs whose high bits differ are missed —
     the standard single-table SimHash trade-off (production systems use
     rotated tables; radius ≤ bits/4 keeps recall high).
+
+    Signatures are built by explode + 63 sum-vote aggregates (map-side
+    combine), not the column-form ``simhash64`` — same bits, but each vote is
+    a trivial codegen'd aggregate instead of an interpreted higher-order
+    filter over the token array per bit.  Persisted: both join sides read it.
     """
-    sigs = docs.select(
-        F.col(id_col).alias("doc_id"),
-        simhash64(tokens(F.col(text_col))).alias("sig"),
-    ).withColumn("bucket", F.shiftright("sig", 48))
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).select("doc_id", F.xxhash64("t").alias("h"))
+    sigs = (
+        exploded.groupBy("doc_id")
+        .agg(*simhash_vote_exprs(F.col("h")))
+        .select("doc_id", simhash_from_votes().alias("sig"))
+        .withColumn("bucket", F.shiftright("sig", 48))
+        .persist()
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(
