@@ -5,7 +5,9 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Timing excludes SparkSession startup and includes full result
-materialization (count-style foreach) per query.
+materialization per query via the ``noop`` sink — every operator in the plan
+executes JVM-side (sorts included), but driver-side Py4J row serialization is
+not measured (that would time the Python driver, not the engine).
 """
 
 from __future__ import annotations
@@ -35,7 +37,7 @@ def main() -> None:
     for name, spec in QUERIES.items():
         start = time.perf_counter()
         df = spec.builder(spark, sf_dir)
-        df.collect()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)

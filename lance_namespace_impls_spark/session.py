@@ -32,6 +32,9 @@ _RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow-accelerated Python<->JVM exchange for pandas UDFs / toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Scalar Python UDFs ride Arrow batches too (Spark 3.5+): same UDF
+    # semantics, ~10x less serialization than pickled row-at-a-time.
+    "spark.sql.execution.pythonUDF.arrow.enabled": "true",
 }
 
 
