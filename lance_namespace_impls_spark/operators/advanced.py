@@ -1,0 +1,289 @@
+"""Advanced operator surface: as-of join, approximate distinct, map/struct
+functions, and the full Python-compute matrix (pandas UDAF, applyInPandas
+grouped map, Python UDTF).
+
+These close the SURVEY.md §2B rows that the relational core doesn't cover:
+the as-of join row (joins table), the approx_count_distinct row (aggregates
+table), the map/struct scalar-function row, and the UDAF/UDTF rows of the
+UDF-surface table.
+
+Scale notes per operator are inline.  Reference parity: the reference
+implements no relational operators at all (SURVEY.md §2A end note —
+data-plane ops are delegated to lance core); this module is part of the
+north-star data plane.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# As-of join (engine API + declared query)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    matched_alias: str = "matched",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right.on <= left.on`` within the same ``by`` group; ties on ``on``
+    break toward the larger ``right_id``.
+
+    Implemented as the union-merge shape — tag both sides, sort once per
+    ``by`` group, and carry the last-seen right id forward with
+    ``last(..., ignorenulls=True)``:
+
+    * one shuffle on ``by`` (the window partition key), no range/theta join —
+      a range join would be O(L·R) per group, this is O((L+R) log(L+R));
+    * at 100 TB both sides shuffle only (by, on, id) triples, never payloads;
+      re-join matched ids to payloads afterwards if needed;
+    * skewed ``by`` keys are the one hazard — AQE skew handling does not
+      split window partitions, so a hot entity needs salting by coarse time
+      range (documented trade-off, same as any sessionization pipeline).
+    """
+    l_ = left.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(1).alias("_side"),
+        F.col(left_id).alias("_id"),
+    )
+    r_ = right.select(
+        F.col(by).alias("_by"),
+        F.col(on).alias("_on"),
+        F.lit(0).alias("_side"),
+        F.col(right_id).alias("_id"),
+    )
+    w = (
+        Window.partitionBy("_by")
+        .orderBy("_on", "_side", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r_.unionAll(l_).withColumn(
+        matched_alias,
+        F.last(F.when(F.col("_side") == 0, F.col("_id")), ignorenulls=True).over(w),
+    )
+    return merged.filter(F.col("_side") == 1).select(
+        F.col("_id").alias(left_id),
+        F.col("_by").alias(by),
+        F.col(matched_alias),
+    )
+
+
+@query(
+    "q63_asof_join",
+    "SELECT a.event_id, a.user_id, "
+    "  (SELECT b.event_id FROM events b "
+    "    WHERE b.user_id = a.user_id AND b.event_type = 'view' AND b.ts <= a.ts "
+    "    ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS matched_view "
+    "FROM events a WHERE a.event_type = 'click' "
+    "ORDER BY a.event_id",
+    doc="As-of join: each click matched to the user's most recent view at or "
+    "before it.  Spark side is the union-merge window shape (one shuffle, "
+    "no range join); the oracle is an independent correlated-subquery "
+    "formulation, so shape and semantics are both checked.",
+    tags=("join", "asof"),
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return asof_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "view"),
+        on="ts",
+        by="user_id",
+        matched_alias="matched_view",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (bench surface; sanity-tested vs exact)
+
+
+@query(
+    "q64_approx_count_distinct",
+    None,  # approximate by construction; ±5% sanity vs exact in tests
+    doc="HyperLogLog++ distinct-customer estimate (rsd 0.02). The scale "
+    "replacement for exact COUNT(DISTINCT) at extreme cardinality: no "
+    "Expand, one small sketch per partition merged at the driver. "
+    "Sanity contract (±5% of exact) in tests/test_advanced.py.",
+    tags=("agg", "approx"),
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_cust")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Map / struct scalar functions
+
+
+@query(
+    "q65_struct_map_functions",
+    "SELECT n_nationkey, "
+    "  struct_pack(name := n_name, region := n_regionkey).name AS sname, "
+    "  CAST(struct_pack(name := n_name, region := n_regionkey).region AS BIGINT) AS sregion, "
+    "  map([n_name], [n_nationkey])[n_name][1] AS mval "
+    "FROM nation ORDER BY n_nationkey",
+    doc="named_struct construction + field access and single-entry map "
+    "construction + key lookup, round-tripped back to scalar columns so the "
+    "result is dialect-comparable (DuckDB struct_pack / map literal twin).",
+    tags=("functions", "struct", "map"),
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, "nation", sf_dir)
+    st = F.struct(
+        F.col("n_name").alias("name"), F.col("n_regionkey").alias("region")
+    )
+    mp = F.map_from_arrays(F.array(F.col("n_name")), F.array(F.col("n_nationkey")))
+    return nation.select(
+        "n_nationkey",
+        st["name"].alias("sname"),
+        st["region"].cast("bigint").alias("sregion"),
+        F.element_at(mp, F.col("n_name")).alias("mval"),
+    ).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Pandas UDAF (GROUPED_AGG)
+
+
+# Return types are DataType objects, not DDL strings: string return types are
+# parsed through the active SparkContext at decoration time, which would make
+# this module unimportable before a session exists.
+
+
+@pandas_udf(LongType())
+def _cents_sum(v: pd.Series) -> int:
+    """Grouped-agg pandas UDAF: exact int64 sum of a cents column.
+
+    Integer cents make the result summation-order-independent, so the UDAF
+    is oracle-comparable (float UDAFs would hash-mismatch on partial-agg
+    order).  Arrow-batched: one Series per (group, batch), not per row.
+    """
+    return int(v.dropna().sum())
+
+
+@pandas_udf(LongType())
+def _n_rows(v: pd.Series) -> int:
+    return int(v.notna().sum())
+
+
+@query(
+    "q66_pandas_udaf",
+    "SELECT c_mktsegment, "
+    "  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cents, "
+    "  CAST(COUNT(c_acctbal) AS BIGINT) AS n "
+    "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    doc="Grouped-agg pandas UDAF (Arrow-batched Series -> scalar) computing "
+    "exact integer cents per market segment; hash-checked against the "
+    "equivalent SQL aggregate.",
+    tags=("udf", "udaf"),
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf_dir)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        customer.select("c_mktsegment", cents.alias("cents"))
+        .groupBy("c_mktsegment")
+        .agg(_cents_sum("cents").alias("cents"), _n_rows("cents").alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function)
+
+
+@udtf(
+    returnType=StructType(
+        [
+            StructField("n_nationkey", LongType()),
+            StructField("tok", StringType()),
+        ]
+    )
+)
+class _SplitNameUDTF:
+    """Python UDTF: one output row per '_'-token of the input name."""
+
+    def eval(self, n_nationkey: int, n_name: str):
+        for tok in (n_name or "").split("_"):
+            yield n_nationkey, tok
+
+
+@query(
+    "q67_python_udtf",
+    "SELECT n_nationkey, unnest(string_split(n_name, '_')) AS tok "
+    "FROM nation ORDER BY n_nationkey, tok",
+    doc="Python UDTF (Spark 4 table function) exploding each nation name "
+    "into tokens via LATERAL join; oracle is DuckDB unnest(string_split).",
+    tags=("udf", "udtf"),
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.udtf.register("lni_split_name", _SplitNameUDTF)
+    load_table(spark, "nation", sf_dir).createOrReplaceTempView("_q67_nation")
+    return spark.sql(
+        "SELECT s.n_nationkey, s.tok "
+        "FROM _q67_nation, LATERAL lni_split_name(n_nationkey, n_name) s "
+        "ORDER BY s.n_nationkey, s.tok"
+    )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandas (GROUPED_MAP)
+
+
+def _per_user_profile(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map kernel: one profile row per user.
+
+    The grouped-map shape is the engine's seam for arbitrary per-entity
+    Python (feature engineering, model scoring): Spark shuffles once on the
+    group key and hands each group to Python as one Arrow-backed frame.
+    """
+    v = pdf["cents"].dropna()
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_val": [int(v.size)],
+            "cents": [int(v.sum()) if v.size else None],
+        }
+    )
+
+
+@query(
+    "q68_apply_in_pandas",
+    "SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n_val, "
+    "  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+    doc="applyInPandas grouped-map: per-user profile computed in an "
+    "Arrow-batched pandas kernel (integer cents => order-independent), "
+    "hash-checked against the equivalent SQL aggregate.",
+    tags=("udf", "grouped_map"),
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select("user_id", cents.alias("cents"))
+        .groupBy("user_id")
+        .applyInPandas(_per_user_profile, schema="user_id bigint, n_val bigint, cents bigint")
+        .orderBy("user_id")
+    )

@@ -1,0 +1,101 @@
+"""Tests for the advanced operator surface (as-of join, approx distinct,
+UDAF/UDTF/grouped-map) — semantics the oracle harness can't pin down plus
+one hand-computable as-of fixture."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.operators.advanced import asof_join
+from lance_namespace_impls_spark.plans.registry import QUERIES
+from lance_namespace_impls_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def _ts(s: int):
+    return dt.datetime(2026, 1, 1, 0, 0, s)
+
+
+def test_asof_join_semantics(spark):
+    """Hand-computed fixture: <=-semantics, per-key isolation, tie-break."""
+    left = spark.createDataFrame(
+        [
+            (10, 1, _ts(5)),   # after views 1,2 -> latest is 2
+            (11, 1, _ts(1)),   # exactly at view 1 -> <= matches it
+            (12, 1, _ts(0)),   # before any view -> no match
+            (13, 2, _ts(9)),   # other user: only view 4 qualifies
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 1, _ts(1)),
+            (2, 1, _ts(3)),
+            (3, 1, _ts(7)),    # later than click 10 -> excluded
+            (4, 2, _ts(2)),
+            (5, 3, _ts(0)),    # other user entirely
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r.event_id: r.matched
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    assert got == {10: 2, 11: 1, 12: None, 13: 4}
+
+
+def test_asof_join_tie_breaks_to_larger_id(spark):
+    """Two right rows at the same ts: the larger id wins (matches the
+    oracle's ORDER BY ts DESC, event_id DESC LIMIT 1)."""
+    left = spark.createDataFrame(
+        [(10, 1, _ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 1, _ts(5)), (2, 1, _ts(5))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    [row] = asof_join(left, right, on="ts", by="user_id").collect()
+    assert row.matched == 2
+
+
+def test_approx_count_distinct_sanity(spark):
+    exact = (
+        load_table(spark, "orders", SF_SMOKE)
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .first()
+        .n
+    )
+    approx = (
+        QUERIES["q64_approx_count_distinct"].builder(spark, SF_SMOKE).first().approx_cust
+    )
+    assert abs(approx - exact) <= 0.05 * exact
+
+
+def test_udtf_handles_empty_name(spark):
+    from lance_namespace_impls_spark.operators.advanced import _SplitNameUDTF
+
+    spark.udtf.register("lni_split_name_t", _SplitNameUDTF)
+    rows = spark.sql(
+        "SELECT * FROM lni_split_name_t(CAST(1 AS BIGINT), '')"
+    ).collect()
+    assert [(r.n_nationkey, r.tok) for r in rows] == [(1, "")]
+
+
+def test_pandas_udaf_matches_builtin(spark):
+    customer = load_table(spark, "customer", SF_SMOKE)
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    want = {
+        r.c_mktsegment: r.cents
+        for r in customer.select("c_mktsegment", cents.alias("c"))
+        .groupBy("c_mktsegment")
+        .agg(F.sum("c").alias("cents"))
+        .collect()
+    }
+    got = {
+        r.c_mktsegment: r.cents
+        for r in QUERIES["q66_pandas_udaf"].builder(spark, SF_SMOKE).collect()
+    }
+    assert got == want
