@@ -29,10 +29,14 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     — pure Catalyst expressions, no UDF; empty array when the doc is shorter
     than ``n`` tokens.
     """
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), count),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    count = F.size(toks) - F.lit(n - 1)
+    # sequence(1, 0) auto-steps DOWNWARD to [1, 0] (it never returns empty),
+    # so short docs must short-circuit before the slice sees start=0.
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
     )
 
 

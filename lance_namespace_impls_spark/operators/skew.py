@@ -1,0 +1,85 @@
+"""Skew-mitigation utilities: salted aggregation and salted broadcast-less
+joins for hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles sort-merge join
+skew automatically, but two shapes still need explicit salting at 100 TB:
+
+* **high-cardinality aggregation with a few hot keys** — a single reducer
+  owns each key; AQE cannot split a running aggregate.  ``salted_agg``
+  spreads each key over ``n_salts`` partial groups and re-aggregates the
+  partials (legal for any commutative-associative aggregate);
+* **shuffle joins where ONE side's hot keys dominate** and the other side is
+  too big to broadcast.  ``salted_join`` salts the skewed side and explodes
+  the replicated side over all salt values — shuffle width grows by
+  ``n_salts`` on the replicated side only.
+
+Both are pure DataFrame rewrites (no RDDs); Catalyst still owns the physical
+plan.  The salt is ``pmod(hash(unique_col), n)`` when a unique column exists
+(deterministic, testable) or ``floor(rand(seed)*n)`` otherwise.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def with_salt(df: DataFrame, n_salts: int, from_col: str | None = None, seed: int = 42) -> DataFrame:
+    """Attach a salt column in [0, n_salts).  Deterministic when ``from_col``
+    (any well-distributed column) is given; random otherwise."""
+    if from_col is not None:
+        salt = F.pmod(F.xxhash64(F.col(from_col)), F.lit(n_salts))
+    else:
+        salt = F.floor(F.rand(seed) * n_salts).cast("bigint")
+    return df.withColumn(SALT_COL, salt)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    partial_aggs: Sequence[Column],
+    final_aggs: Sequence[Column],
+    n_salts: int = 16,
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Two-stage aggregation: groupBy(keys + salt) → groupBy(keys).
+
+    ``partial_aggs`` aggregate raw rows within each (key, salt) group and
+    must alias their outputs; ``final_aggs`` combine those partial columns
+    (e.g. partial ``sum(x) AS s`` then final ``sum(s) AS s``).  Only valid
+    for commutative-associative aggregates (sum/count/min/max, not avg —
+    decompose avg into sum+count).
+    """
+    partial = (
+        with_salt(df, n_salts, from_col=salt_from)
+        .groupBy(*keys, SALT_COL)
+        .agg(*partial_aggs)
+    )
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    skewed: DataFrame,
+    replicated: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+    salt_from: str | None = None,
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot join keys and ``replicated`` is too
+    large to broadcast but tolerable to duplicate ``n_salts``×.
+
+    The skewed side gets one salt per row; the replicated side is exploded
+    over all salts, so every (key, salt) bucket holds the full replicated
+    key group and 1/n of the hot key's rows.  Output equals the plain join.
+    """
+    s = with_salt(skewed, n_salts, from_col=salt_from)
+    r = replicated.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<bigint>"))
+    )
+    joined = s.join(r, [*on, SALT_COL], how)
+    return joined.drop(SALT_COL)

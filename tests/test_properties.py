@@ -1,0 +1,113 @@
+"""Hypothesis property tests for the pure text/hash kernels — the testing
+layer the reference lacks entirely (SURVEY.md §5: no property-based testing
+anywhere in the reference).
+
+Each example batches all generated docs into ONE DataFrame so a property
+costs one Spark job, not one per doc.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.text import (
+    LANG_STOPWORDS,
+    jaccard,
+    lang_id,
+    tokens,
+    word_shingles,
+)
+
+SET_SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+WORD = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")), min_size=1, max_size=8
+)
+DOC = st.lists(WORD, min_size=1, max_size=20).map(" ".join)
+
+
+@pytest.fixture(scope="module")
+def sc(spark):
+    return spark
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=8))
+@SET_SLOW
+def test_jaccard_self_is_one_and_symmetric(sc, docs):
+    df = sc.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, text string")
+    t = tokens(F.col("text"))
+    rows = df.select(
+        jaccard(t, t).alias("self_sim"),
+        (jaccard(t, F.reverse(t)) == jaccard(F.reverse(t), t)).alias("sym"),
+    ).collect()
+    for r in rows:
+        assert r.self_sim == 1.0
+        assert r.sym
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=8), n=st.integers(1, 5))
+@SET_SLOW
+def test_shingle_count_and_width(sc, docs, n):
+    df = sc.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, text string")
+    t = tokens(F.col("text"))
+    rows = df.select(
+        F.size(t).alias("n_toks"),
+        F.size(word_shingles(t, n)).alias("n_sh"),
+        F.size(F.filter(word_shingles(t, n), lambda s: F.size(F.split(s, " ")) == n)).alias(
+            "n_exact"
+        ),
+    ).collect()
+    for r in rows:
+        assert r.n_sh == max(0, r.n_toks - n + 1)
+        # every shingle is exactly n tokens wide (single-space joined; source
+        # tokens are whitespace-free by construction of the strategy)
+        assert r.n_exact == r.n_sh
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=8))
+@SET_SLOW
+def test_jaccard_matches_python_sets(sc, docs):
+    """Spark's array-based Jaccard equals the Python set computation."""
+    df = sc.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, text string")
+    pairs = df.alias("a").crossJoin(df.alias("b")).select(
+        F.col("a.i").alias("ia"),
+        F.col("b.i").alias("ib"),
+        jaccard(tokens(F.col("a.text")), tokens(F.col("b.text"))).alias("sim"),
+    )
+    got = {(r.ia, r.ib): r.sim for r in pairs.collect()}
+    toks = [set(d.lower().split()) for d in docs]
+    for ia, a in enumerate(toks):
+        for ib, b in enumerate(toks):
+            want = len(a & b) / len(a | b) if a | b else 0.0
+            assert got[(ia, ib)] == pytest.approx(want, abs=1e-12), (ia, ib)
+
+
+@given(docs=st.lists(DOC, min_size=1, max_size=8))
+@SET_SLOW
+def test_lang_id_domain(sc, docs):
+    df = sc.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, text string")
+    rows = df.select(lang_id(tokens(F.col("text"))).alias("lang")).collect()
+    allowed = set(LANG_STOPWORDS) | {"und"}
+    for r in rows:
+        assert r.lang in allowed
+
+
+def test_lang_id_picks_dominant_language(sc):
+    df = sc.createDataFrame(
+        [
+            (0, "the cat and the dog in the house"),
+            (1, "der hund und die katze ist nicht da"),
+            (2, "le chat est dans la maison pour le chien"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "i long, text string",
+    )
+    got = {r.i: r.lang for r in df.select("i", lang_id(tokens(F.col("text"))).alias("lang")).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "und"}

@@ -1,0 +1,65 @@
+"""Salted aggregation / salted join must be result-identical to the plain
+shapes (they are pure rewrites), verified on real fixture tables."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.operators.skew import salted_agg, salted_join
+from lance_namespace_impls_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_agg_equals_plain(spark):
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    salted = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        partial_aggs=[
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+        final_aggs=[F.sum("s").alias("s"), F.sum("n").alias("n")],
+        n_salts=7,
+        salt_from="l_orderkey",
+    )
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_join_equals_plain(spark):
+    orders = load_table(spark, "orders", SF_SMOKE).select("o_orderkey", "o_custkey")
+    customer = load_table(spark, "customer", SF_SMOKE).select("c_custkey", "c_name")
+    plain = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select("o_orderkey", "c_name")
+    salted = salted_join(
+        orders.withColumnRenamed("o_custkey", "k"),
+        customer.withColumnRenamed("c_custkey", "k"),
+        on=["k"],
+        n_salts=5,
+        salt_from="o_orderkey",
+    ).select("o_orderkey", "c_name")
+    assert _rows(salted) == _rows(plain)
+
+
+def test_salted_join_left_outer(spark):
+    """Outer-join correctness: unmatched skewed rows survive exactly once."""
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    right = spark.createDataFrame([(1, "x")], "k long, w string")
+    got = salted_join(left, right, on=["k"], n_salts=4, how="left", salt_from="v")
+    assert _rows(got.select("k", "v", "w")) == [
+        (1, "a", "x"),
+        (2, "b", None),
+        (3, "c", None),
+    ]
