@@ -4,6 +4,7 @@ CSV/JSON ingestion, and the partition-aware parquet sink."""
 from lance_namespace_impls_spark.sources.ingest import (
     read_csv,
     read_json,
+    write_bucketed,
     write_parquet,
 )
 from lance_namespace_impls_spark.sources.tables import (
@@ -18,5 +19,6 @@ __all__ = [
     "register_views",
     "read_csv",
     "read_json",
+    "write_bucketed",
     "write_parquet",
 ]

@@ -78,3 +78,28 @@ def write_parquet(
         if target_files:
             df = df.repartition(target_files)
         df.write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles data into ``num_buckets``
+    hash buckets on ``bucket_by`` at write time.
+
+    Joins and aggregations between tables bucketed identically on the join/
+    group key then plan WITHOUT a shuffle exchange — the 100 TB pattern for
+    fact-to-fact joins that recur on the same key (pay the shuffle once at
+    ingestion, never at query time).  ``sort_by`` additionally pre-sorts
+    within buckets so sort-merge join skips its sort.  Requires a session
+    warehouse (saveAsTable path); asserted shuffle-free in
+    tests/test_ingest_and_plans.py.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.saveAsTable(table)

@@ -13,6 +13,7 @@ from lance_namespace_impls_spark.sources import (
     load_table,
     read_csv,
     read_json,
+    write_bucketed,
     write_parquet,
 )
 
@@ -62,6 +63,36 @@ def test_partitioned_sink_prunes(spark, tmp_path_factory):
     )[1].split("]")[0], plan
     want = orders.filter(F.col("o_orderstatus") == "F").count()
     assert scan.count() == want
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed identically on the join key must sort-merge join
+    with NO shuffle exchange on either side — the pay-shuffle-once-at-write
+    pattern for recurring fact joins at scale."""
+    orders = load_table(spark, "orders", SF_SMOKE).select("o_orderkey", "o_custkey")
+    customer = load_table(spark, "customer", SF_SMOKE).select("c_custkey", "c_name")
+    write_bucketed(orders, "b_orders", ["o_custkey"], 4, sort_by=["o_custkey"])
+    write_bucketed(customer, "b_customer", ["c_custkey"], 4, sort_by=["c_custkey"])
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_orders").join(
+                spark.table("b_customer"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            want = orders.join(
+                customer, orders.o_custkey == customer.c_custkey
+            ).count()
+            assert joined.count() == want
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
 def test_filter_pushdown_reaches_scan(spark):
