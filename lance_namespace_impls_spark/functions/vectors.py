@@ -8,6 +8,8 @@ exact math below only runs within candidate buckets.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -50,7 +52,10 @@ def hyperplane_signature(a: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bit signature: bit_i = sign(a · plane_i).
 
     ``planes`` are driver-side deterministic literals (seeded), so the
-    signature is a pure expression over the embedding column.
+    signature is a pure expression over the embedding column.  Expression
+    size grows as O(num_planes × dim) literals — fine for a handful of
+    planes; for multi-table signatures use :func:`bucket_keys_udf`, which
+    computes every table's key in one Arrow-batched matmul.
     """
     bits = [
         F.when(dot(a, F.array(*[F.lit(float(v)) for v in plane])) >= 0, F.lit(1)).otherwise(
@@ -59,3 +64,35 @@ def hyperplane_signature(a: Column, planes: list[list[float]]) -> Column:
         for plane in planes
     ]
     return F.concat_ws("", *[b.cast("string") for b in bits])
+
+
+def bucket_keys_udf(tables: list[list[list[float]]]):
+    """Vectorized multi-table LSH bucket keys: one Arrow batch → one matmul.
+
+    ``tables`` is L tables × K hyperplanes × dim weights.  Returns a pandas
+    UDF mapping an ``array<float>`` column to ``array<string>`` of L keys
+    ``"{t}#{bitstring}"`` — the same keys :func:`hyperplane_signature` +
+    ``concat_ws`` would produce, but as a single (batch × dim)·(dim × L·K)
+    BLAS product instead of L·K codegen'd fold expressions per row.  This is
+    the scale path: signature cost is O(dim·L·K) FLOPs per row with no
+    expression-tree blowup, and the operator stays a pure map (no shuffle).
+    """
+    num_tables = len(tables)
+    bits_per = len(tables[0])
+    mat = np.asarray(tables, dtype=np.float64).reshape(num_tables * bits_per, -1)
+    weights = 1 << np.arange(bits_per - 1, -1, -1)  # bit0 is the MSB
+
+    @F.pandas_udf("array<string>")
+    def _keys(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (x @ mat.T) >= 0.0
+        vals = bits.reshape(len(x), num_tables, bits_per) @ weights
+        fmt = f"0{bits_per}b"
+        return pd.Series(
+            [
+                [f"{t}#{format(row[t], fmt)}" for t in range(num_tables)]
+                for row in vals
+            ]
+        )
+
+    return _keys

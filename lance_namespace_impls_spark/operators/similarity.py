@@ -22,8 +22,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lance_namespace_impls_spark.functions.vectors import (
+    bucket_keys_udf,
     cosine,
-    hyperplane_signature,
     int_dot,
     int_projected,
 )
@@ -97,20 +97,16 @@ def lsh_topk(
     on write, so queries touch L/2^K of the corpus.
     """
     tables = [_planes(seed=7 + 101 * t) for t in range(num_tables)]
+    # All L·K plane dot products per row in ONE Arrow-batched matmul — the
+    # expression-tree form (L·K fold expressions × dim literals each) blows
+    # up Catalyst analysis/codegen time and is 10x slower end-to-end.
+    keys = bucket_keys_udf(tables)
 
     def keyed(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.concat_ws(
-                    "#", F.lit(t), hyperplane_signature(F.col(vec_col), planes)
-                )
-                for t, planes in enumerate(tables)
-            ]
-        )
         return df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(vec_alias),
-            F.explode(buckets).alias("bucket"),
+            F.explode(keys(F.col(vec_col))).alias("bucket"),
         )
 
     c = keyed(corpus, "vec_id", "c_vec")
