@@ -1,0 +1,267 @@
+"""Extended relational surface: percentiles, pivot/unpivot, deterministic
+sampling, distribution windows, sessionization, correlated subqueries, and
+the sliding-window batch twin.
+
+These widen SURVEY.md §2B beyond the core Q01–Q46 set with the operations a
+training-data pipeline leans on daily (quantile QA stats, event
+sessionization, reproducible down-sampling).  Everything here is built-in
+Spark SQL — no Python in the hot path — so Catalyst keeps pushdown/pruning
+and whole-stage codegen.
+
+Scale notes per operator are inline; the common theme: each query's only
+shuffle is its semantic one (the groupBy/window key), and sampling/blocking
+predicates are pure row-local arithmetic that pushes to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+
+def _dec(col: str, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _money(expr):
+    return F.round(expr, 2).cast("double")
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@query(
+    "q71_percentiles",
+    "SELECT l_returnflag, "
+    "ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25, "
+    "ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50, "
+    "ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90 "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    doc="Exact interpolated percentiles per group (quality-stats workhorse). "
+    "Spark's `percentile` is a single-pass typed aggregate with partial "
+    "merge — one shuffle of per-group digests, never raw rows.",
+    tags=("agg", "stats"),
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_PRIORITY_ALIASES = ("urgent", "high", "medium", "notspec", "low")
+
+
+@query(
+    "q72_pivot",
+    "SELECT o_orderstatus, "
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE o_orderpriority = '{v}') AS {a}"
+        for v, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+    )
+    + " FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    doc="Pivot (long→wide) with an explicit value list. Listing pivot values "
+    "up front matters at scale: it keeps the plan a single hash aggregate "
+    "instead of an extra distinct-values job over the full table.",
+    tags=("agg", "pivot"),
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    pivoted = (
+        od.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .count()
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("bigint").alias(a)
+            for v, a in zip(_PRIORITIES, _PRIORITY_ALIASES)
+        ],
+    ).orderBy("o_orderstatus")
+
+
+@query(
+    "q73_hash_sample",
+    "SELECT COUNT(*) AS n, "
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total "
+    "FROM orders WHERE (o_orderkey * 2654435761) % 1000 < 100",
+    doc="Deterministic ~10% sample via multiplicative-hash arithmetic on the "
+    "key (Knuth constant). Unlike TABLESAMPLE this is reproducible across "
+    "engines and runs, and the predicate is row-local arithmetic — it rides "
+    "the scan with zero extra passes, which is what makes down-sampling a "
+    "100 TB corpus a single map stage.",
+    tags=("sampling",),
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    sampled = od.filter((F.col("o_orderkey") * F.lit(2654435761)) % 1000 < 100)
+    return sampled.agg(
+        F.count(F.lit(1)).alias("n"),
+        _money(F.sum(_dec("o_totalprice"))).alias("total"),
+    )
+
+
+@query(
+    "q74_dist_window",
+    "SELECT c_custkey, "
+    "ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pr, "
+    "ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd "
+    "FROM customer ORDER BY c_custkey",
+    doc="Distribution window functions (percent_rank/cume_dist) — rank-"
+    "normalized features per segment. Tie rows share a value, so results "
+    "are deterministic without a full tiebreak in the window order.",
+    tags=("window",),
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cu.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "q75_sessionization",
+    "WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events), "
+    "o AS (SELECT user_id, event_id, tu, "
+    "  LAG(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS prev "
+    "  FROM t), "
+    "m AS (SELECT user_id, event_id, tu, "
+    f"  CASE WHEN prev IS NULL OR tu - prev > {SESSION_GAP_US} THEN 1 ELSE 0 END AS brk "
+    "  FROM o), "
+    "s AS (SELECT user_id, tu, SUM(brk) OVER (PARTITION BY user_id "
+    "  ORDER BY tu, event_id ROWS UNBOUNDED PRECEDING) AS sess FROM m) "
+    "SELECT user_id, CAST(sess AS BIGINT) AS session_id, COUNT(*) AS n_events, "
+    "MIN(tu) AS start_us, MAX(tu) AS end_us "
+    "FROM s GROUP BY user_id, sess ORDER BY user_id, session_id",
+    doc="Gap-based sessionization (30-min inactivity) — the batch twin of "
+    "session_window, via lag + running-sum session ids. One shuffle on "
+    "user_id serves both window passes and the final aggregate (same key, "
+    "Spark reuses the partitioning), so the whole operator is single-"
+    "exchange even at 100 TB.",
+    tags=("window", "streaming-twin", "sessionization"),
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    t = ev.select("user_id", "event_id", F.expr("ts_ns DIV 1000").alias("tu"))
+    w = Window.partitionBy("user_id").orderBy("tu", "event_id")
+    brk = (
+        F.when(
+            F.lag("tu").over(w).isNull()
+            | (F.col("tu") - F.lag("tu").over(w) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+    )
+    sess = F.sum(brk).over(
+        Window.partitionBy("user_id")
+        .orderBy("tu", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("sess", sess)
+        .groupBy("user_id", "sess")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("tu").alias("start_us"),
+            F.max("tu").alias("end_us"),
+        )
+        .select(
+            "user_id",
+            F.col("sess").cast("bigint").alias("session_id"),
+            "n_events",
+            "start_us",
+            "end_us",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "q76_correlated_subquery",
+    "SELECT c_custkey, "
+    "(SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders "
+    "FROM customer ORDER BY c_custkey",
+    doc="Correlated scalar subquery — Catalyst decorrelates it into a left "
+    "outer aggregate join (RewriteCorrelatedScalarSubquery), so the naive "
+    "per-row-subquery shape runs as one shuffle join at scale.",
+    tags=("subquery", "join"),
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("_q76_customer")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("_q76_orders")
+    return spark.sql(
+        "SELECT c_custkey, "
+        "(SELECT COUNT(*) FROM _q76_orders WHERE o_custkey = c_custkey) AS n_orders "
+        "FROM _q76_customer ORDER BY c_custkey"
+    )
+
+
+@query(
+    "q77_sliding_window_batch",
+    "WITH t AS (SELECT epoch_us(ts) AS tu, event_type, value FROM events), "
+    "e AS (SELECT tu - (tu % 1800000000) - o.off AS ws, event_type, value "
+    "  FROM t CROSS JOIN (SELECT UNNEST([0, 1800000000]) AS off) o) "
+    "SELECT ws, event_type, COUNT(*) AS n, "
+    "CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv "
+    "FROM e GROUP BY ws, event_type ORDER BY ws, event_type",
+    doc="Batch twin of the sliding-window aggregate (1 h window / 30 min "
+    "slide): every event lands in exactly two windows. Spark's `window()` "
+    "expands rows map-side then hash-aggregates — the shuffle carries "
+    "(window, type) partials, 2x the tumbling cardinality, not 2x the data.",
+    tags=("agg", "streaming-twin", "window"),
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _money(F.sum(_dec("value"))).alias("sv"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("ws"),
+            "event_type",
+            "n",
+            "sv",
+        )
+        .orderBy("ws", "event_type")
+    )
+
+
+@query(
+    "q78_unpivot",
+    "SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS v "
+    "FROM part WHERE p_partkey <= 200 "
+    "UNION ALL "
+    "SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part WHERE p_partkey <= 200 "
+    "ORDER BY p_partkey, metric",
+    doc="Unpivot (wide→long) via the native melt operator — row-local "
+    "expansion, no shuffle until a downstream aggregate.",
+    tags=("pivot",),
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = load_table(spark, "part", sf_dir).filter(F.col("p_partkey") <= 200)
+    return (
+        pa.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+            F.col("p_size").cast("double").alias("p_size"),
+        )
+        .unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "v")
+        .orderBy("p_partkey", "metric")
+    )

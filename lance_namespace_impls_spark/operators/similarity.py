@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -196,5 +198,146 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "q69_embedding_neardup",
+    "WITH proj AS (SELECT vec_id, label, "
+    "  list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    "pairs AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, "
+    "  ROUND(CAST(list_dot_product(a.v, b.v) AS DOUBLE) / "
+    "    (sqrt(CAST(list_dot_product(a.v, a.v) AS DOUBLE)) * "
+    "     sqrt(CAST(list_dot_product(b.v, b.v) AS DOUBLE))), 6) AS sim "
+    "  FROM proj a JOIN proj b ON a.label = b.label AND a.vec_id < b.vec_id), "
+    "ranked AS (SELECT label, id_a, id_b, sim, "
+    "  ROW_NUMBER() OVER (PARTITION BY label ORDER BY sim DESC, id_a, id_b) AS rn "
+    "  FROM pairs) "
+    "SELECT CAST(label AS BIGINT) AS label, id_a, id_b, sim, CAST(rn AS BIGINT) AS rn "
+    "FROM ranked WHERE rn <= 5 ORDER BY label, rn",
+    doc="Embedding-cosine near-dup: top-5 most-similar pairs per label block. "
+    "Blocking on a cluster key confines the quadratic pair step (the LSH-"
+    "bucket pattern, here with an exact key so the oracle can replay it); "
+    "integer-projected dot products make cosine exact and engine-portable. "
+    "At 100 TB the block key is an LSH/IVF bucket and this is the verify "
+    "kernel that runs inside each bucket.",
+    tags=("llm", "dedup", "similarity"),
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = emb.select(
+        F.col("vec_id"),
+        F.col("label").cast("bigint").alias("label"),
+        int_projected(F.col("embedding")).alias("v"),
+    )
+    a = proj.alias("a")
+    b = proj.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.label").alias("label"),
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(
+            int_dot(F.col("a.v"), F.col("b.v")).cast("double")
+            / (
+                F.sqrt(int_dot(F.col("a.v"), F.col("a.v")).cast("double"))
+                * F.sqrt(int_dot(F.col("b.v"), F.col("b.v")).cast("double"))
+            ),
+            6,
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("sim").desc(), F.col("id_a"), F.col("id_b")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= 5)
+        .orderBy("label", "rn")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: per-``label`` centroids (column means computed
+    distributed via posexplode + partial aggregation — one shuffle of
+    dim-sized partials, never vectors).  Corpus rows live in their own
+    cell; queries probe their ``nprobe`` nearest centroids and run the
+    exact cosine kernel only inside probed cells.  At 100 TB the corpus
+    is bucket-partitioned by cell on write, so a query touches
+    nprobe/num_cells of the data — the classic IVF scan-fraction contract.
+    """
+    cent_rows = (
+        corpus.select(F.col(label_col).alias("cell"), F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.col("pm.m").alias("centroid"))
+        .collect()
+    )
+    cells = [r["cell"] for r in cent_rows]
+    cmat = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cmat /= np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    cell_ids = np.asarray(cells, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sims = x @ cmat.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([cell_ids[row].tolist() for row in order])
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).cast("bigint").alias("cell"),
+    )
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@query(
+    "q70_ivf_topk",
+    None,  # approximate by construction: recall property-tested
+    doc="IVF approximate top-5: per-cell centroids as the coarse quantizer, "
+    "nprobe=3 cells scanned per query — the alternative 100 TB ANN path to "
+    "q56's LSH (cell-partitioned corpus, scan fraction nprobe/num_cells); "
+    "recall vs brute force asserted in tests/test_llm_ops.py.",
+    tags=("llm", "similarity"),
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, nprobe=3).orderBy(
         "query_id", "rank"
     )
