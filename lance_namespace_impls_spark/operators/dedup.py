@@ -33,7 +33,7 @@ from lance_namespace_impls_spark.functions.text import (
     word_shingles,
 )
 from lance_namespace_impls_spark.plans.registry import query
-from lance_namespace_impls_spark.sources.tables import load_table
+from lance_namespace_impls_spark.sources.tables import load_table, spread
 
 # LSH tuning: 16 bands × 4 rows = 64 hashes → s-curve threshold ≈ (1/16)^(1/4)
 # ≈ 0.5 Jaccard; MAX_BUCKET caps the quadratic pair step against skew (a
@@ -67,6 +67,9 @@ def minhash_candidates(
             lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_PRIME)),
         )
     )
+    # Shingling + 64 hash minima are the expensive map stage; make sure it
+    # isn't pinned to a single-file scan's one task (no-op on real clusters).
+    docs = spread(docs)
     exploded = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(shingle_hashes).alias("h")
     )
@@ -110,7 +113,7 @@ def near_dup_pairs(
     only candidate ids + shingle arrays of candidate docs — not the corpus.
     """
     cands = minhash_candidates(docs, id_col, text_col, shingle_size)
-    shingled = docs.select(
+    shingled = spread(docs).select(
         F.col(id_col).alias("doc_id"),
         word_shingles(tokens(F.col(text_col)), shingle_size).alias("sh"),
     )
@@ -140,7 +143,7 @@ def simhash_pairs(
     a trivial codegen'd aggregate instead of an interpreted higher-order
     filter over the token array per bit.  Persisted: both join sides read it.
     """
-    exploded = docs.select(
+    exploded = spread(docs).select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t")
     ).select("doc_id", F.xxhash64("t").alias("h"))
     sigs = (

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lance_namespace_impls_spark.plans.registry import query
-from lance_namespace_impls_spark.sources.tables import load_table
+from lance_namespace_impls_spark.sources.tables import load_table, spread
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -902,7 +902,7 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     udf = F.udf(disc_price, "double")
     return (
-        load_table(spark, "lineitem", sf_dir)
+        spread(load_table(spark, "lineitem", sf_dir))
         .select(
             "l_orderkey",
             "l_linenumber",

@@ -30,7 +30,7 @@ from lance_namespace_impls_spark.functions.vectors import (
     int_projected,
 )
 from lance_namespace_impls_spark.plans.registry import query
-from lance_namespace_impls_spark.sources.tables import load_table
+from lance_namespace_impls_spark.sources.tables import load_table, spread
 
 EMBED_DIM = 64
 # Multi-table LSH: L independent tables of K hyperplane bits.  Recall stacks
@@ -227,11 +227,14 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    proj = emb.select(
+    # Norms are computed ONCE per vector before the pair join (each vector
+    # appears in ~block_size pairs; recomputing its self-dot per pair would
+    # triple the fold work on the quadratic relation).
+    proj = spread(emb).select(
         F.col("vec_id"),
         F.col("label").cast("bigint").alias("label"),
         int_projected(F.col("embedding")).alias("v"),
-    )
+    ).withColumn("nrm", F.sqrt(int_dot(F.col("v"), F.col("v")).cast("double")))
     a = proj.alias("a")
     b = proj.alias("b")
     pairs = a.join(
@@ -243,10 +246,7 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.vec_id").alias("id_b"),
         F.round(
             int_dot(F.col("a.v"), F.col("b.v")).cast("double")
-            / (
-                F.sqrt(int_dot(F.col("a.v"), F.col("a.v")).cast("double"))
-                * F.sqrt(int_dot(F.col("b.v"), F.col("b.v")).cast("double"))
-            ),
+            / (F.col("a.nrm") * F.col("b.nrm")),
             6,
         ).alias("sim"),
     )

@@ -17,7 +17,7 @@ from lance_namespace_impls_spark.functions.text import (
     tokens,
 )
 from lance_namespace_impls_spark.plans.registry import query
-from lance_namespace_impls_spark.sources.tables import load_table
+from lance_namespace_impls_spark.sources.tables import load_table, spread
 
 
 def _duck_ratio(lang: str) -> str:
@@ -57,7 +57,9 @@ def _duck_lang_id_sql() -> str:
     tags=("llm", "text"),
 )
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    # The stopword-profile argmax is a wide expression per doc; spread the
+    # single-file scan so it isn't evaluated on one core.
+    docs = spread(load_table(spark, "documents", sf_dir))
     return docs.select(
         "doc_id", "lang", lang_id(tokens(F.col("text"))).alias("pred")
     ).orderBy("doc_id")

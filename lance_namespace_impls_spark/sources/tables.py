@@ -61,6 +61,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan whose parallelism is below core count.
+
+    The fixtures are single-row-group parquet files, so their scans are ONE
+    task — every map-side operator downstream (shingling, signatures, Python
+    UDFs) would otherwise run single-threaded until the first shuffle.  At
+    cluster scale inputs arrive in thousands of splits and this is a no-op
+    (``getNumPartitions() >= target``); it only pays the small round-robin
+    shuffle when a scan cannot feed the available cores.  Apply it before
+    compute-heavy per-row pipelines, never before cheap scan→filter→agg plans
+    (the extra exchange would cost more than it saves).
+    """
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     """Register every fixture table as a temp view named after the table."""
     for name in TABLES:
