@@ -50,3 +50,9 @@ register_namespace_impl(
     "session",
     "lance_namespace_impls_spark.catalog.spark_session.SessionCatalogNamespace",
 )
+# REST-catalog profiles: one backend, three service dialects (the reference's
+# iceberg/polaris/unity short names all speak Iceberg-REST-shaped HTTP here).
+for _short in ("rest", "iceberg", "polaris", "unity"):
+    register_namespace_impl(
+        _short, "lance_namespace_impls_spark.catalog.rest.RestNamespace"
+    )

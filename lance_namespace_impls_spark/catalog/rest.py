@@ -1,0 +1,339 @@
+"""REST-catalog namespace backend (Iceberg-REST-shaped API).
+
+Re-expresses the reference's three REST profiles — Iceberg REST
+(`python/src/lance_namespace_impls/iceberg.py`), Polaris (`polaris.py`), and
+Unity (`unity.py`) — as one backend over an injectable HTTP transport:
+
+* identifier shape ``[warehouse, ns..., table]`` with warehouse→prefix
+  resolution via one cached ``GET /v1/config?warehouse=``
+  (reference: iceberg.py:154-180; Java ``IcebergNamespace.java:117-141``);
+* namespace path levels joined with the ``\\x1F`` unit separator
+  (reference: iceberg.py:56, 148-152);
+* declared tables registered with a dummy single-string-column schema —
+  the real schema lives in the Lance dataset
+  (reference: iceberg.py:98-104, docs/src/iceberg.md:43-47);
+* drop deletes data (``purgeRequested=true``), deregister keeps it
+  (``purgeRequested=false``, reference: iceberg.py:585-588);
+* HTTP errors map onto the numeric error-code taxonomy: 404→NotFound,
+  409→AlreadyExists, 400→InvalidInput, 503→ServiceUnavailable
+  (reference: iceberg.py:461-470, rest_client.py:254-294);
+* retry with exponential backoff and pooled connections in the default
+  transport (reference: rest_client.py:83-89 — 3 retries, factor 0.3,
+  10 s connect / 30 s read);
+* pickle-safe: the live pool is dropped on serialization and rebuilt
+  lazily (reference: glue.py:522-532) — mandatory for Spark, where
+  catalog objects ride driver-side closures.
+
+The transport is a plain callable ``(method, url, headers, json_body) ->
+(status, parsed_json)`` so unit tests mirror the reference's mocked-client
+strategy (SURVEY.md §5 layer 1) without a live service.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from typing import Any, Callable
+from urllib.parse import quote
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.errors import (
+    InternalError,
+    InvalidInput,
+    NamespaceAlreadyExists,
+    NamespaceNotFound,
+    ServiceUnavailable,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from lance_namespace_impls_spark.catalog.namespace import LanceNamespace
+
+Transport = Callable[[str, str, dict, Any], tuple[int, Any]]
+
+_UNIT_SEP = "\x1f"
+_DUMMY_SCHEMA = {
+    "type": "struct",
+    "fields": [{"id": 1, "name": "__placeholder", "type": "string", "required": False}],
+    "schema-id": 0,
+    "identifier-field-ids": [],
+}
+
+
+def _urllib3_transport(max_retries: int, connect_timeout: float, read_timeout: float) -> Transport:
+    import urllib3
+
+    pool = urllib3.PoolManager(
+        retries=urllib3.Retry(
+            total=max_retries,
+            backoff_factor=0.3,
+            status_forcelist=(502, 504),
+            allowed_methods=None,
+        ),
+        timeout=urllib3.Timeout(connect=connect_timeout, read=read_timeout),
+    )
+
+    def call(method: str, url: str, headers: dict, body: Any) -> tuple[int, Any]:
+        kwargs: dict[str, Any] = {"headers": {"Content-Type": "application/json", **headers}}
+        if body is not None:
+            kwargs["body"] = _json.dumps(body)
+        resp = pool.request(method, url, **kwargs)
+        data = resp.data
+        parsed = _json.loads(data) if data else None
+        return resp.status, parsed
+
+    return call
+
+
+class RestNamespace(LanceNamespace):
+    """Lance namespace over an Iceberg-REST-shaped catalog service."""
+
+    def __init__(self, properties: dict[str, str] | None = None):
+        props = dict(properties or {})
+        endpoint = props.get("endpoint")
+        if not endpoint:
+            raise InvalidInput("RestNamespace requires an 'endpoint' property")
+        self._endpoint = endpoint.rstrip("/")
+        self._headers = {
+            k.removeprefix("header."): v for k, v in props.items() if k.startswith("header.")
+        }
+        self._max_retries = int(props.get("max_retries", "3"))
+        self._connect_timeout = float(props.get("connect_timeout", "10"))
+        self._read_timeout = float(props.get("read_timeout", "30"))
+        self._delimiter = props.get("delimiter", _UNIT_SEP)
+        # injectable for tests (mirrors the reference's mocked-client strategy);
+        # never part of the pickled state
+        self._transport: Transport | None = props.pop("transport", None)
+        self._properties = props
+        self._prefix_cache: dict[str, str] = {}
+
+    # -- plumbing -----------------------------------------------------------
+
+    def namespace_id(self) -> str:
+        return f"RestNamespace {self._endpoint}"
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_transport"] = None  # live pools don't serialize
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+    @property
+    def transport(self) -> Transport:
+        if self._transport is None:
+            self._transport = _urllib3_transport(
+                self._max_retries, self._connect_timeout, self._read_timeout
+            )
+        return self._transport
+
+    def _request(
+        self,
+        method: str,
+        path: str,
+        body: Any = None,
+        *,
+        not_found: type | None = None,
+        conflict: type | None = None,
+    ) -> Any:
+        status, parsed = self.transport(method, f"{self._endpoint}{path}", self._headers, body)
+        if 200 <= status < 300:
+            return parsed
+        detail = ""
+        if isinstance(parsed, dict):
+            detail = str(parsed.get("error", {}).get("message", parsed))
+        if status == 404 and not_found is not None:
+            raise not_found(f"{method} {path}: {detail or 'not found'}")
+        if status == 409 and conflict is not None:
+            raise conflict(f"{method} {path}: {detail or 'already exists'}")
+        if status == 400:
+            raise InvalidInput(f"{method} {path}: {detail or 'bad request'}")
+        if status == 503:
+            raise ServiceUnavailable(f"{method} {path}: {detail or 'unavailable'}")
+        raise InternalError(f"{method} {path}: HTTP {status} {detail}")
+
+    def _prefix(self, warehouse: str) -> str:
+        """Warehouse→prefix with a one-shot config round trip, cached
+        (reference: iceberg.py:154-180)."""
+        if warehouse not in self._prefix_cache:
+            cfg = self._request(
+                "GET", f"/v1/config?warehouse={quote(warehouse, safe='')}",
+                not_found=NamespaceNotFound,
+            ) or {}
+            prefix = (cfg.get("overrides") or {}).get("prefix", warehouse)
+            self._prefix_cache[warehouse] = quote(prefix, safe="")
+        return self._prefix_cache[warehouse]
+
+    def _split(self, ident: list[str], min_levels: int = 1) -> tuple[str, list[str]]:
+        if len(ident) < min_levels:
+            raise InvalidInput(f"identifier needs >= {min_levels} levels, got {ident!r}")
+        return ident[0], ident[1:]
+
+    def _ns_path(self, levels: list[str]) -> str:
+        return quote(self._delimiter.join(levels), safe="")
+
+    # -- namespace ops ------------------------------------------------------
+
+    def list_namespaces(self, req: m.ListNamespacesRequest) -> m.ListNamespacesResponse:
+        warehouse, levels = self._split(req.id, 1)
+        prefix = self._prefix(warehouse)
+        path = f"/v1/{prefix}/namespaces"
+        params = []
+        if levels:
+            params.append(f"parent={self._ns_path(levels)}")
+        if req.page_token:
+            params.append(f"pageToken={quote(req.page_token, safe='')}")
+        if req.limit:
+            params.append(f"pageSize={req.limit}")
+        if params:
+            path += "?" + "&".join(params)
+        out = self._request("GET", path, not_found=NamespaceNotFound) or {}
+        names = sorted(ns[-1] for ns in out.get("namespaces", []))
+        return m.ListNamespacesResponse(
+            namespaces=names, page_token=out.get("next-page-token")
+        )
+
+    def describe_namespace(self, req: m.DescribeNamespaceRequest) -> m.DescribeNamespaceResponse:
+        warehouse, levels = self._split(req.id, 2)
+        prefix = self._prefix(warehouse)
+        out = self._request(
+            "GET",
+            f"/v1/{prefix}/namespaces/{self._ns_path(levels)}",
+            not_found=NamespaceNotFound,
+        ) or {}
+        return m.DescribeNamespaceResponse(properties=out.get("properties", {}) or {})
+
+    def create_namespace(self, req: m.CreateNamespaceRequest) -> m.CreateNamespaceResponse:
+        warehouse, levels = self._split(req.id, 2)
+        prefix = self._prefix(warehouse)
+        if req.mode not in (m.MODE_CREATE, m.MODE_EXIST_OK, m.MODE_OVERWRITE):
+            raise InvalidInput(f"unknown creation mode {req.mode!r}")
+        if req.mode == m.MODE_OVERWRITE:
+            # drop-then-recreate; missing target tolerated
+            try:
+                self.drop_namespace(m.DropNamespaceRequest(id=req.id, mode=m.DROP_MODE_SKIP))
+            except NamespaceNotFound:
+                pass
+        body = {"namespace": levels, "properties": req.properties or {}}
+        try:
+            self._request(
+                "POST",
+                f"/v1/{prefix}/namespaces",
+                body,
+                not_found=NamespaceNotFound,
+                conflict=NamespaceAlreadyExists,
+            )
+        except NamespaceAlreadyExists:
+            if req.mode != m.MODE_EXIST_OK:
+                raise
+        return m.CreateNamespaceResponse(properties=req.properties or {})
+
+    def drop_namespace(self, req: m.DropNamespaceRequest) -> m.DropNamespaceResponse:
+        if req.behavior == m.BEHAVIOR_CASCADE:
+            # Cascade rejected by every backend (glue.py:283-286 et al.)
+            raise InvalidInput("cascade drop is not supported")
+        warehouse, levels = self._split(req.id, 2)
+        prefix = self._prefix(warehouse)
+        try:
+            self._request(
+                "DELETE",
+                f"/v1/{prefix}/namespaces/{self._ns_path(levels)}",
+                not_found=NamespaceNotFound,
+                conflict=InvalidInput,  # 409 from server = namespace not empty
+            )
+        except NamespaceNotFound:
+            if req.mode != m.DROP_MODE_SKIP:
+                raise
+        return m.DropNamespaceResponse()
+
+    def namespace_exists(self, req: m.NamespaceExistsRequest) -> None:
+        self.describe_namespace(m.DescribeNamespaceRequest(id=req.id))
+
+    # -- table ops ----------------------------------------------------------
+
+    def list_tables(self, req: m.ListTablesRequest) -> m.ListTablesResponse:
+        warehouse, levels = self._split(req.id, 2)
+        prefix = self._prefix(warehouse)
+        path = f"/v1/{prefix}/namespaces/{self._ns_path(levels)}/tables"
+        params = []
+        if req.page_token:
+            params.append(f"pageToken={quote(req.page_token, safe='')}")
+        if req.limit:
+            params.append(f"pageSize={req.limit}")
+        if params:
+            path += "?" + "&".join(params)
+        out = self._request("GET", path, not_found=NamespaceNotFound) or {}
+        names = sorted(ident["name"] for ident in out.get("identifiers", []))
+        return m.ListTablesResponse(tables=names, page_token=out.get("next-page-token"))
+
+    def _table_path(self, ident: list[str]) -> tuple[str, str]:
+        warehouse, rest = self._split(ident, 3)
+        prefix = self._prefix(warehouse)
+        *levels, table = rest
+        return (
+            f"/v1/{prefix}/namespaces/{self._ns_path(levels)}/tables/{quote(table, safe='')}",
+            table,
+        )
+
+    def describe_table(self, req: m.DescribeTableRequest) -> m.DescribeTableResponse:
+        if req.load_detailed_metadata:
+            # rejected by every backend (glue.py:355-358, iceberg.py:486-489)
+            raise InvalidInput("load_detailed_metadata is not supported")
+        path, _ = self._table_path(req.id)
+        out = self._request("GET", path, not_found=TableNotFound) or {}
+        meta = out.get("metadata") or {}
+        props = dict(meta.get("properties") or {})
+        if props.get(m.PROP_TABLE_TYPE, "").lower() != m.LANCE_TABLE_TYPE:
+            raise TableNotFound(f"{'.'.join(req.id)} is not a Lance table")
+        location = props.get("lance_location") or meta.get("location") or ""
+        return m.DescribeTableResponse(
+            location=location,
+            properties=props,
+            managed_versioning=False,
+        )
+
+    def table_exists(self, req: m.TableExistsRequest) -> None:
+        self.describe_table(m.DescribeTableRequest(id=req.id))
+
+    def declare_table(self, req: m.DeclareTableRequest) -> m.DeclareTableResponse:
+        warehouse, rest = self._split(req.id, 3)
+        prefix = self._prefix(warehouse)
+        *levels, table = rest
+        if not req.location:
+            raise InvalidInput("declare_table requires a location")
+        props = m.merge_table_properties(req.properties)
+        props["lance_location"] = req.location
+        body = {
+            "name": table,
+            "location": req.location,
+            "schema": _DUMMY_SCHEMA,
+            "properties": props,
+            "stage-create": False,
+        }
+        self._request(
+            "POST",
+            f"/v1/{prefix}/namespaces/{self._ns_path(levels)}/tables",
+            body,
+            not_found=NamespaceNotFound,
+            conflict=TableAlreadyExists,
+        )
+        return m.DeclareTableResponse(location=req.location, properties=props)
+
+    def _remove_table(self, ident: list[str], purge: bool):
+        desc = self.describe_table(m.DescribeTableRequest(id=ident))
+        path, _ = self._table_path(ident)
+        self._request(
+            "DELETE",
+            f"{path}?purgeRequested={'true' if purge else 'false'}",
+            not_found=TableNotFound,
+        )
+        return desc
+
+    def drop_table(self, req: m.DropTableRequest) -> m.DropTableResponse:
+        desc = self._remove_table(req.id, purge=True)
+        return m.DropTableResponse(id=req.id, location=desc.location, properties=desc.properties)
+
+    def deregister_table(self, req: m.DeregisterTableRequest) -> m.DeregisterTableResponse:
+        desc = self._remove_table(req.id, purge=False)
+        return m.DeregisterTableResponse(
+            id=req.id, location=desc.location, properties=desc.properties
+        )

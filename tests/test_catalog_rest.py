@@ -1,0 +1,232 @@
+"""RestNamespace unit tests with a mocked transport.
+
+Mirrors the reference's layer-1 test strategy (SURVEY.md §5): the HTTP client
+is fully mocked, assertions cover request shapes, success paths, 404/409
+error mapping, Lance-table filtering, prefix caching, and pickling —
+the same contract surface as the reference's test_iceberg.py /
+test_polaris.py / test_unity.py, without a live service.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import pytest
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.errors import (
+    InvalidInput,
+    NamespaceAlreadyExists,
+    NamespaceNotFound,
+    ServiceUnavailable,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from lance_namespace_impls_spark.catalog.registry import connect
+from lance_namespace_impls_spark.catalog.rest import RestNamespace
+
+
+class FakeTransport:
+    """Canned-response transport recording every request."""
+
+    def __init__(self):
+        self.calls: list[tuple[str, str, dict | None]] = []
+        self.routes: dict[tuple[str, str], tuple[int, dict | None]] = {}
+
+    def route(self, method: str, path: str, status: int, body=None):
+        self.routes[(method, path)] = (status, body)
+
+    def __call__(self, method, url, headers, body):
+        path = url.removeprefix("http://cat")
+        self.calls.append((method, path, body))
+        if (method, path) in self.routes:
+            return self.routes[(method, path)]
+        raise AssertionError(f"unexpected request: {method} {path}")
+
+
+@pytest.fixture()
+def fake():
+    t = FakeTransport()
+    t.route("GET", "/v1/config?warehouse=wh", 200, {"overrides": {"prefix": "p0"}})
+    return t
+
+
+def _ns(fake) -> RestNamespace:
+    return RestNamespace({"endpoint": "http://cat", "transport": fake})
+
+
+def test_requires_endpoint():
+    with pytest.raises(InvalidInput):
+        RestNamespace({})
+
+
+def test_connect_short_names(fake):
+    for short in ("rest", "iceberg", "polaris", "unity"):
+        ns = connect(short, {"endpoint": "http://cat", "transport": fake})
+        assert isinstance(ns, RestNamespace)
+
+
+def test_prefix_resolved_once_and_cached(fake):
+    fake.route("GET", "/v1/p0/namespaces", 200, {"namespaces": [["db2"], ["db1"]]})
+    ns = _ns(fake)
+    r1 = ns.list_namespaces(m.ListNamespacesRequest(id=["wh"]))
+    r2 = ns.list_namespaces(m.ListNamespacesRequest(id=["wh"]))
+    assert r1.namespaces == ["db1", "db2"]  # sorted
+    assert r2.namespaces == ["db1", "db2"]
+    config_calls = [c for c in fake.calls if c[1].startswith("/v1/config")]
+    assert len(config_calls) == 1  # cached (reference: iceberg.py:154-180)
+
+
+def test_list_namespaces_pagination_params(fake):
+    fake.route(
+        "GET",
+        "/v1/p0/namespaces?pageToken=5&pageSize=2",
+        200,
+        {"namespaces": [["a"], ["b"]], "next-page-token": "7"},
+    )
+    out = _ns(fake).list_namespaces(
+        m.ListNamespacesRequest(id=["wh"], limit=2, page_token="5")
+    )
+    assert out.page_token == "7"
+
+
+def test_create_namespace_modes(fake):
+    ns = _ns(fake)
+    fake.route("POST", "/v1/p0/namespaces", 409, {"error": {"message": "exists"}})
+    with pytest.raises(NamespaceAlreadyExists):
+        ns.create_namespace(m.CreateNamespaceRequest(id=["wh", "db"]))
+    # exist_ok tolerates the conflict
+    ns.create_namespace(m.CreateNamespaceRequest(id=["wh", "db"], mode=m.MODE_EXIST_OK))
+    with pytest.raises(InvalidInput):
+        ns.create_namespace(m.CreateNamespaceRequest(id=["wh", "db"], mode="nope"))
+
+
+def test_drop_namespace_cascade_rejected(fake):
+    with pytest.raises(InvalidInput):
+        _ns(fake).drop_namespace(
+            m.DropNamespaceRequest(id=["wh", "db"], behavior=m.BEHAVIOR_CASCADE)
+        )
+    assert fake.calls == []  # rejected before any HTTP (glue.py:283-286 pattern)
+
+
+def test_drop_namespace_skip_tolerates_missing(fake):
+    fake.route("DELETE", "/v1/p0/namespaces/db", 404, None)
+    ns = _ns(fake)
+    with pytest.raises(NamespaceNotFound):
+        ns.drop_namespace(m.DropNamespaceRequest(id=["wh", "db"]))
+    ns.drop_namespace(m.DropNamespaceRequest(id=["wh", "db"], mode=m.DROP_MODE_SKIP))
+
+
+def test_declare_table_sends_dummy_schema_and_merged_props(fake):
+    fake.route("POST", "/v1/p0/namespaces/db/tables", 200, {})
+    out = _ns(fake).declare_table(
+        m.DeclareTableRequest(
+            id=["wh", "db", "t"], location="s3://b/t.lance", properties={"k": "v"}
+        )
+    )
+    method, path, body = fake.calls[-1]
+    assert body["schema"]["fields"][0]["name"] == "__placeholder"
+    assert body["properties"]["table_type"] == "lance"  # required props win
+    assert body["properties"]["managed_by"] == "storage"
+    assert body["properties"]["k"] == "v"
+    assert out.location == "s3://b/t.lance"
+    assert out.managed_versioning is False
+
+
+def test_declare_table_requires_location(fake):
+    with pytest.raises(InvalidInput):
+        _ns(fake).declare_table(m.DeclareTableRequest(id=["wh", "db", "t"]))
+
+
+def test_declare_table_conflict(fake):
+    fake.route("POST", "/v1/p0/namespaces/db/tables", 409, None)
+    with pytest.raises(TableAlreadyExists):
+        _ns(fake).declare_table(
+            m.DeclareTableRequest(id=["wh", "db", "t"], location="s3://b/t")
+        )
+
+
+def _table_meta(props=None):
+    p = {"table_type": "lance", "lance_location": "s3://b/t.lance"}
+    p.update(props or {})
+    return {"metadata": {"location": "s3://meta", "properties": p}}
+
+
+def test_describe_table_and_lance_filter(fake):
+    fake.route("GET", "/v1/p0/namespaces/db/tables/t", 200, _table_meta())
+    out = _ns(fake).describe_table(m.DescribeTableRequest(id=["wh", "db", "t"]))
+    assert out.location == "s3://b/t.lance"
+    assert out.managed_versioning is False
+
+    fake.route(
+        "GET",
+        "/v1/p0/namespaces/db/tables/nt",
+        200,
+        {"metadata": {"properties": {"table_type": "iceberg"}}},
+    )
+    with pytest.raises(TableNotFound):  # non-Lance tables are invisible
+        _ns(fake).describe_table(m.DescribeTableRequest(id=["wh", "db", "nt"]))
+
+
+def test_describe_table_detailed_metadata_rejected(fake):
+    with pytest.raises(InvalidInput):
+        _ns(fake).describe_table(
+            m.DescribeTableRequest(id=["wh", "db", "t"], load_detailed_metadata=True)
+        )
+
+
+def test_drop_vs_deregister_purge_flag(fake):
+    fake.route("GET", "/v1/p0/namespaces/db/tables/t", 200, _table_meta())
+    fake.route("DELETE", "/v1/p0/namespaces/db/tables/t?purgeRequested=true", 204, None)
+    fake.route("DELETE", "/v1/p0/namespaces/db/tables/t?purgeRequested=false", 204, None)
+    ns = _ns(fake)
+    dropped = ns.drop_table(m.DropTableRequest(id=["wh", "db", "t"]))
+    assert dropped.location == "s3://b/t.lance"
+    dereg = ns.deregister_table(m.DeregisterTableRequest(id=["wh", "db", "t"]))
+    assert dereg.location == "s3://b/t.lance"
+    purges = [c[1] for c in fake.calls if c[0] == "DELETE"]
+    assert purges == [
+        "/v1/p0/namespaces/db/tables/t?purgeRequested=true",
+        "/v1/p0/namespaces/db/tables/t?purgeRequested=false",
+    ]
+
+
+def test_list_tables_sorted(fake):
+    fake.route(
+        "GET",
+        "/v1/p0/namespaces/db/tables",
+        200,
+        {"identifiers": [{"namespace": ["db"], "name": "z"}, {"namespace": ["db"], "name": "a"}]},
+    )
+    out = _ns(fake).list_tables(m.ListTablesRequest(id=["wh", "db"]))
+    assert out.tables == ["a", "z"]
+
+
+def test_error_mapping_503_and_400(fake):
+    fake.route("GET", "/v1/p0/namespaces/db", 503, None)
+    with pytest.raises(ServiceUnavailable):
+        _ns(fake).describe_namespace(m.DescribeNamespaceRequest(id=["wh", "db"]))
+    fake.route("GET", "/v1/p0/namespaces/db2", 400, {"error": {"message": "bad"}})
+    with pytest.raises(InvalidInput):
+        _ns(fake).describe_namespace(m.DescribeNamespaceRequest(id=["wh", "db2"]))
+
+
+def test_namespace_exists_delegates(fake):
+    fake.route("GET", "/v1/p0/namespaces/db", 200, {"properties": {"owner": "x"}})
+    ns = _ns(fake)
+    ns.namespace_exists(m.NamespaceExistsRequest(id=["wh", "db"]))
+    fake.route("GET", "/v1/p0/namespaces/gone", 404, None)
+    with pytest.raises(NamespaceNotFound):
+        ns.namespace_exists(m.NamespaceExistsRequest(id=["wh", "gone"]))
+
+
+def test_pickle_roundtrip_drops_transport(fake):
+    """Catalog objects ride Spark driver closures; live pools must not
+    serialize (reference: glue.py:522-532, test_glue.py:346-383)."""
+    ns = _ns(fake)
+    fake.route("GET", "/v1/p0/namespaces", 200, {"namespaces": [["db"]]})
+    ns.list_namespaces(m.ListNamespacesRequest(id=["wh"]))
+    clone = pickle.loads(pickle.dumps(ns))
+    assert clone._transport is None
+    assert clone._endpoint == "http://cat"
+    assert clone._prefix_cache == {"wh": "p0"}  # cache survives; pool doesn't
