@@ -208,3 +208,61 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+@query(
+    "q79_streaming_sliding",
+    # Each event lands in exactly two 1h/30min windows; the oracle replays
+    # that expansion with epoch arithmetic (cf. q77, the batch twin).
+    "WITH t AS (SELECT epoch_us(ts) AS tu, event_type FROM events), "
+    "e AS (SELECT tu - (tu % 1800000000) - o.off AS ws_us, event_type "
+    "  FROM t CROSS JOIN (SELECT UNNEST([0, 1800000000]) AS off) o) "
+    "SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS ws, "
+    "event_type, COUNT(*) AS n "
+    "FROM e GROUP BY ws, event_type ORDER BY ws, event_type",
+    doc="Sliding-window aggregate (1 h window, 30 min slide) executed through "
+    "Structured Streaming (file replay, availableNow, memory sink) — "
+    "oracle-checked, proving streaming==batch==oracle for overlapping "
+    "windows.",
+    tags=("streaming",),
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, staging = events_file_stream(spark, sf_dir)
+    try:
+        result = run_stream(sliding_counts(stream), "complete")
+        return result.orderBy("ws", "event_type")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+@query(
+    "q80_streaming_session",
+    # Spark session windows are [start, last_ts + gap): an event exactly at
+    # the previous end starts a NEW session, so the break condition is
+    # `diff >= gap` (q75's batch sessionization uses a strict `>` contract).
+    "WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS tu FROM events), "
+    "o AS (SELECT user_id, tu, "
+    "  LAG(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS prev FROM t), "
+    "m AS (SELECT user_id, tu, "
+    "  CASE WHEN prev IS NULL OR tu - prev >= 1800000000 THEN 1 ELSE 0 END AS brk "
+    "  FROM o), "
+    "s AS (SELECT user_id, tu, SUM(brk) OVER (PARTITION BY user_id "
+    "  ORDER BY tu ROWS UNBOUNDED PRECEDING) AS sess FROM m) "
+    "SELECT user_id, "
+    "strftime(make_timestamp(MIN(tu)), '%Y-%m-%d %H:%M:%S') AS session_start, "
+    "COUNT(*) AS n "
+    "FROM s GROUP BY user_id, sess ORDER BY user_id, session_start",
+    doc="Session-window aggregate (30 min inactivity gap) through Structured "
+    "Streaming — oracle-checked against gap-based batch sessionization, the "
+    "strongest check a stateful merging-window operator admits.",
+    tags=("streaming", "sessionization"),
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, staging = events_file_stream(spark, sf_dir)
+    try:
+        result = run_stream(session_counts(stream), "complete")
+        return result.select("user_id", "session_start", "n").orderBy(
+            "user_id", "session_start"
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
