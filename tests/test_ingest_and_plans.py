@@ -122,3 +122,45 @@ def test_semi_join_prunes_subquery_columns(spark):
     ]
     assert orders_reads, plan
     assert all("o_orderdate" not in line for line in orders_reads), orders_reads
+
+
+def _plan(spark, name):
+    df = QUERIES[name].builder(spark, SF_SMOKE)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sessionization_single_data_exchange(spark):
+    """q75: ONE hash exchange on user_id serves both window passes and the
+    session aggregate (Spark reuses the partitioning); the only other
+    exchange is the final presentation ORDER BY."""
+    plan = _plan(spark, "q75_sessionization")
+    hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) == 1, hash_ex
+    assert "user_id" in hash_ex[0]
+
+
+def test_hash_sample_no_extra_pass(spark):
+    """q73: the sampling predicate is row-local arithmetic evaluated in the
+    scan stage — the only exchange is the single-partition gather for the
+    global aggregate."""
+    plan = _plan(spark, "q73_hash_sample")
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(ex) == 1 and "SinglePartition" in ex[0], ex
+
+
+def test_correlated_subquery_decorrelates_to_join(spark):
+    """q76: Catalyst must rewrite the per-row scalar subquery into an
+    aggregate + join, not a re-executed subquery."""
+    plan = _plan(spark, "q76_correlated_subquery")
+    assert "Join" in plan, plan
+    assert "Subquery" not in plan, plan
+
+
+def test_pivot_shuffles_only_partials(spark):
+    """q72: with explicit pivot values the plan is aggregates only — no
+    distinct-values job, no join; shuffled rows are (status, priority)
+    partial counts."""
+    plan = _plan(spark, "q72_pivot")
+    assert "Join" not in plan, plan
+    hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("o_orderstatus" in l for l in hash_ex), hash_ex
