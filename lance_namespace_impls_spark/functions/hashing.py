@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -38,6 +40,44 @@ def minhash_min_exprs(h: Column, num_hashes: int = 64, seed: int = 42) -> list[C
         F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(HASH_PRIME))).alias(f"mh{i}")
         for i, (a, b) in enumerate(_hash_params(num_hashes, seed))
     ]
+
+
+def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
+    """MinHash signatures as ONE Arrow-batched NumPy kernel.
+
+    Same universal hash family as :func:`minhash_min_exprs` (identical
+    (a, b, P) parameters → identical signatures), but evaluated as
+    ``num_hashes`` vectorized passes over the batch's concatenated shingle
+    hashes with ``np.minimum.reduceat`` per document — C-speed, no
+    expression-tree codegen.  The 64-aggregate form pays several seconds of
+    whole-stage-codegen compilation per plan; this is a plain pandas UDF, so
+    the stage stays a pure map (signature computed where the document lives,
+    nothing shuffled but the 64-slot result).  Empty-shingle docs get the
+    sentinel P (never collides with real minima, matching
+    :func:`minhash_signature`).
+    """
+    params = _hash_params(num_hashes, seed)
+    a_vec = np.array([a for a, _ in params], dtype=np.int64)
+    b_vec = np.array([b for _, b in params], dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def _sig(shingles: pd.Series) -> pd.Series:
+        arrays = [np.asarray(s, dtype=np.int64) for s in shingles]
+        lens = np.array([len(x) for x in arrays], dtype=np.int64)
+        n = len(arrays)
+        out = np.full((n, num_hashes), HASH_PRIME, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate([x for x in arrays if len(x)])
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+            for i in range(num_hashes):
+                # a*h < P^2 = 2^62 — no int64 overflow
+                permuted = (a_vec[i] * flat + b_vec[i]) % HASH_PRIME
+                out[nonempty, i] = np.minimum.reduceat(permuted, offsets)
+        return pd.Series(list(out))
+
+    return _sig
 
 
 def band_key_exprs(num_bands: int, rows_per_band: int) -> list[Column]:

@@ -20,9 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lance_namespace_impls_spark.functions.hashing import (
-    band_key_exprs,
+    band_keys,
     hamming64,
-    minhash_min_exprs,
+    minhash_signature_udf,
     simhash_from_votes,
     simhash_vote_exprs,
 )
@@ -43,23 +43,20 @@ ROWS_PER_BAND = 4
 MAX_BUCKET = 1000
 
 
-def minhash_candidates(
+def shingle_hash_arrays(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_size: int = 3,
-    num_bands: int = NUM_BANDS,
-    rows_per_band: int = ROWS_PER_BAND,
 ) -> DataFrame:
-    """Candidate near-dup pairs (id_a < id_b) from LSH band collisions.
+    """(doc_id, sh) — each document's distinct shingle-hash set as
+    ``array<bigint>`` in [0, P).
 
-    Shape chosen for both codegen and cluster scale: shingle hashes are
-    exploded once per document, the 64-slot signature is 64 trivial ``min``
-    aggregates (map-side partial combine — the shuffle carries one partial
-    signature per (task, doc), never shingles), and band digests come from
-    ``xxhash64`` over signature columns.  The banded relation is persisted
-    because three plan branches consume it (skew census + both join sides);
-    at cluster scale this is where signatures would be written to storage.
+    This is the expensive map pass over document bodies (tokenize → shingle →
+    xxhash64 → distinct); every downstream consumer (signatures, exact-Jaccard
+    verify) derives from it, so callers persist it once instead of re-reading
+    text per branch.  Jaccard over the hash sets equals Jaccard over the
+    shingle sets up to 2^-31-probability collisions.
     """
     shingle_hashes = F.array_distinct(
         F.transform(
@@ -67,18 +64,38 @@ def minhash_candidates(
             lambda s: F.pmod(F.xxhash64(s), F.lit(HASH_PRIME)),
         )
     )
-    # Shingling + 64 hash minima are the expensive map stage; make sure it
-    # isn't pinned to a single-file scan's one task (no-op on real clusters).
-    docs = spread(docs)
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingle_hashes).alias("h")
-    )
-    sig = exploded.groupBy("doc_id").agg(
-        *minhash_min_exprs(F.col("h"), num_hashes=num_bands * rows_per_band)
-    )
+    # Shingling is the expensive map stage; make sure it isn't pinned to a
+    # single-file scan's one task (no-op on real clusters).
+    return spread(docs).select(F.col(id_col).alias("doc_id"), shingle_hashes.alias("sh"))
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_size: int = 3,
+    num_bands: int = NUM_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    hashed: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) from LSH band collisions.
+
+    Shape chosen for cluster scale: shingle hashes are computed JVM-side
+    (xxhash64 per shingle), the 64-slot signature is ONE Arrow-batched NumPy
+    kernel per document (pure map — nothing shuffles but band digests; see
+    ``minhash_signature_udf`` for why this beats 64 codegen'd aggregates),
+    and band digests come from ``xxhash64`` over signature slices.  The
+    banded relation is persisted because three plan branches consume it
+    (skew census + both join sides); at cluster scale this is where
+    signatures would be written to storage.
+    """
+    if hashed is None:
+        hashed = shingle_hash_arrays(docs, id_col, text_col, shingle_size)
+    sig_udf = minhash_signature_udf(num_hashes=num_bands * rows_per_band)
+    sig = hashed.select("doc_id", sig_udf(F.col("sh")).alias("sig"))
     banded = sig.select(
         "doc_id",
-        F.explode(F.array(*band_key_exprs(num_bands, rows_per_band))).alias("band_key"),
+        F.explode(band_keys(F.col("sig"), num_bands, rows_per_band)).alias("band_key"),
     ).persist()
     # Skew guard: drop degenerate buckets before the self-join.
     bucket_sizes = banded.groupBy("band_key").agg(F.count(F.lit(1)).alias("bucket_n"))
@@ -109,17 +126,17 @@ def near_dup_pairs(
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs verified by exact shingle-set Jaccard.
 
-    Returns (id_a, id_b, sim) with sim >= threshold.  The verify join ships
-    only candidate ids + shingle arrays of candidate docs — not the corpus.
+    Returns (id_a, id_b, sim) with sim >= threshold.  Document text is read
+    ONCE: the persisted shingle-hash arrays feed both the signature stage and
+    the exact-Jaccard verify join (over bigint arrays — cheaper than string
+    shingles, identical Jaccard up to negligible hash collisions).  The
+    verify join ships only candidate ids + hash arrays — not the corpus.
     """
-    cands = minhash_candidates(docs, id_col, text_col, shingle_size)
-    shingled = spread(docs).select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(tokens(F.col(text_col)), shingle_size).alias("sh"),
-    )
+    hashed = shingle_hash_arrays(docs, id_col, text_col, shingle_size).persist()
+    cands = minhash_candidates(docs, id_col, text_col, shingle_size, hashed=hashed)
     return (
-        cands.join(shingled.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(shingled.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        cands.join(hashed.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(hashed.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
