@@ -122,6 +122,107 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return media.select("doc_id", "blob").mapInPandas(batches, FEATURES_SCHEMA)
 
 
+def resize_image(blob: bytes, width: int, height: int):
+    """Real-resize integration point — STUB (plug PIL/libvips here)."""
+    raise NotImplementedError(
+        "image resizing requires a media codec library; plug one in here "
+        "(the Spark plumbing around this stub is complete and tested)"
+    )
+
+
+def fake_resize(blob: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in resize: returns a payload whose length scales
+    with the target area — same contract as a real resize (bytes -> bytes,
+    output size a function of target dims)."""
+    blob = blob or b"\x00"
+    target = max(1, (width * height) // 64)
+    reps = target // len(blob) + 1
+    return (blob * reps)[:target]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched resize over (blob, meta): 1→1 rows, metadata rewritten
+    to the target dims.  The stub kernel stands in for a real codec; the
+    schema contract (meta struct follows the transformed payload) is real.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = [fake_resize(b, width, height) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": blobs,
+                    "meta": [
+                        {
+                            "mime": m["mime"] if isinstance(m, dict) else m[0],
+                            "width": width,
+                            "height": height,
+                            "n_bytes": len(b),
+                        }
+                        for m, b in zip(pdf["meta"], blobs)
+                    ],
+                }
+            )
+
+    return media.select("doc_id", "blob", "meta").mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64, every_n: int = 4) -> DataFrame:
+    """Frame sampling: 1→N row expansion per video payload via mapInPandas.
+
+    The deterministic stand-in treats the blob as ``frame_bytes``-sized
+    frames and keeps every ``every_n``-th — the same batch shape a real
+    ffmpeg keyframe sampler produces (one input row fans out to a variable
+    number of frame rows, all inside the executor, nothing collected to the
+    driver).  At 100 TB the expansion stays partition-local; downstream
+    per-frame ops (decode, embed) chain without a shuffle.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = blob or b""
+                n_frames = max(1, len(blob) // frame_bytes)
+                for k in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    frames.append(blob[k * frame_bytes : (k + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.select("doc_id", "blob").mapInPandas(batches, FRAMES_SCHEMA)
+
+
 # -- declared queries --------------------------------------------------------
 
 
@@ -156,3 +257,24 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("features").cast("bigint").alias("dim"),
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 4).alias("fsum"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q81_frame_sample",
+    # The sampler keeps every 4th 64-byte frame; its output cardinality has a
+    # closed form the oracle replays: ceil(max(bytes//64, 1) / 4).
+    "SELECT doc_id, CAST((GREATEST(octet_length(encode(text)) // 64, 1) + 3) // 4 "
+    "AS BIGINT) AS n_frames FROM documents ORDER BY doc_id",
+    doc="Frame sampling through mapInPandas (1→N partition-local expansion, "
+    "the ffmpeg-keyframe batch shape) — the executor-side fan-out is "
+    "oracle-checked against the sampler's closed-form output cardinality.",
+    tags=("llm", "multimodal"),
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, "documents", sf_dir))
+    frames = sample_frames(media, frame_bytes=64, every_n=4)
+    return (
+        frames.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+        .orderBy("doc_id")
+    )

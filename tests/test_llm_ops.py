@@ -17,6 +17,9 @@ from lance_namespace_impls_spark.operators.multimodal import (
     decode_image,
     extract_features,
     fake_decode_features,
+    resize_image,
+    resize_media,
+    sample_frames,
 )
 from lance_namespace_impls_spark.operators.similarity import (
     cosine_topk,
@@ -182,3 +185,28 @@ def test_media_schema_and_features(spark):
 def test_decode_stub_is_marked(spark):
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG", 320, 240)
+
+
+def test_resize_rewrites_meta(spark):
+    media = attach_media(load_table(spark, "documents", SF_SMOKE).limit(10))
+    out = resize_media(media, 320, 240).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.meta.width == 320 and r.meta.height == 240
+        assert r.meta.n_bytes == len(r.blob) == (320 * 240) // 64
+        assert r.meta.mime == "application/octet-stream"  # carried through
+
+
+def test_frame_sample_expansion_matches_closed_form(spark):
+    media = attach_media(load_table(spark, "documents", SF_SMOKE).limit(25))
+    frames = sample_frames(media, frame_bytes=64, every_n=4)
+    counts = {r.doc_id: r.n for r in frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for r in media.select("doc_id", F.octet_length("blob").alias("nb")).collect():
+        n_frames = max(1, r.nb // 64)
+        assert counts[r.doc_id] == (n_frames + 3) // 4
+    # frame indices are the sampled ones, partition-local
+    idxs = [r.frame_idx for r in frames.filter(F.col("doc_id") == media.first().doc_id).collect()]
+    assert idxs == sorted(idxs) and all(i % 4 == 0 for i in idxs)
