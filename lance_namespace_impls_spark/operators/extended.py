@@ -58,6 +58,27 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q82_approx_percentile",
+    None,  # sketch-based: bounded-error contract tested vs exact q71
+    doc="approx_percentile (KLL-style quantile sketch) per group — the scale "
+    "path for quantile QA at 100 TB: fixed-size mergeable sketches shuffle "
+    "instead of per-group value sets. Accuracy vs the exact interpolated "
+    "percentile (q71) is asserted in tests/test_advanced.py.",
+    tags=("agg", "stats", "sketch"),
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("approx_percentile(l_quantity, 0.5, 10000)"), 4).alias("p50"),
+            F.round(F.expr("approx_percentile(l_quantity, 0.9, 10000)"), 4).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 _PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
 _PRIORITY_ALIASES = ("urgent", "high", "medium", "notspec", "low")
 

@@ -99,3 +99,14 @@ def test_pandas_udaf_matches_builtin(spark):
         for r in QUERIES["q66_pandas_udaf"].builder(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_approx_percentile_tracks_exact(spark):
+    """q82's sketch percentiles must sit within 2% of q71's exact ones."""
+    exact = {r.l_returnflag: r for r in QUERIES["q71_percentiles"].builder(spark, SF_SMOKE).collect()}
+    approx = {r.l_returnflag: r for r in QUERIES["q82_approx_percentile"].builder(spark, SF_SMOKE).collect()}
+    assert set(exact) == set(approx)
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.p50 - e.p50) <= max(0.02 * abs(e.p50), 0.5), (flag, a.p50, e.p50)
+        assert abs(a.p90 - e.p90) <= max(0.02 * abs(e.p90), 0.5), (flag, a.p90, e.p90)
