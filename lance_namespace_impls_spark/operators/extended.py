@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lance_namespace_impls_spark.operators.skew import salted_agg
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.sources.tables import load_table
 
@@ -262,6 +263,111 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ws", "event_type")
     )
+
+
+@query(
+    "q83_tpch_q3_shape",
+    "SELECT l_orderkey, "
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue, "
+    "strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1998-03-15' "
+    "AND l_shipdate > DATE '1998-03-15' "
+    "GROUP BY l_orderkey, odate, o_orderpriority "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    doc="TPC-H Q3 shape (shipping-priority top-10): selective dimension "
+    "filter -> fact join -> grouped revenue -> top-k. Catalyst pushes both "
+    "date predicates to the scans and AQE broadcasts the filtered customer "
+    "side; the top-10 is TakeOrderedAndProject, never a full sort.",
+    tags=("join", "agg", "tpch"),
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("date")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("date")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            "o_orderpriority",
+        )
+        .agg(_money(F.sum(rev)).alias("revenue"))
+        .select("l_orderkey", "revenue", "odate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q84_tpch_q10_shape",
+    "SELECT c_custkey, c_name, "
+    "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE l_returnflag = 'R' AND o_orderdate >= DATE '1998-01-01' "
+    "AND o_orderdate < DATE '1998-07-01' "
+    "GROUP BY c_custkey, c_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    doc="TPC-H Q10 shape (returned-item reporting): returns-filtered fact "
+    "joined through orders to customer, revenue per customer, top-20. The "
+    "only large shuffle is the lineitem->orders join; the customer join "
+    "rides a broadcast.",
+    tags=("join", "agg", "tpch"),
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, "customer", sf_dir)
+    od = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("date"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(_money(F.sum(rev)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q85_salted_agg",
+    # Must equal q22's plain aggregation — the oracle proves the salted
+    # two-stage path is result-identical.
+    "SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey "
+    "HAVING COUNT(*) >= 10 ORDER BY o_custkey",
+    doc="Skew-resistant two-stage aggregation (groupBy(key, salt) -> "
+    "groupBy(key)) declared as a first-class query and oracle-checked "
+    "against the plain aggregate: the hot-key mitigation is free of result "
+    "drift. At 100 TB this is the shape for power-law keys the AQE skew "
+    "handler can't split (single-key hot aggregates).",
+    tags=("agg", "skew"),
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    out = salted_agg(
+        od,
+        keys=["o_custkey"],
+        partial_aggs=[F.count(F.lit(1)).alias("pn")],
+        final_aggs=[F.sum("pn").alias("n")],
+        n_salts=16,
+        salt_from="o_orderkey",
+    )
+    return out.filter(F.col("n") >= 10).orderBy("o_custkey")
 
 
 @query(
