@@ -370,6 +370,33 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("n") >= 10).orderBy("o_custkey")
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to a regex subset with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): contractions,
+# space-prefixed letter runs, digit runs, punctuation runs.
+_BPE_PATTERN = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+"
+
+
+@query(
+    "q86_bpe_token_count",
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+    f"'{_BPE_PATTERN.replace(chr(39), chr(39) * 2)}')) AS BIGINT) AS n_tokens "
+    "FROM documents ORDER BY doc_id",
+    doc="BPE-ish token counting: the GPT-2 pre-tokenizer split (contractions "
+    "/ letter runs / digit runs / punctuation runs) via regexp_extract_all — "
+    "a codegen'd JVM regex per row, no Python. The whitespace variant is "
+    "q48; real BPE merges would run on these pre-tokens.",
+    tags=("llm", "text"),
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
 @query(
     "q78_unpivot",
     "SELECT p_partkey, 'p_retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS v "

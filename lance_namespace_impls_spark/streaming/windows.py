@@ -122,6 +122,45 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+STATEFUL_TOTALS_OUTPUT = "user_id bigint, n_val bigint, cents bigint"
+STATEFUL_TOTALS_STATE = "n bigint, cents bigint"
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user (count, integer-cents sum) over non-null values.
+
+    This is the escape hatch for stateful logic Spark's built-in windowed
+    aggregations can't express (custom accumulation, decay, per-key model
+    state): the engine shuffles each user's rows to one partition; per
+    micro-batch the kernel folds the Arrow batches into a two-field state
+    row and emits the updated total.  State is O(1) per user — 16 bytes —
+    so 10^9 users is ~16 GB of distributed state, well inside a cluster's
+    state-store budget.  Integer cents keep accumulation exact and
+    order-independent (the same trick as q68's batch twin).
+    """
+    import pandas as pd  # local: executors import lazily
+
+    def update(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            n += int(len(vals))
+            cents += int(vals.mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame({"user_id": [key[0]], "n_val": [n], "cents": [cents]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=STATEFUL_TOTALS_OUTPUT,
+        stateStructType=STATEFUL_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful exact dedup by event_id; the watermark bounds dedup state."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
@@ -221,6 +260,34 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
             deduped.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("event_type")
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+@query(
+    "q87_stateful_custom_op",
+    # Monotone accumulation: the last update per user (max n) is the total,
+    # which must equal the plain batch aggregate.
+    "SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n_val, "
+    "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "running per-user totals folded in an Arrow-batched kernel with O(1) "
+    "16-byte state per key, update-mode emission. The final state is "
+    "oracle-checked against the batch aggregate.",
+    tags=("streaming", "udf", "stateful"),
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, staging = events_file_stream(spark, sf_dir)
+    try:
+        updates = run_stream(stateful_user_totals(stream), "update")
+        # update-mode sink holds every emitted revision; totals are monotone,
+        # so the per-user max is the final state.
+        return (
+            updates.groupBy("user_id")
+            .agg(F.max("n_val").alias("n_val"), F.max("cents").alias("cents"))
+            .orderBy("user_id")
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)

@@ -10,12 +10,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from lance_namespace_impls_spark.streaming.windows import (
+    EVENTS_RAW_SCHEMA,
     dedup_events,
     events_batch,
     events_file_stream,
     run_stream,
     session_counts,
     sliding_counts,
+    stateful_user_totals,
     tumbling_counts,
     watermarked_tumbling,
 )
@@ -157,3 +159,39 @@ def test_watermark_finalized_windows_are_immutable(spark, tmp_path):
     # must not inflate the finalized count).
     assert target.n in emitted, (target, emitted)
     assert target.n + 1 not in emitted, (target, emitted)
+
+
+def test_stateful_custom_op_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState must carry state BETWEEN micro-batches: two
+    copies of the fixture replayed as two batches must yield exactly 2x the
+    single-pass totals for every user."""
+    import shutil as _sh
+
+    staging = str(tmp_path / "twice")
+    os.makedirs(staging)
+    _sh.copy(f"{SF_SMOKE}/events.parquet", os.path.join(staging, "a.parquet"))
+    _sh.copy(f"{SF_SMOKE}/events.parquet", os.path.join(staging, "b.parquet"))
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(staging)
+    )
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    updates = run_stream(stateful_user_totals(stream), "update")
+    finals = {
+        r.user_id: (r.n_val, r.cents)
+        for r in updates.groupBy("user_id")
+        .agg(F.max("n_val").alias("n_val"), F.max("cents").alias("cents"))
+        .collect()
+    }
+    batch = events_batch(spark, SF_SMOKE)
+    expect = {
+        r.user_id: (2 * r.n, 2 * r.cents)
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    }
+    assert finals == expect
