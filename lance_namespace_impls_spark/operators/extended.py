@@ -370,6 +370,31 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("n") >= 10).orderBy("o_custkey")
 
 
+@query(
+    "q88_higher_order_fns",
+    "SELECT vec_id, "
+    "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, "
+    "CASE WHEN len(list_filter(embedding, x -> x > 0)) = 0 THEN 0 "
+    "ELSE list_reduce(list_transform(list_filter(embedding, x -> x > 0), "
+    "x -> CAST(round(x * 1000) AS BIGINT)), (a, b) -> a + b) END AS pos_sum "
+    "FROM embeddings ORDER BY vec_id",
+    doc="Higher-order array functions composed (filter → transform → "
+    "aggregate) entirely JVM-side — the declarative per-row pipeline shape "
+    "for array columns; integer projection keeps the fold exact so the "
+    "composition is oracle-checkable against DuckDB's list_* twins.",
+    tags=("array", "functions"),
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    pos = F.filter("embedding", lambda x: x > 0)
+    ints = F.transform(pos, lambda x: F.round(x * 1000).cast("long"))
+    return emb.select(
+        "vec_id",
+        F.size(pos).cast("bigint").alias("n_pos"),
+        F.aggregate(ints, F.lit(0).cast("long"), lambda a, b: a + b).alias("pos_sum"),
+    ).orderBy("vec_id")
+
+
 # GPT-2-style pre-tokenizer pattern, restricted to a regex subset with
 # identical semantics in Java regex (Spark) and RE2 (DuckDB): contractions,
 # space-prefixed letter runs, digit runs, punctuation runs.
