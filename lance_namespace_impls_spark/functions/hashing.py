@@ -93,6 +93,44 @@ def band_key_exprs(num_bands: int, rows_per_band: int) -> list[Column]:
     ]
 
 
+def simhash_signature_udf(bits: int = 63):
+    """SimHash signatures as ONE Arrow-batched NumPy kernel.
+
+    Input: each document's token-hash array (``array<bigint>``, full-width
+    xxhash64 values).  Per batch, bit-j set-counts are accumulated with
+    ``np.minimum``-style reduceat sums over the concatenated hashes; bit j of
+    the signature is 1 iff ``2*count_set >= n`` (majority vote, ties → 1 —
+    the same contract as :func:`simhash64` / the vote-aggregate form).
+    Replaces 63 codegen'd sum aggregates with C-speed loops; the stage stays
+    a pure map.
+    """
+
+    @F.pandas_udf("long")
+    def _sig(hashes: pd.Series) -> pd.Series:
+        arrays = [np.asarray(h, dtype=np.int64) for h in hashes]
+        lens = np.array([len(a) for a in arrays], dtype=np.int64)
+        n_docs = len(arrays)
+        sigs = np.zeros(n_docs, dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            flat = np.concatenate([a for a in arrays if len(a)])
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+            ne_lens = lens[nonempty]
+            acc = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            for j in range(bits):
+                bit = (flat >> j) & 1
+                counts = np.add.reduceat(bit, offsets)
+                acc += np.where(2 * counts >= ne_lens, np.int64(1) << j, 0)
+            sigs[nonempty] = acc
+        # empty docs: every vote ties (0*2 >= 0) → all bits set.
+        # computed in Python ints: (np.int64(1) << 63) would overflow
+        sigs[~nonempty] = np.int64((1 << bits) - 1)
+        return pd.Series(sigs)
+
+    return _sig
+
+
 def simhash_vote_exprs(h: Column, bits: int = 63) -> list[Column]:
     """SimHash bit votes as aggregate expressions over an exploded (id, hash)
     relation: ``sum(bit_j(h) ? +1 : -1)`` per bit — sign of the sum is the

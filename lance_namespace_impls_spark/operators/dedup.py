@@ -11,7 +11,10 @@ Strategies (SURVEY.md §2B LLM rows; the scale analysis is per-operator):
 * n-gram Jaccard — exact verification metric, used standalone on bounded
                  pair sets and as the LSH verify stage.
 
-All stages are built-in-function pipelines (no Python UDFs).
+Heavy text passes (tokenize/shingle/hash) are built-in JVM functions; the
+fixed-width signature folds (64 minhash slots, 63 simhash votes) run as
+Arrow-batched NumPy kernels — see DESIGN.md "Measured scale lessons" for the
+expression-tree vs vectorized-kernel crossover.
 """
 
 from __future__ import annotations
@@ -23,8 +26,7 @@ from lance_namespace_impls_spark.functions.hashing import (
     band_keys,
     hamming64,
     minhash_signature_udf,
-    simhash_from_votes,
-    simhash_vote_exprs,
+    simhash_signature_udf,
 )
 from lance_namespace_impls_spark.functions.text import (
     HASH_PRIME,
@@ -155,18 +157,20 @@ def simhash_pairs(
     the standard single-table SimHash trade-off (production systems use
     rotated tables; radius ≤ bits/4 keeps recall high).
 
-    Signatures are built by explode + 63 sum-vote aggregates (map-side
-    combine), not the column-form ``simhash64`` — same bits, but each vote is
-    a trivial codegen'd aggregate instead of an interpreted higher-order
-    filter over the token array per bit.  Persisted: both join sides read it.
+    Signatures come from ONE Arrow-batched NumPy kernel over each document's
+    token-hash array (``simhash_signature_udf``) — same majority-vote bits as
+    the 63-aggregate form, without its whole-stage-codegen compile cost; the
+    stage is a pure map.  Token-less docs are excluded before pairing (the
+    exploded form dropped them implicitly).  Persisted: both join sides
+    read it.
     """
-    exploded = spread(docs).select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("t")
-    ).select("doc_id", F.xxhash64("t").alias("h"))
+    token_hashes = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    sig_udf = simhash_signature_udf()
     sigs = (
-        exploded.groupBy("doc_id")
-        .agg(*simhash_vote_exprs(F.col("h")))
-        .select("doc_id", simhash_from_votes().alias("sig"))
+        spread(docs)
+        .select(F.col(id_col).alias("doc_id"), token_hashes.alias("th"))
+        .filter(F.size("th") > 0)
+        .select("doc_id", sig_udf(F.col("th")).alias("sig"))
         .withColumn("bucket", F.shiftright("sig", 48))
         .persist()
     )
