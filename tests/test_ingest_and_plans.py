@@ -164,3 +164,18 @@ def test_pivot_shuffles_only_partials(spark):
     assert "Join" not in plan, plan
     hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert all("o_orderstatus" in l for l in hash_ex), hash_ex
+
+
+def test_tpch_topk_is_take_ordered(spark):
+    """q83/q84: the top-k must be TakeOrderedAndProject, never a full sort."""
+    for name in ("q83_tpch_q3_shape", "q84_tpch_q10_shape"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+
+
+def test_tpch_q3_pushes_date_filters(spark):
+    """q83's date predicates must reach both the orders and lineitem scans."""
+    plan = _plan(spark, "q83_tpch_q3_shape")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("o_orderdate" in l for l in pushed), pushed
+    assert any("l_shipdate" in l for l in pushed), pushed
