@@ -35,9 +35,13 @@ def int_projected(a: Column, scale: int = 1000) -> Column:
     """Integer projection of a float vector: round(x * scale) per element.
 
     Integer dot products are exact (no float summation-order issues), which
-    makes similarity results oracle-comparable across engines.
+    makes similarity results oracle-comparable across engines.  The float32
+    element is explicitly widened BEFORE the multiply: ``float32 * int``
+    stays single-precision in Spark while other engines promote to double,
+    and values near a rounding boundary then project to different integers
+    (caught by the sf0.1 oracle sweep — oracles must also cast).
     """
-    return F.transform(a, lambda x: F.round(x * scale).cast("long"))
+    return F.transform(a, lambda x: F.round(x.cast("double") * scale).cast("long"))
 
 
 def int_dot(a: Column, b: Column) -> Column:

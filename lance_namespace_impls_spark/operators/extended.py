@@ -376,7 +376,8 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, "
     "CASE WHEN len(list_filter(embedding, x -> x > 0)) = 0 THEN 0 "
     "ELSE list_reduce(list_transform(list_filter(embedding, x -> x > 0), "
-    "x -> CAST(round(x * 1000) AS BIGINT)), (a, b) -> a + b) END AS pos_sum "
+    "x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)), (a, b) -> a + b) "
+    "END AS pos_sum "
     "FROM embeddings ORDER BY vec_id",
     doc="Higher-order array functions composed (filter → transform → "
     "aggregate) entirely JVM-side — the declarative per-row pipeline shape "
@@ -387,7 +388,8 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     pos = F.filter("embedding", lambda x: x > 0)
-    ints = F.transform(pos, lambda x: F.round(x * 1000).cast("long"))
+    # widen float32 before the multiply — see functions.vectors.int_projected
+    ints = F.transform(pos, lambda x: F.round(x.cast("double") * 1000).cast("long"))
     return emb.select(
         "vec_id",
         F.size(pos).cast("bigint").alias("n_pos"),

@@ -103,24 +103,33 @@ def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q49_quality_score",
-    "SELECT doc_id, CAST(ROUND("
-    "  0.5 * LEAST(CAST(n_chars AS DOUBLE) / 400.0, 1.0)"
-    "  + 0.5 * (CAST(len(string_split(text, ' ')) AS DOUBLE)"
-    "           / GREATEST(CAST(n_chars AS DOUBLE), 1.0))"
-    ", 4) AS DOUBLE) AS quality FROM documents ORDER BY doc_id",
-    doc="Deterministic text-quality score: length saturation + token density. "
-    "Pure column arithmetic; identical formula on both engines.",
+    # Exact integer rounding: the score is the rational
+    # (min(nc,400)*max(nc,1) + 400*nt) / (800*max(nc,1)); rounding it to 4dp
+    # with float ROUND diverges across engines when the true value ties at
+    # the 5th decimal (Spark rounds the decimal string, DuckDB the binary
+    # double — found by the sf0.1 sweep at 0.25225).  Integer HALF_UP
+    # ((10^4*num + den/2) DIV den) is tie-free and engine-identical.
+    "SELECT doc_id, CAST(("
+    "  (10000 * (LEAST(n_chars, 400) * GREATEST(n_chars, 1)"
+    "            + 400 * len(string_split(text, ' ')))"
+    "   + 400 * GREATEST(n_chars, 1))"
+    "  // (800 * GREATEST(n_chars, 1))"
+    ") AS DOUBLE) / 10000 AS quality FROM documents ORDER BY doc_id",
+    doc="Deterministic text-quality score: length saturation + token density "
+    "(0.5*min(n_chars/400,1) + 0.5*tokens/n_chars), rounded to 4dp in exact "
+    "integer arithmetic so both engines agree even on rounding ties.",
     tags=("llm", "text"),
 )
 def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n_chars_d = F.col("n_chars").cast("double")
-    n_tokens_d = F.size(F.split(F.col("text"), " ")).cast("double")
-    score = 0.5 * F.least(n_chars_d / 400.0, F.lit(1.0)) + 0.5 * (
-        n_tokens_d / F.greatest(n_chars_d, F.lit(1.0))
+    quality = F.expr(
+        "CAST((10000 * (LEAST(n_chars, 400) * GREATEST(n_chars, 1)"
+        " + 400 * SIZE(SPLIT(text, ' ')))"
+        " + 400 * GREATEST(n_chars, 1)) DIV (800 * GREATEST(n_chars, 1)) AS DOUBLE)"
+        " / 10000"
     )
     return (
         load_table(spark, "documents", sf_dir)
-        .select("doc_id", F.round(score, 4).cast("double").alias("quality"))
+        .select("doc_id", quality.alias("quality"))
         .orderBy("doc_id")
     )
 

@@ -137,7 +137,7 @@ def lsh_topk(
 @query(
     "q54_cosine_topk_int",
     "WITH proj AS (SELECT vec_id, "
-    "  list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
     "  FROM embeddings), "
     "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id, "
     "  CAST(list_dot_product(q.v, c.v) AS BIGINT) AS score "
@@ -205,7 +205,7 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q69_embedding_neardup",
     "WITH proj AS (SELECT vec_id, label, "
-    "  list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS v "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
     "  FROM embeddings), "
     "pairs AS (SELECT a.label AS label, a.vec_id AS id_a, b.vec_id AS id_b, "
     "  ROUND(CAST(list_dot_product(a.v, b.v) AS DOUBLE) / "
