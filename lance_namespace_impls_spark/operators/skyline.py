@@ -1,0 +1,98 @@
+"""Skyline (Pareto-dominance) operator.
+
+Spark-first re-expression of the skyline-query integration pattern
+("Integration of Skyline Queries into Spark SQL", EDBT 2023 — see PAPERS.md):
+the classic two-phase distributed skyline.
+
+Phase 1 prunes each partition to its LOCAL skyline with an Arrow-batched
+sweep kernel (skyline-of-skylines == global skyline, so pruning is lossless);
+phase 2 merges the survivors — typically orders of magnitude smaller than the
+input — on a single partition with the same kernel.  At 100 TB the phase-1
+map removes almost everything (skyline size grows ~O(log^d n) for random
+data), so the single-partition merge is safe; for adversarial distributions
+phase 2 becomes a tree of merges (same kernel, repartition by range).
+
+Dominance (2-D, minimize ``mincol`` / maximize ``maxcol``): a dominates b iff
+a.min <= b.min AND a.max >= b.max AND they differ in at least one dimension.
+Ties on both dims survive together (standard skyline semantics — matches the
+NOT EXISTS oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+
+def _skyline_batch(pdf: pd.DataFrame, mincol: str, maxcol: str) -> pd.DataFrame:
+    """O(n log n) sweep: sort by (min asc, max desc); a row is dominated iff
+    a strictly-cheaper row has max >= its max, or a same-price earlier row
+    has max > its max."""
+    if pdf.empty:
+        return pdf
+    sdf = pdf.sort_values([mincol, maxcol], ascending=[True, False], kind="mergesort")
+    mins = sdf[mincol].to_numpy()
+    maxs = sdf[maxcol].to_numpy()
+    keep = np.zeros(len(sdf), dtype=bool)
+    best_cheaper = -np.inf  # max of `maxcol` over strictly cheaper rows
+    i = 0
+    n = len(sdf)
+    while i < n:
+        j = i
+        group_best = maxs[i]  # sorted desc within the equal-min group
+        while j < n and mins[j] == mins[i]:
+            # dominated by a strictly cheaper row with >= max, or by a
+            # same-min row with strictly greater max
+            keep[j] = not (best_cheaper >= maxs[j] or group_best > maxs[j])
+            j += 1
+        best_cheaper = max(best_cheaper, group_best)
+        i = j
+    return sdf[keep]
+
+
+def skyline(df: DataFrame, mincol: str, maxcol: str) -> DataFrame:
+    """Two-phase distributed skyline over (minimize mincol, maximize maxcol)."""
+
+    def local(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield _skyline_batch(pdf, mincol, maxcol)
+
+    pruned = spread(df).mapInPandas(local, df.schema)
+
+    def merge(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_rows = pd.concat(list(it), ignore_index=True) if it else pd.DataFrame()
+        yield _skyline_batch(all_rows, mincol, maxcol) if len(all_rows) else all_rows
+
+    # survivors are tiny; one partition merges them (tree-merge at extreme
+    # scale — same kernel)
+    return pruned.repartition(1).mapInPandas(merge, df.schema)
+
+
+@query(
+    "q89_skyline",
+    "SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS price, "
+    "CAST(p_size AS BIGINT) AS psize FROM part a "
+    "WHERE NOT EXISTS (SELECT 1 FROM part b "
+    "  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size "
+    "  AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)) "
+    "ORDER BY p_partkey",
+    doc="Skyline (Pareto frontier) of parts: minimize retail price, maximize "
+    "size. Two-phase distributed evaluation (partition-local sweep kernel -> "
+    "merge of survivors); the oracle replays the O(n^2) NOT EXISTS dominance "
+    "definition, so the distributed pruning is hash-checked lossless.",
+    tags=("skyline", "advanced"),
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = load_table(spark, "part", sf_dir).select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("price"),
+        F.col("p_size").cast("bigint").alias("psize"),
+    )
+    return skyline(pa, "price", "psize").orderBy("p_partkey")

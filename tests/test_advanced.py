@@ -110,3 +110,30 @@ def test_approx_percentile_tracks_exact(spark):
         a = approx[flag]
         assert abs(a.p50 - e.p50) <= max(0.02 * abs(e.p50), 0.5), (flag, a.p50, e.p50)
         assert abs(a.p90 - e.p90) <= max(0.02 * abs(e.p90), 0.5), (flag, a.p90, e.p90)
+
+
+def test_skyline_matches_bruteforce_with_ties(spark):
+    """Two-phase distributed skyline == O(n^2) dominance filter, including
+    duplicate points and equal-price groups (ties survive together)."""
+    import numpy as np
+    from lance_namespace_impls_spark.operators.skyline import skyline
+
+    rows = [
+        (1, 5.0, 10), (2, 5.0, 10),   # exact duplicates: both survive
+        (3, 5.0, 12),                  # dominates 1,2 on size at equal price
+        (4, 4.0, 12),                  # dominates 3 on price
+        (5, 6.0, 12),                  # dominated by 4
+        (6, 3.0, 1), (7, 10.0, 20), (8, 4.0, 11), (9, 3.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, price double, sz bigint")
+    got = sorted(r.id for r in skyline(df, "price", "sz").collect())
+    arr = np.array([(r[1], r[2]) for r in rows])
+    keep = []
+    for i, (p, s) in enumerate(arr):
+        dominated = any(
+            (arr[j][0] <= p and arr[j][1] >= s and (arr[j][0] < p or arr[j][1] > s))
+            for j in range(len(arr))
+        )
+        if not dominated:
+            keep.append(rows[i][0])
+    assert got == sorted(keep)
