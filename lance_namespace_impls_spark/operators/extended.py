@@ -371,6 +371,53 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q90_funnel",
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events), "
+    "s1 AS (SELECT user_id, MIN(tu) AS t1 FROM e WHERE event_type = 'view' "
+    "  GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, MIN(tu) AS t2 FROM e JOIN s1 USING (user_id) "
+    "  WHERE event_type = 'click' AND tu > t1 GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id, MIN(tu) AS t3 FROM e JOIN s2 USING (user_id) "
+    "  WHERE event_type = 'purchase' AND tu > t2 GROUP BY e.user_id) "
+    "SELECT (SELECT COUNT(*) FROM s1) AS step_view, "
+    "(SELECT COUNT(*) FROM s2) AS step_click, "
+    "(SELECT COUNT(*) FROM s3) AS step_purchase",
+    doc="Ordered conversion funnel (view -> later click -> later purchase): "
+    "per-step first-qualifying-timestamp joins. Every join and aggregate "
+    "keys on user_id, so one shuffle of events by user serves the whole "
+    "funnel (Spark reuses the partitioning across steps).",
+    tags=("funnel", "sessionization", "join"),
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select("user_id", "event_type", F.expr("ts_ns DIV 1000").alias("tu"))
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("tu") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("tu") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("tu").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("step_view"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("step_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("step_purchase")))
+    )
+
+
+@query(
     "q88_higher_order_fns",
     "SELECT vec_id, "
     "CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos, "
