@@ -33,6 +33,42 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# The correctness driver records at most ~50 rows per round, taken in the
+# iteration order of ``queries()``.  Round 1 verified exactly these 50 names
+# (CORRECTNESS_r01.json); emit everything *else* first so each round extends
+# driver coverage to the not-yet-verified tail instead of re-checking the
+# same prefix.  Names in ``RE_VERIFY`` changed since their last green row and
+# must re-enter the front of the line.
+DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "q01_scan_count", "q02_projection_scan", "q03_catalog_resolved_scan",
+        "q04_project_alias_arith", "q05_filter_predicates", "q06_in_predicate",
+        "q07_null_semantics", "q08_like_predicate", "q09_inner_equijoin",
+        "q10_broadcast_join", "q11_multiway_join_revenue", "q12_left_outer_join",
+        "q13_left_semi_join", "q14_left_anti_join", "q15_theta_join",
+        "q16_cross_join", "q17_self_join", "q18_hash_agg_multi_measure",
+        "q19_global_agg", "q20_count_distinct", "q21_multi_count_distinct",
+        "q22_having", "q23_grouping_sets", "q24_rollup",
+        "q25_window_topk_per_group", "q26_window_lag", "q27_window_running_sum",
+        "q28_ntile", "q29_global_topk", "q30_sort_nulls_ordering",
+        "q31_limit_offset", "q32_union_all", "q33_union_distinct",
+        "q34_intersect", "q35_except", "q36_string_functions",
+        "q37_date_functions", "q38_math_functions", "q39_case_when",
+        "q40_cast", "q41_array_functions", "q42_json_functions",
+        "q43_tumbling_window_batch", "q44_python_udf", "q45_exact_dedup_stats",
+        "q46_text_lang_stats", "q47_exact_dedup_keep_first", "q48_token_count",
+        "q49_quality_score", "q50_source_dedup_rate",
+    }
+)
+RE_VERIFY: set[str] = set()
+
+
+def _priority_order(names: list[str]) -> list[str]:
+    """Unverified / changed queries first (each group in name order)."""
+    front = sorted(n for n in names if n not in DRIVER_VERIFIED or n in RE_VERIFY)
+    back = sorted(n for n in names if n in DRIVER_VERIFIED and n not in RE_VERIFY)
+    return front + back
+
 
 def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
     """Decorator registering a (spark, sf_dir) -> DataFrame builder."""
@@ -45,8 +81,9 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.builder for name, spec in QUERIES.items()}
+    return {name: QUERIES[name].builder for name in _priority_order(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None}
+    ordered = _priority_order([n for n, s in QUERIES.items() if s.oracle is not None])
+    return {name: QUERIES[name].oracle for name in ordered}
