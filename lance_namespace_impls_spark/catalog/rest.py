@@ -61,12 +61,16 @@ _DUMMY_SCHEMA = {
 def _urllib3_transport(max_retries: int, connect_timeout: float, read_timeout: float) -> Transport:
     import urllib3
 
+    # Idempotent-only retry (urllib3's default allowed_methods): a POST that
+    # succeeded server-side but came back 502 through a proxy must NOT be
+    # replayed, or create_namespace/declare_table turn into spurious
+    # AlreadyExists / duplicate side effects (reference: rest_client.py:83-89
+    # likewise keeps the idempotent default).
     pool = urllib3.PoolManager(
         retries=urllib3.Retry(
             total=max_retries,
             backoff_factor=0.3,
             status_forcelist=(502, 504),
-            allowed_methods=None,
         ),
         timeout=urllib3.Timeout(connect=connect_timeout, read=read_timeout),
     )
@@ -155,11 +159,19 @@ class RestNamespace(LanceNamespace):
         """Warehouse→prefix with a one-shot config round trip, cached
         (reference: iceberg.py:154-180)."""
         if warehouse not in self._prefix_cache:
-            cfg = self._request(
-                "GET", f"/v1/config?warehouse={quote(warehouse, safe='')}",
-                not_found=NamespaceNotFound,
-            ) or {}
-            prefix = (cfg.get("overrides") or {}).get("prefix", warehouse)
+            # Tolerant resolution (reference: iceberg.py:154-180): overrides
+            # wins, then defaults, then the warehouse name itself; any config
+            # failure falls back to the warehouse name rather than raising,
+            # so catalogs without a per-warehouse config endpoint still work.
+            try:
+                cfg = self._request(
+                    "GET", f"/v1/config?warehouse={quote(warehouse, safe='')}"
+                ) or {}
+            except Exception:
+                cfg = {}
+            prefix = (cfg.get("overrides") or {}).get("prefix") or (
+                cfg.get("defaults") or {}
+            ).get("prefix") or warehouse
             self._prefix_cache[warehouse] = quote(prefix, safe="")
         return self._prefix_cache[warehouse]
 

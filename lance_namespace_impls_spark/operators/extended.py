@@ -117,7 +117,7 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q73_hash_sample",
     "SELECT COUNT(*) AS n, "
     "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total "
-    "FROM orders WHERE (o_orderkey * 2654435761) % 1000 < 100",
+    "FROM orders WHERE ((o_orderkey % 1000000007) * 2654435761) % 1000 < 100",
     doc="Deterministic ~10% sample via multiplicative-hash arithmetic on the "
     "key (Knuth constant). Unlike TABLESAMPLE this is reproducible across "
     "engines and runs, and the predicate is row-local arithmetic — it rides "
@@ -127,7 +127,12 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, "orders", sf_dir)
-    sampled = od.filter((F.col("o_orderkey") * F.lit(2654435761)) % 1000 < 100)
+    # reduce mod a prime BEFORE the Knuth multiply: the raw product overflows
+    # int64 once orderkeys pass ~3.5e9 (SF>=~580), where Spark wraps but
+    # DuckDB promotes to INT128 — the reduced form stays < 2^63 on both
+    sampled = od.filter(
+        ((F.col("o_orderkey") % 1000000007) * F.lit(2654435761)) % 1000 < 100
+    )
     return sampled.agg(
         F.count(F.lit(1)).alias("n"),
         _money(F.sum(_dec("o_totalprice"))).alias("total"),

@@ -67,7 +67,10 @@ def skyline(df: DataFrame, mincol: str, maxcol: str) -> DataFrame:
     pruned = spread(df).mapInPandas(local, df.schema)
 
     def merge(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_rows = pd.concat(list(it), ignore_index=True) if it else pd.DataFrame()
+        pdfs = list(it)  # iterators are always truthy; materialize before testing
+        if not pdfs:
+            return
+        all_rows = pd.concat(pdfs, ignore_index=True)
         yield _skyline_batch(all_rows, mincol, maxcol) if len(all_rows) else all_rows
 
     # survivors are tiny; one partition merges them (tree-merge at extreme

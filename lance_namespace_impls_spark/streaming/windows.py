@@ -141,12 +141,17 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     """
     import pandas as pd  # local: executors import lazily
 
+    import numpy as np
+
     def update(key, pdfs, state):
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            vals = pdf["value"].dropna()
+            vals = pdf["value"].dropna().to_numpy(dtype="float64")
             n += int(len(vals))
-            cents += int(vals.mul(100).round().astype("int64").sum())
+            # round half AWAY FROM ZERO, matching SQL ROUND — pandas
+            # .round() is banker's half-even and diverges on .xx5 ties
+            scaled = vals * 100.0
+            cents += int(np.sum(np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)))
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_val": [n], "cents": [cents]})
 
@@ -282,11 +287,19 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, staging = events_file_stream(spark, sf_dir)
     try:
         updates = run_stream(stateful_user_totals(stream), "update")
-        # update-mode sink holds every emitted revision; totals are monotone,
-        # so the per-user max is the final state.
+        # update-mode sink holds every emitted revision; n_val is monotone
+        # nondecreasing, so the revision with the largest n_val IS the final
+        # state — select it as one struct rather than independent MAXes,
+        # which would disagree with the final state if cents ever decreased
+        # (negative values) between revisions.
         return (
             updates.groupBy("user_id")
-            .agg(F.max("n_val").alias("n_val"), F.max("cents").alias("cents"))
+            .agg(F.max(F.struct("n_val", "cents")).alias("fin"))
+            .select(
+                "user_id",
+                F.col("fin.n_val").alias("n_val"),
+                F.col("fin.cents").alias("cents"),
+            )
             .orderBy("user_id")
         )
     finally:
