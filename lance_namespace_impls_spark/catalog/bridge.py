@@ -1,0 +1,99 @@
+"""Session-catalog bridge: expose namespace backends to native Spark SQL.
+
+The reference's whole point is that query engines resolve tables through the
+catalog (``GlueNamespace.java:117-393`` implements Spark's ``TableCatalog`` /
+``SupportsNamespaces`` so ``spark.sql("SHOW TABLES IN lake.main")`` and
+``spark.table("lake.main.region")`` work).  A JVM ``TableCatalog`` plugin
+cannot be authored from pure PySpark (it is loaded by class name into the
+driver JVM), so this module provides the closest pure-Python equivalent:
+**publication** of a namespace backend's metadata into Spark's built-in
+session catalog.
+
+``publish_namespace(spark, ns, ns_id, database)`` walks the backend's
+``list_tables`` / ``describe_table`` surface and registers each table as an
+EXTERNAL table (``CREATE TABLE ... USING parquet LOCATION ...``) in a session
+database.  After one publish call, every native SQL surface works with zero
+Python in the resolution path:
+
+* ``spark.sql("SHOW TABLES IN lake_main")``
+* ``spark.table("lake_main.region")``
+* ``spark.sql("SELECT ... FROM lake_main.region JOIN ...")``
+
+and Catalyst sees an ordinary parquet relation — predicate pushdown, column
+pruning, partition pruning, AQE all apply exactly as for a direct
+``spark.read.parquet``.
+
+Scale and staleness: publication is a driver-side metadata copy, O(#tables)
+catalog calls and zero data movement.  It is a snapshot — tables added to the
+backend after publishing need a re-publish (idempotent; drop+recreate per
+table).  That trade-off is explicit and documented here rather than hidden:
+a live JVM ``TableCatalog`` delegating per-lookup is the reference-parity
+endgame and needs a small Scala build step this environment cannot run
+(SURVEY.md §7 records the limitation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.namespace import LanceNamespace
+
+
+def _q(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sql_str(value: str) -> str:
+    return "'" + value.replace("'", "''") + "'"
+
+
+def publish_namespace(
+    spark: SparkSession,
+    ns: LanceNamespace,
+    ns_id: list[str],
+    database: str,
+    *,
+    include_declared: bool = False,
+) -> list[str]:
+    """Publish every table of backend-namespace ``ns_id`` into session
+    database ``database``; returns the published table names.
+
+    ``include_declared=False`` (default) skips declared-only tables — they
+    have no storage components, so a session-catalog relation over their
+    location would fail at scan time anyway.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_q(database)}")
+    published: list[str] = []
+    page_token: str | None = None
+    while True:
+        resp = ns.list_tables(
+            m.ListTablesRequest(
+                id=list(ns_id), page_token=page_token, include_declared=include_declared
+            )
+        )
+        for tbl in resp.tables:
+            desc = ns.describe_table(m.DescribeTableRequest(id=[*ns_id, tbl]))
+            fmt = "parquet"  # Lance locations fall back to parquet (directory.py read_table)
+            try:
+                import lance  # type: ignore  # noqa: F401
+
+                fmt = "lance"
+            except ImportError:
+                pass
+            spark.sql(f"DROP TABLE IF EXISTS {_q(database)}.{_q(tbl)}")
+            spark.sql(
+                f"CREATE TABLE {_q(database)}.{_q(tbl)} USING {fmt} "
+                f"LOCATION {_sql_str(desc.location)}"
+            )
+            published.append(tbl)
+        page_token = resp.page_token
+        if not page_token:
+            break
+    return published
+
+
+def unpublish_namespace(spark: SparkSession, database: str) -> None:
+    """Remove a published database (metadata only — EXTERNAL tables keep
+    their data; mirrors deregister semantics, not drop)."""
+    spark.sql(f"DROP DATABASE IF EXISTS {_q(database)} CASCADE")

@@ -91,6 +91,37 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q91_session_catalog_bridge",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    doc="Native Spark SQL resolution through the namespace plane: the table "
+    "is declared in a DirectoryNamespace, the namespace is published into "
+    "Spark's session catalog (catalog/bridge.py), and the query reads it via "
+    "spark.sql over the database-qualified name — the pure-Python equivalent "
+    "of the reference's TableCatalog integration (GlueNamespace.java:117-393) "
+    "where SHOW TABLES / spark.table work with no engine API in the path.",
+    tags=("scan", "catalog", "bridge"),
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from lance_namespace_impls_spark.catalog import DirectoryNamespace
+    from lance_namespace_impls_spark.catalog import models as cm
+    from lance_namespace_impls_spark.catalog.bridge import publish_namespace
+
+    ns = DirectoryNamespace({"root": tempfile.mkdtemp(prefix="lni_q91_")})
+    ns.create_namespace(cm.CreateNamespaceRequest(id=["main"]))
+    ns.declare_table(
+        cm.DeclareTableRequest(
+            id=["main", "region"], location=f"{sf_dir}/region.parquet"
+        )
+    )
+    publish_namespace(spark, ns, ["main"], "lake_main")
+    return spark.sql(
+        "SELECT r_regionkey, r_name FROM lake_main.region ORDER BY r_regionkey"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projections / filters / predicates (Q04–Q08)
 

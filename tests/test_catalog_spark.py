@@ -100,3 +100,49 @@ def test_non_lance_tables_hidden(spark, session_ns):
         ns.describe_table(m.DescribeTableRequest(id=["lni_it", "plain"]))
     spark.sql("DROP TABLE lni_it.plain")
     ns.drop_namespace(m.DropNamespaceRequest(id=["lni_it"]))
+
+
+def test_publish_namespace_bridge(spark, tmp_path):
+    """publish_namespace makes backend tables visible to native Spark SQL:
+    SHOW TABLES, spark.table, and qualified SELECT all resolve with no
+    engine API in the path (the reference's TableCatalog user story)."""
+    from lance_namespace_impls_spark.catalog import DirectoryNamespace
+    from lance_namespace_impls_spark.catalog.bridge import (
+        publish_namespace,
+        unpublish_namespace,
+    )
+
+    ns = DirectoryNamespace({"root": str(tmp_path / "wh")})
+    ns.create_namespace(m.CreateNamespaceRequest(id=["main"]))
+    ns.declare_table(
+        m.DeclareTableRequest(
+            id=["main", "region"], location=f"{SF_SMOKE}/region.parquet"
+        )
+    )
+    # declared-only table (no storage): must be skipped by the default publish
+    ns.declare_table(
+        m.DeclareTableRequest(
+            id=["main", "ghost"], location=str(tmp_path / "ghost.lance")
+        )
+    )
+
+    published = publish_namespace(spark, ns, ["main"], "lni_bridge")
+    try:
+        assert published == ["region"]
+        shown = {r.tableName for r in spark.sql("SHOW TABLES IN lni_bridge").collect()}
+        assert shown == {"region"}
+        assert spark.table("lni_bridge.region").count() == 5
+        row = spark.sql(
+            "SELECT r_name FROM lni_bridge.region ORDER BY r_regionkey LIMIT 1"
+        ).collect()[0]
+        assert row.r_name == "AFRICA"
+        # re-publish is idempotent (drop+recreate per table)
+        assert publish_namespace(spark, ns, ["main"], "lni_bridge") == ["region"]
+        # external: unpublish removes metadata, data survives
+        unpublish_namespace(spark, "lni_bridge")
+        assert not spark.catalog.databaseExists("lni_bridge")
+        import os
+
+        assert os.path.exists(f"{SF_SMOKE}/region.parquet")
+    finally:
+        unpublish_namespace(spark, "lni_bridge")
