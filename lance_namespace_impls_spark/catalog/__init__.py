@@ -24,8 +24,12 @@ from lance_namespace_impls_spark.catalog.errors import (
 )
 from lance_namespace_impls_spark.catalog.identifier import ObjectIdentifier
 from lance_namespace_impls_spark.catalog.namespace import LanceNamespace
+from lance_namespace_impls_spark.catalog.glue import GlueNamespace
+from lance_namespace_impls_spark.catalog.hive import Hive2Namespace, Hive3Namespace
+from lance_namespace_impls_spark.catalog.polaris import PolarisNamespace
 from lance_namespace_impls_spark.catalog.registry import connect, register_namespace_impl
 from lance_namespace_impls_spark.catalog.spark_session import SessionCatalogNamespace
+from lance_namespace_impls_spark.catalog.unity import UnityNamespace
 
 __all__ = [
     "models",
@@ -34,6 +38,11 @@ __all__ = [
     "LanceNamespace",
     "DirectoryNamespace",
     "SessionCatalogNamespace",
+    "UnityNamespace",
+    "PolarisNamespace",
+    "GlueNamespace",
+    "Hive2Namespace",
+    "Hive3Namespace",
     "ObjectIdentifier",
     "NamespaceError",
     "NamespaceNotFound",

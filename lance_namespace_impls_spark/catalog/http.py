@@ -1,0 +1,141 @@
+"""Shared HTTP plumbing for service-dialect namespace backends.
+
+Unity (`unity.py`) and Polaris (`polaris.py`) speak different REST dialects
+over the same client behavior: Bearer-token auth, idempotent-only retry with
+exponential backoff, pooled connections, JSON bodies, the numeric error-code
+taxonomy, and pickle-safety (catalog objects ride Spark driver closures —
+live pools are dropped on serialization and rebuilt lazily; reference:
+glue.py:522-532, rest_client.py:60-118).
+
+The transport is the same injectable callable shape as
+:mod:`lance_namespace_impls_spark.catalog.rest` —
+``(method, url, headers, json_body) -> (status, parsed_json)`` — so dialect
+contract tests run against a recorded fake, mirroring the reference's
+mocked-client strategy (test_unity.py / test_polaris.py shapes).
+"""
+
+from __future__ import annotations
+
+import json as _json
+from typing import Any, Callable
+
+from lance_namespace_impls_spark.catalog.errors import (
+    InternalError,
+    InvalidInput,
+    ServiceUnavailable,
+)
+from lance_namespace_impls_spark.catalog.namespace import LanceNamespace
+
+Transport = Callable[[str, str, dict, Any], tuple[int, Any]]
+
+
+def make_urllib3_transport(
+    max_retries: int, connect_timeout: float, read_timeout: float
+) -> Transport:
+    import urllib3
+
+    # Idempotent-only retries (urllib3 default allowed_methods): POSTs that
+    # succeeded behind a flaky proxy must not be replayed.
+    pool = urllib3.PoolManager(
+        retries=urllib3.Retry(
+            total=max_retries, backoff_factor=0.3, status_forcelist=(502, 504)
+        ),
+        timeout=urllib3.Timeout(connect=connect_timeout, read=read_timeout),
+    )
+
+    def call(method: str, url: str, headers: dict, body: Any) -> tuple[int, Any]:
+        kwargs: dict[str, Any] = {"headers": {"Content-Type": "application/json", **headers}}
+        if body is not None:
+            kwargs["body"] = _json.dumps(body)
+        resp = pool.request(method, url, **kwargs)
+        parsed = _json.loads(resp.data) if resp.data else None
+        return resp.status, parsed
+
+    return call
+
+
+class HttpDialectNamespace(LanceNamespace):
+    """Base for REST-dialect backends; subclasses set ``PROP_PREFIX`` and
+    implement the dialect's path/body shapes on top of ``_request``.
+
+    Properties are read with the dialect prefix first (``unity.endpoint``)
+    falling back to the bare key (``endpoint``), so both the reference's
+    prefixed convention and this repo's generic convention connect.
+    Timeouts are milliseconds under the prefixed names (reference
+    convention) — ``*_timeout_millis``.
+    """
+
+    PROP_PREFIX = ""
+
+    def __init__(self, properties: dict[str, str] | None = None):
+        props = dict(properties or {})
+        p = self.PROP_PREFIX
+
+        def get(key: str, default: str | None = None) -> str | None:
+            return props.get(f"{p}.{key}" if p else key, props.get(key, default))
+
+        endpoint = get("endpoint")
+        if not endpoint:
+            raise InvalidInput(
+                f"{type(self).__name__} requires an '{p}.endpoint' (or 'endpoint') property"
+            )
+        self._endpoint = endpoint.rstrip("/")
+        self._headers: dict[str, str] = {
+            k.removeprefix("header."): v for k, v in props.items() if k.startswith("header.")
+        }
+        auth = get("auth_token")
+        if auth:
+            self._headers["Authorization"] = f"Bearer {auth}"
+        self._max_retries = int(get("max_retries", "3"))
+        self._connect_timeout = float(get("connect_timeout_millis", "10000")) / 1000.0
+        self._read_timeout = float(get("read_timeout_millis", "30000")) / 1000.0
+        self._root = get("root", "/tmp/lance")
+        self._transport: Transport | None = props.pop("transport", None)
+        self._properties = props
+
+    # -- pickle safety -------------------------------------------------------
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_transport"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+    @property
+    def transport(self) -> Transport:
+        if self._transport is None:
+            self._transport = make_urllib3_transport(
+                self._max_retries, self._connect_timeout, self._read_timeout
+            )
+        return self._transport
+
+    def _api_base(self) -> str:
+        """Dialect hook: endpoint -> full API base URL."""
+        return self._endpoint
+
+    def _request(
+        self,
+        method: str,
+        path: str,
+        body: Any = None,
+        *,
+        not_found: type | None = None,
+        conflict: type | None = None,
+    ) -> Any:
+        status, parsed = self.transport(method, f"{self._api_base()}{path}", self._headers, body)
+        if 200 <= status < 300:
+            return parsed
+        detail = ""
+        if isinstance(parsed, dict):
+            detail = str(parsed.get("error", {}).get("message", parsed))
+        if status == 404 and not_found is not None:
+            raise not_found(f"{method} {path}: {detail or 'not found'}")
+        if status == 409 and conflict is not None:
+            raise conflict(f"{method} {path}: {detail or 'already exists'}")
+        if status == 400:
+            raise InvalidInput(f"{method} {path}: {detail or 'bad request'}")
+        if status == 503:
+            raise ServiceUnavailable(f"{method} {path}: {detail or 'unavailable'}")
+        raise InternalError(f"{method} {path}: HTTP {status} {detail}")

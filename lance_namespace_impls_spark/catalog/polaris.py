@@ -1,0 +1,250 @@
+"""Polaris Catalog dialect adapter.
+
+Re-expresses the reference's Polaris backend
+(`python/src/lance_namespace_impls/polaris.py`) over the shared HTTP base.
+Polaris stores Lance tables as *generic tables* — a separate endpoint family
+from its Iceberg tables:
+
+* API base ``{endpoint}/api/catalog`` (polaris.py:78-80);
+* namespaces ride the Iceberg-REST shape ``/v1/{catalog}/namespaces[/...]``
+  with dot-joined multi-level paths (polaris.py:113-253); listings return
+  catalog-prefixed dotted names (polaris.py:132-140);
+* tables ride ``/polaris/v1/{catalog}/namespaces/{ns}/generic-tables`` with
+  ``format=lance`` and ``base-location`` (polaris.py:255-474);
+* identifier shape: ``[catalog, ns..., table]`` — at least catalog+ns for
+  namespaces, catalog+ns+table for tables (arbitrary nesting allowed,
+  unlike Unity's fixed 2 levels);
+* non-Lance generic tables fail describe with InvalidInput
+  (polaris.py:398-401); drop_namespace tolerates 404 (polaris.py:246-248);
+* the storage-probe filter on listings requires a per-table GET — the
+  generic-tables listing carries identifiers only (polaris.py:485-508);
+* no drop_table — Polaris only deregisters (base raises
+  UnsupportedOperation), matching the reference surface.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.errors import (
+    InvalidInput,
+    NamespaceAlreadyExists,
+    NamespaceNotFound,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from lance_namespace_impls_spark.catalog.http import HttpDialectNamespace
+
+
+class PolarisNamespace(HttpDialectNamespace):
+    """properties: ``polaris.endpoint`` (required), ``polaris.root``,
+    ``polaris.auth_token``, ``polaris.*_timeout_millis``, ``polaris.max_retries``."""
+
+    PROP_PREFIX = "polaris"
+
+    def namespace_id(self) -> str:
+        return f"PolarisNamespace {self._endpoint}"
+
+    def _api_base(self) -> str:
+        return f"{self._endpoint}/api/catalog"
+
+    # -- identifier shapes ---------------------------------------------------
+
+    @staticmethod
+    def _ns_id(levels: list[str]) -> tuple[str, list[str]]:
+        if len(levels) < 2:
+            raise InvalidInput(
+                f"Polaris namespaces need at least [catalog, namespace], got {levels!r}"
+            )
+        return levels[0], levels[1:]
+
+    @staticmethod
+    def _tbl_id(levels: list[str]) -> tuple[str, list[str], str]:
+        if len(levels) < 3:
+            raise InvalidInput(
+                f"Polaris tables need at least [catalog, namespace, table], got {levels!r}"
+            )
+        return levels[0], levels[1:-1], levels[-1]
+
+    @staticmethod
+    def _ns_path(ns: list[str]) -> str:
+        return quote(".".join(ns), safe=".")
+
+    def _generic(self, catalog: str, ns: list[str]) -> str:
+        return f"/polaris/v1/{quote(catalog, safe='')}/namespaces/{self._ns_path(ns)}/generic-tables"
+
+    # -- namespace ops -------------------------------------------------------
+
+    def list_namespaces(self, req: m.ListNamespacesRequest) -> m.ListNamespacesResponse:
+        if not req.id:
+            raise InvalidInput("Polaris listings need at least the catalog level")
+        catalog, ns = req.id[0], req.id[1:]
+        if ns:
+            path = f"/v1/{quote(catalog, safe='')}/namespaces/{self._ns_path(ns)}/namespaces"
+        else:
+            path = f"/v1/{quote(catalog, safe='')}/namespaces"
+        out = self._request("GET", path, not_found=NamespaceNotFound) or {}
+        # Dotted catalog-prefixed names (reference polaris.py:132-140).
+        names = sorted(
+            {".".join([catalog, *levels]) for levels in out.get("namespaces", []) if levels}
+        )
+        return m.ListNamespacesResponse(namespaces=names)
+
+    def create_namespace(self, req: m.CreateNamespaceRequest) -> m.CreateNamespaceResponse:
+        catalog, ns = self._ns_id(req.id)
+        if req.mode not in (m.MODE_CREATE, m.MODE_EXIST_OK, m.MODE_OVERWRITE):
+            raise InvalidInput(f"unknown creation mode {req.mode!r}")
+        if req.mode == m.MODE_OVERWRITE:
+            raise InvalidInput("Polaris does not support overwrite namespace creation")
+        body = {"namespace": ns, "properties": req.properties or {}}
+        try:
+            out = self._request(
+                "POST",
+                f"/v1/{quote(catalog, safe='')}/namespaces",
+                body,
+                not_found=NamespaceNotFound,
+                conflict=NamespaceAlreadyExists,
+            ) or {}
+        except NamespaceAlreadyExists:
+            if req.mode != m.MODE_EXIST_OK:
+                raise
+            out = {"properties": req.properties or {}}
+        return m.CreateNamespaceResponse(properties=out.get("properties") or {})
+
+    def describe_namespace(self, req: m.DescribeNamespaceRequest) -> m.DescribeNamespaceResponse:
+        catalog, ns = self._ns_id(req.id)
+        out = self._request(
+            "GET",
+            f"/v1/{quote(catalog, safe='')}/namespaces/{self._ns_path(ns)}",
+            not_found=NamespaceNotFound,
+        ) or {}
+        return m.DescribeNamespaceResponse(properties=out.get("properties") or {})
+
+    def namespace_exists(self, req: m.NamespaceExistsRequest) -> None:
+        self.describe_namespace(m.DescribeNamespaceRequest(id=req.id))
+
+    def drop_namespace(self, req: m.DropNamespaceRequest) -> m.DropNamespaceResponse:
+        if req.behavior == m.BEHAVIOR_CASCADE:
+            raise InvalidInput("cascade drop is not supported")
+        catalog, ns = self._ns_id(req.id)
+        try:
+            self._request(
+                "DELETE",
+                f"/v1/{quote(catalog, safe='')}/namespaces/{self._ns_path(ns)}",
+                not_found=NamespaceNotFound,
+            )
+        except NamespaceNotFound:
+            # tolerated regardless of mode (polaris.py:246-248)
+            pass
+        return m.DropNamespaceResponse()
+
+    # -- table ops (generic-tables endpoint family) --------------------------
+
+    def _get_table(self, catalog: str, ns: list[str], table: str) -> dict:
+        out = self._request(
+            "GET",
+            f"{self._generic(catalog, ns)}/{quote(table, safe='')}",
+            not_found=TableNotFound,
+        ) or {}
+        info = out.get("table")
+        if not info:
+            raise TableNotFound(f"table not found: {catalog}.{'.'.join(ns)}.{table}")
+        return info
+
+    @staticmethod
+    def _require_lance(info: dict, ident: str) -> None:
+        if (info.get("format") or "").lower() != m.LANCE_TABLE_TYPE:
+            raise InvalidInput(
+                f"{ident} is not a Lance table (format: {info.get('format')})"
+            )
+
+    def list_tables(self, req: m.ListTablesRequest) -> m.ListTablesResponse:
+        catalog, ns = self._ns_id(req.id)
+        out = self._request(
+            "GET", self._generic(catalog, ns), not_found=NamespaceNotFound
+        ) or {}
+        names = []
+        for ident in out.get("identifiers", []):
+            name = ident.get("name")
+            if not name:
+                continue
+            if not m.include_declared_default(req.include_declared):
+                # The listing carries identifiers only: materialization
+                # requires a per-table fetch (polaris.py:485-508).
+                try:
+                    info = self._get_table(catalog, ns, name)
+                except (TableNotFound, InvalidInput):
+                    continue
+                if (info.get("format") or "").lower() != m.LANCE_TABLE_TYPE:
+                    continue
+                from lance_namespace_impls_spark.catalog.directory import (
+                    has_storage_components,
+                )
+
+                if not has_storage_components(info.get("base-location") or ""):
+                    continue
+            names.append(name)
+        return m.ListTablesResponse(tables=sorted(set(names)))
+
+    def declare_table(self, req: m.DeclareTableRequest) -> m.DeclareTableResponse:
+        catalog, ns, table = self._tbl_id(req.id)
+        path = req.location or f"{self._root}/{'/'.join(req.id[:-1])}/{table}"
+        props = m.merge_table_properties(
+            req.properties, {m.PROP_TABLE_TYPE: m.LANCE_TABLE_TYPE}
+        )
+        body = {
+            "name": table,
+            "format": m.LANCE_TABLE_TYPE,
+            "base-location": path,
+            "properties": props,
+        }
+        out = self._request(
+            "POST",
+            self._generic(catalog, ns),
+            body,
+            not_found=NamespaceNotFound,
+            conflict=TableAlreadyExists,
+        ) or {}
+        resp_props = (out.get("table") or {}).get("properties")
+        return m.DeclareTableResponse(
+            location=path, properties=resp_props or props, managed_versioning=False
+        )
+
+    def describe_table(self, req: m.DescribeTableRequest) -> m.DescribeTableResponse:
+        if req.load_detailed_metadata:
+            raise InvalidInput("load_detailed_metadata is not supported")
+        catalog, ns, table = self._tbl_id(req.id)
+        info = self._get_table(catalog, ns, table)
+        self._require_lance(info, ".".join(req.id))
+        is_only_declared = None
+        if req.check_declared:
+            from lance_namespace_impls_spark.catalog.directory import (
+                has_storage_components,
+            )
+
+            is_only_declared = not has_storage_components(info.get("base-location") or "")
+        return m.DescribeTableResponse(
+            location=info.get("base-location") or "",
+            properties=info.get("properties") or {},
+            managed_versioning=False,
+            is_only_declared=is_only_declared,
+        )
+
+    def table_exists(self, req: m.TableExistsRequest) -> None:
+        self.describe_table(m.DescribeTableRequest(id=req.id))
+
+    def deregister_table(self, req: m.DeregisterTableRequest) -> m.DeregisterTableResponse:
+        catalog, ns, table = self._tbl_id(req.id)
+        info = self._get_table(catalog, ns, table)
+        self._require_lance(info, ".".join(req.id))
+        self._request(
+            "DELETE",
+            f"{self._generic(catalog, ns)}/{quote(table, safe='')}",
+            not_found=TableNotFound,
+        )
+        return m.DeregisterTableResponse(
+            id=list(req.id),
+            location=info.get("base-location"),
+            properties=info.get("properties") or {},
+        )

@@ -50,9 +50,20 @@ register_namespace_impl(
     "session",
     "lance_namespace_impls_spark.catalog.spark_session.SessionCatalogNamespace",
 )
-# REST-catalog profiles: one backend, three service dialects (the reference's
-# iceberg/polaris/unity short names all speak Iceberg-REST-shaped HTTP here).
-for _short in ("rest", "iceberg", "polaris", "unity"):
+# REST-catalog profiles: Iceberg-REST-shaped generic backend plus the two
+# service dialects with their own path/body/hierarchy contracts.
+for _short in ("rest", "iceberg"):
     register_namespace_impl(
         _short, "lance_namespace_impls_spark.catalog.rest.RestNamespace"
     )
+register_namespace_impl(
+    "unity", "lance_namespace_impls_spark.catalog.unity.UnityNamespace"
+)
+register_namespace_impl(
+    "polaris", "lance_namespace_impls_spark.catalog.polaris.PolarisNamespace"
+)
+# Client-library-backed profiles: boto3-shaped (Glue) and Thrift-shaped
+# (Hive); both accept an injected 'client' for the mocked contract tests.
+register_namespace_impl("glue", "lance_namespace_impls_spark.catalog.glue.GlueNamespace")
+register_namespace_impl("hive2", "lance_namespace_impls_spark.catalog.hive.Hive2Namespace")
+register_namespace_impl("hive3", "lance_namespace_impls_spark.catalog.hive.Hive3Namespace")

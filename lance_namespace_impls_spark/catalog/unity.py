@@ -1,0 +1,404 @@
+"""Unity Catalog dialect adapter.
+
+Re-expresses the reference's Unity backend
+(`python/src/lance_namespace_impls/unity.py`) over the shared HTTP base:
+
+* fixed 2-level hierarchy — catalogs > schemas; tables live at exactly
+  ``[catalog, schema, table]`` (unity.py:234-241, 297-300, 437-440);
+* API base ``{endpoint}/api/2.1/unity-catalog`` with idempotent suffix
+  handling (unity.py:82-90);
+* namespace listing: root lists ``/catalogs``, one level lists
+  ``/schemas?catalog_name=`` (unity.py:246-274);
+* table creation body: ``table_type=EXTERNAL`` + ``data_source_format=TEXT``
+  with a single ``__placeholder_id`` LONG column; the Lance location rides
+  ``storage_location`` and the required props carry ``table_type=lance`` +
+  ``managed_by=catalog`` (unity.py:451-479);
+* non-Lance tables fail describe with InvalidInput — NOT TableNotFound —
+  matching the reference's distinct Unity behavior (unity.py:528-531);
+* drop_namespace tolerates 404 (unity.py:386-388); cascade rejected;
+* the lossy 8-type Arrow→Unity column projection (unity.py:647-710,
+  SURVEY §2A row 16) is exposed as :func:`arrow_schema_to_unity_columns`
+  and used by ``create_table`` when Arrow data supplies a real schema;
+* ``drop_table`` is NOT supported (the reference Unity backend only
+  deregisters); the base class raises UnsupportedOperation.
+"""
+
+from __future__ import annotations
+
+from urllib.parse import quote
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.errors import (
+    InvalidInput,
+    NamespaceAlreadyExists,
+    NamespaceNotFound,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from lance_namespace_impls_spark.catalog.http import HttpDialectNamespace
+
+# Arrow type-class → (type_name, type_json-fragment).  Everything outside the
+# 8 supported classes collapses to STRING — the documented lossy projection.
+_UNITY_TYPES: tuple[tuple[str, str, str], ...] = (
+    ("string", "STRING", "string"),
+    ("large_string", "STRING", "string"),
+    ("int32", "INT", "integer"),
+    ("int64", "LONG", "long"),
+    ("float32", "FLOAT", "float"),
+    ("float64", "DOUBLE", "double"),
+    ("bool", "BOOLEAN", "boolean"),
+    ("date", "DATE", "date"),
+    ("timestamp", "TIMESTAMP", "timestamp"),
+)
+
+
+def _unity_type(arrow_type) -> tuple[str, str]:
+    """Lossy Arrow→Unity projection: (type_name, type_json)."""
+    import pyarrow as pa
+
+    checks = {
+        "string": pa.types.is_string,
+        "large_string": pa.types.is_large_string,
+        "int32": pa.types.is_int32,
+        "int64": pa.types.is_int64,
+        "float32": pa.types.is_float32,
+        "float64": pa.types.is_float64,
+        "bool": pa.types.is_boolean,
+        "date": pa.types.is_date,
+        "timestamp": pa.types.is_timestamp,
+    }
+    for key, name, json_frag in _UNITY_TYPES:
+        if checks[key](arrow_type):
+            return name, f'{{"type":"{json_frag}"}}'
+    return "STRING", '{"type":"string"}'
+
+
+def arrow_schema_to_unity_columns(schema) -> list[dict]:
+    """Project an Arrow schema onto Unity ColumnInfo dicts (lossy by design:
+    nested/decimal/binary columns degrade to STRING; reference unity.py:647-710)."""
+    columns = []
+    for pos, field in enumerate(schema):
+        type_name, type_json = _unity_type(field.type)
+        columns.append(
+            {
+                "name": field.name,
+                "type_text": type_name,
+                "type_json": type_json,
+                "type_name": type_name,
+                "position": pos,
+                "nullable": field.nullable,
+            }
+        )
+    return columns
+
+
+_PLACEHOLDER_COLUMNS = [
+    {
+        "name": "__placeholder_id",
+        "type_text": "LONG",
+        "type_json": '{"type":"long"}',
+        "type_name": "LONG",
+        "position": 0,
+        "nullable": True,
+    }
+]
+
+
+class UnityNamespace(HttpDialectNamespace):
+    """properties: ``unity.endpoint`` (required), ``unity.root``,
+    ``unity.auth_token``, ``unity.*_timeout_millis``, ``unity.max_retries``."""
+
+    PROP_PREFIX = "unity"
+
+    def namespace_id(self) -> str:
+        return f"UnityNamespace {self._endpoint}"
+
+    def _api_base(self) -> str:
+        base = self._endpoint
+        if base.endswith("/api/2.1/unity-catalog"):
+            return base
+        if base.endswith("/api/2.1"):
+            return f"{base}/unity-catalog"
+        return f"{base}/api/2.1/unity-catalog"
+
+    # -- hierarchy -----------------------------------------------------------
+
+    @staticmethod
+    def _schema_id(levels: list[str]) -> tuple[str, str]:
+        if len(levels) != 2:
+            raise InvalidInput(
+                f"Unity namespaces are exactly catalog.schema (2 levels), got {levels!r}"
+            )
+        return levels[0], levels[1]
+
+    @staticmethod
+    def _table_id(levels: list[str]) -> tuple[str, str, str]:
+        if len(levels) != 3:
+            raise InvalidInput(
+                f"Unity tables are exactly catalog.schema.table (3 levels), got {levels!r}"
+            )
+        return levels[0], levels[1], levels[2]
+
+    # -- namespace ops -------------------------------------------------------
+
+    def list_namespaces(self, req: m.ListNamespacesRequest) -> m.ListNamespacesResponse:
+        if len(req.id) > 1:
+            raise InvalidInput(
+                f"Unity supports at most 1 parent level in listings, got {req.id!r}"
+            )
+        params = []
+        if req.id:
+            params.append(f"catalog_name={quote(req.id[0], safe='')}")
+        if req.limit:
+            params.append(f"max_results={req.limit}")
+        if req.page_token:
+            params.append(f"page_token={quote(req.page_token, safe='')}")
+        qs = ("?" + "&".join(params)) if params else ""
+        if not req.id:
+            out = self._request("GET", f"/catalogs{qs}", not_found=NamespaceNotFound) or {}
+            names = [c["name"] for c in out.get("catalogs", [])]
+        else:
+            out = self._request("GET", f"/schemas{qs}", not_found=NamespaceNotFound) or {}
+            names = [s["name"] for s in out.get("schemas", [])]
+        return m.ListNamespacesResponse(
+            namespaces=sorted(set(names)), page_token=out.get("next_page_token")
+        )
+
+    def create_namespace(self, req: m.CreateNamespaceRequest) -> m.CreateNamespaceResponse:
+        catalog, schema = self._schema_id(req.id)
+        if req.mode not in (m.MODE_CREATE, m.MODE_EXIST_OK, m.MODE_OVERWRITE):
+            raise InvalidInput(f"unknown creation mode {req.mode!r}")
+        if req.mode == m.MODE_OVERWRITE:
+            raise InvalidInput("Unity does not support overwrite namespace creation")
+        body = {
+            "name": schema,
+            "catalog_name": catalog,
+            "properties": req.properties or {},
+        }
+        try:
+            out = self._request(
+                "POST",
+                "/schemas",
+                body,
+                not_found=NamespaceNotFound,
+                conflict=NamespaceAlreadyExists,
+            ) or {}
+        except NamespaceAlreadyExists:
+            if req.mode != m.MODE_EXIST_OK:
+                raise
+            out = {"properties": req.properties or {}}
+        return m.CreateNamespaceResponse(properties=out.get("properties") or {})
+
+    def describe_namespace(self, req: m.DescribeNamespaceRequest) -> m.DescribeNamespaceResponse:
+        catalog, schema = self._schema_id(req.id)
+        out = self._request(
+            "GET",
+            f"/schemas/{quote(f'{catalog}.{schema}', safe='.')}",
+            not_found=NamespaceNotFound,
+        ) or {}
+        return m.DescribeNamespaceResponse(properties=out.get("properties") or {})
+
+    def namespace_exists(self, req: m.NamespaceExistsRequest) -> None:
+        self.describe_namespace(m.DescribeNamespaceRequest(id=req.id))
+
+    def drop_namespace(self, req: m.DropNamespaceRequest) -> m.DropNamespaceResponse:
+        if req.behavior == m.BEHAVIOR_CASCADE:
+            raise InvalidInput("cascade drop is not supported")
+        catalog, schema = self._schema_id(req.id)
+        try:
+            self._request(
+                "DELETE",
+                f"/schemas/{quote(f'{catalog}.{schema}', safe='.')}",
+                not_found=NamespaceNotFound,
+            )
+        except NamespaceNotFound:
+            # Unity's drop tolerates a missing schema regardless of mode
+            # (unity.py:386-388).
+            pass
+        return m.DropNamespaceResponse()
+
+    # -- table ops -----------------------------------------------------------
+
+    @staticmethod
+    def _is_lance(props: dict) -> bool:
+        return (props or {}).get(m.PROP_TABLE_TYPE, "").lower() == m.LANCE_TABLE_TYPE
+
+    def list_tables(self, req: m.ListTablesRequest) -> m.ListTablesResponse:
+        catalog, schema = self._schema_id(req.id)
+        params = [
+            f"catalog_name={quote(catalog, safe='')}",
+            f"schema_name={quote(schema, safe='')}",
+        ]
+        if req.limit:
+            params.append(f"max_results={req.limit}")
+        if req.page_token:
+            params.append(f"page_token={quote(req.page_token, safe='')}")
+        out = self._request(
+            "GET", "/tables?" + "&".join(params), not_found=NamespaceNotFound
+        ) or {}
+        names = []
+        for t in out.get("tables", []):
+            if not self._is_lance(t.get("properties")):
+                continue
+            if not m.include_declared_default(req.include_declared):
+                from lance_namespace_impls_spark.catalog.directory import (
+                    has_storage_components,
+                )
+
+                if not has_storage_components(t.get("storage_location") or ""):
+                    continue
+            names.append(t["name"])
+        return m.ListTablesResponse(
+            tables=sorted(set(names)), page_token=out.get("next_page_token")
+        )
+
+    def _get_table(self, catalog: str, schema: str, table: str) -> dict:
+        full = f"{catalog}.{schema}.{table}"
+        return self._request(
+            "GET", f"/tables/{quote(full, safe='.')}", not_found=TableNotFound
+        ) or {}
+
+    def describe_table(self, req: m.DescribeTableRequest) -> m.DescribeTableResponse:
+        if req.load_detailed_metadata:
+            raise InvalidInput("load_detailed_metadata is not supported")
+        catalog, schema, table = self._table_id(req.id)
+        info = self._get_table(catalog, schema, table)
+        if not self._is_lance(info.get("properties")):
+            # Unity reports a present-but-foreign table as invalid input,
+            # not missing (unity.py:528-531).
+            raise InvalidInput(f"{'.'.join(req.id)} is not a Lance table")
+        is_only_declared = None
+        if req.check_declared:
+            from lance_namespace_impls_spark.catalog.directory import (
+                has_storage_components,
+            )
+
+            is_only_declared = not has_storage_components(info.get("storage_location") or "")
+        return m.DescribeTableResponse(
+            location=info.get("storage_location") or "",
+            properties=info.get("properties") or {},
+            managed_versioning=False,
+            is_only_declared=is_only_declared,
+        )
+
+    def table_exists(self, req: m.TableExistsRequest) -> None:
+        self.describe_table(m.DescribeTableRequest(id=req.id))
+
+    def _create_body(
+        self, req_id: list[str], location: str | None, properties: dict, columns: list[dict]
+    ) -> tuple[dict, str]:
+        catalog, schema, table = self._table_id(req_id)
+        path = location or f"{self._root}/{catalog}/{schema}/{table}"
+        props = m.merge_table_properties(
+            properties, {m.PROP_TABLE_TYPE: m.LANCE_TABLE_TYPE, "managed_by": "catalog"}
+        )
+        body = {
+            "name": table,
+            "catalog_name": catalog,
+            "schema_name": schema,
+            "table_type": "EXTERNAL",
+            "data_source_format": "TEXT",
+            "columns": columns,
+            "storage_location": path,
+            "properties": props,
+        }
+        return body, path
+
+    def declare_table(self, req: m.DeclareTableRequest) -> m.DeclareTableResponse:
+        body, path = self._create_body(
+            req.id, req.location, req.properties, _PLACEHOLDER_COLUMNS
+        )
+        out = self._request(
+            "POST",
+            "/tables",
+            body,
+            not_found=NamespaceNotFound,
+            conflict=TableAlreadyExists,
+        ) or {}
+        return m.DeclareTableResponse(
+            location=path,
+            properties=out.get("properties") or body["properties"],
+            managed_versioning=False,
+        )
+
+    def create_table(self, req: m.CreateTableRequest, data=None) -> m.CreateTableResponse:
+        """Create with data: Arrow schema projects onto Unity columns (lossy);
+        data lands at the storage location as parquet."""
+        import pyarrow as pa
+
+        columns = _PLACEHOLDER_COLUMNS
+        table_data = None
+        if data is not None:
+            if isinstance(data, (bytes, bytearray)):
+                with pa.ipc.open_stream(bytes(data)) as reader:
+                    table_data = reader.read_all()
+            elif isinstance(data, pa.Table):
+                table_data = data
+            else:  # Spark DataFrame
+                columns = arrow_schema_to_unity_columns(
+                    pa.schema(
+                        [
+                            pa.field(f.name, _spark_to_arrow(f.dataType), f.nullable)
+                            for f in data.schema.fields
+                        ]
+                    )
+                )
+            if table_data is not None:
+                columns = arrow_schema_to_unity_columns(table_data.schema)
+        body, path = self._create_body(req.id, req.location, req.properties, columns)
+        out = self._request(
+            "POST",
+            "/tables",
+            body,
+            not_found=NamespaceNotFound,
+            conflict=TableAlreadyExists,
+        ) or {}
+        if table_data is not None:
+            import os
+
+            import pyarrow.parquet as pq
+
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(table_data, os.path.join(path, "part-00000.parquet"))
+        elif data is not None:
+            data.write.mode("overwrite").parquet(path)
+        return m.CreateTableResponse(
+            location=path,
+            properties=out.get("properties") or body["properties"],
+            managed_versioning=False,
+        )
+
+    def deregister_table(self, req: m.DeregisterTableRequest) -> m.DeregisterTableResponse:
+        catalog, schema, table = self._table_id(req.id)
+        info = self._get_table(catalog, schema, table)
+        if not self._is_lance(info.get("properties")):
+            raise InvalidInput(f"{'.'.join(req.id)} is not a Lance table")
+        full = f"{catalog}.{schema}.{table}"
+        self._request(
+            "DELETE", f"/tables/{quote(full, safe='.')}", not_found=TableNotFound
+        )
+        return m.DeregisterTableResponse(
+            id=list(req.id),
+            location=info.get("storage_location"),
+            properties=info.get("properties") or {},
+        )
+
+
+def _spark_to_arrow(dt):
+    """Minimal Spark→Arrow mapping for Unity column projection of DataFrame
+    schemas (full matrix lives in catalog/schema.py; this only needs the
+    8 Unity-representable classes — everything else becomes string anyway)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    mapping = {
+        T.StringType: pa.string(),
+        T.IntegerType: pa.int32(),
+        T.LongType: pa.int64(),
+        T.FloatType: pa.float32(),
+        T.DoubleType: pa.float64(),
+        T.BooleanType: pa.bool_(),
+        T.DateType: pa.date32(),
+        T.TimestampType: pa.timestamp("us"),
+    }
+    return mapping.get(type(dt), pa.string())

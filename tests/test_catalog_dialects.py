@@ -1,0 +1,393 @@
+"""Unity + Polaris dialect contract tests over the mocked transport.
+
+Mirrors the reference's mocked-client shapes (test_unity.py:181-417,
+test_polaris.py:91-501): request path/body assertions, hierarchy-cap
+enforcement, lance-format filtering, error-name mapping, and pickle safety.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import pytest
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.errors import (
+    InvalidInput,
+    NamespaceAlreadyExists,
+    NamespaceNotFound,
+    TableAlreadyExists,
+    TableNotFound,
+    UnsupportedOperation,
+)
+from lance_namespace_impls_spark.catalog.polaris import PolarisNamespace
+from lance_namespace_impls_spark.catalog.registry import connect
+from lance_namespace_impls_spark.catalog.unity import (
+    UnityNamespace,
+    arrow_schema_to_unity_columns,
+)
+
+
+class FakeTransport:
+    def __init__(self, base: str):
+        self.base = base
+        self.calls: list[tuple[str, str, dict | None]] = []
+        self.routes: dict[tuple[str, str], tuple[int, dict | None]] = {}
+
+    def route(self, method: str, path: str, status: int, body=None):
+        self.routes[(method, path)] = (status, body)
+
+    def __call__(self, method, url, headers, body):
+        assert url.startswith(self.base), f"wrong API base: {url}"
+        path = url.removeprefix(self.base)
+        self.calls.append((method, path, body))
+        if (method, path) in self.routes:
+            return self.routes[(method, path)]
+        raise AssertionError(f"unexpected request: {method} {path}")
+
+
+# -- Unity -------------------------------------------------------------------
+
+
+@pytest.fixture()
+def unity():
+    t = FakeTransport("http://uc/api/2.1/unity-catalog")
+    ns = UnityNamespace({"unity.endpoint": "http://uc", "transport": t})
+    return ns, t
+
+
+def test_unity_connect_short_name():
+    ns = connect("unity", {"unity.endpoint": "http://uc", "transport": lambda *a: (200, {})})
+    assert isinstance(ns, UnityNamespace)
+
+
+def test_unity_api_base_suffix_idempotent():
+    for ep in ("http://uc", "http://uc/api/2.1", "http://uc/api/2.1/unity-catalog"):
+        ns = UnityNamespace({"unity.endpoint": ep})
+        assert ns._api_base() == "http://uc/api/2.1/unity-catalog"
+
+
+def test_unity_requires_endpoint():
+    with pytest.raises(InvalidInput):
+        UnityNamespace({})
+
+
+def test_unity_auth_token_header():
+    ns = UnityNamespace({"unity.endpoint": "http://uc", "unity.auth_token": "tok"})
+    assert ns._headers["Authorization"] == "Bearer tok"
+
+
+def test_unity_list_catalogs_and_schemas(unity):
+    ns, t = unity
+    t.route("GET", "/catalogs", 200, {"catalogs": [{"name": "b"}, {"name": "a"}]})
+    assert ns.list_namespaces(m.ListNamespacesRequest()).namespaces == ["a", "b"]
+    t.route("GET", "/schemas?catalog_name=cat", 200, {"schemas": [{"name": "s1"}]})
+    assert ns.list_namespaces(m.ListNamespacesRequest(id=["cat"])).namespaces == ["s1"]
+    # fixed hierarchy: >1 parent level rejected (unity.py:238-241)
+    with pytest.raises(InvalidInput):
+        ns.list_namespaces(m.ListNamespacesRequest(id=["cat", "s1"]))
+
+
+def test_unity_two_level_namespace_enforced(unity):
+    ns, _ = unity
+    for bad in (["only"], ["a", "b", "c"]):
+        with pytest.raises(InvalidInput):
+            ns.create_namespace(m.CreateNamespaceRequest(id=bad))
+        with pytest.raises(InvalidInput):
+            ns.describe_namespace(m.DescribeNamespaceRequest(id=bad))
+        with pytest.raises(InvalidInput):
+            ns.drop_namespace(m.DropNamespaceRequest(id=bad))
+
+
+def test_unity_create_namespace_body_and_conflict(unity):
+    ns, t = unity
+    t.route("POST", "/schemas", 200, {"properties": {"k": "v"}})
+    out = ns.create_namespace(
+        m.CreateNamespaceRequest(id=["cat", "s1"], properties={"k": "v"})
+    )
+    method, path, body = t.calls[-1]
+    assert body == {"name": "s1", "catalog_name": "cat", "properties": {"k": "v"}}
+    assert out.properties == {"k": "v"}
+    t.route("POST", "/schemas", 409, None)
+    with pytest.raises(NamespaceAlreadyExists):
+        ns.create_namespace(m.CreateNamespaceRequest(id=["cat", "s1"]))
+    ns.create_namespace(m.CreateNamespaceRequest(id=["cat", "s1"], mode=m.MODE_EXIST_OK))
+
+
+def test_unity_drop_namespace_tolerates_missing(unity):
+    ns, t = unity
+    t.route("DELETE", "/schemas/cat.gone", 404, None)
+    ns.drop_namespace(m.DropNamespaceRequest(id=["cat", "gone"]))  # no raise
+    with pytest.raises(InvalidInput):
+        ns.drop_namespace(
+            m.DropNamespaceRequest(id=["cat", "s"], behavior=m.BEHAVIOR_CASCADE)
+        )
+
+
+def test_unity_list_tables_lance_filter(unity):
+    ns, t = unity
+    t.route(
+        "GET",
+        "/tables?catalog_name=cat&schema_name=s1",
+        200,
+        {
+            "tables": [
+                {"name": "lt", "properties": {"table_type": "lance"}},
+                {"name": "delta_t", "properties": {"table_type": "delta"}},
+                {"name": "bare", "properties": {}},
+            ]
+        },
+    )
+    out = ns.list_tables(m.ListTablesRequest(id=["cat", "s1"]))
+    assert out.tables == ["lt"]
+
+
+def test_unity_declare_table_body(unity):
+    ns, t = unity
+    t.route("POST", "/tables", 200, {})
+    out = ns.declare_table(
+        m.DeclareTableRequest(id=["cat", "s1", "t1"], location="/data/t1.lance")
+    )
+    _, _, body = t.calls[-1]
+    # EXTERNAL + TEXT + placeholder column (unity.py:451-479)
+    assert body["table_type"] == "EXTERNAL"
+    assert body["data_source_format"] == "TEXT"
+    assert body["columns"][0]["name"] == "__placeholder_id"
+    assert body["columns"][0]["type_name"] == "LONG"
+    assert body["storage_location"] == "/data/t1.lance"
+    assert body["properties"]["table_type"] == "lance"
+    assert body["properties"]["managed_by"] == "catalog"
+    assert out.location == "/data/t1.lance"
+    t.route("POST", "/tables", 409, None)
+    with pytest.raises(TableAlreadyExists):
+        ns.declare_table(m.DeclareTableRequest(id=["cat", "s1", "t1"], location="/x"))
+
+
+def test_unity_declare_default_location(unity):
+    ns, t = unity
+    t.route("POST", "/tables", 200, {})
+    out = ns.declare_table(m.DeclareTableRequest(id=["cat", "s1", "t2"]))
+    assert out.location == "/tmp/lance/cat/s1/t2"
+
+
+def test_unity_describe_table_non_lance_is_invalid_input(unity):
+    ns, t = unity
+    t.route(
+        "GET",
+        "/tables/cat.s1.t1",
+        200,
+        {"storage_location": "/d/t1", "properties": {"table_type": "lance"}},
+    )
+    out = ns.describe_table(m.DescribeTableRequest(id=["cat", "s1", "t1"]))
+    assert out.location == "/d/t1"
+    assert out.managed_versioning is False
+    # present-but-foreign → InvalidInput, not TableNotFound (unity.py:528-531)
+    t.route(
+        "GET", "/tables/cat.s1.dl", 200,
+        {"storage_location": "/d/dl", "properties": {"table_type": "delta"}},
+    )
+    with pytest.raises(InvalidInput):
+        ns.describe_table(m.DescribeTableRequest(id=["cat", "s1", "dl"]))
+    t.route("GET", "/tables/cat.s1.gone", 404, None)
+    with pytest.raises(TableNotFound):
+        ns.describe_table(m.DescribeTableRequest(id=["cat", "s1", "gone"]))
+
+
+def test_unity_deregister_and_no_drop(unity):
+    ns, t = unity
+    t.route(
+        "GET",
+        "/tables/cat.s1.t1",
+        200,
+        {"storage_location": "/d/t1", "properties": {"table_type": "lance"}},
+    )
+    t.route("DELETE", "/tables/cat.s1.t1", 200, None)
+    out = ns.deregister_table(m.DeregisterTableRequest(id=["cat", "s1", "t1"]))
+    assert out.location == "/d/t1"
+    # Unity has no purge path (reference surface has deregister only)
+    with pytest.raises(UnsupportedOperation):
+        ns.drop_table(m.DropTableRequest(id=["cat", "s1", "t1"]))
+
+
+def test_unity_arrow_projection_lossy():
+    """The 8-type projection (unity.py:647-710): representable types map,
+    everything else collapses to STRING."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field("s", pa.string()),
+            pa.field("i", pa.int32()),
+            pa.field("l", pa.int64()),
+            pa.field("f", pa.float32()),
+            pa.field("d", pa.float64()),
+            pa.field("b", pa.bool_()),
+            pa.field("dt", pa.date32()),
+            pa.field("ts", pa.timestamp("us")),
+            # lossy cases
+            pa.field("dec", pa.decimal128(18, 2)),
+            pa.field("bin", pa.binary()),
+            pa.field("arr", pa.list_(pa.float32())),
+        ]
+    )
+    cols = arrow_schema_to_unity_columns(schema)
+    got = {c["name"]: c["type_name"] for c in cols}
+    assert got == {
+        "s": "STRING", "i": "INT", "l": "LONG", "f": "FLOAT", "d": "DOUBLE",
+        "b": "BOOLEAN", "dt": "DATE", "ts": "TIMESTAMP",
+        "dec": "STRING", "bin": "STRING", "arr": "STRING",
+    }
+    assert [c["position"] for c in cols] == list(range(11))
+    type_json = {c["name"]: c["type_json"] for c in cols}
+    assert type_json["i"] == '{"type":"integer"}'
+    assert type_json["dec"] == '{"type":"string"}'
+
+
+def test_unity_pickle_roundtrip(unity):
+    ns, _ = unity
+    clone = pickle.loads(pickle.dumps(ns))
+    assert clone._transport is None
+    assert clone._endpoint == "http://uc"
+
+
+# -- Polaris -----------------------------------------------------------------
+
+
+@pytest.fixture()
+def polaris():
+    t = FakeTransport("http://pol/api/catalog")
+    ns = PolarisNamespace({"polaris.endpoint": "http://pol", "transport": t})
+    return ns, t
+
+
+def test_polaris_connect_short_name():
+    ns = connect("polaris", {"polaris.endpoint": "http://pol"})
+    assert isinstance(ns, PolarisNamespace)
+
+
+def test_polaris_list_namespaces_prefixed_dotted(polaris):
+    ns, t = polaris
+    t.route("GET", "/v1/cat/namespaces", 200, {"namespaces": [["b"], ["a"]]})
+    out = ns.list_namespaces(m.ListNamespacesRequest(id=["cat"]))
+    assert out.namespaces == ["cat.a", "cat.b"]  # catalog-prefixed (polaris.py:132-140)
+    t.route("GET", "/v1/cat/namespaces/a/namespaces", 200, {"namespaces": [["a", "x"]]})
+    nested = ns.list_namespaces(m.ListNamespacesRequest(id=["cat", "a"]))
+    assert nested.namespaces == ["cat.a.x"]
+    with pytest.raises(InvalidInput):
+        ns.list_namespaces(m.ListNamespacesRequest())
+
+
+def test_polaris_create_namespace_iceberg_shape(polaris):
+    ns, t = polaris
+    t.route("POST", "/v1/cat/namespaces", 200, {"properties": {"o": "me"}})
+    out = ns.create_namespace(
+        m.CreateNamespaceRequest(id=["cat", "ns1", "sub"], properties={"o": "me"})
+    )
+    _, _, body = t.calls[-1]
+    assert body == {"namespace": ["ns1", "sub"], "properties": {"o": "me"}}
+    assert out.properties == {"o": "me"}
+    t.route("POST", "/v1/cat/namespaces", 409, None)
+    with pytest.raises(NamespaceAlreadyExists):
+        ns.create_namespace(m.CreateNamespaceRequest(id=["cat", "ns1"]))
+
+
+def test_polaris_describe_and_drop(polaris):
+    ns, t = polaris
+    t.route("GET", "/v1/cat/namespaces/ns1", 200, {"properties": {"k": "v"}})
+    assert ns.describe_namespace(
+        m.DescribeNamespaceRequest(id=["cat", "ns1"])
+    ).properties == {"k": "v"}
+    t.route("GET", "/v1/cat/namespaces/gone", 404, None)
+    with pytest.raises(NamespaceNotFound):
+        ns.describe_namespace(m.DescribeNamespaceRequest(id=["cat", "gone"]))
+    # drop tolerates 404 (polaris.py:246-248)
+    t.route("DELETE", "/v1/cat/namespaces/gone", 404, None)
+    ns.drop_namespace(m.DropNamespaceRequest(id=["cat", "gone"]))
+    with pytest.raises(InvalidInput):
+        ns.drop_namespace(
+            m.DropNamespaceRequest(id=["cat", "x"], behavior=m.BEHAVIOR_CASCADE)
+        )
+
+
+def test_polaris_declare_table_generic_tables_body(polaris):
+    ns, t = polaris
+    t.route("POST", "/polaris/v1/cat/namespaces/ns1/generic-tables", 200, {})
+    out = ns.declare_table(
+        m.DeclareTableRequest(id=["cat", "ns1", "t1"], location="/data/t1")
+    )
+    _, path, body = t.calls[-1]
+    assert path == "/polaris/v1/cat/namespaces/ns1/generic-tables"
+    assert body["format"] == "lance"
+    assert body["base-location"] == "/data/t1"
+    assert body["properties"]["table_type"] == "lance"
+    assert out.location == "/data/t1"
+    # default location: {root}/{catalog}/{ns}/{table} (polaris.py:310-314)
+    out2 = ns.declare_table(m.DeclareTableRequest(id=["cat", "ns1", "t2"]))
+    assert out2.location == "/tmp/lance/cat/ns1/t2"
+    t.route("POST", "/polaris/v1/cat/namespaces/ns1/generic-tables", 409, None)
+    with pytest.raises(TableAlreadyExists):
+        ns.declare_table(m.DeclareTableRequest(id=["cat", "ns1", "t1"], location="/x"))
+
+
+def test_polaris_describe_table_format_check(polaris):
+    ns, t = polaris
+    t.route(
+        "GET",
+        "/polaris/v1/cat/namespaces/ns1/generic-tables/t1",
+        200,
+        {"table": {"format": "lance", "base-location": "/d/t1", "properties": {"p": "1"}}},
+    )
+    out = ns.describe_table(m.DescribeTableRequest(id=["cat", "ns1", "t1"]))
+    assert out.location == "/d/t1"
+    assert out.properties == {"p": "1"}
+    t.route(
+        "GET",
+        "/polaris/v1/cat/namespaces/ns1/generic-tables/ice",
+        200,
+        {"table": {"format": "iceberg", "base-location": "/d/ice"}},
+    )
+    with pytest.raises(InvalidInput):  # non-lance generic table (polaris.py:398-401)
+        ns.describe_table(m.DescribeTableRequest(id=["cat", "ns1", "ice"]))
+    t.route("GET", "/polaris/v1/cat/namespaces/ns1/generic-tables/gone", 404, None)
+    with pytest.raises(TableNotFound):
+        ns.describe_table(m.DescribeTableRequest(id=["cat", "ns1", "gone"]))
+
+
+def test_polaris_list_tables_and_deregister(polaris):
+    ns, t = polaris
+    t.route(
+        "GET",
+        "/polaris/v1/cat/namespaces/ns1/generic-tables",
+        200,
+        {"identifiers": [{"namespace": ["ns1"], "name": "z"}, {"namespace": ["ns1"], "name": "a"}]},
+    )
+    out = ns.list_tables(m.ListTablesRequest(id=["cat", "ns1"]))
+    assert out.tables == ["a", "z"]
+    t.route(
+        "GET",
+        "/polaris/v1/cat/namespaces/ns1/generic-tables/a",
+        200,
+        {"table": {"format": "lance", "base-location": "/d/a", "properties": {}}},
+    )
+    t.route("DELETE", "/polaris/v1/cat/namespaces/ns1/generic-tables/a", 200, None)
+    dereg = ns.deregister_table(m.DeregisterTableRequest(id=["cat", "ns1", "a"]))
+    assert dereg.location == "/d/a"
+    deletes = [c for c in t.calls if c[0] == "DELETE"]
+    assert len(deletes) == 1
+    with pytest.raises(UnsupportedOperation):
+        ns.drop_table(m.DropTableRequest(id=["cat", "ns1", "a"]))
+
+
+def test_polaris_identifier_caps(polaris):
+    ns, _ = polaris
+    with pytest.raises(InvalidInput):
+        ns.declare_table(m.DeclareTableRequest(id=["cat", "t"]))
+    with pytest.raises(InvalidInput):
+        ns.describe_namespace(m.DescribeNamespaceRequest(id=["cat"]))
+
+
+def test_polaris_pickle_roundtrip(polaris):
+    ns, _ = polaris
+    clone = pickle.loads(pickle.dumps(ns))
+    assert clone._transport is None
+    assert clone._endpoint == "http://pol"

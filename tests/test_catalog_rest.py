@@ -61,7 +61,7 @@ def test_requires_endpoint():
 
 
 def test_connect_short_names(fake):
-    for short in ("rest", "iceberg", "polaris", "unity"):
+    for short in ("rest", "iceberg"):
         ns = connect(short, {"endpoint": "http://cat", "transport": fake})
         assert isinstance(ns, RestNamespace)
 
