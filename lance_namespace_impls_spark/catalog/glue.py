@@ -1,0 +1,385 @@
+"""AWS Glue Data Catalog dialect adapter.
+
+Re-expresses the reference's Glue backend
+(`python/src/lance_namespace_impls/glue.py`) against a boto3-*shaped* client:
+
+* flat 1-level hierarchy — Glue databases only; listing under any parent
+  returns empty, and describe/create/drop require exactly one level
+  (glue.py:183-188, 224-225, 254-255, 292-293);
+* table entries are EXTERNAL_TABLE with a ``__placeholder_id bigint``
+  column, TextInputFormat/LazySimpleSerDe storage descriptor, and
+  ``Parameters`` carrying ``table_type=LANCE`` (UPPERCASE — Glue's
+  convention, glue.py:45, 504-509) + ``managed_by=storage`` +
+  ``empty_table=true`` (glue.py:415-447);
+* default table location ``{db LocationUri}/{table}.lance`` falling back to
+  a warehouse-root path (glue.py:401-413);
+* NextToken pagination loops on get_databases/get_tables (glue.py:190-207);
+* error mapping keyed on the *exception class name* — boto3 generates
+  ``EntityNotFoundException`` / ``AlreadyExistsException`` classes
+  dynamically, so name matching is the only stable contract
+  (glue.py:240-244, 275-279);
+* pickle-safe lazy client (glue.py:522-532) — mandatory for Spark driver
+  closures;
+* only deregister (keep data) — the reference Glue surface has no purge path.
+
+boto3 is not available in this environment; construction with a real
+connection raises ImportError unless a client object is injected via the
+``client`` property — the reference's own mocked-client test strategy
+(python/tests/test_glue.py:20-184).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.directory import has_storage_components
+from lance_namespace_impls_spark.catalog.errors import (
+    InternalError,
+    InvalidInput,
+    NamespaceAlreadyExists,
+    NamespaceNotEmpty,
+    NamespaceNotFound,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from lance_namespace_impls_spark.catalog.namespace import LanceNamespace
+
+_GLUE_LANCE_TYPE = "LANCE"  # Glue stores the marker uppercased (glue.py:45)
+
+
+def _error_name(exc: Exception) -> str:
+    return type(exc).__name__
+
+
+class GlueNamespace(LanceNamespace):
+    """properties: ``region``, ``catalog_id``, ``endpoint``, credential keys,
+    ``max_retries``/``retry_mode``, ``root``, ``storage.*`` passthrough, and
+    an optional injected ``client`` (tests / pre-built boto3 client)."""
+
+    def __init__(self, properties: dict[str, str] | None = None):
+        props = dict(properties or {})
+        self._client = props.pop("client", None)  # injected; never pickled
+        self._region = props.get("region")
+        self._catalog_id = props.get("catalog_id")
+        self._endpoint = props.get("endpoint")
+        self._root = props.get("root")
+        self._max_retries = props.get("max_retries")
+        self._retry_mode = props.get("retry_mode")
+        self._storage_options = {
+            k.removeprefix("storage."): v
+            for k, v in props.items()
+            if k.startswith("storage.")
+        }
+        self._properties = props
+
+    def namespace_id(self) -> str:
+        return (
+            f"GlueNamespace {{ catalog_id: {self._catalog_id or 'default'!r}, "
+            f"region: {self._region or 'default'!r} }}"
+        )
+
+    # -- client plumbing -----------------------------------------------------
+
+    @property
+    def client(self):
+        if self._client is None:
+            self._client = self._build_boto3_client()
+        return self._client
+
+    def _build_boto3_client(self):
+        try:
+            import boto3
+            from botocore.config import Config
+        except ImportError as exc:
+            raise ImportError(
+                "boto3 is required for GlueNamespace (or inject a 'client' property)"
+            ) from exc
+        session = boto3.Session(
+            profile_name=self._properties.get("profile_name"),
+            region_name=self._region,
+            aws_access_key_id=self._properties.get("access_key_id"),
+            aws_secret_access_key=self._properties.get("secret_access_key"),
+            aws_session_token=self._properties.get("session_token"),
+        )
+        cfg = None
+        if self._max_retries:
+            cfg = Config(
+                retries={
+                    "max_attempts": int(self._max_retries),
+                    "mode": self._retry_mode or "standard",
+                }
+            )
+        client = session.client("glue", endpoint_url=self._endpoint, config=cfg)
+        if self._catalog_id:
+            # Default CatalogId onto every call (glue.py:173-181).
+            catalog_id = self._catalog_id
+
+            def add_catalog_id(params, **kwargs):
+                params.setdefault("CatalogId", catalog_id)
+
+            client.meta.events.register("provide-client-params.glue", add_catalog_id)
+        return client
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_client"] = None  # boto3 clients don't pickle (glue.py:522-532)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+    # -- hierarchy (flat: 1 level) ------------------------------------------
+
+    @staticmethod
+    def _one_level(levels: list[str]) -> str:
+        if len(levels) != 1:
+            raise InvalidInput(
+                f"Glue namespaces are exactly one level, got {levels!r}"
+            )
+        return levels[0]
+
+    @staticmethod
+    def _table_id(levels: list[str]) -> tuple[str, str]:
+        if len(levels) != 2:
+            raise InvalidInput(f"Glue table ids are [database, table], got {levels!r}")
+        return levels[0], levels[1]
+
+    # -- namespace ops -------------------------------------------------------
+
+    def list_namespaces(self, req: m.ListNamespacesRequest) -> m.ListNamespacesResponse:
+        if req.id:
+            # No nesting under a database (glue.py:186-188).
+            return m.ListNamespacesResponse(namespaces=[])
+        names: list[str] = []
+        kwargs: dict[str, Any] = {}
+        while True:
+            out = self.client.get_databases(**kwargs)
+            names.extend(db["Name"] for db in out.get("DatabaseList", []))
+            token = out.get("NextToken")
+            if not token:
+                break
+            kwargs = {"NextToken": token}
+        names.sort()
+        page, token = m.split_page(names, req.page_token, req.limit)
+        return m.ListNamespacesResponse(namespaces=page, page_token=token)
+
+    def describe_namespace(self, req: m.DescribeNamespaceRequest) -> m.DescribeNamespaceResponse:
+        if not req.id:
+            props = {"description": "Root Glue catalog namespace"}
+            if self._root:
+                props["location"] = self._root
+            return m.DescribeNamespaceResponse(properties=props)
+        db = self._one_level(req.id)
+        try:
+            database = self.client.get_database(Name=db)["Database"]
+        except Exception as exc:
+            if _error_name(exc) == "EntityNotFoundException":
+                raise NamespaceNotFound(f"namespace not found: {db}")
+            raise InternalError(f"describe_namespace failed: {exc}")
+        props = dict(database.get("Parameters", {}))
+        if "LocationUri" in database:
+            props["location"] = database["LocationUri"]
+        if "Description" in database:
+            props["description"] = database["Description"]
+        return m.DescribeNamespaceResponse(properties=props)
+
+    def create_namespace(self, req: m.CreateNamespaceRequest) -> m.CreateNamespaceResponse:
+        if not req.id:
+            raise InvalidInput("root namespace already exists")
+        db = self._one_level(req.id)
+        if req.mode not in (m.MODE_CREATE, m.MODE_EXIST_OK, m.MODE_OVERWRITE):
+            raise InvalidInput(f"unknown creation mode {req.mode!r}")
+        if req.mode == m.MODE_OVERWRITE:
+            raise InvalidInput("Glue does not support overwrite namespace creation")
+        # description/location map to dedicated DatabaseInput fields
+        # (glue.py:258-270); the rest ride Parameters.
+        database_input: dict[str, Any] = {"Name": db}
+        params = {}
+        for k, v in (req.properties or {}).items():
+            if k == "description":
+                database_input["Description"] = v
+            elif k == "location":
+                database_input["LocationUri"] = v
+            else:
+                params[k] = v
+        if params:
+            database_input["Parameters"] = params
+        try:
+            self.client.create_database(DatabaseInput=database_input)
+        except Exception as exc:
+            if _error_name(exc) == "AlreadyExistsException":
+                if req.mode == m.MODE_EXIST_OK:
+                    return m.CreateNamespaceResponse(properties=dict(req.properties))
+                raise NamespaceAlreadyExists(f"namespace exists: {db}")
+            raise InternalError(f"create_namespace failed: {exc}")
+        return m.CreateNamespaceResponse(properties=dict(req.properties))
+
+    def drop_namespace(self, req: m.DropNamespaceRequest) -> m.DropNamespaceResponse:
+        if req.behavior == m.BEHAVIOR_CASCADE:
+            raise InvalidInput("cascade drop is not supported")
+        if not req.id:
+            raise InvalidInput("cannot drop the root namespace")
+        db = self._one_level(req.id)
+        try:
+            if self.client.get_tables(DatabaseName=db).get("TableList"):
+                raise NamespaceNotEmpty(f"namespace not empty: {db}")
+            self.client.delete_database(Name=db)
+        except NamespaceNotEmpty:
+            raise
+        except Exception as exc:
+            if _error_name(exc) == "EntityNotFoundException":
+                if req.mode == m.DROP_MODE_SKIP:
+                    return m.DropNamespaceResponse()
+                raise NamespaceNotFound(f"namespace not found: {db}")
+            raise InternalError(f"drop_namespace failed: {exc}")
+        return m.DropNamespaceResponse()
+
+    def namespace_exists(self, req: m.NamespaceExistsRequest) -> None:
+        self.describe_namespace(m.DescribeNamespaceRequest(id=req.id))
+
+    # -- table ops -----------------------------------------------------------
+
+    @staticmethod
+    def _is_lance(table: dict) -> bool:
+        return (
+            table.get("Parameters", {}).get(m.PROP_TABLE_TYPE, "").upper()
+            == _GLUE_LANCE_TYPE
+        )
+
+    def list_tables(self, req: m.ListTablesRequest) -> m.ListTablesResponse:
+        if not req.id:
+            return m.ListTablesResponse(tables=[])
+        db = self._one_level(req.id)
+        names: list[str] = []
+        kwargs: dict[str, Any] = {"DatabaseName": db}
+        try:
+            while True:
+                out = self.client.get_tables(**kwargs)
+                for table in out.get("TableList", []):
+                    if not self._is_lance(table):
+                        continue
+                    if not m.include_declared_default(req.include_declared):
+                        loc = table.get("StorageDescriptor", {}).get("Location")
+                        if not loc or not has_storage_components(loc):
+                            continue
+                    names.append(table["Name"])
+                token = out.get("NextToken")
+                if not token:
+                    break
+                kwargs["NextToken"] = token
+        except Exception as exc:
+            if _error_name(exc) == "EntityNotFoundException":
+                raise NamespaceNotFound(f"namespace not found: {db}")
+            raise InternalError(f"list_tables failed: {exc}")
+        names.sort()
+        page, token = m.split_page(names, req.page_token, req.limit)
+        return m.ListTablesResponse(tables=page, page_token=token)
+
+    def _get_table(self, db: str, tbl: str) -> dict:
+        try:
+            return self.client.get_table(DatabaseName=db, Name=tbl)["Table"]
+        except Exception as exc:
+            if _error_name(exc) == "EntityNotFoundException":
+                raise TableNotFound(f"table not found: {db}.{tbl}")
+            raise InternalError(f"get_table failed: {exc}")
+
+    def describe_table(self, req: m.DescribeTableRequest) -> m.DescribeTableResponse:
+        if req.load_detailed_metadata:
+            raise InvalidInput("load_detailed_metadata is not supported")
+        db, tbl = self._table_id(req.id)
+        table = self._get_table(db, tbl)
+        if not self._is_lance(table):
+            raise TableNotFound(f"not a lance table: {db}.{tbl}")
+        location = table.get("StorageDescriptor", {}).get("Location")
+        if not location:
+            raise InternalError(f"table has no location: {db}.{tbl}")
+        is_only_declared = None
+        if req.check_declared:
+            is_only_declared = not has_storage_components(location)
+        return m.DescribeTableResponse(
+            location=location,
+            properties=dict(table.get("Parameters", {})),
+            storage_options=dict(self._storage_options) or None,
+            managed_versioning=False,
+            is_only_declared=is_only_declared,
+        )
+
+    def table_exists(self, req: m.TableExistsRequest) -> None:
+        self.describe_table(m.DescribeTableRequest(id=req.id))
+
+    def declare_table(self, req: m.DeclareTableRequest) -> m.DeclareTableResponse:
+        db, tbl = self._table_id(req.id)
+        location = req.location
+        if not location:
+            db_location = self._get_database_location(db)
+            location = (
+                f"{db_location}/{tbl}.lance"
+                if db_location
+                else f"{self._root or 's3://lance-namespace'}/{db}/{tbl}.lance"
+            )
+        properties = m.merge_table_properties(
+            req.properties,
+            {
+                m.PROP_TABLE_TYPE: _GLUE_LANCE_TYPE,
+                "managed_by": "storage",
+                "empty_table": "true",
+            },
+        )
+        table_input = {
+            "Name": tbl,
+            "TableType": "EXTERNAL_TABLE",
+            "Parameters": properties,
+            "StorageDescriptor": {
+                "Location": location,
+                "Columns": [
+                    {
+                        "Name": "__placeholder_id",
+                        "Type": "bigint",
+                        "Comment": "Placeholder column for empty table",
+                    }
+                ],
+                "InputFormat": "org.apache.hadoop.mapred.TextInputFormat",
+                "OutputFormat": "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+                "SerdeInfo": {
+                    "SerializationLibrary": "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe"
+                },
+            },
+        }
+        try:
+            self.client.create_table(DatabaseName=db, TableInput=table_input)
+        except Exception as exc:
+            if "AlreadyExistsException" in (_error_name(exc), str(exc)):
+                raise TableAlreadyExists(f"table exists: {db}.{tbl}")
+            if _error_name(exc) == "EntityNotFoundException":
+                raise NamespaceNotFound(f"namespace not found: {db}")
+            raise InternalError(f"declare_table failed: {exc}")
+        return m.DeclareTableResponse(
+            location=location,
+            properties=properties,
+            storage_options=dict(self._storage_options) or None,
+            managed_versioning=False,
+        )
+
+    def _get_database_location(self, db: str) -> str | None:
+        try:
+            return self.client.get_database(Name=db)["Database"].get("LocationUri")
+        except Exception:
+            return None
+
+    def deregister_table(self, req: m.DeregisterTableRequest) -> m.DeregisterTableResponse:
+        db, tbl = self._table_id(req.id)
+        table = self._get_table(db, tbl)
+        if not self._is_lance(table):
+            raise TableNotFound(f"not a lance table: {db}.{tbl}")
+        try:
+            self.client.delete_table(DatabaseName=db, Name=tbl)
+        except Exception as exc:
+            if _error_name(exc) == "EntityNotFoundException":
+                raise TableNotFound(f"table not found: {db}.{tbl}")
+            raise InternalError(f"deregister_table failed: {exc}")
+        return m.DeregisterTableResponse(
+            id=list(req.id),
+            location=table.get("StorageDescriptor", {}).get("Location"),
+            properties=dict(table.get("Parameters", {})),
+        )

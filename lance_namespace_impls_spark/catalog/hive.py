@@ -1,0 +1,568 @@
+"""Hive Metastore dialect adapters (Hive 2.x flat, Hive 3.x catalog-scoped).
+
+Re-expresses the reference's Thrift-backed backends
+(`python/src/lance_namespace_impls/hive2.py`, `hive3.py`) against a
+metastore-*shaped* client — the Thrift surface both reference versions use:
+
+    get_all_databases() / get_database(name) / create_database(db)
+    drop_database(name, deleteData, cascade)
+    get_all_tables(db) / get_table(db, tbl) / create_table(table)
+    drop_table(db, tbl, deleteData)
+    get_catalogs()                      # Hive 3.x only
+
+* **Hive2**: flat hierarchy — namespaces are exactly one database level;
+  table ids normalize ``[table] -> (default, table)`` / ``[db, table]``
+  (hive2.py:184-191); default location ``{root}/{db}.db/{table}``
+  (hive2.py:197-199).
+* **Hive3**: catalog > database hierarchy — root lists catalogs (falling
+  back to ``hive`` when the server predates get_catalogs, hive3.py:218-230);
+  table ids normalize up to ``[catalog, db, table]`` (hive3.py:186-195);
+  the default ``hive`` catalog keeps the hive2-compatible path
+  (hive3.py:201-206).
+* Both: EXTERNAL_TABLE entries with a ``__placeholder_id bigint`` column and
+  TextInputFormat/LazySimpleSerDe descriptor; parameters carry
+  ``table_type=lance`` (case-insensitive match) + ``managed_by=storage`` +
+  ``empty_table=true`` (hive2.py:477-543); drop purges
+  (``deleteData=True``), deregister keeps data (``deleteData=False``,
+  hive2.py:418-475); cascade namespace drops rejected; emptiness
+  pre-checked via get_all_tables (hive2.py:318-325).
+* Thrift errors are matched by class NAME (``NoSuchObjectException``,
+  ``AlreadyExistsException``) — the same duck-typed contract the boto3
+  adapter uses, so mocks raise plain classes with those names.
+
+The thrift client library is not available in this environment: constructing
+without an injected ``client`` property raises ImportError at first use,
+mirroring the reference's gated import (hive2.py:36-63).  Mocked-client
+contract tests cover the full CRUD story (reference test_hive2.py /
+test_hive3.py strategy).
+
+Metastore objects are plain attribute holders (dataclasses below) matching
+the Thrift ttypes' field names, so a future real-thrift branch can pass
+ttypes objects through unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.directory import has_storage_components
+from lance_namespace_impls_spark.catalog.errors import (
+    InternalError,
+    InvalidInput,
+    NamespaceAlreadyExists,
+    NamespaceNotEmpty,
+    NamespaceNotFound,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from lance_namespace_impls_spark.catalog.namespace import LanceNamespace
+
+DEFAULT_CATALOG = "hive"
+
+
+# -- metastore object shapes (Thrift ttypes field names) ---------------------
+
+
+@dataclass
+class MetastoreDatabase:
+    name: str
+    description: str | None = None
+    locationUri: str | None = None
+    parameters: dict = field(default_factory=dict)
+
+
+@dataclass
+class MetastoreSerDeInfo:
+    serializationLib: str = "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe"
+
+
+@dataclass
+class MetastoreFieldSchema:
+    name: str
+    type: str
+    comment: str | None = None
+
+
+@dataclass
+class MetastoreStorageDescriptor:
+    cols: list = field(default_factory=list)
+    location: str | None = None
+    inputFormat: str = "org.apache.hadoop.mapred.TextInputFormat"
+    outputFormat: str = "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat"
+    serdeInfo: MetastoreSerDeInfo = field(default_factory=MetastoreSerDeInfo)
+
+
+@dataclass
+class MetastoreTable:
+    tableName: str
+    dbName: str
+    sd: MetastoreStorageDescriptor | None = None
+    parameters: dict = field(default_factory=dict)
+    tableType: str = "EXTERNAL_TABLE"
+
+
+def _error_name(exc: Exception) -> str:
+    return type(exc).__name__
+
+
+class _HiveNamespaceBase(LanceNamespace):
+    """Shared Thrift-surface logic; subclasses fix the hierarchy shape."""
+
+    def __init__(self, properties: dict[str, str] | None = None):
+        props = dict(properties or {})
+        self._client = props.pop("client", None)  # injected; never pickled
+        self._uri = props.get("uri")
+        self._root = props.get("root", "/tmp/lance")
+        self._ugi = props.get("ugi")
+        self._pool_size = int(props.get("client.pool-size", "3"))
+        self._properties = props
+
+    @property
+    def client(self):
+        if self._client is None:
+            self._client = self._build_thrift_client()
+        return self._client
+
+    def _build_thrift_client(self):
+        try:
+            from hive_metastore_client import HiveMetastoreClient  # type: ignore
+        except ImportError as exc:
+            raise ImportError(
+                "hive-metastore-client is required for Hive namespaces "
+                "(or inject a 'client' property)"
+            ) from exc
+        if not self._uri:
+            raise InvalidInput("Hive namespaces require a 'uri' property")
+        host, _, port = self._uri.removeprefix("thrift://").partition(":")
+        return HiveMetastoreClient(host, int(port or "9083"))
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_client"] = None  # live Thrift sockets don't pickle
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+    # -- shared table logic --------------------------------------------------
+
+    @staticmethod
+    def _is_lance(table) -> bool:
+        params = getattr(table, "parameters", None) or {}
+        return params.get(m.PROP_TABLE_TYPE, "").lower() == m.LANCE_TABLE_TYPE
+
+    def _get_table(self, db: str, tbl: str):
+        try:
+            return self.client.get_table(db, tbl)
+        except Exception as exc:
+            if _error_name(exc) == "NoSuchObjectException":
+                raise TableNotFound(f"table not found: {db}.{tbl}")
+            raise InternalError(f"get_table failed: {exc}")
+
+    def _require_lance_table(self, db: str, tbl: str):
+        table = self._get_table(db, tbl)
+        if not self._is_lance(table):
+            raise TableNotFound(f"not a lance table: {db}.{tbl}")
+        return table
+
+    def _list_lance_tables(self, db: str, include_declared: bool | None) -> list[str]:
+        try:
+            names = self.client.get_all_tables(db)
+        except Exception as exc:
+            if _error_name(exc) == "NoSuchObjectException":
+                raise NamespaceNotFound(f"namespace not found: {db}")
+            raise InternalError(f"list_tables failed: {exc}")
+        out = []
+        for name in names:
+            # the listing is names-only; lance filtering needs each table's
+            # parameters (hive2.py:346-374)
+            try:
+                table = self.client.get_table(db, name)
+            except Exception:
+                continue
+            if not self._is_lance(table):
+                continue
+            if not m.include_declared_default(include_declared):
+                loc = table.sd.location if table.sd else None
+                if not loc or not has_storage_components(loc):
+                    continue
+            out.append(name)
+        return sorted(out)
+
+    def _declare(self, db: str, tbl: str, location: str, properties: dict) -> dict:
+        merged = m.merge_table_properties(
+            properties,
+            {
+                m.PROP_TABLE_TYPE: m.LANCE_TABLE_TYPE,
+                "managed_by": "storage",
+                "empty_table": "true",
+            },
+        )
+        table = MetastoreTable(
+            tableName=tbl,
+            dbName=db,
+            sd=MetastoreStorageDescriptor(
+                cols=[
+                    MetastoreFieldSchema(
+                        name="__placeholder_id",
+                        type="bigint",
+                        comment="Placeholder column for empty table",
+                    )
+                ],
+                location=location,
+            ),
+            parameters=merged,
+        )
+        try:
+            self.client.create_table(table)
+        except Exception as exc:
+            if _error_name(exc) == "AlreadyExistsException":
+                raise TableAlreadyExists(f"table exists: {db}.{tbl}")
+            if _error_name(exc) == "NoSuchObjectException":
+                raise NamespaceNotFound(f"namespace not found: {db}")
+            raise InternalError(f"declare_table failed: {exc}")
+        return merged
+
+    def _drop(self, db: str, tbl: str, *, delete_data: bool):
+        table = self._require_lance_table(db, tbl)
+        try:
+            self.client.drop_table(db, tbl, deleteData=delete_data)
+        except Exception as exc:
+            if _error_name(exc) == "NoSuchObjectException":
+                raise TableNotFound(f"table not found: {db}.{tbl}")
+            raise InternalError(f"drop_table failed: {exc}")
+        return table
+
+    # -- shared namespace logic (single database level) ----------------------
+
+    def _describe_db(self, db: str) -> dict[str, str]:
+        try:
+            database = self.client.get_database(db)
+        except Exception as exc:
+            if _error_name(exc) == "NoSuchObjectException":
+                raise NamespaceNotFound(f"namespace not found: {db}")
+            raise InternalError(f"describe_namespace failed: {exc}")
+        props = dict(getattr(database, "parameters", None) or {})
+        if getattr(database, "locationUri", None):
+            props["location"] = database.locationUri
+        if getattr(database, "description", None):
+            props["description"] = database.description
+        return props
+
+    def _create_db(self, db: str, mode: str, properties: dict) -> None:
+        if mode not in (m.MODE_CREATE, m.MODE_EXIST_OK, m.MODE_OVERWRITE):
+            raise InvalidInput(f"unknown creation mode {mode!r}")
+        params = {k: v for k, v in properties.items() if k not in ("description", "location")}
+        database = MetastoreDatabase(
+            name=db,
+            description=properties.get("description"),
+            locationUri=properties.get("location", os.path.join(self._root, f"{db}.db")),
+            parameters=params,
+        )
+        try:
+            self.client.create_database(database)
+        except Exception as exc:
+            if _error_name(exc) == "AlreadyExistsException":
+                if mode == m.MODE_EXIST_OK:
+                    return
+                if mode == m.MODE_OVERWRITE:
+                    # drop-empty-then-recreate (hive3.py:355-367 shape)
+                    self._drop_db(db, mode=m.DROP_MODE_FAIL)
+                    self.client.create_database(database)
+                    return
+                raise NamespaceAlreadyExists(f"namespace exists: {db}")
+            else:
+                raise InternalError(f"create_namespace failed: {exc}")
+
+    def _drop_db(self, db: str, mode: str) -> None:
+        try:
+            if self.client.get_all_tables(db):
+                raise NamespaceNotEmpty(f"namespace not empty: {db}")
+            self.client.drop_database(db, deleteData=True, cascade=False)
+        except NamespaceNotEmpty:
+            raise
+        except Exception as exc:
+            if _error_name(exc) == "NoSuchObjectException":
+                if mode == m.DROP_MODE_SKIP:
+                    return
+                raise NamespaceNotFound(f"namespace not found: {db}")
+            raise InternalError(f"drop_namespace failed: {exc}")
+
+
+class Hive2Namespace(_HiveNamespaceBase):
+    """properties: ``uri`` (thrift://host:port), ``root``, ``ugi``,
+    ``client.pool-size``, optional injected ``client``."""
+
+    def namespace_id(self) -> str:
+        return f"Hive2Namespace {self._uri or 'default'}"
+
+    @staticmethod
+    def _table_id(levels: list[str]) -> tuple[str, str]:
+        # [table] -> (default, table); [db, table] (hive2.py:184-191)
+        if len(levels) == 1:
+            return "default", levels[0]
+        if len(levels) == 2:
+            return levels[0], levels[1]
+        raise InvalidInput(f"Hive2 table ids are [db, table], got {levels!r}")
+
+    @staticmethod
+    def _one_level(levels: list[str]) -> str:
+        if len(levels) != 1:
+            raise InvalidInput(f"Hive2 namespaces are one database level, got {levels!r}")
+        return levels[0]
+
+    def _table_location(self, db: str, tbl: str) -> str:
+        return os.path.join(self._root, f"{db}.db", tbl)
+
+    # namespace ops
+    def list_namespaces(self, req: m.ListNamespacesRequest) -> m.ListNamespacesResponse:
+        if req.id:
+            return m.ListNamespacesResponse(namespaces=[])
+        try:
+            names = sorted(self.client.get_all_databases())
+        except Exception as exc:
+            raise InternalError(f"list_namespaces failed: {exc}")
+        page, token = m.split_page(names, req.page_token, req.limit)
+        return m.ListNamespacesResponse(namespaces=page, page_token=token)
+
+    def describe_namespace(self, req: m.DescribeNamespaceRequest) -> m.DescribeNamespaceResponse:
+        if not req.id:
+            return m.DescribeNamespaceResponse(
+                properties={"location": self._root, "description": "Root Hive namespace"}
+            )
+        return m.DescribeNamespaceResponse(properties=self._describe_db(self._one_level(req.id)))
+
+    def create_namespace(self, req: m.CreateNamespaceRequest) -> m.CreateNamespaceResponse:
+        if not req.id:
+            raise InvalidInput("root namespace already exists")
+        self._create_db(self._one_level(req.id), req.mode, req.properties or {})
+        return m.CreateNamespaceResponse(properties=dict(req.properties))
+
+    def drop_namespace(self, req: m.DropNamespaceRequest) -> m.DropNamespaceResponse:
+        if req.behavior == m.BEHAVIOR_CASCADE:
+            raise InvalidInput("cascade drop is not supported")
+        if not req.id:
+            raise InvalidInput("cannot drop the root namespace")
+        self._drop_db(self._one_level(req.id), req.mode)
+        return m.DropNamespaceResponse()
+
+    def namespace_exists(self, req: m.NamespaceExistsRequest) -> None:
+        self._describe_db(self._one_level(req.id))
+
+    # table ops
+    def list_tables(self, req: m.ListTablesRequest) -> m.ListTablesResponse:
+        db = self._one_level(req.id)
+        names = self._list_lance_tables(db, req.include_declared)
+        page, token = m.split_page(names, req.page_token, req.limit)
+        return m.ListTablesResponse(tables=page, page_token=token)
+
+    def describe_table(self, req: m.DescribeTableRequest) -> m.DescribeTableResponse:
+        if req.load_detailed_metadata:
+            raise InvalidInput("load_detailed_metadata is not supported")
+        db, tbl = self._table_id(req.id)
+        table = self._require_lance_table(db, tbl)
+        location = table.sd.location if table.sd else None
+        if not location:
+            raise InternalError(f"table has no location: {db}.{tbl}")
+        is_only_declared = None
+        if req.check_declared:
+            is_only_declared = not has_storage_components(location)
+        return m.DescribeTableResponse(
+            location=location,
+            properties=dict(table.parameters or {}),
+            managed_versioning=False,
+            is_only_declared=is_only_declared,
+        )
+
+    def table_exists(self, req: m.TableExistsRequest) -> None:
+        db, tbl = self._table_id(req.id)
+        self._require_lance_table(db, tbl)
+
+    def declare_table(self, req: m.DeclareTableRequest) -> m.DeclareTableResponse:
+        db, tbl = self._table_id(req.id)
+        location = req.location or self._table_location(db, tbl)
+        merged = self._declare(db, tbl, location, req.properties or {})
+        return m.DeclareTableResponse(
+            location=location, properties=merged, managed_versioning=False
+        )
+
+    def drop_table(self, req: m.DropTableRequest) -> m.DropTableResponse:
+        db, tbl = self._table_id(req.id)
+        table = self._drop(db, tbl, delete_data=True)
+        return m.DropTableResponse(
+            id=list(req.id),
+            location=table.sd.location if table.sd else None,
+            properties=dict(table.parameters or {}),
+        )
+
+    def deregister_table(self, req: m.DeregisterTableRequest) -> m.DeregisterTableResponse:
+        db, tbl = self._table_id(req.id)
+        table = self._drop(db, tbl, delete_data=False)
+        return m.DeregisterTableResponse(
+            id=list(req.id),
+            location=table.sd.location if table.sd else None,
+            properties=dict(table.parameters or {}),
+        )
+
+
+class Hive3Namespace(_HiveNamespaceBase):
+    """Hive 3.x: catalog > database hierarchy (hive3.py:5, 186-206).
+
+    properties as Hive2Namespace.  Catalog operations degrade gracefully on
+    servers without get_catalogs — the root listing falls back to the
+    default ``hive`` catalog (hive3.py:218-230)."""
+
+    def namespace_id(self) -> str:
+        return f"Hive3Namespace {self._uri or 'default'}"
+
+    @staticmethod
+    def _table_id(levels: list[str]) -> tuple[str, str, str]:
+        # normalize toward (catalog, db, table) (hive3.py:186-195)
+        if len(levels) == 1:
+            return DEFAULT_CATALOG, "default", levels[0]
+        if len(levels) == 2:
+            return DEFAULT_CATALOG, levels[0], levels[1]
+        if len(levels) == 3:
+            return levels[0], levels[1], levels[2]
+        raise InvalidInput(f"Hive3 table ids are [catalog, db, table], got {levels!r}")
+
+    @staticmethod
+    def _ns_id(levels: list[str]) -> tuple[str, str]:
+        if len(levels) == 1:
+            return DEFAULT_CATALOG, levels[0]
+        if len(levels) == 2:
+            return levels[0], levels[1]
+        raise InvalidInput(f"Hive3 namespaces are [catalog, db], got {levels!r}")
+
+    def _table_location(self, catalog: str, db: str, tbl: str) -> str:
+        if catalog.lower() == DEFAULT_CATALOG:
+            # hive2-compatible path for the default catalog (hive3.py:201-206)
+            return os.path.join(self._root, f"{db}.db", tbl)
+        return os.path.join(self._root, catalog, f"{db}.db", tbl)
+
+    def _catalogs(self) -> list[str]:
+        client = self.client
+        if hasattr(client, "get_catalogs"):
+            try:
+                out = client.get_catalogs()
+                names = getattr(out, "names", out)
+                if names:
+                    return sorted(names)
+            except Exception:
+                pass
+        return [DEFAULT_CATALOG]
+
+    # namespace ops
+    def list_namespaces(self, req: m.ListNamespacesRequest) -> m.ListNamespacesResponse:
+        if not req.id:
+            names = self._catalogs()
+        elif len(req.id) == 1:
+            # HMS databases are catalog-agnostic pre-3.x API (hive3.py:232-236)
+            try:
+                names = sorted(self.client.get_all_databases())
+            except Exception as exc:
+                raise InternalError(f"list_namespaces failed: {exc}")
+        else:
+            return m.ListNamespacesResponse(namespaces=[])
+        page, token = m.split_page(names, req.page_token, req.limit)
+        return m.ListNamespacesResponse(namespaces=page, page_token=token)
+
+    def describe_namespace(self, req: m.DescribeNamespaceRequest) -> m.DescribeNamespaceResponse:
+        if not req.id:
+            return m.DescribeNamespaceResponse(
+                properties={"location": self._root, "description": "Root Hive3 namespace"}
+            )
+        if len(req.id) == 1:
+            catalog = req.id[0].lower()
+            if catalog not in [c.lower() for c in self._catalogs()]:
+                raise NamespaceNotFound(f"catalog not found: {catalog}")
+            return m.DescribeNamespaceResponse(
+                properties={
+                    "description": f"Catalog: {catalog}",
+                    "catalog.location.uri": os.path.join(self._root, catalog),
+                }
+            )
+        _, db = self._ns_id(req.id)
+        return m.DescribeNamespaceResponse(properties=self._describe_db(db))
+
+    def create_namespace(self, req: m.CreateNamespaceRequest) -> m.CreateNamespaceResponse:
+        if not req.id:
+            raise InvalidInput("root namespace already exists")
+        if len(req.id) == 1:
+            raise InvalidInput(
+                "catalog creation is not supported through the Thrift API"
+            )
+        _, db = self._ns_id(req.id)
+        self._create_db(db, req.mode, req.properties or {})
+        return m.CreateNamespaceResponse(properties=dict(req.properties))
+
+    def drop_namespace(self, req: m.DropNamespaceRequest) -> m.DropNamespaceResponse:
+        if req.behavior == m.BEHAVIOR_CASCADE:
+            raise InvalidInput("cascade drop is not supported")
+        if not req.id:
+            raise InvalidInput("cannot drop the root namespace")
+        if len(req.id) == 1:
+            raise InvalidInput("catalog drop is not supported through the Thrift API")
+        _, db = self._ns_id(req.id)
+        self._drop_db(db, req.mode)
+        return m.DropNamespaceResponse()
+
+    def namespace_exists(self, req: m.NamespaceExistsRequest) -> None:
+        self.describe_namespace(m.DescribeNamespaceRequest(id=req.id))
+
+    # table ops
+    def list_tables(self, req: m.ListTablesRequest) -> m.ListTablesResponse:
+        _, db = self._ns_id(req.id)
+        names = self._list_lance_tables(db, req.include_declared)
+        page, token = m.split_page(names, req.page_token, req.limit)
+        return m.ListTablesResponse(tables=page, page_token=token)
+
+    def describe_table(self, req: m.DescribeTableRequest) -> m.DescribeTableResponse:
+        if req.load_detailed_metadata:
+            raise InvalidInput("load_detailed_metadata is not supported")
+        _, db, tbl = self._table_id(req.id)
+        table = self._require_lance_table(db, tbl)
+        location = table.sd.location if table.sd else None
+        if not location:
+            raise InternalError(f"table has no location: {db}.{tbl}")
+        is_only_declared = None
+        if req.check_declared:
+            is_only_declared = not has_storage_components(location)
+        return m.DescribeTableResponse(
+            location=location,
+            properties=dict(table.parameters or {}),
+            managed_versioning=False,
+            is_only_declared=is_only_declared,
+        )
+
+    def table_exists(self, req: m.TableExistsRequest) -> None:
+        _, db, tbl = self._table_id(req.id)
+        self._require_lance_table(db, tbl)
+
+    def declare_table(self, req: m.DeclareTableRequest) -> m.DeclareTableResponse:
+        catalog, db, tbl = self._table_id(req.id)
+        location = req.location or self._table_location(catalog, db, tbl)
+        merged = self._declare(db, tbl, location, req.properties or {})
+        return m.DeclareTableResponse(
+            location=location, properties=merged, managed_versioning=False
+        )
+
+    def drop_table(self, req: m.DropTableRequest) -> m.DropTableResponse:
+        _, db, tbl = self._table_id(req.id)
+        table = self._drop(db, tbl, delete_data=True)
+        return m.DropTableResponse(
+            id=list(req.id),
+            location=table.sd.location if table.sd else None,
+            properties=dict(table.parameters or {}),
+        )
+
+    def deregister_table(self, req: m.DeregisterTableRequest) -> m.DeregisterTableResponse:
+        _, db, tbl = self._table_id(req.id)
+        table = self._drop(db, tbl, delete_data=False)
+        return m.DeregisterTableResponse(
+            id=list(req.id),
+            location=table.sd.location if table.sd else None,
+            properties=dict(table.parameters or {}),
+        )

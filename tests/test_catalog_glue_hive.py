@@ -1,0 +1,418 @@
+"""Glue + Hive2/Hive3 contract tests with mocked clients.
+
+Mirrors the reference's mocked-client strategy (test_glue.py:20-184,
+test_hive2.py, test_hive3.py): request shapes, error-NAME mapping
+(boto3/Thrift exception classes are matched by name), hierarchy caps
+(Glue 1-level, Hive3 catalog>db), lance filtering, drop-vs-deregister
+deleteData flags, and pickle round-trips.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import pytest
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.errors import (
+    InvalidInput,
+    NamespaceAlreadyExists,
+    NamespaceNotEmpty,
+    NamespaceNotFound,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from lance_namespace_impls_spark.catalog.glue import GlueNamespace
+from lance_namespace_impls_spark.catalog.hive import (
+    Hive2Namespace,
+    Hive3Namespace,
+    MetastoreTable,
+)
+from lance_namespace_impls_spark.catalog.registry import connect
+
+
+# boto3/Thrift services raise dynamically-generated exception classes; both
+# adapters match on the class NAME, so the fakes raise these stand-ins.
+class EntityNotFoundException(Exception):
+    pass
+
+
+class AlreadyExistsException(Exception):
+    pass
+
+
+class NoSuchObjectException(Exception):
+    pass
+
+
+# -- Glue fake (boto3-shaped, state-backed) ----------------------------------
+
+
+class FakeGlueClient:
+    def __init__(self):
+        self.databases: dict[str, dict] = {}
+        self.tables: dict[tuple[str, str], dict] = {}
+        self.calls: list[tuple[str, dict]] = []
+
+    def get_databases(self, **kw):
+        self.calls.append(("get_databases", kw))
+        return {"DatabaseList": [{"Name": n, **d} for n, d in self.databases.items()]}
+
+    def get_database(self, Name):
+        self.calls.append(("get_database", {"Name": Name}))
+        if Name not in self.databases:
+            raise EntityNotFoundException(Name)
+        return {"Database": {"Name": Name, **self.databases[Name]}}
+
+    def create_database(self, DatabaseInput):
+        self.calls.append(("create_database", DatabaseInput))
+        name = DatabaseInput["Name"]
+        if name in self.databases:
+            raise AlreadyExistsException(name)
+        self.databases[name] = {k: v for k, v in DatabaseInput.items() if k != "Name"}
+
+    def delete_database(self, Name):
+        self.calls.append(("delete_database", {"Name": Name}))
+        if Name not in self.databases:
+            raise EntityNotFoundException(Name)
+        del self.databases[Name]
+
+    def get_tables(self, DatabaseName, **kw):
+        self.calls.append(("get_tables", {"DatabaseName": DatabaseName, **kw}))
+        if DatabaseName not in self.databases:
+            raise EntityNotFoundException(DatabaseName)
+        return {
+            "TableList": [t for (db, _), t in self.tables.items() if db == DatabaseName]
+        }
+
+    def get_table(self, DatabaseName, Name):
+        self.calls.append(("get_table", {"DatabaseName": DatabaseName, "Name": Name}))
+        if (DatabaseName, Name) not in self.tables:
+            raise EntityNotFoundException(Name)
+        return {"Table": self.tables[(DatabaseName, Name)]}
+
+    def create_table(self, DatabaseName, TableInput):
+        self.calls.append(("create_table", {"DatabaseName": DatabaseName, **TableInput}))
+        if DatabaseName not in self.databases:
+            raise EntityNotFoundException(DatabaseName)
+        key = (DatabaseName, TableInput["Name"])
+        if key in self.tables:
+            raise AlreadyExistsException(TableInput["Name"])
+        self.tables[key] = TableInput
+
+    def delete_table(self, DatabaseName, Name):
+        self.calls.append(("delete_table", {"DatabaseName": DatabaseName, "Name": Name}))
+        key = (DatabaseName, Name)
+        if key not in self.tables:
+            raise EntityNotFoundException(Name)
+        del self.tables[key]
+
+
+@pytest.fixture()
+def glue():
+    client = FakeGlueClient()
+    ns = GlueNamespace({"region": "us-east-1", "root": "/wh", "client": client})
+    return ns, client
+
+
+def test_glue_connect_short_name():
+    ns = connect("glue", {"region": "us-east-1", "client": FakeGlueClient()})
+    assert isinstance(ns, GlueNamespace)
+
+
+def test_glue_crud_story(glue, tmp_path):
+    ns, client = glue
+    # create: description/location map to dedicated fields (glue.py:258-270)
+    ns.create_namespace(
+        m.CreateNamespaceRequest(
+            id=["db1"],
+            properties={"description": "d", "location": "/wh/db1", "team": "ml"},
+        )
+    )
+    _, dbinput = [c for c in client.calls if c[0] == "create_database"][-1]
+    assert dbinput == {
+        "Name": "db1",
+        "Description": "d",
+        "LocationUri": "/wh/db1",
+        "Parameters": {"team": "ml"},
+    }
+    with pytest.raises(NamespaceAlreadyExists):
+        ns.create_namespace(m.CreateNamespaceRequest(id=["db1"]))
+    ns.create_namespace(m.CreateNamespaceRequest(id=["db1"], mode=m.MODE_EXIST_OK))
+
+    assert ns.list_namespaces(m.ListNamespacesRequest()).namespaces == ["db1"]
+    # flat hierarchy: children of a database are empty (glue.py:186-188)
+    assert ns.list_namespaces(m.ListNamespacesRequest(id=["db1"])).namespaces == []
+    desc = ns.describe_namespace(m.DescribeNamespaceRequest(id=["db1"]))
+    assert desc.properties["location"] == "/wh/db1"
+
+    # declare: EXTERNAL_TABLE + placeholder + UPPERCASE LANCE marker
+    out = ns.declare_table(
+        m.DeclareTableRequest(id=["db1", "t1"], properties={"k": "v"})
+    )
+    assert out.location == "/wh/db1/t1.lance"  # {db location}/{tbl}.lance
+    tbl = client.tables[("db1", "t1")]
+    assert tbl["TableType"] == "EXTERNAL_TABLE"
+    assert tbl["Parameters"]["table_type"] == "LANCE"
+    assert tbl["Parameters"]["managed_by"] == "storage"
+    assert tbl["Parameters"]["empty_table"] == "true"
+    assert tbl["StorageDescriptor"]["Columns"][0] == {
+        "Name": "__placeholder_id",
+        "Type": "bigint",
+        "Comment": "Placeholder column for empty table",
+    }
+    with pytest.raises(TableAlreadyExists):
+        ns.declare_table(m.DeclareTableRequest(id=["db1", "t1"]))
+
+    # lance filter hides foreign tables
+    client.tables[("db1", "ice")] = {
+        "Name": "ice",
+        "Parameters": {"table_type": "ICEBERG"},
+        "StorageDescriptor": {"Location": "/x"},
+    }
+    assert ns.list_tables(m.ListTablesRequest(id=["db1"])).tables == ["t1"]
+    with pytest.raises(TableNotFound):
+        ns.describe_table(m.DescribeTableRequest(id=["db1", "ice"]))
+
+    got = ns.describe_table(m.DescribeTableRequest(id=["db1", "t1"], check_declared=True))
+    assert got.location == "/wh/db1/t1.lance"
+    assert got.is_only_declared is True  # nothing written there
+    assert got.managed_versioning is False
+
+    # non-empty namespace refuses drop; empty drops
+    with pytest.raises(NamespaceNotEmpty):
+        ns.drop_namespace(m.DropNamespaceRequest(id=["db1"]))
+    dereg = ns.deregister_table(m.DeregisterTableRequest(id=["db1", "t1"]))
+    assert dereg.location == "/wh/db1/t1.lance"
+    del client.tables[("db1", "ice")]
+    ns.drop_namespace(m.DropNamespaceRequest(id=["db1"]))
+    with pytest.raises(NamespaceNotFound):
+        ns.describe_namespace(m.DescribeNamespaceRequest(id=["db1"]))
+    ns.drop_namespace(m.DropNamespaceRequest(id=["db1"], mode=m.DROP_MODE_SKIP))
+
+
+def test_glue_one_level_enforced(glue):
+    ns, _ = glue
+    with pytest.raises(InvalidInput):
+        ns.describe_namespace(m.DescribeNamespaceRequest(id=["a", "b"]))
+    with pytest.raises(InvalidInput):
+        ns.declare_table(m.DeclareTableRequest(id=["a", "b", "t"]))
+    with pytest.raises(InvalidInput):
+        ns.drop_namespace(
+            m.DropNamespaceRequest(id=["a"], behavior=m.BEHAVIOR_CASCADE)
+        )
+
+
+def test_glue_pagination_loop(glue):
+    ns, client = glue
+
+    class Paged(FakeGlueClient):
+        def get_databases(self, **kw):
+            if kw.get("NextToken") == "2":
+                return {"DatabaseList": [{"Name": "b"}]}
+            return {"DatabaseList": [{"Name": "a"}], "NextToken": "2"}
+
+    ns._client = Paged()
+    assert ns.list_namespaces(m.ListNamespacesRequest()).namespaces == ["a", "b"]
+
+
+def test_glue_pickle_roundtrip(glue):
+    ns, _ = glue
+    clone = pickle.loads(pickle.dumps(ns))
+    assert clone._client is None  # boto3 clients don't ride closures
+    assert clone._region == "us-east-1"
+
+
+# -- Hive fake (Thrift-shaped, state-backed) ---------------------------------
+
+
+class FakeMetastore:
+    def __init__(self, catalogs=None):
+        self.databases: dict[str, object] = {}
+        self.tables: dict[tuple[str, str], MetastoreTable] = {}
+        self.drop_flags: list[tuple[str, str, bool]] = []
+        self._catalogs = catalogs
+
+    def get_all_databases(self):
+        return sorted(self.databases)
+
+    def get_database(self, name):
+        if name not in self.databases:
+            raise NoSuchObjectException(name)
+        return self.databases[name]
+
+    def create_database(self, db):
+        if db.name in self.databases:
+            raise AlreadyExistsException(db.name)
+        self.databases[db.name] = db
+
+    def drop_database(self, name, deleteData, cascade):
+        if name not in self.databases:
+            raise NoSuchObjectException(name)
+        del self.databases[name]
+
+    def get_all_tables(self, db):
+        if db not in self.databases:
+            raise NoSuchObjectException(db)
+        return sorted(t for (d, t) in self.tables if d == db)
+
+    def get_table(self, db, tbl):
+        if (db, tbl) not in self.tables:
+            raise NoSuchObjectException(tbl)
+        return self.tables[(db, tbl)]
+
+    def create_table(self, table):
+        if table.dbName not in self.databases:
+            raise NoSuchObjectException(table.dbName)
+        key = (table.dbName, table.tableName)
+        if key in self.tables:
+            raise AlreadyExistsException(table.tableName)
+        self.tables[key] = table
+
+    def drop_table(self, db, tbl, deleteData):
+        if (db, tbl) not in self.tables:
+            raise NoSuchObjectException(tbl)
+        self.drop_flags.append((db, tbl, deleteData))
+        del self.tables[(db, tbl)]
+
+
+class FakeMetastore3(FakeMetastore):
+    def get_catalogs(self):
+        class _Out:
+            names = self._catalogs or ["hive", "spark"]
+
+        return _Out()
+
+
+@pytest.fixture()
+def hive2():
+    client = FakeMetastore()
+    ns = Hive2Namespace({"uri": "thrift://h:9083", "root": "/wh", "client": client})
+    return ns, client
+
+
+@pytest.fixture()
+def hive3():
+    client = FakeMetastore3()
+    ns = Hive3Namespace({"uri": "thrift://h:9083", "root": "/wh", "client": client})
+    return ns, client
+
+
+def test_hive_connect_short_names():
+    assert isinstance(
+        connect("hive2", {"client": FakeMetastore()}), Hive2Namespace
+    )
+    assert isinstance(
+        connect("hive3", {"client": FakeMetastore3()}), Hive3Namespace
+    )
+
+
+def test_hive2_crud_story(hive2):
+    ns, client = hive2
+    ns.create_namespace(
+        m.CreateNamespaceRequest(id=["db1"], properties={"description": "d", "o": "me"})
+    )
+    db = client.databases["db1"]
+    assert db.description == "d"
+    assert db.parameters == {"o": "me"}
+    assert db.locationUri == "/wh/db1.db"
+    with pytest.raises(NamespaceAlreadyExists):
+        ns.create_namespace(m.CreateNamespaceRequest(id=["db1"]))
+    assert ns.list_namespaces(m.ListNamespacesRequest()).namespaces == ["db1"]
+
+    # declare: default location {root}/{db}.db/{table} (hive2.py:197-199)
+    out = ns.declare_table(m.DeclareTableRequest(id=["db1", "t1"]))
+    assert out.location == "/wh/db1.db/t1"
+    stored = client.tables[("db1", "t1")]
+    assert stored.tableType == "EXTERNAL_TABLE"
+    assert stored.parameters["table_type"] == "lance"
+    assert stored.parameters["empty_table"] == "true"
+    assert stored.sd.cols[0].name == "__placeholder_id"
+    with pytest.raises(TableAlreadyExists):
+        ns.declare_table(m.DeclareTableRequest(id=["db1", "t1"]))
+
+    # single-level table id resolves against the default database
+    client.databases["default"] = client.databases["db1"]
+    out2 = ns.declare_table(m.DeclareTableRequest(id=["short"]))
+    assert ("default", "short") in client.tables
+    assert out2.location == "/wh/default.db/short"
+
+    got = ns.describe_table(m.DescribeTableRequest(id=["db1", "t1"]))
+    assert got.location == "/wh/db1.db/t1"
+
+    # drop purges, deregister keeps (deleteData flag, hive2.py:434/464)
+    ns.drop_table(m.DropTableRequest(id=["db1", "t1"]))
+    ns.deregister_table(m.DeregisterTableRequest(id=["short"]))
+    assert client.drop_flags == [("db1", "t1", True), ("default", "short", False)]
+
+    with pytest.raises(NamespaceNotFound):
+        ns.describe_namespace(m.DescribeNamespaceRequest(id=["gone"]))
+    ns.drop_namespace(m.DropNamespaceRequest(id=["db1"]))
+    assert "db1" not in client.databases
+
+
+def test_hive2_lance_filter_and_declared_probe(hive2, tmp_path):
+    ns, client = hive2
+    ns.create_namespace(m.CreateNamespaceRequest(id=["db1"]))
+    ns.declare_table(m.DeclareTableRequest(id=["db1", "declared_only"]))
+    mat = tmp_path / "mat"
+    mat.mkdir()
+    (mat / "part-0.parquet").touch()
+    ns.declare_table(m.DeclareTableRequest(id=["db1", "mat"], location=str(mat)))
+    client.tables[("db1", "foreign")] = MetastoreTable(
+        tableName="foreign", dbName="db1", parameters={"table_type": "ICEBERG"}
+    )
+    assert ns.list_tables(m.ListTablesRequest(id=["db1"])).tables == [
+        "declared_only",
+        "mat",
+    ]
+    assert ns.list_tables(
+        m.ListTablesRequest(id=["db1"], include_declared=False)
+    ).tables == ["mat"]
+    with pytest.raises(TableNotFound):
+        ns.describe_table(m.DescribeTableRequest(id=["db1", "foreign"]))
+
+
+def test_hive3_catalog_hierarchy(hive3):
+    ns, client = hive3
+    # root lists catalogs (hive3.py:218-230)
+    assert ns.list_namespaces(m.ListNamespacesRequest()).namespaces == ["hive", "spark"]
+    desc = ns.describe_namespace(m.DescribeNamespaceRequest(id=["spark"]))
+    assert desc.properties["catalog.location.uri"] == "/wh/spark"
+    with pytest.raises(NamespaceNotFound):
+        ns.describe_namespace(m.DescribeNamespaceRequest(id=["nope"]))
+    # catalog create/drop not supported through Thrift
+    with pytest.raises(InvalidInput):
+        ns.create_namespace(m.CreateNamespaceRequest(id=["newcat"]))
+    with pytest.raises(InvalidInput):
+        ns.drop_namespace(m.DropNamespaceRequest(id=["spark"]))
+
+    ns.create_namespace(m.CreateNamespaceRequest(id=["spark", "db1"]))
+    assert ns.list_namespaces(m.ListNamespacesRequest(id=["spark"])).namespaces == ["db1"]
+
+    # location: hive catalog keeps hive2 path; others get a catalog segment
+    out_hive = ns.declare_table(m.DeclareTableRequest(id=["hive", "db1", "t1"]))
+    assert out_hive.location == "/wh/db1.db/t1"
+    out_spark = ns.declare_table(m.DeclareTableRequest(id=["spark", "db1", "t2"]))
+    assert out_spark.location == "/wh/spark/db1.db/t2"
+
+    # 2-level table id defaults the catalog
+    got = ns.describe_table(m.DescribeTableRequest(id=["db1", "t1"]))
+    assert got.location == "/wh/db1.db/t1"
+
+    ns.drop_table(m.DropTableRequest(id=["spark", "db1", "t2"]))
+    ns.deregister_table(m.DeregisterTableRequest(id=["hive", "db1", "t1"]))
+    assert client.drop_flags == [("db1", "t2", True), ("db1", "t1", False)]
+
+
+def test_hive3_catalog_fallback_without_get_catalogs():
+    client = FakeMetastore()  # no get_catalogs attribute
+    ns = Hive3Namespace({"root": "/wh", "client": client})
+    assert ns.list_namespaces(m.ListNamespacesRequest()).namespaces == ["hive"]
+
+
+def test_hive_pickle_roundtrip(hive2, hive3):
+    for ns, _ in (hive2, hive3):
+        clone = pickle.loads(pickle.dumps(ns))
+        assert clone._client is None
+        assert clone._root == "/wh"
