@@ -74,13 +74,14 @@ def publish_namespace(
         )
         for tbl in resp.tables:
             desc = ns.describe_table(m.DescribeTableRequest(id=[*ns_id, tbl]))
-            fmt = "parquet"  # Lance locations fall back to parquet (directory.py read_table)
-            try:
-                import lance  # type: ignore  # noqa: F401
+            # External-table format follows the session's Lance capability:
+            # with the lance-spark connector present the relation is a real
+            # Lance scan; otherwise parquet (this repo's sink format).
+            from lance_namespace_impls_spark.sources.lance_io import (
+                jvm_lance_available,
+            )
 
-                fmt = "lance"
-            except ImportError:
-                pass
+            fmt = "lance" if jvm_lance_available(spark) else "parquet"
             spark.sql(f"DROP TABLE IF EXISTS {_q(database)}.{_q(tbl)}")
             spark.sql(
                 f"CREATE TABLE {_q(database)}.{_q(tbl)} USING {fmt} "

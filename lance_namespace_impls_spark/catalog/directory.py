@@ -411,10 +411,7 @@ class DirectoryNamespace(LanceNamespace):
         Declared-only tables raise TableNotFound-flavored InvalidInput — the
         caller can pre-check with describe_table(check_declared=True).
         """
-        desc = self.describe_table(m.DescribeTableRequest(id=table_id))
-        try:
-            import lance  # type: ignore  # noqa: F401
+        from lance_namespace_impls_spark.sources.lance_io import read_dataset
 
-            return spark.read.format("lance").load(desc.location)
-        except ImportError:
-            return spark.read.parquet(desc.location)
+        desc = self.describe_table(m.DescribeTableRequest(id=table_id))
+        return read_dataset(spark, desc.location)

@@ -1,0 +1,80 @@
+"""Lance-format data path with graceful fallbacks.
+
+The reference's payload format is Lance (`table_utils.py:30-32` opens
+``lance.dataset``; `Hive3Namespace.java:573-577` writes with
+``Dataset.create``).  Spark reads Lance through the lance-spark JVM
+connector (``spark.read.format("lance")``); neither that jar nor the
+``lance`` Python package ships in every environment, so table reads resolve
+capabilities in order:
+
+1. **JVM connector** — ``spark.read.format("lance")``: the scale path; the
+   connector exposes a DataSource V2 relation, so scans are distributed and
+   Catalyst pushes filters/projections into Lance fragments.
+2. **Python ``lance`` package** — ``lance.dataset(...).to_table()`` and
+   ``spark.createDataFrame`` on the Arrow table: driver-materialized, so it
+   is a correctness/compat path for small-to-medium tables, NOT the 100 TB
+   path (the docstring-visible contract; at scale install lance-spark).
+3. **Parquet fallback** — locations written by this repo's own sinks hold
+   parquet; ``spark.read.parquet`` keeps full distributed pushdown.
+
+Probes are cached per-process: the JVM probe costs one failed plan attempt,
+the import probe one ``importlib`` lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_JVM_LANCE: bool | None = None
+
+
+def _python_lance():
+    try:
+        import lance  # type: ignore
+
+        return lance
+    except ImportError:
+        return None
+
+
+def jvm_lance_available(spark: SparkSession) -> bool:
+    """Is the lance-spark DataSource registered in this session's JVM?"""
+    global _JVM_LANCE
+    if _JVM_LANCE is None:
+        try:
+            spark._jvm.java.lang.Class.forName("com.lancedb.lance.spark.LanceDataSource")
+            _JVM_LANCE = True
+        except Exception:
+            _JVM_LANCE = False
+    return _JVM_LANCE
+
+
+def read_dataset(spark: SparkSession, location: str) -> DataFrame:
+    """Read a table location, preferring Lance capabilities when present."""
+    if jvm_lance_available(spark):
+        return spark.read.format("lance").load(location)
+    pylance = _python_lance()
+    if pylance is not None:
+        try:
+            dataset = pylance.dataset(location)
+        except Exception:
+            dataset = None  # not a Lance dataset; fall through to parquet
+        if dataset is not None:
+            # Driver-side Arrow materialization — compat path only.
+            return spark.createDataFrame(dataset.to_table())
+    return spark.read.parquet(location)
+
+
+def write_dataset(df: DataFrame, location: str, mode: str = "overwrite") -> str:
+    """Write a DataFrame to a table location; returns the format used.
+
+    Prefers the JVM connector (distributed Lance write); otherwise parquet —
+    the Python lance package is deliberately NOT used for writes, because a
+    driver-collected write defeats the executor write path the catalog's
+    create_table contract documents (directory.py:354-368).
+    """
+    if jvm_lance_available(df.sparkSession):
+        df.write.mode(mode).format("lance").save(location)
+        return "lance"
+    df.write.mode(mode).parquet(location)
+    return "parquet"

@@ -1,0 +1,85 @@
+"""Lance read-path smoke tests: both capability branches.
+
+The environment has neither lance-spark (JVM) nor the lance Python package,
+so the parquet fallback is the natural branch; the Python-lance branch is
+exercised by injecting a fake ``lance`` module whose ``dataset().to_table()``
+returns a real Arrow table (the integration contract: whatever the package
+yields flows into ``spark.createDataFrame`` unchanged).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import pyarrow as pa
+
+from lance_namespace_impls_spark.sources import lance_io
+from lance_namespace_impls_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_jvm_probe_false_and_cached(spark):
+    lance_io._JVM_LANCE = None
+    assert lance_io.jvm_lance_available(spark) is False
+    assert lance_io._JVM_LANCE is False  # cached for the process
+
+
+def test_read_dataset_parquet_fallback(spark):
+    df = lance_io.read_dataset(spark, f"{SF_SMOKE}/region.parquet")
+    assert df.count() == 5
+    assert "r_name" in df.columns
+
+
+def test_read_dataset_python_lance_branch(spark, monkeypatch):
+    """A plugged-in lance package takes precedence over the parquet fallback."""
+    arrow = pa.table({"id": [1, 2, 3], "name": ["a", "b", "c"]})
+
+    class FakeDataset:
+        def to_table(self):
+            return arrow
+
+    fake = types.ModuleType("lance")
+    fake.dataset = lambda location: FakeDataset()
+    monkeypatch.setitem(sys.modules, "lance", fake)
+    lance_io._JVM_LANCE = False  # force past the JVM probe
+
+    df = lance_io.read_dataset(spark, "/nonexistent/table.lance")
+    rows = sorted((r.id, r.name) for r in df.collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_read_dataset_python_lance_rejects_then_parquet(spark, monkeypatch):
+    """lance present but the location isn't a Lance dataset -> parquet."""
+    fake = types.ModuleType("lance")
+
+    def dataset(location):
+        raise OSError("not a lance dataset")
+
+    fake.dataset = dataset
+    monkeypatch.setitem(sys.modules, "lance", fake)
+    lance_io._JVM_LANCE = False
+
+    df = lance_io.read_dataset(spark, f"{SF_SMOKE}/region.parquet")
+    assert df.count() == 5
+
+
+def test_write_dataset_reports_format(spark, tmp_path):
+    lance_io._JVM_LANCE = False
+    df = load_table(spark, "region", SF_SMOKE)
+    fmt = lance_io.write_dataset(df, str(tmp_path / "out"))
+    assert fmt == "parquet"
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 5
+
+
+def test_directory_read_table_uses_lance_io(spark, tmp_path, monkeypatch):
+    from lance_namespace_impls_spark.catalog import DirectoryNamespace
+    from lance_namespace_impls_spark.catalog import models as m
+
+    ns = DirectoryNamespace({"root": str(tmp_path / "wh")})
+    ns.create_namespace(m.CreateNamespaceRequest(id=["main"]))
+    ns.declare_table(
+        m.DeclareTableRequest(id=["main", "region"], location=f"{SF_SMOKE}/region.parquet")
+    )
+    assert ns.read_table(spark, ["main", "region"]).count() == 5
