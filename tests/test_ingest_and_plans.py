@@ -179,3 +179,50 @@ def test_tpch_q3_pushes_date_filters(spark):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
     assert any("o_orderdate" in l for l in pushed), pushed
     assert any("l_shipdate" in l for l in pushed), pushed
+
+
+def test_distributed_ntile_no_single_partition_sort(spark):
+    """q92: the production NTILE must never plan a SinglePartition exchange —
+    the whole point of the two-pass form (q28 is the single-window twin and
+    IS allowed to)."""
+    plan = _plan(spark, "q92_ntile_distributed")
+    body = plan.split("TakeOrdered")[0] if "TakeOrdered" in plan else plan
+    # the final orderBy for oracle determinism may sort, but the ntile
+    # computation itself must not funnel through one partition
+    assert "rangepartitioning" in plan or "RangePartitioning" in plan, plan
+    windows = [l for l in plan.splitlines() if "Window" in l and "windowspec" not in l]
+    for line in windows:
+        assert "__pid" in line, (line, plan)
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    """Exact equality against Spark's own single-window ntile, including the
+    N-smaller-than-buckets edge."""
+    from pyspark.sql import Window
+
+    from lance_namespace_impls_spark.operators.scale_windows import distributed_ntile
+
+    cu = load_table(spark, "customer", SF_SMOKE).select("c_custkey", "c_acctbal")
+    for buckets in (3, 8):
+        got = _sorted_rows(
+            distributed_ntile(cu, ["c_acctbal", "c_custkey"], buckets).select(
+                "c_custkey", "bucket"
+            )
+        )
+        w = Window.orderBy("c_acctbal", "c_custkey")
+        want = _sorted_rows(
+            cu.select("c_custkey", F.ntile(buckets).over(w).cast("bigint").alias("b"))
+        )
+        assert got == want
+    # edge: fewer rows than buckets -> one row per bucket by rank
+    tiny = cu.limit(3)
+    got = _sorted_rows(
+        distributed_ntile(tiny, ["c_acctbal", "c_custkey"], 10).select(
+            "c_custkey", "bucket"
+        )
+    )
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    want = _sorted_rows(
+        tiny.select("c_custkey", F.ntile(10).over(w).cast("bigint").alias("b"))
+    )
+    assert got == want
