@@ -10,8 +10,11 @@ Scale notes are attached per operator where the local plan and the
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.sources.tables import load_table, spread
@@ -911,34 +914,56 @@ def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UDF surface (Q44)
 
 
+# DoubleType() instance, not the "double" DDL string: string return types are
+# parsed through the active SparkContext at decoration time, which would make
+# this module unimportable before a session exists (cf. advanced.py:168-171).
+@F.pandas_udf(DoubleType())
+def _disc_price_vec(price: pd.Series, discount: pd.Series) -> pd.Series:
+    """Vectorized exact decimal HALF_UP: the fixture's money columns are
+    2-decimal, so rint(x*100) recovers exact integer cents and
+    ``(v + 50) // 100`` is HALF_UP at the 2nd decimal — identical results to
+    decimal.Decimal quantization, computed as three NumPy array ops per
+    Arrow batch instead of per-row Python."""
+    cents = np.rint(price.to_numpy(dtype="float64") * 100).astype("int64")
+    dpct = np.rint(discount.to_numpy(dtype="float64") * 100).astype("int64")
+    v = cents * (100 - dpct)  # price*(1-d) in 10^-4 units
+    return pd.Series((v + 50) // 100 / 100.0)
+
+
+def scalar_disc_price_udf():
+    """Row-at-a-time scalar UDF twin of :func:`_disc_price_vec` — the
+    API-surface item (kept OUT of the declared/benched query: per-row Python
+    is the documented anti-pattern; see tests/test_relational.py for the
+    equivalence check)."""
+
+    def disc_price(price: float, discount: float) -> float:
+        cents = round(price * 100)
+        dpct = round(discount * 100)
+        v = cents * (100 - dpct)
+        return ((v + 50) // 100) / 100.0
+
+    return F.udf(disc_price, "double")
+
+
 @query(
     "q44_python_udf",
     "SELECT l_orderkey, l_linenumber, "
     "CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS disc_price "
     "FROM lineitem ORDER BY l_orderkey, l_linenumber",
-    doc="Scalar Python UDF reproducing q04's SQL expression exactly "
-    "(decimal HALF_UP math). Deliberately the slow path — exists to prove the "
-    "UDF surface; q04 is the production form.",
+    doc="Python UDF surface, vectorized: an Arrow-batched pandas_udf "
+    "reproducing q04's SQL expression exactly (decimal HALF_UP in integer "
+    "cents). The row-at-a-time scalar form lives in scalar_disc_price_udf() "
+    "and its unit test — never in the benched path (VERDICT r1: 4.4 s -> "
+    "pandas_udf). q04 remains the pure-JVM production form.",
     tags=("udf",),
 )
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def disc_price(price: float, discount: float) -> float:
-        # Exact decimal HALF_UP math in integer cents: the fixture's money
-        # columns are 2-decimal, so round(x*100) recovers exact cents and
-        # (v + 50) // 100 is HALF_UP at the 2nd decimal — identical results
-        # to decimal.Decimal quantization at ~6x less per-row cost.
-        cents = round(price * 100)
-        dpct = round(discount * 100)
-        v = cents * (100 - dpct)  # price*(1-d) in 10^-4 units
-        return ((v + 50) // 100) / 100.0
-
-    udf = F.udf(disc_price, "double")
     return (
         spread(load_table(spark, "lineitem", sf_dir))
         .select(
             "l_orderkey",
             "l_linenumber",
-            udf("l_extendedprice", "l_discount").alias("disc_price"),
+            _disc_price_vec("l_extendedprice", "l_discount").alias("disc_price"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )

@@ -69,3 +69,21 @@ def test_topk_plan_is_take_ordered(spark):
     df = QUERIES["q29_global_topk"].builder(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scalar_udf_equals_vectorized_udf(spark):
+    """The row-at-a-time scalar UDF (API-surface item) and the declared
+    pandas_udf produce identical values; only the declared/benched query
+    uses the vectorized form."""
+    from lance_namespace_impls_spark.operators.relational import (
+        _disc_price_vec,
+        scalar_disc_price_udf,
+    )
+    from lance_namespace_impls_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", SF_SMOKE).limit(500)
+    both = li.select(
+        scalar_disc_price_udf()("l_extendedprice", "l_discount").alias("s"),
+        _disc_price_vec("l_extendedprice", "l_discount").alias("v"),
+    )
+    assert both.filter("s <> v").count() == 0
