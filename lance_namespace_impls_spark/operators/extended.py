@@ -376,6 +376,39 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q93_salted_skew_join",
+    # Must equal the plain equi-join — the oracle proves salting is
+    # result-identical (cf. q85 for the aggregation twin).
+    "SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "ORDER BY o.o_orderkey",
+    doc="Skew-resistant salted equi-join declared as a first-class query: "
+    "the skewed (fact) side gets a per-row salt, the replicated (dim) side "
+    "is exploded over all salt values, and the join runs on (key, salt) so "
+    "one hot key spreads across n_salts reducers. Oracle-checked against "
+    "the plain join. The shape for power-law fact keys where the dim side "
+    "is too large to broadcast and AQE's skew splitter can't act (e.g. "
+    "non-sort-merge plans); see tests/test_skew.py for the plan assertion.",
+    tags=("join", "skew"),
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.operators.skew import salted_join
+
+    od = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("custkey")
+    )
+    cu = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    out = salted_join(od, cu, on=["custkey"], n_salts=8, salt_from="o_orderkey")
+    return out.select(
+        "o_orderkey",
+        F.col("custkey").alias("c_custkey"),
+        "c_mktsegment",
+    ).orderBy("o_orderkey")
+
+
+@query(
     "q90_funnel",
     "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tu FROM events), "
     "s1 AS (SELECT user_id, MIN(tu) AS t1 FROM e WHERE event_type = 'view' "

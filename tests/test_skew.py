@@ -63,3 +63,27 @@ def test_salted_join_left_outer(spark):
         (2, "b", None),
         (3, "c", None),
     ]
+
+
+def test_salted_join_shuffle_carries_salt(spark):
+    """q93's point: with broadcast disabled (the 100 TB regime — the dim side
+    is too big to broadcast), the join exchanges hash on (key, salt), so one
+    hot key spreads over n_salts reducers."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        od = load_table(spark, "orders", SF_SMOKE).select(
+            "o_orderkey", F.col("o_custkey").alias("custkey")
+        )
+        cu = load_table(spark, "customer", SF_SMOKE).select(
+            F.col("c_custkey").alias("custkey"), "c_mktsegment"
+        )
+        out = salted_join(od, cu, on=["custkey"], n_salts=8, salt_from="o_orderkey")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        exchanges = [
+            l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+        ]
+        assert exchanges, plan
+        assert all("__salt" in l for l in exchanges), exchanges
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
