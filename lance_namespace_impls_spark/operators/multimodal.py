@@ -102,20 +102,27 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+def extract_features(
+    media: DataFrame, dim: int = FEATURE_DIM, decoder=None
+) -> DataFrame:
     """Arrow-batched feature extraction over the blob column.
 
     ``mapInPandas`` ships columnar batches to Python — the pattern a real
-    decode/embed stage uses (batch-amortized model invocation).  The stub
-    extractor stands in for the model; the batch shape and schema are real.
+    decode/embed stage uses (batch-amortized model invocation).  ``decoder``
+    is the pluggable codec (``bytes -> list[float]``); it rides the closure
+    to executors, so a production deployment passes a real decode+embed
+    callable (e.g. PIL + model) and everything downstream is unchanged —
+    the contract tests/test_llm_ops.py verifies with a custom codec.  The
+    default is the deterministic stub.
     """
+    decode = decoder or (lambda blob: fake_decode_features(blob, dim))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "features": [fake_decode_features(b, dim) for b in pdf["blob"]],
+                    "features": [decode(b) for b in pdf["blob"]],
                 }
             )
 
@@ -160,15 +167,17 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+def resize_media(media: DataFrame, width: int, height: int, resizer=None) -> DataFrame:
     """Arrow-batched resize over (blob, meta): 1→1 rows, metadata rewritten
-    to the target dims.  The stub kernel stands in for a real codec; the
+    to the target dims.  ``resizer`` is the pluggable codec
+    (``bytes, w, h -> bytes``), defaulting to the deterministic stub; the
     schema contract (meta struct follows the transformed payload) is real.
     """
+    do_resize = resizer or fake_resize
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            blobs = [fake_resize(b, width, height) for b in pdf["blob"]]
+            blobs = [do_resize(b, width, height) for b in pdf["blob"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
