@@ -11,21 +11,22 @@ computes the same EXACT results with distributed plans.
    P parallel partitions (Spark's own sort machinery, no single task);
 2. per-partition ``row_number`` — a Window PARTITIONED BY partition id, so
    P concurrent local sorts;
-3. partition-count prefix sums — a P-row aggregate collected to the driver
-   (bounded by partition count, not data size) and broadcast-joined back;
+3. partition-count prefix sums — a P-row aggregate whose running-sum window
+   runs on ONE partition *of P rows* (bounded by partition count, not data
+   size), broadcast-joined back;
 4. the arithmetic NTILE definition applied to the exact global rank:
    with N rows and b buckets, k = N div b and m = N mod b, ranks up to
    m*(k+1) land in bucket ceil(r/(k+1)) and the rest in
-   m + ceil((r-m*(k+1))/k).
+   m + ceil((r-m*(k+1))/k) — all column expressions, so the whole operator
+   is ONE lazy plan with no driver collect.
 
 Equal-key correctness does not depend on where the range sampler places
 boundaries: ranks come from counts + local order, and the caller supplies a
 tiebreaking unique key so the total order (and therefore every bucket
-assignment) is deterministic and oracle-reproducible.
-
-Cost: one extra P-row job (the counts collect) versus the single-task plan —
-the classic two-pass distributed ranking trade, worth it the moment the
-table exceeds one task's memory.
+assignment) is deterministic and oracle-reproducible.  The ranged input is
+persisted because the counts pass and the rank pass must observe identical
+partition placement — re-sampling range boundaries across jobs could move
+rows.
 """
 
 from __future__ import annotations
@@ -52,47 +53,45 @@ def distributed_ntile(
     p = num_partitions or spark.sparkContext.defaultParallelism
     cols = [F.col(c) for c in order_cols]
 
-    ranged = df.repartitionByRange(p, *cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # Persisted so the counts pass and the rank pass see identical partition
+    # placement (re-sampling range boundaries across jobs could move rows).
+    ranged = (
+        df.repartitionByRange(p, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
-    # Cache: the counts pass and the rank pass must see identical partition
-    # placement (re-sampling the range boundaries could move rows between
-    # partitions across jobs).
-    ranged = ranged.persist()
-    try:
-        counts = sorted(
-            (r["__pid"], r["cnt"])
-            for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        )
-        total = sum(c for _, c in counts)
-        offsets, acc = [], 0
-        for pid, cnt in counts:
-            offsets.append((pid, acc))
-            acc += cnt
-        off_df = spark.createDataFrame(offsets, "__pid int, __off long")
 
-        w = Window.partitionBy("__pid").orderBy(*cols)
-        k, mrem = divmod(total, buckets)
-        rank = F.col("__off") + F.row_number().over(w)
-        if k == 0:
-            bucket = rank  # fewer rows than buckets: one row per bucket
-        else:
-            big = mrem * (k + 1)
-            bucket = F.when(
-                rank <= F.lit(big), F.ceil(rank / F.lit(k + 1))
-            ).otherwise(F.lit(mrem) + F.ceil((rank - F.lit(big)) / F.lit(k)))
-        out = (
-            ranged.join(F.broadcast(off_df), "__pid")
-            .withColumn(out_col, bucket.cast("bigint"))
-            .drop("__pid", "__off")
-        )
-        # Materialization note: callers collect/write this result; unpersist
-        # eagerly would re-trigger the range sample, so leave the unpersist
-        # to GC (blocking=False semantics) after the plan executes.
-        return out
-    except Exception:
-        ranged.unpersist()
-        raise
+    # P rows total: the single-partition running-sum window here is over the
+    # partition COUNT list, never the data — the legitimate tiny-side case.
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_all).alias("__total"),
+    )
+
+    w_rank = Window.partitionBy("__pid").orderBy(*cols)
+    rank = F.col("__off") + F.row_number().over(w_rank)
+    total = F.col("__total")
+    k = F.floor(total / buckets)
+    mrem = total - k * buckets
+    big = mrem * (k + 1)
+    # greatest(k,1) keeps the otherwise-branch division defined under ANSI
+    # when N < buckets (that case is fully covered by the k==0 arm).
+    bucket = (
+        F.when(k == 0, rank)
+        .when(rank <= big, F.ceil(rank / (k + 1)))
+        .otherwise(mrem + F.ceil((rank - big) / F.greatest(k, F.lit(1))))
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, bucket.cast("bigint"))
+        .drop("__pid", "__off", "__total")
+    )
 
 
 @query(
