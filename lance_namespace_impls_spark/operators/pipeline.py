@@ -1,0 +1,443 @@
+"""Training-data-pipeline operators beyond the round-1 surface.
+
+Five first-class, oracle-checked operators a 100 TB curation pipeline needs:
+
+* **q94 banded interval self-join** — "same customer within 7 days": the
+  non-equi time predicate becomes an equi-join on (key, week-band) with the
+  probe side exploded over its 3 adjacent bands, then the exact predicate
+  refines candidates.  |Δdays| <= 7 implies |Δweek| <= 1, so banding is
+  lossless and each qualifying pair collides in EXACTLY one band (the build
+  side carries a single band value) — no dedup pass.  Shuffle is on
+  (custkey, band), never a cross product; band width tracks the interval.
+* **q96 CDC merge/upsert** — MERGE INTO re-expressed as full-outer join +
+  coalesce: updates override, inserts append, unmatched rows survive.
+  One shuffle on the merge key; at scale the delta side is usually
+  broadcastable.
+* **q97 stratified sample** — per-group deterministic ~20% via the q73
+  arithmetic hash (engine-portable, rides the scan); the query reports
+  per-stratum achieved rates, the property stratification exists to bound.
+* **q98 table profile** — per-column null count / distinct / min-max in ONE
+  pass (single hash aggregate, no per-column jobs): the schema-quality scan
+  every ingest runs before committing a snapshot.
+* **q99 near-dup components** — connected components over the 3-shingle
+  Jaccard >= 0.5 pair graph: candidate pairs from an inverted-index
+  self-join on shingles (lossless for threshold >= 0.5: qualifying pairs
+  share at least one shingle), exact Jaccard refine, then distributed
+  min-label propagation to a fixpoint.  Labels move along edges each round
+  (one shuffle join per round, lineage cut with localCheckpoint); random
+  graphs converge in O(diameter) rounds — the alternating small-star/
+  large-star variant bounds worst cases at O(log n) rounds with the same
+  join shape.  The oracle replays the whole thing in a DuckDB recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+
+# ---------------------------------------------------------------------------
+# q94: banded interval self-join
+
+
+def interval_self_join_pairs(
+    df: DataFrame, key: str, ts: str, ident: str, max_days: int
+) -> DataFrame:
+    """Pairs (ident_a < ident_b) sharing ``key`` with |Δ``ts``| <= max_days,
+    via lossless band join (band width = interval width)."""
+    days = F.datediff(F.col(ts).cast("date"), F.lit("1990-01-01").cast("date"))
+    band = F.floor(days / max_days)
+    left = df.select(
+        F.col(key).alias("k"),
+        F.col(ident).alias("id_a"),
+        F.col(ts).alias("ts_a"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+    )
+    right = df.select(
+        F.col(key).alias("k"),
+        F.col(ident).alias("id_b"),
+        F.col(ts).alias("ts_b"),
+        band.alias("band"),
+    )
+    return (
+        left.join(right, ["k", "band"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(
+                    F.datediff(F.col("ts_a").cast("date"), F.col("ts_b").cast("date"))
+                )
+                <= max_days
+            )
+        )
+        .drop("band")
+    )
+
+
+@query(
+    "q94_interval_join",
+    "SELECT a.o_orderkey AS id_a, b.o_orderkey AS id_b, "
+    "CAST(ABS(date_diff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT) AS gap_days "
+    "FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey "
+    "AND a.o_orderkey < b.o_orderkey "
+    "AND ABS(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 7 "
+    "ORDER BY id_a, id_b",
+    doc="Banded interval self-join: same-customer order pairs within 7 days. "
+    "The oracle replays the naive non-equi join; the engine runs the "
+    "lossless band equi-join (explode probe side over 3 adjacent week "
+    "bands, refine exact) — shuffle on (custkey, band), no cross product.",
+    tags=("join", "interval", "scale"),
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    pairs = interval_self_join_pairs(od, "o_custkey", "o_orderdate", "o_orderkey", 7)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.abs(
+            F.datediff(F.col("ts_a").cast("date"), F.col("ts_b").cast("date"))
+        ).cast("bigint").alias("gap_days"),
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q95: TF-IDF top terms
+
+
+@query(
+    "q95_tfidf_top_terms",
+    "WITH tok AS ("
+    "  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents"
+    "), tf AS ("
+    "  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> '' GROUP BY doc_id, term"
+    "), df AS ("
+    "  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term"
+    "), scored AS ("
+    "  SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * 1000000 // (df.df + 1) AS score"
+    "  FROM tf JOIN df USING (term)"
+    "), ranked AS ("
+    "  SELECT doc_id, term, tf, df, score, "
+    "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM scored) "
+    "SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, "
+    "CAST(score AS BIGINT) AS score FROM ranked WHERE rn = 1 ORDER BY doc_id",
+    doc="TF-IDF-style most-characteristic term per document: token explode "
+    "-> per-(doc, term) tf -> per-term df -> integer-exact score "
+    "tf*1e6 DIV (df+1) (monotone in tf/idf; integer arithmetic so ranking "
+    "is engine-portable — float ln() ulp drift can't flip ties) -> top-1 "
+    "per doc via a doc-partitioned window. Two shuffles (term stats, doc "
+    "window); the df side is a broadcastable term dictionary at corpus "
+    "scale after stop-term pruning.",
+    tags=("llm", "text"),
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = spread(docs).select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # integer DIV, not float divide + floor: exact on both engines
+    scored = tf.join(df, "term").withColumn(
+        "score", F.expr("tf * CAST(1000000 AS BIGINT) DIV (df + 1)")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("score").cast("bigint").alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96: CDC merge / upsert
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE INTO semantics: update matched, insert unmatched, keep the rest.
+
+    Full-outer join on the key, update columns win via coalesce.  Column
+    sets must match.  One shuffle on the key (or zero with a broadcast
+    delta); the Spark-native CDC shape when the table format has no native
+    MERGE."""
+    u = updates.select([F.col(c).alias(f"__u_{c}") for c in updates.columns])
+    joined = target.join(u, target[key] == u[f"__u_{key}"], "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__u_{c}"), F.col(c)).alias(c)
+            for c in target.columns
+        ]
+    )
+
+
+@query(
+    "q96_merge_upsert",
+    # updates: every 100th order gets +100.00; inserts: the same rows shifted
+    # to key+3000000. The merged table must show both.
+    "WITH updates AS ("
+    "  SELECT o_orderkey, CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) + 100, 2) AS DOUBLE) AS price"
+    "  FROM orders WHERE o_orderkey % 100 = 0"
+    "), inserts AS ("
+    "  SELECT o_orderkey + 3000000 AS o_orderkey, CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price"
+    "  FROM orders WHERE o_orderkey % 100 = 0"
+    "), delta AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts), "
+    "base AS (SELECT o_orderkey, CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price FROM orders) "
+    "SELECT COALESCE(d.o_orderkey, b.o_orderkey) AS o_orderkey, "
+    "COALESCE(d.price, b.price) AS price "
+    "FROM base b FULL JOIN delta d ON b.o_orderkey = d.o_orderkey "
+    "ORDER BY o_orderkey",
+    doc="CDC merge/upsert as full-outer join + coalesce: a deterministic "
+    "delta (updates on every 100th key, inserts at key+3e6) merged into "
+    "orders; the oracle replays MERGE semantics in SQL. One shuffle on the "
+    "key; broadcast the delta side when it fits.",
+    tags=("merge", "cdc"),
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    price = F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2).cast("double")
+    base = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", price.alias("price")
+    )
+    hundredth = base.filter(F.col("o_orderkey") % 100 == 0)
+    updates = hundredth.select(
+        "o_orderkey", F.round(F.col("price") + 100, 2).alias("price")
+    )
+    inserts = hundredth.select(
+        (F.col("o_orderkey") + 3000000).alias("o_orderkey"), "price"
+    )
+    merged = merge_upsert(base, updates.unionAll(inserts), "o_orderkey")
+    return merged.orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# q97: stratified sample
+
+
+@query(
+    "q97_stratified_sample",
+    "WITH s AS (SELECT c_mktsegment, "
+    "  CASE WHEN ((c_custkey % 1000000007) * 2654435761) % 1000 < 200 THEN 1 ELSE 0 END AS hit "
+    "  FROM customer) "
+    "SELECT c_mktsegment, CAST(SUM(hit) AS BIGINT) AS n_sampled, "
+    "COUNT(*) AS n_total, "
+    "CAST(ROUND(CAST(SUM(hit) AS DECIMAL(18,6)) / COUNT(*), 3) AS DOUBLE) AS rate "
+    "FROM s GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    doc="Stratified ~20% sample: the deterministic multiplicative-hash "
+    "predicate (q73's overflow-safe form) evaluated per stratum, reporting "
+    "achieved per-segment rates. Row-local arithmetic -> rides the scan; "
+    "reproducible across engines and runs, unlike seeded sampleBy.",
+    tags=("sampling",),
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, "customer", sf_dir)
+    hit = (
+        ((F.col("c_custkey") % 1000000007) * F.lit(2654435761)) % 1000 < 200
+    ).cast("int")
+    return (
+        cu.select("c_mktsegment", hit.alias("hit"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("hit").cast("bigint").alias("n_sampled"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(
+                F.sum("hit").cast("decimal(18,6)") / F.count(F.lit(1)), 3
+            ).cast("double").alias("rate"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98: one-pass table profile
+
+
+@query(
+    "q98_table_profile",
+    "SELECT COUNT(*) AS n_rows, "
+    "CAST(COUNT(o_custkey) AS BIGINT) AS custkey_nonnull, "
+    "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct, "
+    "CAST(MIN(o_custkey) AS BIGINT) AS custkey_min, "
+    "CAST(MAX(o_custkey) AS BIGINT) AS custkey_max, "
+    "CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct, "
+    "MIN(o_orderstatus) AS status_min, MAX(o_orderstatus) AS status_max, "
+    "CAST(ROUND(MIN(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS price_min, "
+    "CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS price_max "
+    "FROM orders",
+    doc="One-pass data profile (null/distinct/min/max across three columns "
+    "of different types) as a single hash aggregate — the pre-commit "
+    "schema-quality scan. One job, one pass over the scan; no per-column "
+    "queries.",
+    tags=("profile", "quality"),
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    return od.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").cast("bigint").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").cast("bigint").alias("custkey_distinct"),
+        F.min("o_custkey").cast("bigint").alias("custkey_min"),
+        F.max("o_custkey").cast("bigint").alias("custkey_max"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("status_distinct"),
+        F.min("o_orderstatus").alias("status_min"),
+        F.max("o_orderstatus").alias("status_max"),
+        F.round(F.min(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("price_min"),
+        F.round(F.max(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("price_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99: near-dup connected components
+
+
+def _shingles(col):
+    """3-word shingles, distinct, over lowercase whitespace tokens."""
+    ws = F.split(F.lower(F.trim(col)), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 3),
+            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2]),
+        )
+    )
+
+
+def neardup_edges(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact-Jaccard pairs from ONE inverted-index self-join on shingles.
+
+    Shingle sets are distinct, so the posting self-join yields exactly one
+    row per shared shingle; counting rows per pair IS |A ∩ B|, and with a
+    broadcast (doc_id, |set|) side table Jaccard = inter / (|A|+|B|-inter)
+    — no array re-join, no array_intersect over wide rows (the classic
+    set-similarity-join identity).  Lossless for threshold > 0: qualifying
+    pairs share >= 1 shingle.  At extreme scale the hot-shingle quadratic
+    risk is handled upstream by the MinHash-LSH generator (dedup.py); this
+    exact generator exists where the oracle needs reproducible edges."""
+    # spread(): fixture parquet is one row group -> one task; the shingle
+    # kernel is the compute-heavy map stage and must see every core.
+    toked = spread(docs).select(
+        F.col("doc_id"), _shingles(F.col("text")).alias("toks")
+    ).filter(F.size("toks") > 0)
+    posting = toked.select("doc_id", F.explode("toks").alias("sh"))
+    inter = (
+        posting.alias("a")
+        .join(posting.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = toked.select("doc_id", F.size("toks").alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(
+            F.col("inter")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Distributed min-label propagation: (node, component-min) fixpoint.
+
+    ``nodes``: one column ``node``; ``edges``: ``src``/``dst`` (undirected
+    input, symmetrized here).  Each round joins labels over edges and takes
+    the min of own + neighbor labels (one shuffle per round); terminates
+    when a round changes nothing.  localCheckpoint cuts the growing lineage
+    so round N's plan doesn't replay rounds 1..N-1."""
+    # Materialize the (possibly expensive) edge plan ONCE — every round
+    # reuses the checkpointed rows instead of replaying candidate
+    # generation + refine.
+    sym = (
+        edges.selectExpr("src", "dst")
+        .unionAll(edges.selectExpr("dst AS src", "src AS dst"))
+        .localCheckpoint()
+    )
+    # Isolated nodes never change label: iterate only over nodes with at
+    # least one edge (typically a tiny fraction of a mostly-unique corpus)
+    # and union the singletons back at the end.
+    active = sym.select(F.col("src").alias("node")).distinct()
+    labels = active.select(F.col("node"), F.col("node").alias("lab")).localCheckpoint()
+    # Convergence metric: sum(lab) strictly decreases every round until the
+    # fixpoint (labels only ever decrease), so one cheap agg on the freshly
+    # checkpointed frame replaces a join-based diff.
+    prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("lab")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    singletons = nodes.join(active, "node", "left_anti").select(
+        "node", F.col("node").alias("lab")
+    )
+    return labels.unionAll(singletons)
+
+
+@query(
+    "q99_neardup_components",
+    "WITH RECURSIVE "
+    "w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), "
+    "t AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    "      for i in range(1, len(ws)-1)]) AS toks FROM w WHERE len(ws) >= 3), "
+    "e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM t a JOIN t b ON a.doc_id < b.doc_id "
+    "      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
+    "            / len(list_distinct(a.toks || b.toks)) >= 0.5), "
+    "ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+    "reach(node, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT ee.src, reach.lab FROM reach JOIN ee ON ee.dst = reach.node "
+    "  WHERE reach.lab < ee.src) "
+    "SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component "
+    "FROM reach GROUP BY node ORDER BY doc_id",
+    doc="Near-duplicate clustering: connected components over the 3-shingle "
+    "Jaccard>=0.5 graph via distributed min-label propagation (inverted-"
+    "index candidate join, exact refine, iterative label joins with "
+    "checkpointed lineage). The oracle replays edges + transitive closure "
+    "in a DuckDB recursive CTE — hash equality proves the fixpoint labels "
+    "are the true component minima. The dedup-pipeline step that turns "
+    "pairwise near-dup hits into keep-one-per-cluster decisions.",
+    tags=("llm", "dedup", "graph"),
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    edges = neardup_edges(docs, 0.5).selectExpr("id_a AS src", "id_b AS dst")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("lab").cast("bigint").alias("component")
+    ).orderBy("doc_id")

@@ -1,0 +1,101 @@
+"""Pipeline-operator unit tests: banded interval join vs naive, merge
+semantics, components vs a driver-side union-find ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.operators.pipeline import (
+    connected_components,
+    interval_self_join_pairs,
+    merge_upsert,
+    neardup_edges,
+)
+from lance_namespace_impls_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_banded_interval_join_equals_naive(spark):
+    od = load_table(spark, "orders", SF_SMOKE)
+    banded = interval_self_join_pairs(
+        od, "o_custkey", "o_orderdate", "o_orderkey", 7
+    ).select("id_a", "id_b")
+    a, b = od.alias("a"), od.alias("b")
+    naive = (
+        a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"))
+        .filter(
+            (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (
+                F.abs(
+                    F.datediff(
+                        F.col("a.o_orderdate").cast("date"),
+                        F.col("b.o_orderdate").cast("date"),
+                    )
+                )
+                <= 7
+            )
+        )
+        .select(
+            F.col("a.o_orderkey").alias("id_a"), F.col("b.o_orderkey").alias("id_b")
+        )
+    )
+    assert _rows(banded) == _rows(naive)
+    # losslessness implies no duplicates either
+    assert banded.count() == banded.distinct().count()
+
+
+def test_merge_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (9, "Z")], "k int, v string"
+    )
+    got = _rows(merge_upsert(target, updates, "k"))
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (9, "Z")]
+
+
+def test_components_match_union_find(spark):
+    docs = load_table(spark, "documents", SF_SMOKE)
+    edges = neardup_edges(docs, 0.5)
+    edge_rows = [(r.id_a, r.id_b) for r in edges.collect()]
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    node_ids = [r.node for r in nodes.collect()]
+
+    # driver-side union-find ground truth
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((n, find(n)) for n in node_ids)
+
+    got = _rows(
+        connected_components(nodes, edges.selectExpr("id_a AS src", "id_b AS dst"))
+    )
+    assert got == want
+    # the fixture graph must be non-trivial for this test to mean anything
+    assert edge_rows, "expected near-dup edges in the fixture"
+
+
+def test_components_on_chain_graph(spark):
+    """A 6-node path plus an isolated node: worst-case diameter for label
+    propagation; component = min of the chain."""
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "node long")
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0)], "src long, dst long"
+    )
+    got = _rows(connected_components(nodes, edges))
+    assert got == [(i, 0 if i < 6 else 6) for i in range(7)]
