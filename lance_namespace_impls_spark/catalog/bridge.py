@@ -3,11 +3,14 @@
 The reference's whole point is that query engines resolve tables through the
 catalog (``GlueNamespace.java:117-393`` implements Spark's ``TableCatalog`` /
 ``SupportsNamespaces`` so ``spark.sql("SHOW TABLES IN lake.main")`` and
-``spark.table("lake.main.region")`` work).  A JVM ``TableCatalog`` plugin
-cannot be authored from pure PySpark (it is loaded by class name into the
-driver JVM), so this module provides the closest pure-Python equivalent:
-**publication** of a namespace backend's metadata into Spark's built-in
-session catalog.
+``spark.table("lake.main.region")`` work).  The engine's primary path for
+that is the JVM DataSource V2 plugin (``jvm/src/.../DirectoryTableCatalog
+.java``, built + installed by :mod:`..catalog.jvm_catalog`), which resolves
+three-part names natively.  This module is the **JRE-only fallback**:
+publication of a namespace backend's metadata into Spark's built-in session
+catalog, useful where no JDK compiler exists or for non-directory backends
+(REST/Glue/Hive) whose state lives behind a network client the JVM plugin
+does not speak.
 
 ``publish_namespace(spark, ns, ns_id, database)`` walks the backend's
 ``list_tables`` / ``describe_table`` surface and registers each table as an
@@ -26,10 +29,9 @@ pruning, partition pruning, AQE all apply exactly as for a direct
 Scale and staleness: publication is a driver-side metadata copy, O(#tables)
 catalog calls and zero data movement.  It is a snapshot — tables added to the
 backend after publishing need a re-publish (idempotent; drop+recreate per
-table).  That trade-off is explicit and documented here rather than hidden:
-a live JVM ``TableCatalog`` delegating per-lookup is the reference-parity
-endgame and needs a small Scala build step this environment cannot run
-(SURVEY.md §7 records the limitation).
+table).  The live per-lookup resolution the reference-parity endgame wants is
+exactly what the JVM plugin provides for directory warehouses — prefer it
+(``jvm_catalog.install_catalog``) whenever a JDK is present.
 """
 
 from __future__ import annotations

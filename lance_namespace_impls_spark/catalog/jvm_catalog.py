@@ -1,0 +1,97 @@
+"""Build + install the JVM DataSource V2 catalog plugin.
+
+``jvm/src/.../DirectoryTableCatalog.java`` implements Spark's ``TableCatalog``
++ ``SupportsNamespaces`` over the same warehouse state file as the Python
+:class:`~lance_namespace_impls_spark.catalog.directory.DirectoryNamespace` —
+the reference-parity path where engines resolve Lance tables natively through
+SQL (reference: ``GlueNamespace.java:117-393``).  Both planes share one state
+contract, so tables declared from Python are instantly visible to
+``spark.sql("SHOW TABLES IN lake.main")`` and vice versa.
+
+Because the plugin is ordinary Java 17 compiled against pyspark's *bundled*
+jars, no external build system or download is needed: :func:`ensure_catalog_jar`
+shells out to the JDK's ``javac``/``jar`` (present wherever Spark itself can
+run with a JDK) and caches the artifact under ``jvm/dist/``.
+
+Installation into a *running* session uses ``ADD JAR`` — Spark loads catalog
+plugins through the session-state classloader, which ``ADD JAR`` extends — so
+a vanilla external SparkSession (the correctness driver's) can adopt the
+catalog without restart-time ``spark.driver.extraClassPath`` plumbing.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+from pyspark.sql import SparkSession
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_JVM_DIR = os.path.join(_REPO_ROOT, "jvm")
+_SRC = os.path.join(
+    _JVM_DIR, "src", "lance_namespace_impls_spark", "jvm", "DirectoryTableCatalog.java"
+)
+_CLASSES = os.path.join(_JVM_DIR, "build", "classes")
+_JAR = os.path.join(_JVM_DIR, "dist", "lance-namespace-dsv2.jar")
+
+CATALOG_CLASS = "lance_namespace_impls_spark.jvm.DirectoryTableCatalog"
+
+
+def _pyspark_jars_dir() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "jars")
+
+
+def _jdk_tool(tool: str) -> str | None:
+    java_home = os.environ.get("JAVA_HOME")
+    if java_home:
+        cand = os.path.join(java_home, "bin", tool)
+        if os.path.exists(cand):
+            return cand
+    return shutil.which(tool)
+
+
+def ensure_catalog_jar() -> str:
+    """Compile the DSv2 catalog plugin if stale; return the jar path.
+
+    Raises ``RuntimeError`` when no JDK compiler is available (a JRE-only
+    environment) — callers degrade to the session-catalog bridge
+    (:mod:`lance_namespace_impls_spark.catalog.bridge`).
+    """
+    if os.path.exists(_JAR) and os.path.getmtime(_JAR) >= os.path.getmtime(_SRC):
+        return _JAR
+    javac = _jdk_tool("javac")
+    jar = _jdk_tool("jar")
+    if javac is None or jar is None:
+        raise RuntimeError("no JDK compiler found (javac/jar); cannot build the DSv2 plugin")
+    os.makedirs(_CLASSES, exist_ok=True)
+    os.makedirs(os.path.dirname(_JAR), exist_ok=True)
+    classpath = os.path.join(_pyspark_jars_dir(), "*")
+    subprocess.run(
+        [javac, "-classpath", classpath, "-d", _CLASSES, _SRC],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    subprocess.run(
+        [jar, "cf", _JAR, "-C", _CLASSES, "."],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    return _JAR
+
+
+def install_catalog(spark: SparkSession, name: str, root: str) -> str:
+    """Register catalog ``name`` over warehouse ``root`` in a live session.
+
+    Idempotent.  Returns ``name``.  The catalog class loads lazily on first
+    resolution, through the session-state classloader ``ADD JAR`` feeds.
+    """
+    jar = ensure_catalog_jar()
+    spark.sql(f"ADD JAR '{jar}'")
+    spark.conf.set(f"spark.sql.catalog.{name}", CATALOG_CLASS)
+    spark.conf.set(f"spark.sql.catalog.{name}.root", os.path.abspath(root))
+    return name

@@ -125,6 +125,59 @@ def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q100_jvm_dsv2_catalog",
+    "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations FROM nation "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+    doc="Reference-parity native catalog resolution: tables declared in a "
+    "DirectoryNamespace resolve through the JVM DataSource V2 TableCatalog "
+    "plugin (jvm/src/.../DirectoryTableCatalog.java, the role "
+    "GlueNamespace.java:117-393 plays) — a three-part-name SQL join with "
+    "zero Python in the resolution or scan path.  The plugin compiles on "
+    "demand from the JDK Spark already needs (catalog/jvm_catalog.py) and "
+    "loads into the live session via ADD JAR; a JRE-only environment "
+    "degrades to the session-catalog publication bridge (q91's path) with "
+    "the identical relation.",
+    tags=("scan", "catalog", "jvm"),
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from lance_namespace_impls_spark.catalog import DirectoryNamespace
+    from lance_namespace_impls_spark.catalog import models as cm
+    from lance_namespace_impls_spark.catalog.errors import TableAlreadyExists
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/lni_jvm_warehouse_{tag}"
+    ns = DirectoryNamespace({"root": root})
+    ns.create_namespace(
+        cm.CreateNamespaceRequest(id=["main"], mode=cm.MODE_EXIST_OK)
+    )
+    for tbl in ("region", "nation"):
+        try:
+            ns.declare_table(
+                cm.DeclareTableRequest(
+                    id=["main", tbl], location=f"{sf_dir}/{tbl}.parquet"
+                )
+            )
+        except TableAlreadyExists:
+            pass
+    try:
+        from lance_namespace_impls_spark.catalog.jvm_catalog import install_catalog
+
+        prefix = install_catalog(spark, f"lake_jvm_{tag}", root) + ".main"
+    except Exception:
+        from lance_namespace_impls_spark.catalog.bridge import publish_namespace
+
+        publish_namespace(spark, ns, ["main"], f"lake_jvm_fb_{tag}")
+        prefix = f"lake_jvm_fb_{tag}"
+    return spark.sql(
+        f"SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations "
+        f"FROM {prefix}.nation JOIN {prefix}.region ON n_regionkey = r_regionkey "
+        f"GROUP BY r_name ORDER BY r_name"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projections / filters / predicates (Q04–Q08)
 

@@ -1,0 +1,119 @@
+"""Contract tests for the JVM DataSource V2 catalog plugin.
+
+Mirrors the reference's catalog CRUD story (GlueNamespace.java:117-393,
+docs/src/*.md operation tables) through *native Spark SQL* — the surface the
+reference exists to serve — plus the cross-plane guarantee: the JVM plugin
+and the Python DirectoryNamespace share one warehouse state file, so each
+plane sees the other's writes immediately.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from lance_namespace_impls_spark.catalog import DirectoryNamespace
+from lance_namespace_impls_spark.catalog import models as m
+
+javac_missing = shutil.which("javac") is None
+pytestmark = pytest.mark.skipif(javac_missing, reason="no JDK compiler in PATH")
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lake(spark, tmp_path_factory):
+    """A JVM catalog named per-module over a fresh warehouse root."""
+    from lance_namespace_impls_spark.catalog.jvm_catalog import install_catalog
+
+    root = str(tmp_path_factory.mktemp("jvm_warehouse"))
+    install_catalog(spark, "jvmlake", root)
+    ns = DirectoryNamespace({"root": root})
+    ns.create_namespace(m.CreateNamespaceRequest(id=["main"], properties={"owner": "ci"}))
+    ns.declare_table(
+        m.DeclareTableRequest(id=["main", "region"], location=f"{SF}/region.parquet")
+    )
+    return ns
+
+
+def test_show_namespaces_and_tables(spark, lake):
+    assert [r.namespace for r in spark.sql("SHOW NAMESPACES IN jvmlake").collect()] == ["main"]
+    rows = spark.sql("SHOW TABLES IN jvmlake.main").collect()
+    assert [(r.namespace, r.tableName) for r in rows] == [("main", "region")]
+
+
+def test_native_read_and_pushdown(spark, lake):
+    assert spark.table("jvmlake.main.region").count() == 5
+    plan = (
+        spark.sql("SELECT r_name FROM jvmlake.main.region WHERE r_regionkey = 1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # Catalog-resolved scans keep full parquet pushdown (FileTable path).
+    assert "EqualTo(r_regionkey,1)" in plan
+
+
+def test_create_insert_ctas_roundtrip(spark, lake):
+    spark.sql("CREATE NAMESPACE jvmlake.stage WITH DBPROPERTIES ('env'='dev')")
+    spark.sql("CREATE TABLE jvmlake.stage.t1 (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO jvmlake.stage.t1 VALUES (2, 'b'), (1, 'a')")
+    assert [(r.id, r.name) for r in spark.sql(
+        "SELECT * FROM jvmlake.stage.t1 ORDER BY id").collect()] == [(1, "a"), (2, "b")]
+    spark.sql(
+        "CREATE TABLE jvmlake.stage.t2 AS SELECT r_regionkey, r_name FROM jvmlake.main.region"
+    )
+    assert spark.table("jvmlake.stage.t2").count() == 5
+
+
+def test_cross_plane_visibility(spark, lake):
+    # JVM-created tables carry the required property merge and are listed by
+    # the Python plane (hive2.py:511-518 required props; glue.py:504-520 filter).
+    tables = lake.list_tables(m.ListTablesRequest(id=["stage"])).tables
+    assert tables == ["t1", "t2"]
+    desc = lake.describe_table(m.DescribeTableRequest(id=["stage", "t1"]))
+    assert desc.properties["table_type"] == "lance"
+    assert desc.properties["managed_by"] == "storage"
+    # Python-declared table resolved natively: seen in test_show_* above; and
+    # a Python declare after catalog installation is immediately visible.
+    lake.declare_table(
+        m.DeclareTableRequest(id=["stage", "late"], location=f"{SF}/nation.parquet")
+    )
+    assert spark.table("jvmlake.stage.late").count() == 25
+    lake.deregister_table(m.DeregisterTableRequest(id=["stage", "late"]))
+
+
+def test_restrict_only_drops(spark, lake):
+    # Non-empty namespace drop fails (glue.py:298-301); cascade is rejected
+    # (glue.py:283-286).
+    with pytest.raises(Exception, match="(?i)non-empty|not empty|SCHEMA_NOT_EMPTY"):
+        spark.sql("DROP NAMESPACE jvmlake.stage")
+    with pytest.raises(Exception, match="(?i)cascade"):
+        spark.sql("DROP NAMESPACE jvmlake.stage CASCADE")
+    spark.sql("DROP TABLE jvmlake.stage.t1")
+    spark.sql("DROP TABLE jvmlake.stage.t2")
+    spark.sql("DROP NAMESPACE jvmlake.stage")
+    assert [r.namespace for r in spark.sql("SHOW NAMESPACES IN jvmlake").collect()] == ["main"]
+
+
+def test_drop_table_purges_data(spark, lake):
+    spark.sql("CREATE NAMESPACE jvmlake.purge")
+    spark.sql("CREATE TABLE jvmlake.purge.t AS SELECT 1 AS x")
+    loc = lake.describe_table(m.DescribeTableRequest(id=["purge", "t"])).location
+    import os
+
+    assert os.path.isdir(loc)
+    spark.sql("DROP TABLE jvmlake.purge.t")
+    # deleteData=True drop semantics (hive2.py:434)
+    assert not os.path.exists(loc)
+    spark.sql("DROP NAMESPACE jvmlake.purge")
+
+
+def test_q100_runs(spark):
+    import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+    from lance_namespace_impls_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q100_jvm_dsv2_catalog"].builder(spark, SF).collect()
+    assert len(rows) == 5
+    assert rows[0].n_nations == 5
