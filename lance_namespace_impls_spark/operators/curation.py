@@ -1,0 +1,231 @@
+"""Corpus-curation operators: quality filters, PII scrubbing, e2e pipeline.
+
+The filters a large-scale training-data pipeline runs between raw crawl and
+tokenizer (the Gopher/C4 family of heuristics), each expressed as declarative
+DataFrame plans over built-in JVM functions — no Python in the hot path — and
+each reproduced exactly in DuckDB SQL so the heuristics are hash-checked, not
+just smoke-checked (the q57 lang-ID pattern, textops.py).
+
+* **q101 repetition filter** — per-document top-token fraction (most frequent
+  token / total tokens: the word-count shape, shuffle on (doc_id, token) then
+  doc_id) and duplicate-bigram fraction (1 − distinct/total bigrams: pure
+  map-side array math, NO shuffle).  Documents failing either threshold are
+  flagged, not dropped — the keep flag is part of the checked output.
+* **q102 PII scrub** — regex redaction of long digit runs and email-shaped
+  tokens; per-source totals of match counts and redacted-character deltas.
+  Patterns restricted to the regex subset Java and RE2 interpret identically.
+* **q103 curation pipeline** — the end-to-end composition a curation job
+  runs: repetition filter → exact near-normalized dedup (keep-first) →
+  deterministic ~50% hash sample → per (source, lang) survivor counts.
+  Every stage is individually oracle-checked elsewhere (q101, q47, q73); this
+  query checks their *composition* end to end.
+
+Scale posture: one (doc_id, token) shuffle for term stats; everything else is
+map-side per-document array math or a doc_id-keyed join.  Nothing collects to
+the driver; thresholds are plan literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+TOP_TOKEN_MAX = 0.2  # keep iff most-frequent-token fraction <= this
+DUP_BIGRAM_MAX = 0.3  # keep iff duplicate-bigram fraction <= this
+
+
+def _toks(col):
+    return F.split(F.lower(F.trim(col)), " ")
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc (top_tok_frac, dup_bigram_frac, keep) over docs with >= 2 tokens."""
+    toked = spread(docs).select(
+        "doc_id", _toks(F.col("text")).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    # Top-token fraction: word-count aggregate — (doc_id, tok) partial counts
+    # combine map-side, then one doc_id-width reduce.
+    tok_counts = (
+        toked.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    # Duplicate-bigram fraction: array math inside the row, no shuffle at all.
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
+    )
+    bg = toked.select(
+        "doc_id",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)
+        ).alias("dup_bigram_frac"),
+    )
+    return (
+        tok_counts.join(bg, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("mx").cast("double") / F.col("tot")).alias("top_tok_frac"),
+            "dup_bigram_frac",
+            (
+                (F.col("mx").cast("double") / F.col("tot") <= TOP_TOKEN_MAX)
+                & (F.col("dup_bigram_frac") <= DUP_BIGRAM_MAX)
+            ).alias("keep"),
+        )
+    )
+
+
+_REPETITION_ORACLE = (
+    "WITH toked AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks "
+    "  FROM documents), "
+    "ok AS (SELECT * FROM toked WHERE len(toks) >= 2), "
+    "tf AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM "
+    "  (SELECT doc_id, t, COUNT(*) AS c FROM (SELECT doc_id, unnest(toks) AS t FROM ok) "
+    "   GROUP BY doc_id, t) GROUP BY doc_id), "
+    "bg AS (SELECT doc_id, 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) "
+    "  AS dup_bigram_frac FROM (SELECT doc_id, "
+    "  [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bgs FROM ok)) "
+    "SELECT tf.doc_id, CAST(mx AS DOUBLE) / tot AS top_tok_frac, dup_bigram_frac, "
+    f"(CAST(mx AS DOUBLE) / tot <= {TOP_TOKEN_MAX} AND dup_bigram_frac <= {DUP_BIGRAM_MAX}) "
+    "AS keep FROM tf JOIN bg ON tf.doc_id = bg.doc_id ORDER BY tf.doc_id"
+)
+
+
+@query(
+    "q101_repetition_filter",
+    _REPETITION_ORACLE,
+    doc="Gopher-style repetition quality filter: per-doc top-token fraction "
+    "(word-count shuffle) + duplicate-bigram fraction (map-side array math), "
+    "keep flag at fixed thresholds; every fraction is a single int/int "
+    "division so Spark and DuckDB agree bit-exactly.",
+    tags=("llm", "curation"),
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, "documents", sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q102: PII scrub
+
+# Patterns deliberately inside the Java∩RE2 common subset: character classes,
+# fixed quantifiers, no backrefs/lookaround.
+_DIGIT_RUN = "[0-9]{6,}"
+_EMAIL = "[a-z0-9.]+@[a-z0-9.]+"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """Redact digit runs + email-shaped tokens; per-source audit totals."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), _EMAIL, "<PII>"),
+        _DIGIT_RUN,
+        "<PII>",
+    )
+    per_doc = spread(docs).select(
+        "source",
+        F.regexp_count(F.lower(F.col("text")), F.lit(_DIGIT_RUN)).alias("n_digit"),
+        F.regexp_count(F.lower(F.col("text")), F.lit(_EMAIL)).alias("n_email"),
+        (F.length("text") - F.length(redacted)).alias("delta_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_digit").alias("digit_runs"),
+            F.sum("n_email").alias("emails"),
+            F.sum("delta_chars").alias("chars_redacted"),
+        )
+    )
+
+
+@query(
+    "q102_pii_scrub",
+    "WITH d AS (SELECT source, "
+    f"  len(regexp_extract_all(lower(text), '{_DIGIT_RUN}')) AS n_digit, "
+    f"  len(regexp_extract_all(lower(text), '{_EMAIL}')) AS n_email, "
+    "  length(text) - length(regexp_replace(regexp_replace(lower(text), "
+    f"    '{_EMAIL}', '<PII>', 'g'), '{_DIGIT_RUN}', '<PII>', 'g')) AS delta_chars "
+    "  FROM documents) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS docs, "
+    "CAST(SUM(n_digit) AS BIGINT) AS digit_runs, "
+    "CAST(SUM(n_email) AS BIGINT) AS emails, "
+    "CAST(SUM(delta_chars) AS BIGINT) AS chars_redacted "
+    "FROM d GROUP BY source ORDER BY source",
+    doc="PII scrubbing audit: regex redaction of digit runs and email-shaped "
+    "tokens (Java∩RE2-portable patterns), per-source match counts and "
+    "redacted-character deltas — integer sums, exact across engines.",
+    tags=("llm", "curation"),
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scrub(load_table(spark, "documents", sf_dir)).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q103: end-to-end curation pipeline
+
+# q73's engine-portable multiplicative hash (extended.py:120-134), reduced
+# before the multiply so it cannot overflow int64 at any scale.
+_SAMPLE_EXPR = "((doc_id % 1000000007) * 2654435761) % 1000"
+
+
+def curation_pipeline(docs: DataFrame) -> DataFrame:
+    """repetition filter → exact dedup keep-first → ~50% hash sample → stats."""
+    keep = repetition_stats(docs).filter("keep").select("doc_id")
+    kept = docs.join(keep, "doc_id")
+    # Exact dedup on normalized text, keep lowest doc_id (q47's shape): one
+    # shuffle on the 16-byte digest, never the text bodies.
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    first = (
+        kept.select("doc_id", digest.alias("dg"))
+        .groupBy("dg")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surviving = kept.join(first, "doc_id")
+    sampled = surviving.filter(F.expr(_SAMPLE_EXPR) < 500)
+    return (
+        sampled.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+
+
+@query(
+    "q103_curation_pipeline",
+    "WITH toked AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks "
+    "  FROM documents), "
+    "ok AS (SELECT * FROM toked WHERE len(toks) >= 2), "
+    "tf AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM "
+    "  (SELECT doc_id, t, COUNT(*) AS c FROM (SELECT doc_id, unnest(toks) AS t FROM ok) "
+    "   GROUP BY doc_id, t) GROUP BY doc_id), "
+    "bg AS (SELECT doc_id, 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / len(bgs) "
+    "  AS dup FROM (SELECT doc_id, "
+    "  [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))] AS bgs FROM ok)), "
+    "keep AS (SELECT tf.doc_id FROM tf JOIN bg ON tf.doc_id = bg.doc_id "
+    f"  WHERE CAST(mx AS DOUBLE) / tot <= {TOP_TOKEN_MAX} AND dup <= {DUP_BIGRAM_MAX}), "
+    "kept AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)), "
+    "first AS (SELECT MIN(doc_id) AS doc_id FROM kept "
+    "  GROUP BY md5(lower(trim(text)))), "
+    "surv AS (SELECT kept.* FROM kept JOIN first USING (doc_id)), "
+    "samp AS (SELECT * FROM surv WHERE "
+    "  (doc_id % 1000000007) * 2654435761 % 1000 < 500) "
+    "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS chars "
+    "FROM samp GROUP BY source, lang ORDER BY source, lang",
+    doc="End-to-end curation composition: repetition filter (q101) -> exact "
+    "keep-first dedup (q47's digest shuffle) -> deterministic ~50% hash "
+    "sample (q73's portable hash) -> per (source, lang) survivor stats.  "
+    "Checks the stage *composition*, each stage being oracle-checked alone.",
+    tags=("llm", "curation"),
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_pipeline(load_table(spark, "documents", sf_dir)).orderBy(
+        "source", "lang"
+    )

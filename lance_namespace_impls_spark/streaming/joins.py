@@ -1,0 +1,167 @@
+"""Streaming joins: stream-static enrichment and stream-stream interval join.
+
+The two join shapes Structured Streaming supports that the round-1 surface
+did not cover (SURVEY.md §2B streaming rows; windows.py has the windowed
+aggregates and stateful ops):
+
+* **q104 stream-static join** — each micro-batch of the events stream joins
+  the static ``customer`` dimension (the enrichment every clickstream
+  pipeline runs).  The static side is a bounded relation Catalyst is free to
+  broadcast per batch; at 100 TB the dimension is still the small side, so
+  this is the no-shuffle-on-the-stream design.  Result: tumbling-hour
+  revenue-event counts per market segment, run through a real stream (file
+  replay → availableNow → memory sink) and oracle-checked against the
+  batch-twin SQL, proving streaming == batch == DuckDB.
+* **q105 stream-stream interval join** — click→purchase attribution: for
+  each click, purchases by the same user within the following hour.  Both
+  sides carry watermarks and the join condition is a bounded event-time
+  range, so the state store can evict rows older than the bound — THE
+  requirement for an unbounded stream-stream join to run forever.  The
+  bounded replay makes the result exactly the batch interval join, which
+  the oracle reproduces on integer microseconds (both engines compare the
+  same micros-truncated instants, so boundary cases agree bit-exactly).
+
+Scale posture: the stream side never repartitions except on the join key;
+state size is bounded by (watermark window × arrival rate); the static dim
+broadcasts.  ``run_stream`` sizes stateful shuffle width independently of
+the batch engine width (windows.py:192).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+from lance_namespace_impls_spark.streaming.windows import (
+    events_batch,
+    events_file_stream,
+    run_stream,
+)
+
+
+def stream_static_segment_counts(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Tumbling-hour purchase counts + value per market segment.
+
+    ``events`` may be streaming or batch — the plan is identical (the batch
+    twin is the equivalence proof).  The dimension join key is the stream's
+    user_id; the static side is broadcast-eligible.
+    """
+    dim = F.broadcast(customer.select("c_custkey", "c_mktsegment"))
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .join(dim, F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sv"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("h"),
+            "c_mktsegment",
+            "n",
+            "sv",
+        )
+    )
+
+
+def click_purchase_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Interval join: purchases within 1 hour after a same-user click.
+
+    Streaming-correct shape: both inputs watermarked by the caller, join
+    condition is an event-time range so state eviction is bounded.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("click_ts")
+    )
+    p = purchases.select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("purchase_ts")
+    )
+    return (
+        c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(
+            F.col("cu").alias("user_id"),
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+        )
+    )
+
+
+@query(
+    "q104_stream_static_join",
+    "SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS h, "
+    "c.c_mktsegment, COUNT(*) AS n, "
+    "CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sv "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+    "WHERE e.event_type = 'purchase' "
+    "GROUP BY h, c.c_mktsegment ORDER BY h, c.c_mktsegment",
+    doc="Stream-static enrichment join run through Structured Streaming: "
+    "events file-replay joins the broadcast customer dimension per "
+    "micro-batch, tumbling-hour counts + exact money sums per market "
+    "segment; oracle-checked against the batch-twin SQL.",
+    tags=("streaming", "join"),
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf_dir)
+    stream, staging = events_file_stream(spark, sf_dir)
+    try:
+        result = run_stream(
+            stream_static_segment_counts(stream, customer), "complete"
+        )
+        return result.orderBy("h", "c_mktsegment")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+@query(
+    "q105_stream_stream_join",
+    "SELECT c.user_id, epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us "
+    "FROM events c JOIN events p ON c.user_id = p.user_id "
+    "AND c.event_type = 'click' AND p.event_type = 'purchase' "
+    "AND epoch_us(p.ts) >= epoch_us(c.ts) "
+    "AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000 "
+    "ORDER BY c.user_id, click_us, purchase_us",
+    doc="Stream-stream interval join (click->purchase attribution within 1h) "
+    "with watermarks on both sides so join state is evictable — the shape "
+    "an unbounded deployment requires.  The oracle compares integer "
+    "microseconds, the precision both engines share after the ns->us "
+    "event-time truncation.",
+    tags=("streaming", "join"),
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream, staging = events_file_stream(spark, sf_dir)
+    try:
+        clicks = stream.filter(F.col("event_type") == "click").withWatermark(
+            "ts", "1 hour"
+        )
+        purchases = stream.filter(
+            F.col("event_type") == "purchase"
+        ).withWatermark("ts", "2 hours")
+        result = run_stream(
+            click_purchase_pairs(clicks, purchases), "append"
+        )
+        return result.orderBy("user_id", "click_us", "purchase_us")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def batch_click_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of q105 for the streaming==batch equivalence test."""
+    ev = events_batch(spark, sf_dir)
+    return click_purchase_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).orderBy("user_id", "click_us", "purchase_us")

@@ -1,0 +1,75 @@
+"""Curation-operator unit tests: repetition stats on constructed docs, PII
+redaction on known strings, pipeline-stage monotonicity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.operators.curation import (
+    DUP_BIGRAM_MAX,
+    TOP_TOKEN_MAX,
+    curation_pipeline,
+    pii_scrub,
+    repetition_stats,
+)
+from lance_namespace_impls_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_repetition_flags_degenerate_docs(spark):
+    stats = {
+        r.doc_id: r
+        for r in repetition_stats(
+            _docs(
+                spark,
+                [
+                    "spam spam spam spam spam spam",  # one token repeated
+                    "the quick brown fox jumps over a lazy dog",  # clean
+                    "ab cd ab cd ab cd ab cd",  # repeated bigrams
+                ],
+            )
+        ).collect()
+    }
+    assert stats[0].top_tok_frac == 1.0 and not stats[0].keep
+    assert stats[1].keep
+    assert stats[2].dup_bigram_frac > DUP_BIGRAM_MAX and not stats[2].keep
+
+
+def test_repetition_thresholds_are_inclusive(spark):
+    # exactly 1/5 = 0.2 top-token fraction keeps (<=), bigrams all distinct
+    df = repetition_stats(_docs(spark, ["a b c d e"]))
+    row = df.collect()[0]
+    assert row.top_tok_frac == pytest.approx(1 / 5)
+    assert row.keep == (row.top_tok_frac <= TOP_TOKEN_MAX)
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    out = pii_scrub(
+        _docs(
+            spark,
+            [
+                "call 1234567 or mail bob@example.com now",
+                "no pii here",
+            ],
+        )
+    ).collect()[0]
+    assert out.digit_runs == 1
+    assert out.emails == 1
+    # "1234567"(7) -> "<PII>"(5): +2; "bob@example.com"(15) -> "<PII>"(5): +10
+    assert out.chars_redacted == 12
+
+
+def test_pipeline_survivors_subset_of_corpus(spark):
+    docs = load_table(spark, "documents", SF_SMOKE)
+    total = docs.count()
+    out = curation_pipeline(docs).agg(F.sum("docs")).collect()[0][0]
+    assert 0 < out <= total

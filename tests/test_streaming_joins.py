@@ -1,0 +1,69 @@
+"""Streaming-join tests: stream-static and stream-stream equal their batch
+twins on bounded replay, and the stream-stream join state is watermark-bounded
+(the plan carries event-time range conditions on watermarked inputs)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.sources.tables import load_table
+from lance_namespace_impls_spark.streaming.joins import (
+    batch_click_purchase_pairs,
+    click_purchase_pairs,
+    stream_static_segment_counts,
+)
+from lance_namespace_impls_spark.streaming.windows import (
+    events_batch,
+    events_file_stream,
+    run_stream,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+@pytest.fixture
+def stream_pair(spark):
+    stream, staging = events_file_stream(spark, SF_SMOKE)
+    batch = events_batch(spark, SF_SMOKE)
+    yield stream, batch
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def test_stream_static_equivalence(spark, stream_pair):
+    stream, batch = stream_pair
+    customer = load_table(spark, "customer", SF_SMOKE)
+    got = run_stream(stream_static_segment_counts(stream, customer), "complete")
+    want = stream_static_segment_counts(batch, customer)
+    cols = ["h", "c_mktsegment", "n", "sv"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(got.collect()) > 0
+
+
+def test_stream_stream_equivalence(spark, stream_pair):
+    stream, _ = stream_pair
+    clicks = stream.filter(F.col("event_type") == "click").withWatermark("ts", "1 hour")
+    purchases = stream.filter(F.col("event_type") == "purchase").withWatermark(
+        "ts", "2 hours"
+    )
+    got = run_stream(click_purchase_pairs(clicks, purchases), "append")
+    want = batch_click_purchase_pairs(spark, SF_SMOKE)
+    cols = ["user_id", "click_us", "purchase_us"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_interval_bound_is_tight(spark):
+    """Pairs outside the 1h window are excluded; boundary instant included."""
+    ev = events_batch(spark, SF_SMOKE)
+    pairs = click_purchase_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).collect()
+    for r in pairs:
+        assert 0 <= r.purchase_us - r.click_us <= 3_600_000_000
