@@ -341,3 +341,121 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, nprobe=3).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# q106: distributed k-means (one exact Lloyd iteration), integer arithmetic
+
+
+def _int_sqdist(a, b):
+    """Exact integer squared L2 distance over int-projected vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K centroids, exact integer
+    distances, (distance, centroid-id) tie-break — the canonical distributed
+    k-means step: the corpus never shuffles, only the K-row side moves."""
+    d = points.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "label", "c", _int_sqdist(F.col("v"), F.col("cv")).alias("d")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "c")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "c")
+    )
+
+
+def kmeans_one_iter(emb: DataFrame, k: int = 8) -> DataFrame:
+    """Deterministic k-means: centroids seeded from the k lowest vec_ids,
+    one exact Lloyd refinement, per-(cluster,label) member counts.
+
+    Everything is integer math (int-projected vectors, truncating integer
+    means), so Spark and DuckDB agree bit-exactly — the oracle-eligible
+    form of iterative clustering.  Mean recomputation is the IVF
+    posexplode partial-aggregate shape (one (k x dim)-sized shuffle).
+    """
+    proj = spread(emb).select(
+        "vec_id", "label", int_projected(F.col("embedding")).alias("v")
+    )
+    cent0 = proj.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+    )
+    asg0 = _assign(proj, cent0)
+    # Element-wise integer mean per cluster: explode to (c, pos, val),
+    # partial sums combine map-side; s DIV n truncates toward zero exactly
+    # like DuckDB's integer //, so the means agree bit-exactly on signed sums.
+    sums = (
+        asg0.join(proj.select("vec_id", "v"), "vec_id")
+        .select("c", F.posexplode("v").alias("pos", "val"))
+        .groupBy("c", "pos")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    cent1 = (
+        sums.select(
+            "c",
+            "pos",
+            F.expr("s DIV n").alias("e"),
+        )
+        .groupBy("c")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "e"))), lambda x: x["e"]
+            ).alias("cv")
+        )
+    )
+    return (
+        _assign(proj, cent1)
+        .groupBy(F.col("c").alias("cluster"), "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_KMEANS_ORACLE = (
+    "WITH proj AS (SELECT vec_id, label, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    "cent0 AS (SELECT vec_id AS c, v AS cv FROM proj WHERE vec_id < 8), "
+    "d0 AS (SELECT p.vec_id, p.label, c.c, "
+    "  CAST(list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.cv) "
+    "       + list_dot_product(c.cv, c.cv) AS BIGINT) AS d "
+    "  FROM proj p CROSS JOIN cent0 c), "
+    "a0 AS (SELECT vec_id, label, c FROM "
+    "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d0) "
+    "  WHERE rn = 1), "
+    "sums AS (SELECT a.c, t.i, SUM(p.v[t.i]) AS s, COUNT(*) AS n "
+    "  FROM a0 a JOIN proj p USING (vec_id) "
+    "  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t "
+    "  GROUP BY a.c, t.i), "
+    "cent1 AS (SELECT c, list(s // n ORDER BY i) AS cv FROM sums GROUP BY c), "
+    "d1 AS (SELECT p.vec_id, p.label, c.c, "
+    "  CAST(list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.cv) "
+    "       + list_dot_product(c.cv, c.cv) AS BIGINT) AS d "
+    "  FROM proj p CROSS JOIN cent1 c), "
+    "a1 AS (SELECT vec_id, label, c FROM "
+    "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn FROM d1) "
+    "  WHERE rn = 1) "
+    "SELECT c AS cluster, label, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM a1 GROUP BY cluster, label ORDER BY cluster, label"
+)
+
+
+@query(
+    "q106_kmeans_assign",
+    _KMEANS_ORACLE,
+    doc="Distributed k-means, one exact Lloyd iteration: centroids seeded "
+    "from the k lowest vec_ids, nearest-centroid assignment via broadcast + "
+    "exact integer squared distances, floor-division elementwise means "
+    "(posexplode partial-agg), re-assignment, per-(cluster,label) counts.  "
+    "All-integer math makes an *iterative clustering* step hash-checkable "
+    "across engines; the corpus never shuffles during assignment.",
+    tags=("llm", "similarity"),
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return kmeans_one_iter(emb, k=8).orderBy("cluster", "label")

@@ -249,3 +249,15 @@ def test_plugged_resizer_flows_through_pipeline(spark):
         assert row.meta.width == 4 and row.meta.height == 4
         assert row.meta.n_bytes == len(row.blob) <= 16
         assert row.blob == row.blob.upper()
+
+
+def test_kmeans_one_iter_partitions_corpus(spark):
+    """Every vector lands in exactly one of k clusters; totals preserved."""
+    from lance_namespace_impls_spark.operators.similarity import kmeans_one_iter
+    from lance_namespace_impls_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    out = kmeans_one_iter(emb, k=8).collect()
+    assert sum(r.n for r in out) == emb.count()
+    assert {r.cluster for r in out} <= set(range(8))
