@@ -304,17 +304,6 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q99: near-dup connected components
 
 
-def _shingles(col):
-    """3-word shingles, distinct, over lowercase whitespace tokens."""
-    ws = F.split(F.lower(F.trim(col)), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 3),
-            lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2]),
-        )
-    )
-
-
 def neardup_edges(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Exact-Jaccard pairs from ONE inverted-index self-join on shingles.
 
@@ -328,10 +317,24 @@ def neardup_edges(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     exact generator exists where the oracle needs reproducible edges."""
     # spread(): fixture parquet is one row group -> one task; the shingle
     # kernel is the compute-heavy map stage and must see every core.
-    toked = spread(docs).select(
-        F.col("doc_id"), _shingles(F.col("text")).alias("toks")
-    ).filter(F.size("toks") > 0)
-    posting = toked.select("doc_id", F.explode("toks").alias("sh"))
+    # Dedup happens AFTER the explode as a distributed distinct: per-row
+    # array_distinct inside the nested higher-order expression falls out of
+    # codegen and measured 6x slower than explode+distinct at sf0.1.
+    # persist(): the posting list feeds THREE consumers (both self-join
+    # sides + the size table); what is cached is (doc_id, shingle) pairs,
+    # never the text bodies.
+    ws = F.split(F.lower(F.trim(F.col("text"))), " ")
+    raw = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 3),
+        lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2]),
+    )
+    posting = (
+        spread(docs)
+        .filter(F.size(ws) >= 3)
+        .select(F.col("doc_id"), F.explode(raw).alias("sh"))
+        .distinct()
+        .persist()
+    )
     inter = (
         posting.alias("a")
         .join(posting.alias("b"), "sh")
@@ -341,7 +344,7 @@ def neardup_edges(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = toked.select("doc_id", F.size("toks").alias("sz"))
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
