@@ -16,5 +16,6 @@ from lance_namespace_impls_spark.operators import skyline  # noqa: F401
 from lance_namespace_impls_spark.operators import scale_windows  # noqa: F401
 from lance_namespace_impls_spark.operators import pipeline  # noqa: F401
 from lance_namespace_impls_spark.operators import curation  # noqa: F401
+from lance_namespace_impls_spark.operators import partitioned  # noqa: F401
 from lance_namespace_impls_spark.streaming import windows  # noqa: F401
 from lance_namespace_impls_spark.streaming import joins  # noqa: F401

@@ -1,0 +1,27 @@
+"""q107: dynamic partition pruning is actually in the executed plan, and the
+partitioned rewrite produces hive-style year directories."""
+
+from __future__ import annotations
+
+import os
+
+from lance_namespace_impls_spark.operators.partitioned import (
+    dpp_join,
+    partitioned_fixture_dir,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_layout_and_dpp_plan(spark):
+    root = partitioned_fixture_dir(spark, SF_SMOKE)
+    years = [
+        d for d in os.listdir(os.path.join(root, "orders_by_year"))
+        if d.startswith("o_year=")
+    ]
+    assert len(years) >= 3  # hive-style partition dirs exist
+    df = dpp_join(spark, root)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    rows = df.collect()
+    assert rows and all(r.o_year % 3 == 0 for r in rows)

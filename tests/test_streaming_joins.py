@@ -67,3 +67,17 @@ def test_interval_bound_is_tight(spark):
     ).collect()
     for r in pairs:
         assert 0 <= r.purchase_us - r.click_us <= 3_600_000_000
+
+
+def test_stream_static_dim_is_broadcast(spark):
+    """The static dimension side must plan as a broadcast join (batch twin:
+    same plan shape the micro-batches execute)."""
+    ev = events_batch(spark, SF_SMOKE)
+    customer = load_table(spark, "customer", SF_SMOKE)
+    plan = (
+        stream_static_segment_counts(ev, customer)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
