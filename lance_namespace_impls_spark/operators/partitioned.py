@@ -96,3 +96,64 @@ def dpp_join(spark: SparkSession, root: str) -> DataFrame:
 def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = partitioned_fixture_dir(spark, sf_dir)
     return dpp_join(spark, root).orderBy("o_year")
+
+
+# ---------------------------------------------------------------------------
+# q108: bucketed co-located join (shuffle-free SortMergeJoin)
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -> tuple[str, str]:
+    """Materialize (once per session+sf) orders/customer bucketed on the join
+    key.  Bucket metadata lives in the session catalog, so a fresh session
+    re-registers by rewriting — the one-off layout cost every bucketed
+    warehouse pays at ingest, amortized over every subsequent join."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    names = (f"lni_bkt_orders_{tag}", f"lni_bkt_customer_{tag}")
+    for name, table, key in (
+        (names[0], "orders", "o_custkey"),
+        (names[1], "customer", "c_custkey"),
+    ):
+        if not spark.catalog.tableExists(name):
+            load_table(spark, table, sf_dir).write.mode("overwrite").bucketBy(
+                buckets, key
+            ).sortBy(key).format("parquet").saveAsTable(name)
+    return names
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_t, customer_t = bucketed_tables(spark, sf_dir)
+    # hint("merge"): the point is the co-located SortMergeJoin — both scans
+    # are Bucketed: true and NO exchange precedes the join (plan-asserted in
+    # tests/test_partitioned.py); a broadcast would hide the layout win.
+    return (
+        spark.table(orders_t)
+        .hint("merge")
+        .join(
+            spark.table(customer_t),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("o_totalprice").cast(_DEC)), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
+@query(
+    "q108_bucketed_join",
+    "SELECT c_mktsegment, COUNT(*) AS n, "
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    doc="Shuffle-free co-located join: orders and customer bucketed+sorted "
+    "on the join key (the bucket_by sink), so the SortMergeJoin consumes "
+    "both scans in place — the only exchange left in the plan is the "
+    "post-join aggregate's.  At 100 TB this converts the dominant fact-fact "
+    "shuffle into a layout decision made once at ingest.",
+    tags=("join", "bucket", "scale"),
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bucketed_join(spark, sf_dir).orderBy("c_mktsegment")

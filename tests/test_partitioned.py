@@ -25,3 +25,14 @@ def test_partitioned_layout_and_dpp_plan(spark):
     assert "dynamicpruning" in plan.lower()
     rows = df.collect()
     assert rows and all(r.o_year % 3 == 0 for r in rows)
+
+
+def test_bucketed_join_has_no_pre_join_exchange(spark):
+    from lance_namespace_impls_spark.operators.partitioned import bucketed_join
+
+    df = bucketed_join(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    # the single exchange is the post-join aggregate's, never the join inputs'
+    assert plan.count("Exchange") == 1
