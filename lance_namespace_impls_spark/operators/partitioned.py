@@ -114,6 +114,14 @@ def bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -> tuple
         (names[1], "customer", "c_custkey"),
     ):
         if not spark.catalog.tableExists(name):
+            # The in-memory catalog forgets tables across sessions but their
+            # warehouse directories survive; drop the orphaned location or
+            # saveAsTable fails with LOCATION_ALREADY_EXISTS.
+            import shutil
+            from urllib.parse import urlparse
+
+            warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
             load_table(spark, table, sf_dir).write.mode("overwrite").bucketBy(
                 buckets, key
             ).sortBy(key).format("parquet").saveAsTable(name)
