@@ -19,3 +19,4 @@ from lance_namespace_impls_spark.operators import curation  # noqa: F401
 from lance_namespace_impls_spark.operators import partitioned  # noqa: F401
 from lance_namespace_impls_spark.streaming import windows  # noqa: F401
 from lance_namespace_impls_spark.streaming import joins  # noqa: F401
+from lance_namespace_impls_spark.streaming import upsert  # noqa: F401

@@ -112,3 +112,42 @@ def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu, ["c_acctbal", "c_custkey"], buckets=8, out_col="bucket"
     )
     return out.select("c_custkey", "bucket").orderBy("c_custkey")
+
+
+@query(
+    "q110_range_interval_frame",
+    "SELECT event_id, user_id, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS n_1h, "
+    "CAST(SUM(value100) OVER w AS BIGINT) AS cents_1h "
+    "FROM (SELECT event_id, user_id, epoch_us(ts) AS us, "
+    "      CAST(round(value * 100) AS BIGINT) AS value100 FROM events) "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY us "
+    "  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) "
+    "ORDER BY event_id",
+    doc="RANGE interval window frame (vs q27's ROWS frame): per-user rolling "
+    "1-hour event count + exact cent sum, frame bounded by event-time "
+    "microseconds so same-instant peers always share a frame — RANGE frames "
+    "are deterministic under timestamp ties where ROWS frames are not.  One "
+    "shuffle on user_id; integer cents keep the sums engine-exact.",
+    tags=("window",),
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.streaming.windows import events_batch
+
+    ev = events_batch(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("value100"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_1h"),
+        F.sum("value100").over(w).cast("bigint").alias("cents_1h"),
+    ).orderBy("event_id")

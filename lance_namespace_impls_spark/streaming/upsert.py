@@ -1,0 +1,117 @@
+"""Streaming incremental upsert: foreachBatch CDC materialization.
+
+The remaining Structured Streaming sink shape after windows.py (memory sink)
+and joins.py: **foreachBatch**, the hook every production pipeline uses to
+apply micro-batches transactionally to a table format.  q109 replays events
+in FOUR micro-batches (maxFilesPerTrigger=1 over a 4-file staging copy) and
+per batch merges "latest event per user" into a parquet target — the
+keep-max-(ts, event_id) upsert a CDC consumer runs.  The final materialized
+table equals the batch answer no matter how the input was sliced into
+batches (merge is associative + commutative over the max), which is exactly
+what the DuckDB oracle checks.
+
+Scale posture: each merge shuffles only on the upsert key; the target
+rewrite is the fixture-scale stand-in for a transactional MERGE INTO on a
+real table format (Lance/Delta), which this engine's merge_upsert operator
+(operators/pipeline.py q96) expresses as the same full-outer-join plan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.session import ensure_runtime_conf
+from lance_namespace_impls_spark.streaming.windows import (
+    EVENTS_RAW_SCHEMA,
+    _with_event_time,
+)
+
+
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    """Keep the (ts, event_id)-max row per user — deterministic under ties."""
+    best = df.groupBy("user_id").agg(
+        F.max(F.struct(F.unix_micros("ts").alias("us"), "event_id")).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.us").alias("last_us"),
+        F.col("b.event_id").alias("last_event_id"),
+    )
+
+
+def upsert_batch(target_dir: str, batch: DataFrame) -> None:
+    """Merge one micro-batch into the target: union old state + batch
+    winners, re-take the max per user, rewrite.  The per-key max makes the
+    merge order-insensitive across any batch slicing."""
+    spark = batch.sparkSession
+    incoming = _latest_per_user(batch)
+    if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+        current = spark.read.parquet(target_dir)
+        merged = (
+            current.unionByName(incoming)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("last_us", "last_event_id")).alias("b"))
+            .select(
+                "user_id",
+                F.col("b.last_us").alias("last_us"),
+                F.col("b.last_event_id").alias("last_event_id"),
+            )
+        )
+    else:
+        merged = incoming
+    # Rewrite via a staging dir: the source must be fully materialized
+    # before the target is replaced (read-over-write hazard otherwise).
+    staging = target_dir + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(target_dir):
+        shutil.rmtree(target_dir)
+    os.replace(staging, target_dir)
+
+
+def run_incremental_upsert(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Replay events as ``n_files`` micro-batches through foreachBatch."""
+    ensure_runtime_conf(spark)
+    work = os.path.join(tempfile.gettempdir(), f"lni_upsert_{uuid.uuid4().hex}")
+    staging = os.path.join(work, "in")
+    target = os.path.join(work, "state")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(n_files).write.parquet(
+        staging
+    )
+    stream = _with_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda b, _id: upsert_batch(target, b))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return target
+
+
+@query(
+    "q109_streaming_upsert",
+    "SELECT user_id, epoch_us(ts) AS last_us, event_id AS last_event_id FROM ("
+    "  SELECT user_id, ts, event_id, ROW_NUMBER() OVER ("
+    "    PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn "
+    "  FROM events) WHERE rn = 1 ORDER BY user_id",
+    doc="foreachBatch incremental upsert: events replayed in 4 micro-batches, "
+    "each merged into a parquet state table keeping the (ts, event_id)-max "
+    "row per user.  The materialized state equals the batch answer for ANY "
+    "batch slicing (per-key max is associative), which the oracle verifies "
+    "on integer microseconds.",
+    tags=("streaming", "sink", "cdc"),
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = run_incremental_upsert(spark, sf_dir)
+    return spark.read.parquet(target).orderBy("user_id")

@@ -1,0 +1,21 @@
+"""foreachBatch upsert: the materialized state is invariant to how the input
+was sliced into micro-batches."""
+
+from __future__ import annotations
+
+
+from lance_namespace_impls_spark.streaming.upsert import run_incremental_upsert
+
+from tests.conftest import SF_SMOKE
+
+
+def _state(spark, n_files):
+    target = run_incremental_upsert(spark, SF_SMOKE, n_files=n_files)
+    return sorted(
+        (r.user_id, r.last_us, r.last_event_id)
+        for r in spark.read.parquet(target).collect()
+    )
+
+
+def test_upsert_state_invariant_to_batch_slicing(spark):
+    assert _state(spark, 1) == _state(spark, 4)
