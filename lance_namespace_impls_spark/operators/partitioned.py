@@ -165,3 +165,109 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_join(spark, sf_dir).orderBy("c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q111: schema-evolution read (mergeSchema)
+
+
+def evolved_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two-generation document layout: generation 1 was written before the
+    ``lang`` column existed (doc_id %% 2 = 1), generation 2 carries it.
+    The deterministic split lets the oracle reproduce the evolution."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"lni_evo_{tag}")
+    marker = os.path.join(root, "_LNI_READY")
+    if not os.path.exists(marker):
+        docs = load_table(spark, "documents", sf_dir)
+        docs.filter("doc_id % 2 = 1").select("doc_id", "source", "n_chars").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "docs", "gen=1"))
+        docs.filter("doc_id % 2 = 0").select(
+            "doc_id", "source", "n_chars", "lang"
+        ).write.mode("overwrite").parquet(os.path.join(root, "docs", "gen=2"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+@query(
+    "q111_schema_evolution_read",
+    "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS chars FROM "
+    "(SELECT source, CASE WHEN doc_id % 2 = 0 THEN lang END AS lang, n_chars "
+    " FROM documents) GROUP BY source, lang "
+    "ORDER BY source, lang NULLS FIRST",
+    doc="Schema-evolution read: two parquet generations (pre- and post- "
+    "``lang`` column) unified by mergeSchema=true — generation-1 rows "
+    "surface NULL for the added column, the additive-evolution contract "
+    "every long-lived warehouse table depends on.  mergeSchema is opt-in "
+    "per read because schema merging footer-reads every file at planning "
+    "(a deliberate cost, not a default).",
+    tags=("scan", "schema", "evolution"),
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = evolved_fixture_dir(spark, sf_dir)
+    docs = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "docs")
+    )
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("source", F.col("lang").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q112: targeted delete (GDPR-style cascade via anti-join)
+
+
+def targeted_delete(events: DataFrame, min_errors: int = 20) -> DataFrame:
+    """Remove every event of users with >= ``min_errors`` 'error' events.
+
+    The delete-list is derived, not given — the cascade shape of a
+    right-to-erasure / abuse-removal job: build the tombstone key set
+    (small), broadcast it, anti-join the corpus.  The corpus never shuffles;
+    at 100 TB this is one broadcast + one scan, then a partition-preserving
+    rewrite."""
+    tombstones = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_err"))
+        .filter(F.col("n_err") >= min_errors)
+        .select("user_id")
+    )
+    return events.join(F.broadcast(tombstones), "user_id", "left_anti")
+
+
+@query(
+    "q112_targeted_delete",
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users "
+    "FROM events WHERE user_id NOT IN "
+    "(SELECT user_id FROM events WHERE event_type = 'error' "
+    " GROUP BY user_id HAVING COUNT(*) >= 20) "
+    "GROUP BY event_type ORDER BY event_type",
+    doc="GDPR-style targeted delete: derive the tombstone user set (users "
+    "with >= 20 'error' events), broadcast it, anti-join the corpus — the "
+    "corpus-side plan is scan + broadcast-anti-join with zero shuffles "
+    "before the audit aggregate.  Survivor counts per event type are the "
+    "deletion audit every erasure job must produce.",
+    tags=("llm", "curation", "delete"),
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.streaming.windows import events_batch
+
+    ev = events_batch(spark, sf_dir)
+    return (
+        targeted_delete(ev)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("event_type")
+    )

@@ -36,3 +36,32 @@ def test_bucketed_join_has_no_pre_join_exchange(spark):
     assert "Bucketed: true" in plan
     # the single exchange is the post-join aggregate's, never the join inputs'
     assert plan.count("Exchange") == 1
+
+
+def test_targeted_delete_is_broadcast_anti_join(spark):
+    from lance_namespace_impls_spark.operators.partitioned import targeted_delete
+    from lance_namespace_impls_spark.streaming.windows import events_batch
+
+    ev = events_batch(spark, SF_SMOKE)
+    deleted = targeted_delete(ev, min_errors=5)
+    plan = deleted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # no survivor belongs to a tombstoned user
+    from pyspark.sql import functions as F
+
+    bad = (
+        ev.filter("event_type = 'error'")
+        .groupBy("user_id").count().filter("count >= 5")
+        .join(deleted, "user_id", "inner")
+    )
+    assert bad.count() == 0
+
+
+def test_schema_evolution_nulls_only_in_old_generation(spark):
+    from lance_namespace_impls_spark.operators.partitioned import evolved_fixture_dir
+    import os
+
+    root = evolved_fixture_dir(spark, SF_SMOKE)
+    docs = spark.read.option("mergeSchema", "true").parquet(os.path.join(root, "docs"))
+    assert docs.filter("doc_id % 2 = 1 AND lang IS NOT NULL").count() == 0
+    assert docs.filter("doc_id % 2 = 0 AND lang IS NULL").count() == 0
