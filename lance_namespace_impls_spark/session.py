@@ -30,6 +30,9 @@ _RUNTIME_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Python DataSource readers (sources/pyds.py) declare pushFilters();
+    # Spark refuses to plan them unless pushdown is explicitly enabled.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # Arrow-accelerated Python<->JVM exchange for pandas UDFs / toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Scalar Python UDFs ride Arrow batches too (Spark 3.5+): same UDF

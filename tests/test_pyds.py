@@ -1,0 +1,76 @@
+"""Python DataSource tests: pushdown equivalence, partial-pushdown residuals,
+per-file partitioning."""
+
+from __future__ import annotations
+
+import pytest
+
+from lance_namespace_impls_spark.catalog import DirectoryNamespace
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.sources.pyds import (
+    LanceNamespaceDataSource,
+    LanceNamespaceReader,
+    _list_data_files,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def pyds_df(spark, tmp_path_factory):
+    spark.dataSource.register(LanceNamespaceDataSource)
+    root = str(tmp_path_factory.mktemp("pyds_root"))
+    ns = DirectoryNamespace({"root": root})
+    ns.create_namespace(m.CreateNamespaceRequest(id=["main"]))
+    ns.declare_table(
+        m.DeclareTableRequest(
+            id=["main", "lineitem"], location=f"{SF_SMOKE}/lineitem.parquet"
+        )
+    )
+    return (
+        spark.read.format("lance_namespace")
+        .option("root", root)
+        .option("table", "main.lineitem")
+        .load()
+    )
+
+
+def test_full_scan_matches_native(spark, pyds_df):
+    native = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    assert pyds_df.count() == native.count()
+
+
+def test_pushed_filter_matches_native(spark, pyds_df):
+    native = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    got = pyds_df.filter("l_quantity > 45 AND l_discount <= 0.02").count()
+    want = native.filter("l_quantity > 45 AND l_discount <= 0.02").count()
+    assert got == want
+    # both predicates are pushable, so the Spark plan carries no Filter node
+    plan = (
+        pyds_df.filter("l_quantity > 45 AND l_discount <= 0.02")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchScan lance_namespace" in plan
+    assert "Filter (" not in plan
+
+
+def test_unsupported_filter_stays_in_spark(spark, pyds_df):
+    native = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    pred = "l_returnflag LIKE 'A%' AND l_quantity > 10"
+    assert pyds_df.filter(pred).count() == native.filter(pred).count()
+    plan = pyds_df.filter(pred)._jdf.queryExecution().executedPlan().toString()
+    # the LIKE residual is evaluated by Spark above the scan
+    assert "Filter " in plan
+
+
+def test_one_partition_per_file(tmp_path, spark):
+    out = str(tmp_path / "multi")
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").repartition(3).write.parquet(out)
+    files = _list_data_files(out)
+    assert len(files) == 3
+    from pyspark.sql.types import StructType
+
+    reader = LanceNamespaceReader(out, StructType([]))
+    assert len(reader.partitions()) == 3
