@@ -31,10 +31,12 @@ exactly the niche the Python DataSource API was built for.
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 from typing import TYPE_CHECKING, Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     Filter,
@@ -44,6 +46,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -156,6 +159,76 @@ class LanceNamespaceDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return LanceNamespaceReader(self._location(), schema)
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return LanceNamespaceWriter(self._location(), overwrite)
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    path: str
+
+
+class LanceNamespaceWriter(DataSourceArrowWriter):
+    """Arrow write path: df.write.format("lance_namespace").mode(...).save().
+
+    Tasks stream their RecordBatches into per-task parquet files under a
+    staging directory; the driver-side commit() atomically promotes staged
+    files into the table location (clearing old data first for overwrite).
+    Failed/aborted runs leave only the staging directory, which abort()
+    removes — the same publish-on-commit discipline every distributed sink
+    needs so concurrent readers never observe partial output.  The table
+    must already be declared in the namespace (the reference's
+    register-then-write order, Hive3Namespace.java:526-578).
+    """
+
+    def __init__(self, location: str, overwrite: bool):
+        import uuid
+
+        self._location = location
+        self._overwrite = overwrite
+        self._staging = os.path.join(location, f"_staging_{uuid.uuid4().hex}")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._staging, exist_ok=True)
+        path = os.path.join(self._staging, f"part-{uuid.uuid4().hex}.parquet")
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:  # empty task: nothing staged
+            return _WroteFile(path="")
+        return _WroteFile(path=path)
+
+    def commit(self, messages):
+        import shutil
+
+        staged = [m.path for m in messages if m is not None and m.path]
+        if self._overwrite:
+            for entry in os.listdir(self._location):
+                full = os.path.join(self._location, entry)
+                if entry.endswith(".parquet") and os.path.isfile(full):
+                    os.unlink(full)
+        for path in staged:
+            os.replace(
+                path, os.path.join(self._location, os.path.basename(path))
+            )
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

@@ -74,3 +74,24 @@ def test_one_partition_per_file(tmp_path, spark):
 
     reader = LanceNamespaceReader(out, StructType([]))
     assert len(reader.partitions()) == 3
+
+
+def test_write_roundtrip_and_overwrite(spark, tmp_path):
+    spark.dataSource.register(LanceNamespaceDataSource)
+    root = str(tmp_path / "wroot")
+    ns = DirectoryNamespace({"root": root})
+    ns.create_namespace(m.CreateNamespaceRequest(id=["main"]))
+    ns.declare_table(m.DeclareTableRequest(id=["main", "t"]))
+    loc_opts = {"root": root, "table": "main.t"}
+    src = spark.range(100).selectExpr("id", "id * 2 AS v")
+    src.write.format("lance_namespace").options(**loc_opts).mode("append").save()
+    back = spark.read.format("lance_namespace").options(**loc_opts).load()
+    assert back.count() == 100
+    # declared-only -> materialized transition is observable via the probe
+    desc = ns.describe_table(m.DescribeTableRequest(id=["main", "t"], check_declared=True))
+    assert desc.is_only_declared is False
+    # overwrite replaces, append accumulates
+    src.limit(10).write.format("lance_namespace").options(**loc_opts).mode("overwrite").save()
+    assert spark.read.format("lance_namespace").options(**loc_opts).load().count() == 10
+    src.limit(5).write.format("lance_namespace").options(**loc_opts).mode("append").save()
+    assert spark.read.format("lance_namespace").options(**loc_opts).load().count() == 15
