@@ -362,3 +362,81 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+# -- transformWithState (Spark 4's stateful successor API) -------------------
+
+
+def _build_totals_processor():
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class UserTotalsProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("totals", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                vals = pdf["value"].dropna().to_numpy(dtype="float64")
+                n += int(len(vals))
+                scaled = vals * 100.0
+                # half away from zero, matching SQL ROUND (see q87 kernel)
+                cents += int(np.sum(np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)))
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_val": [n], "cents": [cents]}
+            )
+
+        def close(self):
+            pass
+
+    return UserTotalsProcessor()
+
+
+def stateful_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas``.
+
+    Same semantics and O(1)-per-key state as ``stateful_user_totals`` but on
+    the successor API: typed per-key ValueState handles (plus timers and
+    list/map state the old API lacks), the shape long-lived stateful
+    pipelines should target."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_build_totals_processor(),
+        outputStructType=STATEFUL_TOTALS_OUTPUT,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+def transform_with_state_available() -> bool:
+    """transformWithStateInPandas drives a state server over protobuf; the
+    API surface ships with pyspark but the runtime needs google.protobuf.
+    Gate (don't declare) the operator where the dependency is absent — the
+    equivalence test runs wherever it is installed."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def run_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the transformWithState totals to completion (q87's finalization)."""
+    stream, staging = events_file_stream(spark, sf_dir)
+    try:
+        updates = run_stream(stateful_user_totals_tws(stream), "update")
+        return (
+            updates.groupBy("user_id")
+            .agg(F.max(F.struct("n_val", "cents")).alias("fin"))
+            .select(
+                "user_id",
+                F.col("fin.n_val").alias("n_val"),
+                F.col("fin.cents").alias("cents"),
+            )
+            .orderBy("user_id")
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

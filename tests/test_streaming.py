@@ -195,3 +195,26 @@ def test_stateful_custom_op_accumulates_across_batches(spark, tmp_path):
         .collect()
     }
     assert finals == expect
+
+
+def test_transform_with_state_totals_match_batch(spark):
+    """transformWithStateInPandas twin of the q87 kernel equals the batch
+    aggregate — runs only where the protobuf runtime dependency exists."""
+    from lance_namespace_impls_spark.streaming.windows import (
+        run_user_totals_tws,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf runtime missing for transformWithState")
+    got = run_user_totals_tws(spark, SF_SMOKE)
+    want = (
+        events_batch(spark, SF_SMOKE)
+        .groupBy("user_id")
+        .agg(
+            F.count("value").cast("bigint").alias("n_val"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    cols = ["user_id", "n_val", "cents"]
+    assert _rows(got, cols) == _rows(want, cols)
