@@ -287,3 +287,32 @@ def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_per_user_profile, schema="user_id bigint, n_val bigint, cents bigint")
         .orderBy("user_id")
     )
+
+
+@query(
+    "q115_variant_semi_structured",
+    "SELECT event_type, "
+    "CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM events WHERE CAST(props ->> 'k' AS BIGINT) % 2 = 0 "
+    "GROUP BY event_type ORDER BY event_type",
+    doc="VARIANT semi-structured path (Spark 4): props JSON parsed once "
+    "into the binary variant encoding, typed variant_get extraction, "
+    "predicate + aggregate over the extracted value.  Variant's shredded "
+    "binary layout is the scale answer to repeated JSON-string re-parsing "
+    "(parse once per row, O(1) typed field access thereafter); the oracle "
+    "uses DuckDB's JSON operators over the same documents.",
+    tags=("functions", "variant", "json"),
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.streaming.windows import events_batch
+
+    ev = events_batch(spark, sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") % 2 == 0)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     GreaterThan,
@@ -162,6 +163,54 @@ class LanceNamespaceDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return LanceNamespaceWriter(self._location(), overwrite)
+
+    def streamReader(self, schema: StructType) -> "LanceNamespaceStreamReader":
+        return LanceNamespaceStreamReader(self._location(), schema)
+
+
+class LanceNamespaceStreamReader(DataSourceStreamReader):
+    """readStream.format("lance_namespace"): file-granular micro-batches.
+
+    Offsets are indices into the sorted data-file list, so each micro-batch
+    ingests whole files and replays deterministically from any checkpoint
+    (the offset log stores plain dicts).  partitions() hands every file of
+    the batch to a separate task — read parallelism tracks layout exactly
+    like the batch reader — and read() streams the same schema-cast Arrow
+    batches.  A production source would also watch for NEW files per
+    latestOffset() poll; this one serves the bounded-replay contract the
+    engine's streaming tests are built on (windows.py events_file_stream).
+    """
+
+    def __init__(self, location: str, schema: StructType):
+        self._files = _list_data_files(location)
+        self._schema = schema
+
+    def initialOffset(self) -> dict:
+        return {"file_idx": 0}
+
+    def latestOffset(self) -> dict:
+        return {"file_idx": len(self._files)}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        return [
+            _FilePartition(p)
+            for p in self._files[start["file_idx"] : end["file_idx"]]
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.dataset as pads
+
+        from lance_namespace_impls_spark.catalog.schema import spark_schema_to_arrow
+
+        ds = pads.dataset(partition.path, format="parquet")
+        target = spark_schema_to_arrow(self._schema)
+        for batch in ds.scanner(
+            columns=[f.name for f in self._schema.fields]
+        ).to_reader():
+            yield batch.cast(target)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 @dataclass

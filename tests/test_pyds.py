@@ -95,3 +95,45 @@ def test_write_roundtrip_and_overwrite(spark, tmp_path):
     assert spark.read.format("lance_namespace").options(**loc_opts).load().count() == 10
     src.limit(5).write.format("lance_namespace").options(**loc_opts).mode("append").save()
     assert spark.read.format("lance_namespace").options(**loc_opts).load().count() == 15
+
+
+def test_stream_reader_replays_all_files(spark, tmp_path):
+    """readStream over the custom format: 3-file table -> micro-batches whose
+    union equals the batch read (file-granular offsets)."""
+    import uuid
+
+    spark.dataSource.register(LanceNamespaceDataSource)
+    root = str(tmp_path / "sroot")
+    ns = DirectoryNamespace({"root": root})
+    ns.create_namespace(m.CreateNamespaceRequest(id=["main"]))
+    ns.declare_table(m.DeclareTableRequest(id=["main", "ev"]))
+    loc = ns.describe_table(m.DescribeTableRequest(id=["main", "ev"])).location
+    spark.read.parquet(f"{SF_SMOKE}/customer.parquet").repartition(3).write.mode(
+        "overwrite"
+    ).parquet(loc)
+    name = f"pyds_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("lance_namespace")
+        .option("root", root)
+        .option("table", "main.ev")
+        .load()
+        .groupBy("c_mktsegment")
+        .count()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {(r.c_mktsegment, r["count"]) for r in spark.table(name).collect()}
+    finally:
+        q.stop()
+    want = {
+        (r.c_mktsegment, r["count"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/customer.parquet")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    }
+    assert got == want
