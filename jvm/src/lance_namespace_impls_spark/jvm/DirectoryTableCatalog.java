@@ -407,6 +407,11 @@ public class DirectoryTableCatalog implements TableCatalog, SupportsNamespaces {
     }
     String k = key(ident.namespace(), ident.name());
     if (state.path("tables").has(k)) {
+      // Deliberate asymmetry with tableExists(): a non-lance entry is
+      // invisible to reads/listings (glue.py:504-520) yet still occupies the
+      // name in the underlying store, so creation must fail — the same
+      // contract as the Python plane's declare_table (directory.py:325-326)
+      // and what a real backend (Glue/HMS) would return server-side.
       throw new TableAlreadyExistsException(ident);
     }
     String location = properties.get(TableCatalog.PROP_LOCATION);

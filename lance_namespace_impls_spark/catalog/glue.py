@@ -349,7 +349,7 @@ class GlueNamespace(LanceNamespace):
         try:
             self.client.create_table(DatabaseName=db, TableInput=table_input)
         except Exception as exc:
-            if "AlreadyExistsException" in (_error_name(exc), str(exc)):
+            if any("AlreadyExistsException" in part for part in (_error_name(exc), str(exc))):
                 raise TableAlreadyExists(f"table exists: {db}.{tbl}")
             if _error_name(exc) == "EntityNotFoundException":
                 raise NamespaceNotFound(f"namespace not found: {db}")

@@ -180,8 +180,12 @@ class _HiveNamespaceBase(LanceNamespace):
             # parameters (hive2.py:346-374)
             try:
                 table = self.client.get_table(db, name)
-            except Exception:
-                continue
+            except Exception as exc:
+                # only a table that vanished between list and get is skippable;
+                # transient client errors must surface, not silently drop rows
+                if _error_name(exc) == "NoSuchObjectException":
+                    continue
+                raise InternalError(f"list_tables failed on {db}.{name}: {exc}")
             if not self._is_lance(table):
                 continue
             if not m.include_declared_default(include_declared):

@@ -129,7 +129,9 @@ class HttpDialectNamespace(LanceNamespace):
             return parsed
         detail = ""
         if isinstance(parsed, dict):
-            detail = str(parsed.get("error", {}).get("message", parsed))
+            err = parsed.get("error", {})
+            # servers/proxies may ship {"error": "text"} instead of an object
+            detail = str(err.get("message", parsed)) if isinstance(err, dict) else str(err)
         if status == 404 and not_found is not None:
             raise not_found(f"{method} {path}: {detail or 'not found'}")
         if status == 409 and conflict is not None:

@@ -89,7 +89,8 @@ class PolarisNamespace(HttpDialectNamespace):
         names = sorted(
             {".".join([catalog, *levels]) for levels in out.get("namespaces", []) if levels}
         )
-        return m.ListNamespacesResponse(namespaces=names)
+        page, token = m.split_page(names, req.page_token, req.limit)
+        return m.ListNamespacesResponse(namespaces=page, page_token=token)
 
     def create_namespace(self, req: m.CreateNamespaceRequest) -> m.CreateNamespaceResponse:
         catalog, ns = self._ns_id(req.id)
@@ -185,7 +186,8 @@ class PolarisNamespace(HttpDialectNamespace):
                 if not has_storage_components(info.get("base-location") or ""):
                     continue
             names.append(name)
-        return m.ListTablesResponse(tables=sorted(set(names)))
+        page, token = m.split_page(sorted(set(names)), req.page_token, req.limit)
+        return m.ListTablesResponse(tables=page, page_token=token)
 
     def declare_table(self, req: m.DeclareTableRequest) -> m.DeclareTableResponse:
         catalog, ns, table = self._tbl_id(req.id)

@@ -163,15 +163,22 @@ class RestNamespace(LanceNamespace):
             # wins, then defaults, then the warehouse name itself; any config
             # failure falls back to the warehouse name rather than raising,
             # so catalogs without a per-warehouse config endpoint still work.
+            cacheable = True
             try:
                 cfg = self._request(
                     "GET", f"/v1/config?warehouse={quote(warehouse, safe='')}"
                 ) or {}
             except Exception:
+                # Transient failure: use the fallback for THIS call but do
+                # not poison the cache — the next call re-resolves, so a
+                # 503/timeout at startup cannot pin the wrong prefix forever.
                 cfg = {}
+                cacheable = False
             prefix = (cfg.get("overrides") or {}).get("prefix") or (
                 cfg.get("defaults") or {}
             ).get("prefix") or warehouse
+            if not cacheable:
+                return quote(prefix, safe="")
             self._prefix_cache[warehouse] = quote(prefix, safe="")
         return self._prefix_cache[warehouse]
 

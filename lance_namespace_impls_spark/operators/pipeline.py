@@ -347,7 +347,7 @@ def neardup_edges(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    out = (
         inter.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .filter(
@@ -357,6 +357,11 @@ def neardup_edges(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .select("id_a", "id_b")
     )
+    # Let callers release the posting cache once the edge plan has been
+    # materialized (q99 does, right after the components checkpoint) — a
+    # long-lived session would otherwise pin it for its whole life.
+    out._lni_cached = posting  # type: ignore[attr-defined]
+    return out
 
 
 def connected_components(
@@ -386,6 +391,7 @@ def connected_components(
     # fixpoint (labels only ever decrease), so one cheap agg on the freshly
     # checkpointed frame replaces a join-based diff.
     prev_sum = labels.agg(F.sum("lab")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -402,8 +408,18 @@ def connected_components(
         )
         new_sum = labels.agg(F.sum("lab")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # A silently-partial fixpoint would emit wrong components with no
+        # signal; a graph needing > max_iter rounds (diameter > max_iter)
+        # must fail loudly so the caller raises the budget (or switches to
+        # the O(log n)-round star-contraction variant).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter for graphs with larger diameter"
+        )
     singletons = nodes.join(active, "node", "left_anti").select(
         "node", F.col("node").alias("lab")
     )
@@ -438,9 +454,13 @@ def connected_components(
 )
 def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    edges = neardup_edges(docs, 0.5).selectExpr("id_a AS src", "id_b AS dst")
+    raw_edges = neardup_edges(docs, 0.5)
+    edges = raw_edges.selectExpr("id_a AS src", "id_b AS dst")
     nodes = docs.select(F.col("doc_id").alias("node"))
     comp = connected_components(nodes, edges)
+    # connected_components eagerly checkpointed the symmetrized edges, so
+    # the shingle-posting cache is no longer referenced by the final plan.
+    raw_edges._lni_cached.unpersist()
     return comp.select(
         F.col("node").alias("doc_id"), F.col("lab").cast("bigint").alias("component")
     ).orderBy("doc_id")

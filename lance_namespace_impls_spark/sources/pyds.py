@@ -61,12 +61,17 @@ class _FilePartition(InputPartition):
 
 
 def _list_data_files(location: str) -> list[str]:
+    """Committed data files only: underscore/dot-prefixed files AND
+    directories (_staging_*, _SUCCESS, hidden markers) are invisible, the
+    same convention Spark's own file index applies — otherwise a reader
+    racing an in-flight write would surface uncommitted staged rows."""
     if os.path.isfile(location):
         return [location]
     out = []
-    for dirpath, _dirs, files in os.walk(location):
+    for dirpath, dirs, files in os.walk(location):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in sorted(files):
-            if f.endswith(".parquet"):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 out.append(os.path.join(dirpath, f))
     return sorted(out)
 
@@ -268,6 +273,10 @@ class LanceNamespaceWriter(DataSourceArrowWriter):
                 full = os.path.join(self._location, entry)
                 if entry.endswith(".parquet") and os.path.isfile(full):
                     os.unlink(full)
+                elif entry.startswith("_staging_") and full != self._staging:
+                    # stale staging from a crashed writer: reclaim on the
+                    # next committed overwrite
+                    shutil.rmtree(full, ignore_errors=True)
         for path in staged:
             os.replace(
                 path, os.path.join(self._location, os.path.basename(path))

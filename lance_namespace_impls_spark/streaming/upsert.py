@@ -96,6 +96,12 @@ def run_incremental_upsert(spark: SparkSession, sf_dir: str, n_files: int = 4) -
         .start()
     )
     q.awaitTermination()
+    # The bulky replay copy + checkpoint are dead once the run completes;
+    # only the (small) materialized state must outlive this call, since the
+    # caller reads it lazily.  Repeated runs would otherwise accumulate a
+    # full events copy per invocation.
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
     return target
 
 
