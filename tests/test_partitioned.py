@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from lance_namespace_impls_spark.operators.partitioned import (
     dpp_join,
     partitioned_fixture_dir,
@@ -65,3 +67,60 @@ def test_schema_evolution_nulls_only_in_old_generation(spark):
     docs = spark.read.option("mergeSchema", "true").parquet(os.path.join(root, "docs"))
     assert docs.filter("doc_id % 2 = 1 AND lang IS NOT NULL").count() == 0
     assert docs.filter("doc_id % 2 = 0 AND lang IS NULL").count() == 0
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Catalyst injects a bloom-filter semi-join filter on the fact side when
+    the dim side is selective and the join shuffles — AQE runtime filtering,
+    the third scan-reduction lever next to DPP (q107) and bucketing (q108).
+    Conf-gated, so demonstrated here rather than as a declared query."""
+    from lance_namespace_impls_spark.sources.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, "lineitem", SF_SMOKE)
+        od = load_table(spark, "orders", SF_SMOKE).filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # and the filtered result is identical to the unfiltered-join answer
+        got = {(r.o_orderpriority, r["count"]) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    want = {
+        (r.o_orderpriority, r["count"])
+        for r in load_table(spark, "lineitem", SF_SMOKE)
+        .join(
+            load_table(spark, "orders", SF_SMOKE).filter(
+                "o_orderpriority = '1-URGENT'"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .count()
+        .collect()
+    }
+    assert got == want
