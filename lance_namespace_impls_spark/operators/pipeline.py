@@ -464,3 +464,59 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("node").alias("doc_id"), F.col("lab").cast("bigint").alias("component")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q116: incremental view maintenance (algebraic aggregate merge)
+
+
+def incremental_summary(base: DataFrame, delta: DataFrame, keys: list[str]) -> DataFrame:
+    """Maintain an aggregate summary incrementally: merge the base summary
+    with the delta's partial aggregate instead of recomputing from scratch.
+
+    Works for any algebraic aggregate (count/sum here; avg = sum/count at
+    read time).  At 100 TB this is the materialized-view play: the base
+    summary is a tiny table, only the delta is scanned, and the merge is a
+    shuffle on the (low-cardinality) summary keys.  Exactness of the merge
+    (vs full recompute) is what the q116 oracle checks."""
+    def summarize(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+
+    return (
+        summarize(base)
+        .unionByName(summarize(delta))
+        .groupBy(*keys)
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )
+
+
+@query(
+    "q116_incremental_view_maintenance",
+    "SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, "
+    "o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total "
+    "FROM orders GROUP BY o_year, o_orderpriority "
+    "ORDER BY o_year, o_orderpriority",
+    doc="Incremental view maintenance: orders split deterministically into a "
+    "base (o_orderkey % 10 < 8) and a delta; the summary is maintained by "
+    "merging the base's aggregate with the delta's partial aggregate — "
+    "decimal sums make the merge bit-exact, so the incrementally "
+    "maintained view hash-matches the full recompute the oracle runs.",
+    tags=("agg", "ivm", "scale"),
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir).withColumn(
+        "o_year", F.year("o_orderdate").cast("bigint")
+    )
+    base = od.filter("o_orderkey % 10 < 8")
+    delta = od.filter("o_orderkey % 10 >= 8")
+    out = incremental_summary(base, delta, ["o_year", "o_orderpriority"])
+    return out.select(
+        "o_year",
+        "o_orderpriority",
+        "n",
+        F.round(F.col("total"), 2).cast("double").alias("total"),
+    ).orderBy("o_year", "o_orderpriority")
