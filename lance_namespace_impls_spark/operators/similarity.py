@@ -459,3 +459,67 @@ _KMEANS_ORACLE = (
 def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return kmeans_one_iter(emb, k=8).orderBy("cluster", "label")
+
+
+# ---------------------------------------------------------------------------
+# q117: label-centroid similarity matrix (dataset diagnostics)
+
+
+def label_centroid_dots(emb: DataFrame) -> DataFrame:
+    """Exact integer dot products between per-label embedding SUM vectors.
+
+    cos(mean_a, mean_b) == cos(sum_a, sum_b) (scale invariance), so emitting
+    the integer (s_aa, s_bb, s_ab) triple per label pair carries the full
+    centroid-similarity matrix with zero float drift — the class-separability
+    diagnostic run before training on a labeled corpus.  Shape: posexplode
+    partial-agg to one (label, dim)-sized relation, then a tiny self-join on
+    position — the corpus is read once, everything downstream is
+    label-cardinality-sized.
+    """
+    proj = spread(emb).select(
+        "label", int_projected(F.col("embedding")).alias("v")
+    )
+    sums = (
+        proj.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"))
+    )
+    a = sums.select(F.col("label").alias("la"), "pos", F.col("s").alias("sa"))
+    b = sums.select(F.col("label").alias("lb"), "pos", F.col("s").alias("sb"))
+    return (
+        a.join(b, "pos")
+        .filter(F.col("la") <= F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+
+
+@query(
+    "q117_label_centroid_matrix",
+    "WITH proj AS (SELECT label, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    "sums AS (SELECT label, i AS pos, SUM(v[i]) AS s FROM proj "
+    "  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t GROUP BY label, i) "
+    "SELECT a.label AS la, b.label AS lb, "
+    "CAST(SUM(a.s * b.s) AS BIGINT) AS dot "
+    "FROM sums a JOIN sums b ON a.pos = b.pos AND a.label <= b.label "
+    "GROUP BY la, lb ORDER BY la, lb",
+    doc="Label-centroid similarity matrix: integer dot products between "
+    "per-label embedding sum vectors (cosine of sums == cosine of means by "
+    "scale invariance, so the matrix is carried exactly in integers).  One "
+    "corpus read -> (label, dim) partial aggregate -> position self-join; "
+    "the class-separability diagnostic for a labeled embedding corpus.",
+    tags=("llm", "similarity", "diagnostics"),
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        label_centroid_dots(emb)
+        .select(
+            F.col("la").cast("bigint").alias("la"),
+            F.col("lb").cast("bigint").alias("lb"),
+            "dot",
+        )
+        .orderBy("la", "lb")
+    )
