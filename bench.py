@@ -48,6 +48,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        # Round-over-round suite SIZE grows (90 -> 116 declared queries), so
+        # cross-round wall-clock comparisons must normalize per query.
+        "n_queries": len(timings),
+        "sec_per_query": round(total / max(len(timings), 1), 4),
     }
     print(json.dumps(payload))
     # Also persist the full per-query map: the driver's stdout capture
