@@ -1,0 +1,154 @@
+"""Live-socket integration test for RestNamespace.
+
+The mocked-transport tests (test_catalog_rest.py) verify request/response
+shapes; this suite runs the REAL urllib3 path — connection pool, timeouts,
+retry policy, JSON codec — against an in-process HTTP server implementing a
+minimal Iceberg-REST-shaped catalog, covering what mocks cannot:
+
+* idempotent-only retry: a POST answered 502 must NOT be replayed (the
+  create would double-fire), while a GET answered 502 must be retried;
+* per-warehouse /v1/config prefix resolution over the wire;
+* tolerant prefix fallback without poisoning the cache on transient errors.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.rest import RestNamespace
+
+
+class _CatalogState:
+    def __init__(self):
+        self.namespaces: dict[str, dict] = {}
+        self.request_log: list[tuple[str, str]] = []
+        self.fail_next: list[int] = []  # status codes to emit before serving
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: _CatalogState
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    def _reply(self, status: int, payload=None):
+        body = json.dumps(payload).encode() if payload is not None else b""
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _route(self, method: str):
+        st = self.state
+        st.request_log.append((method, self.path))
+        if st.fail_next:
+            self._reply(st.fail_next.pop(0), {"error": "injected"})
+            return
+        if self.path.startswith("/v1/config"):
+            self._reply(200, {"defaults": {"prefix": "wh1"}, "overrides": {}})
+            return
+        if self.path == "/v1/wh1/namespaces" and method == "GET":
+            self._reply(200, {"namespaces": [[n] for n in sorted(st.namespaces)]})
+            return
+        if self.path == "/v1/wh1/namespaces" and method == "POST":
+            body = json.loads(
+                self.rfile.read(int(self.headers.get("Content-Length", 0)) or 0) or b"{}"
+            )
+            ns = body.get("namespace", [])[-1]
+            if ns in st.namespaces:
+                self._reply(409, {"error": {"message": "namespace exists"}})
+                return
+            st.namespaces[ns] = body.get("properties", {})
+            self._reply(200, {"namespace": body.get("namespace"), "properties": {}})
+            return
+        if method == "GET" and self.path.startswith("/v1/wh1/namespaces/"):
+            ns = self.path.rsplit("/", 1)[-1]
+            if ns in st.namespaces:
+                self._reply(200, {"namespace": [ns], "properties": st.namespaces[ns]})
+            else:
+                self._reply(404, {"error": {"message": "no such namespace"}})
+            return
+        self._reply(404, {"error": {"message": f"unhandled {method} {self.path}"}})
+
+    def do_GET(self):
+        self._route("GET")
+
+    def do_POST(self):
+        self._route("POST")
+
+    def do_DELETE(self):
+        self._route("DELETE")
+
+
+@pytest.fixture()
+def live_catalog():
+    state = _CatalogState()
+    handler = type("BoundHandler", (_Handler,), {"state": state})
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        yield state, f"http://127.0.0.1:{server.server_port}"
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+
+
+def _ns(endpoint: str, **props) -> RestNamespace:
+    return RestNamespace({"endpoint": endpoint, "warehouse": "mywh", "max_retries": "2", **props})
+
+
+def test_crud_over_real_socket(live_catalog):
+    state, endpoint = live_catalog
+    ns = _ns(endpoint)
+    ns.create_namespace(m.CreateNamespaceRequest(id=["mywh", "sales"], properties={"o": "x"}))
+    assert "sales" in state.namespaces
+    got = ns.list_namespaces(m.ListNamespacesRequest(id=["mywh"]))
+    assert "sales" in got.namespaces
+    # prefix resolved from /v1/config defaults over the wire
+    assert any(p.startswith("/v1/config") for _m2, p in state.request_log)
+
+
+def test_get_retries_on_502_but_post_does_not(live_catalog):
+    state, endpoint = live_catalog
+    ns = _ns(endpoint)
+    ns.create_namespace(m.CreateNamespaceRequest(id=["mywh", "a"]))
+    state.request_log.clear()
+
+    # GET: one injected 502 -> urllib3 retries -> call succeeds
+    state.fail_next = [502]
+    got = ns.describe_namespace(m.DescribeNamespaceRequest(id=["mywh", "a"]))
+    assert got.properties == {}
+    gets = [p for meth, p in state.request_log if meth == "GET" and "namespaces/a" in p]
+    assert len(gets) == 2  # original + retry
+
+    # POST: one injected 502 -> NOT replayed -> surfaces as an error, and the
+    # namespace was not created twice / at all by a blind retry
+    state.request_log.clear()
+    state.fail_next = [502]
+    with pytest.raises(Exception):
+        ns.create_namespace(m.CreateNamespaceRequest(id=["mywh", "b"]))
+    posts = [p for meth, p in state.request_log if meth == "POST"]
+    assert len(posts) == 1  # no replay of the non-idempotent call
+    assert "b" not in state.namespaces
+
+
+def test_transient_config_failure_does_not_poison_prefix(live_catalog):
+    state, endpoint = live_catalog
+    ns = _ns(endpoint)
+    # 503 is not in the retry forcelist, so each request consumes one
+    # injected failure: the config call fails (-> uncached fallback prefix)
+    # and the listing itself fails
+    state.fail_next = [503, 503]
+    with pytest.raises(Exception):
+        # fallback prefix 'mywh' hits unhandled routes -> surfaced error
+        ns.list_namespaces(m.ListNamespacesRequest(id=["mywh"]))
+    # service recovered: the next call re-resolves the REAL prefix and works
+    ns.create_namespace(m.CreateNamespaceRequest(id=["mywh", "later"]))
+    assert "later" in state.namespaces
