@@ -520,3 +520,69 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("total"), 2).cast("double").alias("total"),
     ).orderBy("o_year", "o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# q118: data-quality expectations
+
+
+def check_expectations(df: DataFrame, rules: dict[str, object]) -> DataFrame:
+    """Evaluate named boolean expectations in ONE pass over the table.
+
+    ``rules`` maps rule name -> SQL boolean expression (violation when
+    false/null).  All rules fold into a single hash aggregate — one scan
+    regardless of rule count, the same shape as q98's profile — and the
+    report (rule, violations, total, pass_rate) is what an ingest gate
+    publishes before committing a snapshot."""
+    aggs = [
+        F.sum(
+            F.when(F.expr(str(expr)), F.lit(0)).otherwise(F.lit(1))
+        ).alias(name)
+        for name, expr in rules.items()
+    ]
+    wide = df.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    stacked = ", ".join(f"'{n}', {n}" for n in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stacked}) AS (rule, violations)", "__total AS total"
+    ).select(
+        "rule",
+        F.col("violations").cast("bigint").alias("violations"),
+        F.col("total").cast("bigint").alias("total"),
+    )
+
+
+_EXPECTATION_RULES = {
+    "doc_id_not_null": "doc_id IS NOT NULL",
+    "n_chars_positive": "n_chars > 0",
+    "n_chars_matches_text": "n_chars = length(text)",
+    "lang_in_domain": "lang IN ('en','de','fr','es','zh','und')",
+    "source_prefixed": "source LIKE 's%'",
+}
+
+
+@query(
+    "q118_data_expectations",
+    "WITH w AS (SELECT COUNT(*) AS total, "
+    "SUM(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS r1, "
+    "SUM(CASE WHEN n_chars > 0 THEN 0 ELSE 1 END) AS r2, "
+    "SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS r3, "
+    "SUM(CASE WHEN lang IN ('en','de','fr','es','zh','und') THEN 0 ELSE 1 END) AS r4, "
+    "SUM(CASE WHEN source LIKE 's%' THEN 0 ELSE 1 END) AS r5 FROM documents) "
+    "SELECT rule, CAST(violations AS BIGINT) AS violations, "
+    "CAST(total AS BIGINT) AS total FROM ("
+    "  SELECT 'doc_id_not_null' AS rule, r1 AS violations, total FROM w "
+    "  UNION ALL SELECT 'n_chars_positive', r2, total FROM w "
+    "  UNION ALL SELECT 'n_chars_matches_text', r3, total FROM w "
+    "  UNION ALL SELECT 'lang_in_domain', r4, total FROM w "
+    "  UNION ALL SELECT 'source_prefixed', r5, total FROM w) "
+    "ORDER BY rule",
+    doc="Data-quality expectations gate: five named boolean rules evaluated "
+    "in ONE hash aggregate over the corpus (violation = predicate "
+    "false/null), reported as (rule, violations, total) — the ingest-time "
+    "validation every snapshot commit should publish.  Rule count never "
+    "changes the scan count.",
+    tags=("llm", "curation", "quality"),
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return check_expectations(docs, _EXPECTATION_RULES).orderBy("rule")
