@@ -99,3 +99,20 @@ def test_components_on_chain_graph(spark):
     )
     got = _rows(connected_components(nodes, edges))
     assert got == [(i, 0 if i < 6 else 6) for i in range(7)]
+
+
+def test_expectations_null_counts_as_violation(spark):
+    from lance_namespace_impls_spark.operators.pipeline import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, -5)], "id long, v long"
+    )
+    out = {
+        r.rule: (r.violations, r.total)
+        for r in check_expectations(
+            df, {"v_positive": "v > 0", "id_small": "id < 100"}
+        ).collect()
+    }
+    # NULL predicate result counts as a violation, like any failed rule
+    assert out["v_positive"] == (2, 3)
+    assert out["id_small"] == (0, 3)
