@@ -41,3 +41,26 @@ def test_register_views(spark):
         spark.sql("SELECT ts FROM events LIMIT 1").collect()[0].ts,
         datetime.datetime,
     )
+
+
+def test_compact_parquet_preserves_content(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lance_namespace_impls_spark.sources.ingest import compact_parquet
+    from tests.conftest import SF_SMOKE
+
+    loc = str(tmp_path / "frag")
+    src = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    src.repartition(16).write.parquet(loc)
+    want = src.agg(
+        F.count(F.lit(1)), F.expr("bit_xor(xxhash64(*))")
+    ).collect()[0]
+
+    stats = compact_parquet(spark, loc, target_files=2, sort_by=["o_orderkey"])
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == 2
+    back = spark.read.parquet(loc)
+    got = back.agg(
+        F.count(F.lit(1)), F.expr("bit_xor(xxhash64(*))")
+    ).collect()[0]
+    assert tuple(got) == tuple(want)  # order-insensitive content hash
