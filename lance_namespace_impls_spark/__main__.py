@@ -1,0 +1,59 @@
+"""CLI: list and run the engine's declared queries.
+
+    python -m lance_namespace_impls_spark list [--tag llm]
+    python -m lance_namespace_impls_spark run q11_multiway_join_revenue \
+        [--sf-dir /root/testdata/sf0.01] [--limit 20] [--explain]
+
+The run path is exactly the driver's: build the declarative plan via the
+registry, let Catalyst optimize, show (never collect) the result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="lance_namespace_impls_spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_list = sub.add_parser("list", help="list declared queries")
+    p_list.add_argument("--tag", help="filter by tag (e.g. llm, streaming, join)")
+
+    p_run = sub.add_parser("run", help="run one declared query")
+    p_run.add_argument("name", help="query name (as shown by `list`)")
+    p_run.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_run.add_argument("--limit", type=int, default=20)
+    p_run.add_argument("--explain", action="store_true", help="print the optimized plan")
+
+    args = parser.parse_args(argv)
+
+    import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+    from lance_namespace_impls_spark.plans.registry import QUERIES
+
+    if args.cmd == "list":
+        for name in sorted(QUERIES):
+            spec = QUERIES[name]
+            if args.tag and args.tag not in spec.tags:
+                continue
+            oracle = "oracle" if spec.oracle else "rows-only"
+            print(f"{name:42s} [{', '.join(spec.tags)}] ({oracle})")
+        return 0
+
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    from lance_namespace_impls_spark import get_spark
+
+    spark = get_spark(app_name=f"lni-cli-{args.name}")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = QUERIES[args.name].builder(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
