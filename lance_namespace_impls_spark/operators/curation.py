@@ -229,3 +229,85 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_pipeline(load_table(spark, "documents", sf_dir)).orderBy(
         "source", "lang"
     )
+
+
+# ---------------------------------------------------------------------------
+# q119: corpus vocabulary (top bigrams)
+
+
+@query(
+    "q119_corpus_vocabulary",
+    "WITH toked AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks "
+    "  FROM documents), "
+    "bg AS (SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram "
+    "  FROM toked WHERE len(toks) >= 2) "
+    "SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM bg "
+    "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100",
+    doc="Corpus vocabulary building (the merge-candidate census a BPE/"
+    "wordpiece trainer runs per iteration): corpus-wide bigram counts, "
+    "top-100 by frequency.  Word-count shuffle on the bigram + "
+    "TakeOrderedAndProject — per-partition heaps, never a global sort; at "
+    "100 TB the long tail is cut by a map-side count filter before the "
+    "final top-k.",
+    tags=("llm", "text", "vocab"),
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    ws = _toks(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.concat_ws(" ", ws[i], ws[i + 1]),
+    )
+    return (
+        docs.filter(F.size(ws) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q120: sequence packing
+
+
+@query(
+    "q120_sequence_packing",
+    "WITH t AS (SELECT doc_id, source, len(string_split(lower(trim(text)), ' ')) AS toks "
+    "  FROM documents), "
+    "c AS (SELECT doc_id, source, toks, "
+    "  SUM(toks) OVER (PARTITION BY source ORDER BY doc_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t) "
+    "SELECT doc_id, source, CAST(toks AS BIGINT) AS toks, "
+    "CAST((cum - 1) // 512 AS BIGINT) AS pack_id "
+    "FROM c ORDER BY doc_id",
+    doc="Sequence packing for training efficiency: documents are assigned "
+    "to fixed token-budget packs (512 here) by a running token sum per "
+    "source — the streaming first-fit approximation that packs in ONE "
+    "window pass (one shuffle on source), instead of the NP-hard bin "
+    "packing an offline packer would solve.  Deterministic order "
+    "(doc_id) makes pack assignment reproducible across engines.",
+    tags=("llm", "curation", "packing"),
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.size(_toks(F.col("text")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "source", toks.alias("toks"))
+        .withColumn("cum", F.sum("toks").over(w))
+        .select(
+            "doc_id",
+            "source",
+            F.col("toks").cast("bigint").alias("toks"),
+            F.expr("(cum - 1) DIV 512").cast("bigint").alias("pack_id"),
+        )
+        .orderBy("doc_id")
+    )
