@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lance_namespace_impls_spark.plans.registry import query
-from lance_namespace_impls_spark.sources.tables import load_table
+from lance_namespace_impls_spark.sources.tables import load_table, spread
 
 
 def normalized_text_key(col):
@@ -153,3 +153,80 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q121_dedup_lineage",
+    "WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS dg FROM documents), "
+    "canon AS (SELECT dg, MIN(doc_id) AS canonical_id FROM d GROUP BY dg) "
+    "SELECT d.doc_id, c.canonical_id FROM d JOIN canon c USING (dg) "
+    "WHERE d.doc_id <> c.canonical_id ORDER BY d.doc_id",
+    doc="Dedup lineage map: for every removed duplicate, WHICH surviving "
+    "document replaced it (dup -> canonical keep-first id) — the remap "
+    "table downstream references need after a dedup pass (q47 emits the "
+    "survivors; this emits the edges).  One digest shuffle, digests only.",
+    tags=("llm", "dedup"),
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("dg"))
+    canon = d.groupBy("dg").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        d.join(canon, "dg")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id", "canonical_id")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q122_contamination_check",
+    "WITH toked AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws "
+    "  FROM documents), "
+    "eval AS (SELECT doc_id, ws FROM toked "
+    "  WHERE (doc_id % 1000000007) * 2654435761 % 1000 < 50), "
+    "eval_grams AS (SELECT DISTINCT unnest([ws[i] || ' ' || ws[i+1] || ' ' || "
+    "  ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] for i in range(1, len(ws)-3)]) AS g "
+    "  FROM eval WHERE len(ws) >= 5), "
+    "train AS (SELECT doc_id, ws FROM toked "
+    "  WHERE NOT ((doc_id % 1000000007) * 2654435761 % 1000 < 50)), "
+    "hits AS (SELECT DISTINCT t.doc_id FROM "
+    "  (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || "
+    "   ws[i+3] || ' ' || ws[i+4] for i in range(1, len(ws)-3)]) AS g "
+    "   FROM train WHERE len(ws) >= 5) t "
+    "  JOIN eval_grams e ON t.g = e.g) "
+    "SELECT CAST((SELECT COUNT(*) FROM train) AS BIGINT) AS train_docs, "
+    "CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS contaminated "
+    "FROM (SELECT 1)",
+    doc="Benchmark-contamination detection: a deterministic ~5% hash-held-out "
+    "eval split's distinct 5-grams form a (broadcastable) blocklist; train "
+    "documents sharing ANY 5-gram are flagged via an inverted-index "
+    "semi-join — the decontamination gate every pretraining corpus runs "
+    "against its eval suites.  Shuffle carries 5-gram strings once; at "
+    "corpus scale the eval side stays small and broadcasts.",
+    tags=("llm", "curation", "contamination"),
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.split(F.lower(F.trim(F.col("text"))), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 5),
+        lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2], ws[i + 3], ws[i + 4]),
+    )
+    split = F.expr("((doc_id % 1000000007) * 2654435761) % 1000 < 50")
+    toked = spread(docs).select("doc_id", grams.alias("gs"), split.alias("is_eval")).filter(
+        F.size("gs") > 0
+    )
+    eval_grams = (
+        toked.filter("is_eval").select(F.explode("gs").alias("g")).distinct()
+    )
+    train = toked.filter(~F.col("is_eval"))
+    hits = (
+        train.select("doc_id", F.explode("gs").alias("g"))
+        .join(eval_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.agg(F.count(F.lit(1)).alias("train_docs")).crossJoin(
+        hits.agg(F.count(F.lit(1)).alias("contaminated"))
+    ).select("train_docs", "contaminated")
