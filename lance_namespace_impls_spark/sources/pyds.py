@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     Filter,
@@ -171,6 +172,66 @@ class LanceNamespaceDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "LanceNamespaceStreamReader":
         return LanceNamespaceStreamReader(self._location(), schema)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return LanceNamespaceStreamWriter(self._location())
+
+
+class LanceNamespaceStreamWriter(DataSourceStreamArrowWriter):
+    """writeStream.format("lance_namespace"): per-micro-batch Arrow append.
+
+    Tasks stage their RecordBatches exactly like the batch writer; the
+    driver-side commit(messages, batchId) promotes the batch's files with a
+    batch-id prefix, so (a) a crashed batch leaves nothing visible, and
+    (b) replays after checkpoint recovery overwrite their own batch's files
+    instead of duplicating them — idempotent per-batch commits, which is the
+    exactly-once contract Structured Streaming expects of a sink.
+    """
+
+    def __init__(self, location: str):
+        import uuid
+
+        self._location = location
+        self._staging = os.path.join(location, f"_staging_{uuid.uuid4().hex}")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self._staging, exist_ok=True)
+        path = os.path.join(self._staging, f"task-{uuid.uuid4().hex}.parquet")
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+        finally:
+            if writer is not None:
+                writer.close()
+        return _WroteFile(path=path if writer is not None else "")
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        staged = [m.path for m in messages if m is not None and m.path]
+        # idempotent replay: purge any earlier attempt of THIS batch first
+        for entry in os.listdir(self._location):
+            if entry.startswith(f"batch-{batchId}-") and entry.endswith(".parquet"):
+                os.unlink(os.path.join(self._location, entry))
+        for i, path in enumerate(staged):
+            os.replace(
+                path,
+                os.path.join(self._location, f"batch-{batchId}-{i:05d}.parquet"),
+            )
+        shutil.rmtree(self._staging, ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging, ignore_errors=True)
 
 
 class LanceNamespaceStreamReader(DataSourceStreamReader):

@@ -137,3 +137,39 @@ def test_stream_reader_replays_all_files(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_writer_appends_batches(spark, tmp_path):
+    """writeStream into the custom format: micro-batches land as committed
+    batch-<id>-* files; the final table equals the streamed input."""
+    spark.dataSource.register(LanceNamespaceDataSource)
+    root = str(tmp_path / "swroot")
+    ns = DirectoryNamespace({"root": root})
+    ns.create_namespace(m.CreateNamespaceRequest(id=["main"]))
+    ns.declare_table(m.DeclareTableRequest(id=["main", "sink"]))
+    loc = ns.describe_table(m.DescribeTableRequest(id=["main", "sink"])).location
+
+    src_dir = str(tmp_path / "src")
+    spark.read.parquet(f"{SF_SMOKE}/region.parquet").repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.format("lance_namespace")
+        .option("root", root)
+        .option("table", "main.sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    files = [f for f in os.listdir(loc) if f.endswith(".parquet")]
+    assert files and all(f.startswith("batch-") for f in files)
+    back = spark.read.parquet(loc)
+    assert back.count() == 5
+    want = {r.r_name for r in spark.read.parquet(f"{SF_SMOKE}/region.parquet").collect()}
+    assert {r.r_name for r in back.collect()} == want
