@@ -586,3 +586,48 @@ _EXPECTATION_RULES = {
 def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return check_expectations(docs, _EXPECTATION_RULES).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# q123: triangle counting (graph analytics over a derived pair graph)
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count over an oriented edge list (src < dst).
+
+    The canonical two-join distributed shape: wedges from e(a,b) x e(b,c),
+    closed by probing e(a,c).  Orienting edges low->high id counts each
+    triangle exactly once and caps wedge fan-out at the max out-degree of
+    the orientation (the standard skew bound for triangle listing).
+    """
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b")
+    return wedges.join(e3, ["a", "c"], "left_semi").agg(
+        F.count(F.lit(1)).alias("triangles")
+    )
+
+
+@query(
+    "q123_triangle_count",
+    "WITH e AS (SELECT a.o_orderkey AS src, b.o_orderkey AS dst "
+    "  FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey "
+    "  AND a.o_orderkey < b.o_orderkey "
+    "  AND ABS(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 7) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS triangles "
+    "FROM e e1 JOIN e e2 ON e1.dst = e2.src "
+    "JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst",
+    doc="Distributed triangle counting over the co-temporal order-pair graph "
+    "(q94's lossless banded interval join builds the edges): wedges from an "
+    "oriented-edge self-join, closed with a semi-join probe — two shuffles, "
+    "each triangle counted exactly once, wedge fan-out bounded by the "
+    "low->high orientation (the standard skew cap for triangle listing).",
+    tags=("graph", "join", "scale"),
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    edges = interval_self_join_pairs(od, "o_custkey", "o_orderdate", "o_orderkey", 7).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return triangle_count(edges)
