@@ -316,3 +316,27 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+def mergeable_distinct_sketch(
+    df: DataFrame, col: str, split_predicate: str
+) -> DataFrame:
+    """Prove HLL sketch mergeability: estimate(union of partial sketches)
+    == estimate(global sketch), bit-exactly.
+
+    This is what makes approximate distinct counts *incrementally
+    maintainable* (the q116 pattern for sketches): each partition/delta
+    keeps its own hll_sketch_agg binary, the union is associative, and the
+    merged estimate is identical to a from-scratch scan.  Returns one row
+    (global_estimate, merged_estimate) — equality asserted in tests.
+    """
+    part = df.groupBy(F.expr(split_predicate).alias("half")).agg(
+        F.expr(f"hll_sketch_agg({col})").alias("sk")
+    )
+    merged = part.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("merged_estimate")
+    )
+    whole = df.agg(
+        F.expr(f"hll_sketch_estimate(hll_sketch_agg({col}))").alias("global_estimate")
+    )
+    return whole.crossJoin(merged)

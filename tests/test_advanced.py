@@ -137,3 +137,18 @@ def test_skyline_matches_bruteforce_with_ties(spark):
         if not dominated:
             keep.append(rows[i][0])
     assert got == sorted(keep)
+
+
+def test_hll_sketch_merge_equals_global(spark):
+    """Union of per-split HLL sketches estimates EXACTLY like one global
+    sketch - the mergeability that makes distinct-count maintenance
+    incremental (the sketch analog of the q116 algebraic merge)."""
+    from lance_namespace_impls_spark.operators.advanced import (
+        mergeable_distinct_sketch,
+    )
+    from lance_namespace_impls_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    od = load_table(spark, "orders", SF_SMOKE)
+    row = mergeable_distinct_sketch(od, "o_custkey", "o_orderkey % 4").collect()[0]
+    assert row.global_estimate == row.merged_estimate
