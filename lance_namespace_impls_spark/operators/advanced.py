@@ -340,3 +340,56 @@ def mergeable_distinct_sketch(
         F.expr(f"hll_sketch_estimate(hll_sketch_agg({col}))").alias("global_estimate")
     )
     return whole.crossJoin(merged)
+
+
+def source_overlap_sketch(docs: DataFrame) -> DataFrame:
+    """Pairwise cross-source duplicate overlap via theta sketch intersections.
+
+    One theta sketch of normalized-text digests per source (a few KB each),
+    then |A n B| estimated per source pair from sketch intersections — the
+    dedup-planning census ("how much would cross-source dedup save?") that
+    never joins document bodies: the pairwise stage moves only sketches.
+    Below the sketch's nominal-entries threshold the estimate is EXACT
+    (asserted against the true overlap in tests); above it, bounded-error
+    approximation — the same scale contract as q64's HLL.
+    """
+    sk = (
+        docs.select(
+            "source", F.md5(F.lower(F.trim(F.col("text")))).alias("dg")
+        )
+        .groupBy("source")
+        .agg(F.expr("theta_sketch_agg(dg)").alias("sk"))
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.sk").alias("sk_a"),
+        F.col("b.sk").alias("sk_b"),
+    )
+    stacked = pairs.selectExpr("src_a", "src_b", "sk_a AS sk").unionAll(
+        pairs.selectExpr("src_a", "src_b", "sk_b AS sk")
+    )
+    return (
+        stacked.groupBy("src_a", "src_b")
+        .agg(
+            F.expr("theta_sketch_estimate(theta_intersection_agg(sk))")
+            .cast("bigint")
+            .alias("overlap")
+        )
+    )
+
+
+@query(
+    "q124_source_overlap_sketch",
+    None,  # sketch-based; exactness at fixture cardinality asserted in tests
+    doc="Cross-source duplicate-overlap census via theta sketch "
+    "intersections: one digest sketch per source, pairwise |A n B| from "
+    "sketch algebra — the dedup-planning question answered without ever "
+    "joining document bodies.  Exact below the sketch threshold "
+    "(test-asserted vs the true overlap); bounded-error beyond it.",
+    tags=("llm", "dedup", "sketch"),
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return source_overlap_sketch(docs).orderBy("src_a", "src_b")

@@ -152,3 +152,30 @@ def test_hll_sketch_merge_equals_global(spark):
     od = load_table(spark, "orders", SF_SMOKE)
     row = mergeable_distinct_sketch(od, "o_custkey", "o_orderkey % 4").collect()[0]
     assert row.global_estimate == row.merged_estimate
+
+
+def test_theta_overlap_exact_at_fixture_scale(spark):
+    from pyspark.sql import functions as F
+
+    from lance_namespace_impls_spark.operators.advanced import source_overlap_sketch
+    from lance_namespace_impls_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    got = {
+        (r.src_a, r.src_b): r.overlap
+        for r in source_overlap_sketch(docs).collect()
+    }
+    d = docs.select("source", F.md5(F.lower(F.trim("text"))).alias("dg")).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    exact = {
+        (r.src_a, r.src_b): r.n
+        for r in a.join(b, (F.col("a.dg") == F.col("b.dg")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for pair, n in exact.items():
+        assert got[pair] == n
+    # pairs with zero overlap estimate zero
+    assert all(v == 0 for p, v in got.items() if p not in exact)
