@@ -531,3 +531,60 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot("p_partkey", ["p_retailprice", "p_size"], "metric", "v")
         .orderBy("p_partkey", "metric")
     )
+
+
+@query(
+    "q125_hypertable_rollup",
+    "WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo, "
+    "  date_trunc('hour', MAX(ts)) AS hi FROM events), "
+    "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds), "
+    "types AS (SELECT DISTINCT event_type FROM events), "
+    "grid AS (SELECT h, event_type FROM axis CROSS JOIN types), "
+    "agg AS (SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n, "
+    "  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents "
+    "  FROM events GROUP BY h, event_type) "
+    "SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS h, g.event_type, "
+    "CAST(COALESCE(a.n, 0) AS BIGINT) AS n, "
+    "CAST(COALESCE(a.cents, 0) AS BIGINT) AS cents "
+    "FROM grid g LEFT JOIN agg a ON g.h = a.h AND g.event_type = a.event_type "
+    "ORDER BY h, g.event_type",
+    doc="Hypertable-style dense rollup: hourly counts + exact cent sums per "
+    "event type over a GAP-FILLED time axis — empty hours materialize as "
+    "zero rows, the contract dashboards and downsampling jobs need.  The "
+    "axis is sequence()-generated from the corpus min/max hour (two tiny "
+    "aggregates), cross-joined with the type dimension, then left-joined "
+    "to the rolled-up facts; only the fact rollup shuffles at corpus width.",
+    tags=("window", "timeseries", "rollup"),
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.streaming.windows import events_batch
+
+    ev = events_batch(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    axis = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = axis.crossJoin(types)
+    agg = (
+        ev.select(hour.alias("h"), "event_type", F.col("value"))
+        .groupBy("h", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+    return (
+        grid.join(agg, ["h", "event_type"], "left")
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("h"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce("cents", F.lit(0)).cast("bigint").alias("cents"),
+        )
+        .orderBy("h", "event_type")
+    )
