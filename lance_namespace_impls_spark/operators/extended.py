@@ -588,3 +588,65 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h", "event_type")
     )
+
+
+@query(
+    "q126_gap_fill_locf",
+    "WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo, "
+    "  date_trunc('hour', MAX(ts)) AS hi FROM events), "
+    "axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds), "
+    "types AS (SELECT DISTINCT event_type FROM events), "
+    "grid AS (SELECT h, event_type FROM axis CROSS JOIN types), "
+    "agg AS (SELECT date_trunc('hour', ts) AS h, event_type, "
+    "  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents "
+    "  FROM events GROUP BY h, event_type), "
+    "joined AS (SELECT g.h, g.event_type, a.cents FROM grid g "
+    "  LEFT JOIN agg a ON g.h = a.h AND g.event_type = a.event_type) "
+    "SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS h, event_type, "
+    "CAST(COALESCE(last_value(cents IGNORE NULLS) OVER "
+    "  (PARTITION BY event_type ORDER BY h "
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS cents_locf "
+    "FROM joined ORDER BY h, event_type",
+    doc="Last-observation-carried-forward over the gap-filled grid (q125's "
+    "axis): missing hours inherit the most recent observed hourly cent sum "
+    "per type via last_value IGNORE NULLS — the standard time-series "
+    "imputation downsampling pipelines apply after densification.  One "
+    "window shuffle on the (tiny) type dimension.",
+    tags=("window", "timeseries", "interpolation"),
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lance_namespace_impls_spark.streaming.windows import events_batch
+
+    ev = events_batch(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    axis = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, INTERVAL 1 HOUR)")).alias("h")
+    )
+    grid = axis.crossJoin(ev.select("event_type").distinct())
+    agg = (
+        ev.select(hour.alias("h"), "event_type", F.col("value"))
+        .groupBy("h", "event_type")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    joined = grid.join(agg, ["h", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("h"),
+            "event_type",
+            F.coalesce(
+                F.last("cents", ignorenulls=True).over(w), F.lit(0)
+            ).cast("bigint").alias("cents_locf"),
+        )
+        .orderBy("h", "event_type")
+    )
