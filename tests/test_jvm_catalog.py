@@ -117,3 +117,16 @@ def test_q100_runs(spark):
     rows = QUERIES["q100_jvm_dsv2_catalog"].builder(spark, SF).collect()
     assert len(rows) == 5
     assert rows[0].n_nations == 5
+
+
+def test_alter_namespace_properties(spark, lake):
+    spark.sql("ALTER NAMESPACE jvmlake.main SET DBPROPERTIES ('tier'='gold', 'team'='ops')")
+    props = lake.describe_namespace(
+        m.DescribeNamespaceRequest(id=["main"])
+    ).properties
+    assert props["tier"] == "gold" and props["team"] == "ops"
+    spark.sql("ALTER NAMESPACE jvmlake.main UNSET DBPROPERTIES ('tier')")
+    props = lake.describe_namespace(
+        m.DescribeNamespaceRequest(id=["main"])
+    ).properties
+    assert "tier" not in props and props["team"] == "ops"
