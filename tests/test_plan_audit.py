@@ -1,0 +1,56 @@
+"""Suite-wide physical-plan audit.
+
+Builds every declared (non-streaming) query's executed plan at smoke scale
+and asserts that cartesian products / broadcast nested-loop joins appear
+ONLY where they are a deliberate, bounded design choice.  A new query that
+accidentally introduces an unbounded cross join fails here before it ever
+reaches a benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+# name -> why the cartesian/nested-loop is intentional AND bounded
+CARTESIAN_ALLOWED = {
+    "q16_cross_join": "declared CROSS JOIN surface item (5x5 dims)",
+    "q51_ngram_jaccard_pairs": "bounded pairwise verify kernel (documented parity item)",
+    "q54_cosine_topk_int": "brute-force correctness baseline: 8 query rows x corpus",
+    "q55_cosine_topk_brute": "brute-force correctness baseline: 8 query rows x corpus",
+    "q90_funnel": "scalar first-step bound broadcast (1-row side)",
+    "q106_kmeans_assign": "broadcast K=8 centroid assignment (corpus never shuffles)",
+    "q122_contamination_check": "two 1-row audit aggregates joined",
+    "q124_source_overlap_sketch": "20-source sketch pair grid (190 rows)",
+    "q125_hypertable_rollup": "1-row bounds x 720-hour axis x 5-type dim",
+    "q126_gap_fill_locf": "1-row bounds x 720-hour axis x 5-type dim",
+}
+
+# streaming builders start real runs; their plans are covered by the
+# streaming tests instead
+_STREAMING_PREFIXES = ("q61", "q62", "q79", "q80", "q87", "q104", "q105", "q109")
+
+
+@pytest.mark.slow
+def test_no_unintended_cartesian_products(spark):
+    offenders = {}
+    for name, spec in QUERIES.items():
+        if name.startswith(_STREAMING_PREFIXES):
+            continue
+        plan = (
+            spec.builder(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            if name not in CARTESIAN_ALLOWED:
+                offenders[name] = True
+    assert not offenders, (
+        f"unallowlisted cartesian/nested-loop joins in: {sorted(offenders)} — "
+        "either fix the plan or document why it is bounded in CARTESIAN_ALLOWED"
+    )
