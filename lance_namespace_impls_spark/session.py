@@ -20,9 +20,10 @@ from pyspark.sql import SparkSession
 _RUNTIME_CONF: dict[str, str] = {
     # Deterministic timestamp semantics regardless of host timezone.
     "spark.sql.session.timeZone": "UTC",
-    # The `events` fixture carries parquet TIMESTAMP(NANOS) which Spark's
-    # reader rejects by default; read as epoch-nanos LongType and convert
-    # (see sources/tables.py).
+    # Legacy events fixtures carried parquet TIMESTAMP(NANOS), which Spark's
+    # reader rejects by default; with this conf they surface as epoch-nanos
+    # LongType and sources/tables.py rebuilds the timestamp.  A no-op on
+    # current micros-precision fixtures.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Adaptive execution: runtime partition coalescing, skew-join splitting,
     # and sort-merge→broadcast conversion.  Essential at 100 TB where static

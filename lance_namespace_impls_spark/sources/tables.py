@@ -3,10 +3,10 @@
 The synthetic star schema (TESTDATA.md / FIXTURES.md §B) is one parquet file
 per table under ``/root/testdata/sf{0.001,0.01,0.1}``.  All loaders go through
 ``spark.read.parquet`` so Catalyst keeps predicate pushdown / column pruning;
-the only normalization applied is the ``events.ts`` nanosecond repair (Spark's
-parquet reader rejects TIMESTAMP(NANOS); we read epoch-nanos as LongType and
-rebuild a microsecond TIMESTAMP_NTZ — DuckDB and pyarrow read the same file
-natively, so oracle comparisons stay exact to the microsecond).
+the only normalization applied is pinning ``events.ts`` to TIMESTAMP_NTZ at
+microsecond precision, whichever physical parquet type it arrives as — DuckDB
+and pyarrow read the same file natively, so oracle comparisons stay exact to
+the microsecond.
 """
 
 from __future__ import annotations
@@ -35,20 +35,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def _normalize_events(df: DataFrame) -> DataFrame:
-    """events.ts arrives as epoch-nanos LongType (nanosAsLong conf).
+    """Normalize ``events.ts`` to TIMESTAMP_NTZ at microsecond precision.
 
-    Rebuild a TIMESTAMP_NTZ at microsecond precision (session tz is pinned
-    UTC, so the LTZ->NTZ cast is the identity on the epoch wall-clock) and
-    keep the raw nanos as ``ts_ns`` for precision-sensitive ordering.
+    Current fixtures store parquet TIMESTAMP(MICROS) which Spark reads as
+    TIMESTAMP_NTZ directly — no repair needed.  Legacy fixtures stored
+    TIMESTAMP(NANOS), which the ``nanosAsLong`` conf surfaces as epoch-nanos
+    LongType; that branch rebuilds the NTZ timestamp (session tz is pinned
+    UTC, so the wall-clock is unambiguous).
     """
-    if dict(df.dtypes).get("ts") != "bigint":
-        return df  # reader produced a timestamp directly; nothing to repair
-    # Integer division: epoch-nanos (~1.7e18) exceeds double's exact integer
-    # range, so `/ 1000` + cast would be off by ±1µs on ~half the rows.
-    ts_us = F.expr("ts DIV 1000")
-    return df.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(ts_us).cast("timestamp_ntz")
-    )
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        # Integer division: epoch-nanos (~1.7e18) exceeds double's exact
+        # integer range, so `/ 1000` + cast would be off by ±1µs on ~half
+        # the rows.
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        )
+    if dtype == "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return df
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:

@@ -26,11 +26,11 @@ from pyspark.sql import types as T
 from lance_namespace_impls_spark.session import ensure_runtime_conf
 from lance_namespace_impls_spark.sources.tables import load_table
 
-# Raw parquet schema of events (ts as epoch-nanos long — nanosAsLong read).
+# Raw parquet schema of events (ts stored as parquet TIMESTAMP(MICROS)).
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -40,12 +40,12 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    """Rebuild a microsecond TIMESTAMP event-time column from epoch nanos.
+    """Pin the event-time column to TimestampType for watermarking.
 
     Watermarks need TimestampType (not NTZ); session tz is pinned UTC so the
-    wall-clock is unambiguous.
+    NTZ->LTZ cast preserves the wall-clock exactly.
     """
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def events_file_stream(
@@ -71,7 +71,7 @@ def events_file_stream(
 def events_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream: same columns, same event-time type."""
     df = load_table(spark, "events", sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns DIV 1000"))).drop("ts_ns")
+    return _with_event_time(df)
 
 
 # -- window aggregations (batch == streaming by construction) ----------------

@@ -28,6 +28,7 @@ CARTESIAN_ALLOWED = {
     "q124_source_overlap_sketch": "20-source sketch pair grid (190 rows)",
     "q125_hypertable_rollup": "1-row bounds x 720-hour axis x 5-type dim",
     "q126_gap_fill_locf": "1-row bounds x 720-hour axis x 5-type dim",
+    "q130_histogram": "1-row (min,max) bounds broadcast into the bucketing expr",
 }
 
 # streaming builders start real runs; their plans are covered by the

@@ -1,4 +1,4 @@
-"""Source-layer tests: fixture loading and the events nanosecond-timestamp repair."""
+"""Source-layer tests: fixture loading and the events timestamp normalization."""
 
 from __future__ import annotations
 
@@ -17,19 +17,21 @@ def test_all_tables_load(spark):
         assert df.count() > 0, name
 
 
-def test_events_ts_repair_matches_pyarrow(spark):
-    """Spark's rebuilt TIMESTAMP_NTZ must equal the file's nanos truncated to µs."""
+def test_events_ts_normalization_matches_pyarrow(spark):
+    """Spark's normalized TIMESTAMP_NTZ must equal the file's values at µs."""
     ev = load_table(spark, "events", SF_SMOKE)
     dtypes = dict(ev.dtypes)
     assert dtypes["ts"] == "timestamp_ntz"
-    assert dtypes["ts_ns"] == "bigint"
     spark_rows = {
         r.event_id: r.ts for r in ev.select("event_id", "ts").orderBy("event_id").limit(50).collect()
     }
     table = pq.read_table(f"{SF_SMOKE}/events.parquet", columns=["event_id", "ts"])
     for eid, ts in zip(table["event_id"].to_pylist()[:50], table["ts"].to_pylist()[:50]):
-        # pyarrow yields ns-precision Timestamps; the engine truncates to µs
-        expect = ts.floor("us").to_pydatetime().replace(tzinfo=None)
+        # micros-precision parquet yields plain datetimes; legacy nanos
+        # fixtures yield pandas Timestamps the engine truncates to µs
+        if hasattr(ts, "floor"):
+            ts = ts.floor("us").to_pydatetime()
+        expect = ts.replace(tzinfo=None)
         assert spark_rows[eid] == expect, (eid, spark_rows[eid], expect)
 
 

@@ -98,7 +98,7 @@ def test_watermark_finalized_windows_are_immutable(spark, tmp_path):
     base = events_batch(spark, SF_SMOKE)
     max_ts = base.agg(F.max("ts")).first()[0]
 
-    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")  # ts as long nanos
+    raw = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
     # single part-file: the watermark must observe the max event time in
     # trigger 1, before the late file arrives in trigger 2
     raw.coalesce(1).write.parquet(f"{staging}/batch1_dir")
@@ -116,9 +116,9 @@ def test_watermark_finalized_windows_are_immutable(spark, tmp_path):
     late_dt = datetime.datetime.strptime(target.h, "%Y-%m-%d %H:%M:%S") + datetime.timedelta(
         minutes=30
     )
-    late_ns = int(late_dt.timestamp() * 1e9)
     row_schema = (
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
     )
     import time
 
@@ -126,13 +126,12 @@ def test_watermark_finalized_windows_are_immutable(spark, tmp_path):
     # watermark for batch N derives from batches < N), so a dummy recent row
     # is needed for batch 1 to close out batch 0's windows before the late
     # row arrives in batch 2.
-    max_ns = int(max_ts.timestamp() * 1e9)
-    dummy = spark.createDataFrame([(999998, max_ns, 1, "dummy", 1.0, None)], row_schema)
+    dummy = spark.createDataFrame([(999998, max_ts, 1, "dummy", 1.0, None)], row_schema)
     time.sleep(1.1)  # file-stream orders batches by modification time
     dummy.coalesce(1).write.parquet(f"{staging}/batch2_dir")
 
     late = spark.createDataFrame(
-        [(999999, late_ns, 1, target.event_type, 1.0, None)], row_schema
+        [(999999, late_dt, 1, target.event_type, 1.0, None)], row_schema
     )
     time.sleep(1.1)
     late.coalesce(1).write.parquet(f"{staging}/batch3_dir")
@@ -176,7 +175,9 @@ def test_stateful_custom_op_accumulates_across_batches(spark, tmp_path):
         .option("maxFilesPerTrigger", 1)  # one file per micro-batch
         .parquet(staging)
     )
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    from lance_namespace_impls_spark.streaming.windows import _with_event_time
+
+    stream = _with_event_time(stream)
     updates = run_stream(stateful_user_totals(stream), "update")
     finals = {
         r.user_id: (r.n_val, r.cents)
