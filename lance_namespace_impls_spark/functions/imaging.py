@@ -1,0 +1,122 @@
+"""Pure-NumPy image codec: netpbm (PPM P6 / PGM P5) decode, encode, resize,
+and feature extraction.
+
+The multimodal operators (operators/multimodal.py) treat media as opaque
+binary columns.  JPEG/PNG decoding needs a codec library this container
+deliberately lacks (PIL is the gated upgrade path), but the netpbm formats
+are a ~40-line header + raw sample grid — decodable with the stdlib and
+NumPy alone.  That makes the decode path REAL for PPM/PGM payloads: bytes →
+H×W×C uint8 array → nearest-neighbor resize → re-encoded bytes, and
+channel-statistics features, all executing inside Arrow-batched
+``mapInPandas`` workers.
+
+Format reference (public netpbm spec): magic ``P6``/``P5``, then
+whitespace-separated width, height, maxval (comments ``#…\\n`` allowed in
+the header), one whitespace byte, then ``h*w*c`` raw samples (c=3 for P6,
+1 for P5; maxval ≤ 255 assumed — the 16-bit variant is rejected).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAGIC_TO_CHANNELS = {b"P6": 3, b"P5": 1}
+
+
+def is_netpbm(blob: bytes | None) -> bool:
+    """True when the payload carries a decodable netpbm magic."""
+    return bool(blob) and blob[:2] in _MAGIC_TO_CHANNELS
+
+
+def _parse_header(blob: bytes) -> tuple[int, int, int, int]:
+    """Return (width, height, channels, data_offset); raises ValueError on a
+    malformed header."""
+    magic = blob[:2]
+    channels = _MAGIC_TO_CHANNELS.get(magic)
+    if channels is None:
+        raise ValueError(f"not a netpbm payload (magic {magic!r})")
+    fields: list[int] = []
+    i = 2
+    n = len(blob)
+    while len(fields) < 3:
+        while i < n and blob[i : i + 1].isspace():
+            i += 1
+        if i < n and blob[i : i + 1] == b"#":  # header comment to EOL
+            while i < n and blob[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < n and not blob[i : i + 1].isspace():
+            i += 1
+        if start == i:
+            raise ValueError("truncated netpbm header")
+        fields.append(int(blob[start:i]))
+    i += 1  # exactly one whitespace byte separates header from samples
+    width, height, maxval = fields
+    if not (0 < maxval < 256):
+        raise ValueError(f"unsupported netpbm maxval {maxval} (8-bit only)")
+    return width, height, channels, i
+
+
+def decode_netpbm(blob: bytes) -> np.ndarray:
+    """bytes → uint8 array of shape (height, width, channels)."""
+    width, height, channels, off = _parse_header(blob)
+    need = width * height * channels
+    data = np.frombuffer(blob, dtype=np.uint8, count=need, offset=off)
+    if data.size < need:
+        raise ValueError("netpbm payload shorter than header promises")
+    return data.reshape(height, width, channels)
+
+
+def encode_netpbm(arr: np.ndarray) -> bytes:
+    """uint8 array (H, W) or (H, W, 1|3) → PPM/PGM bytes."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    magic = {1: b"P5", 3: b"P6"}.get(c)
+    if magic is None:
+        raise ValueError(f"unsupported channel count {c}")
+    header = magic + b"\n" + f"{w} {h}\n255\n".encode("ascii")
+    return header + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample to (height, width) — pure index arithmetic,
+    the standard thumbnail kernel when no resampling filter is required."""
+    h, w = arr.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return arr[rows][:, cols]
+
+
+def image_features(arr: np.ndarray, dim: int = 16) -> list[float]:
+    """Channel-statistics feature vector in [0, 1]: per-channel mean/std plus
+    a luminance histogram filling the remaining slots.  Deterministic, no
+    model — the bytes→fixed-dim-vector contract a real embedding stage
+    satisfies."""
+    flat = arr.astype(np.float64) / 255.0
+    chans = flat.reshape(-1, arr.shape[2] if arr.ndim == 3 else 1)
+    stats: list[float] = []
+    for ci in range(chans.shape[1]):
+        stats.extend((float(chans[:, ci].mean()), float(chans[:, ci].std())))
+    lum = chans.mean(axis=1)
+    bins = max(1, dim - len(stats))
+    hist, _ = np.histogram(lum, bins=bins, range=(0.0, 1.0))
+    total = max(1, lum.size)
+    feats = stats + (hist / total).tolist()
+    return [float(round(v, 6)) for v in feats[:dim]] + [0.0] * max(
+        0, dim - len(feats)
+    )
+
+
+def synth_ppm(seed: int, width: int = 16, height: int = 16) -> bytes:
+    """Deterministic small RGB test image: a per-seed linear gradient with a
+    seed-keyed channel phase.  Used by fixtures/tests to materialize real
+    decodable payloads without bundling binary assets."""
+    y = np.arange(height, dtype=np.uint32)[:, None]
+    x = np.arange(width, dtype=np.uint32)[None, :]
+    base = (x * 7 + y * 13 + np.uint32(seed) * np.uint32(2654435761)) & 0xFF
+    img = np.stack(
+        [base, (base * 3 + 17) & 0xFF, (base * 5 + 89) & 0xFF], axis=2
+    ).astype(np.uint8)
+    return encode_netpbm(img)

@@ -3,14 +3,19 @@
 Pattern (SURVEY.md §2B multimodal row): media are ``binary`` columns (or
 location-pointer strings, like the reference's location-pointer tables,
 glue.py:371-380) with a typed metadata struct alongside.  Decode /
-feature-extraction run as Arrow-batched ``mapInPandas`` — the Spark-side
-plumbing (schema, batch shape, partitioning) is real and tested; the actual
-image/audio codecs are STUBBED (this container has no media libraries):
+feature-extraction run as Arrow-batched ``mapInPandas``.
 
-* :func:`decode_image` raises ``NotImplementedError`` — the clearly-marked
-  integration point for a real codec (PIL/ffmpeg) on a production cluster;
-* :func:`fake_decode_features` is the deterministic stand-in the tests and
-  declared query use.
+Codec tiers (functions/imaging.py):
+
+* netpbm (PPM P6 / PGM P5) payloads decode/resize/re-encode FOR REAL — a
+  pure-NumPy codec, no media library needed; tests drive actual image bytes
+  through the full mapInPandas pipeline;
+* other formats (JPEG/PNG/...) route to PIL when importable — this
+  container deliberately lacks it, so that branch raises
+  ``NotImplementedError`` with the integration point clearly marked;
+* :func:`fake_decode_features` remains the format-agnostic stand-in for
+  payloads that are not images at all (the declared queries use it so their
+  oracles stay closed-form over the text fixtures).
 """
 
 from __future__ import annotations
@@ -69,16 +74,64 @@ def attach_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(blob: bytes):
-    """Real-codec integration point — STUB.
-
-    A production deployment plugs PIL/libvips here; the container
-    deliberately has no media libraries (see module docstring).
+def attach_ppm_media(docs: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Synthesize REAL decodable media: each doc gets a deterministic PPM
+    image payload (functions/imaging.synth_ppm keyed by doc_id) with honest
+    metadata.  Runs as an Arrow-batched mapInPandas so the image bytes are
+    produced executor-side, exactly where a lake read would deliver them.
     """
-    raise NotImplementedError(
-        "image decoding requires a media codec library; plug one in here "
-        "(the Spark plumbing around this stub is complete and tested)"
+    from lance_namespace_impls_spark.functions.imaging import synth_ppm
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = [synth_ppm(int(d), width, height) for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": blobs,
+                    "meta": [
+                        {
+                            "mime": "image/x-portable-pixmap",
+                            "width": width,
+                            "height": height,
+                            "n_bytes": len(b),
+                        }
+                        for b in blobs
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def decode_image(blob: bytes):
+    """Decode an image payload to an (H, W, C) uint8 array.
+
+    netpbm payloads decode natively (pure NumPy); everything else needs a
+    real codec library — PIL when importable, otherwise the clearly-marked
+    ``NotImplementedError`` integration point.
+    """
+    from lance_namespace_impls_spark.functions.imaging import (
+        decode_netpbm,
+        is_netpbm,
     )
+
+    if is_netpbm(blob):
+        return decode_netpbm(blob)
+    try:
+        import io
+
+        from PIL import Image  # gated: absent in this container
+
+        import numpy as np
+
+        return np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+    except ImportError:
+        raise NotImplementedError(
+            "non-netpbm image decoding requires a codec library (PIL); "
+            "plug one in here — the Spark plumbing around this point is "
+            "complete and tested with real PPM payloads"
+        ) from None
 
 
 def fake_decode_features(blob: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -129,11 +182,25 @@ def extract_features(
     return media.select("doc_id", "blob").mapInPandas(batches, FEATURES_SCHEMA)
 
 
-def resize_image(blob: bytes, width: int, height: int):
-    """Real-resize integration point — STUB (plug PIL/libvips here)."""
+def resize_image(blob: bytes, width: int, height: int) -> bytes:
+    """Resize an image payload, preserving its container format.
+
+    netpbm payloads run the real pure-NumPy path (decode → nearest-neighbor
+    resample → re-encode); other formats raise until a codec library (PIL/
+    libvips) is plugged into :func:`decode_image`.
+    """
+    from lance_namespace_impls_spark.functions.imaging import (
+        encode_netpbm,
+        is_netpbm,
+        resize_nearest,
+    )
+
+    if is_netpbm(blob):
+        return encode_netpbm(resize_nearest(decode_image(blob), width, height))
     raise NotImplementedError(
-        "image resizing requires a media codec library; plug one in here "
-        "(the Spark plumbing around this stub is complete and tested)"
+        "non-netpbm image resizing requires a codec library; plug one in "
+        "here (the netpbm path above is the real, tested reference "
+        "implementation)"
     )
 
 
