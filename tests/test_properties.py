@@ -111,3 +111,60 @@ def test_lang_id_picks_dominant_language(sc):
     )
     got = {r.i: r.lang for r in df.select("i", lang_id(tokens(F.col("text"))).alias("lang")).collect()}
     assert got == {0: "en", 1: "de", 2: "fr", 3: "und"}
+
+
+# -- imaging codec properties (pure NumPy, no Spark jobs) --------------------
+
+import numpy as np
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+from hypothesis.extra.numpy import arrays as _np_arrays
+
+from lance_namespace_impls_spark.functions.imaging import (
+    decode_netpbm,
+    encode_netpbm,
+    image_features,
+    resize_nearest,
+)
+
+_DIMS = _st.integers(min_value=1, max_value=24)
+_SET_FAST = _settings(max_examples=50, deadline=None)
+
+
+@_given(
+    h=_DIMS,
+    w=_DIMS,
+    c=_st.sampled_from([1, 3]),
+    data=_st.data(),
+)
+@_SET_FAST
+def test_netpbm_roundtrip_identity(h, w, c, data):
+    arr = data.draw(_np_arrays(np.uint8, (h, w, c)))
+    assert (decode_netpbm(encode_netpbm(arr)) == arr).all()
+
+
+@_given(h=_DIMS, w=_DIMS, th=_DIMS, tw=_DIMS, data=_st.data())
+@_SET_FAST
+def test_resize_shape_and_value_provenance(h, w, th, tw, data):
+    arr = data.draw(_np_arrays(np.uint8, (h, w, 3)))
+    out = resize_nearest(arr, tw, th)
+    assert out.shape == (th, tw, 3)
+    # every output pixel must be an actual source pixel (nearest-neighbor
+    # never invents values)
+    src = {bytes(px) for row in arr for px in row}
+    for row in out:
+        for px in row:
+            assert bytes(px) in src
+    # identity resize is the identity
+    assert (resize_nearest(arr, w, h) == arr).all()
+
+
+@_given(h=_DIMS, w=_DIMS, data=_st.data())
+@_SET_FAST
+def test_image_features_bounded_and_deterministic(h, w, data):
+    arr = data.draw(_np_arrays(np.uint8, (h, w, 3)))
+    f1 = image_features(arr, 16)
+    f2 = image_features(arr.copy(), 16)
+    assert f1 == f2
+    assert len(f1) == 16
+    assert all(0.0 <= v <= 1.0 for v in f1)
