@@ -495,6 +495,40 @@ public class DirectoryTableCatalog implements TableCatalog, SupportsNamespaces {
         "rename is not part of the Lance namespace operation set");
   }
 
+  // -- statistics seeding (catalog/stats.py companion) ----------------------
+
+  /**
+   * Inject externally computed table statistics into the active session's
+   * catalog so Catalyst plans from them (sizeInBytes drives broadcast
+   * decisions; rowCount feeds CBO) without re-scanning the data.
+   *
+   * Needed because the in-memory session catalog only populates
+   * CatalogStatistics via ANALYZE (the Hive statsFromProperties translation
+   * of spark.sql.statistics.* table properties does not apply), and
+   * scala.math.BigInt cannot cross the Py4J boundary (it extends
+   * java.lang.Number and auto-converts).  Python side:
+   * lance_namespace_impls_spark/catalog/stats.py seed_session_stats.
+   */
+  public static void seedStats(String db, String table, String sizeBytes, String rows) {
+    // String-typed numerics: Py4J boxes Python ints unpredictably
+    // (Integer vs Long), which breaks reflective primitive matching.
+    org.apache.spark.sql.SparkSession spark =
+        org.apache.spark.sql.SparkSession.active();
+    org.apache.spark.sql.catalyst.catalog.CatalogStatistics stats =
+        new org.apache.spark.sql.catalyst.catalog.CatalogStatistics(
+            scala.math.BigInt.apply(Long.parseLong(sizeBytes)),
+            scala.Option.apply(scala.math.BigInt.apply(Long.parseLong(rows))),
+            scala.collection.immutable.Map$.MODULE$.empty());
+    spark
+        .sessionState()
+        .catalog()
+        .externalCatalog()
+        .alterTableStats(db, table, scala.Option.apply(stats));
+    spark.sessionState().catalog().refreshTable(
+        org.apache.spark.sql.catalyst.TableIdentifier.apply(
+            table, scala.Option.apply(db)));
+  }
+
   // -- helpers --------------------------------------------------------------
 
   private static Map<String, String> jsonToMap(JsonNode node) {

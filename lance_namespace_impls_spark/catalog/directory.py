@@ -367,6 +367,70 @@ class DirectoryNamespace(LanceNamespace):
         # catalog entry point where executors participate (SURVEY.md §3.3).
         data.write.mode("overwrite").parquet(location)
 
+    def update_table_properties(
+        self,
+        table_id: list[str],
+        updates: dict[str, str],
+        removals: tuple[str, ...] = (),
+    ) -> dict[str, str]:
+        """ALTER TABLE SET/UNSET TBLPROPERTIES — engine extension.
+
+        The reference's surface carries properties only at declare time;
+        Spark's stats plane (catalog/stats.py) needs to write them after
+        profiling, so the directory backend exposes the same merge-update
+        the JVM catalog already performs for namespace dbproperties.
+        Runs under the state lock like every other mutation.
+        """
+        with self._lock:
+            state = self._load()
+            entry = self._require_table(state, table_id)
+            props = dict(entry.get("properties", {}))
+            props.update(updates)
+            for name in removals:
+                props.pop(name, None)
+            entry["properties"] = props
+            self._save(state)
+        return props
+
+    def vacuum(self, dry_run: bool = False) -> list[str]:
+        """Delete warehouse data that no catalog entry references.
+
+        ``create_table``'s register-then-write order is deliberately
+        non-atomic (reference parity; Hive3Namespace.java:526-578) and
+        ``deregister_table`` keeps data by contract — both leave bytes on
+        disk the catalog no longer tracks.  Vacuum reconciles: any
+        ``*.lance`` payload under the root whose path is not some table's
+        registered location is removed (returned instead when
+        ``dry_run``).  Locations OUTSIDE the root are never touched — the
+        catalog does not own them.
+        """
+        import shutil
+
+        with self._lock:
+            state = self._load()
+            referenced = {
+                os.path.abspath(entry["location"])
+                for entry in state["tables"].values()
+            }
+        orphans: list[str] = []
+        for dirpath, dirnames, filenames in os.walk(self._root):
+            for name in list(dirnames) + filenames:
+                full = os.path.abspath(os.path.join(dirpath, name))
+                if name.endswith(".lance") and full not in referenced:
+                    orphans.append(full)
+                    if name in dirnames:
+                        dirnames.remove(name)  # don't descend into it
+        if not dry_run:
+            for path in orphans:
+                try:
+                    if os.path.isdir(path):
+                        shutil.rmtree(path)
+                    else:
+                        os.unlink(path)
+                except OSError:
+                    pass
+        return sorted(orphans)
+
     def drop_table(self, req: m.DropTableRequest) -> m.DropTableResponse:
         """Remove the entry AND delete data (deleteData=True, hive2.py:434)."""
         key = self._table_key(req.id)
