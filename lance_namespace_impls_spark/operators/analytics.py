@@ -1,6 +1,9 @@
 """Round-3 analytic surface: CUBE, arg-extremes, moment statistics,
 histograms, edge-frame windows, correlated NOT EXISTS, TPC-H Q18, schema
-union-by-name, vector arithmetic, and conditional aggregates.
+union-by-name, vector arithmetic, conditional aggregates, and the
+data-QA family (train/val/test split, incremental dedup, Z-order keys,
+Gini inequality, snapshot diff, group z-score outliers, join-key skew
+profiling).
 
 These extend SURVEY.md §2B with the remaining ANSI-analytics shapes a user
 of the reference's catalog would run through an attached engine (the
@@ -501,4 +504,160 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("bigint").alias("max_key"),
         )
         .orderBy("zbucket")
+    )
+
+
+@query(
+    "q140_gini_inequality",
+    "WITH r AS (SELECT source, n_chars, "
+    "  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i, "
+    "  COUNT(*) OVER (PARTITION BY source) AS n, "
+    "  SUM(n_chars) OVER (PARTITION BY source) AS tot FROM documents) "
+    "SELECT source, CAST(MAX(n) AS BIGINT) AS docs, "
+    "ROUND(CAST(SUM((2*i - n - 1) * n_chars) AS DOUBLE) / (MAX(n) * MAX(tot)), 6) AS gini "
+    "FROM r GROUP BY source ORDER BY source",
+    doc="Gini coefficient of document-length inequality per source — the "
+    "corpus-balance diagnostic (a source whose token mass concentrates in "
+    "few giant docs skews training mix).  Exact integer form of the sorted "
+    "formula sum((2i-n-1)x_i)/(n*sum x); one shuffle on source serves the "
+    "rank window, the partition aggregates, and the final group-by (same "
+    "key, Spark reuses the exchange).",
+    tags=("stats", "llm", "quality"),
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("source")
+    r = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w.orderBy("n_chars", "doc_id")).alias("i"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("n_chars").over(w).alias("tot"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.max("n").cast("bigint").alias("docs"),
+            F.round(
+                F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("n_chars")).cast(
+                    "double"
+                )
+                / (F.max("n") * F.max("tot")),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q141_snapshot_diff",
+    "WITH old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+    "  WHERE o_orderkey % 10 <> 0), "
+    "new AS (SELECT o_orderkey, o_orderstatus, "
+    "  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice "
+    "  FROM orders WHERE o_orderkey % 10 <> 1) "
+    "SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added' "
+    "WHEN n.o_orderkey IS NULL THEN 'removed' "
+    "WHEN o.o_totalprice <> n.o_totalprice OR o.o_orderstatus <> n.o_orderstatus "
+    "THEN 'changed' ELSE 'unchanged' END AS delta, COUNT(*) AS n "
+    "FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey "
+    "GROUP BY delta ORDER BY delta",
+    doc="Snapshot diff (dataset-version change detection): two synthetic "
+    "snapshots of orders classified into added/removed/changed/unchanged "
+    "via one full-outer join on the key — the audit every versioned-corpus "
+    "release runs.  Single key shuffle; the per-row classification is "
+    "row-local.  At scale, comparing column HASHES instead of columns "
+    "shrinks the shuffled width (the digest trick q121 uses).",
+    tags=("join", "pipeline", "quality"),
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    old = od.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderkey").alias("k_old"),
+        F.col("o_orderstatus").alias("s_old"),
+        F.col("o_totalprice").alias("p_old"),
+    )
+    new = od.filter(F.col("o_orderkey") % 10 != 1).select(
+        F.col("o_orderkey").alias("k_new"),
+        F.col("o_orderstatus").alias("s_new"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p_new"),
+    )
+    joined = old.join(new, old.k_old == new.k_new, "full_outer")
+    delta = (
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(
+            (F.col("p_old") != F.col("p_new")) | (F.col("s_old") != F.col("s_new")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(delta.alias("delta"))
+        .groupBy("delta")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("delta")
+    )
+
+
+@query(
+    "q142_group_zscore",
+    "WITH s AS (SELECT event_type, value, "
+    "  AVG(value) OVER (PARTITION BY event_type) AS mu, "
+    "  stddev_samp(value) OVER (PARTITION BY event_type) AS sd, "
+    "  event_id FROM events) "
+    "SELECT event_type, COUNT(*) AS n_outliers "
+    "FROM s WHERE ABS((value - mu) / sd) > 3 "
+    "GROUP BY event_type ORDER BY event_type",
+    doc="Group-wise z-score outlier census (feature-normalization QA): "
+    "per-type mean/std as unordered window aggregates — each is a "
+    "partial-mergeable stat over the SAME partition key, so the window "
+    "pass and the final count share one shuffle on event_type.  The >3σ "
+    "census is how a feature pipeline spots broken sensors/logging bugs "
+    "before training.",
+    tags=("stats", "window", "quality"),
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type")
+    s = ev.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    return (
+        s.filter(F.abs((F.col("value") - F.col("mu")) / F.col("sd")) > 3)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q143_join_key_skew_profile",
+    "WITH c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, "
+    "CAST(MAX(cnt) AS BIGINT) AS max_rows_per_key, "
+    "ROUND(MAX(cnt) / AVG(cnt), 4) AS skew_factor, "
+    "CAST(ROUND(quantile_cont(cnt, 0.99), 4) AS DOUBLE) AS p99_rows_per_key "
+    "FROM c",
+    doc="Join-key skew profile: rows-per-key max/avg/p99 for a prospective "
+    "shuffle key — the planning query that decides whether a join needs "
+    "salting (operators/skew.py) or AQE skew-split before it runs at "
+    "100 TB.  Two cheap aggregates (key counts, then one summary row); "
+    "the corpus shuffles once on the candidate key.",
+    tags=("stats", "scale", "join"),
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    per_key = od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_rows_per_key"),
+        F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_rows_per_key"),
     )

@@ -101,16 +101,21 @@ def _qnum(name: str) -> int:
 
 
 def _priority_order(names: list[str]) -> list[str]:
-    """Unverified / changed queries first, NEWEST first.
+    """Unverified / changed queries first, OLDEST first.
 
-    Within the unverified group, descending query number: the highest-numbered
-    queries have never been checked by anyone external (the judge spot-checked
-    a sample of the q51–q90 range in round 1), so if the driver caps its rows,
-    the cap should fall on the oldest, most-scrutinized tail.
+    Within the unverified group, ascending query number: a query that has
+    waited several rounds for a driver row outranks one added this round
+    (new queries carry fresh local oracle verification at two scales, so
+    deferring their driver row one round is the cheaper risk).  If the
+    driver caps its rows (~50/round), the cap therefore falls on the newest
+    additions, and every query's wait is bounded instead of starving the
+    middle band.  (Round 2 used newest-first for the opposite reason — the
+    q51–q90 tail had judge spot-checks — which is how q51–q75 became the
+    longest-waiting band.)
     """
     front = sorted(
         (n for n in names if n not in DRIVER_VERIFIED or n in RE_VERIFY),
-        key=lambda n: (-_qnum(n), n),
+        key=lambda n: (_qnum(n), n),
     )
     back = sorted(n for n in names if n in DRIVER_VERIFIED and n not in RE_VERIFY)
     return front + back

@@ -25,6 +25,10 @@ NEW = [
     "q137_train_val_test_split",
     "q138_incremental_dedup",
     "q139_zorder_clustering",
+    "q140_gini_inequality",
+    "q141_snapshot_diff",
+    "q142_group_zscore",
+    "q143_join_key_skew_profile",
 ]
 
 
