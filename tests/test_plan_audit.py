@@ -55,3 +55,52 @@ def test_no_unintended_cartesian_products(spark):
         f"unallowlisted cartesian/nested-loop joins in: {sorted(offenders)} — "
         "either fix the plan or document why it is bounded in CARTESIAN_ALLOWED"
     )
+
+
+# Queries whose plans legitimately contain Python execution nodes: the
+# declared Python-surface items (scalar/pandas UDF, UDAF, UDTF,
+# applyInPandas, mapInPandas multimodal, Python DataSource) — everything
+# else must stay pure JVM so whole-stage codegen and vectorized readers
+# apply end-to-end.
+PYTHON_ALLOWED = {
+    "q44_python_udf": "declared Arrow-batched scalar pandas_udf surface",
+    "q52_minhash_neardup": "Arrow-batched NumPy signature kernel (documented)",
+    "q53_simhash_neardup": "Arrow-batched NumPy vote kernel (documented)",
+    "q55_cosine_topk_brute": "Arrow-batched NumPy verifier baseline",
+    "q56_cosine_topk_lsh": "Arrow matmul bucket keys (documented)",
+    "q66_pandas_udaf": "declared pandas UDAF surface",
+    "q67_python_udtf": "declared Python UDTF surface",
+    "q68_apply_in_pandas": "declared applyInPandas surface",
+    "q60_multimodal_features": "mapInPandas decode stage (multimodal surface)",
+    "q70_ivf_topk": "Arrow-batched centroid assignment kernel",
+    "q81_frame_sample": "mapInPandas 1->N frame fan-out (multimodal surface)",
+    "q106_kmeans_assign": "Arrow-batched distance kernel",
+    "q113_python_datasource": "Python DataSource scan (declared surface)",
+    "q117_label_centroid_matrix": "Arrow-batched vector aggregation kernel",
+    "q89_skyline": "partition-local NumPy sweep kernel (two-phase skyline design)",
+}
+
+_PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonMapInArrow")
+
+
+@pytest.mark.slow
+def test_no_python_outside_declared_surfaces(spark):
+    """Python executor nodes may appear ONLY in the declared Python-surface
+    queries — a regression here silently drops a hot path out of codegen."""
+    offenders = {}
+    for name, spec in QUERIES.items():
+        if name.startswith(_STREAMING_PREFIXES) or name in PYTHON_ALLOWED:
+            continue
+        plan = (
+            spec.builder(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        hits = [n for n in _PY_NODES if n in plan]
+        if hits:
+            offenders[name] = hits
+    assert not offenders, (
+        f"undeclared Python execution nodes: {offenders} — vectorize via "
+        "built-in functions or add to PYTHON_ALLOWED with a documented reason"
+    )
