@@ -103,28 +103,52 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -> tuple[str, str]:
-    """Materialize (once per session+sf) orders/customer bucketed on the join
-    key.  Bucket metadata lives in the session catalog, so a fresh session
-    re-registers by rewriting — the one-off layout cost every bucketed
-    warehouse pays at ingest, amortized over every subsequent join."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    """Materialize (once per WAREHOUSE, not per session) orders/customer
+    bucketed on the join key.
+
+    The in-memory catalog forgets tables across sessions but their
+    warehouse directories survive.  Because the bucket layout is encoded in
+    the files themselves (bucket id in the file name), a surviving
+    directory is ADOPTED by registering an external ``CLUSTERED BY`` table
+    over it — so the one-off ingest cost is paid once per warehouse and a
+    fresh session re-attaches in O(1) metadata, which is exactly how a
+    production bucketed warehouse behaves (layout at ingest, metadata at
+    session start)."""
+    from urllib.parse import urlparse
+
+    # The bucket count participates in the name: adopting a directory
+    # written with a different bucketing spec would silently mis-bucket.
+    tag = hashlib.md5(f"{sf_dir}|{buckets}".encode()).hexdigest()[:8]
     names = (f"lni_bkt_orders_{tag}", f"lni_bkt_customer_{tag}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for name, table, key in (
         (names[0], "orders", "o_custkey"),
         (names[1], "customer", "c_custkey"),
     ):
-        if not spark.catalog.tableExists(name):
-            # The in-memory catalog forgets tables across sessions but their
-            # warehouse directories survive; drop the orphaned location or
-            # saveAsTable fails with LOCATION_ALREADY_EXISTS.
+        if spark.catalog.tableExists(name):
+            continue
+        location = os.path.join(warehouse, name)
+        src = load_table(spark, table, sf_dir)
+        has_buckets = os.path.isdir(location) and any(
+            f.endswith(".parquet") and not f.startswith((".", "_"))
+            for f in os.listdir(location)
+        )
+        if has_buckets:
+            schema_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({schema_ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+                f"LOCATION '{location}'"
+            )
+        else:
             import shutil
-            from urllib.parse import urlparse
 
-            warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-            shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
-            load_table(spark, table, sf_dir).write.mode("overwrite").bucketBy(
-                buckets, key
-            ).sortBy(key).format("parquet").saveAsTable(name)
+            shutil.rmtree(location, ignore_errors=True)
+            src.write.mode("overwrite").bucketBy(buckets, key).sortBy(
+                key
+            ).format("parquet").saveAsTable(name)
     return names
 
 
