@@ -354,3 +354,57 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_frames"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q144_image_channel_stats",
+    # The synthetic PPM's pixels have a closed form (imaging.synth_ppm):
+    #   base(x,y) = (x*7 + y*13 + (doc_id*2654435761 mod 2^32)) mod 256
+    #   R = base, G = (3*base+17) mod 256, B = (5*base+89) mod 256
+    # so the oracle reproduces the channel means arithmetically while the
+    # Spark side DECODES THE ACTUAL IMAGE BYTES through the netpbm codec.
+    "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), "
+    "px AS (SELECT doc_id, "
+    "  (x.g*7 + y.g*13 + (doc_id * 2654435761) % 4294967296) % 256 AS base "
+    "  FROM d, generate_series(0, 15) x(g), generate_series(0, 15) y(g)) "
+    "SELECT doc_id, "
+    "ROUND(AVG(base) / 255.0, 6) AS r_mean, "
+    "ROUND(AVG((base*3 + 17) % 256) / 255.0, 6) AS g_mean, "
+    "ROUND(AVG((base*5 + 89) % 256) / 255.0, 6) AS b_mean "
+    "FROM px GROUP BY doc_id ORDER BY doc_id",
+    doc="REAL image decode, hash-checked: each doc gets a 16x16 PPM payload "
+    "(bytes produced executor-side), the netpbm codec decodes the actual "
+    "binary through mapInPandas, and per-channel means come from the "
+    "decoded pixel grid.  The oracle replays the generator's closed-form "
+    "pixel arithmetic in SQL — if the codec mis-parsed a single byte of "
+    "any image, the hashes diverge.  Decode is partition-local (no "
+    "shuffle before the per-image reduction).",
+    tags=("llm", "multimodal"),
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.functions.imaging import decode_netpbm
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    media = attach_ppm_media(docs, 16, 16)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("r_mean", T.DoubleType(), True),
+            T.StructField("g_mean", T.DoubleType(), True),
+            T.StructField("b_mean", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "r_mean": [], "g_mean": [], "b_mean": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = decode_netpbm(bytes(blob)).astype("float64") / 255.0
+                out["doc_id"].append(doc_id)
+                out["r_mean"].append(round(float(arr[:, :, 0].mean()), 6))
+                out["g_mean"].append(round(float(arr[:, :, 1].mean()), 6))
+                out["b_mean"].append(round(float(arr[:, :, 2].mean()), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema).orderBy("doc_id")

@@ -93,3 +93,11 @@ def test_real_pipeline_through_spark(spark):
         assert len(vec) == 16
         local = image_features(decode_netpbm(synth_ppm(doc_id, 16, 16)), 16)
         assert vec == pytest.approx(local, abs=1e-6)
+
+
+def test_q144_oracle_parity(spark):
+    from lance_namespace_impls_spark.plans.oracle import check_query, duckdb_connection
+
+    con = duckdb_connection(SF_SMOKE)
+    result = check_query(spark, con, "q144_image_channel_stats", SF_SMOKE)
+    assert result["ok"], result

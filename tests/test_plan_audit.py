@@ -78,6 +78,7 @@ PYTHON_ALLOWED = {
     "q113_python_datasource": "Python DataSource scan (declared surface)",
     "q117_label_centroid_matrix": "Arrow-batched vector aggregation kernel",
     "q89_skyline": "partition-local NumPy sweep kernel (two-phase skyline design)",
+    "q144_image_channel_stats": "real netpbm decode via mapInPandas (multimodal surface)",
 }
 
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonMapInArrow")
