@@ -661,3 +661,32 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("cnt") / F.avg("cnt"), 4).alias("skew_factor"),
         F.round(F.expr("percentile(cnt, 0.99)"), 4).alias("p99_rows_per_key"),
     )
+
+
+@query(
+    "q145_string_agg",
+    "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations, "
+    "string_agg(n_name, ',' ORDER BY n_name) AS nations "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY r_name ORDER BY r_name",
+    doc="Ordered string aggregation (LISTAGG WITHIN GROUP, new in Spark 4 / "
+    "DuckDB string_agg ORDER BY): the report-formatting aggregate that used "
+    "to need collect_list + array_sort + array_join. The WITHIN GROUP "
+    "ordering makes the concatenation deterministic across engines and "
+    "partitionings; one shuffle on the group key.",
+    tags=("agg", "string"),
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    na = load_table(spark, "nation", sf_dir)
+    rg = load_table(spark, "region", sf_dir)
+    joined = na.join(rg, na.n_regionkey == rg.r_regionkey)
+    return (
+        joined.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            ),
+        )
+        .orderBy("r_name")
+    )

@@ -29,6 +29,7 @@ NEW = [
     "q141_snapshot_diff",
     "q142_group_zscore",
     "q143_join_key_skew_profile",
+    "q145_string_agg",
 ]
 
 
