@@ -690,3 +690,38 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "q146_try_cast_semantics",
+    "SELECT event_type, COUNT(*) AS n, "
+    "CAST(COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_parsed, "
+    "CAST(COUNT(TRY_CAST(event_type AS BIGINT)) AS BIGINT) AS type_as_int, "
+    "CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props "
+    "FROM events GROUP BY event_type ORDER BY event_type",
+    doc="Error-safe cast semantics (TRY_CAST): malformed input yields NULL "
+    "instead of failing the job — the ingestion-hardening primitive for "
+    "dirty data (a single bad row must never kill a 100 TB load). Parses "
+    "the JSON props key as bigint (succeeds when present) and the "
+    "event-type name as bigint (always NULL), counting survivals per "
+    "group; identical NULL-on-failure contract on both engines.",
+    tags=("scalar", "cast", "quality"),
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.get_json_object("props", "$.k").try_cast("bigint"))
+            .cast("bigint")
+            .alias("k_parsed"),
+            F.count(F.col("event_type").try_cast("bigint"))
+            .cast("bigint")
+            .alias("type_as_int"),
+            F.sum(F.col("props").isNull().cast("int")).cast("bigint").alias(
+                "null_props"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -30,6 +30,7 @@ NEW = [
     "q142_group_zscore",
     "q143_join_key_skew_profile",
     "q145_string_agg",
+    "q146_try_cast_semantics",
 ]
 
 
