@@ -725,3 +725,80 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q147_map_higher_order",
+    # Oracle replays the map pipeline's SEMANTICS row-wise: per-user counts
+    # by type, converted to shares of the user's total.
+    "WITH c AS (SELECT user_id, event_type, COUNT(*) AS n FROM events "
+    "  WHERE user_id < 50 GROUP BY user_id, event_type), "
+    "t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id) "
+    "SELECT c.user_id, c.event_type, ROUND(CAST(c.n AS DOUBLE) / t.tot, 6) AS share "
+    "FROM c JOIN t USING (user_id) ORDER BY user_id, event_type",
+    doc="Map higher-order functions: per-user event counts built as a MAP "
+    "(map_from_entries over a grouped collect), normalized to shares with "
+    "transform_values, then exploded back to rows so the hash check covers "
+    "the whole map pipeline. The map stays inside one user_id shuffle; "
+    "transform_values is row-local codegen. The oracle computes the same "
+    "shares relationally — hash equality proves the map round-trip is "
+    "lossless.",
+    tags=("functions", "map"),
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 50)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    as_map = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("by_type")
+    )
+    tot = F.aggregate(
+        F.map_values("by_type"), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    shares = as_map.select(
+        "user_id",
+        F.transform_values(
+            "by_type", lambda _k, v: F.round(v.cast("double") / tot, 6)
+        ).alias("shares"),
+    )
+    return (
+        shares.select("user_id", F.explode("shares").alias("event_type", "share"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "q148_lateral_join",
+    "SELECT r.r_name, l.n_name, "
+    "CAST(ROUND(CAST(l.s_bal AS DECIMAL(18,2)), 2) AS DOUBLE) AS s_bal "
+    "FROM region r, LATERAL ("
+    "  SELECT n.n_name, SUM(s.s_acctbal) AS s_bal "
+    "  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey "
+    "  WHERE n.n_regionkey = r.r_regionkey "
+    "  GROUP BY n.n_name ORDER BY s_bal DESC, n.n_name LIMIT 2) l "
+    "ORDER BY r.r_name, l.s_bal DESC, l.n_name",
+    doc="LATERAL correlated subquery join (ANSI): per region, the top-2 "
+    "nations by total supplier balance, expressed as a correlated LIMIT "
+    "subquery instead of a window. Catalyst decorrelates the lateral into "
+    "a ranked join — same physical shape as the row_number form (q25), "
+    "covered here because LATERAL is the surface users port from other "
+    "engines.",
+    tags=("join", "subquery"),
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT r.r_name, l.n_name, "
+        "CAST(ROUND(CAST(l.s_bal AS DECIMAL(18,2)), 2) AS DOUBLE) AS s_bal "
+        "FROM region r, LATERAL ("
+        "  SELECT n.n_name, SUM(s.s_acctbal) AS s_bal "
+        "  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey "
+        "  WHERE n.n_regionkey = r.r_regionkey "
+        "  GROUP BY n.n_name ORDER BY s_bal DESC, n.n_name LIMIT 2) l "
+        "ORDER BY r.r_name, l.s_bal DESC, l.n_name"
+    )

@@ -31,6 +31,8 @@ NEW = [
     "q143_join_key_skew_profile",
     "q145_string_agg",
     "q146_try_cast_semantics",
+    "q147_map_higher_order",
+    "q148_lateral_join",
 ]
 
 
