@@ -114,7 +114,11 @@ class SessionCatalogNamespace(LanceNamespace):
             if req.mode == m.DROP_MODE_SKIP:
                 return m.DropNamespaceResponse(properties={})
             raise NamespaceNotFound(f"namespace not found: {db}")
-        if self._spark.catalog.listTables(db):
+        # listTables(db) includes the SESSION's temp views, which belong to
+        # no database — counting them would wrongly block the drop.
+        if any(
+            t.tableType != "TEMPORARY" for t in self._spark.catalog.listTables(db)
+        ):
             raise NamespaceNotEmpty(f"namespace not empty: {db}")
         self._spark.sql(f"DROP DATABASE {_q(db)} RESTRICT")
         return m.DropNamespaceResponse(properties={})

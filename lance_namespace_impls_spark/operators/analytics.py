@@ -789,16 +789,25 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "subquery"),
 )
 def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lance_namespace_impls_spark.sources.tables import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(
+    # Scoped view names: SQL needs named relations for LATERAL, but plain
+    # table-named temp views would shadow/clutter the shared session's
+    # catalog surface (they show up in SHOW TABLES and the session-catalog
+    # namespace tests).
+    for t in ("region", "nation", "supplier"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(f"lni_q148_{t}")
+    df = spark.sql(
         "SELECT r.r_name, l.n_name, "
         "CAST(ROUND(CAST(l.s_bal AS DECIMAL(18,2)), 2) AS DOUBLE) AS s_bal "
-        "FROM region r, LATERAL ("
+        "FROM lni_q148_region r, LATERAL ("
         "  SELECT n.n_name, SUM(s.s_acctbal) AS s_bal "
-        "  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey "
+        "  FROM lni_q148_nation n JOIN lni_q148_supplier s "
+        "  ON s.s_nationkey = n.n_nationkey "
         "  WHERE n.n_regionkey = r.r_regionkey "
         "  GROUP BY n.n_name ORDER BY s_bal DESC, n.n_name LIMIT 2) l "
         "ORDER BY r.r_name, l.s_bal DESC, l.n_name"
     )
+    # spark.sql analyzes eagerly, so the resolved plan no longer references
+    # the views — drop them to leave no trace in the shared session catalog.
+    for t in ("region", "nation", "supplier"):
+        spark.catalog.dropTempView(f"lni_q148_{t}")
+    return df
