@@ -811,3 +811,42 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("region", "nation", "supplier"):
         spark.catalog.dropTempView(f"lni_q148_{t}")
     return df
+
+
+@query(
+    "q149_recursive_cte",
+    "WITH RECURSIVE months(m) AS ("
+    "  SELECT date_trunc('month', MIN(o_orderdate)) FROM orders "
+    "  UNION ALL "
+    "  SELECT m + INTERVAL 1 MONTH FROM months "
+    "  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)) "
+    "SELECT strftime(m, '%Y-%m') AS month, "
+    "CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders "
+    "FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m "
+    "GROUP BY m ORDER BY m",
+    doc="Recursive CTE (WITH RECURSIVE, new in Spark 4): generate the dense "
+    "month axis between the first and last order by recursion, then "
+    "left-join the fact so empty months survive — the ANSI-standard "
+    "calendar-densification twin of q125's sequence() form.  Recursion "
+    "depth = month span (bounded, driver-side iteration planning); each "
+    "step is a one-row frame, the real work is the single hash join at "
+    "the end.",
+    tags=("sql", "recursive", "window"),
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("lni_q149_orders")
+    df = spark.sql(
+        "WITH RECURSIVE months(m) AS ("
+        "  SELECT date_trunc('month', MIN(o_orderdate)) FROM lni_q149_orders "
+        "  UNION ALL "
+        "  SELECT m + INTERVAL '1' MONTH FROM months "
+        "  WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) "
+        "             FROM lni_q149_orders)) "
+        "SELECT date_format(m, 'yyyy-MM') AS month, "
+        "CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders "
+        "FROM months LEFT JOIN lni_q149_orders "
+        "ON date_trunc('month', o_orderdate) = m "
+        "GROUP BY m ORDER BY m"
+    )
+    spark.catalog.dropTempView("lni_q149_orders")
+    return df

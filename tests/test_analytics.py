@@ -33,6 +33,7 @@ NEW = [
     "q146_try_cast_semantics",
     "q147_map_higher_order",
     "q148_lateral_join",
+    "q149_recursive_cte",
 ]
 
 

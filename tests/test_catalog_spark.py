@@ -129,7 +129,13 @@ def test_publish_namespace_bridge(spark, tmp_path):
     published = publish_namespace(spark, ns, ["main"], "lni_bridge")
     try:
         assert published == ["region"]
-        shown = {r.tableName for r in spark.sql("SHOW TABLES IN lni_bridge").collect()}
+        # SHOW TABLES includes the session's temp views (core Spark
+        # semantics); the bridge owns only the database's real tables.
+        shown = {
+            r.tableName
+            for r in spark.sql("SHOW TABLES IN lni_bridge").collect()
+            if not r.isTemporary
+        }
         assert shown == {"region"}
         assert spark.table("lni_bridge.region").count() == 5
         row = spark.sql(
