@@ -850,3 +850,38 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView("lni_q149_orders")
     return df
+
+
+@query(
+    "q150_grouping_id",
+    "SELECT CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag, "
+    "CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status, "
+    "l_returnflag, l_linestatus, COUNT(*) AS n "
+    "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+    "ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST",
+    doc="GROUPING() markers over ROLLUP: distinguishes a subtotal row's "
+    "synthetic NULL from genuine NULL data — without it, rollup results "
+    "are ambiguous whenever the grouping column itself is nullable. "
+    "Completes the q23/q24/q127 grouping-sets family; same single-shuffle "
+    "expanded aggregate.",
+    tags=("agg",),
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            # grouping() must be computed INSIDE the rollup aggregate — it
+            # reads the expand-node's grouping-id, gone after the agg.
+            F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+            F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("g_flag", "g_status", "l_returnflag", "l_linestatus", "n")
+        .orderBy(
+            "g_flag",
+            "g_status",
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )

@@ -34,6 +34,7 @@ NEW = [
     "q147_map_higher_order",
     "q148_lateral_join",
     "q149_recursive_cte",
+    "q150_grouping_id",
 ]
 
 
