@@ -171,6 +171,23 @@ def dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_events_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Bounded-state dedup via ``dropDuplicatesWithinWatermark`` (Spark 3.5+).
+
+    Unlike plain ``dropDuplicates`` — whose per-key state lives forever
+    unless the event-time column is part of the key — this evicts each key's
+    state once the watermark passes it, so state size is bounded by the
+    watermark window regardless of key cardinality.  THE dedup form for
+    unbounded streams at 100 TB/day: duplicates are only ever near-in-time
+    (retries, at-least-once sources), so a bounded horizon loses nothing.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def watermarked_tumbling(events: DataFrame, watermark: str, width: str = "1 hour") -> DataFrame:
     """Tumbling agg with a watermark: append-mode emission, late data beyond
     the watermark is dropped (the unit-testable late-data contract)."""

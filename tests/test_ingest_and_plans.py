@@ -226,3 +226,32 @@ def test_distributed_ntile_matches_window_ntile(spark):
         tiny.select("c_custkey", F.ntile(10).over(w).cast("bigint").alias("b"))
     )
     assert got == want
+
+
+def test_observation_metrics_zero_extra_pass(spark):
+    """df.observe collects pipeline telemetry (row counts, null counts,
+    sums) as a side effect of the ONE action that materializes the result —
+    the production alternative to a separate count()/agg() pass per metric
+    at 100 TB."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("curation_metrics")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    out = (
+        docs.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.col("text").isNull().cast("long")).alias("null_texts"),
+            F.sum("n_chars").alias("chars_in"),
+        )
+        .filter(F.col("n_chars") >= 100)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+    kept_total = sum(r.kept for r in out.collect())  # the single action
+    metrics = obs.get
+    assert metrics["rows_in"] == docs.count()
+    assert metrics["null_texts"] == 0
+    assert metrics["chars_in"] == docs.agg(F.sum("n_chars")).first()[0]
+    assert kept_total <= metrics["rows_in"]

@@ -85,6 +85,32 @@ def test_stateful_dedup_equivalence(spark, tmp_path):
     assert got.select(F.count_distinct("event_id")).first()[0] == batch_n
 
 
+def test_dedup_within_watermark_equivalence(spark, tmp_path):
+    """dropDuplicatesWithinWatermark (bounded dedup state): duplicates that
+    arrive within the watermark horizon collapse exactly like the unbounded
+    form — but per-key state is evicted once the watermark passes, so the
+    operator survives unbounded key cardinality."""
+    staging = str(tmp_path / "dups_wm")
+    os.makedirs(staging)
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{staging}/a.parquet")
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{staging}/b.parquet")
+    from lance_namespace_impls_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        _with_event_time,
+        dedup_events_within_watermark,
+    )
+
+    stream = _with_event_time(
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    got = run_stream(dedup_events_within_watermark(stream), "append")
+    batch_n = events_batch(spark, SF_SMOKE).count()
+    assert got.count() == batch_n
+    assert got.select(F.count_distinct("event_id")).first()[0] == batch_n
+
+
 def test_watermark_finalized_windows_are_immutable(spark, tmp_path):
     """Late-data contract (Spark's actual watermark guarantee): once the
     watermark passes a window and append mode emits it, a late row beyond the
