@@ -885,3 +885,34 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+@query(
+    "q151_sql_pipe_syntax",
+    # The oracle states the same semantics in standard SQL — the driver
+    # compares RESULTS, so the pipe form's equivalence to classic SQL is
+    # exactly what the hash check proves.
+    "SELECT o_orderpriority, COUNT(*) AS n, "
+    "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS amt "
+    "FROM orders WHERE o_totalprice > 100000 "
+    "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    doc="SQL pipe syntax (|>, new in Spark 4): the same filter->aggregate->"
+    "sort pipeline written as sequential pipe stages instead of nested "
+    "clauses. Catalyst compiles both forms to the IDENTICAL plan, which "
+    "the hash match against the classic-SQL oracle proves — pipe syntax "
+    "is surface, not semantics.",
+    tags=("sql",),
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("lni_q151_orders")
+    df = spark.sql(
+        "FROM lni_q151_orders "
+        "|> WHERE o_totalprice > 100000 "
+        "|> AGGREGATE COUNT(*) AS n, "
+        "   CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS amt "
+        "   GROUP BY o_orderpriority "
+        "|> SELECT o_orderpriority, n, amt "
+        "|> ORDER BY o_orderpriority"
+    )
+    spark.catalog.dropTempView("lni_q151_orders")
+    return df

@@ -35,6 +35,7 @@ NEW = [
     "q148_lateral_join",
     "q149_recursive_cte",
     "q150_grouping_id",
+    "q151_sql_pipe_syntax",
 ]
 
 
