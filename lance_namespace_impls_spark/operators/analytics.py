@@ -916,3 +916,42 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.catalog.dropTempView("lni_q151_orders")
     return df
+
+
+@query(
+    "q152_setops_all",
+    "WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 0), "
+    "b AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0) "
+    "SELECT 'intersect_all' AS op, o_orderpriority, COUNT(*) AS n FROM "
+    "(SELECT o_orderpriority FROM a INTERSECT ALL SELECT o_orderpriority FROM b) "
+    "GROUP BY o_orderpriority "
+    "UNION ALL "
+    "SELECT 'except_all' AS op, o_orderpriority, COUNT(*) AS n FROM "
+    "(SELECT o_orderpriority FROM a EXCEPT ALL SELECT o_orderpriority FROM b) "
+    "GROUP BY o_orderpriority "
+    "ORDER BY op, o_orderpriority",
+    doc="Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): "
+    "multiplicity-preserving twins of q34/q35's distinct forms — "
+    "INTERSECT ALL keeps min(multiplicity), EXCEPT ALL subtracts "
+    "multiplicities. Spark plans both as a single aggregate computing "
+    "per-value counts on each side then replicating — one shuffle, no "
+    "row-level join.",
+    tags=("setop",),
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    a = od.filter(F.col("o_orderkey") % 3 == 0).select("o_orderpriority")
+    b = od.filter(F.col("o_orderkey") % 2 == 0).select("o_orderpriority")
+    inter = (
+        a.intersectAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "o_orderpriority", "n")
+    )
+    exc = (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "o_orderpriority", "n")
+    )
+    return inter.unionAll(exc).orderBy("op", "o_orderpriority")

@@ -36,6 +36,7 @@ NEW = [
     "q149_recursive_cte",
     "q150_grouping_id",
     "q151_sql_pipe_syntax",
+    "q152_setops_all",
 ]
 
 
