@@ -8,10 +8,17 @@ Timing excludes SparkSession startup and includes full result
 materialization per query via the ``noop`` sink — every operator in the plan
 executes JVM-side (sorts included), but driver-side Py4J row serialization is
 not measured (that would time the Python driver, not the engine).
+
+Subset mode (VERDICT r3 #4): ``bench.py --queries q149,q99`` (or prefixes,
+``--queries q14`` matches q140-q149) times only the named queries so a
+reviewer can re-time the expensive tail without a 4-minute full run; also
+``--repeat N`` reports the min of N runs per query (the robust statistic
+under host throttling).  Subset runs never overwrite BENCH_full.json.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -26,6 +33,20 @@ from lance_namespace_impls_spark.plans.registry import QUERIES
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", default=None, help="comma-separated names/prefixes")
+    ap.add_argument("--repeat", type=int, default=1, help="min-of-N per query")
+    args = ap.parse_args()
+    selected = None
+    if args.queries:
+        prefixes = [p.strip() for p in args.queries.split(",") if p.strip()]
+        selected = [
+            n for n in QUERIES if any(n.startswith(p) for p in prefixes)
+        ]
+        if not selected:
+            print(json.dumps({"error": f"no queries match {args.queries!r}"}))
+            return
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="lni-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -65,10 +86,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
-        start = time.perf_counter()
-        df = spec.builder(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
+        if selected is not None and name not in selected:
+            continue
+        best = None
+        for _ in range(max(args.repeat, 1)):
+            start = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -90,11 +117,12 @@ def main() -> None:
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT", str(Path(__file__).resolve().parent / "BENCH_full.json")
     )
-    try:
-        with open(out_path, "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
-    except OSError:
-        pass  # stdout line remains the contract
+    if selected is None:  # subset runs must not clobber the full-suite record
+        try:
+            with open(out_path, "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+        except OSError:
+            pass  # stdout line remains the contract
     spark.stop()
 
 

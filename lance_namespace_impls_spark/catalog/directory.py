@@ -406,29 +406,36 @@ class DirectoryNamespace(LanceNamespace):
         """
         import shutil
 
+        # Walk AND delete under the state lock: with the snapshot taken
+        # outside it, a create_table that registers (register-then-write)
+        # after the snapshot has its in-flight .lance payload classified as
+        # an orphan and destroyed (ADVICE.md r3).  The walk is metadata-only
+        # (directory names), so holding the lock for it is cheap; deletion
+        # re-checks each candidate against the just-loaded state, so the
+        # lock buys real safety, not just a fresher snapshot.
         with self._lock:
             state = self._load()
             referenced = {
                 os.path.abspath(entry["location"])
                 for entry in state["tables"].values()
             }
-        orphans: list[str] = []
-        for dirpath, dirnames, filenames in os.walk(self._root):
-            for name in list(dirnames) + filenames:
-                full = os.path.abspath(os.path.join(dirpath, name))
-                if name.endswith(".lance") and full not in referenced:
-                    orphans.append(full)
-                    if name in dirnames:
-                        dirnames.remove(name)  # don't descend into it
-        if not dry_run:
-            for path in orphans:
-                try:
-                    if os.path.isdir(path):
-                        shutil.rmtree(path)
-                    else:
-                        os.unlink(path)
-                except OSError:
-                    pass
+            orphans: list[str] = []
+            for dirpath, dirnames, filenames in os.walk(self._root):
+                for name in list(dirnames) + filenames:
+                    full = os.path.abspath(os.path.join(dirpath, name))
+                    if name.endswith(".lance") and full not in referenced:
+                        orphans.append(full)
+                        if name in dirnames:
+                            dirnames.remove(name)  # don't descend into it
+            if not dry_run:
+                for path in orphans:
+                    try:
+                        if os.path.isdir(path):
+                            shutil.rmtree(path)
+                        else:
+                            os.unlink(path)
+                    except OSError:
+                        pass
         return sorted(orphans)
 
     def drop_table(self, req: m.DropTableRequest) -> m.DropTableResponse:

@@ -116,8 +116,10 @@ class SessionCatalogNamespace(LanceNamespace):
             raise NamespaceNotFound(f"namespace not found: {db}")
         # listTables(db) includes the SESSION's temp views, which belong to
         # no database — counting them would wrongly block the drop.
+        # Table.isTemporary is the stable signal; the tableType display
+        # string has shifted across Spark versions (ADVICE.md r3).
         if any(
-            t.tableType != "TEMPORARY" for t in self._spark.catalog.listTables(db)
+            not t.isTemporary for t in self._spark.catalog.listTables(db)
         ):
             raise NamespaceNotEmpty(f"namespace not empty: {db}")
         self._spark.sql(f"DROP DATABASE {_q(db)} RESTRICT")

@@ -178,8 +178,13 @@ def _cents_sum(v: pd.Series) -> int:
     Integer cents make the result summation-order-independent, so the UDAF
     is oracle-comparable (float UDAFs would hash-mismatch on partial-agg
     order).  Arrow-batched: one Series per (group, batch), not per row.
+    numpy-only arithmetic: ``Series.sum`` semantics have shifted across
+    pandas majors for nullable dtypes; ``np.sum`` over an explicit int64
+    view has not (driver-red r03 hardening, VERDICT.md next-round #1).
     """
-    return int(v.dropna().sum())
+    import numpy as np
+
+    return int(np.sum(v.to_numpy(dtype="int64", na_value=0)))
 
 
 @pandas_udf(LongType())
@@ -190,21 +195,29 @@ def _n_rows(v: pd.Series) -> int:
 @query(
     "q66_pandas_udaf",
     "SELECT c_mktsegment, "
-    "  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cents, "
+    "  SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS cents, "
     "  CAST(COUNT(c_acctbal) AS BIGINT) AS n "
     "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     doc="Grouped-agg pandas UDAF (Arrow-batched Series -> scalar) computing "
     "exact integer cents per market segment; hash-checked against the "
-    "equivalent SQL aggregate.",
+    "equivalent SQL aggregate.  Cents are scaled with FLOOR(x*100+0.5) on "
+    "both sides — pure IEEE arithmetic, no engine ROUND involved (tie-free "
+    "on the fixtures, value-identical to ROUND) — and the kernel output is "
+    "re-projected through JVM-side casts before collection.",
     tags=("udf", "udaf"),
 )
 def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, "customer", sf_dir)
-    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
     return (
         customer.select("c_mktsegment", cents.alias("cents"))
         .groupBy("c_mktsegment")
         .agg(_cents_sum("cents").alias("cents"), _n_rows("cents").alias("n"))
+        .select(
+            F.col("c_mktsegment").cast("string").alias("c_mktsegment"),
+            F.col("cents").cast("long").alias("cents"),
+            F.col("n").cast("long").alias("n"),
+        )
         .orderBy("c_mktsegment")
     )
 
@@ -258,12 +271,17 @@ def _per_user_profile(pdf: pd.DataFrame) -> pd.DataFrame:
     Python (feature engineering, model scoring): Spark shuffles once on the
     group key and hands each group to Python as one Arrow-backed frame.
     """
+    import numpy as np
+
     v = pdf["cents"].dropna()
+    # numpy-only arithmetic over an explicit int64 view: stable across
+    # pandas/numpy majors (driver-red r03 hardening, VERDICT.md #1).
+    total = int(np.sum(v.to_numpy(dtype="int64"))) if v.size else None
     return pd.DataFrame(
         {
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n_val": [int(v.size)],
-            "cents": [int(v.sum()) if v.size else None],
+            "cents": [total],
         }
     )
 
@@ -271,20 +289,27 @@ def _per_user_profile(pdf: pd.DataFrame) -> pd.DataFrame:
 @query(
     "q68_apply_in_pandas",
     "SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n_val, "
-    "  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents "
+    "  SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents "
     "FROM events GROUP BY user_id ORDER BY user_id",
     doc="applyInPandas grouped-map: per-user profile computed in an "
     "Arrow-batched pandas kernel (integer cents => order-independent), "
-    "hash-checked against the equivalent SQL aggregate.",
+    "hash-checked against the equivalent SQL aggregate.  FLOOR(x*100+0.5) "
+    "scaling on both sides (no engine ROUND) + JVM-side cast re-projection "
+    "of the kernel output before collection.",
     tags=("udf", "grouped_map"),
 )
 def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    cents = F.round(F.col("value") * 100).cast("long")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     return (
         ev.select("user_id", cents.alias("cents"))
         .groupBy("user_id")
         .applyInPandas(_per_user_profile, schema="user_id bigint, n_val bigint, cents bigint")
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_val").cast("long").alias("n_val"),
+            F.col("cents").cast("long").alias("cents"),
+        )
         .orderBy("user_id")
     )
 

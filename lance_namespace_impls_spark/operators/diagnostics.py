@@ -1,0 +1,190 @@
+"""Driver-divergence diagnostics for the grouped-Python-kernel trio.
+
+CORRECTNESS_r02/r03 show q66_pandas_udaf, q68_apply_in_pandas and
+q87_stateful_custom_op red (hash mismatch, rows+schema green) in the
+DRIVER'S environment only — two independent local reruns (builder harness
+and the round-3 judge's driver-mimicking harness) are bit-exact vs DuckDB.
+The shared trait of the red trio is the grouped-Python return path
+(GROUPED_AGG pandas UDAF / applyInPandas / applyInPandasWithState), so the
+divergence is some driver-venv wheel (pandas / numpy / pyarrow / duckdb)
+acting on exactly one of these layers:
+
+  L1  Spark-JVM aggregate vs driver DuckDB     (no Python at all)
+  L2  DuckDB ROUND(double) vs Spark round       (oracle-side semantics)
+  L3  grouped-kernel Arrow return path          (constants, no arithmetic)
+  L4  grouped-kernel pandas/numpy arithmetic    (the trio's actual kernels)
+
+These four twins register at the FRONT of the driver's verification window
+(q00 prefix => _priority_order emits them first) so CORRECTNESS_r04.json
+pinpoints the diverging layer no matter which theory is right:
+
+  q00a red                      -> the events fixture or the driver's DuckDB
+                                   itself diverges from Spark JVM
+  q00b red, q00a green          -> driver DuckDB's ROUND(double) tie/version
+                                   semantics (fix: floor-form everywhere)
+  q00c red                      -> Arrow kernel->JVM return path corrupts
+                                   even data-independent constants
+  q00d/q00e red, q00c green     -> pandas/numpy arithmetic inside kernels
+
+The declared trio itself is ALSO hardened this round (floor-form scaling on
+both sides, numpy-only kernel arithmetic, JVM-side final cast projection),
+so the expected outcome is all-green; the twins exist to localize the fault
+if it survives the hardening.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+
+# Deterministic double->cents scaling: FLOOR(x*100 + 0.5) is pure IEEE-754
+# arithmetic plus floor — identical in every Spark/DuckDB/numpy version,
+# unlike ROUND(double) whose tie mode has shifted across DuckDB releases.
+# On the fixtures it is value-identical to ROUND (zero ties, verified at
+# sf0.001/0.01/0.1).
+_CENTS_SQL = "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)"
+
+
+def _cents_col() -> F.Column:
+    return F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+
+@query(
+    "q00a_diag_jvm_sum",
+    "SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n_val, "
+    f"  SUM({_CENTS_SQL}) AS cents "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+    doc="DIAGNOSTIC L1: q68's exact semantics computed purely JVM-side "
+    "(hash-agg, floor-form cents, zero Python). Red here means the driver's "
+    "DuckDB/fixture itself diverges from Spark JVM.",
+    tags=("diagnostic",),
+)
+def q00a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("value").cast("long").alias("n_val"),
+            F.sum(_cents_col()).alias("cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q00b_diag_jvm_round",
+    "SELECT user_id, "
+    "  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents_round "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+    doc="DIAGNOSTIC L2: JVM-side SUM over ROUND(value*100) against DuckDB's "
+    "ROUND — isolates ROUND(double) version semantics (the r03 trio's "
+    "oracles all used ROUND). Red here + q00a green convicts ROUND.",
+    tags=("diagnostic",),
+)
+def q00b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_round"))
+        .orderBy("user_id")
+    )
+
+
+def _const_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    uid = int(pdf["user_id"].iloc[0])
+    return pd.DataFrame({"user_id": [uid], "twice": [uid * 2 + 1], "k": [42]})
+
+
+@query(
+    "q00c_diag_kernel_const",
+    "SELECT DISTINCT user_id, "
+    "  CAST(user_id * 2 + 1 AS BIGINT) AS twice, CAST(42 AS BIGINT) AS k "
+    "FROM events ORDER BY user_id",
+    doc="DIAGNOSTIC L3: applyInPandas kernel emitting data-independent "
+    "constants per group key. Red here means the grouped-kernel Arrow "
+    "return path itself corrupts values in the driver venv.",
+    tags=("diagnostic", "grouped_map"),
+)
+def q00c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select("user_id")
+        .groupBy("user_id")
+        .applyInPandas(_const_kernel, schema="user_id bigint, twice bigint, k bigint")
+        .orderBy("user_id")
+    )
+
+
+def _np_sum_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
+    vals = pdf["cents"].to_numpy(dtype="int64", na_value=0)
+    n = int(pdf["cents"].notna().sum())
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_val": [n],
+            "cents": [int(np.sum(vals))],
+        }
+    )
+
+
+@query(
+    "q00d_diag_kernel_sum",
+    "SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n_val, "
+    f"  SUM({_CENTS_SQL}) AS cents "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+    doc="DIAGNOSTIC L4a: applyInPandas summing a JVM-pre-floored cents "
+    "column with numpy only, output re-projected through JVM casts. Red "
+    "here + q00c green convicts in-kernel pandas/numpy arithmetic.",
+    tags=("diagnostic", "grouped_map"),
+)
+def q00d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    out = (
+        ev.select("user_id", _cents_col().alias("cents"))
+        .groupBy("user_id")
+        .applyInPandas(_np_sum_kernel, schema="user_id bigint, n_val bigint, cents bigint")
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("n_val").cast("long").alias("n_val"),
+        F.col("cents").cast("long").alias("cents"),
+    ).orderBy("user_id")
+
+
+@pandas_udf(LongType())
+def _np_cents_sum(v: pd.Series) -> int:
+    import numpy as np
+
+    return int(np.sum(v.to_numpy(dtype="int64", na_value=0)))
+
+
+@query(
+    "q00e_diag_udaf_sum",
+    f"SELECT user_id, SUM({_CENTS_SQL}) AS cents "
+    "FROM events GROUP BY user_id ORDER BY user_id",
+    doc="DIAGNOSTIC L4b: GROUPED_AGG pandas UDAF (numpy-only sum of "
+    "JVM-pre-floored cents) — the q66 path over the q68 fixture. Red here "
+    "+ q00c green convicts the GROUPED_AGG serialization specifically.",
+    tags=("diagnostic", "udaf"),
+)
+def q00e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.select("user_id", _cents_col().alias("cents"))
+        .groupBy("user_id")
+        .agg(_np_cents_sum("cents").alias("cents"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("cents").cast("long").alias("cents"),
+        )
+        .orderBy("user_id")
+    )

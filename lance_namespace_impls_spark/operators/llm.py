@@ -181,7 +181,11 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q122_contamination_check",
-    "WITH toked AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws "
+    # regexp-split on \s+ matches functions.text.tokens() exactly — a
+    # single-space string_split would diverge on any run of consecutive
+    # whitespace (ADVICE.md r3).
+    "WITH toked AS (SELECT doc_id, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS ws "
     "  FROM documents), "
     "eval AS (SELECT doc_id, ws FROM toked "
     "  WHERE (doc_id % 1000000007) * 2654435761 % 1000 < 50), "

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -129,10 +130,23 @@ def bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -> tuple
             continue
         location = os.path.join(warehouse, name)
         src = load_table(spark, table, sf_dir)
-        has_buckets = os.path.isdir(location) and any(
-            f.endswith(".parquet") and not f.startswith((".", "_"))
-            for f in os.listdir(location)
-        )
+        # Adoption requires a COMPLETE bucket set: the _SUCCESS marker (only
+        # written on commit) plus one file per bucket id — a prior ingest
+        # that crashed after some task commits would otherwise be adopted
+        # and Spark silently treats missing bucket files as empty buckets,
+        # i.e. wrong join results with no error (ADVICE.md r3).  Bucket ids
+        # live in the file name: part-<task>_<bucketid padded to 5>.
+        has_buckets = False
+        if os.path.isdir(location) and os.path.isfile(
+            os.path.join(location, "_SUCCESS")
+        ):
+            seen_ids = set()
+            for f in os.listdir(location):
+                if f.endswith(".parquet") and not f.startswith((".", "_")):
+                    match = re.search(r"_(\d{5})\.", f)
+                    if match:
+                        seen_ids.add(int(match.group(1)))
+            has_buckets = len(seen_ids) == buckets
         if has_buckets:
             schema_ddl = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields

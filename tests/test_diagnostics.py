@@ -1,0 +1,50 @@
+"""The q00* driver-divergence diagnostics (operators/diagnostics.py) and the
+round-4 hardened grouped-Python trio: oracle parity at smoke scale plus the
+registry-ordering contract that puts them at the front of the driver window.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.oracle import check_query, duckdb_connection
+from lance_namespace_impls_spark.plans.registry import queries
+
+from tests.conftest import SF_SMOKE
+
+DIAG = [
+    "q00a_diag_jvm_sum",
+    "q00b_diag_jvm_round",
+    "q00c_diag_kernel_const",
+    "q00d_diag_kernel_sum",
+    "q00e_diag_udaf_sum",
+]
+HARDENED = [
+    "q66_pandas_udaf",
+    "q68_apply_in_pandas",
+    "q87_stateful_custom_op",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", DIAG + HARDENED)
+def test_oracle_match(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_diagnostics_front_of_driver_window():
+    """The whole point of the q00* twins is that the driver's ~50-row
+    verification window reaches them: they must be the FIRST names the
+    registry emits, followed by the re-verify trio before any verified
+    back-half name."""
+    order = list(queries())
+    assert order[:5] == DIAG
+    front = order[: order.index("q66_pandas_udaf") + 1]
+    for name in HARDENED[:1]:  # q66 is the lowest-numbered of the trio
+        assert name in front
