@@ -446,8 +446,14 @@ public class DirectoryTableCatalog implements TableCatalog, SupportsNamespaces {
     // Materialize the location directory so the FileTable index resolves for
     // INSERT INTO before any data lands.  An empty directory holds no parquet,
     // so the storage probe still reports declared-only (table_utils.py:22-45).
+    // Spark qualifies an explicit LOCATION before createTable ("file:/x"),
+    // so unwrap the URI form or Paths.get would create a literal "file:"
+    // directory under the cwd.
     try {
-      Files.createDirectories(Paths.get(location));
+      Path loc2 = location.startsWith("file:")
+          ? Paths.get(java.net.URI.create(location).getPath())
+          : Paths.get(location);
+      Files.createDirectories(loc2);
     } catch (IOException e) {
       throw new UncheckedIOException(e);
     }

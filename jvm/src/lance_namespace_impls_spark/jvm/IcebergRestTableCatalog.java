@@ -1,0 +1,508 @@
+/*
+ * IcebergRestTableCatalog: a Spark DataSource V2 TableCatalog + SupportsNamespaces
+ * plugin over an Iceberg-REST-shaped catalog service — the pure-JVM twin of the
+ * Python RestNamespace dialect (lance_namespace_impls_spark/catalog/rest.py).
+ *
+ * Reference parity: the reference ships per-backend Java catalog impls
+ * (IcebergNamespace.java:148-202 maps the namespace op set onto the Iceberg
+ * REST HTTP surface; RestClient.java:73-120 is the transport).  With this
+ * plugin on the classpath and
+ *   spark.sql.catalog.<name>           = lance_namespace_impls_spark.jvm.IcebergRestTableCatalog
+ *   spark.sql.catalog.<name>.uri       = http://host:port
+ *   spark.sql.catalog.<name>.warehouse = wh            (optional)
+ *   spark.sql.catalog.<name>.header.X  = Y             (optional request headers)
+ * a three-part SQL name resolves through the REST dialect with ZERO Python in
+ * the session path:
+ *   SHOW NAMESPACES IN icelake; SELECT ... FROM icelake.main.t;
+ *   CREATE NAMESPACE icelake.main; CREATE TABLE icelake.main.t (...);
+ *
+ * Protocol contract (identical to rest.py / reference iceberg.py):
+ *   - warehouse -> prefix via one cached GET /v1/config?warehouse=
+ *     (overrides.prefix || defaults.prefix || warehouse; tolerant fallback)
+ *     [iceberg.py:154-180, IcebergNamespace.java:117-141];
+ *   - namespace path levels joined with the %1F unit separator
+ *     [iceberg.py:56, 148-152];
+ *   - tables registered with the dummy single-string-column schema, the real
+ *     location under properties.lance_location [iceberg.py:98-104];
+ *   - non-lance entries (no table_type=lance property) are invisible
+ *     [glue.py:504-520];
+ *   - drop purges (purgeRequested=true) [iceberg.py:585-588];
+ *   - HTTP error taxonomy: 404->NoSuch*, 409->AlreadyExists/NonEmpty,
+ *     400->IllegalArgument [iceberg.py:461-470, rest_client.py:254-294].
+ *
+ * Scans/writes delegate to Spark's ParquetTable exactly like
+ * DirectoryTableCatalog — the catalog is driver-side metadata; executors
+ * never speak HTTP.
+ */
+package lance_namespace_impls_spark.jvm;
+
+import com.fasterxml.jackson.databind.JsonNode;
+import com.fasterxml.jackson.databind.ObjectMapper;
+import com.fasterxml.jackson.databind.node.ArrayNode;
+import com.fasterxml.jackson.databind.node.ObjectNode;
+
+import java.io.IOException;
+import java.io.UncheckedIOException;
+import java.net.URI;
+import java.net.URLEncoder;
+import java.net.http.HttpClient;
+import java.net.http.HttpRequest;
+import java.net.http.HttpResponse;
+import java.nio.charset.StandardCharsets;
+import java.time.Duration;
+import java.util.ArrayList;
+import java.util.Comparator;
+import java.util.HashMap;
+import java.util.List;
+import java.util.Map;
+
+import org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException;
+import org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException;
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException;
+import org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException;
+import org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException;
+import org.apache.spark.sql.connector.catalog.Identifier;
+import org.apache.spark.sql.connector.catalog.NamespaceChange;
+import org.apache.spark.sql.connector.catalog.SupportsNamespaces;
+import org.apache.spark.sql.connector.catalog.Table;
+import org.apache.spark.sql.connector.catalog.TableCatalog;
+import org.apache.spark.sql.connector.catalog.TableChange;
+import org.apache.spark.sql.connector.expressions.Transform;
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat;
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable;
+import org.apache.spark.sql.types.DataType;
+import org.apache.spark.sql.types.StructType;
+import org.apache.spark.sql.util.CaseInsensitiveStringMap;
+
+public class IcebergRestTableCatalog implements TableCatalog, SupportsNamespaces {
+
+  private static final String SEP = "";
+  private static final String PROP_TABLE_TYPE = "table_type";
+  private static final String PROP_MANAGED_BY = "managed_by";
+  private static final String LANCE_TABLE_TYPE = "lance";
+  private static final String PROP_LANCE_LOCATION = "lance_location";
+  private static final String SCHEMA_PROP = "schema_json";
+  private static final ObjectMapper MAPPER = new ObjectMapper();
+
+  private String catalogName;
+  private String endpoint;
+  private String warehouse;
+  private Map<String, String> headers;
+  private HttpClient http;
+  private String cachedPrefix; // null until resolved
+
+  // -- CatalogPlugin --------------------------------------------------------
+
+  @Override
+  public void initialize(String name, CaseInsensitiveStringMap options) {
+    this.catalogName = name;
+    String uri = options.get("uri");
+    if (uri == null || uri.isEmpty()) {
+      throw new IllegalArgumentException(
+          "IcebergRestTableCatalog requires option 'uri' "
+              + "(spark.sql.catalog." + name + ".uri)");
+    }
+    this.endpoint = uri.endsWith("/") ? uri.substring(0, uri.length() - 1) : uri;
+    this.warehouse = options.getOrDefault("warehouse", "");
+    this.headers = new HashMap<>();
+    for (Map.Entry<String, String> e : options.entrySet()) {
+      if (e.getKey().startsWith("header.")) {
+        headers.put(e.getKey().substring("header.".length()), e.getValue());
+      }
+    }
+    this.http = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build();
+  }
+
+  @Override
+  public String name() {
+    return catalogName;
+  }
+
+  // -- transport ------------------------------------------------------------
+
+  private static final class Resp {
+    final int status;
+    final JsonNode body;
+
+    Resp(int status, JsonNode body) {
+      this.status = status;
+      this.body = body;
+    }
+  }
+
+  private Resp call(String method, String path, JsonNode body) {
+    try {
+      HttpRequest.Builder b =
+          HttpRequest.newBuilder()
+              .uri(URI.create(endpoint + path))
+              .timeout(Duration.ofSeconds(30))
+              .header("Content-Type", "application/json");
+      for (Map.Entry<String, String> e : headers.entrySet()) {
+        b.header(e.getKey(), e.getValue());
+      }
+      if (body == null) {
+        b.method(method, HttpRequest.BodyPublishers.noBody());
+      } else {
+        b.method(
+            method, HttpRequest.BodyPublishers.ofString(MAPPER.writeValueAsString(body)));
+      }
+      HttpResponse<String> resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString());
+      JsonNode parsed = null;
+      String text = resp.body();
+      if (text != null && !text.isEmpty()) {
+        parsed = MAPPER.readTree(text);
+      }
+      return new Resp(resp.statusCode(), parsed);
+    } catch (IOException e) {
+      throw new UncheckedIOException(e);
+    } catch (InterruptedException e) {
+      Thread.currentThread().interrupt();
+      throw new RuntimeException(e);
+    }
+  }
+
+  private static RuntimeException httpError(String method, String path, Resp r) {
+    String detail = "";
+    if (r.body != null) {
+      detail = r.body.path("error").path("message").asText(r.body.toString());
+    }
+    if (r.status == 400) {
+      return new IllegalArgumentException(method + " " + path + ": " + detail);
+    }
+    return new RuntimeException(method + " " + path + ": HTTP " + r.status + " " + detail);
+  }
+
+  private static String enc(String s) {
+    return URLEncoder.encode(s, StandardCharsets.UTF_8);
+  }
+
+  /** warehouse -> prefix, one tolerant config round trip, cached (iceberg.py:154-180). */
+  private String prefix() {
+    if (cachedPrefix != null) {
+      return cachedPrefix;
+    }
+    String resolved = warehouse;
+    boolean cacheable = true;
+    try {
+      Resp r = call("GET", "/v1/config?warehouse=" + enc(warehouse), null);
+      if (r.status >= 200 && r.status < 300 && r.body != null) {
+        String fromOverrides = r.body.path("overrides").path("prefix").asText("");
+        String fromDefaults = r.body.path("defaults").path("prefix").asText("");
+        resolved = !fromOverrides.isEmpty() ? fromOverrides
+            : !fromDefaults.isEmpty() ? fromDefaults : warehouse;
+      }
+    } catch (RuntimeException e) {
+      cacheable = false; // transient failure must not pin the fallback forever
+    }
+    String encoded = enc(resolved);
+    if (cacheable) {
+      cachedPrefix = encoded;
+    }
+    return encoded;
+  }
+
+  /** /v1/{prefix} base; prefix segment omitted entirely when empty. */
+  private String base() {
+    String p = prefix();
+    return p.isEmpty() ? "/v1" : "/v1/" + p;
+  }
+
+  private static String nsPath(String[] levels) {
+    return enc(String.join(SEP, levels));
+  }
+
+  // -- SupportsNamespaces ---------------------------------------------------
+
+  @Override
+  public String[][] listNamespaces() throws NoSuchNamespaceException {
+    return listNamespaces(new String[0]);
+  }
+
+  @Override
+  public String[][] listNamespaces(String[] parent) throws NoSuchNamespaceException {
+    String path = base() + "/namespaces";
+    if (parent.length > 0) {
+      path += "?parent=" + nsPath(parent);
+    }
+    Resp r = call("GET", path, null);
+    if (r.status == 404) {
+      throw new NoSuchNamespaceException(parent);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("GET", path, r);
+    }
+    List<String[]> out = new ArrayList<>();
+    for (JsonNode ns : r.body.path("namespaces")) {
+      String[] levels = new String[ns.size()];
+      for (int i = 0; i < ns.size(); i++) {
+        levels[i] = ns.get(i).asText();
+      }
+      out.add(levels);
+    }
+    out.sort(Comparator.comparing(a -> String.join(SEP, a)));
+    return out.toArray(new String[0][]);
+  }
+
+  @Override
+  public Map<String, String> loadNamespaceMetadata(String[] namespace)
+      throws NoSuchNamespaceException {
+    String path = base() + "/namespaces/" + nsPath(namespace);
+    Resp r = call("GET", path, null);
+    if (r.status == 404) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("GET", path, r);
+    }
+    Map<String, String> out = new HashMap<>();
+    JsonNode props = r.body.path("properties");
+    props.fields().forEachRemaining(e -> out.put(e.getKey(), e.getValue().asText()));
+    return out;
+  }
+
+  @Override
+  public void createNamespace(String[] namespace, Map<String, String> metadata)
+      throws NamespaceAlreadyExistsException {
+    ObjectNode body = MAPPER.createObjectNode();
+    ArrayNode ns = body.putArray("namespace");
+    for (String level : namespace) {
+      ns.add(level);
+    }
+    ObjectNode props = body.putObject("properties");
+    for (Map.Entry<String, String> e : metadata.entrySet()) {
+      props.put(e.getKey(), e.getValue());
+    }
+    String path = base() + "/namespaces";
+    Resp r = call("POST", path, body);
+    if (r.status == 409) {
+      throw new NamespaceAlreadyExistsException(namespace);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("POST", path, r);
+    }
+  }
+
+  @Override
+  public void alterNamespace(String[] namespace, NamespaceChange... changes) {
+    throw new UnsupportedOperationException(
+        "namespace property updates are not part of the REST dialect surface");
+  }
+
+  @Override
+  public boolean dropNamespace(String[] namespace, boolean cascade)
+      throws NoSuchNamespaceException, NonEmptyNamespaceException {
+    if (cascade) {
+      // Cascade rejected by every reference backend (iceberg.py:322-325).
+      throw new UnsupportedOperationException(
+          "cascade drop is not supported; drop contents first");
+    }
+    String path = base() + "/namespaces/" + nsPath(namespace);
+    Resp r = call("DELETE", path, null);
+    if (r.status == 404) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    if (r.status == 409) {
+      // server-side emptiness check (rest.py drop_namespace conflict mapping)
+      throw new NonEmptyNamespaceException(namespace);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("DELETE", path, r);
+    }
+    return true;
+  }
+
+  // -- TableCatalog ---------------------------------------------------------
+
+  @Override
+  public Identifier[] listTables(String[] namespace) throws NoSuchNamespaceException {
+    String path = base() + "/namespaces/" + nsPath(namespace) + "/tables";
+    Resp r = call("GET", path, null);
+    if (r.status == 404) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("GET", path, r);
+    }
+    List<String> names = new ArrayList<>();
+    for (JsonNode ident : r.body.path("identifiers")) {
+      names.add(ident.path("name").asText());
+    }
+    names.sort(Comparator.naturalOrder());
+    List<Identifier> out = new ArrayList<>();
+    for (String n : names) {
+      out.add(Identifier.of(namespace, n));
+    }
+    return out.toArray(new Identifier[0]);
+  }
+
+  private String tablePath(Identifier ident) {
+    return base() + "/namespaces/" + nsPath(ident.namespace()) + "/tables/"
+        + enc(ident.name());
+  }
+
+  @Override
+  public boolean tableExists(Identifier ident) {
+    try {
+      loadTable(ident);
+      return true;
+    } catch (NoSuchTableException e) {
+      return false;
+    }
+  }
+
+  @Override
+  public Table loadTable(Identifier ident) throws NoSuchTableException {
+    String path = tablePath(ident);
+    Resp r = call("GET", path, null);
+    if (r.status == 404) {
+      throw new NoSuchTableException(ident);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("GET", path, r);
+    }
+    JsonNode meta = r.body.path("metadata");
+    JsonNode props = meta.path("properties");
+    String tableType = props.path(PROP_TABLE_TYPE).asText("");
+    if (!tableType.toLowerCase().equals(LANCE_TABLE_TYPE)) {
+      // Non-lance entries are invisible (glue.py:504-520).
+      throw new NoSuchTableException(ident);
+    }
+    String location = props.path(PROP_LANCE_LOCATION).asText("");
+    if (location.isEmpty()) {
+      location = meta.path("location").asText("");
+    }
+    StructType stored = null;
+    JsonNode schemaJson = props.get(SCHEMA_PROP);
+    if (schemaJson != null && schemaJson.isTextual()) {
+      stored = (StructType) DataType.fromJson(schemaJson.asText());
+    }
+    return parquetTable(ident, location, stored);
+  }
+
+  private Table parquetTable(Identifier ident, String location, StructType schema) {
+    org.apache.spark.sql.classic.SparkSession spark =
+        org.apache.spark.sql.classic.SparkSession.active();
+    scala.collection.immutable.Seq<String> paths =
+        scala.jdk.javaapi.CollectionConverters.asScala(List.of(location)).toSeq();
+    Map<String, String> opts = new HashMap<>();
+    opts.put("path", location);
+    scala.Option<StructType> schemaOpt =
+        schema == null ? scala.Option.empty() : scala.Option.apply(schema);
+    return new ParquetTable(
+        ident.toString(),
+        spark,
+        new CaseInsensitiveStringMap(opts),
+        paths,
+        schemaOpt,
+        ParquetFileFormat.class);
+  }
+
+  @Override
+  public Table createTable(
+      Identifier ident, StructType schema, Transform[] partitions, Map<String, String> properties)
+      throws TableAlreadyExistsException, NoSuchNamespaceException {
+    if (partitions.length > 0) {
+      throw new UnsupportedOperationException(
+          "partitioned tables are not part of the Lance namespace contract");
+    }
+    String location = properties.get(TableCatalog.PROP_LOCATION);
+    if (location == null || location.isEmpty()) {
+      throw new IllegalArgumentException(
+          "CREATE TABLE through the REST dialect requires LOCATION — the "
+              + "service stores metadata only, it cannot allocate storage");
+    }
+    ObjectNode body = MAPPER.createObjectNode();
+    body.put("name", ident.name());
+    body.put("location", location);
+    // Dummy single-string-column schema; the engine-readable schema rides in
+    // properties.schema_json (iceberg.py:98-104, docs/src/iceberg.md:43-47).
+    ObjectNode dummy = body.putObject("schema");
+    dummy.put("type", "struct");
+    dummy.put("schema-id", 0);
+    ArrayNode fields = dummy.putArray("fields");
+    ObjectNode f = fields.addObject();
+    f.put("id", 1);
+    f.put("name", "__placeholder");
+    f.put("type", "string");
+    f.put("required", false);
+    dummy.putArray("identifier-field-ids");
+    body.put("stage-create", false);
+    ObjectNode props = body.putObject("properties");
+    for (Map.Entry<String, String> e : properties.entrySet()) {
+      String k = e.getKey();
+      if (k.equals(TableCatalog.PROP_LOCATION)
+          || k.equals(TableCatalog.PROP_PROVIDER)
+          || k.equals(TableCatalog.PROP_OWNER)
+          || k.equals(TableCatalog.PROP_EXTERNAL)
+          || k.equals(TableCatalog.PROP_IS_MANAGED_LOCATION)) {
+        continue;
+      }
+      props.put(k, e.getValue());
+    }
+    // Required-property merge overrides user values (hive2.py:511-518).
+    props.put(PROP_TABLE_TYPE, LANCE_TABLE_TYPE);
+    props.put(PROP_MANAGED_BY, "storage");
+    props.put(PROP_LANCE_LOCATION, location);
+    props.put(SCHEMA_PROP, schema.json());
+    String path = base() + "/namespaces/" + nsPath(ident.namespace()) + "/tables";
+    Resp r = call("POST", path, body);
+    if (r.status == 404) {
+      throw new NoSuchNamespaceException(ident.namespace());
+    }
+    if (r.status == 409) {
+      throw new TableAlreadyExistsException(ident);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("POST", path, r);
+    }
+    // Materialize local locations so the FileTable index resolves for INSERT
+    // INTO before any data lands (same contract as DirectoryTableCatalog);
+    // best-effort — remote schemes are the storage layer's concern.  Spark
+    // qualifies LOCATION before createTable ("file:/x" not "/x"), so the
+    // URI form must be unwrapped or Paths.get would create a literal
+    // "file:" directory under the cwd.
+    try {
+      java.nio.file.Path local;
+      if (location.startsWith("file:")) {
+        local = java.nio.file.Paths.get(URI.create(location).getPath());
+      } else if (location.contains(":")) {
+        local = null; // remote scheme (s3:, hdfs:, ...)
+      } else {
+        local = java.nio.file.Paths.get(location);
+      }
+      if (local != null) {
+        java.nio.file.Files.createDirectories(local);
+      }
+    } catch (IOException | RuntimeException ignored) {
+      // non-local location: leave materialization to the writer
+    }
+    return parquetTable(ident, location, schema);
+  }
+
+  @Override
+  public Table alterTable(Identifier ident, TableChange... changes) {
+    throw new UnsupportedOperationException(
+        "ALTER TABLE is not part of the Lance namespace operation set");
+  }
+
+  @Override
+  public boolean dropTable(Identifier ident) {
+    // Purge on drop (purgeRequested=true, iceberg.py:585-588); the service
+    // owns data deletion — the driver never touches storage here.
+    String path = tablePath(ident) + "?purgeRequested=true";
+    Resp r = call("DELETE", path, null);
+    if (r.status == 404) {
+      return false;
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("DELETE", path, r);
+    }
+    return true;
+  }
+
+  @Override
+  public void renameTable(Identifier oldIdent, Identifier newIdent) {
+    throw new UnsupportedOperationException(
+        "rename is not part of the Lance namespace operation set");
+  }
+}

@@ -1,0 +1,192 @@
+"""In-process Iceberg-REST-shaped catalog service for tests.
+
+A dict-backed implementation of exactly the endpoint subset the engine's two
+REST clients speak — the Python :class:`RestNamespace` dialect
+(catalog/rest.py) and the JVM ``IcebergRestTableCatalog`` plugin — so both
+planes can be driven against ONE live HTTP surface and observed to share
+state (the same cross-plane story test_jvm_catalog.py tells for the
+directory backend).  Protocol per the public Iceberg REST catalog spec
+(reference: iceberg.py endpoint map, IcebergNamespace.java:148-202):
+
+  GET    /v1/config?warehouse=W
+  GET    /v1/{prefix}/namespaces[?parent=P]
+  POST   /v1/{prefix}/namespaces
+  GET    /v1/{prefix}/namespaces/{ns}
+  DELETE /v1/{prefix}/namespaces/{ns}            (409 when non-empty)
+  GET    /v1/{prefix}/namespaces/{ns}/tables
+  POST   /v1/{prefix}/namespaces/{ns}/tables
+  GET    /v1/{prefix}/namespaces/{ns}/tables/{t}
+  DELETE /v1/{prefix}/namespaces/{ns}/tables/{t}?purgeRequested=...
+
+Namespace path segments are %1F-joined (unit separator), URL-encoded.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+UNIT_SEP = "\x1f"
+
+
+class CatalogState:
+    """Shared in-memory catalog: {ns_key: props}, {(ns_key, table): entry}."""
+
+    def __init__(self, prefix: str = "testprefix"):
+        self.prefix = prefix
+        self.namespaces: dict[str, dict] = {}
+        self.tables: dict[tuple[str, str], dict] = {}
+        self.purged: list[tuple[str, str, bool]] = []  # (ns, table, purge flag)
+        self.lock = threading.Lock()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: CatalogState  # injected by serve()
+
+    # -- plumbing -----------------------------------------------------------
+
+    def log_message(self, *args):  # silence request logging in pytest output
+        pass
+
+    def _send(self, status: int, body: dict | None = None):
+        data = json.dumps(body or {}).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _error(self, status: int, message: str):
+        self._send(status, {"error": {"message": message, "code": status}})
+
+    def _read_body(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(length)) if length else {}
+
+    def _route(self) -> tuple[str, list[str], dict]:
+        parsed = urlparse(self.path)
+        parts = [unquote(p) for p in parsed.path.strip("/").split("/")]
+        return parsed.path, parts, parse_qs(parsed.query)
+
+    # -- dispatch -----------------------------------------------------------
+
+    def do_GET(self):
+        _, parts, query = self._route()
+        st = self.state
+        with st.lock:
+            if parts[:2] == ["v1", "config"]:
+                return self._send(200, {"defaults": {"prefix": st.prefix}, "overrides": {}})
+            if len(parts) < 2 or parts[0] != "v1" or parts[1] != st.prefix:
+                return self._error(400, f"unknown prefix in {self.path}")
+            rest = parts[2:]
+            if rest == ["namespaces"]:
+                parent = query.get("parent", [None])[0]
+                names = []
+                for key in sorted(st.namespaces):
+                    levels = key.split(UNIT_SEP)
+                    if parent is None:
+                        names.append(levels)
+                    elif key.startswith(parent + UNIT_SEP):
+                        names.append(levels)
+                return self._send(200, {"namespaces": names})
+            if len(rest) == 2 and rest[0] == "namespaces":
+                ns = rest[1]
+                if ns not in st.namespaces:
+                    return self._error(404, f"namespace not found: {ns}")
+                return self._send(
+                    200, {"namespace": ns.split(UNIT_SEP), "properties": st.namespaces[ns]}
+                )
+            if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "tables":
+                ns = rest[1]
+                if ns not in st.namespaces:
+                    return self._error(404, f"namespace not found: {ns}")
+                idents = [
+                    {"namespace": k[0].split(UNIT_SEP), "name": k[1]}
+                    for k in sorted(st.tables)
+                    if k[0] == ns
+                ]
+                return self._send(200, {"identifiers": idents})
+            if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
+                key = (rest[1], rest[3])
+                entry = st.tables.get(key)
+                if entry is None:
+                    return self._error(404, f"table not found: {rest[3]}")
+                return self._send(
+                    200,
+                    {
+                        "metadata": {
+                            "location": entry.get("location", ""),
+                            "properties": entry.get("properties", {}),
+                        },
+                        "metadata-location": entry.get("location", ""),
+                    },
+                )
+        self._error(400, f"unhandled GET {self.path}")
+
+    def do_POST(self):
+        _, parts, _ = self._route()
+        st = self.state
+        body = self._read_body()
+        with st.lock:
+            if len(parts) < 3 or parts[0] != "v1" or parts[1] != st.prefix:
+                return self._error(400, f"unknown prefix in {self.path}")
+            rest = parts[2:]
+            if rest == ["namespaces"]:
+                key = UNIT_SEP.join(body.get("namespace", []))
+                if key in st.namespaces:
+                    return self._error(409, f"namespace already exists: {key}")
+                st.namespaces[key] = dict(body.get("properties", {}))
+                return self._send(200, body)
+            if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "tables":
+                ns = rest[1]
+                if ns not in st.namespaces:
+                    return self._error(404, f"namespace not found: {ns}")
+                name = body.get("name", "")
+                if (ns, name) in st.tables:
+                    return self._error(409, f"table already exists: {name}")
+                st.tables[(ns, name)] = {
+                    "location": body.get("location", ""),
+                    "schema": body.get("schema"),
+                    "properties": dict(body.get("properties", {})),
+                }
+                return self._send(200, {"metadata": {"location": body.get("location", "")}})
+        self._error(400, f"unhandled POST {self.path}")
+
+    def do_DELETE(self):
+        _, parts, query = self._route()
+        st = self.state
+        with st.lock:
+            if len(parts) < 3 or parts[0] != "v1" or parts[1] != st.prefix:
+                return self._error(400, f"unknown prefix in {self.path}")
+            rest = parts[2:]
+            if len(rest) == 2 and rest[0] == "namespaces":
+                ns = rest[1]
+                if ns not in st.namespaces:
+                    return self._error(404, f"namespace not found: {ns}")
+                non_empty = any(k[0] == ns for k in st.tables) or any(
+                    other.startswith(ns + UNIT_SEP) for other in st.namespaces
+                )
+                if non_empty:
+                    return self._error(409, f"namespace not empty: {ns}")
+                del st.namespaces[ns]
+                return self._send(200, {})
+            if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
+                key = (rest[1], rest[3])
+                if key not in st.tables:
+                    return self._error(404, f"table not found: {rest[3]}")
+                purge = query.get("purgeRequested", ["false"])[0] == "true"
+                st.purged.append((key[0], key[1], purge))
+                del st.tables[key]
+                return self._send(200, {})
+        self._error(400, f"unhandled DELETE {self.path}")
+
+
+def serve(state: CatalogState) -> tuple[ThreadingHTTPServer, str]:
+    """Start the service on an OS-assigned port; returns (server, base_url)."""
+    handler = type("BoundHandler", (_Handler,), {"state": state})
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, f"http://127.0.0.1:{server.server_port}"
