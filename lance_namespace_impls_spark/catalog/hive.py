@@ -126,17 +126,26 @@ class _HiveNamespaceBase(LanceNamespace):
         return self._client
 
     def _build_thrift_client(self):
-        try:
-            from hive_metastore_client import HiveMetastoreClient  # type: ignore
-        except ImportError as exc:
-            raise ImportError(
-                "hive-metastore-client is required for Hive namespaces "
-                "(or inject a 'client' property)"
-            ) from exc
+        """Vendored Thrift transport by default (catalog/thrift_client.py):
+        strict binary protocol on raw TCP — the HMS default — behind a
+        bounded pool with reconnect-retry (reference
+        ClientPoolImpl.java:26-116).  ``hive_metastore_client`` is used
+        instead only when explicitly requested via ``client.library=external``
+        (it brings SASL/kerberos transports this sandbox can't exercise)."""
         if not self._uri:
             raise InvalidInput("Hive namespaces require a 'uri' property")
         host, _, port = self._uri.removeprefix("thrift://").partition(":")
-        return HiveMetastoreClient(host, int(port or "9083"))
+        if self._properties.get("client.library") == "external":
+            try:
+                from hive_metastore_client import HiveMetastoreClient  # type: ignore
+            except ImportError as exc:
+                raise ImportError(
+                    "client.library=external requires hive-metastore-client"
+                ) from exc
+            return HiveMetastoreClient(host, int(port or "9083"))
+        from lance_namespace_impls_spark.catalog.thrift_client import ClientPool
+
+        return ClientPool(host, int(port or "9083"), size=self._pool_size)
 
     def __getstate__(self):
         state = dict(self.__dict__)
