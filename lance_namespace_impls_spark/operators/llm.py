@@ -234,3 +234,104 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.agg(F.count(F.lit(1)).alias("train_docs")).crossJoin(
         hits.agg(F.count(F.lit(1)).alias("contaminated"))
     ).select("train_docs", "contaminated")
+
+
+@query(
+    "q153_zipf_head_coverage",
+    # Integer basis-point coverage ((head*10000) // total) keeps the ratio
+    # exact on both engines — no float division at a tie-able digit.
+    "WITH tok AS (SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok "
+    "  FROM documents), "
+    "tf AS (SELECT source, tok, COUNT(*) AS n FROM tok GROUP BY source, tok), "
+    "r AS (SELECT source, tok, n, "
+    "  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rk FROM tf) "
+    "SELECT source, CAST(SUM(n) AS BIGINT) AS total_tokens, "
+    "CAST(SUM(n) FILTER (WHERE rk <= 100) AS BIGINT) AS head_tokens, "
+    "CAST((SUM(n) FILTER (WHERE rk <= 100)) * 10000 // SUM(n) AS BIGINT) AS head_bp "
+    "FROM r GROUP BY source ORDER BY source",
+    doc="Zipf head coverage per source: what fraction of the token mass the "
+    "top-100 types cover — the skew diagnostic behind vocabulary sizing and "
+    "dedup-threshold choices (a source whose head covers ~all mass is "
+    "boilerplate-heavy; a flat tail is natural text).  ONE exploded "
+    "tokenize pass -> per-(source,type) counts (the only full shuffle, on "
+    "keys not text) -> rank window partitioned by source -> conditional "
+    "head sum.  At 100 TB the (source,type) aggregate is map-side combined "
+    "so the shuffle carries distinct types, not token instances; the window "
+    "partitions by source (bounded cardinality), never by type.  Ties at "
+    "rank 100 break by token text, so both engines pick the same head set; "
+    "coverage reported in exact integer basis points.",
+    tags=("llm", "textstats"),
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lance_namespace_impls_spark.functions.text import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        spread(docs)
+        .select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("tok"))
+    ranked = tf.withColumn("rk", F.row_number().over(w))
+    head_n = F.sum(F.when(F.col("rk") <= 100, F.col("n")))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("total_tokens"),
+            head_n.cast("long").alias("head_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "head_tokens",
+            F.expr("head_tokens * 10000 DIV total_tokens").alias("head_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q154_quality_weighted_sample",
+    # Pure-integer acceptance test: hash(doc) * max_chars < n_chars * 10^6
+    # (cross-multiplied so no float ratio exists on either engine).
+    "WITH b AS (SELECT MAX(n_chars) AS mx FROM documents) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(COALESCE(COUNT(*) FILTER (WHERE ((doc_id % 1000000007) * 2654435761) % 1000000 * mx < n_chars * 1000000), 0) AS BIGINT) AS n_sampled, "
+    "CAST(SUM(n_chars) AS BIGINT) AS chars_total, "
+    "CAST(COALESCE(SUM(n_chars) FILTER (WHERE ((doc_id % 1000000007) * 2654435761) % 1000000 * mx < n_chars * 1000000), 0) AS BIGINT) AS chars_sampled "
+    "FROM documents, b GROUP BY source ORDER BY source",
+    doc="Quality-weighted deterministic sampling: each document is kept with "
+    "probability proportional to its weight (n_chars as the quality proxy), "
+    "via a seed-free multiplicative-hash acceptance test — the importance- "
+    "resampling step curation pipelines run after scoring, upweighting "
+    "high-quality documents without an RNG (same doc -> same decision on "
+    "every engine and every rerun, so the sample is reproducible and "
+    "join-stable).  The acceptance test is row-local integer arithmetic "
+    "against a broadcast 1-row max — no shuffle beyond the final per-source "
+    "aggregate; at 100 TB this is a map-only pass.  Completes the sampling "
+    "family: q73 (uniform hash) / q97 (stratified) / q137 (split) / this "
+    "(weighted).",
+    tags=("llm", "curation", "sampling"),
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bounds = docs.agg(F.max("n_chars").alias("mx"))
+    accept = F.expr(
+        "((doc_id % 1000000007) * 2654435761) % 1000000 * mx < n_chars * 1000000"
+    )
+    return (
+        docs.join(F.broadcast(bounds))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum(F.when(accept, 1)), F.lit(0)).cast("long").alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.coalesce(F.sum(F.when(accept, F.col("n_chars"))), F.lit(0))
+            .cast("long")
+            .alias("chars_sampled"),
+        )
+        .orderBy("source")
+    )

@@ -37,6 +37,8 @@ NEW = [
     "q150_grouping_id",
     "q151_sql_pipe_syntax",
     "q152_setops_all",
+    "q153_zipf_head_coverage",
+    "q154_quality_weighted_sample",
 ]
 
 
