@@ -136,3 +136,30 @@ def test_update_table_properties_merge_and_unset(warehouse):
     desc = warehouse.describe_table(m.DescribeTableRequest(id=["main", "region"]))
     assert desc.properties["tier"] == "silver"
     assert STATS_PROP not in desc.properties
+
+
+def test_vacuum_walks_and_deletes_under_state_lock(warehouse, monkeypatch):
+    """Regression (ADVICE.md r3): the orphan walk + delete must run under the
+    namespace state lock — with the referenced-set snapshot taken outside it,
+    a create_table that registers after the snapshot had its in-flight
+    payload classified as an orphan and destroyed.  White-box: os.walk called
+    from vacuum() must observe the lock already held (so any concurrent
+    create_table blocks until the walk+delete completes)."""
+    import os as os_mod
+
+    observed = []
+    real_walk = os_mod.walk
+
+    def walk_spy(top, *args, **kwargs):
+        # non-blocking acquire fails iff vacuum() already holds the lock
+        acquired = warehouse._lock.acquire(blocking=False)
+        if acquired:
+            warehouse._lock.release()
+        observed.append(not acquired)
+        return real_walk(top, *args, **kwargs)
+
+    monkeypatch.setattr(
+        "lance_namespace_impls_spark.catalog.directory.os.walk", walk_spy
+    )
+    warehouse.vacuum(dry_run=True)
+    assert observed == [True], "vacuum must hold its state lock across the walk"
