@@ -55,14 +55,34 @@ def token_hashes(toks: Column) -> Column:
     return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(HASH_PRIME)))
 
 
+def portable_token_hashes(toks: Column) -> Column:
+    """Per-token hash in [0, HASH_PRIME) built from md5 — engine-portable.
+
+    Unlike :func:`token_hashes` (xxhash64, Spark-only), the first 8 hex
+    digits of md5 parse to the identical integer in any engine, so pipelines
+    built on this hash are DuckDB-oracle-checkable end to end.  Acc*31+h
+    stays < 2^36, far inside int64.
+    """
+    return F.transform(
+        toks,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+            F.lit(HASH_PRIME),
+        ),
+    )
+
+
 def rolling_fingerprint(toks: Column) -> Column:
     """Order-sensitive polynomial rolling hash of the token stream.
 
     fingerprint = fold(tokens, 0, (acc, t) -> (acc*31 + h(t)) mod P) — a
     document fingerprint that, unlike a set hash, distinguishes permutations.
+    Built on the md5-derived portable hash so the whole fold has an exact
+    DuckDB twin (list_reduce over the same per-token integers) — q58 is
+    hash-checked against it, not just property-tested.
     """
     return F.aggregate(
-        token_hashes(toks),
+        portable_token_hashes(toks),
         F.lit(0).cast("long"),
         lambda acc, h: F.pmod(acc * F.lit(31) + h, F.lit(HASH_PRIME)),
     )

@@ -67,11 +67,23 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q58_fingerprint",
-    None,  # xxhash64 has no DuckDB twin: rows-only check + unit tests
+    # Exact DuckDB twin of the fold: same md5-derived per-token integers,
+    # same (acc*31 + h) mod P recurrence via list_reduce with a prepended
+    # zero seed (list_reduce has no init parameter; reducing [0, h1, ...]
+    # is identical to folding from 0).
+    "WITH toked AS (SELECT doc_id, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "h AS (SELECT doc_id, list_transform(toks, "
+    "  t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647) AS hs FROM toked) "
+    "SELECT doc_id, CAST(CASE WHEN len(hs) = 0 THEN 0 ELSE "
+    "  list_reduce(list_prepend(0, hs), (a, b) -> (a * 31 + b) % 2147483647) "
+    "END AS BIGINT) AS fingerprint FROM h ORDER BY doc_id",
     doc="Order-sensitive rolling-hash document fingerprint: distinguishes "
-    "token permutations that set-based hashes collapse. Unit contract: "
-    "identical docs share fingerprints, permuted docs don't "
-    "(tests/test_textops.py).",
+    "token permutations that set-based hashes collapse.  Round 4: the "
+    "per-token hash switched from xxhash64 (Spark-only) to the md5-derived "
+    "portable hash, so the full fold is hash-checked against a DuckDB "
+    "list_reduce oracle in addition to the permutation-sensitivity property "
+    "tests (tests/test_llm_ops.py).",
     tags=("llm", "text"),
 )
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -109,6 +109,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 RE_VERIFY: set[str] = {
     "q66_pandas_udaf", "q68_apply_in_pandas", "q87_stateful_custom_op",
     "q122_contamination_check",
+    # r4: fingerprint hash switched to the md5-derived portable form and the
+    # row gained a real DuckDB oracle — its r03 rows-only credit is stale.
+    "q58_fingerprint",
 }
 
 
