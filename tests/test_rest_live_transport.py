@@ -1,0 +1,110 @@
+"""RestNamespace over its REAL urllib3 transport against the live in-process
+Iceberg-REST service.
+
+The dialect's unit tests (test_catalog_rest.py) inject a FakeTransport, so
+``_urllib3_transport`` — pooling, retry config, JSON codec, header merge —
+previously had zero execution coverage.  Here the full production path runs:
+RestNamespace -> urllib3 PoolManager -> HTTP -> tests/iceberg_rest_server.py,
+including the 502-retry contract via a flaky-once endpoint.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.errors import (
+    NamespaceNotFound,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from lance_namespace_impls_spark.catalog.rest import RestNamespace
+
+from tests.iceberg_rest_server import CatalogState, serve
+
+
+@pytest.fixture(scope="module")
+def live():
+    state = CatalogState(prefix="wh")
+    server, url = serve(state)
+    yield state, url
+    server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def ns(live):
+    _, url = live
+    # No injected transport: this builds the real urllib3 pool.
+    return RestNamespace({"endpoint": url, "header.x-ci": "1"})
+
+
+def test_full_lifecycle_over_real_http(ns, live):
+    state, _ = live
+    ns.create_namespace(m.CreateNamespaceRequest(id=["wh", "main"], properties={"k": "v"}))
+    assert ns.list_namespaces(m.ListNamespacesRequest(id=["wh"])).namespaces == ["main"]
+    desc = ns.describe_namespace(m.DescribeNamespaceRequest(id=["wh", "main"]))
+    assert desc.properties == {"k": "v"}
+
+    ns.declare_table(
+        m.DeclareTableRequest(id=["wh", "main", "t"], location="/data/t.lance")
+    )
+    with pytest.raises(TableAlreadyExists):
+        ns.declare_table(
+            m.DeclareTableRequest(id=["wh", "main", "t"], location="/data/t.lance")
+        )
+    got = ns.describe_table(m.DescribeTableRequest(id=["wh", "main", "t"]))
+    assert got.location == "/data/t.lance"
+    assert got.properties["table_type"] == "lance"
+
+    ns.drop_table(m.DropTableRequest(id=["wh", "main", "t"]))
+    assert ("main", "t", True) in state.purged  # purgeRequested rode the wire
+    with pytest.raises(TableNotFound):
+        ns.describe_table(m.DescribeTableRequest(id=["wh", "main", "t"]))
+    ns.drop_namespace(m.DropNamespaceRequest(id=["wh", "main"]))
+    with pytest.raises(NamespaceNotFound):
+        ns.describe_namespace(m.DescribeNamespaceRequest(id=["wh", "main"]))
+
+
+def test_error_mapping_over_real_http(ns):
+    with pytest.raises(NamespaceNotFound):
+        ns.list_tables(m.ListTablesRequest(id=["wh", "nope"]))
+
+
+def test_get_retry_on_502(live):
+    """The pooled transport retries idempotent requests on 502 (the
+    reference's rest_client.py:83-89 retry config)."""
+    state, url = live
+    failures = {"left": 1}
+    orig_do_get = None
+
+    # flaky shim: first GET /v1/config-style request 502s, then succeeds
+    from tests import iceberg_rest_server as srv
+
+    orig = srv._Handler.do_GET
+
+    def flaky(self):
+        if failures["left"] > 0 and "/namespaces" in self.path:
+            failures["left"] -= 1
+            body = json.dumps({"error": {"message": "flaky", "code": 502}}).encode()
+            self.send_response(502)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        orig(self)
+
+    srv._Handler.do_GET = flaky
+    try:
+        with state.lock:
+            state.namespaces.setdefault("zz", {})
+        ns2 = RestNamespace({"endpoint": url})
+        out = ns2.list_namespaces(m.ListNamespacesRequest(id=["wh"]))
+        assert "zz" in out.namespaces  # succeeded despite the first 502
+        assert failures["left"] == 0  # the flaky response really fired
+    finally:
+        srv._Handler.do_GET = orig
+        with state.lock:
+            state.namespaces.pop("zz", None)

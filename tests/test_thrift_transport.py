@@ -342,3 +342,69 @@ def test_pool_does_not_retry_application_errors(hms):
         pool.run(op)
     assert len(attempts) == 1
     pool.close()
+
+
+# ---------------------------------------------------------------------------
+# 3. Property tests (hypothesis): codec roundtrips over arbitrary content
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lance_namespace_impls_spark.catalog.hive import (
+    MetastoreFieldSchema,
+    MetastoreStorageDescriptor,
+)
+
+_text = st.text(min_size=0, max_size=60)  # full unicode incl. surrogant-adjacent
+_params = st.dictionaries(_text, _text, max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(name=_text, db=_text, params=_params, ttype=_text)
+def test_table_roundtrip_property(name, db, params, ttype):
+    t = MetastoreTable(tableName=name, dbName=db, parameters=params, tableType=ttype)
+    w = BinaryWriter()
+    _write_table(w, t)
+    back = _read_table(BinaryReader(w.getvalue()))
+    assert back.tableName == name
+    assert back.dbName == db
+    assert back.parameters == params
+    assert back.tableType == ttype
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    location=_text,
+    cols=st.lists(st.tuples(_text, _text), max_size=5),
+)
+def test_storage_descriptor_roundtrip_property(location, cols):
+    sd = MetastoreStorageDescriptor(
+        cols=[MetastoreFieldSchema(name=n, type=ty) for n, ty in cols],
+        location=location,
+    )
+    w = BinaryWriter()
+    from lance_namespace_impls_spark.catalog.thrift_client import (
+        _read_storage_descriptor,
+        _write_storage_descriptor,
+    )
+
+    _write_storage_descriptor(w, sd)
+    back = _read_storage_descriptor(BinaryReader(w.getvalue()))
+    assert back.location == location
+    assert [(c.name, c.type) for c in back.cols] == cols
+
+
+@settings(max_examples=60, deadline=None)
+@given(method=st.text(min_size=1, max_size=30), seqid=st.integers(0, 2**31 - 1), s=_text)
+def test_message_header_roundtrip_property(method, seqid, s):
+    w = BinaryWriter()
+    w.write_message_begin(method, tc.MSG_REPLY, seqid)
+    w.write_string_field(1, s)
+    w.write_field_stop()
+    r = BinaryReader(w.getvalue())
+    name, mtype, rseq = r.read_message_begin()
+    assert (name, mtype, rseq) == (method, tc.MSG_REPLY, seqid)
+    ftype, fid = r.read_field()
+    assert (ftype, fid) == (tc.STRING, 1)
+    assert r.read_string() == s
