@@ -1,0 +1,67 @@
+"""Partition-count invariance: declared results must not depend on physical
+parallelism.
+
+At 100 TB the same query runs over thousands of scan splits and whatever
+shuffle width AQE picks; any result that shifts with partitioning (float
+summation order, per-partition window seams, non-commutative accumulation)
+is a latent cluster bug that a fixed-width local run can't see.  This suite
+re-executes a representative query per operator family under deliberately
+mismatched physical configs — tiny scan splits (maxPartitionBytes=64KB
+forces many input partitions) and shuffle widths 3 vs 17 — and requires
+bit-identical collected results.
+
+The determinism conventions (registry docstring: decimal-cast money sums,
+integer HALF_UP rounding, total ORDER BY) exist precisely to make this
+hold; this is the test that they do.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+# One per family with partitioning-sensitive math: decimal money aggregation,
+# running-sum window, sessionization seams, exact interpolated percentiles,
+# salted aggregation (explicitly re-shuffled), Z-order keys, token-mass
+# window, rolling-hash fold, weighted sampling, grouped pandas kernel.
+FAMILIES = [
+    "q18_hash_agg_multi_measure",
+    "q27_window_running_sum",
+    "q71_percentiles",
+    "q75_sessionization",
+    "q85_salted_agg",
+    "q139_zorder_clustering",
+    "q153_zipf_head_coverage",
+    "q58_fingerprint",
+    "q154_quality_weighted_sample",
+    "q68_apply_in_pandas",
+]
+
+CONFIGS = [
+    # (shuffle.partitions, files.maxPartitionBytes)
+    ("3", str(64 * 1024)),
+    ("17", str(128 * 1024 * 1024)),
+]
+
+
+def _run(spark, name: str, shuffle: str, max_bytes: str):
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    old_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", max_bytes)
+    try:
+        return QUERIES[name].builder(spark, SF_SMOKE).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_bytes)
+
+
+@pytest.mark.parametrize("name", FAMILIES)
+def test_partition_invariance(spark, name):
+    a = _run(spark, name, *CONFIGS[0])
+    b = _run(spark, name, *CONFIGS[1])
+    assert a == b, f"{name}: result depends on physical partitioning"
