@@ -1,0 +1,32 @@
+"""Physical-layout key functions (Z-order / Morton interleaving).
+
+Shared by the q139 layout-profile query and the clustered-rewrite
+maintenance op (:func:`sources.ingest.zorder_rewrite`): one definition of
+the bit interleave, pure Catalyst integer arithmetic (portable to any SQL
+engine — the q139 oracle restates it in DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def morton_key(xa: Column, ya: Column, bits: int = 8) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative int columns into
+    one Z-order key: x bits at even positions, y bits at odd.
+
+    Writing data sorted by this key gives multi-dimensional scan locality —
+    file/row-group min/max stats prune on BOTH source columns (the Delta
+    OPTIMIZE ZORDER trick).  Callers bucket the raw columns into
+    ``[0, 2^bits)`` first (e.g. ``col % 256``).  Disjoint bit positions, so
+    summing the shifted bits equals the bitwise OR.
+    """
+    parts = []
+    for b in range(bits):
+        parts.append(F.shiftleft(F.shiftright(xa, b).bitwiseAND(F.lit(1)), 2 * b))
+        parts.append(F.shiftleft(F.shiftright(ya, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+    key = parts[0]
+    for p in parts[1:]:
+        key = key + p
+    return key

@@ -480,23 +480,14 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("layout", "scale"),
 )
 def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.functions.layout import morton_key
+
     od = load_table(spark, "orders", sf_dir)
     xa = (F.col("o_custkey") % 256).cast("bigint")
     # FLOOR before the integer cast: DuckDB's double->bigint cast rounds
     # while Spark's truncates; flooring first makes both engines agree.
     ya = (F.floor("o_totalprice") % 256).cast("bigint")
-    # Disjoint bit positions, so summing the shifted bits == bitwise OR.
-    parts = []
-    for b in range(8):
-        parts.append(
-            F.shiftleft(F.shiftright(xa, b).bitwiseAND(F.lit(1)), 2 * b)
-        )
-        parts.append(
-            F.shiftleft(F.shiftright(ya, b).bitwiseAND(F.lit(1)), 2 * b + 1)
-        )
-    zkey = parts[0]
-    for p in parts[1:]:
-        zkey = zkey + p
+    zkey = morton_key(xa, ya, bits=8)
     return (
         od.select("o_orderkey", zkey.alias("zkey"))
         .select("o_orderkey", (F.col("zkey") / 4096).cast("bigint").alias("zbucket"))

@@ -150,3 +150,57 @@ def compact_parquet(
     os.rename(staging, location)
     shutil.rmtree(old, ignore_errors=True)
     return {"files_before": before, "files_after": _count(location)}
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    location: str,
+    key,
+    *,
+    target_files: int,
+) -> dict[str, int]:
+    """Physically re-cluster a parquet location by a layout key (typically a
+    :func:`functions.layout.morton_key` over two scan dimensions).
+
+    ``key`` is a callable ``DataFrame -> Column`` producing the sort key from
+    the table's own columns.  The rewrite range-partitions on the key (so
+    each output file owns a contiguous key range) and sorts within files,
+    then atomically swaps — after which file-level min/max statistics are
+    tight on EVERY dimension folded into the key, and a 2-D box predicate
+    prunes most files instead of touching all of them
+    (tests/test_layout_skipping.py measures this with pyarrow footer stats).
+
+    This is the OPTIMIZE ZORDER maintenance op for 100 TB tables: one read +
+    one range-shuffle + one write, driver holds only file counts.
+    """
+    import os
+    import shutil
+
+    ensure_runtime_conf(spark)
+
+    def _count(path: str) -> int:
+        n = 0
+        for dirpath, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            n += sum(
+                1
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        return n
+
+    before = _count(location)
+    df = spark.read.parquet(location)
+    out = (
+        df.withColumn("__zkey", key(df))
+        .repartitionByRange(target_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    staging = location.rstrip("/") + ".zordering"
+    out.write.mode("overwrite").parquet(staging)
+    old = location.rstrip("/") + ".old"
+    os.rename(location, old)
+    os.rename(staging, location)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"files_before": before, "files_after": _count(location)}

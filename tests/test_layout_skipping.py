@@ -1,0 +1,124 @@
+"""Measured data-skipping: Z-order clustering must make file-level min/max
+statistics prune a 2-D box predicate that a 1-D sort cannot.
+
+q139 profiles the Morton key logically; this test proves the PHYSICAL claim:
+after ``zorder_rewrite``, a box predicate on (o_custkey, o_totalprice)
+intersects far fewer files' [min, max] ranges than under a date-sorted
+layout of the same data.  File-footer stats are read with pyarrow — the
+same statistics Spark's parquet reader uses for predicate skipping — so the
+measured ratio is exactly the scan-pruning a cluster would see.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.layout import morton_key
+from lance_namespace_impls_spark.sources.ingest import zorder_rewrite
+from lance_namespace_impls_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+N_FILES = 16
+# box predicate: a narrow range on BOTH dimensions
+CUST_LO, CUST_HI = 100, 140
+PRICE_LO, PRICE_HI = 50_000.0, 90_000.0
+
+
+def _files(path: str) -> list[str]:
+    return [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    ]
+
+
+def _files_intersecting_box(path: str) -> tuple[int, int]:
+    """(files whose [min,max] on both dims intersect the box, total files)."""
+    hit, total = 0, 0
+    for fp in _files(path):
+        meta = pq.read_metadata(fp)
+        cmin = cmax = pmin = pmax = None
+        for rg in range(meta.num_row_groups):
+            group = meta.row_group(rg)
+            for ci in range(group.num_columns):
+                col = group.column(ci)
+                name = col.path_in_schema
+                stats = col.statistics
+                if stats is None:
+                    continue
+                if name == "o_custkey":
+                    cmin = stats.min if cmin is None else min(cmin, stats.min)
+                    cmax = stats.max if cmax is None else max(cmax, stats.max)
+                elif name == "o_totalprice":
+                    pmin = stats.min if pmin is None else min(pmin, stats.min)
+                    pmax = stats.max if pmax is None else max(pmax, stats.max)
+        total += 1
+        if cmin is None or pmin is None:
+            hit += 1  # no stats => cannot skip
+            continue
+        if cmax >= CUST_LO and cmin <= CUST_HI and pmax >= PRICE_LO and pmin <= PRICE_HI:
+            hit += 1
+    return hit, total
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("layout")
+    orders = load_table(spark, "orders", SF_SMOKE).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    # 1-D baseline: date-clustered (the natural ingest order of a fact table)
+    date_sorted = str(base / "date_sorted")
+    (
+        orders.repartitionByRange(N_FILES, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .write.parquet(date_sorted)
+    )
+    # Z-order rewrite of the SAME bytes
+    zordered = str(base / "zordered")
+    orders.repartition(N_FILES).write.parquet(zordered)  # scrambled start
+
+    # MONOTONE range bucketization into [0, 256): physical clustering needs
+    # neighboring bucket values to mean neighboring column ranges — a
+    # modulo (q139's logical profile) wraps the domain and would destroy
+    # the locality the layout exists to create.
+    mx = orders.agg(
+        F.max("o_custkey").alias("mc"), F.max("o_totalprice").alias("mp")
+    ).first()
+
+    def zkey(df):
+        xa = F.floor(F.col("o_custkey") * 256 / (mx.mc + 1)).cast("bigint")
+        ya = F.floor(F.col("o_totalprice") * 256 / (mx.mp + 1)).cast("bigint")
+        return morton_key(xa, ya, bits=8)
+
+    stats = zorder_rewrite(spark, zordered, zkey, target_files=N_FILES)
+    assert stats["files_after"] <= N_FILES + 1
+    return date_sorted, zordered
+
+
+def test_zorder_preserves_content(spark, layouts):
+    date_sorted, zordered = layouts
+    a = spark.read.parquet(date_sorted).orderBy("o_orderkey").collect()
+    b = spark.read.parquet(zordered).orderBy("o_orderkey").collect()
+    assert a == b
+
+
+def test_zorder_box_predicate_prunes_files(spark, layouts):
+    date_sorted, zordered = layouts
+    hit_date, total_date = _files_intersecting_box(date_sorted)
+    hit_z, total_z = _files_intersecting_box(zordered)
+    assert total_date >= N_FILES - 1 and total_z >= N_FILES - 1
+    # The date sort is uncorrelated with the box dims: essentially every
+    # file's (custkey, price) ranges span the domain -> nothing prunes.
+    assert hit_date >= total_date - 1
+    # Z-order localizes both dims: the box must prune at least half the
+    # files (on the fixtures it prunes far more; the bound is conservative
+    # so the test is not brittle to fixture regeneration).
+    assert hit_z <= total_z // 2, (
+        f"z-order pruned only {total_z - hit_z} of {total_z} files"
+    )
