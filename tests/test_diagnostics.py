@@ -48,3 +48,24 @@ def test_diagnostics_front_of_driver_window():
     front = order[: order.index("q66_pandas_udaf") + 1]
     for name in HARDENED[:1]:  # q66 is the lowest-numbered of the trio
         assert name in front
+
+
+@pytest.mark.parametrize("name", HARDENED + ["q00d_diag_kernel_sum"])
+def test_arrow_batch_size_invariance(spark, name):
+    """The grouped-Python kernels must be invariant to Arrow chunking: a
+    driver venv with a different spark.sql.execution.arrow.maxRecordsPerBatch
+    feeds the same groups in different chunk shapes (applyInPandasWithState
+    iterates per-chunk; UDAF/grouped-map concatenate), and the r03 driver-red
+    trio's values must not move.  Forcing 7-row batches exercises the
+    many-chunks path the defaults never hit."""
+    from lance_namespace_impls_spark.plans.registry import QUERIES
+
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf)
+    baseline = QUERIES[name].builder(spark, SF_SMOKE).collect()
+    spark.conf.set(conf, "7")
+    try:
+        chunked = QUERIES[name].builder(spark, SF_SMOKE).collect()
+    finally:
+        spark.conf.set(conf, old)
+    assert chunked == baseline, f"{name}: result depends on Arrow batch size"
