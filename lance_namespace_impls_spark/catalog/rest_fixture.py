@@ -1,11 +1,13 @@
-"""In-process Iceberg-REST-shaped catalog service for tests.
+"""Embedded Iceberg-REST-shaped catalog service (dev/test fixture).
 
 A dict-backed implementation of exactly the endpoint subset the engine's two
 REST clients speak — the Python :class:`RestNamespace` dialect
 (catalog/rest.py) and the JVM ``IcebergRestTableCatalog`` plugin — so both
 planes can be driven against ONE live HTTP surface and observed to share
 state (the same cross-plane story test_jvm_catalog.py tells for the
-directory backend).  Protocol per the public Iceberg REST catalog spec
+directory backend).  Shipped in the package (not tests/) so the declared
+q155 row can run the full REST resolution stack inside the external
+correctness driver.  Protocol per the public Iceberg REST catalog spec
 (reference: iceberg.py endpoint map, IcebergNamespace.java:148-202):
 
   GET    /v1/config?warehouse=W

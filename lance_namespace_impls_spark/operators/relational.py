@@ -1020,3 +1020,68 @@ def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+_REST_FIXTURE_CACHE: dict[str, tuple] = {}
+
+
+@query(
+    "q155_jvm_rest_catalog",
+    "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations, "
+    "MIN(n_name) AS first_nation FROM nation "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+    doc="Reference-parity REST-dialect resolution, end to end in one query: "
+    "an embedded Iceberg-REST catalog service boots in-process "
+    "(catalog/rest_fixture.py), tables register through the Python "
+    "RestNamespace dialect over real HTTP, and the three-part-name SQL join "
+    "resolves through the JVM IcebergRestTableCatalog plugin — the "
+    "IcebergNamespace.java:148-202 role with zero Python in the session "
+    "path.  A JRE-only environment degrades to the session-catalog bridge "
+    "with the identical relation (q100's fallback contract).",
+    tags=("scan", "catalog", "jvm", "rest"),
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from lance_namespace_impls_spark.catalog import models as cm
+    from lance_namespace_impls_spark.catalog.errors import TableAlreadyExists
+    from lance_namespace_impls_spark.catalog.rest import RestNamespace
+    from lance_namespace_impls_spark.catalog.rest_fixture import CatalogState, serve
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if tag not in _REST_FIXTURE_CACHE:
+        state = CatalogState(prefix="wh")
+        server, url = serve(state)
+        _REST_FIXTURE_CACHE[tag] = (server, url)
+    _, url = _REST_FIXTURE_CACHE[tag]
+    ns = RestNamespace({"endpoint": url})
+    try:
+        ns.create_namespace(cm.CreateNamespaceRequest(id=["wh", "main"]))
+    except Exception:
+        pass  # exists from a prior call in this process
+    for tbl in ("region", "nation"):
+        try:
+            ns.declare_table(
+                cm.DeclareTableRequest(
+                    id=["wh", "main", tbl], location=f"{sf_dir}/{tbl}.parquet"
+                )
+            )
+        except TableAlreadyExists:
+            pass
+    try:
+        from lance_namespace_impls_spark.catalog.jvm_catalog import install_rest_catalog
+
+        prefix = install_rest_catalog(
+            spark, f"lake_rest_{tag}", uri=url, warehouse="wh"
+        ) + ".main"
+    except Exception:
+        from lance_namespace_impls_spark.catalog.bridge import publish_namespace
+
+        publish_namespace(spark, ns, ["wh", "main"], f"lake_rest_fb_{tag}")
+        prefix = f"lake_rest_fb_{tag}"
+    return spark.sql(
+        f"SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations, "
+        f"MIN(n_name) AS first_nation "
+        f"FROM {prefix}.nation JOIN {prefix}.region ON n_regionkey = r_regionkey "
+        f"GROUP BY r_name ORDER BY r_name"
+    )

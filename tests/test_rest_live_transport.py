@@ -4,7 +4,7 @@ Iceberg-REST service.
 The dialect's unit tests (test_catalog_rest.py) inject a FakeTransport, so
 ``_urllib3_transport`` — pooling, retry config, JSON codec, header merge —
 previously had zero execution coverage.  Here the full production path runs:
-RestNamespace -> urllib3 PoolManager -> HTTP -> tests/iceberg_rest_server.py,
+RestNamespace -> urllib3 PoolManager -> HTTP -> catalog/rest_fixture.py,
 including the 502-retry contract via a flaky-once endpoint.
 """
 
@@ -22,7 +22,7 @@ from lance_namespace_impls_spark.catalog.errors import (
 )
 from lance_namespace_impls_spark.catalog.rest import RestNamespace
 
-from tests.iceberg_rest_server import CatalogState, serve
+from lance_namespace_impls_spark.catalog.rest_fixture import CatalogState, serve
 
 
 @pytest.fixture(scope="module")
@@ -80,7 +80,7 @@ def test_get_retry_on_502(live):
     orig_do_get = None
 
     # flaky shim: first GET /v1/config-style request 502s, then succeeds
-    from tests import iceberg_rest_server as srv
+    from lance_namespace_impls_spark.catalog import rest_fixture as srv
 
     orig = srv._Handler.do_GET
 
