@@ -1085,3 +1085,61 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM {prefix}.nation JOIN {prefix}.region ON n_regionkey = r_regionkey "
         f"GROUP BY r_name ORDER BY r_name"
     )
+
+
+_HMS_FIXTURE_CACHE: dict[str, tuple] = {}
+
+
+@query(
+    "q156_hive_thrift_catalog",
+    "SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations, "
+    "CAST(SUM(n_nationkey) AS BIGINT) AS key_sum FROM nation "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name ORDER BY r_name",
+    doc="Reference-parity Hive-metastore resolution over the REAL Thrift "
+    "wire, end to end in one query: an embedded HMS boots in-process "
+    "(catalog/hms_fixture.py, TBinaryProtocol on a TCP socket), tables "
+    "register through Hive2Namespace -> ClientPool -> vendored binary "
+    "codec (the hive2.py:105-140 / ClientPoolImpl.java role), and the "
+    "session-catalog bridge publishes them for the SQL join — every "
+    "metadata byte of this query crossed a socket in the metastore wire "
+    "format.",
+    tags=("scan", "catalog", "thrift"),
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from lance_namespace_impls_spark.catalog import models as cm
+    from lance_namespace_impls_spark.catalog.bridge import publish_namespace
+    from lance_namespace_impls_spark.catalog.errors import (
+        NamespaceAlreadyExists,
+        TableAlreadyExists,
+    )
+    from lance_namespace_impls_spark.catalog.hive import Hive2Namespace
+    from lance_namespace_impls_spark.catalog.hms_fixture import FakeMetastore
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    if tag not in _HMS_FIXTURE_CACHE:
+        _HMS_FIXTURE_CACHE[tag] = FakeMetastore()
+    hms = _HMS_FIXTURE_CACHE[tag]
+    ns = Hive2Namespace({"uri": f"thrift://127.0.0.1:{hms.port}", "root": "/tmp"})
+    try:
+        ns.create_namespace(cm.CreateNamespaceRequest(id=["main"]))
+    except NamespaceAlreadyExists:
+        pass
+    for tbl in ("region", "nation"):
+        try:
+            ns.declare_table(
+                cm.DeclareTableRequest(
+                    id=["main", tbl], location=f"{sf_dir}/{tbl}.parquet"
+                )
+            )
+        except TableAlreadyExists:
+            pass
+    db = f"lake_hms_{tag}"
+    publish_namespace(spark, ns, ["main"], db, include_declared=True)
+    return spark.sql(
+        f"SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations, "
+        f"CAST(SUM(n_nationkey) AS BIGINT) AS key_sum "
+        f"FROM {db}.nation JOIN {db}.region ON n_regionkey = r_regionkey "
+        f"GROUP BY r_name ORDER BY r_name"
+    )

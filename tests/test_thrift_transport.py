@@ -41,6 +41,7 @@ from lance_namespace_impls_spark.catalog.thrift_client import (
     encode_call,
 )
 from lance_namespace_impls_spark.catalog.thrift_codec import BinaryReader, BinaryWriter
+from lance_namespace_impls_spark.catalog.hms_fixture import FakeMetastore
 
 
 # ---------------------------------------------------------------------------
@@ -129,152 +130,6 @@ def test_struct_roundtrip_via_codec():
 
 # ---------------------------------------------------------------------------
 # 2. Live in-process metastore server (real TCP, real bytes)
-
-
-class FakeMetastore:
-    """Dict-backed HMS speaking TBinaryProtocol on a real socket."""
-
-    def __init__(self):
-        self.databases: dict[str, MetastoreDatabase] = {}
-        self.tables: dict[tuple[str, str], MetastoreTable] = {}
-        self.drop_first_n_connections = 0  # retry-test knob
-        self._dropped = 0
-        self.server = socket.create_server(("127.0.0.1", 0))
-        self.port = self.server.getsockname()[1]
-        threading.Thread(target=self._accept_loop, daemon=True).start()
-
-    def _accept_loop(self):
-        while True:
-            try:
-                conn, _ = self.server.accept()
-            except OSError:
-                return
-            if self._dropped < self.drop_first_n_connections:
-                self._dropped += 1
-                conn.close()  # simulate a server restart mid-pool
-                continue
-            threading.Thread(target=self._serve_conn, args=(conn,), daemon=True).start()
-
-    def _serve_conn(self, conn: socket.socket):
-        buf = b""
-        with conn:
-            while True:
-                try:
-                    chunk = conn.recv(65536)
-                except OSError:
-                    return
-                if not chunk:
-                    return
-                buf += chunk
-                try:
-                    consumed, reply = self._handle(buf)
-                except tc.ProtocolError:
-                    continue  # incomplete message: need more bytes
-                buf = buf[consumed:]
-                conn.sendall(reply)
-
-    def _handle(self, data: bytes) -> tuple[int, bytes]:
-        r = BinaryReader(data)
-        method, mtype, seqid = r.read_message_begin()
-        # parse args struct generically into {fid: value}
-        args: dict[int, object] = {}
-        while True:
-            ftype, fid = r.read_field()
-            if ftype == tc.STOP:
-                break
-            if ftype == tc.STRING:
-                args[fid] = r.read_string()
-            elif ftype == tc.BOOL:
-                args[fid] = r.read_bool()
-            elif ftype == tc.STRUCT:
-                if method == "create_table":
-                    args[fid] = _read_table(r)
-                elif method == "create_database":
-                    args[fid] = _read_server_database(r)
-                else:
-                    r.skip(ftype)
-            else:
-                r.skip(ftype)
-        consumed = r._pos
-        w = BinaryWriter()
-        w.write_message_begin(method, tc.MSG_REPLY, seqid)
-        self._dispatch(method, args, w)
-        w.write_field_stop()  # end result struct
-        return consumed, w.getvalue()
-
-    def _exception(self, w: BinaryWriter, fid: int, message: str):
-        w.write_field(tc.STRUCT, fid)
-        w.write_string_field(1, message)
-        w.write_field_stop()
-
-    def _dispatch(self, method: str, args: dict, w: BinaryWriter):
-        if method == "get_all_databases":
-            w.write_field(tc.LIST, 0)
-            names = sorted(self.databases)
-            w.write_list_begin(tc.STRING, len(names))
-            for n in names:
-                w.write_string(n)
-        elif method == "get_database":
-            db = self.databases.get(args.get(1))
-            if db is None:
-                self._exception(w, 1, f"database {args.get(1)} not found")
-            else:
-                w.write_field(tc.STRUCT, 0)
-                _write_database(w, db)
-        elif method == "create_database":
-            db = args.get(1)
-            if db.name in self.databases:
-                self._exception(w, 1, f"database {db.name} exists")
-            else:
-                self.databases[db.name] = db
-        elif method == "drop_database":
-            name = args.get(1)
-            if name not in self.databases:
-                self._exception(w, 1, f"database {name} not found")
-            else:
-                del self.databases[name]
-        elif method == "get_all_tables":
-            db = args.get(1)
-            if db not in self.databases:
-                self._exception(w, 1, f"database {db} not found")
-            else:
-                w.write_field(tc.LIST, 0)
-                names = sorted(t for (d, t) in self.tables if d == db)
-                w.write_list_begin(tc.STRING, len(names))
-                for n in names:
-                    w.write_string(n)
-        elif method == "get_table":
-            table = self.tables.get((args.get(1), args.get(2)))
-            if table is None:
-                self._exception(w, 2, f"{args.get(1)}.{args.get(2)} not found")
-            else:
-                w.write_field(tc.STRUCT, 0)
-                _write_table(w, table)
-        elif method == "create_table":
-            t = args.get(1)
-            if t.dbName not in self.databases:
-                self._exception(w, 4, f"database {t.dbName} not found")
-            elif (t.dbName, t.tableName) in self.tables:
-                self._exception(w, 1, f"{t.dbName}.{t.tableName} exists")
-            else:
-                self.tables[(t.dbName, t.tableName)] = t
-        elif method == "drop_table":
-            key = (args.get(1), args.get(2))
-            if key not in self.tables:
-                self._exception(w, 1, f"{key} not found")
-            else:
-                del self.tables[key]
-        else:
-            raise AssertionError(f"unhandled method {method}")
-
-    def close(self):
-        self.server.close()
-
-
-def _read_server_database(r: BinaryReader) -> MetastoreDatabase:
-    from lance_namespace_impls_spark.catalog.thrift_client import _read_database
-
-    return _read_database(r)
 
 
 @pytest.fixture()
