@@ -252,15 +252,17 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "vocab"),
 )
 def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.functions.text import word_shingles
+
     docs = spread(load_table(spark, "documents", sf_dir))
-    ws = _toks(F.col("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 2),
-        lambda i: F.concat_ws(" ", ws[i], ws[i + 1]),
-    )
+    # Project the split ONCE, then build bigrams with the slice-based
+    # shingle kernel — per-index `ws[i]` lookups inside transform re-expand
+    # the split expression per element in codegen (the exact cost q122's
+    # round-3 rewrite measured at 3-5x; this query had kept the old shape).
+    toked = docs.select(_toks(F.col("text")).alias("ws"))
     return (
-        docs.filter(F.size(ws) >= 2)
-        .select(F.explode(bigrams).alias("bigram"))
+        toked.filter(F.size("ws") >= 2)
+        .select(F.explode(word_shingles(F.col("ws"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
