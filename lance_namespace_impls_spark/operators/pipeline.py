@@ -323,15 +323,18 @@ def neardup_edges(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     # persist(): the posting list feeds THREE consumers (both self-join
     # sides + the size table); what is cached is (doc_id, shingle) pairs,
     # never the text bodies.
-    ws = F.split(F.lower(F.trim(F.col("text"))), " ")
-    raw = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 3),
-        lambda i: F.concat_ws(" ", ws[i], ws[i + 1], ws[i + 2]),
+    from lance_namespace_impls_spark.functions.text import word_shingles
+
+    # Project the split once, shingle with the slice kernel — inline ws[i]
+    # element accesses re-expand the split expression per element in
+    # codegen (the q119/q122 3-5x lesson).
+    toked = (
+        spread(docs)
+        .select("doc_id", F.split(F.lower(F.trim(F.col("text"))), " ").alias("ws"))
+        .filter(F.size("ws") >= 3)
     )
     posting = (
-        spread(docs)
-        .filter(F.size(ws) >= 3)
-        .select(F.col("doc_id"), F.explode(raw).alias("sh"))
+        toked.select("doc_id", F.explode(word_shingles(F.col("ws"), 3)).alias("sh"))
         .distinct()
         .persist()
     )

@@ -112,10 +112,12 @@ RE_VERIFY: set[str] = {
     # r4: fingerprint hash switched to the md5-derived portable form and the
     # row gained a real DuckDB oracle — its r03 rows-only credit is stale.
     "q58_fingerprint",
-    # r4: bigram construction switched to the slice-based shingle kernel
-    # (4.4x faster, semantics unchanged, locally re-verified at two scales);
-    # re-queued per the changed-since-green policy ADVICE r3 flagged on q122.
+    # r4: bigram/shingle construction switched to the slice-based kernel
+    # (q119 4.4x faster; q99's edge builder same fix; semantics unchanged,
+    # locally re-verified at two scales); re-queued per the
+    # changed-since-green policy ADVICE r3 flagged on q122.
     "q119_corpus_vocabulary",
+    "q99_neardup_components",
 }
 
 
