@@ -335,3 +335,38 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q158_per_group_sample",
+    # Deterministic fixed-size per-group sample: rank by the portable
+    # multiplicative hash inside each source, keep k=10.
+    "WITH h AS (SELECT source, doc_id, "
+    "  ((doc_id % 1000000007) * 2654435761) % 1000000 AS hk FROM documents), "
+    "r AS (SELECT source, doc_id, hk, "
+    "  ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk FROM h) "
+    "SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS BIGINT) AS rk "
+    "FROM r WHERE rk <= 10 ORDER BY source, rk",
+    doc="Fixed-size per-group sample (k=10 docs per source): rank by the "
+    "seed-free multiplicative hash within each group and keep the first k — "
+    "the deterministic replacement for per-group reservoir sampling "
+    "(same sample on every engine and rerun, join-stable).  One shuffle on "
+    "the group key carrying (source, doc_id, hash) triples only; the window "
+    "partitions by source, whose cardinality is bounded.  Completes the "
+    "sampling family with its fixed-SIZE member (q73 fixed-RATE, q97 "
+    "stratified-rate, q137 split, q154 weighted).",
+    tags=("llm", "curation", "sampling"),
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    hk = F.expr("((doc_id % 1000000007) * 2654435761) % 1000000")
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        docs.select("source", "doc_id", hk.alias("hk"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("source", F.col("doc_id").cast("long").alias("doc_id"), "rk")
+        .orderBy("source", "rk")
+    )

@@ -523,3 +523,67 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("la", "lb")
     )
+
+
+@query(
+    "q157_int8_quantization",
+    # Pure-IEEE quantization: scale = 127/max|x| in double, q = clamp(floor(
+    # x*scale + 0.5)) — identical arithmetic in both engines (float32->double
+    # widening is exact; no library rounding mode involved).  Error reported
+    # in exact integer basis points of the quantized domain.
+    "WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+    "  FROM embeddings), "
+    "s AS (SELECT vec_id, v, "
+    "  127.0 / GREATEST(list_max(list_transform(v, x -> abs(x))), 1e-30) AS scale FROM p), "
+    "q AS (SELECT vec_id, v, scale, "
+    "  list_transform(v, x -> LEAST(GREATEST(CAST(FLOOR(x * scale + 0.5) AS BIGINT), -127), 127)) AS qv "
+    "  FROM s) "
+    "SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims, "
+    "CAST(list_sum(qv) AS BIGINT) AS q_sum, "
+    "CAST(list_max(list_transform(range(1, len(qv) + 1), "
+    "  i -> CAST(FLOOR(abs(qv[i] - v[i] * scale) * 10000 + 0.5) AS BIGINT))) AS BIGINT) AS max_err_bp "
+    "FROM q ORDER BY vec_id",
+    doc="Int8 embedding quantization (the 4x-memory ANN scale technique): "
+    "per-vector absmax scale, clamp(floor(x*scale+0.5)) to [-127,127], with "
+    "per-vector max quantization error in exact basis points.  Entirely "
+    "row-local array math — map-only at 100 TB, no shuffle beyond the "
+    "final ORDER BY — and every step is plain IEEE double arithmetic, so "
+    "the DuckDB oracle matches bit-exactly (no engine ROUND, no float "
+    "summation: the checksum sums int8s).  Recall preservation of the "
+    "quantized dot product is property-tested in tests/test_similarity "
+    "alongside the float paths.",
+    tags=("llm", "similarity", "quantization"),
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    p = emb.select("vec_id", v.alias("v"))
+    scale = 127.0 / F.greatest(
+        F.array_max(F.transform(F.col("v"), F.abs)), F.lit(1e-30)
+    )
+    s = p.select("vec_id", "v", scale.alias("scale"))
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.least(
+            F.greatest(F.floor(x * F.col("scale") + 0.5), F.lit(-127)), F.lit(127)
+        ),
+    )
+    q = s.select("vec_id", "v", "scale", qv.alias("qv"))
+    err = F.array_max(
+        F.zip_with(
+            F.col("qv"),
+            F.col("v"),
+            lambda qi, xi: F.floor(
+                F.abs(qi - xi * F.col("scale")) * 10000 + 0.5
+            ).cast("long"),
+        )
+    )
+    return (
+        q.select(
+            "vec_id",
+            F.size("qv").cast("long").alias("n_dims"),
+            F.aggregate("qv", F.lit(0).cast("long"), lambda a, b: a + b).alias("q_sum"),
+            err.cast("long").alias("max_err_bp"),
+        )
+        .orderBy("vec_id")
+    )

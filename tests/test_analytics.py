@@ -39,6 +39,8 @@ NEW = [
     "q152_setops_all",
     "q153_zipf_head_coverage",
     "q154_quality_weighted_sample",
+    "q157_int8_quantization",
+    "q158_per_group_sample",
 ]
 
 
