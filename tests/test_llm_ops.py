@@ -261,3 +261,45 @@ def test_kmeans_one_iter_partitions_corpus(spark):
     out = kmeans_one_iter(emb, k=8).collect()
     assert sum(r.n for r in out) == emb.count()
     assert {r.cluster for r in out} <= set(range(8))
+
+
+def test_int8_quantization_preserves_topk_ranking(spark):
+    """q157's scale claim: int8-quantized dot products must preserve the
+    float top-k ordering well enough for ANN (recall@5 >= 0.8 on the
+    fixture), and the quantization error bound |q - x*scale| <= 0.5 must
+    hold for every dimension of every vector."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+
+    def quantize(v):
+        scale = 127.0 / max(np.abs(v).max(), 1e-30)
+        return np.clip(np.floor(v * scale + 0.5), -127, 127), scale
+
+    # error bound per q157's max_err_bp definition (<= 0.5 => <= 5000 bp)
+    from lance_namespace_impls_spark.plans.registry import QUERIES
+
+    out = QUERIES["q157_int8_quantization"].builder(spark, SF_SMOKE).collect()
+    assert all(r.max_err_bp <= 5000 for r in out)
+
+    ids = sorted(vecs)
+    hits = total = 0
+    for qid in ids[:8]:
+        qv = vecs[qid]
+        exact = sorted(
+            (float(qv @ vecs[c]), c) for c in ids if c != qid
+        )[-5:]
+        qq, qs = quantize(qv)
+        # dequantized dot product: int8 matmul rescaled by the stored
+        # per-vector scales (what a real int8 ANN index computes)
+        def score(c):
+            qc, cs = quantize(vecs[c])
+            return float(qq @ qc) / (qs * cs)
+
+        approx = sorted((score(c), c) for c in ids if c != qid)[-5:]
+        exact_ids = {c for _, c in exact}
+        hits += sum(1 for _, c in approx if c in exact_ids)
+        total += 5
+    assert hits / total >= 0.8, f"int8 recall@5 too low: {hits}/{total}"
