@@ -408,3 +408,63 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(batches, schema).orderBy("doc_id")
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("win_idx", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("zero_crossings", T.LongType(), False),
+    ]
+)
+
+
+def audio_window_features(
+    media: DataFrame, window: int = 256, hop: int = 128
+) -> DataFrame:
+    """Windowed audio feature extraction over an opaque PCM blob column:
+    per-window energy (exact integer sum of squares) and zero-crossing
+    count — the framing stage of any speech/audio pipeline (VAD, loudness
+    normalization, silence trimming).
+
+    The blob is interpreted as signed int8 PCM (the fixture's deterministic
+    stand-in; a real s16le decoder swaps one line).  1→N fan-out per
+    payload through Arrow-batched mapInPandas, exactly the q81
+    frame-sampler batch shape: all expansion executor-side, integer
+    features so results are engine- and partitioning-exact, and the
+    overlapping windows (hop < window) never materialize the blob twice —
+    NumPy strides one decode.  At 100 TB this is a map-only pass; windows
+    of one payload never cross executors.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, widx, ns, energy, zc = [], [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                pcm = np.frombuffer(bytes(blob), dtype=np.int8).astype(np.int64)
+                k = 0
+                for start in range(0, max(len(pcm) - window + 1, 1), hop):
+                    w = pcm[start : start + window]
+                    if w.size == 0:
+                        continue
+                    ids.append(int(doc_id))
+                    widx.append(k)
+                    ns.append(int(w.size))
+                    energy.append(int(np.sum(w * w)))
+                    zc.append(int(np.sum(np.signbit(w[1:]) != np.signbit(w[:-1]))))
+                    k += 1
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": widx,
+                    "n_samples": ns,
+                    "energy": energy,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return media.select("doc_id", "blob").mapInPandas(batches, AUDIO_WINDOW_SCHEMA)

@@ -303,3 +303,36 @@ def test_int8_quantization_preserves_topk_ranking(spark):
         hits += sum(1 for _, c in approx if c in exact_ids)
         total += 5
     assert hits / total >= 0.8, f"int8 recall@5 too low: {hits}/{total}"
+
+
+def test_audio_window_features_match_numpy_closed_form(spark):
+    """Windowed PCM features: Spark's mapInPandas fan-out must equal the
+    closed-form NumPy computation per (doc, window) — exact integers."""
+    import numpy as np
+
+    from lance_namespace_impls_spark.operators.multimodal import (
+        attach_media,
+        audio_window_features,
+    )
+
+    docs = load_table(spark, "documents", SF_SMOKE).limit(20)
+    media = attach_media(docs)
+    got = {
+        (r.doc_id, r.win_idx): (r.n_samples, r.energy, r.zero_crossings)
+        for r in audio_window_features(media, window=64, hop=32).collect()
+    }
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        pcm = np.frombuffer(r.text.encode("utf-8"), dtype=np.int8).astype(np.int64)
+        k = 0
+        for start in range(0, max(len(pcm) - 64 + 1, 1), 32):
+            w = pcm[start : start + 64]
+            if w.size == 0:
+                continue
+            want[(r.doc_id, k)] = (
+                int(w.size),
+                int(np.sum(w * w)),
+                int(np.sum(np.signbit(w[1:]) != np.signbit(w[:-1]))),
+            )
+            k += 1
+    assert got == want and len(got) > 20
