@@ -217,7 +217,7 @@ def test_stateful_custom_op_accumulates_across_batches(spark, tmp_path):
         for r in batch.groupBy("user_id")
         .agg(
             F.count("value").alias("n"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
         )
         .collect()
     }
@@ -240,8 +240,75 @@ def test_transform_with_state_totals_match_batch(spark):
         .groupBy("user_id")
         .agg(
             F.count("value").cast("bigint").alias("n_val"),
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("cents"),
         )
     )
     cols = ["user_id", "n_val", "cents"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Stop-and-resume from a checkpoint must neither lose nor double-count
+    input: two files processed in run 1, two more arriving before run 2
+    restarts from the SAME checkpoint — the final aggregate must equal the
+    one-shot batch aggregate (the exactly-once file-source contract a
+    production restart relies on), and run 1 alone must under-count."""
+    batch = events_batch(spark, SF_SMOKE)
+    staging = str(tmp_path / "files")
+    os.makedirs(staging)
+    checkpoint = str(tmp_path / "ckpt")
+    results = {}
+
+    def write_quarter(i: int):
+        batch.filter(F.col("user_id") % 4 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(staging, f"part{i}"))
+
+    def run():
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(staging)
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            ),
+        )
+
+        def sink_batch(df, epoch_id):
+            results["latest"] = {r.event_type: (r.n, r.cents) for r in df.collect()}
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(sink_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_quarter(0)
+    write_quarter(1)
+    run()  # run 1: half the data, then the query terminates (crash stand-in)
+    partial = dict(results["latest"])
+    write_quarter(2)
+    write_quarter(3)
+    run()  # run 2: resumes from the checkpoint, must pick up ONLY the new files
+    final = results["latest"]
+
+    expect = {
+        r.event_type: (r.n, r.cents)
+        for r in batch.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .collect()
+    }
+    assert final == expect, "resume lost or double-counted rows"
+    assert sum(n for n, _ in partial.values()) < sum(n for n, _ in expect.values())
