@@ -409,10 +409,10 @@ class DirectoryNamespace(LanceNamespace):
         # Walk AND delete under the state lock: with the snapshot taken
         # outside it, a create_table that registers (register-then-write)
         # after the snapshot has its in-flight .lance payload classified as
-        # an orphan and destroyed (ADVICE.md r3).  The walk is metadata-only
-        # (directory names), so holding the lock for it is cheap; deletion
-        # re-checks each candidate against the just-loaded state, so the
-        # lock buys real safety, not just a fresher snapshot.
+        # an orphan and destroyed (ADVICE.md r3).  Holding the lock from
+        # load through delete means no registration can interleave with the
+        # reconciliation; the walk is metadata-only (directory names), so
+        # the critical section stays cheap.
         with self._lock:
             state = self._load()
             referenced = {

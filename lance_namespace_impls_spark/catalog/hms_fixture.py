@@ -28,6 +28,10 @@ from lance_namespace_impls_spark.catalog.thrift_client import (
 from lance_namespace_impls_spark.catalog.thrift_codec import BinaryReader, BinaryWriter
 
 
+class _UnknownMethod(Exception):
+    pass
+
+
 def _read_server_database(r: BinaryReader) -> MetastoreDatabase:
     return _read_database(r)
 
@@ -98,9 +102,21 @@ class FakeMetastore:
                 r.skip(ftype)
         consumed = r._pos
         w = BinaryWriter()
-        w.write_message_begin(method, tc.MSG_REPLY, seqid)
-        self._dispatch(method, args, w)
-        w.write_field_stop()  # end result struct
+        try:
+            body = BinaryWriter()
+            self._dispatch(method, args, body)
+            w.write_message_begin(method, tc.MSG_REPLY, seqid)
+            w._parts.extend(body._parts)
+            w.write_field_stop()  # end result struct
+        except _UnknownMethod as exc:
+            # real Thrift servers answer unknown methods with a framework
+            # MSG_EXCEPTION and keep the connection alive (never kill the
+            # handler thread without a reply)
+            w = BinaryWriter()
+            w.write_message_begin(method, tc.MSG_EXCEPTION, seqid)
+            w.write_string_field(1, str(exc))
+            w.write_i32_field(2, 1)  # UNKNOWN_METHOD
+            w.write_field_stop()
         return consumed, w.getvalue()
 
     def _exception(self, w: BinaryWriter, fid: int, message: str):
@@ -165,14 +181,16 @@ class FakeMetastore:
                 self._exception(w, 1, f"{key} not found")
             else:
                 del self.tables[key]
+        elif method == "get_catalogs":
+            # Hive3's catalog probe: GetCatalogsResponse { 1: list<string> }
+            w.write_field(tc.STRUCT, 0)
+            w.write_field(tc.LIST, 1)
+            w.write_list_begin(tc.STRING, 1)
+            w.write_string("hive")
+            w.write_field_stop()
         else:
-            raise AssertionError(f"unhandled method {method}")
+            raise _UnknownMethod(f"unhandled method {method}")
 
     def close(self):
         self.server.close()
 
-
-def _read_server_database(r: BinaryReader) -> MetastoreDatabase:
-    from lance_namespace_impls_spark.catalog.thrift_client import _read_database
-
-    return _read_database(r)

@@ -84,13 +84,17 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(400, f"unknown prefix in {self.path}")
             rest = parts[2:]
             if rest == ["namespaces"]:
+                # DIRECT children only (the Iceberg-REST listing contract):
+                # no parent => top-level namespaces; with parent => exactly
+                # one level below it, never grandchildren.
                 parent = query.get("parent", [None])[0]
+                depth = 0 if parent is None else parent.count(UNIT_SEP) + 1
                 names = []
                 for key in sorted(st.namespaces):
                     levels = key.split(UNIT_SEP)
-                    if parent is None:
-                        names.append(levels)
-                    elif key.startswith(parent + UNIT_SEP):
+                    if len(levels) != depth + 1:
+                        continue
+                    if parent is None or key.startswith(parent + UNIT_SEP):
                         names.append(levels)
                 return self._send(200, {"namespaces": names})
             if len(rest) == 2 and rest[0] == "namespaces":

@@ -323,9 +323,15 @@ class ThriftMetastoreClient:
         while True:
             chunk = sock.recv(65536)
             if not chunk:
-                if buf:
-                    return buf
-                raise TTransportException("connection closed by server")
+                # A complete message returns inside the loop, so bytes left
+                # here can only be a truncated reply — a connection-level
+                # failure (server died mid-write), which must surface as the
+                # RETRYABLE transport error, not a ProtocolError from
+                # decode_reply that would skip the pool's reconnect.
+                raise TTransportException(
+                    "connection closed by server"
+                    + (" mid-reply" if buf else "")
+                )
             buf += chunk
             try:
                 self._probe_complete(buf)

@@ -838,6 +838,8 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
         F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
     ).first()
+    if lo is None:  # empty input: the month axis is empty, like the SQL form
+        return spark.createDataFrame([], "month string, n_orders bigint")
     span_months = (hi.year - lo.year) * 12 + (hi.month - lo.month)
     depth = span_months // 12  # max year index the recursion must reach
     lo_lit = f"TIMESTAMP'{lo:%Y-%m-%d %H:%M:%S}'"

@@ -433,10 +433,13 @@ def audio_window_features(
     stand-in; a real s16le decoder swaps one line).  1→N fan-out per
     payload through Arrow-batched mapInPandas, exactly the q81
     frame-sampler batch shape: all expansion executor-side, integer
-    features so results are engine- and partitioning-exact, and the
-    overlapping windows (hop < window) never materialize the blob twice —
-    NumPy strides one decode.  At 100 TB this is a map-only pass; windows
-    of one payload never cross executors.
+    features so results are engine- and partitioning-exact, and windows
+    are NumPy views over the one decoded array (no per-window copy of the
+    blob).  Framing covers EVERY sample regardless of payload length: a
+    window starts at each hop while samples remain, so the final window is
+    truncated rather than dropped — the same tail audio is never counted
+    or discarded depending on total blob length.  At 100 TB this is a
+    map-only pass; windows of one payload never cross executors.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -447,7 +450,7 @@ def audio_window_features(
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 pcm = np.frombuffer(bytes(blob), dtype=np.int8).astype(np.int64)
                 k = 0
-                for start in range(0, max(len(pcm) - window + 1, 1), hop):
+                for start in range(0, max(len(pcm), 1), hop):
                     w = pcm[start : start + window]
                     if w.size == 0:
                         continue

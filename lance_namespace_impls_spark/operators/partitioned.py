@@ -130,12 +130,14 @@ def bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -> tuple
             continue
         location = os.path.join(warehouse, name)
         src = load_table(spark, table, sf_dir)
-        # Adoption requires a COMPLETE bucket set: the _SUCCESS marker (only
-        # written on commit) plus one file per bucket id — a prior ingest
-        # that crashed after some task commits would otherwise be adopted
-        # and Spark silently treats missing bucket files as empty buckets,
-        # i.e. wrong join results with no error (ADVICE.md r3).  Bucket ids
-        # live in the file name: part-<task>_<bucketid padded to 5>.
+        # Adoption requires a COMMITTED bucket set: the _SUCCESS marker is
+        # only written when the job committed, so with it present a missing
+        # bucket id genuinely means an EMPTY bucket (Spark writes no file
+        # for those) — adoptable.  Without the marker, a crash after some
+        # task commits would be adopted as a CLUSTERED BY table and Spark
+        # would silently treat the lost buckets as empty, i.e. wrong join
+        # results with no error (ADVICE.md r3).  Bucket ids live in the
+        # file name: part-<task>-<uuid>_<bucketid padded to 5>.
         has_buckets = False
         if os.path.isdir(location) and os.path.isfile(
             os.path.join(location, "_SUCCESS")
@@ -146,7 +148,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str, buckets: int = 8) -> tuple
                     match = re.search(r"_(\d{5})\.", f)
                     if match:
                         seen_ids.add(int(match.group(1)))
-            has_buckets = len(seen_ids) == buckets
+            has_buckets = bool(seen_ids) and all(i < buckets for i in seen_ids)
         if has_buckets:
             schema_ddl = ", ".join(
                 f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields

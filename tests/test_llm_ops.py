@@ -325,7 +325,9 @@ def test_audio_window_features_match_numpy_closed_form(spark):
     for r in docs.select("doc_id", "text").collect():
         pcm = np.frombuffer(r.text.encode("utf-8"), dtype=np.int8).astype(np.int64)
         k = 0
-        for start in range(0, max(len(pcm) - 64 + 1, 1), 32):
+        # full-coverage framing: a window starts at each hop while samples
+        # remain; the tail window truncates instead of being dropped
+        for start in range(0, max(len(pcm), 1), 32):
             w = pcm[start : start + 64]
             if w.size == 0:
                 continue

@@ -263,3 +263,18 @@ def test_message_header_roundtrip_property(method, seqid, s):
     ftype, fid = r.read_field()
     assert (ftype, fid) == (tc.STRING, 1)
     assert r.read_string() == s
+
+
+def test_get_catalogs_and_unknown_method(hms):
+    client = ThriftMetastoreClient("127.0.0.1", hms.port)
+    assert client.get_catalogs() == ["hive"]
+    # unknown methods get a framework MSG_EXCEPTION reply and the
+    # connection stays usable afterwards
+    from lance_namespace_impls_spark.catalog.thrift_client import (
+        TApplicationException,
+    )
+
+    with pytest.raises(TApplicationException, match="unhandled"):
+        client._call("no_such_method", lambda w: None, {})
+    assert client.get_all_databases() == []  # same socket still works
+    client.close()
