@@ -113,6 +113,17 @@ class _Handler(BaseHTTPRequestHandler):
                     for k in sorted(st.tables)
                     if k[0] == ns
                 ]
+                # offset-token pagination, the shape the Python dialect's
+                # pageToken/pageSize loop consumes (rest.py list_tables)
+                offset = int(query.get("pageToken", ["0"])[0] or 0)
+                size = query.get("pageSize", [None])[0]
+                if size is not None:
+                    size = int(size)
+                    page = idents[offset : offset + size]
+                    body = {"identifiers": page}
+                    if offset + size < len(idents):
+                        body["next-page-token"] = str(offset + size)
+                    return self._send(200, body)
                 return self._send(200, {"identifiers": idents})
             if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
                 key = (rest[1], rest[3])

@@ -108,3 +108,36 @@ def test_get_retry_on_502(live):
         srv._Handler.do_GET = orig
         with state.lock:
             state.namespaces.pop("zz", None)
+
+
+def test_list_tables_pagination_loop_over_real_http(live):
+    """The dialect's pageToken loop must walk a multi-page listing to
+    completion over real HTTP (offset tokens served by the fixture)."""
+    state, url = live
+    ns2 = RestNamespace({"endpoint": url})
+    ns2.create_namespace(m.CreateNamespaceRequest(id=["wh", "pg"]))
+    for i in range(7):
+        ns2.declare_table(
+            m.DeclareTableRequest(id=["wh", "pg", f"t{i}"], location=f"/d/t{i}.lance")
+        )
+    # one explicit page
+    page = ns2.list_tables(m.ListTablesRequest(id=["wh", "pg"], limit=3))
+    assert len(page.tables) == 3 and page.page_token == "3"
+    page2 = ns2.list_tables(
+        m.ListTablesRequest(id=["wh", "pg"], limit=3, page_token=page.page_token)
+    )
+    assert len(page2.tables) == 3 and page2.page_token == "6"
+    # the bridge-style full walk: follow tokens until exhausted
+    seen, token = [], None
+    while True:
+        resp = ns2.list_tables(
+            m.ListTablesRequest(id=["wh", "pg"], limit=2, page_token=token)
+        )
+        seen.extend(resp.tables)
+        token = resp.page_token
+        if not token:
+            break
+    assert sorted(seen) == [f"t{i}" for i in range(7)]
+    for i in range(7):
+        ns2.deregister_table(m.DeregisterTableRequest(id=["wh", "pg", f"t{i}"]))
+    ns2.drop_namespace(m.DropNamespaceRequest(id=["wh", "pg"]))
