@@ -967,3 +967,103 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "o_orderpriority", "n")
     )
     return inter.unionAll(exc).orderBy("op", "o_orderpriority")
+
+
+@query(
+    "q159_regression_aggregates",
+    # Integer-exact least squares: every sum is over integer cents/user ids,
+    # so slope/intercept are exact rationals; report them in basis points by
+    # integer HALF_UP ((10^4*num + den/2) DIV den works only for positive
+    # den — den = n*Sxx - Sx^2 >= 0 by Cauchy-Schwarz; num sign handled by
+    # the engines' identical truncation-toward-negative-infinity of DIV on
+    # BIGINT... avoided entirely by flooring via (2*10^4*num + den) DIV
+    # (2*den), exact and sign-safe for positive den.
+    "WITH p AS (SELECT event_type, user_id AS x, "
+    "  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y FROM events), "
+    "s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+    "  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+    "  CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy "
+    "  FROM p GROUP BY event_type) "
+    "SELECT event_type, n, "
+    "CAST((2 * 10000 * (n*sxy - sx*sy) + (n*sxx - sx*sx)) "
+    "  // (2 * (n*sxx - sx*sx)) AS BIGINT) AS slope_bp "
+    "FROM s ORDER BY event_type",
+    doc="Regression aggregate (regr_slope semantics) computed integer-exactly: "
+    "least-squares slope of integer cents vs user id per event type from "
+    "the five classical sums (n, Sx, Sy, Sxx, Sxy) — one map-side-combined "
+    "shuffle of five integers per group, the same partial-aggregation shape "
+    "regr_* uses, but engine-exact: the slope is an exact rational reported "
+    "in basis points via integer HALF_UP, so no float accumulation order "
+    "or library regr implementation differences can diverge.  At 100 TB "
+    "this is a plain hash aggregate; the five sums are the whole state.",
+    tags=("agg", "stats", "regression"),
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.streaming.windows import events_batch
+
+    ev = events_batch(spark, sf_dir)
+    y = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    p = ev.select("event_type", F.col("user_id").alias("x"), y.alias("y"))
+    s = p.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    slope_bp = F.expr(
+        "(2 * 10000 * (n*sxy - sx*sy) + (n*sxx - sx*sx)) DIV (2 * (n*sxx - sx*sx))"
+    )
+    return s.select("event_type", "n", slope_bp.cast("long").alias("slope_bp")).orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "q160_fuzzy_match_join",
+    # Blocked edit-distance join: candidates only within the same
+    # (source, length-bucket) block, distance on the 32-char prefix.
+    "WITH k AS (SELECT doc_id, source, n_chars // 10 AS lb, "
+    "  substr(lower(trim(text)), 1, 32) AS pre FROM documents), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "  levenshtein(a.pre, b.pre) AS dist "
+    "  FROM k a JOIN k b ON a.source = b.source AND a.lb = b.lb "
+    "  AND a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist FROM pairs "
+    "WHERE dist <= 8 ORDER BY id_a, id_b",
+    doc="Fuzzy (edit-distance) join: near-identical document prefixes found "
+    "by Levenshtein distance <= 8 over 32-char prefixes, with candidate "
+    "pairs BLOCKED on (source, n_chars//10) so the quadratic explosion is "
+    "bounded per block — the record-linkage primitive (title/entity "
+    "matching) the set-based dedup family can't express (edit distance "
+    "sees transposed characters, not shingles).  One equi-join shuffle on "
+    "the block key carrying (doc_id, 32-char prefix) only; Levenshtein is "
+    "row-local JVM codegen on the joined pairs.  At 100 TB the block width "
+    "bounds the per-block pair count exactly like the LSH bands in q52 — "
+    "no all-pairs join exists in the plan.",
+    tags=("llm", "dedup", "fuzzy", "join"),
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    k = docs.select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") / 10).cast("long").alias("lb"),
+        F.substring(F.lower(F.trim(F.col("text"))), 1, 32).alias("pre"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lb") == F.col("b.lb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.pre"), F.col("b.pre")).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 8)
+        .orderBy("id_a", "id_b")
+    )

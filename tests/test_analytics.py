@@ -41,6 +41,8 @@ NEW = [
     "q154_quality_weighted_sample",
     "q157_int8_quantization",
     "q158_per_group_sample",
+    "q159_regression_aggregates",
+    "q160_fuzzy_match_join",
 ]
 
 
