@@ -195,7 +195,7 @@ def _n_rows(v: pd.Series) -> int:
 @query(
     "q66_pandas_udaf",
     "SELECT c_mktsegment, "
-    "  SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS cents, "
+    "  CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents, "
     "  CAST(COUNT(c_acctbal) AS BIGINT) AS n "
     "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     doc="Grouped-agg pandas UDAF (Arrow-batched Series -> scalar) computing "
@@ -244,7 +244,7 @@ class _SplitNameUDTF:
 
 @query(
     "q67_python_udtf",
-    "SELECT n_nationkey, unnest(string_split(n_name, '_')) AS tok "
+    "SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, unnest(string_split(n_name, '_')) AS tok "
     "FROM nation ORDER BY n_nationkey, tok",
     doc="Python UDTF (Spark 4 table function) exploding each nation name "
     "into tokens via LATERAL join; oracle is DuckDB unnest(string_split).",
@@ -289,7 +289,7 @@ def _per_user_profile(pdf: pd.DataFrame) -> pd.DataFrame:
 @query(
     "q68_apply_in_pandas",
     "SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n_val, "
-    "  SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents "
+    "  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "
     "FROM events GROUP BY user_id ORDER BY user_id",
     doc="applyInPandas grouped-map: per-user profile computed in an "
     "Arrow-batched pandas kernel (integer cents => order-independent), "

@@ -26,10 +26,19 @@ pinpoints the diverging layer no matter which theory is right:
                                    even data-independent constants
   q00d/q00e red, q00c green     -> pandas/numpy arithmetic inside kernels
 
-The declared trio itself is ALSO hardened this round (floor-form scaling on
-both sides, numpy-only kernel arithmetic, JVM-side final cast projection),
-so the expected outcome is all-green; the twins exist to localize the fault
-if it survives the hardening.
+ROOT CAUSE FOUND (round 4, while building these twins): replaying the
+driver's comparison with raw-repr canonicalization reproduced the red
+locally — on q00a, the PURE-JVM twin — and a full dtype audit of all ~150
+oracles pinned it: DuckDB's ``SUM(BIGINT)`` returns HUGEINT, which pandas
+renders as float64, so a dtype/repr-sensitive hash sees ``12345.0`` vs
+Spark's ``12345`` while rows and schema names match — EXACTLY the r02/r03
+signature, and the three red queries were precisely the three whose oracle
+had an un-cast integer SUM in its output columns.  Not pandas wheels, not
+ROUND ties, not the kernel path (q00c/q58 matched even under raw repr).
+Fix: every integer-SUM output column in every oracle now carries an outer
+``CAST(... AS BIGINT)``; the dtype audit is enforced suite-wide by
+tests/test_oracle_dtype_parity.py.  The twins stay registered for one round
+to confirm in CORRECTNESS_r04.json, then retire.
 """
 
 from __future__ import annotations
@@ -59,7 +68,7 @@ def _cents_col() -> F.Column:
 @query(
     "q00a_diag_jvm_sum",
     "SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n_val, "
-    f"  SUM({_CENTS_SQL}) AS cents "
+    f"  CAST(SUM({_CENTS_SQL}) AS BIGINT) AS cents "
     "FROM events GROUP BY user_id ORDER BY user_id",
     doc="DIAGNOSTIC L1: q68's exact semantics computed purely JVM-side "
     "(hash-agg, floor-form cents, zero Python). Red here means the driver's "
@@ -81,7 +90,7 @@ def q00a(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q00b_diag_jvm_round",
     "SELECT user_id, "
-    "  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents_round "
+    "  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_round "
     "FROM events GROUP BY user_id ORDER BY user_id",
     doc="DIAGNOSTIC L2: JVM-side SUM over ROUND(value*100) against DuckDB's "
     "ROUND — isolates ROUND(double) version semantics (the r03 trio's "
@@ -139,7 +148,7 @@ def _np_sum_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
 @query(
     "q00d_diag_kernel_sum",
     "SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n_val, "
-    f"  SUM({_CENTS_SQL}) AS cents "
+    f"  CAST(SUM({_CENTS_SQL}) AS BIGINT) AS cents "
     "FROM events GROUP BY user_id ORDER BY user_id",
     doc="DIAGNOSTIC L4a: applyInPandas summing a JVM-pre-floored cents "
     "column with numpy only, output re-projected through JVM casts. Red "
@@ -169,7 +178,7 @@ def _np_cents_sum(v: pd.Series) -> int:
 
 @query(
     "q00e_diag_udaf_sum",
-    f"SELECT user_id, SUM({_CENTS_SQL}) AS cents "
+    f"SELECT user_id, CAST(SUM({_CENTS_SQL}) AS BIGINT) AS cents "
     "FROM events GROUP BY user_id ORDER BY user_id",
     doc="DIAGNOSTIC L4b: GROUPED_AGG pandas UDAF (numpy-only sum of "
     "JVM-pre-floored cents) — the q66 path over the q68 fixture. Red here "

@@ -501,7 +501,7 @@ def label_centroid_dots(emb: DataFrame) -> DataFrame:
     "  FROM embeddings), "
     "sums AS (SELECT label, i AS pos, SUM(v[i]) AS s FROM proj "
     "  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t GROUP BY label, i) "
-    "SELECT a.label AS la, b.label AS lb, "
+    "SELECT CAST(a.label AS BIGINT) AS la, CAST(b.label AS BIGINT) AS lb, "
     "CAST(SUM(a.s * b.s) AS BIGINT) AS dot "
     "FROM sums a JOIN sums b ON a.pos = b.pos AND a.label <= b.label "
     "GROUP BY la, lb ORDER BY la, lb",

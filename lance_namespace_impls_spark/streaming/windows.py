@@ -298,7 +298,7 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Monotone accumulation: the last update per user (max n) is the total,
     # which must equal the plain batch aggregate.
     "SELECT user_id, CAST(COUNT(value) AS BIGINT) AS n_val, "
-    "SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents "
     "FROM events GROUP BY user_id ORDER BY user_id",
     doc="Custom stateful streaming operator (applyInPandasWithState): "
     "running per-user totals folded in an Arrow-batched kernel with O(1) "

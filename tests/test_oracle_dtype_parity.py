@@ -1,0 +1,69 @@
+"""Suite-wide oracle dtype parity: every query's Spark result and DuckDB
+oracle result must land in the SAME pandas dtype per column.
+
+This is the regression guard for the round-2/3 driver-red trio: DuckDB's
+``SUM(BIGINT)`` returns HUGEINT -> pandas float64, so a dtype- or
+repr-sensitive comparison sees ``12345.0`` vs Spark's int64 ``12345`` —
+rows and schema names match, values "differ".  Same hazard class: int32
+columns (raw fixture ints, un-cast COUNT arms), decimal vs double.  The
+registry's determinism conventions demand explicit casts on every computed
+column in BOTH dialects; this test enforces it for the whole oracle set at
+smoke scale, so a new query with an un-cast aggregate fails here instead of
+two rounds later in the external driver.
+
+int64 vs int32 is tolerated (integer reprs are width-insensitive and the
+driver has hash-matched int32 oracles for three rounds); int-vs-float and
+object-vs-numeric are not.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.oracle import duckdb_connection
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+
+def _kind(dtype) -> str:
+    s = str(dtype)
+    if s.startswith(("int", "uint")):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    if s.startswith("datetime"):
+        return "datetime"
+    if s == "bool":
+        return "bool"
+    return "object"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_SMOKE)
+
+
+def test_every_oracle_column_dtype_matches_spark(spark, duck):
+    offenders = []
+    for name, spec in sorted(QUERIES.items()):
+        if spec.oracle is None:
+            continue
+        spd = spec.builder(spark, SF_SMOKE).toPandas()
+        dd = duck.execute(spec.oracle).df()
+        for col in spd.columns:
+            if col not in dd.columns:
+                offenders.append((name, col, "missing in oracle"))
+                continue
+            sk, dk = _kind(spd[col].dtype), _kind(dd[col].dtype)
+            if sk != dk:
+                # empty frames surface as object on the DuckDB side
+                if len(dd) == 0 or len(spd) == 0:
+                    continue
+                offenders.append((name, col, f"spark {sk} vs oracle {dk}"))
+    assert not offenders, (
+        "dtype-divergent oracle columns (add explicit CASTs in the oracle "
+        f"and/or the Spark builder): {offenders}"
+    )
