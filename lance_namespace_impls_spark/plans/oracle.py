@@ -36,6 +36,32 @@ def _canon_value(v: Any) -> str:
     return str(v)
 
 
+def _dtype_kind(dtype_str: str) -> str:
+    if dtype_str.startswith(("int", "uint")):
+        return "int"
+    if dtype_str.startswith("float"):
+        return "float"
+    if dtype_str.startswith("datetime"):
+        return "datetime"
+    if dtype_str == "bool":
+        return "bool"
+    return "object"
+
+
+def _spark_kind(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "datetime"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    return "object"
+
+
 def _canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = [tuple(_canon_value(row[i]) for i in order) for row in rows]
@@ -72,9 +98,37 @@ def check_query(
     s_canon = _canon_rows(scols, [tuple(r) for r in srows])
     d_canon = _canon_rows(dcols, drows)
     values_ok = s_canon == d_canon
+    # Dtype-KIND parity (the r02/r03 driver-red root cause): fetchall()
+    # returns DuckDB HUGEINT as exact Python ints, but a pandas-based
+    # comparison (the external driver's) sees float64 — so value equality
+    # here is not enough; the frame dtypes must agree in kind too.
+    dtype_ok = True
+    if srows:
+        ddf = con.execute(spec.oracle).df()
+        d_kinds = {c: _dtype_kind(str(dt)) for c, dt in ddf.dtypes.items()}
+        s_kinds = {f.name: _spark_kind(f.dataType) for f in sdf.schema.fields}
+        # Columns containing NULLs become float64 in pandas on BOTH sides
+        # (Spark toPandas and DuckDB df alike), so the frames agree there —
+        # only null-free columns can exhibit the HUGEINT-style one-sided
+        # kind flip the external driver hashes on.
+        has_null = {
+            c: any(row[i] is None for row in srows)
+            for i, c in enumerate(scols)
+        }
+        dtype_ok = all(
+            has_null.get(c) or d_kinds.get(c) in (k, None)
+            for c, k in s_kinds.items()
+        )
+        if not dtype_ok:
+            result["dtype_mismatch"] = {
+                c: (s_kinds[c], d_kinds.get(c))
+                for c in s_kinds
+                if not has_null.get(c) and d_kinds.get(c) not in (s_kinds[c], None)
+            }
     result["cols_ok"] = cols_ok
     result["values_ok"] = values_ok
-    result["ok"] = cols_ok and values_ok and len(srows) == len(drows)
+    result["dtype_ok"] = dtype_ok
+    result["ok"] = cols_ok and values_ok and dtype_ok and len(srows) == len(drows)
     if not result["ok"]:
         result["spark_cols"] = scols
         result["duck_cols"] = dcols
