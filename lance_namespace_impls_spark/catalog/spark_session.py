@@ -166,7 +166,8 @@ class SessionCatalogNamespace(LanceNamespace):
             raise NamespaceNotFound(f"namespace not found: {db}")
         names = []
         for t in self._spark.catalog.listTables(db):
-            if t.tableType == "TEMPORARY":
+            # Table.isTemporary, not the tableType display string (ADVICE r3).
+            if t.isTemporary:
                 continue
             props = self._table_props(db, t.name)
             if props.get(m.PROP_TABLE_TYPE, "").lower() != m.LANCE_TABLE_TYPE:

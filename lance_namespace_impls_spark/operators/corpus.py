@@ -1,0 +1,402 @@
+"""Corpus-pipeline operators, round-4 batch two (SURVEY.md §2B).
+
+Six oracle-checked rows that extend the training-data family where the
+round-3 verdict left it: the near-dup SCALE path (banded MinHash-LSH) gets a
+fully JVM-side, engine-portable member whose every hash is reproduced in the
+DuckDB oracle (q161 — previously only the Python-kernel q52 existed, and it
+was rows-only); document chunking (q162) is the canonical pre-training
+tokenizer-window step; canonical-representative selection (q163) closes the
+exact-dedup family (profile q45 / keep-first q47 / lineage q121 / this:
+keep-BEST); q164 adds the decayed-aggregate shape in engine-exact integer
+arithmetic; q165 is the exact twin of q124's overlap sketch; q166 profiles
+the corpus length distribution on a pure-integer log scale.
+
+All six are built-in-function pipelines (JVM-side, whole-stage codegen) —
+no Python UDFs anywhere.  Every hash is the md5-derived portable hash
+(functions/text.py), so DuckDB reproduces each pipeline bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.text import (
+    rolling_fingerprint,
+    tokens,
+    word_shingles,
+)
+from lance_namespace_impls_spark.operators.scale_windows import distributed_ntile
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# MinHash geometry for q161: 8 hash functions in 4 bands of 2 rows.  Small on
+# purpose — every signature component is oracle-checked, so the geometry only
+# needs to exercise banding, not maximize recall (q52 carries the 128-perm
+# production geometry).
+_K = 8
+_BANDS = 4
+_ROWS = _K // _BANDS
+
+# Portable seeded shingle hash: first 8 hex digits of md5("<seed>|<shingle>")
+# folded into [0, 2^31-1).  Identical integer in Spark and DuckDB (proven by
+# q58's fingerprint fold; seeded variant re-proven in tests/test_corpus_ops).
+_SPARK_SEEDED_MIN = (
+    "transform(sequence(0, {kmax}), s -> array_min(transform(sh, "
+    "t -> pmod(cast(conv(substring(md5(concat(cast(s as string), '|', t)), 1, 8), 16, 10) as long), "
+    "2147483647))))"
+)
+_DUCK_SEEDED_MIN = (
+    "[list_min(list_transform(sh, t -> ('0x' || substr(md5(s::VARCHAR || '|' || t), 1, 8))::BIGINT "
+    "% 2147483647)) for s in generate_series(0, {kmax})]"
+)
+
+
+@query(
+    "q161_minhash_portable_lsh",
+    # DuckDB twin of the full pipeline: identical tokenization, 3-gram
+    # shingles, seeded md5 min-hashes, 4x2 banding, bucket self-join,
+    # signature-agreement estimate.
+    "WITH toked AS (SELECT doc_id, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "shingled AS (SELECT doc_id, "
+    "  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS sh "
+    "  FROM toked WHERE len(toks) >= 3), "
+    "sig AS (SELECT doc_id, " + _DUCK_SEEDED_MIN.format(kmax=_K - 1) + " AS sig FROM shingled), "
+    "bands AS (SELECT doc_id, sig, b, "
+    "  sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS bkey "
+    "  FROM sig, unnest(generate_series(0, 3)) AS u(b)), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "  a.sig AS sa, b.sig AS sb FROM bands a JOIN bands b "
+    "  ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id) "
+    "SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b, "
+    "  CAST(len(list_filter(generate_series(1, 8), i -> sa[i] = sb[i])) AS BIGINT) AS sig_matches, "
+    "  len(list_filter(generate_series(1, 8), i -> sa[i] = sb[i])) / 8.0 AS est_sim "
+    "FROM pairs ORDER BY doc_a, doc_b",
+    doc="MinHash-LSH near-dup candidates, fully JVM-side and fully "
+    "oracle-checked: word-3-gram shingles, K=8 seeded portable min-hashes "
+    "(md5-derived — the identical integer on any engine), 4 bands x 2 rows, "
+    "banded bucket self-join, per-pair signature-agreement estimate.  This "
+    "is the SCALE path of the near-dup family with an exact DuckDB twin for "
+    "every stage — q52 (128-perm NumPy kernel) keeps the production "
+    "geometry, but its driver row is rows-only; this row hash-checks the "
+    "banding algebra end to end.  Scale shape: the join shuffles (band, "
+    "bucket-key, doc_id, 8xint64) tuples — never document text — and the "
+    "candidate set is bounded by bucket collisions, not n^2 (no cartesian; "
+    "suite audit in tests/test_plan_audit.py).",
+    tags=("llm", "dedup", "lsh"),
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    base = docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), 3).alias("sh")
+    ).where(F.size("sh") > 0)
+    sig = base.select(
+        "doc_id", F.expr(_SPARK_SEEDED_MIN.format(kmax=_K - 1)).alias("sig")
+    )
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr("concat_ws(',', element_at(sig, 2*band+1), element_at(sig, 2*band+2))"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    matches = F.expr(
+        f"cast(size(filter(sequence(1, {_K}), i -> element_at(sa, i) = element_at(sb, i))) as bigint)"
+    )
+    return (
+        pairs.select("doc_a", "doc_b", matches.alias("sig_matches"))
+        .withColumn("est_sim", F.col("sig_matches") / float(_K))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Chunk geometry for q162: 64-token windows on a 48-token stride (16-token
+# overlap).  Last start is clamped to n - C + S so no chunk is a subset of
+# its predecessor while every token stays covered.
+_CHUNK = 64
+_STRIDE = 48
+
+
+@query(
+    "q162_doc_chunking",
+    "WITH toked AS (SELECT doc_id, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "ch AS (SELECT doc_id, (i-1) // 48 AS chunk_id, toks[i:i+63] AS chunk "
+    "  FROM toked, unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS u(i)) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, "
+    "  CAST(len(chunk) AS BIGINT) AS chunk_len, "
+    "  CAST(list_reduce(list_prepend(0, list_transform(chunk, "
+    "    t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647)), "
+    "    (a, b) -> (a * 31 + b) % 2147483647) AS BIGINT) AS chunk_hash "
+    "FROM ch ORDER BY doc_id, chunk_id",
+    doc="Overlapping token-window chunking (64-token chunks, 48-token "
+    "stride): the standard pre-training step that splits documents into "
+    "model-context-sized windows with overlap so no span is cut.  Chunk "
+    "starts come from sequence(1, n-C+S, S) — the clamp keeps the final "
+    "chunk from being a strict subset of its predecessor while every token "
+    "remains covered (coverage + overlap properties in "
+    "tests/test_corpus_ops.py).  Each chunk carries the portable rolling "
+    "fingerprint (q58's fold), so chunk-level dedup composes directly.  "
+    "Map-only until the final sort: posexplode over a per-row sequence — at "
+    "100 TB this is embarrassingly parallel with no shuffle at all.",
+    tags=("llm", "text", "chunking"),
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(toks) - {_CHUNK - _STRIDE}, 1), {_STRIDE}), "
+                f"i -> slice(toks, i, {_CHUNK}))"
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk").cast("long").alias("chunk_len"),
+        rolling_fingerprint(F.col("chunk")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+# q49's integer quality score scaled to 1e4 (engine-exact HALF_UP rational).
+_Q10K_DUCK = (
+    "(10000 * (LEAST(n_chars, 400) * GREATEST(n_chars, 1)"
+    " + 400 * len(string_split(text, ' ')))"
+    " + 400 * GREATEST(n_chars, 1)) // (800 * GREATEST(n_chars, 1))"
+)
+_Q10K_SPARK = (
+    "(10000 * (LEAST(n_chars, 400) * GREATEST(n_chars, 1)"
+    " + 400 * SIZE(SPLIT(text, ' ')))"
+    " + 400 * GREATEST(n_chars, 1)) DIV (800 * GREATEST(n_chars, 1))"
+)
+
+
+# Head-prefix length for q163's near-exact cluster key.
+_HEAD = 8
+
+
+@query(
+    "q163_canonical_doc_selection",
+    "WITH q AS (SELECT doc_id, "
+    "  md5(array_to_string((regexp_split_to_array(lower(trim(text)), '\\s+'))"
+    f"[1:{_HEAD}], ' ')) AS digest, "
+    f"  {_Q10K_DUCK} AS q10k FROM documents), "
+    "r AS (SELECT digest, doc_id, q10k, "
+    "  ROW_NUMBER() OVER (PARTITION BY digest ORDER BY q10k DESC, doc_id) AS rk, "
+    "  COUNT(*) OVER (PARTITION BY digest) AS cz FROM q) "
+    "SELECT digest, CAST(doc_id AS BIGINT) AS rep_doc_id, "
+    "  CAST(cz AS BIGINT) AS cluster_size, CAST(q10k AS BIGINT) AS rep_quality_e4 "
+    "FROM r WHERE rk = 1 AND cz >= 2 ORDER BY digest",
+    doc="Canonical-representative selection over HEAD-duplicate clusters: "
+    "documents sharing the same normalized 8-token lead (the boilerplate-"
+    "prefix near-dup class: mirrored pages, templated intros) cluster on the "
+    "prefix digest, and the highest-QUALITY member survives (q49's engine-"
+    "exact integer score, doc_id tie-break) — keep-BEST, vs q47's full-text "
+    "keep-FIRST.  Completes the dedup family: profile (q45) / keep-first "
+    "(q47) / per-source rates (q50) / lineage (q121) / keep-best (this).  "
+    "One shuffle on the 16-byte prefix digest; the window partitions by "
+    "digest over duplicate clusters (small by construction) — no skew risk "
+    "at 100 TB, and the prefix slice means only 8 tokens of each document "
+    "feed the key, not the body.",
+    tags=("llm", "dedup", "curation"),
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, _HEAD))
+        ).alias("digest"),
+        F.expr(_Q10K_SPARK).alias("q10k"),
+    )
+    w = Window.partitionBy("digest")
+    r = q.select(
+        "digest",
+        "doc_id",
+        "q10k",
+        F.row_number()
+        .over(w.orderBy(F.col("q10k").desc(), F.col("doc_id")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).alias("cz"),
+    )
+    return (
+        r.where((F.col("rk") == 1) & (F.col("cz") >= 2))
+        .select(
+            "digest",
+            F.col("doc_id").cast("long").alias("rep_doc_id"),
+            F.col("cz").cast("long").alias("cluster_size"),
+            F.col("q10k").cast("long").alias("rep_quality_e4"),
+        )
+        .orderBy("digest")
+    )
+
+
+@query(
+    "q164_time_decay_agg",
+    # Hyperbolic decay 1/(1+age_days) in pure integer arithmetic: cents DIV
+    # (1+age) is the identical bigint on both engines (exp()-based decay is
+    # libm-divergent across engines, so the declared row uses the rational
+    # kernel; swap the weight expression for exp() on a homogeneous cluster).
+    "WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS mxd FROM events), "
+    "w AS (SELECT event_type, "
+    "  CAST(round(value * 100) AS BIGINT) // (1 + date_diff('day', CAST(ts AS DATE), mxd)) AS dc "
+    "  FROM events, mx) "
+    "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events, "
+    "  CAST(SUM(dc) AS BIGINT) AS decayed_cents, "
+    "  CAST(SUM(dc) AS BIGINT) / 100.0 AS decayed_value "
+    "FROM w GROUP BY event_type ORDER BY event_type",
+    doc="Recency-decayed aggregate: per event type, sum of value weighted by "
+    "1/(1 + age_days) relative to the corpus max date — the freshness-"
+    "weighted rollup feature stores compute over interaction logs.  The "
+    "decay runs in exact integer cents (cents DIV (1+age)), so the sum is "
+    "order-independent and engine-identical — the portable stand-in for "
+    "exp(-age/tau), which diverges across libm implementations.  Plan "
+    "shape: broadcast 1-row max date, map-side weight, one hash-agg on "
+    "event_type — a map-only pass plus a bounded-key shuffle at any scale.",
+    tags=("agg", "time"),
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    mx = ev.agg(F.max(F.to_date("ts")).alias("mxd"))
+    dc = F.expr(
+        "cast(round(value * 100) as bigint) div (1 + datediff(mxd, to_date(ts)))"
+    )
+    return (
+        ev.join(F.broadcast(mx))
+        .select("event_type", dc.alias("dc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("dc").cast("long").alias("decayed_cents"),
+        )
+        .withColumn("decayed_value", F.col("decayed_cents") / 100.0)
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q165_source_overlap_exact",
+    "WITH d AS (SELECT DISTINCT md5(lower(trim(text))) AS dg, source FROM documents) "
+    "SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared_docs "
+    "FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source "
+    "GROUP BY a.source, b.source ORDER BY src_a, src_b",
+    doc="Exact cross-source duplicate-overlap matrix: for every source pair, "
+    "the number of distinct normalized-text digests present in both — the "
+    "exact twin of q124's theta-sketch estimate, giving the overlap family "
+    "an oracle-checked member (the sketch row is rows-only by design).  "
+    "Shuffles only (digest, source) pairs after an exact distinct; the "
+    "digest self-join fans out by per-digest source count (bounded by the "
+    "source cardinality, not corpus size), so the pair explosion is "
+    "O(dups x sources^2) worst-case, never O(n^2).",
+    tags=("llm", "dedup"),
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("dg"), "source"
+    ).distinct()
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dg") == F.col("b.dg")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_docs"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+@query(
+    "q166_doclen_log_histogram",
+    # Pure-integer log2 bucket: bit-length of the token count via
+    # length(bin(n)) — no libm log2 (which can disagree at exact powers of
+    # two across engines).
+    "WITH n AS (SELECT len(string_split(text, ' ')) AS ntok, n_chars FROM documents) "
+    "SELECT CAST(length(bin(ntok)) AS BIGINT) AS log2_bucket, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(MIN(ntok) AS BIGINT) AS min_tokens, CAST(MAX(ntok) AS BIGINT) AS max_tokens, "
+    "  CAST(SUM(n_chars) AS BIGINT) AS chars_total "
+    "FROM n GROUP BY log2_bucket ORDER BY log2_bucket",
+    doc="Corpus length-distribution profile on a power-of-two scale: "
+    "documents bucketed by bit-length of their token count (an exact "
+    "integer floor(log2)+1 — no floating log2, which differs across libm "
+    "at boundary values).  The long-tail length histogram is the first "
+    "chart any corpus report shows; bit-length keeps it engine-exact.  "
+    "Map-only + ~40-key hash-agg: free at any scale.",
+    tags=("llm", "text", "profile"),
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n = docs.select(
+        F.size(F.split(F.col("text"), " ")).alias("ntok"), "n_chars"
+    )
+    return (
+        n.groupBy(F.length(F.bin(F.col("ntok"))).cast("long").alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("ntok").cast("long").alias("min_tokens"),
+            F.max("ntok").cast("long").alias("max_tokens"),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+@query(
+    "q167_equi_depth_histogram",
+    "WITH r AS (SELECT o_totalprice, NTILE(10) OVER "
+    "  (ORDER BY o_totalprice, o_orderkey) AS bucket FROM orders) "
+    "SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "  CAST(MIN(o_totalprice) AS DOUBLE) AS lo, CAST(MAX(o_totalprice) AS DOUBLE) AS hi "
+    "FROM r GROUP BY bucket ORDER BY bucket",
+    doc="Equi-depth (equi-height) histogram of order totals: 10 buckets of "
+    "equal row count with exact boundaries — the histogram optimizers and "
+    "data-profile reports prefer over q130's equi-WIDTH buckets on skewed "
+    "money columns.  Built on distributed_ntile (q92's two-pass range "
+    "partitioner: sample boundaries, partition-local ranks, offset merge) "
+    "rather than a global NTILE window, so no single task ever sorts the "
+    "full table — the oracle's one-partition NTILE is the semantic spec, "
+    "not the physical plan.  lo/hi are exact element values (no float "
+    "summation anywhere).",
+    tags=("agg", "profile", "scale"),
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+    bucketed = distributed_ntile(
+        orders, ["o_totalprice", "o_orderkey"], buckets=10, out_col="bucket"
+    )
+    return (
+        bucketed.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+        )
+        .orderBy("bucket")
+    )

@@ -30,6 +30,7 @@ CARTESIAN_ALLOWED = {
     "q126_gap_fill_locf": "1-row bounds x 720-hour axis x 5-type dim",
     "q130_histogram": "1-row (min,max) bounds broadcast into the bucketing expr",
     "q154_quality_weighted_sample": "1-row max-weight bound broadcast into the acceptance test",
+    "q164_time_decay_agg": "1-row max-date bound broadcast into the decay weight",
 }
 
 # streaming builders start real runs; their plans are covered by the
