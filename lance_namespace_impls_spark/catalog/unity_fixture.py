@@ -1,0 +1,237 @@
+"""Embedded Unity-Catalog-shaped service (dev/test fixture).
+
+A dict-backed implementation of exactly the endpoint subset the engine's two
+Unity clients speak — the Python :class:`UnityNamespace` dialect
+(catalog/unity.py) and the JVM ``UnityRestTableCatalog`` plugin — so both
+planes can be driven against ONE live HTTP surface and observed to share
+state (the same cross-plane story rest_fixture.py tells for the
+Iceberg-REST dialect).  Shipped in the package (not tests/) so the declared
+q168 row can run the full Unity resolution stack inside the external
+correctness driver.  Protocol per the public Unity Catalog REST spec
+(reference: unity.py endpoint map — schemas at /schemas?catalog_name=,
+tables at /tables?catalog_name=&schema_name=, dotted full-name item paths):
+
+  GET    /api/2.1/unity-catalog/catalogs
+  GET    /api/2.1/unity-catalog/schemas?catalog_name=C
+  POST   /api/2.1/unity-catalog/schemas            {name, catalog_name, properties}
+  GET    /api/2.1/unity-catalog/schemas/{C}.{S}
+  DELETE /api/2.1/unity-catalog/schemas/{C}.{S}    (409 when tables remain)
+  GET    /api/2.1/unity-catalog/tables?catalog_name=C&schema_name=S
+  POST   /api/2.1/unity-catalog/tables             (full TableInfo body)
+  GET    /api/2.1/unity-catalog/tables/{C}.{S}.{T}
+  DELETE /api/2.1/unity-catalog/tables/{C}.{S}.{T} (deregister-only)
+
+Unlike Iceberg-REST, Unity names are dotted full names in item paths and the
+hierarchy is fixed at catalogs > schemas > tables.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+_API = ["api", "2.1", "unity-catalog"]
+
+
+class UnityState:
+    """Shared in-memory metastore: catalogs, {(cat, schema): props},
+    {(cat, schema, table): TableInfo-dict}."""
+
+    def __init__(self, catalogs: tuple[str, ...] = ("main",)):
+        self.catalogs: list[str] = list(catalogs)
+        self.schemas: dict[tuple[str, str], dict] = {}
+        self.tables: dict[tuple[str, str, str], dict] = {}
+        self.deregistered: list[tuple[str, str, str]] = []
+        self.lock = threading.Lock()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: UnityState  # injected by serve()
+
+    def log_message(self, *args):  # silence request logging in pytest output
+        pass
+
+    def _send(self, status: int, body: dict | None = None):
+        data = json.dumps(body or {}).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _error(self, status: int, message: str):
+        # Unity error envelope: {"error_code": ..., "message": ...}
+        self._send(status, {"error_code": str(status), "message": message})
+
+    def _read_body(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(length)) if length else {}
+
+    def _route(self) -> tuple[list[str], dict]:
+        parsed = urlparse(self.path)
+        parts = [unquote(p) for p in parsed.path.strip("/").split("/")]
+        if parts[:3] != _API:
+            return [], {}
+        return parts[3:], parse_qs(parsed.query)
+
+    @staticmethod
+    def _table_info(key: tuple[str, str, str], entry: dict) -> dict:
+        cat, schema, name = key
+        return {
+            "name": name,
+            "catalog_name": cat,
+            "schema_name": schema,
+            "full_name": f"{cat}.{schema}.{name}",
+            "table_type": entry.get("table_type", "EXTERNAL"),
+            "data_source_format": entry.get("data_source_format", "TEXT"),
+            "columns": entry.get("columns", []),
+            "storage_location": entry.get("storage_location", ""),
+            "properties": entry.get("properties", {}),
+        }
+
+    # -- dispatch -----------------------------------------------------------
+
+    def do_GET(self):
+        rest, query = self._route()
+        if not rest:
+            return self._error(400, f"unknown API root in {self.path}")
+        st = self.state
+        with st.lock:
+            if rest == ["catalogs"]:
+                return self._send(
+                    200, {"catalogs": [{"name": c} for c in sorted(st.catalogs)]}
+                )
+            if rest == ["schemas"]:
+                cat = query.get("catalog_name", [None])[0]
+                if cat is None or cat not in st.catalogs:
+                    return self._error(404, f"catalog not found: {cat}")
+                names = sorted(s for c, s in st.schemas if c == cat)
+                return self._send(
+                    200,
+                    {
+                        "schemas": [
+                            {"name": s, "catalog_name": cat, "full_name": f"{cat}.{s}"}
+                            for s in names
+                        ]
+                    },
+                )
+            if len(rest) == 2 and rest[0] == "schemas":
+                levels = rest[1].split(".")
+                if len(levels) != 2:
+                    return self._error(400, f"schema full name must be 2 levels: {rest[1]}")
+                key = (levels[0], levels[1])
+                if key not in st.schemas:
+                    return self._error(404, f"schema not found: {rest[1]}")
+                return self._send(
+                    200,
+                    {
+                        "name": key[1],
+                        "catalog_name": key[0],
+                        "full_name": rest[1],
+                        "properties": st.schemas[key],
+                    },
+                )
+            if rest == ["tables"]:
+                cat = query.get("catalog_name", [None])[0]
+                schema = query.get("schema_name", [None])[0]
+                if (cat, schema) not in st.schemas:
+                    return self._error(404, f"schema not found: {cat}.{schema}")
+                infos = [
+                    self._table_info(k, v)
+                    for k, v in sorted(st.tables.items())
+                    if k[0] == cat and k[1] == schema
+                ]
+                return self._send(200, {"tables": infos})
+            if len(rest) == 2 and rest[0] == "tables":
+                levels = rest[1].split(".")
+                if len(levels) != 3:
+                    return self._error(400, f"table full name must be 3 levels: {rest[1]}")
+                key = (levels[0], levels[1], levels[2])
+                entry = st.tables.get(key)
+                if entry is None:
+                    return self._error(404, f"table not found: {rest[1]}")
+                return self._send(200, self._table_info(key, entry))
+        self._error(400, f"unhandled GET {self.path}")
+
+    def do_POST(self):
+        rest, _ = self._route()
+        if not rest:
+            return self._error(400, f"unknown API root in {self.path}")
+        st = self.state
+        body = self._read_body()
+        with st.lock:
+            if rest == ["schemas"]:
+                cat = body.get("catalog_name", "")
+                name = body.get("name", "")
+                if cat not in st.catalogs:
+                    return self._error(404, f"catalog not found: {cat}")
+                if (cat, name) in st.schemas:
+                    return self._error(409, f"schema already exists: {cat}.{name}")
+                st.schemas[(cat, name)] = dict(body.get("properties", {}))
+                return self._send(
+                    200,
+                    {
+                        "name": name,
+                        "catalog_name": cat,
+                        "full_name": f"{cat}.{name}",
+                        "properties": st.schemas[(cat, name)],
+                    },
+                )
+            if rest == ["tables"]:
+                cat = body.get("catalog_name", "")
+                schema = body.get("schema_name", "")
+                name = body.get("name", "")
+                if (cat, schema) not in st.schemas:
+                    return self._error(404, f"schema not found: {cat}.{schema}")
+                key = (cat, schema, name)
+                if key in st.tables:
+                    return self._error(409, f"table already exists: {'.'.join(key)}")
+                st.tables[key] = {
+                    "table_type": body.get("table_type", "EXTERNAL"),
+                    "data_source_format": body.get("data_source_format", "TEXT"),
+                    "columns": body.get("columns", []),
+                    "storage_location": body.get("storage_location", ""),
+                    "properties": dict(body.get("properties", {})),
+                }
+                return self._send(200, self._table_info(key, st.tables[key]))
+        self._error(400, f"unhandled POST {self.path}")
+
+    def do_DELETE(self):
+        rest, _ = self._route()
+        if not rest:
+            return self._error(400, f"unknown API root in {self.path}")
+        st = self.state
+        with st.lock:
+            if len(rest) == 2 and rest[0] == "schemas":
+                levels = rest[1].split(".")
+                if len(levels) != 2:
+                    return self._error(400, f"schema full name must be 2 levels: {rest[1]}")
+                key = (levels[0], levels[1])
+                if key not in st.schemas:
+                    return self._error(404, f"schema not found: {rest[1]}")
+                if any(k[:2] == key for k in st.tables):
+                    return self._error(409, f"schema not empty: {rest[1]}")
+                del st.schemas[key]
+                return self._send(200, {})
+            if len(rest) == 2 and rest[0] == "tables":
+                levels = rest[1].split(".")
+                if len(levels) != 3:
+                    return self._error(400, f"table full name must be 3 levels: {rest[1]}")
+                key = (levels[0], levels[1], levels[2])
+                if key not in st.tables:
+                    return self._error(404, f"table not found: {rest[1]}")
+                st.deregistered.append(key)
+                del st.tables[key]
+                return self._send(200, {})
+        self._error(400, f"unhandled DELETE {self.path}")
+
+
+def serve(state: UnityState) -> tuple[ThreadingHTTPServer, str]:
+    """Start the service on an OS-assigned port; returns (server, base_url)."""
+    handler = type("BoundUnityHandler", (_Handler,), {"state": state})
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, f"http://127.0.0.1:{server.server_port}"

@@ -1167,3 +1167,92 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"FROM {db}.nation JOIN {db}.region ON n_regionkey = r_regionkey "
         f"GROUP BY r_name ORDER BY r_name"
     )
+
+
+_UNITY_FIXTURE_CACHE: dict[str, tuple] = {}
+
+# FLOOR(x*100 + 0.5): engine-exact cents (double->BIGINT CAST truncates in
+# Spark but rounds in DuckDB; floor-form is identical in both — the q66
+# convention, advanced.py:198).
+_Q168_SQL = (
+    "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+    "CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents "
+    "FROM {c} JOIN {n} ON c_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY n_name"
+)
+
+
+@query(
+    "q168_jvm_unity_catalog",
+    _Q168_SQL.format(c="customer", n="nation"),
+    doc="Reference-parity Unity-dialect resolution, end to end in one "
+    "query: an embedded Unity-Catalog-shaped service boots in-process "
+    "(catalog/unity_fixture.py), tables register through the Python "
+    "UnityNamespace dialect over real HTTP, and the three-part-name SQL "
+    "join resolves through the JVM UnityRestTableCatalog plugin — the "
+    "third dialect with full JVM reach (directory q100, Iceberg-REST "
+    "q155, Unity this row; reference unity.py:126-140, 451-479).  A "
+    "JRE-only or socket-less environment degrades to the q100/q155 "
+    "fallback contract with the identical relation.",
+    tags=("scan", "catalog", "jvm", "rest"),
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from lance_namespace_impls_spark.catalog import models as cm
+    from lance_namespace_impls_spark.catalog.errors import TableAlreadyExists
+    from lance_namespace_impls_spark.catalog.unity import UnityNamespace
+    from lance_namespace_impls_spark.catalog.unity_fixture import UnityState, serve
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    try:
+        if tag not in _UNITY_FIXTURE_CACHE:
+            state = UnityState(catalogs=("corp",))
+            server, url = serve(state)
+            _UNITY_FIXTURE_CACHE[tag] = (server, url)
+    except OSError:
+        # Environment can't bind a loopback socket: degrade to the same
+        # relation through plain temp views (the q155 degradation contract;
+        # the Unity stack stays covered by tests + environments that can
+        # bind).
+        load_table(spark, "customer", sf_dir).createOrReplaceTempView(
+            f"r168_{tag}_customer"
+        )
+        load_table(spark, "nation", sf_dir).createOrReplaceTempView(f"r168_{tag}_nation")
+        return spark.sql(
+            _Q168_SQL.format(c=f"r168_{tag}_customer", n=f"r168_{tag}_nation")
+        )
+    _, url = _UNITY_FIXTURE_CACHE[tag]
+    ns = UnityNamespace({"unity.endpoint": url, "unity.root": "/tmp/uc"})
+    try:
+        ns.create_namespace(cm.CreateNamespaceRequest(id=["corp", "main"]))
+    except Exception:
+        pass  # exists from a prior call in this process
+    for tbl in ("customer", "nation"):
+        try:
+            ns.declare_table(
+                cm.DeclareTableRequest(
+                    id=["corp", "main", tbl], location=f"{sf_dir}/{tbl}.parquet"
+                )
+            )
+        except TableAlreadyExists:
+            pass
+    try:
+        from lance_namespace_impls_spark.catalog.jvm_catalog import (
+            install_unity_catalog,
+        )
+
+        prefix = (
+            install_unity_catalog(spark, f"lake_uc_{tag}", uri=url, catalog="corp")
+            + ".main"
+        )
+    except Exception:
+        from lance_namespace_impls_spark.catalog.bridge import publish_namespace
+
+        publish_namespace(
+            spark, ns, ["corp", "main"], f"lake_uc_fb_{tag}", include_declared=True
+        )
+        prefix = f"lake_uc_fb_{tag}"
+    return spark.sql(
+        _Q168_SQL.format(c=f"{prefix}.customer", n=f"{prefix}.nation")
+    )
