@@ -359,15 +359,20 @@ def _int_sqdist(a, b):
 def _assign(points: DataFrame, centroids: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the K centroids, exact integer
     distances, (distance, centroid-id) tie-break — the canonical distributed
-    k-means step: the corpus never shuffles, only the K-row side moves."""
+    k-means step: the corpus never shuffles, only the K-row side moves.
+
+    The argmin is ``min(struct(d, c))`` with map-side partial aggregation —
+    struct ordering gives the identical (distance, centroid-id) tie-break a
+    row_number window would, without the window's per-vec_id shuffle+sort
+    (measured 2x on q106: the window form moved all K candidate rows per
+    vector through an exchange twice per Lloyd step)."""
     d = points.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "label", "c", _int_sqdist(F.col("v"), F.col("cv")).alias("d")
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "c")
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "c")
+        d.groupBy("vec_id", "label")
+        .agg(F.min(F.struct("d", "c")).alias("best"))
+        .select("vec_id", "label", F.col("best.c").alias("c"))
     )
 
 
@@ -383,6 +388,10 @@ def kmeans_one_iter(emb: DataFrame, k: int = 8) -> DataFrame:
     proj = spread(emb).select(
         "vec_id", "label", int_projected(F.col("embedding")).alias("v")
     )
+    # The projection feeds three consumers (seed filter, both assignments,
+    # the mean recomputation join); materialize it once so the interpreted
+    # int-projection lambda doesn't re-run per consumer.
+    proj = proj.localCheckpoint(eager=False)
     cent0 = proj.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("c"), F.col("v").alias("cv")
     )

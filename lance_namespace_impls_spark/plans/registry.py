@@ -118,6 +118,11 @@ RE_VERIFY: set[str] = {
     # changed-since-green policy ADVICE r3 flagged on q122.
     "q119_corpus_vocabulary",
     "q99_neardup_components",
+    # r4 (this session): assignment argmin switched from a row_number window
+    # to min(struct(d, c)) partial aggregation (2x; identical tie-break,
+    # locally re-verified at three scales); re-queued per the
+    # changed-since-green policy.
+    "q106_kmeans_assign",
 }
 
 
