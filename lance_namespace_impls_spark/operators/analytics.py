@@ -1067,3 +1067,75 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 8)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q169: SCD2 validity intervals from an event stream
+
+
+@query(
+    "q169_scd2_intervals",
+    # Islands technique: consecutive same-type runs per user collapse into
+    # one row via the difference of two row_numbers; the interval end is the
+    # next interval's start (lead), NULL on the open current interval.
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id "
+    "  FROM events), "
+    "r AS (SELECT user_id, event_type, us, "
+    "  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) "
+    "  - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) AS grp "
+    "  FROM e), "
+    "runs AS (SELECT user_id, event_type, MIN(us) AS valid_from_us, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_events FROM r "
+    "  GROUP BY user_id, event_type, grp) "
+    "SELECT CAST(user_id AS BIGINT) AS user_id, event_type, "
+    "  CAST(valid_from_us AS BIGINT) AS valid_from_us, "
+    "  CAST(LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) "
+    "    AS BIGINT) AS valid_to_us, "
+    "  n_events "
+    "FROM runs ORDER BY user_id, valid_from_us",
+    doc="SCD2 (slowly-changing-dimension type 2) interval build from an "
+    "append-only event log: per user, each run of consecutive identical "
+    "event_type values collapses into one [valid_from, valid_to) validity "
+    "row, valid_to open (NULL) on the current state — the standard "
+    "islands-technique run-length encoding warehouses use to turn CDC "
+    "streams into dimension history.  Deterministic under timestamp ties "
+    "via the (ts, event_id) total order; interval bounds are epoch "
+    "microseconds so both engines emit identical integers.  One shuffle on "
+    "user_id (all three windows and the run aggregate share the "
+    "partitioning, so Catalyst plans a single exchange).",
+    tags=("window", "warehouse", "cdc"),
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.streaming.windows import events_batch
+
+    e = events_batch(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    order = [F.col("us"), F.col("event_id")]
+    grp = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(*order)
+    ) - F.row_number().over(
+        Window.partitionBy("user_id", "event_type").orderBy(*order)
+    )
+    runs = (
+        e.withColumn("grp", grp)
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("us").alias("valid_from_us"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return (
+        runs.select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.col("valid_from_us").cast("long").alias("valid_from_us"),
+            F.lead("valid_from_us").over(w).cast("long").alias("valid_to_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "valid_from_us")
+    )

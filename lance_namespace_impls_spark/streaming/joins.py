@@ -29,6 +29,7 @@ the batch engine width (windows.py:192).
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -154,6 +155,132 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
             click_purchase_pairs(clicks, purchases), "append"
         )
         return result.orderBy("user_id", "click_us", "purchase_us")
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def click_purchase_left_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER interval join: every click, with its within-1h purchases or
+    NULLs when none arrived — the attribution shape that also reports the
+    non-converting clicks.  Same bounded event-time condition as the inner
+    form (state eviction stays bounded); the null-extended rows emit only
+    when the watermark passes the click's match window, which is what makes
+    outer stream-stream joins semantically hard (and worth declaring)."""
+    c = clicks.select(F.col("user_id").alias("cu"), F.col("ts").alias("click_ts"))
+    p = purchases.select(F.col("user_id").alias("pu"), F.col("ts").alias("purchase_ts"))
+    return (
+        c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        .select(
+            F.col("cu").alias("user_id"),
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+        )
+    )
+
+
+def _stage_watermark_sentinels(staging: str, max_ts_us: int, n: int = 2) -> None:
+    """Append ``n`` single-row sentinel files that replay AFTER the fixture.
+
+    An availableNow outer join never emits its final null-extended rows on a
+    bounded replay: eviction in batch k uses the watermark committed after
+    batch k-1, so rows whose match window ends near the stream's end wait
+    for a watermark that no further data will advance.  Each sentinel file
+    (3h, 6h, ... past the end, strictly increasing mtimes so the file
+    source orders them after the data) forces one more micro-batch whose
+    incoming watermark already covers the remaining state.
+
+    Each file carries one CLICK and one PURCHASE row at user_id = -1:
+    Catalyst pushes the event-type filters through the watermark operator
+    into the scan, so a row must pass a side's filter to advance that
+    side's event-time maximum — and the global watermark is the MIN across
+    both sides.  (A neutral event_type advances neither: measured as 0
+    source rows and a frozen watermark.)  The negative user_id keys the
+    sentinels out of the declared output via one post-join filter.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    base = os.path.getmtime(os.path.join(staging, "events.parquet"))
+    for i in range(n):
+        sent_us = max_ts_us + 3 * 3_600_000_000 * (i + 1)
+        table = pa.table(
+            {
+                "event_id": pa.array([-1 - 2 * i, -2 - 2 * i], pa.int64()),
+                "ts": pa.array([sent_us, sent_us], pa.timestamp("us")),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["click", "purchase"], pa.string()),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            },
+            schema=schema,
+        )
+        path = os.path.join(staging, f"zz_sentinel_{i}.parquet")
+        pq.write_table(table, path)
+        # Millisecond offsets: strictly after the data file so the source
+        # replays them last, but never in the FUTURE — the availableNow
+        # snapshot skips future-mtime files entirely.
+        mt = base + 0.001 * (i + 1)
+        os.utime(path, (mt, mt))
+
+
+@query(
+    "q170_stream_stream_outer_join",
+    "SELECT c.user_id, epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us "
+    "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+    "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "ON c.user_id = p.user_id "
+    "AND epoch_us(p.ts) >= epoch_us(c.ts) "
+    "AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000 "
+    "ORDER BY c.user_id, click_us, purchase_us",
+    doc="Stream-stream LEFT OUTER interval join: click->purchase attribution "
+    "that also emits the non-converting clicks with NULL purchase columns — "
+    "the hard outer-join semantics where null-extended rows may only emit "
+    "once the watermark proves no match can still arrive.  On a bounded "
+    "availableNow replay those final rows normally never flush (eviction "
+    "uses the PREVIOUS batch's watermark); two filtered sentinel events "
+    "staged after the fixture force the extra micro-batches that drain the "
+    "state, making the result exactly the batch LEFT JOIN the oracle runs.  "
+    "State stays bounded by the 1h interval condition x arrival rate, the "
+    "unbounded-deployment requirement.",
+    tags=("streaming", "join"),
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mx = (
+        events_batch(spark, sf_dir)
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .first()[0]
+    )
+    stream, staging = events_file_stream(spark, sf_dir)
+    try:
+        _stage_watermark_sentinels(staging, mx)
+        # Watermark BEFORE the type filters: the sentinels must reach the
+        # watermark operator to advance event time (a filter upstream of
+        # withWatermark would drop them before they count), while the type
+        # filters still keep them out of the join inputs.
+        wm = stream.withWatermark("ts", "1 hour")
+        clicks = wm.filter(F.col("event_type") == "click")
+        purchases = wm.filter(F.col("event_type") == "purchase")
+        result = run_stream(click_purchase_left_pairs(clicks, purchases), "append")
+        # One post-join filter drops the sentinel rows (negative user_id).
+        return result.filter(F.col("user_id") >= 0).orderBy(
+            "user_id", "click_us", "purchase_us"
+        )
     finally:
         shutil.rmtree(staging, ignore_errors=True)
 

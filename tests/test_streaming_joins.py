@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from lance_namespace_impls_spark.sources.tables import load_table
 from lance_namespace_impls_spark.streaming.joins import (
     batch_click_purchase_pairs,
+    click_purchase_left_pairs,
     click_purchase_pairs,
     stream_static_segment_counts,
 )
@@ -81,3 +82,35 @@ def test_stream_static_dim_is_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_outer_join_emits_nonconverting_clicks(spark):
+    """q170: the streaming LEFT OUTER interval join equals the batch LEFT
+    JOIN exactly — including the null-extended rows near the stream's end
+    that only the sentinel-driven watermark advance can flush — and no
+    sentinel rows leak into the output."""
+    from lance_namespace_impls_spark.plans.registry import QUERIES
+
+    got = QUERIES["q170_stream_stream_outer_join"].builder(spark, SF_SMOKE)
+    rows = got.collect()
+    assert all(r.user_id >= 0 for r in rows)
+    nulls = [r for r in rows if r.purchase_us is None]
+    assert nulls, "outer join emitted no null-extended rows"
+    # batch twin: LEFT JOIN over the same interval condition
+    ev = events_batch(spark, SF_SMOKE)
+    want = click_purchase_left_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    cols = ["user_id", "click_us", "purchase_us"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_outer_join_inner_subset_matches_inner_join(spark):
+    """The matched subset of q170 equals q105's inner interval join."""
+    from lance_namespace_impls_spark.plans.registry import QUERIES
+
+    outer = QUERIES["q170_stream_stream_outer_join"].builder(spark, SF_SMOKE)
+    inner = batch_click_purchase_pairs(spark, SF_SMOKE)
+    cols = ["user_id", "click_us", "purchase_us"]
+    assert _rows(outer.filter("purchase_us IS NOT NULL"), cols) == _rows(inner, cols)
