@@ -407,7 +407,9 @@ def connected_components(
                 "node",
                 F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias("lab"),
             )
-            .localCheckpoint()
+            # Lazy: the convergence agg right below materializes it, so each
+            # round runs ONE job (eager checkpoint + agg was two).
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("lab")).collect()[0][0]
         if new_sum == prev_sum:
@@ -634,3 +636,93 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     return triangle_count(edges)
+
+
+# ---------------------------------------------------------------------------
+# q171: the full near-dup pipeline, end to end
+
+
+@query(
+    "q171_neardup_keep_best",
+    # q99's edge + transitive-closure oracle, extended with the keep-best
+    # decision: per component, the q49 integer-quality argmax survives.
+    "WITH RECURSIVE "
+    "w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), "
+    "t AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    "      for i in range(1, len(ws)-1)]) AS toks FROM w WHERE len(ws) >= 3), "
+    "e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM t a JOIN t b ON a.doc_id < b.doc_id "
+    "      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
+    "            / len(list_distinct(a.toks || b.toks)) >= 0.5), "
+    "ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+    "reach(node, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT ee.src, reach.lab FROM reach JOIN ee ON ee.dst = reach.node "
+    "  WHERE reach.lab < ee.src), "
+    "comp AS (SELECT node AS doc_id, MIN(lab) AS component FROM reach GROUP BY node), "
+    "q AS (SELECT doc_id, "
+    "  (10000 * (LEAST(n_chars, 400) * GREATEST(n_chars, 1)"
+    "   + 400 * len(string_split(text, ' ')))"
+    "   + 400 * GREATEST(n_chars, 1)) // (800 * GREATEST(n_chars, 1)) AS q10k "
+    "  FROM documents), "
+    "r AS (SELECT comp.component, comp.doc_id, q.q10k, "
+    "  ROW_NUMBER() OVER (PARTITION BY comp.component "
+    "    ORDER BY q.q10k DESC, comp.doc_id) AS rk, "
+    "  COUNT(*) OVER (PARTITION BY comp.component) AS cz "
+    "  FROM comp JOIN q ON comp.doc_id = q.doc_id) "
+    "SELECT CAST(component AS BIGINT) AS component, "
+    "  CAST(doc_id AS BIGINT) AS keep_doc_id, "
+    "  CAST(cz AS BIGINT) AS cluster_size, CAST(q10k AS BIGINT) AS keep_quality_e4 "
+    "FROM r WHERE rk = 1 AND cz >= 2 ORDER BY component",
+    doc="The complete near-duplicate pipeline in one declared row — the "
+    "keep-one-per-cluster decision a curation job actually ships: exact-"
+    "Jaccard>=0.5 edges from the inverted-index join (q99's generator), "
+    "distributed min-label connected components, then the highest-quality "
+    "member of each multi-document cluster survives (q49's engine-exact "
+    "integer score, doc_id tie-break).  Composes q99 + q163's keep-best "
+    "policy over TRANSITIVE near-dup clusters rather than exact-digest "
+    "groups; the DuckDB oracle replays edges, a recursive-CTE closure, and "
+    "the argmax — so the whole pipeline, not just its stages, is "
+    "hash-checked.  Scale shape inherits its parts: digest/posting "
+    "shuffles, label joins over ACTIVE nodes only, and a cluster-keyed "
+    "window over duplicate groups (small by construction).",
+    tags=("llm", "dedup", "graph", "curation"),
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    raw_edges = neardup_edges(docs, 0.5)
+    edges = raw_edges.selectExpr("id_a AS src", "id_b AS dst")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = connected_components(nodes, edges)
+    raw_edges._lni_cached.unpersist()
+    q10k = F.expr(
+        "(10000 * (LEAST(n_chars, 400) * GREATEST(n_chars, 1)"
+        " + 400 * SIZE(SPLIT(text, ' ')))"
+        " + 400 * GREATEST(n_chars, 1)) DIV (800 * GREATEST(n_chars, 1))"
+    )
+    quality = docs.select(F.col("doc_id"), q10k.alias("q10k"))
+    joined = comp.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("component")
+    ).join(quality, "doc_id")
+    w = Window.partitionBy("component")
+    r = joined.select(
+        "component",
+        "doc_id",
+        "q10k",
+        F.row_number()
+        .over(w.orderBy(F.col("q10k").desc(), F.col("doc_id")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w).alias("cz"),
+    )
+    return (
+        r.where((F.col("rk") == 1) & (F.col("cz") >= 2))
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("doc_id").cast("long").alias("keep_doc_id"),
+            F.col("cz").cast("long").alias("cluster_size"),
+            F.col("q10k").cast("long").alias("keep_quality_e4"),
+        )
+        .orderBy("component")
+    )

@@ -116,3 +116,24 @@ def test_expectations_null_counts_as_violation(spark):
     # NULL predicate result counts as a violation, like any failed rule
     assert out["v_positive"] == (2, 3)
     assert out["id_small"] == (0, 3)
+
+
+def test_neardup_keep_best_is_component_quality_argmax(spark):
+    """q171: every emitted row keeps the highest-quality member of a
+    multi-doc near-dup component, and components agree with q99's labels."""
+    from lance_namespace_impls_spark.plans.registry import QUERIES
+
+    comp = {
+        r.doc_id: r.component
+        for r in QUERIES["q99_neardup_components"].builder(spark, SF_SMOKE).collect()
+    }
+    out = QUERIES["q171_neardup_keep_best"].builder(spark, SF_SMOKE).collect()
+    assert out, "fixture has no multi-doc near-dup clusters"
+    from collections import Counter
+
+    sizes = Counter(comp.values())
+    multi = {c for c, n in sizes.items() if n >= 2}
+    assert {r.component for r in out} == multi
+    for r in out:
+        assert comp[r.keep_doc_id] == r.component
+        assert r.cluster_size == sizes[r.component]
