@@ -1,0 +1,217 @@
+"""Embedded AWS-Glue-shaped catalog service + minimal wire client (dev/test).
+
+A dict-backed implementation of exactly the Glue Data Catalog operation
+subset the engine's two Glue clients speak — the Python
+:class:`GlueNamespace` dialect (catalog/glue.py, via the boto3-shaped
+:class:`GlueWireClient` below) and the JVM ``GlueTableCatalog`` plugin — so
+both planes can be driven against ONE live HTTP surface and observed to
+share state (the rest_fixture/unity_fixture story for the third protocol
+family).  Protocol per the public AWS JSON 1.1 convention the Glue API
+uses (reference: GlueNamespace.java operation map, glue.py client calls):
+
+  POST /  with  X-Amz-Target: AWSGlue.<Operation>
+                Content-Type: application/x-amz-json-1.1
+  operations: GetDatabases GetDatabase CreateDatabase DeleteDatabase
+              GetTables GetTable CreateTable DeleteTable
+  errors: HTTP 400 with {"__type": "EntityNotFoundException", ...} /
+          AlreadyExistsException — boto3 surfaces these as dynamically
+          created exception CLASSES, so name matching is the stable
+          contract (glue.py:240-244); GlueWireClient reproduces that.
+
+SigV4 signing is deliberately not enforced: the fixture verifies protocol
+shape, not AWS credentials (the reference's own tests mock the client for
+the same reason).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib import request as _urlrequest
+from urllib.error import HTTPError
+
+
+class GlueState:
+    """Shared in-memory catalog: {db: DatabaseInput}, {(db, table): TableInput}."""
+
+    def __init__(self):
+        self.databases: dict[str, dict] = {}
+        self.tables: dict[tuple[str, str], dict] = {}
+        self.deleted: list[tuple[str, str]] = []
+        self.lock = threading.Lock()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: GlueState  # injected by serve()
+
+    def log_message(self, *args):  # silence request logging in pytest output
+        pass
+
+    def _send(self, status: int, body: dict):
+        data = json.dumps(body).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/x-amz-json-1.1")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _error(self, err_type: str, message: str):
+        self._send(400, {"__type": err_type, "Message": message})
+
+    def do_POST(self):
+        target = self.headers.get("X-Amz-Target", "")
+        if not target.startswith("AWSGlue."):
+            return self._error("InvalidInputException", f"bad target {target!r}")
+        op = target.split(".", 1)[1]
+        length = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(length)) if length else {}
+        st = self.state
+        with st.lock:
+            if op == "GetDatabases":
+                dbs = [st.databases[n] for n in sorted(st.databases)]
+                return self._send(200, {"DatabaseList": dbs})
+            if op == "GetDatabase":
+                name = body.get("Name", "")
+                if name not in st.databases:
+                    return self._error(
+                        "EntityNotFoundException", f"Database {name} not found"
+                    )
+                return self._send(200, {"Database": st.databases[name]})
+            if op == "CreateDatabase":
+                di = body.get("DatabaseInput", {})
+                name = di.get("Name", "")
+                if name in st.databases:
+                    return self._error(
+                        "AlreadyExistsException", f"Database {name} already exists"
+                    )
+                st.databases[name] = dict(di)
+                return self._send(200, {})
+            if op == "DeleteDatabase":
+                name = body.get("Name", "")
+                if name not in st.databases:
+                    return self._error(
+                        "EntityNotFoundException", f"Database {name} not found"
+                    )
+                del st.databases[name]
+                return self._send(200, {})
+            if op == "GetTables":
+                db = body.get("DatabaseName", "")
+                if db not in st.databases:
+                    return self._error(
+                        "EntityNotFoundException", f"Database {db} not found"
+                    )
+                tables = [st.tables[k] for k in sorted(st.tables) if k[0] == db]
+                return self._send(200, {"TableList": tables})
+            if op == "GetTable":
+                key = (body.get("DatabaseName", ""), body.get("Name", ""))
+                entry = st.tables.get(key)
+                if entry is None:
+                    return self._error(
+                        "EntityNotFoundException", f"Table {key[1]} not found"
+                    )
+                return self._send(200, {"Table": entry})
+            if op == "CreateTable":
+                db = body.get("DatabaseName", "")
+                if db not in st.databases:
+                    return self._error(
+                        "EntityNotFoundException", f"Database {db} not found"
+                    )
+                ti = body.get("TableInput", {})
+                key = (db, ti.get("Name", ""))
+                if key in st.tables:
+                    return self._error(
+                        "AlreadyExistsException", f"Table {key[1]} already exists"
+                    )
+                st.tables[key] = dict(ti)
+                return self._send(200, {})
+            if op == "DeleteTable":
+                key = (body.get("DatabaseName", ""), body.get("Name", ""))
+                if key not in st.tables:
+                    return self._error(
+                        "EntityNotFoundException", f"Table {key[1]} not found"
+                    )
+                st.deleted.append(key)
+                del st.tables[key]
+                return self._send(200, {})
+        self._error("InvalidInputException", f"unhandled operation {op}")
+
+
+def serve(state: GlueState) -> tuple[ThreadingHTTPServer, str]:
+    """Start the service on an OS-assigned port; returns (server, base_url)."""
+    handler = type("BoundGlueHandler", (_Handler,), {"state": state})
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, f"http://127.0.0.1:{server.server_port}"
+
+
+_EXC_CACHE: dict[str, type] = {}
+
+
+def _wire_exception(err_type: str, message: str) -> Exception:
+    """boto3-fidelity errors: an exception CLASS named after the service
+    error type (glue.py matches on ``type(exc).__name__``)."""
+    short = err_type.split("#")[-1].split(":")[0]
+    cls = _EXC_CACHE.get(short)
+    if cls is None:
+        cls = type(short, (Exception,), {})
+        _EXC_CACHE[short] = cls
+    return cls(message)
+
+
+class GlueWireClient:
+    """Minimal boto3-shaped Glue client over the real AWS JSON 1.1 wire.
+
+    Exposes exactly the snake_case methods :class:`GlueNamespace` calls and
+    POSTs each as ``X-Amz-Target: AWSGlue.<Op>`` — so injecting this client
+    upgrades the Python Glue dialect from mocked-transport tests to a live
+    HTTP round trip against the fixture service (every metadata byte in
+    wire format), without requiring boto3 in the environment.
+    """
+
+    _OPS = {
+        "get_databases": "GetDatabases",
+        "get_database": "GetDatabase",
+        "create_database": "CreateDatabase",
+        "delete_database": "DeleteDatabase",
+        "get_tables": "GetTables",
+        "get_table": "GetTable",
+        "create_table": "CreateTable",
+        "delete_table": "DeleteTable",
+    }
+
+    def __init__(self, endpoint: str, timeout: float = 10.0):
+        self._endpoint = endpoint.rstrip("/")
+        self._timeout = timeout
+
+    def _call(self, op: str, params: dict):
+        req = _urlrequest.Request(
+            self._endpoint + "/",
+            data=json.dumps(params).encode(),
+            headers={
+                "Content-Type": "application/x-amz-json-1.1",
+                "X-Amz-Target": f"AWSGlue.{op}",
+            },
+            method="POST",
+        )
+        try:
+            with _urlrequest.urlopen(req, timeout=self._timeout) as resp:
+                data = resp.read()
+        except HTTPError as exc:
+            payload = {}
+            try:
+                payload = json.loads(exc.read() or b"{}")
+            except Exception:
+                pass
+            raise _wire_exception(
+                payload.get("__type", "InternalServiceException"),
+                payload.get("Message", str(exc)),
+            ) from None
+        return json.loads(data) if data else {}
+
+    def __getattr__(self, name: str):
+        op = self._OPS.get(name)
+        if op is None:
+            raise AttributeError(name)
+        return lambda **kwargs: self._call(op, kwargs)

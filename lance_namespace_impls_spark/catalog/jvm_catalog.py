@@ -36,6 +36,7 @@ _JAR = os.path.join(_JVM_DIR, "dist", "lance-namespace-dsv2.jar")
 CATALOG_CLASS = "lance_namespace_impls_spark.jvm.DirectoryTableCatalog"
 REST_CATALOG_CLASS = "lance_namespace_impls_spark.jvm.IcebergRestTableCatalog"
 UNITY_CATALOG_CLASS = "lance_namespace_impls_spark.jvm.UnityRestTableCatalog"
+GLUE_CATALOG_CLASS = "lance_namespace_impls_spark.jvm.GlueTableCatalog"
 
 
 def _java_sources() -> list[str]:
@@ -152,6 +153,30 @@ def install_unity_catalog(
     spark.conf.set(f"spark.sql.catalog.{name}", UNITY_CATALOG_CLASS)
     spark.conf.set(f"spark.sql.catalog.{name}.uri", uri)
     spark.conf.set(f"spark.sql.catalog.{name}.catalog", catalog)
+    for key, value in (headers or {}).items():
+        spark.conf.set(f"spark.sql.catalog.{name}.header.{key}", value)
+    return name
+
+
+def install_glue_catalog(
+    spark: SparkSession,
+    name: str,
+    uri: str,
+    headers: dict[str, str] | None = None,
+) -> str:
+    """Register a Glue-dialect catalog ``name`` over endpoint ``uri``.
+
+    The pure-JVM twin of the Python :class:`GlueNamespace` dialect: Spark
+    namespaces map to Glue databases, requests travel as raw AWS JSON 1.1
+    (``X-Amz-Target: AWSGlue.<Op>``), and three-part SQL names resolve with
+    zero Python in the session path — the FOURTH dialect with full JVM
+    reach (directory, Iceberg-REST, Unity, Glue).  Idempotent; returns
+    ``name``.
+    """
+    jar = ensure_catalog_jar()
+    spark.sql(f"ADD JAR '{jar}'")
+    spark.conf.set(f"spark.sql.catalog.{name}", GLUE_CATALOG_CLASS)
+    spark.conf.set(f"spark.sql.catalog.{name}.uri", uri)
     for key, value in (headers or {}).items():
         spark.conf.set(f"spark.sql.catalog.{name}.header.{key}", value)
     return name

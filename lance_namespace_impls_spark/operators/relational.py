@@ -1256,3 +1256,89 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _Q168_SQL.format(c=f"{prefix}.customer", n=f"{prefix}.nation")
     )
+
+
+_GLUE_FIXTURE_CACHE: dict[str, tuple] = {}
+
+_Q172_SQL = (
+    "SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
+    "CAST(SUM(CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents "
+    "FROM {s} JOIN {n} ON s_nationkey = n_nationkey "
+    "GROUP BY n_name ORDER BY n_name"
+)
+
+
+@query(
+    "q172_jvm_glue_catalog",
+    _Q172_SQL.format(s="supplier", n="nation"),
+    doc="Reference-parity Glue-dialect resolution, end to end in one query: "
+    "an embedded AWS-Glue-shaped service boots in-process "
+    "(catalog/glue_fixture.py), tables register through the Python "
+    "GlueNamespace dialect over the REAL AWS JSON 1.1 wire "
+    "(X-Amz-Target POSTs via GlueWireClient — no boto3 required), and the "
+    "three-part-name SQL join resolves through the JVM GlueTableCatalog "
+    "plugin — the FOURTH dialect with full JVM reach (directory q100, "
+    "Iceberg-REST q155, Unity q168, Glue this row; reference "
+    "GlueNamespace.java:117-393).  A JRE-only or socket-less environment "
+    "degrades to the established fallback contract with the identical "
+    "relation.",
+    tags=("scan", "catalog", "jvm", "glue"),
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from lance_namespace_impls_spark.catalog import models as cm
+    from lance_namespace_impls_spark.catalog.errors import TableAlreadyExists
+    from lance_namespace_impls_spark.catalog.glue import GlueNamespace
+    from lance_namespace_impls_spark.catalog.glue_fixture import (
+        GlueState,
+        GlueWireClient,
+        serve,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    try:
+        if tag not in _GLUE_FIXTURE_CACHE:
+            state = GlueState()
+            server, url = serve(state)
+            _GLUE_FIXTURE_CACHE[tag] = (server, url)
+    except OSError:
+        # Socket-less environment: same degradation contract as q155/q168.
+        load_table(spark, "supplier", sf_dir).createOrReplaceTempView(
+            f"r172_{tag}_supplier"
+        )
+        load_table(spark, "nation", sf_dir).createOrReplaceTempView(f"r172_{tag}_nation")
+        return spark.sql(
+            _Q172_SQL.format(s=f"r172_{tag}_supplier", n=f"r172_{tag}_nation")
+        )
+    _, url = _GLUE_FIXTURE_CACHE[tag]
+    ns = GlueNamespace({"client": GlueWireClient(url), "root": "/tmp/glue"})
+    try:
+        ns.create_namespace(cm.CreateNamespaceRequest(id=["main"]))
+    except Exception:
+        pass  # exists from a prior call in this process
+    for tbl in ("supplier", "nation"):
+        try:
+            ns.declare_table(
+                cm.DeclareTableRequest(
+                    id=["main", tbl], location=f"{sf_dir}/{tbl}.parquet"
+                )
+            )
+        except TableAlreadyExists:
+            pass
+    try:
+        from lance_namespace_impls_spark.catalog.jvm_catalog import (
+            install_glue_catalog,
+        )
+
+        prefix = install_glue_catalog(spark, f"lake_glue_{tag}", uri=url) + ".main"
+    except Exception:
+        from lance_namespace_impls_spark.catalog.bridge import publish_namespace
+
+        publish_namespace(
+            spark, ns, ["main"], f"lake_glue_fb_{tag}", include_declared=True
+        )
+        prefix = f"lake_glue_fb_{tag}"
+    return spark.sql(
+        _Q172_SQL.format(s=f"{prefix}.supplier", n=f"{prefix}.nation")
+    )
