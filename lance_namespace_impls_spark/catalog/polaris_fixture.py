@@ -1,0 +1,214 @@
+"""Embedded Apache-Polaris-shaped catalog service (dev/test fixture).
+
+A dict-backed implementation of exactly the endpoint subset the Python
+:class:`PolarisNamespace` dialect speaks (catalog/polaris.py) — the Iceberg-
+REST-style namespace tree plus Polaris's own *generic-tables* family, which
+is where Lance tables live (format="lance", base-location).  Completes the
+live-wire story for every HTTP dialect: Iceberg-REST (rest_fixture), Unity
+(unity_fixture), Glue-JSON (glue_fixture), and now Polaris.  Protocol per
+the public Polaris generic-table spec (reference polaris.py endpoint map):
+
+  GET    /api/catalog/v1/{cat}/namespaces
+  GET    /api/catalog/v1/{cat}/namespaces/{ns}/namespaces
+  POST   /api/catalog/v1/{cat}/namespaces
+  GET    /api/catalog/v1/{cat}/namespaces/{ns}
+  DELETE /api/catalog/v1/{cat}/namespaces/{ns}
+  GET    /api/catalog/polaris/v1/{cat}/namespaces/{ns}/generic-tables
+  POST   /api/catalog/polaris/v1/{cat}/namespaces/{ns}/generic-tables
+  GET    /api/catalog/polaris/v1/{cat}/namespaces/{ns}/generic-tables/{t}
+  DELETE /api/catalog/polaris/v1/{cat}/namespaces/{ns}/generic-tables/{t}
+
+Namespace path segments are dotted in item URLs; catalogs are pre-seeded
+(Polaris creates catalogs through a management API outside this dialect's
+surface).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote, urlparse
+
+
+class PolarisState:
+    """{(cat, ns-dotted): props}, {(cat, ns-dotted, table): generic-table}."""
+
+    def __init__(self, catalogs: tuple[str, ...] = ("lakehouse",)):
+        self.catalogs: list[str] = list(catalogs)
+        self.namespaces: dict[tuple[str, str], dict] = {}
+        self.tables: dict[tuple[str, str, str], dict] = {}
+        self.dropped: list[tuple[str, str, str]] = []
+        self.lock = threading.Lock()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: PolarisState  # injected by serve()
+
+    def log_message(self, *args):
+        pass
+
+    def _send(self, status: int, body: dict | None = None):
+        data = json.dumps(body or {}).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _error(self, status: int, message: str):
+        self._send(status, {"error": {"message": message, "code": status}})
+
+    def _read_body(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        return json.loads(self.rfile.read(length)) if length else {}
+
+    def _route(self) -> list[str]:
+        parsed = urlparse(self.path)
+        parts = [unquote(p) for p in parsed.path.strip("/").split("/")]
+        if parts[:2] != ["api", "catalog"]:
+            return []
+        return parts[2:]
+
+    # rest = either ["v1", cat, "namespaces", ...] (namespace family) or
+    # ["polaris", "v1", cat, "namespaces", ns, "generic-tables", ...].
+
+    def do_GET(self):
+        rest = self._route()
+        st = self.state
+        with st.lock:
+            if len(rest) >= 3 and rest[0] == "v1" and rest[2] == "namespaces":
+                cat = rest[1]
+                if cat not in st.catalogs:
+                    return self._error(404, f"catalog not found: {cat}")
+                if len(rest) == 3:
+                    # top-level namespaces of the catalog
+                    names = [
+                        k[1].split(".")
+                        for k in sorted(st.namespaces)
+                        if k[0] == cat and "." not in k[1]
+                    ]
+                    return self._send(200, {"namespaces": names})
+                if len(rest) == 5 and rest[4] == "namespaces":
+                    parent = rest[3]
+                    if (cat, parent) not in st.namespaces:
+                        return self._error(404, f"namespace not found: {parent}")
+                    depth = parent.count(".") + 1
+                    names = [
+                        k[1].split(".")
+                        for k in sorted(st.namespaces)
+                        if k[0] == cat
+                        and k[1].startswith(parent + ".")
+                        and k[1].count(".") == depth
+                    ]
+                    return self._send(200, {"namespaces": names})
+                if len(rest) == 4:
+                    key = (cat, rest[3])
+                    if key not in st.namespaces:
+                        return self._error(404, f"namespace not found: {rest[3]}")
+                    return self._send(
+                        200,
+                        {"namespace": rest[3].split("."), "properties": st.namespaces[key]},
+                    )
+            if (
+                len(rest) >= 6
+                and rest[0] == "polaris"
+                and rest[1] == "v1"
+                and rest[3] == "namespaces"
+                and rest[5] == "generic-tables"
+            ):
+                cat, ns = rest[2], rest[4]
+                if (cat, ns) not in st.namespaces:
+                    return self._error(404, f"namespace not found: {ns}")
+                if len(rest) == 6:
+                    idents = [
+                        {"namespace": k[1].split("."), "name": k[2]}
+                        for k in sorted(st.tables)
+                        if k[0] == cat and k[1] == ns
+                    ]
+                    return self._send(200, {"identifiers": idents})
+                if len(rest) == 7:
+                    key = (cat, ns, rest[6])
+                    entry = st.tables.get(key)
+                    if entry is None:
+                        return self._error(404, f"table not found: {rest[6]}")
+                    return self._send(200, {"table": entry})
+        self._error(400, f"unhandled GET {self.path}")
+
+    def do_POST(self):
+        rest = self._route()
+        st = self.state
+        body = self._read_body()
+        with st.lock:
+            if len(rest) == 3 and rest[0] == "v1" and rest[2] == "namespaces":
+                cat = rest[1]
+                if cat not in st.catalogs:
+                    return self._error(404, f"catalog not found: {cat}")
+                key = (cat, ".".join(body.get("namespace", [])))
+                if key in st.namespaces:
+                    return self._error(409, f"namespace already exists: {key[1]}")
+                st.namespaces[key] = dict(body.get("properties", {}))
+                return self._send(200, body)
+            if (
+                len(rest) == 6
+                and rest[0] == "polaris"
+                and rest[1] == "v1"
+                and rest[3] == "namespaces"
+                and rest[5] == "generic-tables"
+            ):
+                cat, ns = rest[2], rest[4]
+                if (cat, ns) not in st.namespaces:
+                    return self._error(404, f"namespace not found: {ns}")
+                key = (cat, ns, body.get("name", ""))
+                if key in st.tables:
+                    return self._error(409, f"table already exists: {key[2]}")
+                st.tables[key] = {
+                    "name": key[2],
+                    "format": body.get("format", ""),
+                    "base-location": body.get("base-location", ""),
+                    "properties": dict(body.get("properties", {})),
+                }
+                return self._send(200, {"table": st.tables[key]})
+        self._error(400, f"unhandled POST {self.path}")
+
+    def do_DELETE(self):
+        rest = self._route()
+        st = self.state
+        with st.lock:
+            if len(rest) == 4 and rest[0] == "v1" and rest[2] == "namespaces":
+                key = (rest[1], rest[3])
+                if key not in st.namespaces:
+                    return self._error(404, f"namespace not found: {rest[3]}")
+                non_empty = any(
+                    k[0] == key[0] and k[1] == key[1] for k in st.tables
+                ) or any(
+                    k[0] == key[0] and k[1].startswith(key[1] + ".")
+                    for k in st.namespaces
+                )
+                if non_empty:
+                    return self._error(409, f"namespace not empty: {rest[3]}")
+                del st.namespaces[key]
+                return self._send(200, {})
+            if (
+                len(rest) == 7
+                and rest[0] == "polaris"
+                and rest[1] == "v1"
+                and rest[3] == "namespaces"
+                and rest[5] == "generic-tables"
+            ):
+                key = (rest[2], rest[4], rest[6])
+                if key not in st.tables:
+                    return self._error(404, f"table not found: {rest[6]}")
+                st.dropped.append(key)
+                del st.tables[key]
+                return self._send(200, {})
+        self._error(400, f"unhandled DELETE {self.path}")
+
+
+def serve(state: PolarisState) -> tuple[ThreadingHTTPServer, str]:
+    """Start the service on an OS-assigned port; returns (server, base_url)."""
+    handler = type("BoundPolarisHandler", (_Handler,), {"state": state})
+    server = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, f"http://127.0.0.1:{server.server_port}"

@@ -1342,3 +1342,79 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _Q172_SQL.format(s=f"{prefix}.supplier", n=f"{prefix}.nation")
     )
+
+
+_POLARIS_FIXTURE_CACHE: dict[str, tuple] = {}
+
+_Q173_SQL = (
+    "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents "
+    "FROM {o} JOIN {c} ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+)
+
+
+@query(
+    "q173_polaris_catalog",
+    _Q173_SQL.format(o="orders", c="customer"),
+    doc="Reference-parity Polaris-dialect resolution, end to end in one "
+    "query: an embedded Polaris-shaped service boots in-process "
+    "(catalog/polaris_fixture.py — Iceberg-REST namespace tree + the "
+    "generic-tables family where Lance tables live), tables register "
+    "through the Python PolarisNamespace dialect over real HTTP, and the "
+    "session-catalog bridge publishes them for the SQL join.  Completes "
+    "live-wire coverage of every HTTP dialect (Iceberg-REST q155, Unity "
+    "q168, Glue-JSON q172, Polaris this row; reference polaris.py "
+    "endpoint map).  A socket-less environment degrades to the "
+    "established fallback contract with the identical relation.",
+    tags=("scan", "catalog", "rest"),
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from lance_namespace_impls_spark.catalog import models as cm
+    from lance_namespace_impls_spark.catalog.bridge import publish_namespace
+    from lance_namespace_impls_spark.catalog.errors import TableAlreadyExists
+    from lance_namespace_impls_spark.catalog.polaris import PolarisNamespace
+    from lance_namespace_impls_spark.catalog.polaris_fixture import (
+        PolarisState,
+        serve,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    try:
+        if tag not in _POLARIS_FIXTURE_CACHE:
+            state = PolarisState(catalogs=("lakehouse",))
+            server, url = serve(state)
+            _POLARIS_FIXTURE_CACHE[tag] = (server, url)
+    except OSError:
+        # Socket-less environment: same degradation contract as q155/q168/q172.
+        load_table(spark, "orders", sf_dir).createOrReplaceTempView(
+            f"r173_{tag}_orders"
+        )
+        load_table(spark, "customer", sf_dir).createOrReplaceTempView(
+            f"r173_{tag}_customer"
+        )
+        return spark.sql(
+            _Q173_SQL.format(o=f"r173_{tag}_orders", c=f"r173_{tag}_customer")
+        )
+    _, url = _POLARIS_FIXTURE_CACHE[tag]
+    ns = PolarisNamespace({"polaris.endpoint": url, "polaris.root": "/tmp/polaris"})
+    try:
+        ns.create_namespace(cm.CreateNamespaceRequest(id=["lakehouse", "main"]))
+    except Exception:
+        pass  # exists from a prior call in this process
+    for tbl in ("orders", "customer"):
+        try:
+            ns.declare_table(
+                cm.DeclareTableRequest(
+                    id=["lakehouse", "main", tbl], location=f"{sf_dir}/{tbl}.parquet"
+                )
+            )
+        except TableAlreadyExists:
+            pass
+    db = f"lake_polaris_{tag}"
+    publish_namespace(spark, ns, ["lakehouse", "main"], db, include_declared=True)
+    return spark.sql(
+        _Q173_SQL.format(o=f"{db}.orders", c=f"{db}.customer")
+    )

@@ -1,0 +1,93 @@
+"""Live-wire contract tests for the Polaris dialect (catalog/polaris.py).
+
+Upgrades Polaris from FakeTransport contract tests (test_catalog_dialects.py)
+to real HTTP round trips against the embedded Polaris-shaped service
+(catalog/polaris_fixture.py): namespace tree via the Iceberg-REST-style
+paths, tables via the generic-tables family where Lance entries live.
+With rest_fixture (Iceberg), unity_fixture, glue_fixture and hms_fixture
+this makes every service dialect socket-tested.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lance_namespace_impls_spark.catalog import models as m
+from lance_namespace_impls_spark.catalog.errors import (
+    NamespaceNotFound,
+    TableAlreadyExists,
+    TableNotFound,
+)
+from lance_namespace_impls_spark.catalog.polaris import PolarisNamespace
+from lance_namespace_impls_spark.catalog.polaris_fixture import PolarisState, serve
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def service():
+    state = PolarisState(catalogs=("lakehouse",))
+    server, url = serve(state)
+    yield state, url
+    server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def ns(service):
+    _, url = service
+    return PolarisNamespace({"polaris.endpoint": url, "polaris.root": "/tmp/pol"})
+
+
+def test_namespace_lifecycle_over_the_wire(ns, service):
+    state, _ = service
+    ns.create_namespace(
+        m.CreateNamespaceRequest(id=["lakehouse", "main"], properties={"owner": "ci"})
+    )
+    with state.lock:
+        assert ("lakehouse", "main") in state.namespaces
+    got = ns.describe_namespace(m.DescribeNamespaceRequest(id=["lakehouse", "main"]))
+    assert got.properties == {"owner": "ci"}
+    listed = ns.list_namespaces(m.ListNamespacesRequest(id=["lakehouse"]))
+    assert listed.namespaces == ["lakehouse.main"]
+    with pytest.raises(NamespaceNotFound):
+        ns.describe_namespace(m.DescribeNamespaceRequest(id=["lakehouse", "nope"]))
+
+
+def test_generic_table_lifecycle_over_the_wire(ns, service):
+    state, _ = service
+    resp = ns.declare_table(
+        m.DeclareTableRequest(
+            id=["lakehouse", "main", "region"], location=f"{SF}/region.parquet"
+        )
+    )
+    assert resp.location == f"{SF}/region.parquet"
+    with state.lock:
+        entry = state.tables[("lakehouse", "main", "region")]
+    assert entry["format"] == "lance"
+    assert entry["base-location"] == f"{SF}/region.parquet"
+    with pytest.raises(TableAlreadyExists):
+        ns.declare_table(
+            m.DeclareTableRequest(
+                id=["lakehouse", "main", "region"], location=f"{SF}/region.parquet"
+            )
+        )
+    desc = ns.describe_table(m.DescribeTableRequest(id=["lakehouse", "main", "region"]))
+    assert desc.location == f"{SF}/region.parquet"
+    assert desc.properties["table_type"] == "lance"
+    assert ns.list_tables(m.ListTablesRequest(id=["lakehouse", "main"])).tables == [
+        "region"
+    ]
+
+
+def test_deregister_and_restrict_drop(ns, service):
+    state, _ = service
+    out = ns.deregister_table(
+        m.DeregisterTableRequest(id=["lakehouse", "main", "region"])
+    )
+    assert out.location == f"{SF}/region.parquet"
+    assert ("lakehouse", "main", "region") in state.dropped
+    with pytest.raises(TableNotFound):
+        ns.describe_table(m.DescribeTableRequest(id=["lakehouse", "main", "region"]))
+    ns.drop_namespace(m.DropNamespaceRequest(id=["lakehouse", "main"]))
+    with state.lock:
+        assert ("lakehouse", "main") not in state.namespaces
