@@ -460,3 +460,72 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Sample budget for q174's apportionment.
+_BUDGET = 1000
+
+
+@query(
+    "q174_proportional_allocation",
+    # Hamilton (largest-remainder) apportionment in pure integer arithmetic:
+    # base = N*n DIV total, then the N - sum(base) leftover seats go to the
+    # largest remainders (source name tie-break).
+    "WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "  FROM documents GROUP BY source), "
+    "tot AS (SELECT SUM(n_docs) AS total FROM counts), "
+    "quot AS (SELECT source, n_docs, "
+    f"  {_BUDGET} * n_docs // total AS base, "
+    f"  {_BUDGET} * n_docs % total AS rem, total FROM counts, tot), "
+    "ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk, "
+    f"  {_BUDGET} - SUM(base) OVER () AS leftover FROM quot) "
+    "SELECT source, n_docs, CAST(base AS BIGINT) AS base, CAST(rem AS BIGINT) AS rem, "
+    "  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota "
+    "FROM ranked ORDER BY source",
+    doc="Exact proportional allocation of a fixed sample budget across "
+    "sources (Hamilton / largest-remainder apportionment): base = "
+    "N*n DIV total, leftover seats to the largest remainders — quotas sum "
+    "to EXACTLY N (pinned by test), which float-share rounding cannot "
+    "guarantee.  The step balanced eval-set and mixture-weight builders "
+    "run before per-source sampling (q158 then draws each quota "
+    "deterministically).  Pure integer arithmetic end to end; one "
+    "source-keyed aggregate plus a window over the (tiny) source "
+    "dimension — nothing scales with corpus size after the first "
+    "map-side-combined count.",
+    tags=("llm", "curation", "sampling"),
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    quot = counts.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"{_BUDGET} * n_docs DIV total").alias("base"),
+        F.expr(f"{_BUDGET} * n_docs % total").alias("rem"),
+    )
+    w_all = Window.partitionBy()
+    ranked = quot.select(
+        "source",
+        "n_docs",
+        "base",
+        "rem",
+        F.row_number()
+        .over(w_all.orderBy(F.col("rem").desc(), F.col("source")))
+        .alias("rk"),
+        (F.lit(_BUDGET) - F.sum("base").over(w_all)).alias("leftover"),
+    )
+    return (
+        ranked.select(
+            "source",
+            "n_docs",
+            F.col("base").cast("long").alias("base"),
+            F.col("rem").cast("long").alias("rem"),
+            (F.col("base") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0))
+            .cast("long")
+            .alias("quota"),
+        )
+        .orderBy("source")
+    )

@@ -187,3 +187,15 @@ def test_source_overlap_exact_agrees_with_pandas(spark, docs_pdf):
 def test_corpus_batch_oracle_green_at_smoke(spark, duck, name):
     result = check_query(spark, duck, name, SF_SMOKE)
     assert result["ok"], result
+
+
+def test_apportionment_quotas_sum_to_budget_exactly(spark):
+    """q174: Hamilton apportionment — quotas sum to exactly N and each
+    quota is within 1 of the exact proportional share."""
+    out = QUERIES["q174_proportional_allocation"].builder(spark, SF_SMOKE).toPandas()
+    assert out["quota"].sum() == 1000
+    total = out["n_docs"].sum()
+    for _, r in out.iterrows():
+        exact = 1000 * r["n_docs"] / total
+        assert abs(r["quota"] - exact) < 1.0
+        assert r["base"] <= r["quota"] <= r["base"] + 1
