@@ -31,6 +31,7 @@ CARTESIAN_ALLOWED = {
     "q130_histogram": "1-row (min,max) bounds broadcast into the bucketing expr",
     "q154_quality_weighted_sample": "1-row max-weight bound broadcast into the acceptance test",
     "q164_time_decay_agg": "1-row max-date bound broadcast into the decay weight",
+    "q174_proportional_allocation": "1-row corpus total broadcast into the quota arithmetic",
 }
 
 # streaming builders start real runs; their plans are covered by the
