@@ -19,6 +19,7 @@ from lance_namespace_impls_spark.operators import curation  # noqa: F401
 from lance_namespace_impls_spark.operators import partitioned  # noqa: F401
 from lance_namespace_impls_spark.operators import analytics  # noqa: F401
 from lance_namespace_impls_spark.operators import corpus  # noqa: F401
+from lance_namespace_impls_spark.operators import corpus2  # noqa: F401
 from lance_namespace_impls_spark.operators import diagnostics  # noqa: F401
 from lance_namespace_impls_spark.sources import pyds  # noqa: F401
 from lance_namespace_impls_spark.streaming import windows  # noqa: F401

@@ -1,0 +1,471 @@
+"""Corpus-pipeline operators, round-4 batch three (SURVEY.md §2B).
+
+Six more oracle-checked rows extending the training-data family:
+
+* q175 rare-token scoring — the corpus-frequency document score a quality
+  filter runs to find boilerplate (high mean frequency) and noise (very low);
+  the integer-exact stand-in for unigram-LM perplexity (no float log anywhere,
+  so the DuckDB twin is bit-exact).
+* q176 temperature-scaled source mixing — the multilingual/multi-source
+  mixture step (alpha=0.5 sampling a la multilingual LM training): per-source
+  sqrt-scaled weights, Hamilton quotas, deterministic per-source draw.
+* q177 repeated-span census — cross-document repeated 5-gram detection, the
+  n-gram-granular approximation of exact-substring dedup (Lee et al. 2021,
+  "Deduplicating Training Data Makes Language Models Better").
+* q178 / q179 — the two Arrow-native Python surfaces Spark 4 added
+  (``mapInArrow``, ``groupBy().applyInArrow``) driven end to end with
+  JVM-exact kernels (byte/char/vowel census, per-source profile) so the
+  declared rows are hash-checked, not demos.
+* q180 collocation lift — corpus-wide co-occurrence mining (window <=2) with
+  an integer-exact lift score; the phrase/merge-candidate detector a
+  tokenizer-training pipeline runs beside q119's raw bigram census.
+
+All built on the md5-derived portable hash and pure integer arithmetic so
+every pipeline has a bit-exact DuckDB twin.  Reference parity: the reference
+repo (lance-namespace-impls) has no query engine — these rows extend the
+data plane the way SURVEY.md §2B declares, mirroring its table/data model
+(documents: python/src/lance_namespace_impls/table_utils.py shapes).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.text import tokens
+from lance_namespace_impls_spark.operators.corpus import _exploded_shingles
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+
+# ---------------------------------------------------------------------------
+# q175: rare-token document score
+
+
+@query(
+    "q175_rare_token_score",
+    "WITH tok AS (SELECT doc_id, "
+    "  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM documents), "
+    "pairs AS (SELECT doc_id, t, COUNT(*) AS k FROM tok GROUP BY doc_id, t), "
+    "freq AS (SELECT t, SUM(k) AS cf FROM pairs GROUP BY t), "
+    "agg AS (SELECT doc_id, SUM(k) AS n_tokens, SUM(k * cf) AS cf_sum "
+    "  FROM pairs JOIN freq USING (t) GROUP BY doc_id) "
+    "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "  CAST((1000000 * cf_sum) // n_tokens AS BIGINT) AS mean_cf_ppm "
+    "FROM agg ORDER BY doc_id",
+    doc="Rare-token document scoring: per-document mean corpus frequency of "
+    "its tokens, ppm-scaled integer-exact — the no-float stand-in for "
+    "unigram-LM perplexity (low score = rare-token-dense/noisy, high = "
+    "boilerplate).  Two-pass: distinct (doc, token) pairs with counts are "
+    "materialized ONCE (localCheckpoint) and feed both the corpus frequency "
+    "table and the join back, so the token explode runs a single time; the "
+    "join key is the token (Zipf-bounded vocabulary — AQE broadcasts it "
+    "when small, shuffles otherwise) and the pair frame is ~2-5x smaller "
+    "than the raw occurrence stream.  At 100 TB swap the ppm product to "
+    "DECIMAL(38,0) (DuckDB's HUGEINT side already is).",
+    tags=("llm", "text", "quality"),
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    pairs = (
+        tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("k")).localCheckpoint()
+    )
+    freq = pairs.groupBy("t").agg(F.sum("k").alias("cf"))
+    return (
+        pairs.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.sum(F.col("k") * F.col("cf")).alias("cf_sum"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.expr("CAST((1000000 * cf_sum) DIV n_tokens AS BIGINT)").alias(
+                "mean_cf_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q176: temperature-scaled source mixture draw
+
+# Portable integer sqrt: FLOOR(SQRT(n)) corrected by one exact integer
+# comparison each way, so a last-ulp double difference between engines can
+# never flip the result.
+_ISQRT = (
+    "CASE WHEN (f + 1) * (f + 1) <= n_docs THEN f + 1 "
+    "WHEN f * f > n_docs THEN f - 1 ELSE f END"
+)
+
+
+@query(
+    "q176_temperature_mixture",
+    "WITH counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "  FROM documents GROUP BY source), "
+    "tot AS (SELECT SUM(n_docs) AS total FROM counts), "
+    "w AS (SELECT source, n_docs, " + _ISQRT + " AS wt "
+    "  FROM (SELECT source, n_docs, CAST(FLOOR(SQRT(n_docs)) AS BIGINT) AS f "
+    "        FROM counts)), "
+    "ws AS (SELECT SUM(wt) AS wsum FROM w), "
+    "quot AS (SELECT source, wt, (total // 4) * wt // wsum AS base, "
+    "  (total // 4) * wt % wsum AS rem, total // 4 AS budget "
+    "  FROM w, ws, tot), "
+    "ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk, "
+    "  budget - SUM(base) OVER () AS leftover FROM quot), "
+    "quota AS (SELECT source, "
+    "  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota FROM ranked), "
+    "hashed AS (SELECT d.doc_id, d.source, "
+    "  ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT "
+    "    % 2147483647 AS h FROM documents d), "
+    "drawn AS (SELECT doc_id, source, h, "
+    "  ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk "
+    "  FROM hashed) "
+    "SELECT d.source, d.doc_id, CAST(d.rk AS BIGINT) AS rk "
+    "FROM drawn d JOIN quota q ON d.source = q.source "
+    "WHERE d.rk <= q.quota ORDER BY d.source, d.rk",
+    doc="Temperature-scaled source mixing (alpha=0.5, the multilingual-LM "
+    "rebalance): per-source weights n^0.5 via a portable integer sqrt "
+    "(FLOOR(SQRT) corrected by exact integer comparisons so engines can "
+    "never disagree at a perfect-square boundary), Hamilton largest-"
+    "remainder quotas over a budget of total/4 docs, then a deterministic "
+    "materialized draw — rank by the portable md5 hash within each source, "
+    "keep the first quota docs.  Upsamples small sources relative to raw "
+    "proportions, exactly reproducibly.  Everything before the draw touches "
+    "only the tiny source dimension; the draw is one source-partitioned "
+    "window (range-partitioned sort at scale, q158's shape) plus a "
+    "broadcast quota join.",
+    tags=("llm", "curation", "sampling"),
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = counts.select(
+        "source",
+        "n_docs",
+        F.expr("CAST(FLOOR(SQRT(n_docs)) AS BIGINT)").alias("f"),
+    ).select("source", "n_docs", F.expr(_ISQRT).alias("wt"))
+    ws = w.agg(F.sum("wt").alias("wsum"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    quot = (
+        w.join(F.broadcast(ws))
+        .join(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr("(total DIV 4) * wt DIV wsum").alias("base"),
+            F.expr("(total DIV 4) * wt % wsum").alias("rem"),
+            F.expr("total DIV 4").alias("budget"),
+        )
+    )
+    w_all = Window.partitionBy()
+    quota = quot.select(
+        "source",
+        (
+            F.col("base")
+            + F.when(
+                F.row_number().over(w_all.orderBy(F.col("rem").desc(), F.col("source")))
+                <= F.col("budget") - F.sum("base").over(w_all),
+                1,
+            ).otherwise(0)
+        ).alias("quota"),
+    )
+    hashed = docs.select(
+        "doc_id",
+        "source",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(2147483647),
+        ).alias("h"),
+    )
+    drawn = hashed.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("h", "doc_id"))
+        .alias("rk"),
+    )
+    return (
+        drawn.join(F.broadcast(quota), "source")
+        .where(F.col("rk") <= F.col("quota"))
+        .select("source", "doc_id", F.col("rk").cast("long").alias("rk"))
+        .orderBy("source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q177: cross-document repeated-span census
+
+
+@query(
+    "q177_repeated_span_census",
+    "WITH toked AS (SELECT doc_id, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "sh AS (SELECT doc_id, unnest([array_to_string(toks[i:i+4], ' ') "
+    "    for i in generate_series(1, len(toks)-4)]) AS t "
+    "  FROM toked WHERE len(toks) >= 5), "
+    "hx AS (SELECT doc_id, "
+    "  ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647 AS h FROM sh), "
+    "dup AS (SELECT h FROM hx GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2), "
+    "tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM hx GROUP BY doc_id), "
+    "dc AS (SELECT doc_id, COUNT(*) AS n_dup FROM hx "
+    "  WHERE h IN (SELECT h FROM dup) GROUP BY doc_id) "
+    "SELECT doc_id, CAST(t.n_spans AS BIGINT) AS n_spans, "
+    "  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup, "
+    "  CAST((1000000 * COALESCE(d.n_dup, 0)) // t.n_spans AS BIGINT) AS dup_ppm "
+    "FROM tot t LEFT JOIN dc d USING (doc_id) ORDER BY doc_id",
+    doc="Cross-document repeated-span census: fraction of each document's "
+    "5-gram positions whose span also occurs in ANOTHER document — the "
+    "n-gram-granular approximation of exact-substring dedup (Lee et al. "
+    "2021); high dup_ppm flags templated/boilerplate docs for removal or "
+    "span-level clipping.  Spans hash to 31-bit portable integers "
+    "IMMEDIATELY after construction so every shuffle moves ints, never "
+    "5-gram strings; the hashed span stream is materialized once "
+    "(localCheckpoint) and feeds the distinct-doc census, the per-doc "
+    "totals, and the dup-mark semi-join.  Docs shorter than 5 tokens have "
+    "no spans and are (consistently) absent.  One groupBy(h) + one "
+    "left-semi join + two per-doc aggs — no string self-join anywhere.",
+    tags=("llm", "dedup", "text"),
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    ex = _exploded_shingles(docs, 5)
+    hx = ex.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"),
+            F.lit(2147483647),
+        ).alias("h"),
+    ).localCheckpoint()
+    dup = (
+        hx.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    tot = hx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dc = hx.join(dup, "h", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    return (
+        tot.join(dc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
+            F.expr(
+                "CAST((1000000 * COALESCE(n_dup, 0)) DIV n_spans AS BIGINT)"
+            ).alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178: mapInArrow byte/char/vowel census
+
+
+def _arrow_census(batches: "pa.RecordBatchReader | list[pa.RecordBatch]"):
+    """Arrow-native kernel: per-doc byte length, char length, vowel count.
+
+    Runs entirely on Arrow buffers (no pandas conversion) — ``mapInArrow``
+    is the zero-copy Python surface Spark 4 added below mapInPandas.  Every
+    metric has an exact JVM/SQL twin (octet_length / length / regexp
+    census), so the declared row is hash-checked, not a demo.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        text = b.column("text")
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column("doc_id"),
+                pc.binary_length(text).cast(pa.int64()),
+                pc.utf8_length(text).cast(pa.int64()),
+                pc.count_substring_regex(text, pattern="[aeiou]").cast(pa.int64()),
+            ],
+            names=["doc_id", "n_bytes", "n_chars", "n_vowels"],
+        )
+
+
+@query(
+    "q178_map_in_arrow_census",
+    "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+    "  CAST(length(text) AS BIGINT) AS n_chars, "
+    "  CAST(length(regexp_replace(text, '[^aeiou]', '', 'g')) AS BIGINT) "
+    "    AS n_vowels "
+    "FROM documents ORDER BY doc_id",
+    doc="mapInArrow surface: the zero-copy Arrow-batch Python path (no "
+    "pandas materialization — RecordBatch in, RecordBatch out), exercised "
+    "with a byte/char/vowel census whose every metric has an exact SQL "
+    "twin, so this Python surface is hash-checked like any relational row. "
+    "The production form of these metrics is pure JVM (octet_length / "
+    "length / regexp_count — q46's family); this row pins the Arrow "
+    "interchange itself: schema mapping, batch iteration, large-string "
+    "handling.  Final projection re-casts JVM-side (the round-4 "
+    "grouped-kernel dtype lesson).",
+    tags=("udf", "arrow", "text"),
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    out = docs.select("doc_id", "text").mapInArrow(
+        _arrow_census,
+        "doc_id long, n_bytes long, n_chars long, n_vowels long",
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_vowels").cast("long").alias("n_vowels"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q179: applyInArrow per-source profile
+
+
+def _arrow_source_profile(table: "pa.Table") -> "pa.Table":
+    """Grouped Arrow kernel: per-source doc count, total/max char length."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ln = pc.utf8_length(table.column("text"))
+    return pa.table(
+        {
+            "source": [table.column("source")[0].as_py()],
+            "n_docs": pa.array([table.num_rows], type=pa.int64()),
+            "total_chars": pa.array([pc.sum(ln).as_py()], type=pa.int64()),
+            "max_chars": pa.array([pc.max(ln).as_py()], type=pa.int64()),
+        }
+    )
+
+
+@query(
+    "q179_apply_in_arrow_profile",
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(SUM(length(text)) AS BIGINT) AS total_chars, "
+    "  CAST(MAX(length(text)) AS BIGINT) AS max_chars "
+    "FROM documents GROUP BY source ORDER BY source",
+    doc="applyInArrow surface (Spark 4's grouped Arrow path, below "
+    "applyInPandas): per-source profile computed in an Arrow kernel over "
+    "each group's Table, hash-checked against the plain SQL aggregate.  "
+    "Production form is the one-shuffle hash aggregate (the oracle); this "
+    "row pins the grouped Arrow interchange — group assembly, Table-in/"
+    "Table-out, int64 array construction.  Final projection re-casts "
+    "JVM-side (the round-4 grouped-kernel dtype lesson).",
+    tags=("udf", "arrow", "agg"),
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    out = (
+        docs.select("source", "text")
+        .groupBy("source")
+        .applyInArrow(
+            _arrow_source_profile,
+            "source string, n_docs long, total_chars long, max_chars long",
+        )
+    )
+    return out.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("max_chars").cast("long").alias("max_chars"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q180: collocation lift (co-occurrence mining)
+
+
+def _pair_stream(docs: DataFrame) -> DataFrame:
+    """(doc) -> one row per ordered token pair at distance 1 or 2.
+
+    arrays_zip of shifted slices (whole-stage codegen — the interpreted-HOF
+    lesson), exploded once per distance then unioned; x/y never contain
+    whitespace by construction (tokens are whitespace-split).
+    """
+    tk = docs.select(tokens(F.col("text")).alias("ws"))
+
+    def dist(d: int) -> DataFrame:
+        z = tk.where(F.size("ws") >= d + 1).select(
+            F.expr(
+                f"arrays_zip(slice(ws, 1, size(ws) - {d}), "
+                f"slice(ws, {d + 1}, size(ws) - {d}))"
+            ).alias("z")
+        )
+        return z.select(F.explode("z").alias("g")).select(
+            F.col("g.0").alias("x"), F.col("g.1").alias("y")
+        )
+
+    return dist(1).unionAll(dist(2))
+
+
+@query(
+    "q180_collocation_lift",
+    "WITH toked AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') "
+    "    AS toks FROM documents), "
+    "p1 AS (SELECT unnest([toks[i] || ' ' || toks[i+1] "
+    "    for i in range(1, len(toks))]) AS pr FROM toked WHERE len(toks) >= 2), "
+    "p2 AS (SELECT unnest([toks[i] || ' ' || toks[i+2] "
+    "    for i in range(1, len(toks)-1)]) AS pr FROM toked WHERE len(toks) >= 3), "
+    "pairs AS (SELECT split_part(pr, ' ', 1) AS x, split_part(pr, ' ', 2) AS y "
+    "  FROM (SELECT pr FROM p1 UNION ALL SELECT pr FROM p2)), "
+    "pc AS (SELECT x, y, COUNT(*) AS c_xy FROM pairs GROUP BY x, y), "
+    "tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t "
+    "  FROM documents), "
+    "uni AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t), "
+    "n AS (SELECT SUM(c) AS n_total FROM uni) "
+    "SELECT x, y, CAST(c_xy AS BIGINT) AS c_xy, "
+    "  CAST((1000000 * c_xy * n_total) // (ux.c * uy.c) AS BIGINT) AS lift_ppm "
+    "FROM pc JOIN uni ux ON pc.x = ux.t JOIN uni uy ON pc.y = uy.t, n "
+    "WHERE c_xy >= 5 "
+    "ORDER BY lift_ppm DESC, x, y, c_xy LIMIT 100",
+    doc="Collocation mining: top-100 token pairs (window <= 2) by lift = "
+    "P(x,y)/(P(x)P(y)), ppm-scaled integer-exact (no float log — ordering "
+    "by lift equals ordering by PMI).  The phrase/merge-candidate detector "
+    "a tokenizer-training pipeline runs beside q119's raw bigram census.  "
+    "Pair stream via arrays_zip of shifted slices (codegen; the "
+    "interpreted-HOF lesson), pair counts in one shuffle with map-side "
+    "combine, unigram table joined twice (Zipf-bounded — AQE broadcasts), "
+    "total-token count as a broadcast scalar, TakeOrderedAndProject for "
+    "the top-k (per-partition heaps, no global sort).  At 100 TB swap the "
+    "ppm product to DECIMAL(38,0) (DuckDB's HUGEINT side already is).",
+    tags=("llm", "text", "vocab"),
+)
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    pairs = _pair_stream(docs)
+    pc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = uni.agg(F.sum("c").alias("n_total"))
+    ux = uni.select(F.col("t").alias("x"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("t").alias("y"), F.col("c").alias("cy"))
+    return (
+        pc.where(F.col("c_xy") >= 5)
+        .join(ux, "x")
+        .join(uy, "y")
+        .join(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.expr(
+                "CAST((1000000 * c_xy * n_total) DIV (cx * cy) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy(F.col("lift_ppm").desc(), "x", "y", "c_xy")
+        .limit(100)
+    )

@@ -32,6 +32,8 @@ CARTESIAN_ALLOWED = {
     "q154_quality_weighted_sample": "1-row max-weight bound broadcast into the acceptance test",
     "q164_time_decay_agg": "1-row max-date bound broadcast into the decay weight",
     "q174_proportional_allocation": "1-row corpus total broadcast into the quota arithmetic",
+    "q176_temperature_mixture": "1-row weight-sum/total broadcasts into the quota arithmetic",
+    "q180_collocation_lift": "1-row total-token-count broadcast into the lift expression",
 }
 
 # streaming builders start real runs; their plans are covered by the
@@ -85,6 +87,8 @@ PYTHON_ALLOWED = {
     "q117_label_centroid_matrix": "Arrow-batched vector aggregation kernel",
     "q89_skyline": "partition-local NumPy sweep kernel (two-phase skyline design)",
     "q144_image_channel_stats": "real netpbm decode via mapInPandas (multimodal surface)",
+    "q178_map_in_arrow_census": "declared mapInArrow surface (Arrow-native census kernel)",
+    "q179_apply_in_arrow_profile": "declared applyInArrow surface (grouped Arrow kernel)",
 }
 
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonMapInArrow")
