@@ -61,25 +61,24 @@ if TYPE_CHECKING:  # pragma: no cover
     doc="Rare-token document scoring: per-document mean corpus frequency of "
     "its tokens, ppm-scaled integer-exact — the no-float stand-in for "
     "unigram-LM perplexity (low score = rare-token-dense/noisy, high = "
-    "boilerplate).  Two-pass: distinct (doc, token) pairs with counts are "
-    "materialized ONCE (localCheckpoint) and feed both the corpus frequency "
-    "table and the join back, so the token explode runs a single time; the "
-    "join key is the token (Zipf-bounded vocabulary — AQE broadcasts it "
-    "when small, shuffles otherwise) and the pair frame is ~2-5x smaller "
-    "than the raw occurrence stream.  At 100 TB swap the ppm product to "
-    "DECIMAL(38,0) (DuckDB's HUGEINT side already is).",
+    "boilerplate).  ONE pass over the text: distinct (doc, token) counts "
+    "(map-side-combined shuffle), corpus frequency attached by a window "
+    "SUM over the token key (the oracle's freq-table join, collapsed into "
+    "the same shuffled data — no second scan, no checkpoint, no join), "
+    "then the per-doc aggregate.  The pair frame the shuffles move is "
+    "~2-5x smaller than the raw occurrence stream.  At 100 TB swap the "
+    "ppm product to DECIMAL(38,0) (DuckDB's HUGEINT side already is).",
     tags=("llm", "text", "quality"),
 )
 def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, "documents", sf_dir))
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
-    pairs = (
-        tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("k")).localCheckpoint()
+    pairs = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("k"))
+    with_cf = pairs.select(
+        "doc_id", "k", F.sum("k").over(Window.partitionBy("t")).alias("cf")
     )
-    freq = pairs.groupBy("t").agg(F.sum("k").alias("cf"))
     return (
-        pairs.join(freq, "t")
-        .groupBy("doc_id")
+        with_cf.groupBy("doc_id")
         .agg(
             F.sum("k").alias("n_tokens"),
             F.sum(F.col("k") * F.col("cf")).alias("cf_sum"),
@@ -228,11 +227,12 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
     "2021); high dup_ppm flags templated/boilerplate docs for removal or "
     "span-level clipping.  Spans hash to 31-bit portable integers "
     "IMMEDIATELY after construction so every shuffle moves ints, never "
-    "5-gram strings; the hashed span stream is materialized once "
-    "(localCheckpoint) and feeds the distinct-doc census, the per-doc "
-    "totals, and the dup-mark semi-join.  Docs shorter than 5 tokens have "
-    "no spans and are (consistently) absent.  One groupBy(h) + one "
-    "left-semi join + two per-doc aggs — no string self-join anywhere.",
+    "5-gram strings.  ONE pass over the text, THREE int-only shuffles, no "
+    "join and no materialization: (h, doc) occurrence counts (map-side "
+    "combine), distinct-doc census as a window COUNT over the span key "
+    "(each (h, doc) row is unique, so COUNT(*) over h IS the distinct-doc "
+    "count), then one per-doc conditional aggregate.  Docs shorter than 5 "
+    "tokens have no spans and are (consistently) absent.",
     tags=("llm", "dedup", "text"),
 )
 def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,26 +244,24 @@ def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long"),
             F.lit(2147483647),
         ).alias("h"),
-    ).localCheckpoint()
-    dup = (
-        hx.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("h")
     )
-    tot = hx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    dc = hx.join(dup, "h", "left_semi").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup")
+    grp = hx.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    census = grp.select(
+        "doc_id",
+        "c",
+        F.count(F.lit(1)).over(Window.partitionBy("h")).alias("nd"),
     )
     return (
-        tot.join(dc, "doc_id", "left")
+        census.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)).alias("n_dup"),
+        )
         .select(
             "doc_id",
             F.col("n_spans").cast("long").alias("n_spans"),
-            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup"),
-            F.expr(
-                "CAST((1000000 * COALESCE(n_dup, 0)) DIV n_spans AS BIGINT)"
-            ).alias("dup_ppm"),
+            F.col("n_dup").cast("long").alias("n_dup"),
+            F.expr("CAST((1000000 * n_dup) DIV n_spans AS BIGINT)").alias("dup_ppm"),
         )
         .orderBy("doc_id")
     )
