@@ -18,6 +18,7 @@ from lance_namespace_impls_spark.operators import pipeline  # noqa: F401
 from lance_namespace_impls_spark.operators import curation  # noqa: F401
 from lance_namespace_impls_spark.operators import partitioned  # noqa: F401
 from lance_namespace_impls_spark.operators import analytics  # noqa: F401
+from lance_namespace_impls_spark.operators import tpch  # noqa: F401
 from lance_namespace_impls_spark.operators import corpus  # noqa: F401
 from lance_namespace_impls_spark.operators import corpus2  # noqa: F401
 from lance_namespace_impls_spark.operators import diagnostics  # noqa: F401

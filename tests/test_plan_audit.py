@@ -34,6 +34,7 @@ CARTESIAN_ALLOWED = {
     "q174_proportional_allocation": "1-row corpus total broadcast into the quota arithmetic",
     "q176_temperature_mixture": "1-row weight-sum/total broadcasts into the quota arithmetic",
     "q180_collocation_lift": "1-row total-token-count broadcast into the lift expression",
+    "q195_tpch_q22_sales_opportunity": "1-row segment-average balance threshold broadcast",
 }
 
 # streaming builders start real runs; their plans are covered by the
