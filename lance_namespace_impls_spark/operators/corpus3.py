@@ -1,0 +1,213 @@
+"""Corpus operators, batch four (q196–q198): tokenizer training, vector
+compression, and retrieval scoring.
+
+* q196 — the distributed **BPE merge-round census**: the first real step of
+  byte-pair-encoding tokenizer training (count adjacent symbol pairs over
+  the vocabulary, weighted by word frequency; the top pair becomes the next
+  merge).  The scale design is the point: pair counting runs on the
+  **word-frequency table** (vocabulary-sized, bounded by distinct words)
+  rather than the corpus — the corpus is read once for the word count and
+  never touched again, so a 100 TB corpus costs one tokenize pass plus
+  vocabulary-sized work.
+* q197 — **product-quantization encode**: 64-dim embeddings compressed to 8
+  one-byte codes (8 subspaces x 8 centroids).  Distances are integer-exact
+  (int-projected vectors, d² = a·a + b·b − 2a·b on BIGINT), and the
+  per-subspace argmin is the order-free ``MIN(d²·8 + code)`` encoding, so
+  both engines pick identical codes including ties.  The codebook is a
+  deterministic 8-row broadcast; the corpus never shuffles.
+* q198 — **BM25 retrieval scoring** in pure integer arithmetic: idf via the
+  bit-length idiom (q166), the tf saturation quotient via one integer DIV
+  with the average document length pre-floored to an integer (A = S DIV N —
+  bounded regardless of corpus size, so every intermediate stays far inside
+  int64 even at 100 TB; float BM25 would diverge across engines in the
+  last ulp).  One tokenize pass feeds document lengths, term frequencies
+  and document frequencies; the only corpus-sized shuffle is the (doc,
+  term) aggregate.
+
+No Python UDFs anywhere — all three are whole-stage-codegen built-in
+pipelines with exact DuckDB twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.text import tokens
+from lance_namespace_impls_spark.functions.vectors import int_dot, int_projected
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q196 — BPE merge-round pair census
+
+
+@query(
+    "q196_bpe_merge_pairs",
+    "WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w "
+    "  FROM documents), "
+    "wc AS (SELECT w, COUNT(*) AS cnt FROM tok WHERE length(w) >= 2 GROUP BY w), "
+    "pairs AS (SELECT substring(w, CAST(i AS INT), 2) AS pair, cnt FROM ("
+    "  SELECT w, cnt, unnest(generate_series(1, length(w) - 1)) AS i FROM wc)) "
+    "SELECT pair, CAST(SUM(cnt) AS BIGINT) AS freq FROM pairs "
+    "GROUP BY pair ORDER BY freq DESC, pair LIMIT 20",
+    doc="BPE tokenizer-training merge round: adjacent character-pair "
+    "frequencies over the corpus, weighted by word frequency — the top "
+    "pair is the next BPE merge. Pair expansion runs on the word-frequency "
+    "table (vocabulary-sized), NOT the corpus: one corpus tokenize pass, "
+    "then O(vocab) work, at any scale. Total-ordered (freq DESC, pair) so "
+    "the top-20 cut is deterministic.",
+    tags=("llm", "corpus", "tokenizer"),
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = wc.select(
+        "w", "cnt", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+    ).select(F.col("w").substr(F.col("i"), F.lit(2)).alias("pair"), "cnt")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("freq"))
+        .orderBy(F.col("freq").desc(), "pair")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — product-quantization encode
+
+_SUBSPACES = 8
+_SUBDIM = 8  # 64-dim embeddings -> 8 slices of 8
+_CODES = 8  # codebook entries per subspace (the vec_id < 8 rows)
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin: same int projection, same d² identity, same argmin
+    encoding MIN(d²·8 + code) % 8 per subspace."""
+    slices = []
+    for s in range(_SUBSPACES):
+        lo, hi = s * _SUBDIM + 1, (s + 1) * _SUBDIM
+        d2 = (
+            f"(CAST(list_dot_product(p.v[{lo}:{hi}], p.v[{lo}:{hi}]) AS BIGINT) "
+            f"+ CAST(list_dot_product(c.cv[{lo}:{hi}], c.cv[{lo}:{hi}]) AS BIGINT) "
+            f"- 2 * CAST(list_dot_product(p.v[{lo}:{hi}], c.cv[{lo}:{hi}]) AS BIGINT))"
+        )
+        slices.append(f"MIN({d2} * {_CODES} + c.code) % {_CODES} AS code_{s}")
+    return (
+        "WITH proj AS (SELECT vec_id, "
+        "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+        "  FROM embeddings), "
+        "cb AS (SELECT vec_id AS code, v AS cv FROM proj WHERE vec_id < 8) "
+        "SELECT p.vec_id, " + ", ".join(slices) + " "
+        "FROM proj p CROSS JOIN cb c GROUP BY p.vec_id ORDER BY p.vec_id"
+    )
+
+
+@query(
+    "q197_pq_encode",
+    _pq_oracle(),
+    doc="Product-quantization encode: 64-dim embedding -> 8 codes (8 "
+    "subspaces x 8 centroids; codebook = the vec_id<8 rows, a "
+    "deterministic 8-row broadcast). Integer-exact squared L2 via "
+    "d² = a·a + b·b − 2a·b on int-projected vectors; per-subspace argmin "
+    "as the order-free MIN(d²·8+code)%8 encoding, so ties resolve "
+    "identically on both engines. The corpus never shuffles — one "
+    "broadcast join + one hash aggregate keyed on vec_id.",
+    tags=("llm", "similarity", "compression"),
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = emb.select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    cb = (
+        proj.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("code"), F.col("v").alias("cv"))
+    )
+    joined = proj.join(F.broadcast(cb))
+    aggs = []
+    for s in range(_SUBSPACES):
+        a = F.slice(F.col("v"), s * _SUBDIM + 1, _SUBDIM)
+        b = F.slice(F.col("cv"), s * _SUBDIM + 1, _SUBDIM)
+        d2 = int_dot(a, a) + int_dot(b, b) - F.lit(2) * int_dot(a, b)
+        aggs.append(
+            (F.min(d2 * _CODES + F.col("code")) % _CODES).alias(f"code_{s}")
+        )
+    return joined.groupBy("vec_id").agg(*aggs).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# q198 — integer-exact BM25 retrieval
+
+_BM25_TERMS = ("scan", "dup", "spark")
+
+
+@query(
+    "q198_bm25_retrieval",
+    "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w "
+    "  FROM documents), "
+    "dl AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id), "
+    "stats AS (SELECT COUNT(*) AS n_docs, "
+    "  (SUM(dlen) // COUNT(*)) AS avg_dl FROM dl), "
+    "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok "
+    "  WHERE w IN ('scan', 'dup', 'spark') GROUP BY doc_id, w), "
+    "dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), "
+    "scored AS (SELECT tf.doc_id, "
+    "  CAST(length(bin(n_docs // df)) AS BIGINT) * "
+    "  ((1000000 * 22 * tf * avg_dl) // "
+    "   (10 * avg_dl * tf + 3 * avg_dl + 9 * dlen)) AS s "
+    "  FROM tf JOIN dl ON tf.doc_id = dl.doc_id "
+    "  JOIN dfreq ON tf.w = dfreq.w CROSS JOIN stats) "
+    "SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score, COUNT(*) AS terms_matched "
+    "FROM scored GROUP BY doc_id "
+    "ORDER BY score DESC, doc_id LIMIT 10",
+    doc="BM25 top-10 retrieval (k1=1.2, b=0.75) in pure integer "
+    "arithmetic: idf = bit-length(N DIV df) (the q166 idiom — no libm "
+    "log), tf saturation as ONE integer DIV with avgdl pre-floored to an "
+    "integer A = S DIV N (A is bounded by document length at any corpus "
+    "size, so 10^6·22·tf·A stays far inside int64 at 100 TB where a "
+    "sum-of-lengths formulation would overflow). One tokenize pass feeds "
+    "lengths, tf and df; the 1-row stats frame broadcasts.",
+    tags=("llm", "corpus", "retrieval"),
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("SUM(dlen) DIV COUNT(*)").alias("avg_dl"),
+    )
+    tf = (
+        tok.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "w")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.expr("n_docs DIV df"))).cast("bigint")
+                * F.expr(
+                    "(1000000 * 22 * tf * avg_dl) DIV "
+                    "(10 * avg_dl * tf + 3 * avg_dl + 9 * dlen)"
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("s").cast("bigint").alias("score"),
+            F.count(F.lit(1)).alias("terms_matched"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

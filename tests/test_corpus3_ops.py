@@ -1,0 +1,76 @@
+"""Batch-four corpus operators (q196–q198): oracle parity plus the
+shape properties that make each one trustworthy at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.oracle import check_query, duckdb_connection
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+NEW = ["q196_bpe_merge_pairs", "q197_pq_encode", "q198_bm25_retrieval"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_oracle_match(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_q196_pairs_are_two_chars(spark):
+    rows = QUERIES["q196_bpe_merge_pairs"].builder(spark, SF_SMOKE).collect()
+    assert rows and all(len(r["pair"]) == 2 for r in rows)
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_q197_codes_in_range_and_codebook_self_encodes(spark):
+    df = QUERIES["q197_pq_encode"].builder(spark, SF_SMOKE)
+    rows = df.collect()
+    code_cols = [c for c in df.columns if c.startswith("code_")]
+    assert len(code_cols) == 8
+    for r in rows:
+        for c in code_cols:
+            assert 0 <= r[c] < 8
+    # a codebook vector's nearest centroid in every subspace is itself
+    # (d²=0 beats any tie because the struct encoding breaks ties by code,
+    # and code==vec_id for these rows)
+    for r in rows:
+        if r["vec_id"] < 8:
+            assert all(r[c] == r["vec_id"] for c in code_cols), r
+
+
+def test_q198_scores_positive_and_bounded_terms(spark):
+    rows = QUERIES["q198_bm25_retrieval"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["score"] > 0
+        assert 1 <= r["terms_matched"] <= 3
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_q196_pair_expansion_runs_on_vocabulary_not_corpus(spark):
+    """The explode(sequence(...)) pair generator must sit ABOVE the word
+    aggregate in the plan — i.e. the corpus-sized side is tokenized once
+    and pair expansion touches only the vocabulary table."""
+    plan = (
+        QUERIES["q196_bpe_merge_pairs"]
+        .builder(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    gen = plan.index("Generate explode(sequence")
+    agg_positions = [i for i in range(len(plan)) if plan.startswith("Aggregate", i)]
+    # at least one aggregate (the word count) appears BELOW (after, in
+    # top-down plan text) the pair generator
+    assert any(i > gen for i in agg_positions), plan

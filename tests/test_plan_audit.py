@@ -35,6 +35,8 @@ CARTESIAN_ALLOWED = {
     "q176_temperature_mixture": "1-row weight-sum/total broadcasts into the quota arithmetic",
     "q180_collocation_lift": "1-row total-token-count broadcast into the lift expression",
     "q195_tpch_q22_sales_opportunity": "1-row segment-average balance threshold broadcast",
+    "q197_pq_encode": "deterministic 8-row codebook broadcast (PQ assignment; corpus never shuffles)",
+    "q198_bm25_retrieval": "1-row corpus stats (N, avgdl) broadcast into the scoring expression",
 }
 
 # streaming builders start real runs; their plans are covered by the
