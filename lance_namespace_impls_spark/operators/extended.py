@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from lance_namespace_impls_spark.operators.relational import _rev
 from lance_namespace_impls_spark.operators.skew import salted_agg
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.sources.tables import load_table
@@ -300,7 +301,7 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).filter(
         F.col("l_shipdate") > F.lit("1998-03-15").cast("date")
     )
-    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    rev = _rev()
     return (
         cu.join(od, cu.c_custkey == od.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -340,7 +341,7 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-07-01").cast("date"))
     )
     li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
-    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    rev = _rev()
     return (
         li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))

@@ -38,6 +38,20 @@ def _money(expr):
     return F.round(expr, 2).cast("double")
 
 
+# The TPC-H discounted-revenue expression, shared by every query that sums
+# revenue (q04/q11/q18 here, q83/q84 in extended.py, the q181+ suite in
+# tpch.py).  One definition so a determinism fix (e.g. widening the decimal
+# precision) cannot silently diverge between suites.
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+def _rev():
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+
+
 # ---------------------------------------------------------------------------
 # Scans / sources (Q01–Q03)
 
@@ -192,7 +206,7 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    disc_price = _money(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+    disc_price = _money(_rev())
     return li.select(
         "l_orderkey", "l_linenumber", disc_price.alias("disc_price")
     ).orderBy("l_orderkey", "l_linenumber")
@@ -324,7 +338,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust_geo = cust.join(nation, cust.c_nationkey == nation.n_nationkey).join(
         region, nation.n_regionkey == region.r_regionkey
     )
-    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    revenue = _rev()
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust_geo, orders.o_custkey == cust_geo.c_custkey)
@@ -468,7 +482,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    disc = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    disc = _rev()
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(

@@ -31,16 +31,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lance_namespace_impls_spark.operators.relational import _dec, _money
+from lance_namespace_impls_spark.operators.relational import (
+    _REV_SQL as _REV,
+    _dec,
+    _money,
+    _rev,
+)
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.sources.tables import load_table
-
-_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
-
-
-def _rev():
-    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-
 
 def _ts(s: str):
     return F.lit(s).cast("date")
@@ -494,7 +492,10 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q191_tpch_q17_small_qty",
-    "SELECT CAST(ROUND(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) / 7.0, 2) AS DOUBLE) "
+    # The /7.0 quotient is NOT re-rounded (module determinism rule: one IEEE
+    # division of a DECIMAL-exact money double is bit-identical on both
+    # engines; a final ROUND could straddle a half-even/half-up tie).
+    "SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) / 7.0 "
     "AS avg_yearly FROM lineitem JOIN part ON p_partkey = l_partkey "
     "WHERE p_brand = 'Brand#13' "
     "AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 "
@@ -519,11 +520,9 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
-            F.round(
-                _money(F.sum(_dec("l_extendedprice"))) / F.lit(7.0), 2
+            (_money(F.sum(_dec("l_extendedprice"))) / F.lit(7.0)).alias(
+                "avg_yearly"
             )
-            .cast("double")
-            .alias("avg_yearly")
         )
     )
 

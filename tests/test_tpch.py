@@ -78,6 +78,42 @@ def test_q187_left_join_preserves_zero_count_customers(spark):
     assert total == ncust
 
 
+def test_q190_exclusion_is_exercised_at_gate_scale(spark):
+    """sf0.001 has zero negative-balance suppliers, so the smoke-scale
+    oracle match cannot detect a broken NOT-IN branch; at sf0.01 the
+    exclusion must actually remove suppliers from some group."""
+    sf = "/root/testdata/sf0.01"
+    bad = (
+        spark.read.parquet(f"{sf}/supplier.parquet")
+        .filter("s_acctbal < 0")
+        .count()
+    )
+    assert bad > 0, "fixture drift: exclusion set empty at sf0.01 too"
+    result = check_query(spark, duckdb_connection(sf), "q190_tpch_q16_supplier_count", sf)
+    assert result["ok"], result
+    # the unexcluded variant must differ somewhere, proving the anti-join
+    # branch participates in the declared result
+    import pyspark.sql.functions as F
+
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    pa = spark.read.parquet(f"{sf}/part.parquet").filter(
+        "p_brand <> 'Brand#12' AND p_size IN (1, 4, 9, 16, 25, 36, 49)"
+    )
+    unexcluded = (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .agg(F.sum("supplier_cnt")).collect()[0][0]
+    )
+    declared = (
+        QUERIES["q190_tpch_q16_supplier_count"]
+        .builder(spark, sf)
+        .agg(F.sum("supplier_cnt"))
+        .collect()[0][0]
+    )
+    assert declared < unexcluded
+
+
 def test_q194_semi_and_anti_pair(spark):
     """Q21 compiles to the EXISTS/NOT EXISTS pair: one LeftSemi + one LeftAnti."""
     plan = _plan(spark, "q194_tpch_q21_waiting_supplier")
