@@ -1,0 +1,150 @@
+"""Graph ranking and mergeable-sketch operators (q199–q200).
+
+* q199 — one **PageRank power-iteration step** over the bipartite
+  part→supplier shipment graph, in scaled integer arithmetic (rank·10⁶,
+  damping 0.85 as ``(85·x) DIV 100``): contributions divide the source's
+  uniform rank by its out-degree with integer DIV, so the step is exact and
+  engine-portable — float PageRank diverges in the last ulp under different
+  summation orders.  The full algorithm is this step iterated (the repo's
+  convergence-loop pattern lives in ``connected_components``); one step is
+  the oracle-checkable unit.  Two shuffles: out-degree per part, rank sum
+  per supplier — both key-only, no payload wider than two BIGINTs.
+* q200 — a **Count-Min sketch** (2 md5-derived hash lanes × 64 buckets)
+  with its heavy-hitter estimates checked against the exact counts *in the
+  same result*: est = min over lanes of the bucket sum, so est ≥ truth by
+  construction (asserted in tests) and equals truth when a token's buckets
+  carry no collisions.  The sketch is mergeable by bucket-wise addition —
+  at 100 TB each partition sketches locally and the merge is a 128-row
+  aggregate; here the bucket tables build from the vocabulary-sized token
+  counts (one corpus tokenize pass) and broadcast back onto it.
+
+Both are pure-JVM built-in pipelines with exact DuckDB twins (the
+``('0x' || substr(md5(..), 1, 8))::BIGINT`` ↔ ``conv(substring(md5(..), 1,
+8), 16, 10)`` parity proven by q58/q161).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.text import tokens
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+_SCALE = 1_000_000  # rank fixed-point scale
+
+# ---------------------------------------------------------------------------
+# q199 — PageRank power-iteration step
+
+
+@query(
+    "q199_pagerank_step",
+    "WITH e AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp FROM lineitem), "
+    "o AS (SELECT part, COUNT(*) AS outdeg FROM e GROUP BY part), "
+    "c AS (SELECT supp, SUM(1000000 // outdeg) AS s, COUNT(*) AS indeg "
+    "  FROM e JOIN o USING (part) GROUP BY supp) "
+    "SELECT supp AS suppkey, "
+    "CAST(150000 + (85 * s) // 100 AS BIGINT) AS rank_scaled, "
+    "CAST(indeg AS BIGINT) AS indeg "
+    "FROM c ORDER BY rank_scaled DESC, suppkey LIMIT 20",
+    doc="One PageRank power-iteration step (d=0.85) over the bipartite "
+    "part->supplier shipment graph, from the uniform start vector, in "
+    "rank-x-10^6 integer arithmetic: contribution = SCALE DIV outdeg, "
+    "rank = 0.15*SCALE + (85*sum) DIV 100 — exact on both engines where "
+    "float PageRank would diverge by summation order. Two key-only "
+    "shuffles (out-degree, rank sum); iterate this step under the "
+    "connected_components convergence loop for the full algorithm.",
+    tags=("graph", "rank"),
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    e = li.select(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).distinct()
+    o = e.groupBy("part").agg(F.count(F.lit(1)).alias("outdeg"))
+    c = (
+        e.join(o, "part")
+        .groupBy("supp")
+        .agg(
+            F.sum(F.expr(f"{_SCALE} DIV outdeg")).alias("s"),
+            F.count(F.lit(1)).alias("indeg"),
+        )
+    )
+    return (
+        c.select(
+            F.col("supp").alias("suppkey"),
+            (F.lit(150_000) + F.expr("(85 * s) DIV 100")).cast("bigint").alias(
+                "rank_scaled"
+            ),
+            F.col("indeg").cast("bigint").alias("indeg"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "suppkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q200 — Count-Min sketch heavy hitters
+
+_CMS_W = 64  # buckets per lane
+
+_DUCK_H0 = f"(('0x' || substr(md5(w), 1, 8))::BIGINT % {_CMS_W})"
+_DUCK_H1 = f"(('0x' || substr(md5('x|' || w), 1, 8))::BIGINT % {_CMS_W})"
+
+
+def _spark_lane(col, seeded: bool):
+    src = F.concat(F.lit("x|"), col) if seeded else col
+    return (
+        F.conv(F.substring(F.md5(src), 1, 8), 16, 10).cast("long") % _CMS_W
+    )
+
+
+@query(
+    "q200_countmin_heavy_hitters",
+    "WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w "
+    "  FROM documents), "
+    "tc AS (SELECT w, COUNT(*) AS c, " + _DUCK_H0 + " AS h0, " + _DUCK_H1 + " AS h1 "
+    "  FROM tok GROUP BY w), "
+    "b0 AS (SELECT h0 AS b, SUM(c) AS bc FROM tc GROUP BY h0), "
+    "b1 AS (SELECT h1 AS b, SUM(c) AS bc FROM tc GROUP BY h1) "
+    "SELECT tc.w AS token, CAST(tc.c AS BIGINT) AS true_count, "
+    "CAST(LEAST(b0.bc, b1.bc) AS BIGINT) AS cms_estimate "
+    "FROM tc JOIN b0 ON tc.h0 = b0.b JOIN b1 ON tc.h1 = b1.b "
+    "ORDER BY true_count DESC, token LIMIT 20",
+    doc="Count-Min sketch (2 md5-derived lanes x 64 buckets) with the "
+    "top-20 heavy hitters' estimates beside their exact counts: "
+    "est = min over lanes of the bucket sum, so est >= truth by "
+    "construction and equals it absent collisions. Bucket tables build "
+    "from the vocabulary-sized token counts (one corpus tokenize pass) "
+    "and broadcast back; at 100 TB the sketch merges bucket-wise as a "
+    "128-row aggregate — the exact-count join here exists only to audit "
+    "the estimate.",
+    tags=("llm", "sketch", "corpus"),
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tc = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "w",
+            "c",
+            _spark_lane(F.col("w"), seeded=False).alias("h0"),
+            _spark_lane(F.col("w"), seeded=True).alias("h1"),
+        )
+    )
+    b0 = tc.groupBy(F.col("h0").alias("b")).agg(F.sum("c").alias("bc0"))
+    b1 = tc.groupBy(F.col("h1").alias("b")).agg(F.sum("c").alias("bc1"))
+    return (
+        tc.join(F.broadcast(b0), tc.h0 == b0.b)
+        .join(F.broadcast(b1), tc.h1 == b1.b)
+        .select(
+            F.col("w").alias("token"),
+            F.col("c").cast("bigint").alias("true_count"),
+            F.least("bc0", "bc1").cast("bigint").alias("cms_estimate"),
+        )
+        .orderBy(F.col("true_count").desc(), "token")
+        .limit(20)
+    )

@@ -1,0 +1,72 @@
+"""q199 (PageRank step) and q200 (Count-Min sketch): oracle parity plus
+the algebraic invariants each one must hold."""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.oracle import check_query, duckdb_connection
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+NEW = ["q199_pagerank_step", "q200_countmin_heavy_hitters"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_oracle_match(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_q199_rank_floor_and_monotone_in_contributions(spark):
+    rows = QUERIES["q199_pagerank_step"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        # every ranked supplier has >= 1 in-edge, and the damped rank is
+        # strictly above the teleport floor 0.15 * SCALE
+        assert r["indeg"] >= 1
+        assert r["rank_scaled"] > 150_000
+    ranks = [r["rank_scaled"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_q200_estimate_dominates_truth(spark):
+    """The Count-Min guarantee: est >= true count, always."""
+    rows = QUERIES["q200_countmin_heavy_hitters"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_count"], r
+
+
+def test_q200_sketch_mass_conservation(spark):
+    """Each lane's 64 buckets partition the token mass: bucket sums equal
+    the total token count (the property that makes the sketch mergeable)."""
+    import pyspark.sql.functions as F
+
+    from lance_namespace_impls_spark.functions.text import tokens
+    from lance_namespace_impls_spark.operators.rank_sketch import _spark_lane
+    from lance_namespace_impls_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF_SMOKE)
+    tc = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = tc.agg(F.sum("c")).collect()[0][0]
+    for seeded in (False, True):
+        lane_total = (
+            tc.select(_spark_lane(F.col("w"), seeded=seeded).alias("b"), "c")
+            .groupBy("b")
+            .agg(F.sum("c").alias("bc"))
+            .agg(F.sum("bc"))
+            .collect()[0][0]
+        )
+        assert lane_total == total
