@@ -39,6 +39,15 @@ FAMILIES = [
     "q58_fingerprint",
     "q154_quality_weighted_sample",
     "q68_apply_in_pandas",
+    # round-4 additions: snowflake decimal revenue, money-ratio share,
+    # unrounded money quotient, PQ integer argmin encoding, BM25 integer
+    # DIV scoring, PageRank integer contribution sums
+    "q182_tpch_q5_local_volume",
+    "q185_tpch_q8_market_share",
+    "q191_tpch_q17_small_qty",
+    "q197_pq_encode",
+    "q198_bm25_retrieval",
+    "q199_pagerank_step",
 ]
 
 CONFIGS = [
