@@ -175,16 +175,29 @@ _BM25_TERMS = ("scan", "dup", "spark")
 )
 def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    # ONE corpus pass: every downstream branch (document lengths, term
+    # frequencies, corpus stats, document frequencies) derives from the
+    # same (doc_id, w) -> count aggregate, lazily checkpointed so the four
+    # consumers share one materialization (ReuseExchange alone cannot
+    # collapse them: Catalyst pushes each branch's filter through the
+    # aggregate into its scan, making the subtrees non-identical — the
+    # naive formulation scanned documents FOUR times; plan-asserted in
+    # tests/test_corpus3_ops.py).  The checkpointed frame is doc x
+    # distinct-word sized — the classic cached term-frequency matrix,
+    # orders of magnitude smaller than the corpus it summarizes.
+    tc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tfw"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tc.groupBy("doc_id").agg(F.sum("tfw").cast("bigint").alias("dlen"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.expr("SUM(dlen) DIV COUNT(*)").alias("avg_dl"),
     )
-    tf = (
-        tok.filter(F.col("w").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    tf = tc.filter(F.col("w").isin(*_BM25_TERMS)).select(
+        "doc_id", "w", F.col("tfw").alias("tf")
     )
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     scored = (

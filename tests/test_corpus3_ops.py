@@ -58,6 +58,22 @@ def test_q198_scores_positive_and_bounded_terms(spark):
     assert scores == sorted(scores, reverse=True)
 
 
+def test_q198_single_corpus_pass(spark):
+    """The four consumers (dl, stats, tf, dfreq) must share ONE corpus
+    materialization: the naive formulation scanned documents.parquet four
+    times (Catalyst pushes each branch's filter through the aggregate, so
+    ReuseExchange never fires); the checkpointed term-frequency frame
+    leaves at most one parquet scan in the executed plan."""
+    plan = (
+        QUERIES["q198_bm25_retrieval"]
+        .builder(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") <= 1, plan
+
+
 def test_q196_pair_expansion_runs_on_vocabulary_not_corpus(spark):
     """The explode(sequence(...)) pair generator must sit ABOVE the word
     aggregate in the plan — i.e. the corpus-sized side is tokenized once
