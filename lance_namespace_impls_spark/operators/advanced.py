@@ -378,12 +378,16 @@ def source_overlap_sketch(docs: DataFrame) -> DataFrame:
     (asserted against the true overlap in tests); above it, bounded-error
     approximation — the same scale contract as q64's HLL.
     """
+    # Checkpointed: the self-join aliases and the two-leg union would
+    # otherwise each rebuild the per-source sketches from their own corpus
+    # scan (4 scans total); the sketch table is one row per source.
     sk = (
         docs.select(
             "source", F.md5(F.lower(F.trim(F.col("text")))).alias("dg")
         )
         .groupBy("source")
         .agg(F.expr("theta_sketch_agg(dg)").alias("sk"))
+        .localCheckpoint(eager=False)
     )
     a, b = sk.alias("a"), sk.alias("b")
     pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(

@@ -391,20 +391,24 @@ def _pair_stream(docs: DataFrame) -> DataFrame:
     lesson), exploded once per distance then unioned; x/y never contain
     whitespace by construction (tokens are whitespace-split).
     """
-    tk = docs.select(tokens(F.col("text")).alias("ws"))
-
-    def dist(d: int) -> DataFrame:
-        z = tk.where(F.size("ws") >= d + 1).select(
-            F.expr(
-                f"arrays_zip(slice(ws, 1, size(ws) - {d}), "
-                f"slice(ws, {d + 1}, size(ws) - {d}))"
-            ).alias("z")
-        )
-        return z.select(F.explode("z").alias("g")).select(
-            F.col("g.0").alias("x"), F.col("g.1").alias("y")
-        )
-
-    return dist(1).unionAll(dist(2))
+    # ONE corpus scan: both distances come from a single projection whose
+    # concat'd zip arrays explode together (the per-distance union form
+    # scanned documents twice).  For size(ws) == 2 the distance-2 zip is a
+    # zip of two empty slices — an empty array, contributing nothing.
+    tk = docs.where(F.size(tokens(F.col("text"))) >= 2).select(
+        tokens(F.col("text")).alias("ws")
+    )
+    z = tk.select(
+        F.expr(
+            "concat("
+            " arrays_zip(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1)),"
+            " arrays_zip(slice(ws, 1, greatest(size(ws) - 2, 0)),"
+            "            slice(ws, 3, greatest(size(ws) - 2, 0))))"
+        ).alias("z")
+    )
+    return z.select(F.explode("z").alias("g")).select(
+        F.col("g.0").alias("x"), F.col("g.1").alias("y")
+    )
 
 
 @query(
@@ -443,10 +447,13 @@ def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, "documents", sf_dir))
     pairs = _pair_stream(docs)
     pc = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    # Checkpointed: three consumers (n_total, ux, uy) would otherwise each
+    # re-scan the corpus (the q198 single-pass lesson).
     uni = (
         docs.select(F.explode(tokens(F.col("text"))).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     n = uni.agg(F.sum("c").alias("n_total"))
     ux = uni.select(F.col("t").alias("x"), F.col("c").alias("cx"))

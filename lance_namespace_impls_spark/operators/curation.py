@@ -174,19 +174,59 @@ _SAMPLE_EXPR = "((doc_id % 1000000007) * 2654435761) % 1000"
 
 
 def curation_pipeline(docs: DataFrame) -> DataFrame:
-    """repetition filter → exact dedup keep-first → ~50% hash sample → stats."""
-    keep = repetition_stats(docs).filter("keep").select("doc_id")
-    kept = docs.join(keep, "doc_id")
-    # Exact dedup on normalized text, keep lowest doc_id (q47's shape): one
-    # shuffle on the 16-byte digest, never the text bodies.
-    digest = F.md5(F.lower(F.trim(F.col("text"))))
-    first = (
-        kept.select("doc_id", digest.alias("dg"))
-        .groupBy("dg")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    """repetition filter → exact dedup keep-first → ~50% hash sample → stats.
+
+    Single-materialization design (the q198 lesson): the corpus is scanned
+    exactly twice — once for the row-level projection (digest, bigram-dup
+    fraction, stats columns) and once for the token-count aggregate — and
+    every later stage (keep filter, dedup-first, sample, final rollup)
+    reads the narrow checkpointed per-doc frame, never the text again.
+    The first cut re-derived `kept` from the raw table per consumer: six
+    corpus scans for one pipeline run.
+    """
+    toked = (
+        spread(docs)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.md5(F.lower(F.trim(F.col("text")))).alias("dg"),
+            _toks(F.col("text")).alias("toks"),
+        )
+        .filter(F.size("toks") >= 2)
     )
-    surviving = kept.join(first, "doc_id")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
+    )
+    row = toked.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        "dg",
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)
+        ).alias("dup"),
+    )
+    tf = (
+        toked.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    per = row.join(tf, "doc_id").localCheckpoint(eager=False)
+    keep = per.filter(
+        (F.col("mx").cast("double") / F.col("tot") <= TOP_TOKEN_MAX)
+        & (F.col("dup") <= DUP_BIGRAM_MAX)
+    )
+    # Exact dedup on the normalized-text digest, keep lowest doc_id (q47's
+    # shape): one shuffle on the 16-byte digest, never the text bodies.
+    first = keep.groupBy("dg").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    surviving = keep.join(first, "doc_id")
     sampled = surviving.filter(F.expr(_SAMPLE_EXPR) < 500)
     return (
         sampled.groupBy("source", "lang")

@@ -208,8 +208,11 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     "semi-join — the decontamination gate every pretraining corpus runs "
     "against its eval suites.  Grams come from the slice-based "
     "word_shingles kernel (3-5x cheaper than per-index array lookups in "
-    "codegen), the corpus is tokenized in ONE exploded pass, and the train "
-    "count never touches gram construction at all.",
+    "codegen).  The gram projection is scanned twice (eval side, train "
+    "side) ON PURPOSE: the broadcast semi-join keeps the corpus-sized "
+    "train gram stream entirely unshuffled, which beats any single-scan "
+    "form that would shuffle the full gram stream on g; the train count "
+    "is a third, column-pruned scan that never touches gram construction.",
     tags=("llm", "curation", "contamination"),
 )
 def q122(spark: SparkSession, sf_dir: str) -> DataFrame:

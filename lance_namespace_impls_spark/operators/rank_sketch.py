@@ -124,6 +124,9 @@ def _spark_lane(col, seeded: bool):
 )
 def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # One corpus pass shared by the three consumers (b0, b1 and the final
+    # estimate join) — same reuse trick as q198: without the checkpoint
+    # each branch re-derives the token count from its own parquet scan.
     tc = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .groupBy("w")
@@ -134,6 +137,7 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
             _spark_lane(F.col("w"), seeded=False).alias("h0"),
             _spark_lane(F.col("w"), seeded=True).alias("h1"),
         )
+        .localCheckpoint(eager=False)
     )
     b0 = tc.groupBy(F.col("h0").alias("b")).agg(F.sum("c").alias("bc0"))
     b1 = tc.groupBy(F.col("h1").alias("b")).agg(F.sum("c").alias("bc1"))
