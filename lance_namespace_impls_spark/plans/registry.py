@@ -123,6 +123,12 @@ RE_VERIFY: set[str] = {
     # locally re-verified at three scales); re-queued per the
     # changed-since-green policy.
     "q106_kmeans_assign",
+    # r4 (late session): repeated-corpus-scan collapse — q103's pipeline
+    # now flows through a checkpointed per-doc frame and q124's sketch
+    # table is checkpointed (results identical, locally re-verified at
+    # three scales); re-queued per the changed-since-green policy.
+    "q103_curation_pipeline",
+    "q124_source_overlap_sketch",
 }
 
 
