@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from lance_namespace_impls_spark.functions.text import tokens
 from lance_namespace_impls_spark.functions.vectors import int_dot, int_projected
 from lance_namespace_impls_spark.plans.registry import query
-from lance_namespace_impls_spark.sources.tables import load_table
+from lance_namespace_impls_spark.sources.tables import load_table, spread
 
 # ---------------------------------------------------------------------------
 # q196 — BPE merge-round pair census
@@ -60,7 +60,7 @@ from lance_namespace_impls_spark.sources.tables import load_table
     tags=("llm", "corpus", "tokenizer"),
 )
 def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     wc = (
         docs.select(F.explode(tokens("text")).alias("w"))
         .filter(F.length("w") >= 2)
@@ -174,7 +174,7 @@ _BM25_TERMS = ("scan", "dup", "spark")
     tags=("llm", "corpus", "retrieval"),
 )
 def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     # ONE corpus pass: every downstream branch (document lengths, term
     # frequencies, corpus stats, document frequencies) derives from the
     # same (doc_id, w) -> count aggregate, lazily checkpointed so the four

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from lance_namespace_impls_spark.functions.text import tokens
 from lance_namespace_impls_spark.plans.registry import query
-from lance_namespace_impls_spark.sources.tables import load_table
+from lance_namespace_impls_spark.sources.tables import load_table, spread
 
 _SCALE = 1_000_000  # rank fixed-point scale
 
@@ -123,7 +123,7 @@ def _spark_lane(col, seeded: bool):
     tags=("llm", "sketch", "corpus"),
 )
 def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread(load_table(spark, "documents", sf_dir))
     # One corpus pass shared by the three consumers (b0, b1 and the final
     # estimate join) — same reuse trick as q198: without the checkpoint
     # each branch re-derives the token count from its own parquet scan.
