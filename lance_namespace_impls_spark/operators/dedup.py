@@ -246,3 +246,77 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q201: portable SimHash — every stage hash-checked (the q161 treatment for
+# the SimHash path; q53 remains the Arrow-kernel surface)
+
+_SH_BITS = 60  # 15 md5 hex digits -> 60-bit hashes (BIGINT-safe both engines)
+_SH_BUCKET_SHIFT = 45  # bucket = high 15 bits
+
+_Q201_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(_SH_BITS)
+)
+_Q201_FOLD = " + ".join(
+    f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(_SH_BITS)
+)
+
+
+@query(
+    "q201_simhash_portable",
+    "WITH tok AS (SELECT doc_id, "
+    "  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM documents), "
+    "h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok), "
+    "votes AS (SELECT doc_id, " + _Q201_VOTES + " FROM h GROUP BY doc_id), "
+    "sig AS (SELECT doc_id, CAST(" + _Q201_FOLD + " AS BIGINT) AS sig FROM votes) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming "
+    "FROM sig a JOIN sig b ON (a.sig >> 45) = (b.sig >> 45) AND a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.sig, b.sig)) <= 3 ORDER BY id_a, id_b",
+    doc="Fully-portable SimHash near-dup (the q161 treatment applied to the "
+    "SimHash path): 60-bit md5-derived token hashes, majority-vote bits as "
+    "60 map-side-combined aggregates (the shuffle carries 60 ints per doc, "
+    "never tokens), tie -> 1, high-15-bit bucketing, Hamming <= 3 via "
+    "bit_count(xor). Every stage has an exact DuckDB twin, so the whole "
+    "pipeline is hash-checked — q53 keeps the production Arrow-kernel "
+    "signature (xxhash64), property-tested.",
+    tags=("llm", "dedup"),
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.functions.hashing import (
+        simhash_from_votes,
+        simhash_vote_exprs,
+    )
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).select("doc_id", h.alias("h"))
+    votes = exploded.groupBy("doc_id").agg(
+        *simhash_vote_exprs(F.col("h"), bits=_SH_BITS)
+    )
+    # Checkpointed: both sides of the bucket self-join read the signatures.
+    sigs = votes.select(
+        "doc_id", simhash_from_votes(_SH_BITS).alias("sig")
+    ).localCheckpoint(eager=False)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (
+                F.shiftright(F.col("a.sig"), _SH_BUCKET_SHIFT)
+                == F.shiftright(F.col("b.sig"), _SH_BUCKET_SHIFT)
+            )
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming64(F.col("a.sig"), F.col("b.sig")).cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    )

@@ -90,3 +90,15 @@ def test_q196_pair_expansion_runs_on_vocabulary_not_corpus(spark):
     # at least one aggregate (the word count) appears BELOW (after, in
     # top-down plan text) the pair generator
     assert any(i > gen for i in agg_positions), plan
+
+
+def test_q201_oracle_and_hamming_bound(spark):
+    """Portable SimHash: oracle parity plus the radius contract."""
+    result = check_query(
+        spark, duckdb_connection(SF_SMOKE), "q201_simhash_portable", SF_SMOKE
+    )
+    assert result["ok"], result
+    rows = QUERIES["q201_simhash_portable"].builder(spark, SF_SMOKE).collect()
+    assert rows, "smoke fixture should contain near-dup pairs"
+    for r in rows:
+        assert 0 <= r["hamming"] <= 3
