@@ -152,3 +152,66 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("true_count").desc(), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — hashing-trick linear classifier inference
+
+_CLS_BUCKETS = 1024
+_CLS_BIAS = -1200  # classify "keep" iff score >= -bias-ish threshold below
+
+
+@query(
+    "q202_linear_classifier",
+    "WITH tok AS (SELECT doc_id, "
+    "  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents), "
+    "feat AS (SELECT doc_id, "
+    f"  (('0x' || substr(md5(w), 1, 8))::BIGINT % {_CLS_BUCKETS}) AS b FROM tok), "
+    "scored AS (SELECT doc_id, "
+    "  SUM((('0x' || substr(md5('w|' || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 2001) - 1000) "
+    "    AS score, COUNT(*) AS n_tokens FROM feat GROUP BY doc_id) "
+    f"SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    f"(score >= {_CLS_BIAS}) AS keep FROM scored ORDER BY doc_id",
+    doc="Hashing-trick linear text classifier inference (the fasttext-style "
+    "quality-gate a curation pipeline runs per document): tokens hash into "
+    f"{_CLS_BUCKETS} feature buckets, each bucket's weight derives "
+    "deterministically from md5 of its index (integer in [-1000, 1000] — "
+    "the portable stand-in for a trained weight vector, which at scale is "
+    "a broadcast array lookup), and the document score is the integer "
+    "weight sum — exact on both engines, monotone in the logit, so the "
+    "keep decision needs no sigmoid. One tokenize pass, one doc-keyed "
+    "aggregate; weights never shuffle.",
+    tags=("llm", "curation", "classifier"),
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _CLS_BUCKETS
+    )
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w|"), F.col("b").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    feat = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("w")
+    ).select("doc_id", bucket.alias("b"))
+    return (
+        feat.select("doc_id", weight.alias("wt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("wt").cast("bigint").alias("score"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "score",
+            "n_tokens",
+            (F.col("score") >= _CLS_BIAS).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

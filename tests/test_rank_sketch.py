@@ -70,3 +70,14 @@ def test_q200_sketch_mass_conservation(spark):
             .collect()[0][0]
         )
         assert lane_total == total
+
+
+def test_q202_classifier_decision_consistency(spark):
+    """The keep flag must equal the threshold test on the integer score."""
+    rows = QUERIES["q202_linear_classifier"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    from lance_namespace_impls_spark.operators.rank_sketch import _CLS_BIAS
+
+    for r in rows:
+        assert r["keep"] == (r["score"] >= _CLS_BIAS)
+        assert r["n_tokens"] >= 1
