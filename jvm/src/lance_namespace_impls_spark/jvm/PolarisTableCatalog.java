@@ -1,0 +1,490 @@
+/*
+ * PolarisTableCatalog: a Spark DataSource V2 TableCatalog + SupportsNamespaces
+ * plugin over an Apache-Polaris-shaped catalog service — the pure-JVM twin of
+ * the Python PolarisNamespace dialect (lance_namespace_impls_spark/catalog/
+ * polaris.py).  With this on the classpath, every service dialect the suite
+ * implements has full JVM reach: directory, Iceberg-REST, Unity, Glue, and
+ * Polaris.
+ *
+ * Reference parity: the reference ships per-backend Java catalog impls; this
+ * covers the Polaris backend's operation surface (reference polaris.py —
+ * Iceberg-REST-style namespace tree + the generic-tables family where Lance
+ * tables live).  Configure:
+ *   spark.sql.catalog.<name>          = lance_namespace_impls_spark.jvm.PolarisTableCatalog
+ *   spark.sql.catalog.<name>.uri      = http://host:port
+ *   spark.sql.catalog.<name>.catalog  = lakehouse   (Polaris catalog name)
+ *   spark.sql.catalog.<name>.header.X = Y           (optional request headers)
+ * and a multi-part SQL name resolves through the Polaris dialect with ZERO
+ * Python in the session path:
+ *   SHOW NAMESPACES IN pol; SELECT ... FROM pol.main.t;
+ *   CREATE NAMESPACE pol.stage; CREATE TABLE pol.stage.t (...) LOCATION '...';
+ *
+ * Protocol contract (identical to polaris.py and catalog/polaris_fixture.py):
+ *   - namespaces ride the Iceberg-REST shape /v1/{cat}/namespaces[...] with
+ *     DOTTED namespace paths in item URLs (arbitrary nesting allowed — Spark
+ *     namespaces map 1:1 to Polaris namespace level arrays);
+ *   - tables ride /polaris/v1/{cat}/namespaces/{ns}/generic-tables with
+ *     format="lance" and the Lance location on "base-location";
+ *   - the generic-tables listing carries identifiers only, so lance-only
+ *     visibility (glue.py:504-520) does a per-table fetch;
+ *   - the engine-readable Spark schema rides properties.schema_json, the same
+ *     sidecar convention as every sibling plugin;
+ *   - DROP TABLE deregisters only — the Polaris dialect never purges data;
+ *   - HTTP error taxonomy: 404->NoSuch*, 409->AlreadyExists/NonEmpty,
+ *     400->IllegalArgument.
+ *
+ * Scans/writes delegate to Spark's ParquetTable exactly like the sibling
+ * plugins — the catalog is driver-side metadata; executors never speak HTTP.
+ */
+package lance_namespace_impls_spark.jvm;
+
+import com.fasterxml.jackson.databind.JsonNode;
+import com.fasterxml.jackson.databind.ObjectMapper;
+import com.fasterxml.jackson.databind.node.ArrayNode;
+import com.fasterxml.jackson.databind.node.ObjectNode;
+
+import java.io.IOException;
+import java.io.UncheckedIOException;
+import java.net.URI;
+import java.net.URLEncoder;
+import java.net.http.HttpClient;
+import java.net.http.HttpRequest;
+import java.net.http.HttpResponse;
+import java.nio.charset.StandardCharsets;
+import java.time.Duration;
+import java.util.ArrayList;
+import java.util.Comparator;
+import java.util.HashMap;
+import java.util.List;
+import java.util.Map;
+
+import org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException;
+import org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException;
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException;
+import org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException;
+import org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException;
+import org.apache.spark.sql.connector.catalog.Identifier;
+import org.apache.spark.sql.connector.catalog.NamespaceChange;
+import org.apache.spark.sql.connector.catalog.SupportsNamespaces;
+import org.apache.spark.sql.connector.catalog.Table;
+import org.apache.spark.sql.connector.catalog.TableCatalog;
+import org.apache.spark.sql.connector.catalog.TableChange;
+import org.apache.spark.sql.connector.expressions.Transform;
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat;
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable;
+import org.apache.spark.sql.types.DataType;
+import org.apache.spark.sql.types.StructType;
+import org.apache.spark.sql.util.CaseInsensitiveStringMap;
+
+public class PolarisTableCatalog implements TableCatalog, SupportsNamespaces {
+
+  private static final String API = "/api/catalog";
+  private static final String PROP_TABLE_TYPE = "table_type";
+  private static final String LANCE_FORMAT = "lance";
+  private static final String SCHEMA_PROP = "schema_json";
+  private static final ObjectMapper MAPPER = new ObjectMapper();
+
+  private String catalogName;
+  private String endpoint;
+  private String polarisCatalog;
+  private Map<String, String> headers;
+  private HttpClient http;
+
+  // -- CatalogPlugin --------------------------------------------------------
+
+  @Override
+  public void initialize(String name, CaseInsensitiveStringMap options) {
+    this.catalogName = name;
+    String uri = options.get("uri");
+    if (uri == null || uri.isEmpty()) {
+      throw new IllegalArgumentException(
+          "PolarisTableCatalog requires option 'uri' "
+              + "(spark.sql.catalog." + name + ".uri)");
+    }
+    String base = uri.endsWith("/") ? uri.substring(0, uri.length() - 1) : uri;
+    // Idempotent suffix handling (polaris.py _api_base).
+    this.endpoint = base.endsWith(API) ? base : base + API;
+    this.polarisCatalog = options.getOrDefault("catalog", "lakehouse");
+    this.headers = new HashMap<>();
+    for (Map.Entry<String, String> e : options.entrySet()) {
+      if (e.getKey().startsWith("header.")) {
+        headers.put(e.getKey().substring("header.".length()), e.getValue());
+      }
+    }
+    this.http = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build();
+  }
+
+  @Override
+  public String name() {
+    return catalogName;
+  }
+
+  // -- transport ------------------------------------------------------------
+
+  private static final class Resp {
+    final int status;
+    final JsonNode body;
+
+    Resp(int status, JsonNode body) {
+      this.status = status;
+      this.body = body;
+    }
+  }
+
+  private Resp call(String method, String path, JsonNode body) {
+    try {
+      HttpRequest.Builder b =
+          HttpRequest.newBuilder()
+              .uri(URI.create(endpoint + path))
+              .timeout(Duration.ofSeconds(30))
+              .header("Content-Type", "application/json");
+      for (Map.Entry<String, String> e : headers.entrySet()) {
+        b.header(e.getKey(), e.getValue());
+      }
+      if (body == null) {
+        b.method(method, HttpRequest.BodyPublishers.noBody());
+      } else {
+        b.method(
+            method, HttpRequest.BodyPublishers.ofString(MAPPER.writeValueAsString(body)));
+      }
+      HttpResponse<String> resp = http.send(b.build(), HttpResponse.BodyHandlers.ofString());
+      JsonNode parsed = null;
+      String text = resp.body();
+      if (text != null && !text.isEmpty()) {
+        parsed = MAPPER.readTree(text);
+      }
+      return new Resp(resp.statusCode(), parsed);
+    } catch (IOException e) {
+      throw new UncheckedIOException(e);
+    } catch (InterruptedException e) {
+      Thread.currentThread().interrupt();
+      throw new RuntimeException(e);
+    }
+  }
+
+  private static RuntimeException httpError(String method, String path, Resp r) {
+    String detail = "";
+    if (r.body != null) {
+      // Polaris error envelope: {"error": {"message": ..., "code": ...}}
+      detail = r.body.path("error").path("message").asText(r.body.toString());
+    }
+    if (r.status == 400) {
+      return new IllegalArgumentException(method + " " + path + ": " + detail);
+    }
+    return new RuntimeException(method + " " + path + ": HTTP " + r.status + " " + detail);
+  }
+
+  private static String enc(String s) {
+    return URLEncoder.encode(s, StandardCharsets.UTF_8);
+  }
+
+  /** Dotted namespace path in item URLs (polaris.py _ns_path). */
+  private static String nsPath(String[] namespace) {
+    List<String> parts = new ArrayList<>();
+    for (String level : namespace) {
+      parts.add(enc(level));
+    }
+    return String.join(".", parts);
+  }
+
+  private String nsBase() {
+    return "/v1/" + enc(polarisCatalog) + "/namespaces";
+  }
+
+  private String genericBase(String[] namespace) {
+    return "/polaris/v1/" + enc(polarisCatalog) + "/namespaces/" + nsPath(namespace)
+        + "/generic-tables";
+  }
+
+  // -- SupportsNamespaces ---------------------------------------------------
+
+  private String[][] namespacesFrom(Resp r) {
+    List<String[]> out = new ArrayList<>();
+    for (JsonNode levels : r.body.path("namespaces")) {
+      List<String> ns = new ArrayList<>();
+      for (JsonNode level : levels) {
+        ns.add(level.asText());
+      }
+      if (!ns.isEmpty()) {
+        out.add(ns.toArray(new String[0]));
+      }
+    }
+    out.sort(Comparator.comparing(a -> String.join(".", a)));
+    return out.toArray(new String[0][]);
+  }
+
+  @Override
+  public String[][] listNamespaces() throws NoSuchNamespaceException {
+    Resp r = call("GET", nsBase(), null);
+    if (r.status == 404) {
+      throw new NoSuchNamespaceException(new String[] {polarisCatalog});
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("GET", nsBase(), r);
+    }
+    return namespacesFrom(r);
+  }
+
+  @Override
+  public String[][] listNamespaces(String[] parent) throws NoSuchNamespaceException {
+    if (parent.length == 0) {
+      return listNamespaces();
+    }
+    String path = nsBase() + "/" + nsPath(parent) + "/namespaces";
+    Resp r = call("GET", path, null);
+    if (r.status == 404) {
+      throw new NoSuchNamespaceException(parent);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("GET", path, r);
+    }
+    return namespacesFrom(r);
+  }
+
+  @Override
+  public Map<String, String> loadNamespaceMetadata(String[] namespace)
+      throws NoSuchNamespaceException {
+    String path = nsBase() + "/" + nsPath(namespace);
+    Resp r = call("GET", path, null);
+    if (r.status == 404) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("GET", path, r);
+    }
+    Map<String, String> out = new HashMap<>();
+    r.body.path("properties").fields()
+        .forEachRemaining(e -> out.put(e.getKey(), e.getValue().asText()));
+    return out;
+  }
+
+  @Override
+  public void createNamespace(String[] namespace, Map<String, String> metadata)
+      throws NamespaceAlreadyExistsException {
+    ObjectNode body = MAPPER.createObjectNode();
+    ArrayNode levels = body.putArray("namespace");
+    for (String level : namespace) {
+      levels.add(level);
+    }
+    ObjectNode props = body.putObject("properties");
+    for (Map.Entry<String, String> e : metadata.entrySet()) {
+      props.put(e.getKey(), e.getValue());
+    }
+    Resp r = call("POST", nsBase(), body);
+    if (r.status == 409) {
+      throw new NamespaceAlreadyExistsException(namespace);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("POST", nsBase(), r);
+    }
+  }
+
+  @Override
+  public void alterNamespace(String[] namespace, NamespaceChange... changes) {
+    throw new UnsupportedOperationException(
+        "namespace property updates are not part of the Polaris dialect surface");
+  }
+
+  @Override
+  public boolean dropNamespace(String[] namespace, boolean cascade)
+      throws NoSuchNamespaceException, NonEmptyNamespaceException {
+    if (cascade) {
+      // Cascade rejected by every reference backend.
+      throw new UnsupportedOperationException(
+          "cascade drop is not supported; drop contents first");
+    }
+    String path = nsBase() + "/" + nsPath(namespace);
+    Resp r = call("DELETE", path, null);
+    if (r.status == 404) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    if (r.status == 409) {
+      throw new NonEmptyNamespaceException(namespace);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("DELETE", path, r);
+    }
+    return true;
+  }
+
+  // -- TableCatalog ---------------------------------------------------------
+
+  @Override
+  public Identifier[] listTables(String[] namespace) throws NoSuchNamespaceException {
+    String path = genericBase(namespace);
+    Resp r = call("GET", path, null);
+    if (r.status == 404) {
+      throw new NoSuchNamespaceException(namespace);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("GET", path, r);
+    }
+    // The listing carries identifiers only: lance-only visibility
+    // (glue.py:504-520) requires a per-table fetch (polaris.py list_tables).
+    List<String> names = new ArrayList<>();
+    for (JsonNode ident : r.body.path("identifiers")) {
+      String table = ident.path("name").asText("");
+      if (table.isEmpty()) {
+        continue;
+      }
+      Resp tr = call("GET", path + "/" + enc(table), null);
+      if (tr.status < 200 || tr.status >= 300) {
+        continue;
+      }
+      String format = tr.body.path("table").path("format").asText("");
+      if (format.toLowerCase().equals(LANCE_FORMAT)) {
+        names.add(table);
+      }
+    }
+    names.sort(Comparator.naturalOrder());
+    List<Identifier> out = new ArrayList<>();
+    for (String n : names) {
+      out.add(Identifier.of(namespace, n));
+    }
+    return out.toArray(new Identifier[0]);
+  }
+
+  @Override
+  public boolean tableExists(Identifier ident) {
+    try {
+      loadTable(ident);
+      return true;
+    } catch (NoSuchTableException e) {
+      return false;
+    }
+  }
+
+  @Override
+  public Table loadTable(Identifier ident) throws NoSuchTableException {
+    String path = genericBase(ident.namespace()) + "/" + enc(ident.name());
+    Resp r = call("GET", path, null);
+    if (r.status == 404) {
+      throw new NoSuchTableException(ident);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("GET", path, r);
+    }
+    JsonNode info = r.body.path("table");
+    String format = info.path("format").asText("");
+    if (!format.toLowerCase().equals(LANCE_FORMAT)) {
+      // Non-lance generic tables are invisible (polaris.py _require_lance).
+      throw new NoSuchTableException(ident);
+    }
+    String location = info.path("base-location").asText("");
+    StructType stored = null;
+    JsonNode schemaJson = info.path("properties").get(SCHEMA_PROP);
+    if (schemaJson != null && schemaJson.isTextual()) {
+      stored = (StructType) DataType.fromJson(schemaJson.asText());
+    }
+    return parquetTable(ident, location, stored);
+  }
+
+  private Table parquetTable(Identifier ident, String location, StructType schema) {
+    org.apache.spark.sql.classic.SparkSession spark =
+        org.apache.spark.sql.classic.SparkSession.active();
+    scala.collection.immutable.Seq<String> paths =
+        scala.jdk.javaapi.CollectionConverters.asScala(List.of(location)).toSeq();
+    Map<String, String> opts = new HashMap<>();
+    opts.put("path", location);
+    scala.Option<StructType> schemaOpt =
+        schema == null ? scala.Option.empty() : scala.Option.apply(schema);
+    return new ParquetTable(
+        ident.toString(),
+        spark,
+        new CaseInsensitiveStringMap(opts),
+        paths,
+        schemaOpt,
+        ParquetFileFormat.class);
+  }
+
+  @Override
+  public Table createTable(
+      Identifier ident, StructType schema, Transform[] partitions, Map<String, String> properties)
+      throws TableAlreadyExistsException, NoSuchNamespaceException {
+    if (partitions.length > 0) {
+      throw new UnsupportedOperationException(
+          "partitioned tables are not part of the Lance namespace contract");
+    }
+    String location = properties.get(TableCatalog.PROP_LOCATION);
+    if (location == null || location.isEmpty()) {
+      throw new IllegalArgumentException(
+          "CREATE TABLE through the Polaris dialect requires LOCATION — the "
+              + "service stores metadata only, it cannot allocate storage");
+    }
+    ObjectNode body = MAPPER.createObjectNode();
+    body.put("name", ident.name());
+    body.put("format", LANCE_FORMAT);
+    body.put("base-location", location);
+    ObjectNode props = body.putObject("properties");
+    for (Map.Entry<String, String> e : properties.entrySet()) {
+      String k = e.getKey();
+      if (k.equals(TableCatalog.PROP_LOCATION)
+          || k.equals(TableCatalog.PROP_PROVIDER)
+          || k.equals(TableCatalog.PROP_OWNER)
+          || k.equals(TableCatalog.PROP_EXTERNAL)
+          || k.equals(TableCatalog.PROP_IS_MANAGED_LOCATION)) {
+        continue;
+      }
+      props.put(k, e.getValue());
+    }
+    // Required-property merge overrides user values (polaris.py declare_table).
+    props.put(PROP_TABLE_TYPE, LANCE_FORMAT);
+    props.put(SCHEMA_PROP, schema.json());
+    String path = genericBase(ident.namespace());
+    Resp r = call("POST", path, body);
+    if (r.status == 404) {
+      throw new NoSuchNamespaceException(ident.namespace());
+    }
+    if (r.status == 409) {
+      throw new TableAlreadyExistsException(ident);
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("POST", path, r);
+    }
+    // Materialize local locations so the FileTable index resolves for INSERT
+    // INTO before any data lands (same contract as the sibling plugins).
+    try {
+      java.nio.file.Path local;
+      if (location.startsWith("file:")) {
+        local = java.nio.file.Paths.get(URI.create(location).getPath());
+      } else if (location.contains(":")) {
+        local = null; // remote scheme (s3:, hdfs:, ...)
+      } else {
+        local = java.nio.file.Paths.get(location);
+      }
+      if (local != null) {
+        java.nio.file.Files.createDirectories(local);
+      }
+    } catch (IOException | RuntimeException ignored) {
+      // non-local location: leave materialization to the writer
+    }
+    return parquetTable(ident, location, schema);
+  }
+
+  @Override
+  public Table alterTable(Identifier ident, TableChange... changes) {
+    throw new UnsupportedOperationException(
+        "ALTER TABLE is not part of the Lance namespace operation set");
+  }
+
+  @Override
+  public boolean dropTable(Identifier ident) {
+    // Deregister-only: the Polaris dialect never purges data
+    // (polaris.py deregister_table is the single removal op).
+    String path = genericBase(ident.namespace()) + "/" + enc(ident.name());
+    Resp r = call("DELETE", path, null);
+    if (r.status == 404) {
+      return false;
+    }
+    if (r.status < 200 || r.status >= 300) {
+      throw httpError("DELETE", path, r);
+    }
+    return true;
+  }
+
+  @Override
+  public void renameTable(Identifier oldIdent, Identifier newIdent) {
+    throw new UnsupportedOperationException(
+        "rename is not part of the Lance namespace operation set");
+  }
+}

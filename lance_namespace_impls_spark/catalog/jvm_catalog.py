@@ -37,6 +37,7 @@ CATALOG_CLASS = "lance_namespace_impls_spark.jvm.DirectoryTableCatalog"
 REST_CATALOG_CLASS = "lance_namespace_impls_spark.jvm.IcebergRestTableCatalog"
 UNITY_CATALOG_CLASS = "lance_namespace_impls_spark.jvm.UnityRestTableCatalog"
 GLUE_CATALOG_CLASS = "lance_namespace_impls_spark.jvm.GlueTableCatalog"
+POLARIS_CATALOG_CLASS = "lance_namespace_impls_spark.jvm.PolarisTableCatalog"
 
 
 def _java_sources() -> list[str]:
@@ -177,6 +178,33 @@ def install_glue_catalog(
     spark.sql(f"ADD JAR '{jar}'")
     spark.conf.set(f"spark.sql.catalog.{name}", GLUE_CATALOG_CLASS)
     spark.conf.set(f"spark.sql.catalog.{name}.uri", uri)
+    for key, value in (headers or {}).items():
+        spark.conf.set(f"spark.sql.catalog.{name}.header.{key}", value)
+    return name
+
+
+def install_polaris_catalog(
+    spark: SparkSession,
+    name: str,
+    uri: str,
+    catalog: str = "lakehouse",
+    headers: dict[str, str] | None = None,
+) -> str:
+    """Register a Polaris-dialect catalog ``name`` over endpoint ``uri``.
+
+    The pure-JVM twin of the Python :class:`PolarisNamespace` dialect: Spark
+    namespaces map to Polaris namespace level arrays under ``catalog``
+    (Iceberg-REST-style namespace tree, dotted item paths), tables ride the
+    generic-tables family with ``format=lance``, and multi-part SQL names
+    resolve with zero Python in the session path — the FIFTH and final
+    dialect with full JVM reach (directory, Iceberg-REST, Unity, Glue,
+    Polaris).  Idempotent; returns ``name``.
+    """
+    jar = ensure_catalog_jar()
+    spark.sql(f"ADD JAR '{jar}'")
+    spark.conf.set(f"spark.sql.catalog.{name}", POLARIS_CATALOG_CLASS)
+    spark.conf.set(f"spark.sql.catalog.{name}.uri", uri)
+    spark.conf.set(f"spark.sql.catalog.{name}.catalog", catalog)
     for key, value in (headers or {}).items():
         spark.conf.set(f"spark.sql.catalog.{name}.header.{key}", value)
     return name

@@ -1376,11 +1376,13 @@ _Q173_SQL = (
     "(catalog/polaris_fixture.py — Iceberg-REST namespace tree + the "
     "generic-tables family where Lance tables live), tables register "
     "through the Python PolarisNamespace dialect over real HTTP, and the "
-    "session-catalog bridge publishes them for the SQL join.  Completes "
-    "live-wire coverage of every HTTP dialect (Iceberg-REST q155, Unity "
-    "q168, Glue-JSON q172, Polaris this row; reference polaris.py "
-    "endpoint map).  A socket-less environment degrades to the "
-    "established fallback contract with the identical relation.",
+    "SQL join resolves through the JVM PolarisTableCatalog plugin — the "
+    "FIFTH and final dialect with full JVM reach (zero Python in the "
+    "session path; JRE-only environments fall back to the session-catalog "
+    "bridge, socket-less ones to temp views, each with the identical "
+    "relation).  Completes live-wire + JVM coverage of every HTTP dialect "
+    "(Iceberg-REST q155, Unity q168, Glue-JSON q172, Polaris this row; "
+    "reference polaris.py endpoint map).",
     tags=("scan", "catalog", "rest"),
 )
 def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1427,8 +1429,22 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         except TableAlreadyExists:
             pass
-    db = f"lake_polaris_{tag}"
-    publish_namespace(spark, ns, ["lakehouse", "main"], db, include_declared=True)
+    try:
+        from lance_namespace_impls_spark.catalog.jvm_catalog import (
+            install_polaris_catalog,
+        )
+
+        prefix = (
+            install_polaris_catalog(
+                spark, f"lake_pol_{tag}", uri=url, catalog="lakehouse"
+            )
+            + ".main"
+        )
+    except Exception:
+        # JRE-only environment: session-catalog bridge, identical relation.
+        db = f"lake_polaris_{tag}"
+        publish_namespace(spark, ns, ["lakehouse", "main"], db, include_declared=True)
+        prefix = db
     return spark.sql(
-        _Q173_SQL.format(o=f"{db}.orders", c=f"{db}.customer")
+        _Q173_SQL.format(o=f"{prefix}.orders", c=f"{prefix}.customer")
     )
