@@ -92,7 +92,12 @@ class FakeMetastore:
             elif ftype == tc.BOOL:
                 args[fid] = r.read_bool()
             elif ftype == tc.STRUCT:
-                if method == "create_table":
+                # create_table_with_environment_context is what Apache's own
+                # HiveMetaStoreClient (libthrift) sends: field 1 is the Table,
+                # field 2 an EnvironmentContext we skip.
+                if method in (
+                    "create_table", "create_table_with_environment_context"
+                ) and fid == 1:
                     args[fid] = _read_table(r)
                 elif method == "create_database":
                     args[fid] = _read_server_database(r)
@@ -167,7 +172,7 @@ class FakeMetastore:
             else:
                 w.write_field(tc.STRUCT, 0)
                 _write_table(w, table)
-        elif method == "create_table":
+        elif method in ("create_table", "create_table_with_environment_context"):
             t = args.get(1)
             if t.dbName not in self.databases:
                 self._exception(w, 4, f"database {t.dbName} not found")
@@ -175,7 +180,7 @@ class FakeMetastore:
                 self._exception(w, 1, f"{t.dbName}.{t.tableName} exists")
             else:
                 self.tables[(t.dbName, t.tableName)] = t
-        elif method == "drop_table":
+        elif method in ("drop_table", "drop_table_with_environment_context"):
             key = (args.get(1), args.get(2))
             if key not in self.tables:
                 self._exception(w, 1, f"{key} not found")

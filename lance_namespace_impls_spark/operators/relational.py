@@ -1127,9 +1127,13 @@ _HMS_FIXTURE_CACHE: dict[str, tuple] = {}
     "(catalog/hms_fixture.py, TBinaryProtocol on a TCP socket), tables "
     "register through Hive2Namespace -> ClientPool -> vendored binary "
     "codec (the hive2.py:105-140 / ClientPoolImpl.java role), and the "
-    "session-catalog bridge publishes them for the SQL join — every "
-    "metadata byte of this query crossed a socket in the metastore wire "
-    "format.",
+    "SQL join resolves through the JVM HiveTableCatalog plugin — Apache's "
+    "own HiveMetaStoreClient (libthrift) reading what the vendored codec "
+    "wrote, two independent Thrift implementations on one wire; the SIXTH "
+    "dialect with full JVM reach.  JRE-only environments fall back to the "
+    "session-catalog bridge, socket-less ones to temp views, each with the "
+    "identical relation — every metadata byte of this query crossed a "
+    "socket in the metastore wire format.",
     tags=("scan", "catalog", "thrift"),
 )
 def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1173,12 +1177,26 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         except TableAlreadyExists:
             pass
-    db = f"lake_hms_{tag}"
-    publish_namespace(spark, ns, ["main"], db, include_declared=True)
+    try:
+        from lance_namespace_impls_spark.catalog.jvm_catalog import (
+            install_hive_catalog,
+        )
+
+        prefix = (
+            install_hive_catalog(
+                spark, f"lake_hms_jvm_{tag}", uri=f"thrift://127.0.0.1:{hms.port}"
+            )
+            + ".main"
+        )
+    except Exception:
+        # JRE-only environment: session-catalog bridge, identical relation.
+        db = f"lake_hms_{tag}"
+        publish_namespace(spark, ns, ["main"], db, include_declared=True)
+        prefix = db
     return spark.sql(
         f"SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations, "
         f"CAST(SUM(n_nationkey) AS BIGINT) AS key_sum "
-        f"FROM {db}.nation JOIN {db}.region ON n_regionkey = r_regionkey "
+        f"FROM {prefix}.nation JOIN {prefix}.region ON n_regionkey = r_regionkey "
         f"GROUP BY r_name ORDER BY r_name"
     )
 
