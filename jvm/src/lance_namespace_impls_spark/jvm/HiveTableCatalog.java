@@ -78,6 +78,12 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
 
   private String catalogName;
   private String root;
+  // One Thrift connection, guarded by synchronizing every metastore-touching
+  // method: libthrift's TSocket is NOT thread-safe (interleaved frames
+  // desynchronize the reply stream), unlike the sibling plugins'
+  // java.net.http.HttpClient.  Catalog calls are driver-side metadata ops,
+  // so the coarse lock costs nothing measurable; a high-concurrency
+  // deployment swaps in a client pool (the reference's ClientPoolImpl).
   private HiveMetaStoreClient client;
 
   // -- CatalogPlugin --------------------------------------------------------
@@ -122,7 +128,7 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
   // -- SupportsNamespaces ---------------------------------------------------
 
   @Override
-  public String[][] listNamespaces() {
+  public synchronized String[][] listNamespaces() {
     try {
       List<String> names = new ArrayList<>(client.getAllDatabases());
       names.sort(Comparator.naturalOrder());
@@ -146,7 +152,7 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
   }
 
   @Override
-  public Map<String, String> loadNamespaceMetadata(String[] namespace)
+  public synchronized Map<String, String> loadNamespaceMetadata(String[] namespace)
       throws NoSuchNamespaceException {
     try {
       Database db = client.getDatabase(dbOf(namespace));
@@ -158,17 +164,16 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
         out.put("location", db.getLocationUri());
       }
       return out;
-    } catch (org.apache.hadoop.hive.metastore.api.NoSuchObjectException e) {
-      throw new NoSuchNamespaceException(namespace);
     } catch (Exception e) {
-      // The fixture signals missing databases through the generic result
-      // exception slot; treat any metastore-side error here as not-found.
-      throw new NoSuchNamespaceException(namespace);
+      if (isNotFound(e)) {
+        throw new NoSuchNamespaceException(namespace);
+      }
+      throw new RuntimeException("get_database failed", e);
     }
   }
 
   @Override
-  public void createNamespace(String[] namespace, Map<String, String> metadata)
+  public synchronized void createNamespace(String[] namespace, Map<String, String> metadata)
       throws NamespaceAlreadyExistsException {
     String db = dbOf(namespace);
     Database d =
@@ -193,7 +198,7 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
   }
 
   @Override
-  public boolean dropNamespace(String[] namespace, boolean cascade)
+  public synchronized boolean dropNamespace(String[] namespace, boolean cascade)
       throws NoSuchNamespaceException, NonEmptyNamespaceException {
     if (cascade) {
       throw new UnsupportedOperationException(
@@ -208,21 +213,38 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
       return true;
     } catch (NonEmptyNamespaceException e) {
       throw e;
-    } catch (org.apache.hadoop.hive.metastore.api.NoSuchObjectException e) {
-      throw new NoSuchNamespaceException(namespace);
     } catch (Exception e) {
-      throw new NoSuchNamespaceException(namespace);
+      if (isNotFound(e)) {
+        throw new NoSuchNamespaceException(namespace);
+      }
+      throw new RuntimeException("drop_database failed", e);
     }
   }
 
   // -- TableCatalog ---------------------------------------------------------
+
+  /** Not-found vs failure taxonomy: only a metastore-level "no such
+   * object" answer may read as absence; transport or protocol failures
+   * must propagate, or tableExists() would report a connectivity outage
+   * as a missing table (and CREATE IF NOT EXISTS would charge ahead). */
+  private static boolean isNotFound(Exception e) {
+    if (e instanceof org.apache.hadoop.hive.metastore.api.NoSuchObjectException) {
+      return true;
+    }
+    String msg = e.getMessage() == null ? "" : e.getMessage();
+    return e instanceof org.apache.hadoop.hive.metastore.api.MetaException
+        && msg.contains("not found");
+  }
 
   private org.apache.hadoop.hive.metastore.api.Table fetch(Identifier ident)
       throws NoSuchTableException {
     try {
       return client.getTable(dbOf(ident.namespace()), ident.name());
     } catch (Exception e) {
-      throw new NoSuchTableException(ident);
+      if (isNotFound(e)) {
+        throw new NoSuchTableException(ident);
+      }
+      throw new RuntimeException("get_table failed", e);
     }
   }
 
@@ -233,7 +255,7 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
   }
 
   @Override
-  public Identifier[] listTables(String[] namespace) throws NoSuchNamespaceException {
+  public synchronized Identifier[] listTables(String[] namespace) throws NoSuchNamespaceException {
     String db = dbOf(namespace);
     try {
       List<String> names = new ArrayList<>(client.getAllTables(db));
@@ -250,7 +272,10 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
       }
       return out.toArray(new Identifier[0]);
     } catch (Exception e) {
-      throw new NoSuchNamespaceException(namespace);
+      if (isNotFound(e)) {
+        throw new NoSuchNamespaceException(namespace);
+      }
+      throw new RuntimeException("get_all_tables failed", e);
     }
   }
 
@@ -265,7 +290,7 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
   }
 
   @Override
-  public Table loadTable(Identifier ident) throws NoSuchTableException {
+  public synchronized Table loadTable(Identifier ident) throws NoSuchTableException {
     org.apache.hadoop.hive.metastore.api.Table t = fetch(ident);
     if (!isLance(t)) {
       // Non-lance entries are invisible (glue.py:504-520, hive.py).
@@ -299,7 +324,7 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
   }
 
   @Override
-  public Table createTable(
+  public synchronized Table createTable(
       Identifier ident, StructType schema, Transform[] partitions, Map<String, String> properties)
       throws TableAlreadyExistsException, NoSuchNamespaceException {
     if (partitions.length > 0) {
@@ -391,13 +416,16 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
   }
 
   @Override
-  public boolean dropTable(Identifier ident) {
+  public synchronized boolean dropTable(Identifier ident) {
     try {
       // Deregister-only: deleteData=false (hive.py deregister_table).
       client.dropTable(dbOf(ident.namespace()), ident.name(), false, false);
       return true;
     } catch (Exception e) {
-      return false;
+      if (isNotFound(e)) {
+        return false;
+      }
+      throw new RuntimeException("drop_table failed", e);
     }
   }
 

@@ -2,9 +2,8 @@
  * PolarisTableCatalog: a Spark DataSource V2 TableCatalog + SupportsNamespaces
  * plugin over an Apache-Polaris-shaped catalog service — the pure-JVM twin of
  * the Python PolarisNamespace dialect (lance_namespace_impls_spark/catalog/
- * polaris.py).  With this on the classpath, every service dialect the suite
- * implements has full JVM reach: directory, Iceberg-REST, Unity, Glue, and
- * Polaris.
+ * polaris.py).  One of the six dialects with full JVM reach: directory,
+ * Iceberg-REST, Unity, Glue, Polaris, and Hive.
  *
  * Reference parity: the reference ships per-backend Java catalog impls; this
  * covers the Polaris backend's operation surface (reference polaris.py —
@@ -328,8 +327,13 @@ public class PolarisTableCatalog implements TableCatalog, SupportsNamespaces {
         continue;
       }
       Resp tr = call("GET", path + "/" + enc(table), null);
+      if (tr.status == 404) {
+        continue; // dropped concurrently: invisible
+      }
       if (tr.status < 200 || tr.status >= 300) {
-        continue;
+        // A 5xx here must NOT silently shrink the listing — callers treat
+        // SHOW TABLES as authoritative.
+        throw httpError("GET", path + "/" + enc(table), tr);
       }
       String format = tr.body.path("table").path("format").asText("");
       if (format.toLowerCase().equals(LANCE_FORMAT)) {

@@ -197,9 +197,9 @@ def install_polaris_catalog(
     namespaces map to Polaris namespace level arrays under ``catalog``
     (Iceberg-REST-style namespace tree, dotted item paths), tables ride the
     generic-tables family with ``format=lance``, and multi-part SQL names
-    resolve with zero Python in the session path — the FIFTH and final
-    dialect with full JVM reach (directory, Iceberg-REST, Unity, Glue,
-    Polaris).  Idempotent; returns ``name``.
+    resolve with zero Python in the session path (all six dialects have
+    full JVM reach: directory, Iceberg-REST, Unity, Glue, Polaris, Hive).
+    Idempotent; returns ``name``.
     """
     jar = ensure_catalog_jar()
     spark.sql(f"ADD JAR '{jar}'")

@@ -41,11 +41,28 @@ def _toks(col):
     return F.split(F.lower(F.trim(col)), " ")
 
 
-def repetition_stats(docs: DataFrame) -> DataFrame:
-    """Per-doc (top_tok_frac, dup_bigram_frac, keep) over docs with >= 2 tokens."""
-    toked = spread(docs).select(
-        "doc_id", _toks(F.col("text")).alias("toks")
-    ).filter(F.size("toks") >= 2)
+def _per_doc_repetition(docs: DataFrame, extra: dict | None = None) -> DataFrame:
+    """Shared per-doc repetition frame over docs with >= 2 tokens.
+
+    Columns: ``doc_id``, any caller-supplied ``extra`` (name -> Column over
+    the raw docs row), ``top_tok_frac``, ``dup_bigram_frac``, ``keep``.
+    ONE definition of the bigram expression, the (doc_id, tok) aggregate and
+    the keep thresholds, consumed by both q101 (repetition_stats) and q103
+    (curation_pipeline) so the "q103 composes q101" contract cannot drift.
+    Two corpus scans by design: the row-level projection and the token-count
+    aggregate (tokenized arrays are corpus-sized; materializing them would
+    cost more than the second scan).
+    """
+    extra = extra or {}
+    toked = (
+        spread(docs)
+        .select(
+            "doc_id",
+            *[col.alias(name) for name, col in extra.items()],
+            _toks(F.col("text")).alias("toks"),
+        )
+        .filter(F.size("toks") >= 2)
+    )
     # Top-token fraction: word-count aggregate — (doc_id, tok) partial counts
     # combine map-side, then one doc_id-width reduce.
     tok_counts = (
@@ -62,23 +79,27 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
     bg = toked.select(
         "doc_id",
+        *extra.keys(),
         (
             F.lit(1.0)
             - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)
         ).alias("dup_bigram_frac"),
     )
-    return (
-        tok_counts.join(bg, "doc_id")
-        .select(
-            "doc_id",
-            (F.col("mx").cast("double") / F.col("tot")).alias("top_tok_frac"),
-            "dup_bigram_frac",
-            (
-                (F.col("mx").cast("double") / F.col("tot") <= TOP_TOKEN_MAX)
-                & (F.col("dup_bigram_frac") <= DUP_BIGRAM_MAX)
-            ).alias("keep"),
-        )
+    top = F.col("mx").cast("double") / F.col("tot")
+    return bg.join(tok_counts, "doc_id").select(
+        "doc_id",
+        *extra.keys(),
+        top.alias("top_tok_frac"),
+        "dup_bigram_frac",
+        (
+            (top <= TOP_TOKEN_MAX) & (F.col("dup_bigram_frac") <= DUP_BIGRAM_MAX)
+        ).alias("keep"),
     )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc (top_tok_frac, dup_bigram_frac, keep) over docs with >= 2 tokens."""
+    return _per_doc_repetition(docs)
 
 
 _REPETITION_ORACLE = (
@@ -184,45 +205,16 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
     The first cut re-derived `kept` from the raw table per consumer: six
     corpus scans for one pipeline run.
     """
-    toked = (
-        spread(docs)
-        .select(
-            "doc_id",
-            "source",
-            "lang",
-            "n_chars",
-            F.md5(F.lower(F.trim(F.col("text")))).alias("dg"),
-            _toks(F.col("text")).alias("toks"),
-        )
-        .filter(F.size("toks") >= 2)
-    )
-    bigrams = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - 2),
-        lambda i: F.concat_ws(" ", F.col("toks")[i], F.col("toks")[i + 1]),
-    )
-    row = toked.select(
-        "doc_id",
-        "source",
-        "lang",
-        "n_chars",
-        "dg",
-        (
-            F.lit(1.0)
-            - F.size(F.array_distinct(bigrams)).cast("double") / F.size(bigrams)
-        ).alias("dup"),
-    )
-    tf = (
-        toked.select("doc_id", F.explode("toks").alias("t"))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
-    )
-    per = row.join(tf, "doc_id").localCheckpoint(eager=False)
-    keep = per.filter(
-        (F.col("mx").cast("double") / F.col("tot") <= TOP_TOKEN_MAX)
-        & (F.col("dup") <= DUP_BIGRAM_MAX)
-    )
+    per = _per_doc_repetition(
+        docs,
+        extra={
+            "source": F.col("source"),
+            "lang": F.col("lang"),
+            "n_chars": F.col("n_chars"),
+            "dg": F.md5(F.lower(F.trim(F.col("text")))),
+        },
+    ).localCheckpoint(eager=False)
+    keep = per.filter("keep")
     # Exact dedup on the normalized-text digest, keep lowest doc_id (q47's
     # shape): one shuffle on the 16-byte digest, never the text bodies.
     first = keep.groupBy("dg").agg(F.min("doc_id").alias("doc_id")).select("doc_id")

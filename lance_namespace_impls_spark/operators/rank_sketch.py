@@ -1,4 +1,4 @@
-"""Graph ranking and mergeable-sketch operators (q199–q200).
+"""Graph ranking, sketch, and classifier operators (q199–q200, q202).
 
 * q199 — one **PageRank power-iteration step** over the bipartite
   part→supplier shipment graph, in scaled integer arithmetic (rank·10⁶,

@@ -1177,6 +1177,17 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         except TableAlreadyExists:
             pass
+    def relation(prefix: str) -> DataFrame:
+        return spark.sql(
+            f"SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations, "
+            f"CAST(SUM(n_nationkey) AS BIGINT) AS key_sum "
+            f"FROM {prefix}.nation JOIN {prefix}.region ON n_regionkey = r_regionkey "
+            f"GROUP BY r_name ORDER BY r_name"
+        )
+
+    # The try must cover RESOLUTION, not just the install: a cached jar over
+    # a hive-less Spark runtime or a refused metastore connection surfaces
+    # at analysis time (loadTable), and the bridge fallback must still fire.
     try:
         from lance_namespace_impls_spark.catalog.jvm_catalog import (
             install_hive_catalog,
@@ -1188,17 +1199,12 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + ".main"
         )
+        return relation(prefix)
     except Exception:
         # JRE-only environment: session-catalog bridge, identical relation.
         db = f"lake_hms_{tag}"
         publish_namespace(spark, ns, ["main"], db, include_declared=True)
-        prefix = db
-    return spark.sql(
-        f"SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_nations, "
-        f"CAST(SUM(n_nationkey) AS BIGINT) AS key_sum "
-        f"FROM {prefix}.nation JOIN {prefix}.region ON n_regionkey = r_regionkey "
-        f"GROUP BY r_name ORDER BY r_name"
-    )
+        return relation(db)
 
 
 _UNITY_FIXTURE_CACHE: dict[str, tuple] = {}
@@ -1394,11 +1400,12 @@ _Q173_SQL = (
     "(catalog/polaris_fixture.py — Iceberg-REST namespace tree + the "
     "generic-tables family where Lance tables live), tables register "
     "through the Python PolarisNamespace dialect over real HTTP, and the "
-    "SQL join resolves through the JVM PolarisTableCatalog plugin — the "
-    "FIFTH and final dialect with full JVM reach (zero Python in the "
-    "session path; JRE-only environments fall back to the session-catalog "
-    "bridge, socket-less ones to temp views, each with the identical "
-    "relation).  Completes live-wire + JVM coverage of every HTTP dialect "
+    "SQL join resolves through the JVM PolarisTableCatalog plugin with "
+    "zero Python in the session path (every dialect now has JVM reach — "
+    "directory, Iceberg-REST, Unity, Glue, Polaris, Hive; JRE-only "
+    "environments fall back to the session-catalog bridge, socket-less "
+    "ones to temp views, each with the identical relation).  Completes "
+    "live-wire + JVM coverage of every HTTP dialect "
     "(Iceberg-REST q155, Unity q168, Glue-JSON q172, Polaris this row; "
     "reference polaris.py endpoint map).",
     tags=("scan", "catalog", "rest"),
@@ -1447,6 +1454,7 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         except TableAlreadyExists:
             pass
+    # The try must cover RESOLUTION, not just the install (q156 rationale).
     try:
         from lance_namespace_impls_spark.catalog.jvm_catalog import (
             install_polaris_catalog,
@@ -1458,11 +1466,9 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             + ".main"
         )
+        return spark.sql(_Q173_SQL.format(o=f"{prefix}.orders", c=f"{prefix}.customer"))
     except Exception:
         # JRE-only environment: session-catalog bridge, identical relation.
         db = f"lake_polaris_{tag}"
         publish_namespace(spark, ns, ["lakehouse", "main"], db, include_declared=True)
-        prefix = db
-    return spark.sql(
-        _Q173_SQL.format(o=f"{prefix}.orders", c=f"{prefix}.customer")
-    )
+        return spark.sql(_Q173_SQL.format(o=f"{db}.orders", c=f"{db}.customer"))

@@ -11,7 +11,11 @@ from lance_namespace_impls_spark.plans.registry import QUERIES
 
 from tests.conftest import SF_SMOKE
 
-NEW = ["q199_pagerank_step", "q200_countmin_heavy_hitters"]
+NEW = [
+    "q199_pagerank_step",
+    "q200_countmin_heavy_hitters",
+    "q202_linear_classifier",
+]
 
 
 @pytest.fixture(scope="module")
