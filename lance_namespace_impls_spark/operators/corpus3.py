@@ -224,3 +224,76 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# q203 — vocabulary-encode: text -> token ids (the tokenize-to-ids step)
+
+_VOCAB_K = 1000  # vocabulary size; id 0 is reserved for UNK
+
+
+@query(
+    "q203_vocab_encode",
+    "WITH tok AS (SELECT doc_id, w, CAST(i AS BIGINT) - 1 AS pos FROM ("
+    "  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w, "
+    "  generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS i "
+    "  FROM documents)), "
+    "vc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w), "
+    f"vocab AS (SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS tid "
+    f"  FROM vc ORDER BY c DESC, w LIMIT {_VOCAB_K}), "
+    "enc AS (SELECT tok.doc_id, tok.pos, COALESCE(vocab.tid, 0) AS tid "
+    "  FROM tok LEFT JOIN vocab ON tok.w = vocab.w) "
+    "SELECT doc_id, COUNT(*) AS n_tokens, "
+    "CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk, "
+    "CAST(SUM((pos + 1) * tid) AS BIGINT) AS ids_checksum, "
+    "(list(tid ORDER BY pos, tid))[1:8] AS ids_head "
+    "FROM enc GROUP BY doc_id ORDER BY doc_id",
+    doc="Vocabulary encoding — the tokenize-to-ids step every training "
+    "pipeline ships: top-1000 corpus vocabulary (count DESC, token "
+    "tie-break; id 0 reserved for UNK), tokens mapped to ids through a "
+    "broadcast vocab join, per-document ids reassembled in position order. "
+    "Output carries the first 8 ids plus a position-weighted integer "
+    "checksum over the full sequence, so the encoding is order-checked "
+    "without hashing megabyte arrays. The global ranking window runs on "
+    "the VOCABULARY (bounded at any corpus size), never the corpus; the "
+    "corpus is scanned twice (vocab count, encode) — materializing the "
+    "position-exploded stream would cost more than the second scan.",
+    tags=("llm", "corpus", "tokenizer"),
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    vc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    # Bounded-input global window: ranks the vocabulary, not the corpus.
+    w_rank = Window.orderBy(F.col("c").desc(), "w")
+    vocab = (
+        vc.withColumn("tid", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("tid") <= _VOCAB_K)
+        .select("w", "tid")
+    )
+    enc = tok.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.coalesce(F.col("tid"), F.lit(0)).alias("tid"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("tid") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unk"),
+            F.sum((F.col("pos") + 1) * F.col("tid")).cast("bigint").alias(
+                "ids_checksum"
+            ),
+            F.expr(
+                "transform(slice(array_sort(collect_list(struct(pos, tid))), 1, 8),"
+                " x -> x.tid)"
+            ).alias("ids_head"),
+        )
+        .orderBy("doc_id")
+    )

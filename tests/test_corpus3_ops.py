@@ -102,3 +102,19 @@ def test_q201_oracle_and_hamming_bound(spark):
     assert rows, "smoke fixture should contain near-dup pairs"
     for r in rows:
         assert 0 <= r["hamming"] <= 3
+
+
+def test_q203_oracle_and_encoding_contract(spark):
+    """Vocab encode: oracle parity plus the id-space contract."""
+    result = check_query(
+        spark, duckdb_connection(SF_SMOKE), "q203_vocab_encode", SF_SMOKE
+    )
+    assert result["ok"], result
+    rows = QUERIES["q203_vocab_encode"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] >= 1
+        assert 0 <= r["n_unk"] <= r["n_tokens"]
+        assert len(r["ids_head"]) == min(8, r["n_tokens"])
+        for tid in r["ids_head"]:
+            assert 0 <= tid <= 1000
