@@ -86,13 +86,6 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
-        # q00* are driver-divergence diagnostics (operators/diagnostics.py):
-        # temporary instrumentation duplicating q66/q68's grouped-Python
-        # machinery for fault localization, not declared operators — they
-        # run in the correctness sweep but are excluded from the timed
-        # suite (they can still be timed explicitly via --queries q00).
-        if selected is None and name.startswith("q00"):
-            continue
         if selected is not None and name not in selected:
             continue
         best = None

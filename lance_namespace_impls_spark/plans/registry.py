@@ -96,40 +96,35 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q52_minhash_neardup", "q53_simhash_neardup", "q55_cosine_topk_brute",
         "q56_cosine_topk_lsh", "q58_fingerprint", "q60_multimodal_features",
         "q62_streaming_dedup", "q64_approx_count_distinct", "q70_ivf_topk",
+        # round 4 greens (hash_match=true in CORRECTNESS_r04.json, 44 rows;
+        # the q00* diagnostic rows were also green and are retired — their
+        # docstring promised removal once the r3 hash-mismatch was localized)
+        "q66_pandas_udaf", "q68_apply_in_pandas", "q87_stateful_custom_op",
+        "q140_gini_inequality", "q141_snapshot_diff", "q142_group_zscore",
+        "q143_join_key_skew_profile", "q144_image_channel_stats",
+        "q145_string_agg", "q146_try_cast_semantics", "q147_map_higher_order",
+        "q148_lateral_join", "q149_recursive_cte", "q150_grouping_id",
+        "q151_sql_pipe_syntax", "q152_setops_all", "q153_zipf_head_coverage",
+        "q154_quality_weighted_sample", "q155_jvm_rest_catalog",
+        "q156_hive_thrift_catalog", "q157_int8_quantization",
+        "q158_per_group_sample", "q159_regression_aggregates",
+        "q160_fuzzy_match_join", "q161_minhash_portable_lsh",
+        "q162_doc_chunking", "q163_canonical_doc_selection",
+        "q164_time_decay_agg", "q165_source_overlap_exact",
+        "q166_doclen_log_histogram", "q167_equi_depth_histogram",
+        "q168_jvm_unity_catalog", "q169_scd2_intervals",
+        "q170_stream_stream_outer_join", "q171_neardup_keep_best",
+        "q172_jvm_glue_catalog", "q173_polaris_catalog",
+        "q174_proportional_allocation",
     }
 )
-# Round-4 re-verify set.  q66/q68/q87: driver-red in r03 (hash mismatch,
-# rows+schema green; q87 red two rounds running) — hardened this round with
-# floor-form scaling on both sides, numpy-only kernel arithmetic and JVM-side
-# final cast projections; the q00* diagnostics in operators/diagnostics.py
-# run ahead of them to localize the fault layer if the hardening doesn't
-# clear it.  q122: its tokenizer/denominator were rewritten in r3 after its
-# r2 green row (ADVICE.md r3), so the green credit is stale — oracle
-# realigned this round, re-enters the line.
-RE_VERIFY: set[str] = {
-    "q66_pandas_udaf", "q68_apply_in_pandas", "q87_stateful_custom_op",
-    "q122_contamination_check",
-    # r4: fingerprint hash switched to the md5-derived portable form and the
-    # row gained a real DuckDB oracle — its r03 rows-only credit is stale.
-    "q58_fingerprint",
-    # r4: bigram/shingle construction switched to the slice-based kernel
-    # (q119 4.4x faster; q99's edge builder same fix; semantics unchanged,
-    # locally re-verified at two scales); re-queued per the
-    # changed-since-green policy ADVICE r3 flagged on q122.
-    "q119_corpus_vocabulary",
-    "q99_neardup_components",
-    # r4 (this session): assignment argmin switched from a row_number window
-    # to min(struct(d, c)) partial aggregation (2x; identical tie-break,
-    # locally re-verified at three scales); re-queued per the
-    # changed-since-green policy.
-    "q106_kmeans_assign",
-    # r4 (late session): repeated-corpus-scan collapse — q103's pipeline
-    # now flows through a checkpointed per-doc frame and q124's sketch
-    # table is checkpointed (results identical, locally re-verified at
-    # three scales); re-queued per the changed-since-green policy.
-    "q103_curation_pipeline",
-    "q124_source_overlap_sketch",
-}
+# Changed-since-green set.  Every name the round-4 RE_VERIFY carried came
+# back green in CORRECTNESS_r04.json (the q66/q68/q87 trio's two-round red
+# was root-caused to an oracle-side DuckDB HUGEINT->float64 dtype artifact,
+# fixed by CAST AS BIGINT on integer-SUM outputs + the suite-wide dtype
+# parity test), so the set starts round 5 empty.  Policy: any query whose
+# builder or oracle changes after its last driver-green row re-enters here.
+RE_VERIFY: set[str] = set()
 
 
 def _qnum(name: str) -> int:

@@ -1,6 +1,11 @@
-"""The q00* driver-divergence diagnostics (operators/diagnostics.py) and the
-round-4 hardened grouped-Python trio: oracle parity at smoke scale plus the
-registry-ordering contract that puts them at the front of the driver window.
+"""Regression tests for the round-2/3 driver-red grouped-Python trio.
+
+The q00* driver-divergence diagnostic twins that localized the fault (a
+DuckDB HUGEINT->float64 dtype artifact in the driver's hash, fixed by
+CAST-AS-BIGINT on every integer-SUM oracle output) served their purpose and
+were retired after CORRECTNESS_r04.json confirmed all five green.  What
+stays is the trio itself: oracle parity at smoke scale and Arrow-chunking
+invariance, the two properties whose absence caused the two-round red.
 """
 
 from __future__ import annotations
@@ -9,17 +14,9 @@ import pytest
 
 import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
 from lance_namespace_impls_spark.plans.oracle import check_query, duckdb_connection
-from lance_namespace_impls_spark.plans.registry import queries
 
 from tests.conftest import SF_SMOKE
 
-DIAG = [
-    "q00a_diag_jvm_sum",
-    "q00b_diag_jvm_round",
-    "q00c_diag_kernel_const",
-    "q00d_diag_kernel_sum",
-    "q00e_diag_udaf_sum",
-]
 HARDENED = [
     "q66_pandas_udaf",
     "q68_apply_in_pandas",
@@ -32,25 +29,13 @@ def duck():
     return duckdb_connection(SF_SMOKE)
 
 
-@pytest.mark.parametrize("name", DIAG + HARDENED)
+@pytest.mark.parametrize("name", HARDENED)
 def test_oracle_match(spark, duck, name):
     result = check_query(spark, duck, name, SF_SMOKE)
     assert result["ok"], result
 
 
-def test_diagnostics_front_of_driver_window():
-    """The whole point of the q00* twins is that the driver's ~50-row
-    verification window reaches them: they must be the FIRST names the
-    registry emits, followed by the re-verify trio before any verified
-    back-half name."""
-    order = list(queries())
-    assert order[:5] == DIAG
-    front = order[: order.index("q66_pandas_udaf") + 1]
-    for name in HARDENED[:1]:  # q66 is the lowest-numbered of the trio
-        assert name in front
-
-
-@pytest.mark.parametrize("name", HARDENED + ["q00d_diag_kernel_sum"])
+@pytest.mark.parametrize("name", HARDENED)
 def test_arrow_batch_size_invariance(spark, name):
     """The grouped-Python kernels must be invariant to Arrow chunking: a
     driver venv with a different spark.sql.execution.arrow.maxRecordsPerBatch

@@ -71,9 +71,6 @@ def test_no_unintended_cartesian_products(spark):
 # else must stay pure JVM so whole-stage codegen and vectorized readers
 # apply end-to-end.
 PYTHON_ALLOWED = {
-    "q00c_diag_kernel_const": "driver-divergence diagnostic (grouped-kernel return path)",
-    "q00d_diag_kernel_sum": "driver-divergence diagnostic (grouped-kernel arithmetic)",
-    "q00e_diag_udaf_sum": "driver-divergence diagnostic (GROUPED_AGG path)",
     "q44_python_udf": "declared Arrow-batched scalar pandas_udf surface",
     "q52_minhash_neardup": "Arrow-batched NumPy signature kernel (documented)",
     "q53_simhash_neardup": "Arrow-batched NumPy vote kernel (documented)",
