@@ -246,7 +246,7 @@ _VOCAB_K = 1000  # vocabulary size; id 0 is reserved for UNK
     "SELECT doc_id, COUNT(*) AS n_tokens, "
     "CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk, "
     "CAST(SUM((pos + 1) * tid) AS BIGINT) AS ids_checksum, "
-    "(list(tid ORDER BY pos, tid))[1:8] AS ids_head "
+    "array_to_string((list(tid ORDER BY pos, tid))[1:8], ',') AS ids_head "
     "FROM enc GROUP BY doc_id ORDER BY doc_id",
     doc="Vocabulary encoding — the tokenize-to-ids step every training "
     "pipeline ships: top-1000 corpus vocabulary (count DESC, token "
@@ -291,8 +291,9 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "ids_checksum"
             ),
             F.expr(
-                "transform(slice(array_sort(collect_list(struct(pos, tid))), 1, 8),"
-                " x -> x.tid)"
+                "concat_ws(',', transform("
+                "slice(array_sort(collect_list(struct(pos, tid))), 1, 8),"
+                " x -> CAST(x.tid AS STRING)))"
             ).alias("ids_head"),
         )
         .orderBy("doc_id")

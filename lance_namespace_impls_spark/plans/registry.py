@@ -116,15 +116,41 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q170_stream_stream_outer_join", "q171_neardup_keep_best",
         "q172_jvm_glue_catalog", "q173_polaris_catalog",
         "q174_proportional_allocation",
+        # round 5 greens (hash_match=true in CORRECTNESS_r05.json, 49 rows:
+        # the entire q175–q202 band got its first driver rows plus 21
+        # regression re-checks, all green)
+        "q175_rare_token_score", "q176_temperature_mixture",
+        "q177_repeated_span_census", "q178_map_in_arrow_census",
+        "q179_apply_in_arrow_profile", "q180_collocation_lift",
+        "q181_tpch_q4_priority", "q182_tpch_q5_local_volume",
+        "q183_tpch_q6_forecast", "q184_tpch_q7_volume_shipping",
+        "q185_tpch_q8_market_share", "q186_tpch_q12_ship_priority",
+        "q187_tpch_q13_order_distribution", "q188_tpch_q14_promo_effect",
+        "q189_tpch_q15_top_supplier", "q190_tpch_q16_supplier_count",
+        "q191_tpch_q17_small_qty", "q192_tpch_q19_disjunctive",
+        "q193_tpch_q20_part_promotion", "q194_tpch_q21_waiting_supplier",
+        "q195_tpch_q22_sales_opportunity", "q196_bpe_merge_pairs",
+        "q197_pq_encode", "q198_bm25_retrieval", "q199_pagerank_step",
+        "q200_countmin_heavy_hitters", "q201_simhash_portable",
+        "q202_linear_classifier",
     }
 )
-# Changed-since-green set.  Every name the round-4 RE_VERIFY carried came
-# back green in CORRECTNESS_r04.json (the q66/q68/q87 trio's two-round red
-# was root-caused to an oracle-side DuckDB HUGEINT->float64 dtype artifact,
-# fixed by CAST AS BIGINT on integer-SUM outputs + the suite-wide dtype
-# parity test), so the set starts round 5 empty.  Policy: any query whose
-# builder or oracle changes after its last driver-green row re-enters here.
-RE_VERIFY: set[str] = set()
+# Changed-since-green set.  The round-4 RE_VERIFY names all cleared in
+# CORRECTNESS_r04.json: the oracle-eligible rows came back hash-green (the
+# q66/q68/q87 trio's two-round red was root-caused to an oracle-side DuckDB
+# HUGEINT->float64 dtype artifact, fixed by CAST AS BIGINT on integer-SUM
+# outputs + the suite-wide dtype parity test); q124_source_overlap_sketch is
+# rows-only by design (no oracle — hash_match null, err "no_oracle") and was
+# re-credited on its unchanged row count (190, stable since r02) plus the
+# local three-scale re-verification, not a driver hash match.  Policy: any
+# query whose builder or oracle changes after its last driver-green row
+# re-enters here.
+#
+# Round 6: q203's r5 driver row errored in the harness canonicalizer (its
+# array<bigint> ids_head column is unhashable in pandas sort_values); the
+# column is now a comma-joined string on both engines, so the row re-enters
+# the front of the line for a real hash check.
+RE_VERIFY: set[str] = {"q203_vocab_encode"}
 
 
 def _qnum(name: str) -> int:

@@ -115,6 +115,9 @@ def test_q203_oracle_and_encoding_contract(spark):
     for r in rows:
         assert r["n_tokens"] >= 1
         assert 0 <= r["n_unk"] <= r["n_tokens"]
-        assert len(r["ids_head"]) == min(8, r["n_tokens"])
-        for tid in r["ids_head"]:
+        # ids_head is a comma-joined string (the driver's canonicalizer
+        # cannot hash array cells — VERDICT r5 What's-wrong #1).
+        ids = [int(x) for x in r["ids_head"].split(",")]
+        assert len(ids) == min(8, r["n_tokens"])
+        for tid in ids:
             assert 0 <= tid <= 1000
