@@ -182,14 +182,30 @@ public class GlueTableCatalog implements TableCatalog, SupportsNamespaces {
 
   @Override
   public String[][] listNamespaces() {
-    Resp r = call("GetDatabases", MAPPER.createObjectNode());
-    if (r.status < 200 || r.status >= 300) {
-      throw wireError("GetDatabases", r);
-    }
+    // NextToken drain loop — Glue caps GetDatabases at 100 entries per
+    // page, so a single call silently truncates on real catalogs
+    // (reference: GlueNamespace.java:217-233 limit-aware drain).
     List<String[]> out = new ArrayList<>();
-    for (JsonNode db : r.body.path("DatabaseList")) {
-      out.add(new String[] {db.path("Name").asText()});
-    }
+    String token = null;
+    do {
+      ObjectNode body = MAPPER.createObjectNode();
+      if (token != null) {
+        body.put("NextToken", token);
+      }
+      Resp r = call("GetDatabases", body);
+      if (r.status < 200 || r.status >= 300) {
+        throw wireError("GetDatabases", r);
+      }
+      for (JsonNode db : r.body.path("DatabaseList")) {
+        out.add(new String[] {db.path("Name").asText()});
+      }
+      String next = r.body.path("NextToken").asText("");
+      if (!next.isEmpty() && next.equals(token)) {
+        throw new IllegalStateException(
+            "GetDatabases pagination not progressing (NextToken " + next + " repeated)");
+      }
+      token = next.isEmpty() ? null : next;
+    } while (token != null);
     out.sort(Comparator.comparing(a -> a[0]));
     return out.toArray(new String[0][]);
   }
@@ -302,22 +318,36 @@ public class GlueTableCatalog implements TableCatalog, SupportsNamespaces {
 
   @Override
   public Identifier[] listTables(String[] namespace) throws NoSuchNamespaceException {
-    ObjectNode body = MAPPER.createObjectNode();
-    body.put("DatabaseName", oneLevel(namespace));
-    Resp r = call("GetTables", body);
-    if (errType(r).equals("EntityNotFoundException")) {
-      throw new NoSuchNamespaceException(namespace);
-    }
-    if (r.status < 200 || r.status >= 300) {
-      throw wireError("GetTables", r);
-    }
+    // NextToken drain loop (GetTables pages like GetDatabases; reference
+    // GlueNamespace.java:217-233).
     List<String> names = new ArrayList<>();
-    for (JsonNode t : r.body.path("TableList")) {
-      String tableType = t.path("Parameters").path(PROP_TABLE_TYPE).asText("");
-      if (tableType.toLowerCase().equals(LANCE_TABLE_TYPE)) {
-        names.add(t.path("Name").asText());
+    String token = null;
+    do {
+      ObjectNode body = MAPPER.createObjectNode();
+      body.put("DatabaseName", oneLevel(namespace));
+      if (token != null) {
+        body.put("NextToken", token);
       }
-    }
+      Resp r = call("GetTables", body);
+      if (errType(r).equals("EntityNotFoundException")) {
+        throw new NoSuchNamespaceException(namespace);
+      }
+      if (r.status < 200 || r.status >= 300) {
+        throw wireError("GetTables", r);
+      }
+      for (JsonNode t : r.body.path("TableList")) {
+        String tableType = t.path("Parameters").path(PROP_TABLE_TYPE).asText("");
+        if (tableType.toLowerCase().equals(LANCE_TABLE_TYPE)) {
+          names.add(t.path("Name").asText());
+        }
+      }
+      String next = r.body.path("NextToken").asText("");
+      if (!next.isEmpty() && next.equals(token)) {
+        throw new IllegalStateException(
+            "GetTables pagination not progressing (NextToken " + next + " repeated)");
+      }
+      token = next.isEmpty() ? null : next;
+    } while (token != null);
     names.sort(Comparator.naturalOrder());
     List<Identifier> out = new ArrayList<>();
     for (String n : names) {

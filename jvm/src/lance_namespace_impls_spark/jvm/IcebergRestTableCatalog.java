@@ -218,26 +218,57 @@ public class IcebergRestTableCatalog implements TableCatalog, SupportsNamespaces
     return listNamespaces(new String[0]);
   }
 
+  /**
+   * Drains the Iceberg-REST {@code next-page-token} loop: real services cap
+   * page sizes server-side, so a single GET silently truncates (reference
+   * drain pattern: GlueNamespace.java:217-233, PageUtil.java:32-51).
+   * Returns the concatenated pages' bodies.
+   */
+  private List<JsonNode> drainPages(String basePath, boolean hasQuery, String[] errNs)
+      throws NoSuchNamespaceException {
+    List<JsonNode> pages = new ArrayList<>();
+    String token = null;
+    while (true) {
+      String path = basePath;
+      if (token != null) {
+        path += (hasQuery ? "&" : "?") + "pageToken=" + enc(token);
+      }
+      Resp r = call("GET", path, null);
+      if (r.status == 404) {
+        throw new NoSuchNamespaceException(errNs);
+      }
+      if (r.status < 200 || r.status >= 300) {
+        throw httpError("GET", path, r);
+      }
+      pages.add(r.body);
+      String next = r.body.path("next-page-token").asText("");
+      if (next.isEmpty()) {
+        return pages;
+      }
+      if (next.equals(token)) {
+        throw new IllegalStateException(
+            "pagination not progressing (token " + next + " repeated) at " + basePath);
+      }
+      token = next;
+    }
+  }
+
   @Override
   public String[][] listNamespaces(String[] parent) throws NoSuchNamespaceException {
     String path = base() + "/namespaces";
-    if (parent.length > 0) {
+    boolean hasQuery = parent.length > 0;
+    if (hasQuery) {
       path += "?parent=" + nsPath(parent);
     }
-    Resp r = call("GET", path, null);
-    if (r.status == 404) {
-      throw new NoSuchNamespaceException(parent);
-    }
-    if (r.status < 200 || r.status >= 300) {
-      throw httpError("GET", path, r);
-    }
     List<String[]> out = new ArrayList<>();
-    for (JsonNode ns : r.body.path("namespaces")) {
-      String[] levels = new String[ns.size()];
-      for (int i = 0; i < ns.size(); i++) {
-        levels[i] = ns.get(i).asText();
+    for (JsonNode page : drainPages(path, hasQuery, parent)) {
+      for (JsonNode ns : page.path("namespaces")) {
+        String[] levels = new String[ns.size()];
+        for (int i = 0; i < ns.size(); i++) {
+          levels[i] = ns.get(i).asText();
+        }
+        out.add(levels);
       }
-      out.add(levels);
     }
     out.sort(Comparator.comparing(a -> String.join(SEP, a)));
     return out.toArray(new String[0][]);
@@ -316,16 +347,11 @@ public class IcebergRestTableCatalog implements TableCatalog, SupportsNamespaces
   @Override
   public Identifier[] listTables(String[] namespace) throws NoSuchNamespaceException {
     String path = base() + "/namespaces/" + nsPath(namespace) + "/tables";
-    Resp r = call("GET", path, null);
-    if (r.status == 404) {
-      throw new NoSuchNamespaceException(namespace);
-    }
-    if (r.status < 200 || r.status >= 300) {
-      throw httpError("GET", path, r);
-    }
     List<String> names = new ArrayList<>();
-    for (JsonNode ident : r.body.path("identifiers")) {
-      names.add(ident.path("name").asText());
+    for (JsonNode page : drainPages(path, false, namespace)) {
+      for (JsonNode ident : page.path("identifiers")) {
+        names.add(ident.path("name").asText());
+      }
     }
     names.sort(Comparator.naturalOrder());
     List<Identifier> out = new ArrayList<>();

@@ -197,15 +197,49 @@ public class PolarisTableCatalog implements TableCatalog, SupportsNamespaces {
 
   // -- SupportsNamespaces ---------------------------------------------------
 
-  private String[][] namespacesFrom(Resp r) {
-    List<String[]> out = new ArrayList<>();
-    for (JsonNode levels : r.body.path("namespaces")) {
-      List<String> ns = new ArrayList<>();
-      for (JsonNode level : levels) {
-        ns.add(level.asText());
+  /**
+   * Drains the Iceberg-REST-style {@code next-page-token} loop Polaris
+   * listings page with: real services cap page sizes server-side, so a
+   * single GET silently truncates (reference drain pattern:
+   * GlueNamespace.java:217-233, PageUtil.java:32-51).
+   */
+  private List<JsonNode> drainPages(String basePath, String[] errNs)
+      throws NoSuchNamespaceException {
+    List<JsonNode> pages = new ArrayList<>();
+    String token = null;
+    while (true) {
+      String path = token == null ? basePath : basePath + "?pageToken=" + enc(token);
+      Resp r = call("GET", path, null);
+      if (r.status == 404) {
+        throw new NoSuchNamespaceException(errNs);
       }
-      if (!ns.isEmpty()) {
-        out.add(ns.toArray(new String[0]));
+      if (r.status < 200 || r.status >= 300) {
+        throw httpError("GET", path, r);
+      }
+      pages.add(r.body);
+      String next = r.body.path("next-page-token").asText("");
+      if (next.isEmpty()) {
+        return pages;
+      }
+      if (next.equals(token)) {
+        throw new IllegalStateException(
+            "pagination not progressing (token " + next + " repeated) at " + basePath);
+      }
+      token = next;
+    }
+  }
+
+  private String[][] namespacesFrom(List<JsonNode> pages) {
+    List<String[]> out = new ArrayList<>();
+    for (JsonNode page : pages) {
+      for (JsonNode levels : page.path("namespaces")) {
+        List<String> ns = new ArrayList<>();
+        for (JsonNode level : levels) {
+          ns.add(level.asText());
+        }
+        if (!ns.isEmpty()) {
+          out.add(ns.toArray(new String[0]));
+        }
       }
     }
     out.sort(Comparator.comparing(a -> String.join(".", a)));
@@ -214,14 +248,7 @@ public class PolarisTableCatalog implements TableCatalog, SupportsNamespaces {
 
   @Override
   public String[][] listNamespaces() throws NoSuchNamespaceException {
-    Resp r = call("GET", nsBase(), null);
-    if (r.status == 404) {
-      throw new NoSuchNamespaceException(new String[] {polarisCatalog});
-    }
-    if (r.status < 200 || r.status >= 300) {
-      throw httpError("GET", nsBase(), r);
-    }
-    return namespacesFrom(r);
+    return namespacesFrom(drainPages(nsBase(), new String[] {polarisCatalog}));
   }
 
   @Override
@@ -230,14 +257,7 @@ public class PolarisTableCatalog implements TableCatalog, SupportsNamespaces {
       return listNamespaces();
     }
     String path = nsBase() + "/" + nsPath(parent) + "/namespaces";
-    Resp r = call("GET", path, null);
-    if (r.status == 404) {
-      throw new NoSuchNamespaceException(parent);
-    }
-    if (r.status < 200 || r.status >= 300) {
-      throw httpError("GET", path, r);
-    }
-    return namespacesFrom(r);
+    return namespacesFrom(drainPages(path, parent));
   }
 
   @Override
@@ -311,33 +331,28 @@ public class PolarisTableCatalog implements TableCatalog, SupportsNamespaces {
   @Override
   public Identifier[] listTables(String[] namespace) throws NoSuchNamespaceException {
     String path = genericBase(namespace);
-    Resp r = call("GET", path, null);
-    if (r.status == 404) {
-      throw new NoSuchNamespaceException(namespace);
-    }
-    if (r.status < 200 || r.status >= 300) {
-      throw httpError("GET", path, r);
-    }
     // The listing carries identifiers only: lance-only visibility
     // (glue.py:504-520) requires a per-table fetch (polaris.py list_tables).
     List<String> names = new ArrayList<>();
-    for (JsonNode ident : r.body.path("identifiers")) {
-      String table = ident.path("name").asText("");
-      if (table.isEmpty()) {
-        continue;
-      }
-      Resp tr = call("GET", path + "/" + enc(table), null);
-      if (tr.status == 404) {
-        continue; // dropped concurrently: invisible
-      }
-      if (tr.status < 200 || tr.status >= 300) {
-        // A 5xx here must NOT silently shrink the listing — callers treat
-        // SHOW TABLES as authoritative.
-        throw httpError("GET", path + "/" + enc(table), tr);
-      }
-      String format = tr.body.path("table").path("format").asText("");
-      if (format.toLowerCase().equals(LANCE_FORMAT)) {
-        names.add(table);
+    for (JsonNode page : drainPages(path, namespace)) {
+      for (JsonNode ident : page.path("identifiers")) {
+        String table = ident.path("name").asText("");
+        if (table.isEmpty()) {
+          continue;
+        }
+        Resp tr = call("GET", path + "/" + enc(table), null);
+        if (tr.status == 404) {
+          continue; // dropped concurrently: invisible
+        }
+        if (tr.status < 200 || tr.status >= 300) {
+          // A 5xx here must NOT silently shrink the listing — callers treat
+          // SHOW TABLES as authoritative.
+          throw httpError("GET", path + "/" + enc(table), tr);
+        }
+        String format = tr.body.path("table").path("format").asText("");
+        if (format.toLowerCase().equals(LANCE_FORMAT)) {
+          names.add(table);
+        }
       }
     }
     names.sort(Comparator.naturalOrder());

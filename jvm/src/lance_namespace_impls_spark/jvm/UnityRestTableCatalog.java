@@ -199,19 +199,46 @@ public class UnityRestTableCatalog implements TableCatalog, SupportsNamespaces {
 
   // -- SupportsNamespaces ---------------------------------------------------
 
+  /**
+   * Drains Unity's {@code next_page_token} loop: real Unity deployments cap
+   * page sizes server-side (max_results defaults bounded), so a single GET
+   * silently truncates (reference drain pattern: GlueNamespace.java:217-233).
+   * {@code basePath} must already carry a query string.
+   */
+  private List<JsonNode> drainPages(String basePath, String[] errNs)
+      throws NoSuchNamespaceException {
+    List<JsonNode> pages = new ArrayList<>();
+    String token = null;
+    while (true) {
+      String path = token == null ? basePath : basePath + "&page_token=" + enc(token);
+      Resp r = call("GET", path, null);
+      if (r.status == 404) {
+        throw new NoSuchNamespaceException(errNs);
+      }
+      if (r.status < 200 || r.status >= 300) {
+        throw httpError("GET", path, r);
+      }
+      pages.add(r.body);
+      String next = r.body.path("next_page_token").asText("");
+      if (next.isEmpty()) {
+        return pages;
+      }
+      if (next.equals(token)) {
+        throw new IllegalStateException(
+            "pagination not progressing (token " + next + " repeated) at " + basePath);
+      }
+      token = next;
+    }
+  }
+
   @Override
   public String[][] listNamespaces() throws NoSuchNamespaceException {
     String path = "/schemas?catalog_name=" + enc(unityCatalog);
-    Resp r = call("GET", path, null);
-    if (r.status == 404) {
-      throw new NoSuchNamespaceException(new String[] {unityCatalog});
-    }
-    if (r.status < 200 || r.status >= 300) {
-      throw httpError("GET", path, r);
-    }
     List<String[]> out = new ArrayList<>();
-    for (JsonNode s : r.body.path("schemas")) {
-      out.add(new String[] {s.path("name").asText()});
+    for (JsonNode page : drainPages(path, new String[] {unityCatalog})) {
+      for (JsonNode s : page.path("schemas")) {
+        out.add(new String[] {s.path("name").asText()});
+      }
     }
     out.sort(Comparator.comparing(a -> a[0]));
     return out.toArray(new String[0][]);
@@ -299,19 +326,14 @@ public class UnityRestTableCatalog implements TableCatalog, SupportsNamespaces {
     String path =
         "/tables?catalog_name=" + enc(unityCatalog)
             + "&schema_name=" + enc(schemaOf(namespace));
-    Resp r = call("GET", path, null);
-    if (r.status == 404) {
-      throw new NoSuchNamespaceException(namespace);
-    }
-    if (r.status < 200 || r.status >= 300) {
-      throw httpError("GET", path, r);
-    }
     List<String> names = new ArrayList<>();
-    for (JsonNode t : r.body.path("tables")) {
-      // Non-lance entries are invisible (glue.py:504-520, unity.py:241).
-      String tableType = t.path("properties").path(PROP_TABLE_TYPE).asText("");
-      if (tableType.toLowerCase().equals(LANCE_TABLE_TYPE)) {
-        names.add(t.path("name").asText());
+    for (JsonNode page : drainPages(path, namespace)) {
+      for (JsonNode t : page.path("tables")) {
+        // Non-lance entries are invisible (glue.py:504-520, unity.py:241).
+        String tableType = t.path("properties").path(PROP_TABLE_TYPE).asText("");
+        if (tableType.toLowerCase().equals(LANCE_TABLE_TYPE)) {
+          names.add(t.path("name").asText());
+        }
       }
     }
     names.sort(Comparator.naturalOrder());

@@ -33,13 +33,37 @@ from urllib.error import HTTPError
 
 
 class GlueState:
-    """Shared in-memory catalog: {db: DatabaseInput}, {(db, table): TableInput}."""
+    """Shared in-memory catalog: {db: DatabaseInput}, {(db, table): TableInput}.
 
-    def __init__(self):
+    ``page_size_cap`` models the real service's server-side page limit
+    (Glue caps GetDatabases/GetTables at 100 entries): when set, listing
+    responses carry at most that many items plus a ``NextToken`` — even if
+    the caller sent no ``MaxResults`` — so clients that don't drain the
+    token see a truncated listing (the bug class the paginated fixture mode
+    makes test-visible).
+    """
+
+    def __init__(self, page_size_cap: int | None = None):
+        self.page_size_cap = page_size_cap
         self.databases: dict[str, dict] = {}
         self.tables: dict[tuple[str, str], dict] = {}
         self.deleted: list[tuple[str, str]] = []
         self.lock = threading.Lock()
+
+
+def _aws_page(items: list, body: dict, key: str, cap: int | None) -> dict:
+    """AWS-convention offset-token pagination (NextToken/MaxResults)."""
+    offset = int(body.get("NextToken") or 0)
+    size = body.get("MaxResults")
+    size = int(size) if size is not None else None
+    if cap is not None:
+        size = cap if size is None else min(size, cap)
+    if size is None:
+        return {key: items}
+    out = {key: items[offset : offset + size]}
+    if offset + size < len(items):
+        out["NextToken"] = str(offset + size)
+    return out
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -70,7 +94,9 @@ class _Handler(BaseHTTPRequestHandler):
         with st.lock:
             if op == "GetDatabases":
                 dbs = [st.databases[n] for n in sorted(st.databases)]
-                return self._send(200, {"DatabaseList": dbs})
+                return self._send(
+                    200, _aws_page(dbs, body, "DatabaseList", st.page_size_cap)
+                )
             if op == "GetDatabase":
                 name = body.get("Name", "")
                 if name not in st.databases:
@@ -102,7 +128,9 @@ class _Handler(BaseHTTPRequestHandler):
                         "EntityNotFoundException", f"Database {db} not found"
                     )
                 tables = [st.tables[k] for k in sorted(st.tables) if k[0] == db]
-                return self._send(200, {"TableList": tables})
+                return self._send(
+                    200, _aws_page(tables, body, "TableList", st.page_size_cap)
+                )
             if op == "GetTable":
                 key = (body.get("DatabaseName", ""), body.get("Name", ""))
                 entry = st.tables.get(key)

@@ -74,6 +74,32 @@ class PolarisNamespace(HttpDialectNamespace):
     def _generic(self, catalog: str, ns: list[str]) -> str:
         return f"/polaris/v1/{quote(catalog, safe='')}/namespaces/{self._ns_path(ns)}/generic-tables"
 
+    def _drain_list(self, path: str, key: str, not_found: type) -> list:
+        """Drain the service's ``next-page-token`` loop on a listing.
+
+        Real Polaris caps page sizes server-side, so a single GET silently
+        truncates (reference drain pattern: GlueNamespace.java:217-233,
+        PageUtil.java:32-51).  The merged items then go through the
+        client-facing ``split_page`` so the dialect's own offset-token
+        pagination contract is unchanged.
+        """
+        items: list = []
+        token: str | None = None
+        while True:
+            page_path = path if token is None else (
+                f"{path}?pageToken={quote(token, safe='')}"
+            )
+            out = self._request("GET", page_path, not_found=not_found) or {}
+            items.extend(out.get(key, []))
+            nxt = out.get("next-page-token")
+            if not nxt:
+                return items
+            if nxt == token:
+                raise RuntimeError(
+                    f"pagination not progressing (token {nxt!r} repeated) at {path}"
+                )
+            token = nxt
+
     # -- namespace ops -------------------------------------------------------
 
     def list_namespaces(self, req: m.ListNamespacesRequest) -> m.ListNamespacesResponse:
@@ -84,10 +110,10 @@ class PolarisNamespace(HttpDialectNamespace):
             path = f"/v1/{quote(catalog, safe='')}/namespaces/{self._ns_path(ns)}/namespaces"
         else:
             path = f"/v1/{quote(catalog, safe='')}/namespaces"
-        out = self._request("GET", path, not_found=NamespaceNotFound) or {}
+        listed = self._drain_list(path, "namespaces", NamespaceNotFound)
         # Dotted catalog-prefixed names (reference polaris.py:132-140).
         names = sorted(
-            {".".join([catalog, *levels]) for levels in out.get("namespaces", []) if levels}
+            {".".join([catalog, *levels]) for levels in listed if levels}
         )
         page, token = m.split_page(names, req.page_token, req.limit)
         return m.ListNamespacesResponse(namespaces=page, page_token=token)
@@ -162,11 +188,11 @@ class PolarisNamespace(HttpDialectNamespace):
 
     def list_tables(self, req: m.ListTablesRequest) -> m.ListTablesResponse:
         catalog, ns = self._ns_id(req.id)
-        out = self._request(
-            "GET", self._generic(catalog, ns), not_found=NamespaceNotFound
-        ) or {}
+        idents = self._drain_list(
+            self._generic(catalog, ns), "identifiers", NamespaceNotFound
+        )
         names = []
-        for ident in out.get("identifiers", []):
+        for ident in idents:
             name = ident.get("name")
             if not name:
                 continue

@@ -28,14 +28,26 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import unquote, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
+
+from lance_namespace_impls_spark.catalog.rest_fixture import paginate
 
 
 class PolarisState:
-    """{(cat, ns-dotted): props}, {(cat, ns-dotted, table): generic-table}."""
+    """{(cat, ns-dotted): props}, {(cat, ns-dotted, table): generic-table}.
 
-    def __init__(self, catalogs: tuple[str, ...] = ("lakehouse",)):
+    ``page_size_cap``: server-side max page size (Iceberg-REST
+    pageToken/next-page-token shape on every listing) — see
+    rest_fixture.CatalogState.
+    """
+
+    def __init__(
+        self,
+        catalogs: tuple[str, ...] = ("lakehouse",),
+        page_size_cap: int | None = None,
+    ):
         self.catalogs: list[str] = list(catalogs)
+        self.page_size_cap = page_size_cap
         self.namespaces: dict[tuple[str, str], dict] = {}
         self.tables: dict[tuple[str, str, str], dict] = {}
         self.dropped: list[tuple[str, str, str]] = []
@@ -63,18 +75,18 @@ class _Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", 0))
         return json.loads(self.rfile.read(length)) if length else {}
 
-    def _route(self) -> list[str]:
+    def _route(self) -> tuple[list[str], dict]:
         parsed = urlparse(self.path)
         parts = [unquote(p) for p in parsed.path.strip("/").split("/")]
         if parts[:2] != ["api", "catalog"]:
-            return []
-        return parts[2:]
+            return [], {}
+        return parts[2:], parse_qs(parsed.query)
 
     # rest = either ["v1", cat, "namespaces", ...] (namespace family) or
     # ["polaris", "v1", cat, "namespaces", ns, "generic-tables", ...].
 
     def do_GET(self):
-        rest = self._route()
+        rest, query = self._route()
         st = self.state
         with st.lock:
             if len(rest) >= 3 and rest[0] == "v1" and rest[2] == "namespaces":
@@ -88,7 +100,9 @@ class _Handler(BaseHTTPRequestHandler):
                         for k in sorted(st.namespaces)
                         if k[0] == cat and "." not in k[1]
                     ]
-                    return self._send(200, {"namespaces": names})
+                    return self._send(
+                        200, paginate(names, query, "namespaces", st.page_size_cap)
+                    )
                 if len(rest) == 5 and rest[4] == "namespaces":
                     parent = rest[3]
                     if (cat, parent) not in st.namespaces:
@@ -101,7 +115,9 @@ class _Handler(BaseHTTPRequestHandler):
                         and k[1].startswith(parent + ".")
                         and k[1].count(".") == depth
                     ]
-                    return self._send(200, {"namespaces": names})
+                    return self._send(
+                        200, paginate(names, query, "namespaces", st.page_size_cap)
+                    )
                 if len(rest) == 4:
                     key = (cat, rest[3])
                     if key not in st.namespaces:
@@ -126,7 +142,9 @@ class _Handler(BaseHTTPRequestHandler):
                         for k in sorted(st.tables)
                         if k[0] == cat and k[1] == ns
                     ]
-                    return self._send(200, {"identifiers": idents})
+                    return self._send(
+                        200, paginate(idents, query, "identifiers", st.page_size_cap)
+                    )
                 if len(rest) == 7:
                     key = (cat, ns, rest[6])
                     entry = st.tables.get(key)
@@ -136,7 +154,7 @@ class _Handler(BaseHTTPRequestHandler):
         self._error(400, f"unhandled GET {self.path}")
 
     def do_POST(self):
-        rest = self._route()
+        rest, _ = self._route()
         st = self.state
         body = self._read_body()
         with st.lock:
@@ -172,7 +190,7 @@ class _Handler(BaseHTTPRequestHandler):
         self._error(400, f"unhandled POST {self.path}")
 
     def do_DELETE(self):
-        rest = self._route()
+        rest, _ = self._route()
         st = self.state
         with st.lock:
             if len(rest) == 4 and rest[0] == "v1" and rest[2] == "namespaces":

@@ -34,14 +34,46 @@ UNIT_SEP = "\x1f"
 
 
 class CatalogState:
-    """Shared in-memory catalog: {ns_key: props}, {(ns_key, table): entry}."""
+    """Shared in-memory catalog: {ns_key: props}, {(ns_key, table): entry}.
 
-    def __init__(self, prefix: str = "testprefix"):
+    ``page_size_cap`` models real services' server-side maximum page size:
+    when set, EVERY listing response is truncated to at most that many items
+    and carries ``next-page-token`` when more remain — even if the client
+    sent no pagination params.  A client that does not drain the token sees
+    a silently incomplete listing, which is exactly the bug class the
+    paginated fixture mode makes test-visible (VERDICT r5 What's-wrong #2).
+    """
+
+    def __init__(self, prefix: str = "testprefix", page_size_cap: int | None = None):
         self.prefix = prefix
+        self.page_size_cap = page_size_cap
         self.namespaces: dict[str, dict] = {}
         self.tables: dict[tuple[str, str], dict] = {}
         self.purged: list[tuple[str, str, bool]] = []  # (ns, table, purge flag)
         self.lock = threading.Lock()
+
+
+def paginate(
+    items: list, query: dict, key: str, cap: int | None,
+    token_in: str = "pageToken", size_in: str = "pageSize",
+    token_out: str = "next-page-token",
+) -> dict:
+    """Offset-token pagination over a sorted listing (Iceberg-REST shape).
+
+    Effective page size = min(client ``pageSize``, server ``cap``); no
+    pagination at all only when the client sent nothing AND no cap is set.
+    """
+    offset = int(query.get(token_in, ["0"])[0] or 0)
+    size = query.get(size_in, [None])[0]
+    size = int(size) if size is not None else None
+    if cap is not None:
+        size = cap if size is None else min(size, cap)
+    if size is None:
+        return {key: items}
+    body = {key: items[offset : offset + size]}
+    if offset + size < len(items):
+        body[token_out] = str(offset + size)
+    return body
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -96,7 +128,9 @@ class _Handler(BaseHTTPRequestHandler):
                         continue
                     if parent is None or key.startswith(parent + UNIT_SEP):
                         names.append(levels)
-                return self._send(200, {"namespaces": names})
+                return self._send(
+                    200, paginate(names, query, "namespaces", st.page_size_cap)
+                )
             if len(rest) == 2 and rest[0] == "namespaces":
                 ns = rest[1]
                 if ns not in st.namespaces:
@@ -115,16 +149,9 @@ class _Handler(BaseHTTPRequestHandler):
                 ]
                 # offset-token pagination, the shape the Python dialect's
                 # pageToken/pageSize loop consumes (rest.py list_tables)
-                offset = int(query.get("pageToken", ["0"])[0] or 0)
-                size = query.get("pageSize", [None])[0]
-                if size is not None:
-                    size = int(size)
-                    page = idents[offset : offset + size]
-                    body = {"identifiers": page}
-                    if offset + size < len(idents):
-                        body["next-page-token"] = str(offset + size)
-                    return self._send(200, body)
-                return self._send(200, {"identifiers": idents})
+                return self._send(
+                    200, paginate(idents, query, "identifiers", st.page_size_cap)
+                )
             if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
                 key = (rest[1], rest[3])
                 entry = st.tables.get(key)

@@ -32,6 +32,8 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
 
+from lance_namespace_impls_spark.catalog.rest_fixture import paginate
+
 _API = ["api", "2.1", "unity-catalog"]
 
 
@@ -39,8 +41,16 @@ class UnityState:
     """Shared in-memory metastore: catalogs, {(cat, schema): props},
     {(cat, schema, table): TableInfo-dict}."""
 
-    def __init__(self, catalogs: tuple[str, ...] = ("main",)):
+    def __init__(
+        self,
+        catalogs: tuple[str, ...] = ("main",),
+        page_size_cap: int | None = None,
+    ):
+        # page_size_cap: server-side max page size (Unity's
+        # page_token/max_results/next_page_token shape on /schemas and
+        # /tables) — see rest_fixture.CatalogState for the rationale.
         self.catalogs: list[str] = list(catalogs)
+        self.page_size_cap = page_size_cap
         self.schemas: dict[tuple[str, str], dict] = {}
         self.tables: dict[tuple[str, str, str], dict] = {}
         self.deregistered: list[tuple[str, str, str]] = []
@@ -108,14 +118,17 @@ class _Handler(BaseHTTPRequestHandler):
                 if cat is None or cat not in st.catalogs:
                     return self._error(404, f"catalog not found: {cat}")
                 names = sorted(s for c, s in st.schemas if c == cat)
+                infos = [
+                    {"name": s, "catalog_name": cat, "full_name": f"{cat}.{s}"}
+                    for s in names
+                ]
                 return self._send(
                     200,
-                    {
-                        "schemas": [
-                            {"name": s, "catalog_name": cat, "full_name": f"{cat}.{s}"}
-                            for s in names
-                        ]
-                    },
+                    paginate(
+                        infos, query, "schemas", st.page_size_cap,
+                        token_in="page_token", size_in="max_results",
+                        token_out="next_page_token",
+                    ),
                 )
             if len(rest) == 2 and rest[0] == "schemas":
                 levels = rest[1].split(".")
@@ -143,7 +156,14 @@ class _Handler(BaseHTTPRequestHandler):
                     for k, v in sorted(st.tables.items())
                     if k[0] == cat and k[1] == schema
                 ]
-                return self._send(200, {"tables": infos})
+                return self._send(
+                    200,
+                    paginate(
+                        infos, query, "tables", st.page_size_cap,
+                        token_in="page_token", size_in="max_results",
+                        token_out="next_page_token",
+                    ),
+                )
             if len(rest) == 2 and rest[0] == "tables":
                 levels = rest[1].split(".")
                 if len(levels) != 3:

@@ -1,0 +1,217 @@
+"""Listing-pagination drain tests for the service-dialect catalogs.
+
+VERDICT r5 What's-wrong #2: the JVM service-dialect plugins issued ONE
+listing request and never drained the service's continuation token — green
+against unpaginated fixtures, silently incomplete against any real endpoint
+whose listing spans >1 page (real services cap page sizes server-side:
+Glue at 100 entries, Iceberg-REST/Unity/Polaris per deployment).
+
+Every fixture service now has a paginated mode (``page_size_cap``) that
+truncates EVERY listing response to a tiny page (2 here) and emits the
+dialect's continuation token, so truncation is test-visible: with 5
+namespaces and 5 tables, a complete listing requires draining 3 pages.
+These tests drive each JVM plugin (SHOW NAMESPACES / SHOW TABLES through a
+live Spark session) and the Python Polaris dialect (the one Python dialect
+that previously issued a single GET) against that mode and assert the full
+set comes back.
+
+Reference drain pattern: GlueNamespace.java:217-233, PageUtil.java:32-51.
+The Hive dialect has no pagination to drain — the Thrift HMS protocol's
+get_all_databases/get_all_tables return complete lists by contract.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from lance_namespace_impls_spark.catalog import models as m
+
+javac_missing = shutil.which("javac") is None
+
+SF = "/root/testdata/sf0.001"
+PAGE = 2  # server-side cap: 5 items => 3 pages per listing
+N = 5
+
+
+# -- Iceberg-REST ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rest_service():
+    from lance_namespace_impls_spark.catalog.rest_fixture import CatalogState, serve
+
+    state = CatalogState(prefix="wh", page_size_cap=PAGE)
+    with state.lock:
+        for i in range(N):
+            state.namespaces[f"ns{i}"] = {}
+        for i in range(N):
+            state.tables[("ns0", f"t{i}")] = {
+                "location": f"{SF}/region.parquet",
+                "properties": {"table_type": "lance"},
+            }
+    server, url = serve(state)
+    yield state, url
+    server.shutdown()
+
+
+@pytest.mark.skipif(javac_missing, reason="no JDK compiler in PATH")
+def test_jvm_rest_listing_drains_all_pages(spark, rest_service):
+    from lance_namespace_impls_spark.catalog.jvm_catalog import install_rest_catalog
+
+    _, url = rest_service
+    install_rest_catalog(spark, "pgrest", uri=url, warehouse="wh")
+    rows = spark.sql("SHOW NAMESPACES IN pgrest").collect()
+    assert sorted(r.namespace for r in rows) == [f"ns{i}" for i in range(N)]
+    rows = spark.sql("SHOW TABLES IN pgrest.ns0").collect()
+    assert sorted(r.tableName for r in rows) == [f"t{i}" for i in range(N)]
+
+
+def test_python_rest_dialect_drains_all_pages(rest_service):
+    """The Python REST dialect's page loop (via the paginated model contract)
+    sees every page too — same service, same cap."""
+    from lance_namespace_impls_spark.catalog.rest import RestNamespace
+
+    _, url = rest_service
+    ns = RestNamespace({"endpoint": url, "warehouse": "wh"})
+    names: list[str] = []
+    token = None
+    for _ in range(2 * N):  # bounded: must terminate well before this
+        resp = ns.list_namespaces(m.ListNamespacesRequest(id=["wh"], page_token=token))
+        names.extend(resp.namespaces)
+        token = resp.page_token
+        if not token:
+            break
+    assert sorted(names) == [f"ns{i}" for i in range(N)]
+
+
+# -- Unity -------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def unity_service():
+    from lance_namespace_impls_spark.catalog.unity_fixture import UnityState, serve
+
+    state = UnityState(catalogs=("main",), page_size_cap=PAGE)
+    with state.lock:
+        for i in range(N):
+            state.schemas[("main", f"s{i}")] = {}
+        for i in range(N):
+            state.tables[("main", "s0", f"t{i}")] = {
+                "storage_location": f"{SF}/region.parquet",
+                "properties": {"table_type": "lance"},
+            }
+    server, url = serve(state)
+    yield state, url
+    server.shutdown()
+
+
+@pytest.mark.skipif(javac_missing, reason="no JDK compiler in PATH")
+def test_jvm_unity_listing_drains_all_pages(spark, unity_service):
+    from lance_namespace_impls_spark.catalog.jvm_catalog import install_unity_catalog
+
+    _, url = unity_service
+    install_unity_catalog(spark, "pgunity", uri=url, catalog="main")
+    rows = spark.sql("SHOW NAMESPACES IN pgunity").collect()
+    assert sorted(r.namespace for r in rows) == [f"s{i}" for i in range(N)]
+    rows = spark.sql("SHOW TABLES IN pgunity.s0").collect()
+    assert sorted(r.tableName for r in rows) == [f"t{i}" for i in range(N)]
+
+
+# -- Glue --------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def glue_service():
+    from lance_namespace_impls_spark.catalog.glue_fixture import GlueState, serve
+
+    state = GlueState(page_size_cap=PAGE)
+    with state.lock:
+        for i in range(N):
+            state.databases[f"db{i}"] = {"Name": f"db{i}"}
+        for i in range(N):
+            state.tables[("db0", f"t{i}")] = {
+                "Name": f"t{i}",
+                "Parameters": {
+                    "table_type": "lance",
+                    "lance_location": f"{SF}/region.parquet",
+                },
+            }
+    server, url = serve(state)
+    yield state, url
+    server.shutdown()
+
+
+@pytest.mark.skipif(javac_missing, reason="no JDK compiler in PATH")
+def test_jvm_glue_listing_drains_all_pages(spark, glue_service):
+    from lance_namespace_impls_spark.catalog.jvm_catalog import install_glue_catalog
+
+    _, url = glue_service
+    install_glue_catalog(spark, "pgglue", uri=url)
+    rows = spark.sql("SHOW NAMESPACES IN pgglue").collect()
+    assert sorted(r.namespace for r in rows) == [f"db{i}" for i in range(N)]
+    rows = spark.sql("SHOW TABLES IN pgglue.db0").collect()
+    assert sorted(r.tableName for r in rows) == [f"t{i}" for i in range(N)]
+
+
+def test_python_glue_dialect_drains_all_pages(glue_service):
+    """The Python Glue dialect's NextToken loop (glue.py:159-165) against the
+    paginated wire fixture."""
+    from lance_namespace_impls_spark.catalog.glue import GlueNamespace
+    from lance_namespace_impls_spark.catalog.glue_fixture import GlueWireClient
+
+    _, url = glue_service
+    ns = GlueNamespace({"root": "/tmp/pgglue", "client": GlueWireClient(url)})
+    resp = ns.list_namespaces(m.ListNamespacesRequest(id=[]))
+    assert sorted(resp.namespaces) == [f"db{i}" for i in range(N)]
+
+
+# -- Polaris -----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def polaris_service():
+    from lance_namespace_impls_spark.catalog.polaris_fixture import PolarisState, serve
+
+    state = PolarisState(catalogs=("lakehouse",), page_size_cap=PAGE)
+    with state.lock:
+        for i in range(N):
+            state.namespaces[("lakehouse", f"ns{i}")] = {}
+        for i in range(N):
+            state.tables[("lakehouse", "ns0", f"t{i}")] = {
+                "name": f"t{i}",
+                "format": "lance",
+                "base-location": f"{SF}/region.parquet",
+                "properties": {},
+            }
+    server, url = serve(state)
+    yield state, url
+    server.shutdown()
+
+
+@pytest.mark.skipif(javac_missing, reason="no JDK compiler in PATH")
+def test_jvm_polaris_listing_drains_all_pages(spark, polaris_service):
+    from lance_namespace_impls_spark.catalog.jvm_catalog import install_polaris_catalog
+
+    _, url = polaris_service
+    install_polaris_catalog(spark, "pgpolaris", uri=url, catalog="lakehouse")
+    rows = spark.sql("SHOW NAMESPACES IN pgpolaris").collect()
+    assert sorted(r.namespace for r in rows) == [f"ns{i}" for i in range(N)]
+    rows = spark.sql("SHOW TABLES IN pgpolaris.ns0").collect()
+    assert sorted(r.tableName for r in rows) == [f"t{i}" for i in range(N)]
+
+
+def test_python_polaris_dialect_drains_all_pages(polaris_service):
+    """polaris.py previously issued one GET per listing; its _drain_list
+    must now walk every next-page-token before the client-side split."""
+    from lance_namespace_impls_spark.catalog.polaris import PolarisNamespace
+
+    _, url = polaris_service
+    ns = PolarisNamespace({"polaris.endpoint": url, "polaris.root": "/tmp/pgpolaris"})
+    resp = ns.list_namespaces(m.ListNamespacesRequest(id=["lakehouse"]))
+    assert sorted(resp.namespaces) == [f"lakehouse.ns{i}" for i in range(N)]
+    resp = ns.list_tables(
+        m.ListTablesRequest(id=["lakehouse", "ns0"], include_declared=True)
+    )
+    assert sorted(resp.tables) == [f"t{i}" for i in range(N)]
