@@ -359,7 +359,14 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q165_source_overlap_exact",
-    "WITH d AS (SELECT DISTINCT md5(lower(trim(text))) AS dg, source FROM documents) "
+    # Seeded mirror source: every 100th document's digest is re-attributed
+    # to a synthetic 'seeded_mirror' source, so the overlap matrix is
+    # non-empty at EVERY scale and the driver row checks the digest join +
+    # pair aggregation, not just an accidentally-empty frame (VERDICT r5 #3).
+    "WITH base AS (SELECT md5(lower(trim(text))) AS dg, source, doc_id FROM documents), "
+    "d AS (SELECT DISTINCT dg, source FROM ("
+    "  SELECT dg, source FROM base UNION ALL "
+    "  SELECT dg, 'seeded_mirror' FROM base WHERE doc_id % 100 = 0)) "
     "SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS shared_docs "
     "FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source "
     "GROUP BY a.source, b.source ORDER BY src_a, src_b",
@@ -367,6 +374,9 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the number of distinct normalized-text digests present in both — the "
     "exact twin of q124's theta-sketch estimate, giving the overlap family "
     "an oracle-checked member (the sketch row is rows-only by design).  "
+    "Every 100th document's digest is mirrored into a synthetic "
+    "'seeded_mirror' source so the matrix provably has rows at any corpus "
+    "scale (natural cross-source exact duplicates are scale-dependent).  "
     "Shuffles only (digest, source) pairs after an exact distinct; the "
     "digest self-join fans out by per-digest source count (bounded by the "
     "source cardinality, not corpus size), so the pair explosion is "
@@ -375,9 +385,13 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    d = docs.select(
-        F.md5(F.lower(F.trim(F.col("text")))).alias("dg"), "source"
-    ).distinct()
+    base = docs.select(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("dg"), "source", "doc_id"
+    )
+    mirror = base.filter(F.col("doc_id") % 100 == 0).select(
+        "dg", F.lit("seeded_mirror").alias("source")
+    )
+    d = base.select("dg", "source").unionByName(mirror).distinct()
     a, b = d.alias("a"), d.alias("b")
     return (
         a.join(

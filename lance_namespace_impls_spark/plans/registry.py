@@ -149,8 +149,14 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 # Round 6: q203's r5 driver row errored in the harness canonicalizer (its
 # array<bigint> ids_head column is unhashable in pandas sort_values); the
 # column is now a comma-joined string on both engines, so the row re-enters
-# the front of the line for a real hash check.
-RE_VERIFY: set[str] = {"q203_vocab_encode"}
+# the front of the line for a real hash check.  q160/q165 gained in-query
+# seeded twins so their sf0.01 driver rows are non-empty (they were vacuous
+# 0=0 matches; VERDICT r5 What's-wrong #3) — both re-verify.
+RE_VERIFY: set[str] = {
+    "q203_vocab_encode",
+    "q160_fuzzy_match_join",
+    "q165_source_overlap_exact",
+}
 
 
 def _qnum(name: str) -> int:

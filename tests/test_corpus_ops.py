@@ -163,12 +163,19 @@ def test_source_overlap_exact_agrees_with_pandas(spark, docs_pdf):
     out = QUERIES["q165_source_overlap_exact"].builder(spark, SF_SMOKE).toPandas()
     import hashlib
 
-    norm = docs_pdf.assign(
+    base = docs_pdf.assign(
         dg=[
             hashlib.md5(t.strip().lower().encode()).hexdigest()
             for t in docs_pdf["text"]
         ]
-    )[["dg", "source"]].drop_duplicates()
+    )
+    # the query mirrors every 100th doc's digest into 'seeded_mirror'
+    mirror = base[base["doc_id"] % 100 == 0][["dg"]].assign(source="seeded_mirror")
+    import pandas as pd
+
+    norm = pd.concat(
+        [base[["dg", "source"]], mirror], ignore_index=True
+    ).drop_duplicates()
     m = norm.merge(norm, on="dg")
     m = m[m["source_x"] < m["source_y"]]
     want = (
