@@ -22,7 +22,16 @@
  *   CREATE NAMESPACE hive.db; CREATE TABLE hive.db.t (...) LOCATION '...';
  *
  * Contract (identical to hive.py / reference hive2.py):
- *   - Spark namespaces are single-level Hive databases;
+ *   - Spark namespaces are single-level Hive databases; with
+ *     spark.sql.catalog.<name>.hierarchy = catalog the plugin speaks the
+ *     Hive3 2-level catalog > database shape instead (reference
+ *     Hive3Namespace.java:107-123, 389-405; Python Hive3Namespace):
+ *     SHOW NAMESPACES lists catalogs via a raw-Thrift get_catalogs probe
+ *     (the bundled Hive 2.3.10 client predates the call, so the plugin
+ *     speaks the message itself over libthrift, degrading to the default
+ *     'hive' catalog when the server doesn't answer — hive3.py:218-230),
+ *     databases remain catalog-agnostic (pre-3.x Thrift API,
+ *     hive3.py:232-236), and tables resolve as <cat>.<catalog>.<db>.<t>;
  *   - Lance tables are EXTERNAL_TABLE entries whose parameters carry
  *     table_type=lance + managed_by=storage; the Lance location rides
  *     sd.location; non-lance entries are invisible (glue.py:504-520);
@@ -76,8 +85,12 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
   private static final String LANCE_TABLE_TYPE = "lance";
   private static final String SCHEMA_PROP = "schema_json";
 
+  private static final String DEFAULT_CATALOG = "hive";
+
   private String catalogName;
   private String root;
+  private String uri;
+  private boolean catalogScoped; // hierarchy=catalog: Hive3 [catalog, db]
   // One Thrift connection, guarded by synchronizing every metastore-touching
   // method: libthrift's TSocket is NOT thread-safe (interleaved frames
   // desynchronize the reply stream), unlike the sibling plugins'
@@ -98,6 +111,9 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
               + "(spark.sql.catalog." + name + ".uri)");
     }
     this.root = options.getOrDefault("root", "/tmp/lance-hive-warehouse");
+    this.uri = uri;
+    this.catalogScoped =
+        "catalog".equalsIgnoreCase(options.getOrDefault("hierarchy", "database"));
     HiveConf conf = new HiveConf();
     conf.set("hive.metastore.uris", uri);
     // Single connection, no retry storms against the embedded fixture.
@@ -115,8 +131,17 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
     return catalogName;
   }
 
-  /** Spark namespaces are single-level Hive databases (hive2.py). */
-  private static String dbOf(String[] namespace) {
+  /** Spark namespaces are single-level Hive databases (hive2.py), or
+   * [catalog, database] in the Hive3 hierarchy (hive3.py:186-195). */
+  private String dbOf(String[] namespace) {
+    if (catalogScoped) {
+      if (namespace.length != 2) {
+        throw new IllegalArgumentException(
+            "Hive3 namespaces are [catalog, database], got "
+                + String.join(".", namespace));
+      }
+      return namespace[1];
+    }
     if (namespace.length != 1) {
       throw new IllegalArgumentException(
           "Hive namespaces are exactly one database level, got "
@@ -125,27 +150,133 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
     return namespace[0];
   }
 
+  /**
+   * Raw-Thrift get_catalogs probe (Hive 3 root listing).  The Hive 2.3.10
+   * client pyspark bundles predates the call, so the plugin writes the
+   * message itself through the same libthrift stack over a short-lived
+   * second socket: get_catalogs_result {0: GetCatalogsResponse {1:
+   * list<string> names}}.  Servers without the method answer a framework
+   * MSG_EXCEPTION (UNKNOWN_METHOD) and the listing degrades to the default
+   * 'hive' catalog, matching the Python dialect (hive3.py:218-230) and the
+   * reference's capability fallback (Hive3Namespace.java:107-123).
+   */
+  private List<String> getCatalogsRaw() {
+    String host;
+    int port;
+    try {
+      URI parsed = URI.create(uri.replaceFirst("^thrift://", "tcp://"));
+      host = parsed.getHost();
+      port = parsed.getPort();
+    } catch (RuntimeException e) {
+      return List.of(DEFAULT_CATALOG);
+    }
+    org.apache.thrift.transport.TSocket sock = null;
+    try {
+      sock = new org.apache.thrift.transport.TSocket(host, port);
+      sock.open();
+      org.apache.thrift.protocol.TBinaryProtocol prot =
+          new org.apache.thrift.protocol.TBinaryProtocol(sock);
+      prot.writeMessageBegin(
+          new org.apache.thrift.protocol.TMessage(
+              "get_catalogs", org.apache.thrift.protocol.TMessageType.CALL, 1));
+      prot.writeStructBegin(
+          new org.apache.thrift.protocol.TStruct("get_catalogs_args"));
+      prot.writeFieldStop();
+      prot.writeStructEnd();
+      prot.writeMessageEnd();
+      sock.flush();
+      org.apache.thrift.protocol.TMessage msg = prot.readMessageBegin();
+      if (msg.type == org.apache.thrift.protocol.TMessageType.EXCEPTION) {
+        // pre-Hive3 server: no catalog support
+        return List.of(DEFAULT_CATALOG);
+      }
+      List<String> names = new ArrayList<>();
+      prot.readStructBegin();
+      while (true) {
+        org.apache.thrift.protocol.TField f = prot.readFieldBegin();
+        if (f.type == org.apache.thrift.protocol.TType.STOP) {
+          break;
+        }
+        if (f.id == 0 && f.type == org.apache.thrift.protocol.TType.STRUCT) {
+          prot.readStructBegin();
+          while (true) {
+            org.apache.thrift.protocol.TField g = prot.readFieldBegin();
+            if (g.type == org.apache.thrift.protocol.TType.STOP) {
+              break;
+            }
+            if (g.id == 1 && g.type == org.apache.thrift.protocol.TType.LIST) {
+              org.apache.thrift.protocol.TList l = prot.readListBegin();
+              for (int i = 0; i < l.size; i++) {
+                names.add(prot.readString());
+              }
+              prot.readListEnd();
+            } else {
+              org.apache.thrift.protocol.TProtocolUtil.skip(prot, g.type);
+            }
+            prot.readFieldEnd();
+          }
+          prot.readStructEnd();
+        } else {
+          org.apache.thrift.protocol.TProtocolUtil.skip(prot, f.type);
+        }
+        prot.readFieldEnd();
+      }
+      prot.readStructEnd();
+      prot.readMessageEnd();
+      if (names.isEmpty()) {
+        return List.of(DEFAULT_CATALOG);
+      }
+      names.sort(Comparator.naturalOrder());
+      return names;
+    } catch (Exception e) {
+      // capability degrade, not failure: the connected HMS answered the
+      // Hive2 surface already (hive3.py:218-230)
+      return List.of(DEFAULT_CATALOG);
+    } finally {
+      if (sock != null) {
+        sock.close();
+      }
+    }
+  }
+
   // -- SupportsNamespaces ---------------------------------------------------
 
-  @Override
-  public synchronized String[][] listNamespaces() {
+  private synchronized List<String> allDatabases() {
     try {
       List<String> names = new ArrayList<>(client.getAllDatabases());
       names.sort(Comparator.naturalOrder());
-      List<String[]> out = new ArrayList<>();
-      for (String n : names) {
-        out.add(new String[] {n});
-      }
-      return out.toArray(new String[0][]);
+      return names;
     } catch (Exception e) {
       throw new RuntimeException("getAllDatabases failed", e);
     }
   }
 
   @Override
+  public synchronized String[][] listNamespaces() {
+    // Root listing: catalogs in the Hive3 hierarchy (Hive3Namespace.java:
+    // 107-123), databases in the flat hive2 shape.
+    List<String> names = catalogScoped ? getCatalogsRaw() : allDatabases();
+    List<String[]> out = new ArrayList<>();
+    for (String n : names) {
+      out.add(new String[] {n});
+    }
+    return out.toArray(new String[0][]);
+  }
+
+  @Override
   public String[][] listNamespaces(String[] parent) throws NoSuchNamespaceException {
     if (parent.length == 0) {
       return listNamespaces();
+    }
+    if (catalogScoped && parent.length == 1) {
+      // Databases of a catalog; the HMS database list is catalog-agnostic
+      // on the pre-3.x Thrift API (hive3.py:232-236).
+      loadNamespaceMetadata(parent); // 404 on unknown catalog
+      List<String[]> out = new ArrayList<>();
+      for (String db : allDatabases()) {
+        out.add(new String[] {parent[0], db});
+      }
+      return out.toArray(new String[0][]);
     }
     loadNamespaceMetadata(parent);
     return new String[0][];
@@ -154,6 +285,19 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
   @Override
   public synchronized Map<String, String> loadNamespaceMetadata(String[] namespace)
       throws NoSuchNamespaceException {
+    if (catalogScoped && namespace.length == 1) {
+      // Catalog level (hive3.py describe_namespace single-level branch).
+      String cat = namespace[0].toLowerCase();
+      boolean known =
+          getCatalogsRaw().stream().anyMatch(c -> c.toLowerCase().equals(cat));
+      if (!known) {
+        throw new NoSuchNamespaceException(namespace);
+      }
+      Map<String, String> out = new HashMap<>();
+      out.put("description", "Catalog: " + cat);
+      out.put("catalog.location.uri", root + "/" + cat);
+      return out;
+    }
     try {
       Database db = client.getDatabase(dbOf(namespace));
       Map<String, String> out = new HashMap<>();
@@ -175,6 +319,10 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
   @Override
   public synchronized void createNamespace(String[] namespace, Map<String, String> metadata)
       throws NamespaceAlreadyExistsException {
+    if (catalogScoped && namespace.length == 1) {
+      throw new UnsupportedOperationException(
+          "catalog creation is not supported through the Thrift API");
+    }
     String db = dbOf(namespace);
     Database d =
         new Database(db, "", root + "/" + db + ".db", new HashMap<>(metadata));
@@ -203,6 +351,10 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
     if (cascade) {
       throw new UnsupportedOperationException(
           "cascade drop is not supported; drop contents first");
+    }
+    if (catalogScoped && namespace.length == 1) {
+      throw new UnsupportedOperationException(
+          "catalog drop is not supported through the Thrift API");
     }
     String db = dbOf(namespace);
     try {

@@ -42,6 +42,9 @@ class FakeMetastore:
     def __init__(self):
         self.databases: dict[str, MetastoreDatabase] = {}
         self.tables: dict[tuple[str, str], MetastoreTable] = {}
+        # Hive3 catalog names served by get_catalogs; databases stay
+        # catalog-agnostic like the pre-3.x Thrift API (hive3.py:232-236).
+        self.catalogs: list[str] = ["hive"]
         self.drop_first_n_connections = 0  # retry-test knob
         self._dropped = 0
         self.server = socket.create_server(("127.0.0.1", 0))
@@ -190,8 +193,9 @@ class FakeMetastore:
             # Hive3's catalog probe: GetCatalogsResponse { 1: list<string> }
             w.write_field(tc.STRUCT, 0)
             w.write_field(tc.LIST, 1)
-            w.write_list_begin(tc.STRING, 1)
-            w.write_string("hive")
+            w.write_list_begin(tc.STRING, len(self.catalogs))
+            for cat in self.catalogs:
+                w.write_string(cat)
             w.write_field_stop()
         else:
             raise _UnknownMethod(f"unhandled method {method}")

@@ -216,6 +216,7 @@ def install_hive_catalog(
     name: str,
     uri: str,
     root: str = "/tmp/lance-hive-warehouse",
+    hierarchy: str = "database",
 ) -> str:
     """Register a Hive-dialect catalog ``name`` over metastore ``uri``.
 
@@ -232,4 +233,7 @@ def install_hive_catalog(
     spark.conf.set(f"spark.sql.catalog.{name}", HIVE_CATALOG_CLASS)
     spark.conf.set(f"spark.sql.catalog.{name}.uri", uri)
     spark.conf.set(f"spark.sql.catalog.{name}.root", root)
+    # hierarchy="catalog" switches the plugin to the Hive3 2-level
+    # catalog > database shape (reference Hive3Namespace.java:107-123).
+    spark.conf.set(f"spark.sql.catalog.{name}.hierarchy", hierarchy)
     return name
