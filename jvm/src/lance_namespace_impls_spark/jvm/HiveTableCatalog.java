@@ -329,13 +329,14 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
     try {
       client.createDatabase(d);
     } catch (org.apache.hadoop.hive.metastore.api.AlreadyExistsException e) {
+      // Typed Thrift exception only — the metastore IDL declares
+      // AlreadyExistsException on create_database, so substring-matching
+      // arbitrary messages would misclassify unrelated failures whose text
+      // happens to contain "exists" (ADVICE r4).
       throw new NamespaceAlreadyExistsException(namespace);
     } catch (Exception e) {
-      String msg = e.getMessage() == null ? "" : e.getMessage();
-      if (msg.contains("exists")) {
-        throw new NamespaceAlreadyExistsException(namespace);
-      }
-      throw new RuntimeException("create_database failed: " + msg, e);
+      throw new RuntimeException(
+          "create_database failed: " + e.getMessage(), e);
     }
   }
 
@@ -375,17 +376,14 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
 
   // -- TableCatalog ---------------------------------------------------------
 
-  /** Not-found vs failure taxonomy: only a metastore-level "no such
-   * object" answer may read as absence; transport or protocol failures
-   * must propagate, or tableExists() would report a connectivity outage
-   * as a missing table (and CREATE IF NOT EXISTS would charge ahead). */
+  /** Not-found vs failure taxonomy: only the metastore's TYPED "no such
+   * object" answer may read as absence (every get_/drop_ method in the
+   * Thrift IDL declares NoSuchObjectException); transport or protocol
+   * failures must propagate, or tableExists() would report a connectivity
+   * outage as a missing table (and CREATE IF NOT EXISTS would charge
+   * ahead).  No message-substring matching (ADVICE r4). */
   private static boolean isNotFound(Exception e) {
-    if (e instanceof org.apache.hadoop.hive.metastore.api.NoSuchObjectException) {
-      return true;
-    }
-    String msg = e.getMessage() == null ? "" : e.getMessage();
-    return e instanceof org.apache.hadoop.hive.metastore.api.MetaException
-        && msg.contains("not found");
+    return e instanceof org.apache.hadoop.hive.metastore.api.NoSuchObjectException;
   }
 
   private org.apache.hadoop.hive.metastore.api.Table fetch(Identifier ident)
@@ -531,15 +529,15 @@ public class HiveTableCatalog implements TableCatalog, SupportsNamespaces {
       client.createTable(t);
     } catch (org.apache.hadoop.hive.metastore.api.AlreadyExistsException e) {
       throw new TableAlreadyExistsException(ident);
+    } catch (org.apache.hadoop.hive.metastore.api.NoSuchObjectException
+        | org.apache.hadoop.hive.metastore.api.InvalidObjectException e) {
+      // Typed Thrift exceptions only (ADVICE r4): the create_table IDL
+      // declares NoSuchObjectException for a missing database, and real
+      // HMS servers report it as InvalidObjectException — both mean the
+      // namespace, never the table.
+      throw new NoSuchNamespaceException(ident.namespace());
     } catch (Exception e) {
-      String msg = e.getMessage() == null ? "" : e.getMessage();
-      if (msg.contains("exists")) {
-        throw new TableAlreadyExistsException(ident);
-      }
-      if (msg.contains("not found")) {
-        throw new NoSuchNamespaceException(ident.namespace());
-      }
-      throw new RuntimeException("create_table failed: " + msg, e);
+      throw new RuntimeException("create_table failed: " + e.getMessage(), e);
     }
     // Materialize local locations so the FileTable index resolves for INSERT
     // INTO before any data lands (same contract as the sibling plugins).

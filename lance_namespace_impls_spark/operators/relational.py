@@ -52,6 +52,30 @@ def _rev():
     return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
 
 
+def _jvm_capability_gap(exc: Exception) -> bool:
+    """True only for ENVIRONMENT capability gaps where the documented
+    bridge/temp-view degrade is the contract for the JVM-catalog queries
+    (q100/q155/q156/q168/q172/q173): a JRE-only runtime (no JDK compiler to
+    build the plugin jar), a Spark runtime missing the plugin's classes, or
+    a sandbox that refuses the loopback connection.  Anything else — i.e. a
+    genuine plugin bug — must propagate so the declared row turns red
+    instead of being silently served by the bridge (ADVICE r4: the blanket
+    ``except Exception`` kept these rows green even with a broken JVM
+    path)."""
+    if isinstance(exc, RuntimeError) and "no JDK compiler" in str(exc):
+        return True
+    msg = str(exc)
+    return any(
+        s in msg
+        for s in (
+            "ClassNotFoundException",
+            "NoClassDefFoundError",
+            "cannot connect to metastore",
+            "Connection refused",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scans / sources (Q01–Q03)
 
@@ -180,7 +204,9 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
         from lance_namespace_impls_spark.catalog.jvm_catalog import install_catalog
 
         prefix = install_catalog(spark, f"lake_jvm_{tag}", root) + ".main"
-    except Exception:
+    except Exception as exc:
+        if not _jvm_capability_gap(exc):
+            raise  # plugin bug: observable, not silently bridged
         from lance_namespace_impls_spark.catalog.bridge import publish_namespace
 
         publish_namespace(spark, ns, ["main"], f"lake_jvm_fb_{tag}")
@@ -1101,7 +1127,9 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix = install_rest_catalog(
             spark, f"lake_rest_{tag}", uri=url, warehouse="wh"
         ) + ".main"
-    except Exception:
+    except Exception as exc:
+        if not _jvm_capability_gap(exc):
+            raise  # plugin bug: observable, not silently bridged
         from lance_namespace_impls_spark.catalog.bridge import publish_namespace
 
         publish_namespace(spark, ns, ["wh", "main"], f"lake_rest_fb_{tag}")
@@ -1200,7 +1228,9 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ".main"
         )
         return relation(prefix)
-    except Exception:
+    except Exception as exc:
+        if not _jvm_capability_gap(exc):
+            raise  # plugin bug: observable, not silently bridged
         # JRE-only environment: session-catalog bridge, identical relation.
         db = f"lake_hms_{tag}"
         publish_namespace(spark, ns, ["main"], db, include_declared=True)
@@ -1284,7 +1314,9 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
             install_unity_catalog(spark, f"lake_uc_{tag}", uri=url, catalog="corp")
             + ".main"
         )
-    except Exception:
+    except Exception as exc:
+        if not _jvm_capability_gap(exc):
+            raise  # plugin bug: observable, not silently bridged
         from lance_namespace_impls_spark.catalog.bridge import publish_namespace
 
         publish_namespace(
@@ -1370,7 +1402,9 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         prefix = install_glue_catalog(spark, f"lake_glue_{tag}", uri=url) + ".main"
-    except Exception:
+    except Exception as exc:
+        if not _jvm_capability_gap(exc):
+            raise  # plugin bug: observable, not silently bridged
         from lance_namespace_impls_spark.catalog.bridge import publish_namespace
 
         publish_namespace(
@@ -1467,7 +1501,9 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ".main"
         )
         return spark.sql(_Q173_SQL.format(o=f"{prefix}.orders", c=f"{prefix}.customer"))
-    except Exception:
+    except Exception as exc:
+        if not _jvm_capability_gap(exc):
+            raise  # plugin bug: observable, not silently bridged
         # JRE-only environment: session-catalog bridge, identical relation.
         db = f"lake_polaris_{tag}"
         publish_namespace(spark, ns, ["lakehouse", "main"], db, include_declared=True)

@@ -419,7 +419,8 @@ def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the scalar MAX of the same derived view. Money is DECIMAL-exact then "
     "rounded once, so the equality probe compares identical doubles on "
     "both engines. The view aggregates before joining supplier, and the "
-    "scalar max is a 1-row broadcast.",
+    "scalar max is a 1-row broadcast; the view itself is checkpointed so "
+    "lineitem is scanned once even though two plan branches consume it.",
     tags=("tpch", "join", "agg", "subquery"),
 )
 def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,6 +431,11 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev0 = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(_money(F.sum(_rev())).alias("total_revenue"))
+        # The revenue view feeds BOTH the scalar-max probe and the equality
+        # join; checkpointing the supplier-sized aggregate cuts the plan so
+        # lineitem (the 100 TB side) is scanned and aggregated once, not
+        # twice (ADVICE r4; the q198 checkpointed-TF-frame pattern).
+        .localCheckpoint(eager=False)
     )
     mx = rev0.agg(F.max("total_revenue").alias("mx"))
     su = load_table(spark, "supplier", sf_dir)

@@ -1,0 +1,59 @@
+"""Fallback policy for the JVM-catalog declared queries (ADVICE r4).
+
+q100/q155/q156/q168/q172/q173 resolve through the JVM DSv2 plugins and
+degrade to the session-catalog bridge ONLY on environment capability gaps
+(JRE-only runtime, missing plugin classes, refused sockets).  The r4 review
+flagged that a blanket ``except Exception`` would keep those declared rows
+green even if the JVM plugin path broke outright — the bridge would silently
+serve the identical relation and the breakage would be invisible.
+
+These tests pin the narrowed contract:
+* a genuine plugin failure (arbitrary RuntimeError) PROPAGATES — the row
+  goes red instead of being bridged;
+* the documented capability signals (no JDK compiler, ClassNotFound,
+  connection refused) still fall back and produce the correct relation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lance_namespace_impls_spark.catalog import jvm_catalog
+from lance_namespace_impls_spark.operators.relational import _jvm_capability_gap
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_capability_gap_classifier():
+    assert _jvm_capability_gap(RuntimeError("no JDK compiler found (javac/jar); ..."))
+    assert _jvm_capability_gap(
+        Exception("java.lang.ClassNotFoundException: HiveConf")
+    )
+    assert _jvm_capability_gap(Exception("java.net.ConnectException: Connection refused"))
+    assert not _jvm_capability_gap(RuntimeError("plugin blew up"))
+    assert not _jvm_capability_gap(Exception("analysis failed: column missing"))
+
+
+def test_broken_jvm_path_propagates(spark, monkeypatch):
+    """A broken install (non-capability error) must surface, not bridge."""
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("plugin blew up")
+
+    monkeypatch.setattr(jvm_catalog, "install_hive_catalog", boom)
+    with pytest.raises(RuntimeError, match="plugin blew up"):
+        QUERIES["q156_hive_thrift_catalog"].builder(spark, SF)
+
+
+def test_jre_only_environment_still_bridges(spark, monkeypatch):
+    """The documented JRE-only degrade keeps working: same relation through
+    the session-catalog bridge."""
+
+    def no_jdk(*args, **kwargs):
+        raise RuntimeError("no JDK compiler found (javac/jar); cannot build the DSv2 plugin")
+
+    monkeypatch.setattr(jvm_catalog, "install_hive_catalog", no_jdk)
+    rows = QUERIES["q156_hive_thrift_catalog"].builder(spark, SF).collect()
+    assert len(rows) == 5  # one row per region
+    assert sum(r.n_nations for r in rows) == 25
