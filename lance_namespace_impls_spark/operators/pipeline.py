@@ -431,6 +431,112 @@ def connected_components(
     return labels.unionAll(singletons)
 
 
+def connected_components_contraction(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 40
+) -> DataFrame:
+    """Alternating large-star / small-star contraction: O(log n) rounds.
+
+    The scale-hardened twin of :func:`connected_components` (same contract:
+    ``nodes`` one column ``node``, ``edges`` ``src``/``dst`` undirected,
+    returns ``(node, lab)`` with ``lab`` the component minimum).  Min-label
+    propagation needs O(diameter) rounds — a 10-million-hop chain of
+    near-dup documents would need 10 million shuffles — while the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014) halves every tree's height
+    per round, converging in O(log n) rounds on ANY topology:
+
+    * large-star: every node links its LARGER neighbors to the minimum of
+      its closed neighborhood;
+    * small-star: every node links its smaller neighbors (and itself) to
+      their minimum.
+
+    Both steps are min-aggregations + equi-joins on the edge frame — no
+    collect_list adjacency (a high-degree hub would blow a grouped list;
+    the join form streams).  At the fixpoint the edge set IS the component
+    forest: one (node, component-min) star edge per non-root node.
+    Property-tested equal to min-label propagation on random graphs and on
+    path graphs whose diameter exceeds min-label's round budget
+    (tests/test_pipeline_ops.py).
+    """
+
+    e = (
+        edges.selectExpr("src AS u", "dst AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    active = (
+        e.selectExpr("u AS node")
+        .unionAll(e.selectExpr("v AS node"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        sym = ed.unionAll(ed.selectExpr("v AS u", "u AS v"))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        return (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        ori = ed.select(
+            F.greatest(F.col("u"), F.col("v")).alias("u"),
+            F.least(F.col("u"), F.col("v")).alias("v"),
+        ).distinct()
+        mins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        return (
+            ori.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _sig(frame: DataFrame) -> tuple:
+        # bit_xor, not sum: order-free AND overflow-free under ANSI mode
+        # (summing 64-bit hashes overflows long).
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = _sig(e)
+    converged = False
+    for _ in range(max_iter):
+        # Lazy checkpoint: the signature agg below materializes the round's
+        # edge set in the same job and cuts the lineage.
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        cur = _sig(e)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds "
+            "(theory bound is O(log n): raise max_iter)"
+        )
+    # Fixpoint edges are (node, component-min) stars; roots have no edge.
+    roots = e.groupBy("u").agg(F.min("v").alias("lab"))
+    labels = active.join(roots, active["node"] == roots["u"], "left").select(
+        "node", F.coalesce(F.col("lab"), F.col("node")).alias("lab")
+    )
+    singletons = nodes.join(active, "node", "left_anti").select(
+        "node", F.col("node").alias("lab")
+    )
+    return labels.unionAll(singletons)
+
+
 @query(
     "q99_neardup_components",
     "WITH RECURSIVE "

@@ -101,6 +101,62 @@ def test_components_on_chain_graph(spark):
     assert got == [(i, 0 if i < 6 else 6) for i in range(7)]
 
 
+def test_star_contraction_equals_min_label_on_random_graphs(spark):
+    """The O(log n) star-contraction variant is label-identical to min-label
+    propagation on seeded random graphs of varying density."""
+    import random
+
+    from lance_namespace_impls_spark.operators.pipeline import (
+        connected_components_contraction,
+    )
+
+    for seed, n, m in ((1, 60, 20), (2, 60, 60), (3, 80, 200)):
+        rng = random.Random(seed)
+        node_rows = [(i,) for i in range(n)]
+        edge_rows = list(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(m)
+            }
+        )
+        nodes = spark.createDataFrame(node_rows, "node long")
+        edges = spark.createDataFrame(edge_rows, "src long, dst long")
+        want = _rows(connected_components(nodes, edges))
+        got = _rows(connected_components_contraction(nodes, edges))
+        assert got == want, f"divergence at seed={seed}"
+
+
+def test_star_contraction_beats_diameter_bound(spark):
+    """A 200-node path has diameter 199: min-label propagation's default
+    25-round budget fails loudly, star contraction converges in O(log n)."""
+    import pytest
+
+    from lance_namespace_impls_spark.operators.pipeline import (
+        connected_components_contraction,
+    )
+
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=25)
+    got = _rows(connected_components_contraction(nodes, edges, max_iter=15))
+    assert got == [(i, 0) for i in range(n)]
+
+
+def test_star_contraction_empty_and_singletons(spark):
+    from lance_namespace_impls_spark.operators.pipeline import (
+        connected_components_contraction,
+    )
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = _rows(connected_components_contraction(nodes, edges))
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
 def test_expectations_null_counts_as_violation(spark):
     from lance_namespace_impls_spark.operators.pipeline import check_expectations
 
