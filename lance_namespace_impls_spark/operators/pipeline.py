@@ -25,9 +25,10 @@ Five first-class, oracle-checked operators a 100 TB curation pipeline needs:
   share at least one shingle), exact Jaccard refine, then distributed
   min-label propagation to a fixpoint.  Labels move along edges each round
   (one shuffle join per round, lineage cut with localCheckpoint); random
-  graphs converge in O(diameter) rounds — the alternating small-star/
-  large-star variant bounds worst cases at O(log n) rounds with the same
-  join shape.  The oracle replays the whole thing in a DuckDB recursive CTE.
+  graphs converge in O(diameter) rounds.  q204 solves the SAME problem via
+  alternating large-star/small-star contraction — O(log n) rounds on any
+  topology — and shares q99's recursive-CTE oracle, so both algorithms are
+  hash-proved to land on the true component minima.
 """
 
 from __future__ import annotations
@@ -537,8 +538,9 @@ def connected_components_contraction(
     return labels.unionAll(singletons)
 
 
-@query(
-    "q99_neardup_components",
+# Shared by q99 (min-label propagation) and q204 (star contraction): both
+# must produce the SAME true component minima, so they share one oracle.
+_COMPONENTS_ORACLE = (
     "WITH RECURSIVE "
     "w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), "
     "t AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
@@ -553,7 +555,13 @@ def connected_components_contraction(
     "  SELECT ee.src, reach.lab FROM reach JOIN ee ON ee.dst = reach.node "
     "  WHERE reach.lab < ee.src) "
     "SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component "
-    "FROM reach GROUP BY node ORDER BY doc_id",
+    "FROM reach GROUP BY node ORDER BY doc_id"
+)
+
+
+@query(
+    "q99_neardup_components",
+    _COMPONENTS_ORACLE,
     doc="Near-duplicate clustering: connected components over the 3-shingle "
     "Jaccard>=0.5 graph via distributed min-label propagation (inverted-"
     "index candidate join, exact refine, iterative label joins with "
@@ -571,6 +579,33 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(nodes, edges)
     # connected_components eagerly checkpointed the symmetrized edges, so
     # the shingle-posting cache is no longer referenced by the final plan.
+    raw_edges._lni_cached.unpersist()
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("lab").cast("bigint").alias("component")
+    ).orderBy("doc_id")
+
+
+@query(
+    "q204_components_contraction",
+    _COMPONENTS_ORACLE,
+    doc="Near-duplicate clustering, scale-hardened: the SAME component "
+    "problem as q99 solved by alternating large-star/small-star "
+    "contraction (Kiveris et al. 2014) instead of min-label propagation — "
+    "O(log n) shuffle rounds on ANY topology where min-label needs "
+    "O(diameter), so a pathological million-hop near-dup chain at 100 TB "
+    "costs ~20 rounds, not a million.  Each round is two min-aggregations "
+    "+ equi-joins on the edge frame (no adjacency lists: hub nodes "
+    "stream), lineage cut per round, convergence detected by an order-free "
+    "bit_xor edge-set signature.  Shares q99's recursive-CTE oracle: hash "
+    "equality proves both algorithms land on the true component minima.",
+    tags=("llm", "dedup", "graph"),
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    raw_edges = neardup_edges(docs, 0.5)
+    edges = raw_edges.selectExpr("id_a AS src", "id_b AS dst")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = connected_components_contraction(nodes, edges)
     raw_edges._lni_cached.unpersist()
     return comp.select(
         F.col("node").alias("doc_id"), F.col("lab").cast("bigint").alias("component")
