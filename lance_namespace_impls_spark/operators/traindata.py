@@ -1,0 +1,411 @@
+"""Training-data curation additions: semantic dedup, LM-perplexity gating,
+and containment dedup (SURVEY.md §2B LLM rows q205–q207).
+
+Three curation primitives large-scale pretraining pipelines run that the
+q45–q171 dedup/quality family does not yet cover:
+
+* **SemDeDup (q205)** — embedding-space near-duplicate removal *blocked by
+  k-means cluster* (Abbas et al. 2023's SemDeDup shape): cluster assignment
+  is the blocking stage, so the quadratic cosine comparison only ever runs
+  within a cluster.  At 100 TB the cluster count k scales with the corpus
+  (k ≈ N / target_cluster_size), holding the per-cluster pair count — the
+  only quadratic term — constant; the corpus itself never shuffles during
+  assignment (broadcast centroids), and only (vec_id, cluster, vector)
+  tuples shuffle once to co-locate each cluster's members.
+* **Bigram-LM cross-entropy gate (q206)** — the CCNet-style "train a cheap
+  LM on the corpus, flag documents the LM finds surprising" quality filter,
+  made engine-exact by scoring in *integer bits*: the per-bigram surprisal
+  −log2 p(w2|w1) = log2 c(w1,·) − log2 c(w1,w2) is approximated by bit
+  lengths (⌊log2 c⌋+1 via the binary-string length), which Spark and DuckDB
+  compute identically on exact integer counts — no float log summation
+  order, no libm ulp divergence, hash-stable across engines.
+* **Containment dedup (q207)** — drop any document whose FULL text appears
+  as a substring of another document (the snippet/quote/mirror case exact
+  and MinHash dedup both miss: a 200-char doc inside a 5 000-char doc has
+  tiny Jaccard).  The Spark plan is the scale path: an equi-join on hashed
+  16-char shingles generates candidates with guaranteed recall (if a ⊆ b
+  at offset p, then b's shingle at p equals a's prefix), then the bounded
+  candidate set is verified with an exact substring test.  The oracle runs
+  the naive quadratic containment join — same answer, proving the blocked
+  plan loses nothing.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code — these operators extend the data plane the
+way its table-centric API is meant to be consumed (python/src table_utils.py
+reads; SURVEY.md §2B documents the mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.vectors import int_dot, int_projected
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# q205: SemDeDup — k-means-blocked embedding near-duplicate removal
+
+# Cosine threshold τ=0.93 compared exactly in integers:
+#   cos(a,b) >= τ  <=>  dot > 0  AND  10000·dot² >= 8649·‖a‖²·‖b‖²
+# Overflow bound: |v_i| <= round(1000·max|x|) ≈ 530 at this fixture's value
+# range, so ‖v‖² <= 64·530² ≈ 1.8e7 and 10000·dot² <= 10000·(1.8e7)² ≈
+# 3.2e18 < 2^63 — exact int64 on both engines (measured max 2.4e15 at
+# sf0.01).
+_TAU_SQ_BP = 8649  # τ² in basis points (0.93² = 0.8649)
+
+_SEMDEDUP_ORACLE = (
+    # Seeded twins (vec_id%50==0, first element +37, id+1000000) guarantee
+    # the within-cluster refine stage fires at every scale: the fixture's
+    # natural max within-cluster cosine is ~0.49 (q160/q165 precedent).
+    "WITH proj0 AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    "proj AS (SELECT * FROM proj0 UNION ALL "
+    "  SELECT vec_id + 1000000, list_prepend(v[1] + 37, v[2:]) "
+    "  FROM proj0 WHERE vec_id % 50 = 0), "
+    # k is corpus-derived (N / target-cluster-size 64), so the per-cluster
+    # pair count — the only quadratic term — stays constant as N grows.
+    "cent AS (SELECT vec_id AS c, v AS cv FROM proj WHERE vec_id < "
+    "  GREATEST((SELECT COUNT(*) // 64 FROM embeddings), 1)), "
+    "d AS (SELECT p.vec_id, p.v, c.c, "
+    "  CAST(list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.cv) "
+    "       + list_dot_product(c.cv, c.cv) AS BIGINT) AS dist "
+    "  FROM proj p CROSS JOIN cent c), "
+    "asg AS (SELECT vec_id, v, c AS cluster FROM "
+    "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d) "
+    "  WHERE rn = 1), "
+    "side AS (SELECT vec_id, cluster, v, "
+    "  CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM asg), "
+    "dropped AS (SELECT DISTINCT a.vec_id FROM side a JOIN side b "
+    "  ON a.cluster = b.cluster AND b.vec_id < a.vec_id "
+    "  AND CAST(list_dot_product(a.v, b.v) AS BIGINT) > 0 "
+    "  AND 10000 * CAST(list_dot_product(a.v, b.v) AS BIGINT) "
+    "            * CAST(list_dot_product(a.v, b.v) AS BIGINT) "
+    "      >= 8649 * a.nn * b.nn) "
+    "SELECT CAST(s.vec_id AS BIGINT) AS vec_id, "
+    "  CAST(s.cluster AS BIGINT) AS cluster, "
+    "  CAST(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept "
+    "FROM side s LEFT JOIN dropped dr ON s.vec_id = dr.vec_id "
+    "ORDER BY vec_id"
+)
+
+
+def semdedup(
+    emb: DataFrame,
+    cluster_target: int = 64,
+    tau_sq_bp: int = _TAU_SQ_BP,
+    twin_every: int | None = 50,
+) -> DataFrame:
+    """K-means-blocked semantic dedup over int-projected embeddings.
+
+    Keep-lowest-id policy: a vector is dropped iff a lower-id vector in the
+    SAME cluster has cosine >= τ with it (exact integer comparison).  The
+    cluster is the blocking unit — no cross-cluster pair is ever formed, and
+    the cluster count k = N / ``cluster_target`` is corpus-derived (a 1-row
+    bound broadcast, the q130 pattern), so the per-cluster pair count — the
+    only quadratic term — stays constant as N grows.  ``twin_every`` seeds
+    a perturbed twin per N-th vector so the refine stage provably fires at
+    every scale (None disables).
+    """
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    kb = emb.agg(
+        F.greatest(
+            F.floor(F.count(F.lit(1)) / cluster_target).cast("long"), F.lit(1)
+        ).alias("kk")
+    )
+    if twin_every is not None:
+        twins = proj.filter(F.col("vec_id") % twin_every == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.expr(
+                "concat(array(element_at(v, 1) + 37), slice(v, 2, size(v) - 1))"
+            ).alias("v"),
+        )
+        proj = proj.unionByName(twins)
+    # Three consumers (centroid seed, assignment, pair join) — materialize
+    # the interpreted int-projection once.
+    proj = proj.localCheckpoint(eager=False)
+    cent = (
+        proj.crossJoin(F.broadcast(kb))
+        .filter(F.col("vec_id") < F.col("kk"))
+        .select(F.col("vec_id").alias("c"), F.col("v").alias("cv"))
+    )
+    # Assignment: broadcast the k centroids; (distance, centroid-id) argmin
+    # via min(struct(d, c)) — map-side combinable, the corpus never shuffles.
+    d = proj.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "c",
+        (
+            int_dot(F.col("v"), F.col("v"))
+            - 2 * int_dot(F.col("v"), F.col("cv"))
+            + int_dot(F.col("cv"), F.col("cv"))
+        ).alias("d"),
+    )
+    side = (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "c")).alias("best"), F.first("v").alias("v"))
+        .select(
+            "vec_id",
+            F.col("best.c").alias("cluster"),
+            "v",
+            int_dot(F.col("v"), F.col("v")).alias("nn"),
+        )
+    )
+    # One shuffle on the cluster key co-locates each block; the quadratic
+    # cosine test is block-local.
+    a = side.alias("a")
+    b = side.select(
+        F.col("cluster").alias("b_cluster"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nn").alias("bnn"),
+    ).alias("b")
+    dot = int_dot(F.col("a.v"), F.col("b.bv"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b_cluster"))
+            & (F.col("b_id") < F.col("a.vec_id")),
+        )
+        .filter((dot > 0) & (10000 * dot * dot >= tau_sq_bp * F.col("a.nn") * F.col("bnn")))
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(0))
+    )
+    return (
+        side.join(dropped, "vec_id", "left")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce(F.col("hit"), F.lit(1)).cast("long").alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q205_semdedup",
+    _SEMDEDUP_ORACLE,
+    doc="SemDeDup: embedding near-duplicate removal blocked by k-means "
+    "cluster (Abbas et al. 2023 shape).  k = N/64 is corpus-derived (1-row "
+    "bound broadcast), so the per-cluster pair count — the only quadratic "
+    "term — stays constant as N grows; centroids seeded from the k lowest "
+    "vec_ids are broadcast for assignment (the corpus never shuffles to be "
+    "assigned); one shuffle on the cluster key then co-locates each block, "
+    "and the cosine-vs-τ test runs only within a block with an exact "
+    "integer predicate (10000·dot² >= 8649·na·nb, overflow-bounded). "
+    "Keep-lowest-id drop policy; per-50th-vector perturbed twins seed the "
+    "refine stage at every scale.",
+    tags=("llm", "dedup", "similarity"),
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return semdedup(emb)
+
+
+# ---------------------------------------------------------------------------
+# q206: bigram-LM cross-entropy quality gate (integer bits)
+
+_BIGRAM_ORACLE = (
+    "WITH toks AS (SELECT doc_id, "
+    "  list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS tk "
+    "  FROM documents), "
+    "big AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 "
+    "  FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    "docbg AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k "
+    "  FROM big GROUP BY doc_id, w1, w2), "
+    "bc AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM docbg GROUP BY w1, w2), "
+    "heads AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS c1 FROM docbg GROUP BY w1), "
+    "sc AS (SELECT doc_id, SUM(k) AS n_bigrams, "
+    "  SUM(k * (length(bin(c1)) - length(bin(c12)))) AS bits "
+    "  FROM docbg JOIN bc USING (w1, w2) JOIN heads USING (w1) GROUP BY doc_id) "
+    "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+    "  CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams, "
+    "  CAST(COALESCE(sc.bits, 0) AS BIGINT) AS bits "
+    "FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id"
+)
+
+
+def bigram_bits(docs: DataFrame) -> DataFrame:
+    """Per-document bigram-LM cross-entropy in integer bits.
+
+    Trains the bigram model on the corpus itself (every scored bigram has
+    count >= 1 by construction — no smoothing needed), then scores each
+    document with Σ k·(bitlen(c(w1,·)) − bitlen(c(w1,w2))), the ⌊log2⌋
+    approximation of Σ −log2 p(w2|w1).  bitlen runs on exact integer counts
+    via binary-string length, so the score is engine-exact — the property
+    float log-sums cannot give (summation order + libm ulp).
+
+    Scale shape: bigrams are generated map-only (zip_with against the
+    shifted token array — no posexplode self-join), reduced to the per-doc
+    DISTINCT bigram relation before any join, and the count tables are
+    observed-bigram-bounded (vocabulary-sized, not corpus-sized).  The only
+    corpus-keyed shuffles carry (doc_id, w1, w2, k) tuples.
+    """
+    toks = spread(docs).select(
+        "doc_id",
+        F.expr("filter(split(lower(trim(text)), ' '), t -> t != '')").alias("tk"),
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(zip_with(tk, slice(tk, 2, size(tk)), "
+                "(x, y) -> struct(x AS w1, y AS w2)), p -> p.w2 IS NOT NULL)"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    docbg = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    docbg = docbg.localCheckpoint(eager=False)  # feeds three consumers
+    bc = docbg.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("c12"))
+    heads = docbg.groupBy("w1").agg(F.sum("k").cast("long").alias("c1"))
+    bitlen = lambda c: F.length(F.conv(F.col(c).cast("string"), 10, 2))  # noqa: E731
+    sc = (
+        docbg.join(bc, ["w1", "w2"])
+        .join(heads, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(F.col("k") * (bitlen("c1") - bitlen("c12")).cast("long"))
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(sc, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("bits", F.lit(0)).cast("long").alias("bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q206_bigram_lm_bits",
+    _BIGRAM_ORACLE,
+    doc="CCNet-style LM quality gate: train a bigram model on the corpus, "
+    "score every document's cross-entropy — in integer bits via the "
+    "binary-string-length ⌊log2⌋ of exact counts, so the score is "
+    "hash-exact across engines (no float log accumulation).  Bigrams are "
+    "generated map-only (zip_with on the shifted token array), reduced to "
+    "per-doc distinct-bigram tuples before joining the vocabulary-sized "
+    "count tables.  High bits/n_bigrams = LM-surprising document — the "
+    "perplexity-filter decision variable.",
+    tags=("llm", "text", "quality"),
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_bits(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q207: containment dedup (full-text substring of another document)
+
+_CONTAIN_ORACLE = (
+    # Naive quadratic containment join — the recall oracle proving the
+    # Spark-side shingle-blocked plan loses nothing.
+    "WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents), "
+    "dropped AS (SELECT DISTINCT a.doc_id FROM d a JOIN d b "
+    "  ON a.doc_id <> b.doc_id AND a.ln >= 16 "
+    "  AND position(a.text IN b.text) > 0 "
+    "  AND (b.ln > a.ln OR (b.ln = a.ln AND b.doc_id < a.doc_id))) "
+    "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+    "  CAST(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept "
+    "FROM d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id ORDER BY doc_id"
+)
+
+
+def containment_dedup(docs: DataFrame, shingle: int = 16) -> DataFrame:
+    """Drop documents fully contained in another document.
+
+    Candidate generation with guaranteed recall: if a.text occurs inside
+    b.text at offset p, then b's ``shingle``-char window at p equals a's
+    first ``shingle`` chars — so the equi-join
+    (a.prefix-hash = b.shingle-hash) finds every true containment.  Hashing
+    (xxhash64) shrinks the shuffle key to 8 bytes; collisions can only ADD
+    candidates, which the exact substring verification removes, so the
+    result is exact regardless.  Texts do not ride the shingle explosion —
+    candidates re-join the docs table to verify, keeping the exploded
+    relation at (hash, doc_id) width.  Drop policy: a proper super-document
+    exists, or an equal-text document with a lower id (keep-lowest).
+
+    At 100 TB: the exploded shingle relation is O(total chars) rows of two
+    8-byte ints — the same order as the corpus itself — and the quadratic
+    verify stage is bounded by the candidate count, which prefix-hash
+    selectivity keeps near-linear on natural text.
+    """
+    d = spread(docs).select("doc_id", "text", F.length("text").alias("ln"))
+    d = d.localCheckpoint(eager=False)  # scanned by three consumers
+    shingles = (
+        d.select(
+            F.col("doc_id").alias("b_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(text) - {shingle - 1}, 1)), "
+                    f"i -> xxhash64(substring(text, i, {shingle})))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    containee = d.filter(F.col("ln") >= shingle).select(
+        F.col("doc_id").alias("a_id"),
+        F.xxhash64(F.substring("text", 1, shingle)).alias("h"),
+    )
+    cand = (
+        containee.join(shingles, "h")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    a = d.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"), F.col("ln").alias("a_ln"))
+    b = d.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"), F.col("ln").alias("b_ln"))
+    dropped = (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .filter(
+            (F.instr(F.col("b_text"), F.col("a_text")) > 0)
+            & (
+                (F.col("b_ln") > F.col("a_ln"))
+                | ((F.col("b_ln") == F.col("a_ln")) & (F.col("b_id") < F.col("a_id")))
+            )
+        )
+        .select(F.col("a_id").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(0))
+    )
+    return (
+        d.join(dropped, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.when(F.col("hit").isNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q207_containment_dedup",
+    _CONTAIN_ORACLE,
+    doc="Containment dedup: drop any document whose FULL text is a substring "
+    "of another document — the snippet/quote/mirror duplicate class both "
+    "exact-hash and MinHash dedup miss (a short doc inside a long one has "
+    "tiny Jaccard).  Spark runs the scale plan: equi-join on xxhash64'd "
+    "16-char shingles generates candidates with proven recall (a containment "
+    "at offset p forces b's shingle at p to equal a's prefix), exact "
+    "substring verify on the bounded candidate set; the oracle runs the "
+    "naive quadratic containment join — identical answers prove the "
+    "blocking is lossless.  The fixture has natural containments (25 pairs "
+    "at sf0.01), so the drop branch fires without seeding.",
+    tags=("llm", "dedup", "text"),
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_dedup(load_table(spark, "documents", sf_dir))
