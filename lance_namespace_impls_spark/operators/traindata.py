@@ -409,3 +409,129 @@ def containment_dedup(docs: DataFrame, shingle: int = 16) -> DataFrame:
 )
 def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_dedup(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q208: farthest-point (k-center) diverse subset selection
+
+_KCENTER_ORACLE = (
+    # Greedy max-min selection as a recursive CTE: the selected-id list is
+    # the recursion state; each round a correlated LATERAL picks the vector
+    # maximizing its minimum exact-integer squared distance to the set.
+    "WITH RECURSIVE nn AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v, "
+    "  CAST(list_dot_product("
+    "    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)), "
+    "    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) "
+    "  AS BIGINT) AS n2 FROM embeddings), "
+    "sel(step, ids, picked, mind) AS ("
+    "  SELECT 1, [(SELECT MIN(vec_id) FROM nn)], (SELECT MIN(vec_id) FROM nn), "
+    "    CAST(0 AS BIGINT) "
+    "  UNION ALL "
+    "  SELECT s.step + 1, list_append(s.ids, nxt.vec_id), nxt.vec_id, nxt.md "
+    "  FROM sel s, LATERAL ("
+    "    SELECT p.vec_id, "
+    "      (SELECT MIN(p.n2 - 2 * CAST(list_dot_product(p.v, q.v) AS BIGINT) + q.n2) "
+    "       FROM nn q WHERE list_contains(s.ids, q.vec_id)) AS md "
+    "    FROM nn p WHERE NOT list_contains(s.ids, p.vec_id) "
+    "    ORDER BY md DESC, p.vec_id LIMIT 1) nxt "
+    "  WHERE s.step < 8) "
+    "SELECT CAST(step AS BIGINT) AS step, CAST(picked AS BIGINT) AS vec_id, mind "
+    "FROM sel ORDER BY step"
+)
+
+
+def kcenter_select(emb: DataFrame, k: int = 8) -> DataFrame:
+    """Greedy farthest-point traversal: k diverse representatives.
+
+    The classical 2-approximation for k-center (Gonzalez 1985) and the
+    seeding step of coreset / diverse-subset selection in training-data
+    pipelines: start from the lowest vec_id, then k−1 times add the vector
+    whose minimum exact-integer squared distance to the selected set is
+    LARGEST (ties to the lowest id).
+
+    Spark shape: the selected set stays a DataFrame the whole way — no
+    driver-side collect.  Each round broadcast-joins the (≤k)-row selected
+    set against the corpus, takes min-distance per vector (map-side
+    combinable), and argmaxes with one max(struct) aggregate; the round's
+    1-row winner unions into the selected set and the loop lineage is cut
+    with a localCheckpoint.  The k−1 sequential corpus passes are inherent
+    to the greedy dependency (each pick conditions the next) — at 100 TB
+    each pass is a broadcast join + aggregate with nothing shuffled but the
+    1-row argmax.
+    """
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    nn = proj.select(
+        "vec_id", "v", int_dot(F.col("v"), F.col("v")).alias("n2")
+    ).localCheckpoint(eager=False)
+    sel = (
+        nn.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("step"),
+            "vec_id",
+            "v",
+            "n2",
+            F.lit(0).cast("long").alias("mind"),
+        )
+    )
+    for r in range(2, k + 1):
+        s = sel.select(
+            F.col("vec_id").alias("sid"),
+            F.col("v").alias("sv"),
+            F.col("n2").alias("sn2"),
+        )
+        d = F.col("n2") - 2 * int_dot(F.col("v"), F.col("sv")) + F.col("sn2")
+        cand = (
+            nn.join(F.broadcast(s), F.col("vec_id") != F.col("sid"))
+            .groupBy("vec_id")
+            .agg(
+                F.min(d).alias("md"),
+                F.count(F.lit(1)).alias("n_sel"),
+                F.first("v").alias("v"),
+                F.first("n2").alias("n2"),
+            )
+            # a selected vector joins only |sel|-1 of the |sel| rows — the
+            # count distinguishes "already selected" from "candidate"
+            .filter(F.col("n_sel") == r - 1)
+        )
+        best = cand.agg(
+            F.max(
+                F.struct(
+                    F.col("md"),
+                    (-F.col("vec_id")).alias("negid"),
+                    F.col("vec_id"),
+                    F.col("v"),
+                    F.col("n2"),
+                )
+            ).alias("b")
+        ).select(
+            F.lit(r).cast("long").alias("step"),
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("b.v").alias("v"),
+            F.col("b.n2").alias("n2"),
+            F.col("b.md").cast("long").alias("mind"),
+        )
+        sel = sel.unionByName(best).localCheckpoint(eager=False)
+    return sel.select("step", F.col("vec_id").cast("long").alias("vec_id"), "mind").orderBy(
+        "step"
+    )
+
+
+@query(
+    "q208_kcenter_selection",
+    _KCENTER_ORACLE,
+    doc="Farthest-point traversal (greedy k-center, Gonzalez 1985): the "
+    "diverse-representative selection step of coreset construction and "
+    "embedding-space data pruning.  Iterative with a sequential dependency "
+    "(each pick conditions the next), yet fully oracle-checked: Spark runs "
+    "k-1 broadcast-join + max(struct) argmax rounds with the selected set "
+    "kept as a DataFrame (no driver collect, lineage cut per round); the "
+    "oracle replays the same greedy walk as a DuckDB recursive CTE whose "
+    "recursion state is the selected-id list.  Exact integer squared "
+    "distances; ties to the lowest vec_id; the reported max-min distance "
+    "sequence is provably non-increasing (property-tested).",
+    tags=("llm", "similarity", "iterative"),
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kcenter_select(load_table(spark, "embeddings", sf_dir), k=8)

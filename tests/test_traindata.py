@@ -13,7 +13,12 @@ from lance_namespace_impls_spark.sources.tables import load_table
 
 from tests.conftest import SF_SMOKE
 
-NEW = ["q205_semdedup", "q206_bigram_lm_bits", "q207_containment_dedup"]
+NEW = [
+    "q205_semdedup",
+    "q206_bigram_lm_bits",
+    "q207_containment_dedup",
+    "q208_kcenter_selection",
+]
 
 
 @pytest.fixture(scope="module")
@@ -70,6 +75,17 @@ def test_q207_drop_branch_fires_on_natural_containments(spark):
     # the fixture contains natural snippet-containments at every scale
     assert dropped, "containment drop branch did not fire"
     assert len(dropped) < len(rows) / 2, "containment should be the exception"
+
+
+def test_q208_maxmin_sequence_non_increasing_and_distinct(spark):
+    rows = QUERIES["q208_kcenter_selection"].builder(spark, SF_SMOKE).collect()
+    assert [r["step"] for r in rows] == list(range(1, 9))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    minds = [r["mind"] for r in rows[1:]]
+    # greedy max-min distances can only shrink as the set grows
+    assert minds == sorted(minds, reverse=True)
+    assert minds[-1] > 0
 
 
 def test_q207_verified_containment_is_real(spark):
