@@ -471,3 +471,76 @@ def audio_window_features(
             )
 
     return media.select("doc_id", "blob").mapInPandas(batches, AUDIO_WINDOW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# q209: patch pooling — the ViT-style patchify + pool step over real decodes
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("py", T.LongType(), False),
+        T.StructField("px", T.LongType(), False),
+        T.StructField("pval", T.LongType(), False),
+    ]
+)
+
+
+@query(
+    "q209_patch_pool",
+    # The synthetic PPM's pixels have a closed form (imaging.synth_ppm):
+    #   base(x,y) = (x*7 + y*13 + (doc_id*2654435761 mod 2^32)) mod 256
+    #   R = base, G = (3*base+17) mod 256, B = (5*base+89) mod 256
+    # Patch (py,px) pools the 4x4 pixel block's integer luminance sum
+    # (R+G+B over 48 samples, floor-divided) — the oracle replays the
+    # arithmetic; Spark decodes the ACTUAL bytes, so a single mis-parsed
+    # byte or a transposed axis diverges the hash (q144 only checked
+    # global means, which are orientation-blind; patches are not).
+    "WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 200), "
+    "px AS (SELECT doc_id, x.g AS x, y.g AS y, "
+    "  (x.g*7 + y.g*13 + (doc_id * 2654435761) % 4294967296) % 256 AS base "
+    "  FROM d, generate_series(0, 15) x(g), generate_series(0, 15) y(g)), "
+    "lum AS (SELECT doc_id, y // 4 AS py, x // 4 AS px, "
+    "  base + (base*3 + 17) % 256 + (base*5 + 89) % 256 AS l FROM px) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(py AS BIGINT) AS py, "
+    "  CAST(px AS BIGINT) AS px, CAST(SUM(l) // 48 AS BIGINT) AS pval "
+    "FROM lum GROUP BY doc_id, py, px ORDER BY doc_id, py, px",
+    doc="Patch pooling over REAL image decodes: the ViT patchify step — each "
+    "16x16 image splits into a 4x4 grid of 4x4-pixel patches, each pooled "
+    "to its integer mean luminance (sum(R+G+B) // 48).  Decode and pooling "
+    "are partition-local numpy (reshape to [py,dy,px,dx], sum axes (1,3)); "
+    "the oracle replays the generator's closed-form pixel arithmetic, so "
+    "the hash check proves byte-exact decode AND correct row/column "
+    "orientation — a transposed axis passes q144's global means but fails "
+    "here.  At 100 TB the patch relation is 16 ints per image, shuffled "
+    "only by the final ORDER BY.",
+    tags=("llm", "multimodal"),
+)
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.functions.imaging import decode_netpbm
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    media = attach_ppm_media(docs, 16, 16)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            ids, pys, pxs, vals = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                arr = decode_netpbm(bytes(blob)).astype(np.int64)
+                lum = arr.sum(axis=2)  # (H, W) = (y, x)
+                pooled = lum.reshape(4, 4, 4, 4).sum(axis=(1, 3)) // 48
+                for py in range(4):
+                    for px in range(4):
+                        ids.append(int(doc_id))
+                        pys.append(py)
+                        pxs.append(px)
+                        vals.append(int(pooled[py, px]))
+            yield pd.DataFrame({"doc_id": ids, "py": pys, "px": pxs, "pval": vals})
+
+    return (
+        media.select("doc_id", "blob")
+        .mapInPandas(batches, PATCH_SCHEMA)
+        .orderBy("doc_id", "py", "px")
+    )
