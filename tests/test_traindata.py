@@ -103,3 +103,24 @@ def test_q207_verified_containment_is_real(spark):
                 for bid, b in docs.items()
                 if bid != r["doc_id"]
             ), f"doc {r['doc_id']} dropped without a containing super-doc"
+
+
+def test_bigram_bits_closed_form_on_constructed_corpus(spark):
+    from lance_namespace_impls_spark.operators.traindata import bigram_bits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x x"),      # only bigram (x,x): c12 == c1 -> 0 bits
+            (2, "x x x"),
+            (3, "y z"),          # unique bigram: c12=1 (1 bit), head c1=1 (1 bit) -> 0
+            (4, "x q"),          # rare bigram under a frequent head: c1=6, c12=1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_bits(docs).collect()}
+    # doc1: 3 bigrams (x,x) with c12=5, c1=6 -> bitlen 3 vs 3 -> 0 bits each
+    assert (rows[1]["n_bigrams"], rows[1]["bits"]) == (3, 0)
+    assert (rows[2]["n_bigrams"], rows[2]["bits"]) == (2, 0)
+    assert (rows[3]["n_bigrams"], rows[3]["bits"]) == (1, 0)
+    # doc4: bigram (x,q) c12=1 (bitlen 1), head x c1=6 (bitlen 3) -> 2 bits
+    assert (rows[4]["n_bigrams"], rows[4]["bits"]) == (1, 2)
