@@ -1,0 +1,515 @@
+"""Training-data selection & mixing additions: DSIR importance weighting,
+classifier calibration sweep, DoReMi-style domain reweighting, sequence
+packing, and Heaps-law vocabulary growth (SURVEY.md §2B LLM rows q210–q214).
+
+These extend the q205–q209 curation family with the *selection/mixing* side
+of a pretraining pipeline — the stages that decide which documents to keep,
+how to weight domains, and how documents become fixed-length training
+sequences:
+
+* **DSIR importance weights (q210)** — Xie et al. 2023's "Data Selection via
+  Importance Resampling": score every raw document by how much more likely a
+  *target* distribution (here the ``lang='en'`` slice) makes its hashed
+  unigram features than the raw corpus does.  Engine-exact in integer
+  micro-units: each token contributes its bucket's +1-smoothed likelihood
+  ratio via fixed-point integer division — no float anywhere, hash-stable,
+  and (unlike whole-bit ⌊log2⌋ quantization) sensitive to the sub-octave
+  frequency differences that actually separate target from raw.
+* **Calibration sweep (q211)** — the precision/recall operating-curve table
+  for a quality classifier: for every score threshold (bucketed), the exact
+  TP/FP/FN/TN confusion counts against a reference label.  This is how a
+  pipeline picks its keep-threshold before a full-corpus gate run.
+* **Domain mixture reweighting (q212)** — the DoReMi-shaped static step:
+  per-domain excess LM surprisal over the corpus-wide baseline (integer
+  micro-bits per bigram), the quantity whose softmax gives domain sampling
+  weights.  Reuses q206's bigram-bits scorer.
+* **Sequence packing (q213)** — concat-then-chunk packing: per (source,
+  shard) stream, documents are laid head-to-tail and cut into fixed
+  2048-token training sequences; each document learns its sequence id and
+  offset.  A pure running-sum window — the exact shape production packing
+  jobs use (pack per shard, never globally).
+* **Heaps-law growth (q214)** — vocabulary-vs-corpus-size curve: cumulative
+  distinct token types against cumulative token count over doc-id-ordered
+  corpus prefixes.  The diagnostic that tells you whether more data still
+  buys new vocabulary.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code — these operators extend the data plane its
+table-centric API (python/src table_utils.py reads) is meant to feed, per
+SURVEY.md §2B's mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lance_namespace_impls_spark.functions.text import tokens
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+
+def _bitlen(c: Column) -> Column:
+    """⌊log2 x⌋+1 of a non-negative integer column via binary-string length.
+
+    Exact on integers, so Spark and DuckDB (``length(bin(x))``) agree —
+    the portable stand-in for float ``log2`` (q206 precedent).
+    """
+    return F.length(F.conv(c.cast("string"), 10, 2)).cast("long")
+
+
+def _md5_bucket(col: Column, buckets: int) -> Column:
+    """First 8 md5 hex chars mod ``buckets`` — the cross-engine hash
+    (q202 precedent; DuckDB twin ``('0x'||substr(md5(x),1,8))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets
+
+
+# ---------------------------------------------------------------------------
+# q210: DSIR importance weights (hashed-unigram bit-length likelihood ratio)
+
+_DSIR_BUCKETS = 512
+
+_DSIR_ORACLE = (
+    "WITH tok AS (SELECT doc_id, lang, "
+    "  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents), "
+    "feat AS (SELECT doc_id, lang, "
+    f"  (('0x' || substr(md5(w), 1, 8))::BIGINT % {_DSIR_BUCKETS}) AS b FROM tok), "
+    "docb AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS k "
+    "  FROM feat GROUP BY doc_id, lang, b), "
+    "raw AS (SELECT b, CAST(SUM(k) AS BIGINT) AS cr FROM docb GROUP BY b), "
+    "tgt AS (SELECT b, CAST(SUM(k) AS BIGINT) AS ct FROM docb "
+    "  WHERE lang = 'en' GROUP BY b), "
+    "side AS (SELECT r.b, r.cr, COALESCE(t.ct, 0) AS ct "
+    "  FROM raw r LEFT JOIN tgt t USING (b)), "
+    "tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt "
+    "  FROM side) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
+    "  CAST(SUM(k) AS BIGINT) AS n_tokens, "
+    "  CAST(SUM(k * ((1000000 * (ct + 1) * nr) // ((cr + 1) * nt))) AS BIGINT) "
+    "    AS dsir_mu "
+    "FROM docb JOIN side USING (b) CROSS JOIN tot "
+    "GROUP BY doc_id, lang ORDER BY doc_id"
+)
+
+
+def dsir_weights(
+    docs: DataFrame, target_lang: str = "en", buckets: int = _DSIR_BUCKETS
+) -> DataFrame:
+    """Per-document DSIR importance weight in integer micro-units.
+
+    Each token contributes its bucket's target-vs-raw likelihood ratio
+    p_target(b)/p_raw(b) = ((ct+1)·nr) / ((cr+1)·nt), fixed-point-scaled by
+    10⁶ and floored by integer division — engine-exact, no float anywhere.
+    ``dsir_mu / n_tokens`` ≈ 10⁶·E_doc[ratio]: above 10⁶ means the target
+    model likes the document's tokens more than the raw model does.  (The
+    paper's log-weight sums log-ratios; the arithmetic ratio sum is the
+    integer-exact surrogate with the same ranking direction, and — unlike
+    whole-bit ⌊log2⌋ quantization — it preserves sub-octave frequency
+    differences between target and raw.)
+
+    Scale shape: one tokenize pass; the corpus shuffles once on
+    (doc_id, b); the bucket-count side table is ``buckets`` rows (512) and
+    broadcasts back — the target/raw models never scale with the corpus.
+    Overflow: 10⁶·(ct+1)·nr must fit int64, so corpus token counts up to
+    ~3·10⁶ per model are exact here; production scale lifts the product
+    into DECIMAL(38,0) with the same plan.
+    """
+    tok = spread(docs).select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("w")
+    )
+    docb = (
+        tok.select("doc_id", "lang", _md5_bucket(F.col("w"), buckets).alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .localCheckpoint(eager=False)  # feeds the model build AND the scorer
+    )
+    raw = docb.groupBy("b").agg(F.sum("k").cast("long").alias("cr"))
+    tgt = (
+        docb.filter(F.col("lang") == target_lang)
+        .groupBy("b")
+        .agg(F.sum("k").cast("long").alias("ct"))
+    )
+    side = raw.join(tgt, "b", "left").select(
+        "b", "cr", F.coalesce("ct", F.lit(0)).cast("long").alias("ct")
+    )
+    tot = side.agg(
+        F.sum("cr").cast("long").alias("nr"), F.sum("ct").cast("long").alias("nt")
+    )
+    return (
+        docb.join(F.broadcast(side), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(
+                F.col("k")
+                * F.expr(
+                    "CAST((1000000 * (ct + 1) * nr) DIV ((cr + 1) * nt) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("dsir_mu"),
+        )
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lang",
+            "n_tokens",
+            "dsir_mu",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q210_dsir_importance",
+    _DSIR_ORACLE,
+    doc="DSIR data selection (Xie et al. 2023 shape): importance weight of "
+    "every document under a target-vs-raw hashed-unigram model — each "
+    "token scores its bucket's +1-smoothed likelihood ratio in integer "
+    "micro-units (fixed-point DIV, engine-exact; preserves sub-octave "
+    "frequency differences that whole-bit log2 quantization would erase). "
+    "Target = the lang='en' slice; features = 512 md5 buckets.  One "
+    "tokenize pass, one (doc_id,bucket) shuffle; both models are 512-row "
+    "broadcast tables, so model size is independent of corpus size.  "
+    "Resampling keeps the top-weight documents.",
+    tags=("llm", "curation", "selection"),
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_weights(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q211: classifier calibration sweep (exact confusion counts per threshold)
+
+_CAL_BUCKETS = 1024  # classifier feature buckets (q202's weights, reused)
+_CAL_STEP = 64  # threshold granularity (score units per sweep row)
+
+_CAL_ORACLE = (
+    "WITH tok AS (SELECT doc_id, lang, "
+    "  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents), "
+    "feat AS (SELECT doc_id, lang, "
+    f"  (('0x' || substr(md5(w), 1, 8))::BIGINT % {_CAL_BUCKETS}) AS b FROM tok), "
+    "scored AS (SELECT doc_id, MAX(lang) AS lang, "
+    "  CAST(SUM((('0x' || substr(md5('w|' || CAST(b AS VARCHAR)), 1, 8))::BIGINT "
+    "    % 2001) - 1000) AS BIGINT) AS score FROM feat GROUP BY doc_id), "
+    f"bucketed AS (SELECT CAST(floor(score / {_CAL_STEP}.0) AS BIGINT) AS tb, "
+    "  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS npos, "
+    "  CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nneg "
+    "  FROM scored GROUP BY tb), "
+    "tot AS (SELECT CAST(SUM(npos) AS BIGINT) AS tpos, "
+    "  CAST(SUM(nneg) AS BIGINT) AS tneg FROM bucketed), "
+    "sweep AS (SELECT tb, "
+    "  CAST(SUM(npos) OVER (ORDER BY tb DESC "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp, "
+    "  CAST(SUM(nneg) OVER (ORDER BY tb DESC "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp "
+    "  FROM bucketed) "
+    f"SELECT tb * {_CAL_STEP} AS threshold, tp, fp, "
+    "  tpos - tp AS fn, tneg - fp AS tn "
+    "FROM sweep CROSS JOIN tot ORDER BY threshold DESC"
+)
+
+
+@query(
+    "q211_calibration_sweep",
+    _CAL_ORACLE,
+    doc="Operating-curve table for the hashing-trick quality classifier "
+    "(q202's deterministic md5 weights): exact TP/FP/FN/TN at every "
+    "64-unit score threshold against the lang='en' reference label — the "
+    "table a pipeline reads to pick its keep-threshold (precision/recall "
+    "are ratios of these integer counts; kept integer so the row is "
+    "hash-exact).  The corpus reduces to per-threshold-bucket counts "
+    "BEFORE any window, so the ordered cumulative sweep runs on a "
+    "score-range-bounded table (~10^2 rows), not the corpus — the global "
+    "window is deliberate and safe at any corpus size.",
+    tags=("llm", "curation", "classifier"),
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    bucket = _md5_bucket(F.col("w"), _CAL_BUCKETS)
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w|"), F.col("b").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    feat = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("w")
+    ).select("doc_id", "lang", bucket.alias("b"))
+    scored = (
+        feat.select("doc_id", "lang", weight.alias("wt"))
+        .groupBy("doc_id")
+        .agg(F.max("lang").alias("lang"), F.sum("wt").cast("long").alias("score"))
+    )
+    bucketed = (
+        scored.select(
+            F.floor(F.col("score") / F.lit(float(_CAL_STEP))).cast("long").alias("tb"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+        .groupBy("tb")
+        .agg(
+            F.sum("pos").cast("long").alias("npos"),
+            F.sum(1 - F.col("pos")).cast("long").alias("nneg"),
+        )
+    )
+    tot = bucketed.agg(
+        F.sum("npos").cast("long").alias("tpos"),
+        F.sum("nneg").cast("long").alias("tneg"),
+    )
+    w = (
+        Window.orderBy(F.col("tb").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = bucketed.select(
+        "tb",
+        F.sum("npos").over(w).cast("long").alias("tp"),
+        F.sum("nneg").over(w).cast("long").alias("fp"),
+    )
+    return (
+        sweep.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("tb") * _CAL_STEP).cast("long").alias("threshold"),
+            "tp",
+            "fp",
+            (F.col("tpos") - F.col("tp")).cast("long").alias("fn"),
+            (F.col("tneg") - F.col("fp")).cast("long").alias("tn"),
+        )
+        .orderBy(F.col("threshold").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q212: DoReMi-style domain mixture reweighting (excess bits per bigram)
+
+_DOMAIN_ORACLE = (
+    "WITH toks AS (SELECT doc_id, source, "
+    "  list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS tk "
+    "  FROM documents), "
+    "big AS (SELECT doc_id, source, tk[i] AS w1, tk[i + 1] AS w2 "
+    "  FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    "docbg AS (SELECT doc_id, source, w1, w2, CAST(COUNT(*) AS BIGINT) AS k "
+    "  FROM big GROUP BY doc_id, source, w1, w2), "
+    "bc AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM docbg GROUP BY w1, w2), "
+    "heads AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS c1 FROM docbg GROUP BY w1), "
+    "sc AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs, "
+    "  CAST(SUM(k) AS BIGINT) AS n_bigrams, "
+    "  CAST(SUM(k * (length(bin(c1)) - length(bin(c12)))) AS BIGINT) AS bits "
+    "  FROM docbg JOIN bc USING (w1, w2) JOIN heads USING (w1) GROUP BY source), "
+    "tot AS (SELECT CAST(SUM(bits) AS BIGINT) AS gbits, "
+    "  CAST(SUM(n_bigrams) AS BIGINT) AS gbigrams FROM sc) "
+    "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_bigrams, "
+    "  CAST((1000000 * bits) // n_bigrams AS BIGINT) AS bits_per_mbigram, "
+    "  CAST(GREATEST(0, (1000000 * bits) // n_bigrams "
+    "    - (1000000 * gbits) // gbigrams) AS BIGINT) AS excess_per_mbigram "
+    "FROM sc CROSS JOIN tot ORDER BY source"
+)
+
+
+@query(
+    "q212_domain_mixture",
+    _DOMAIN_ORACLE,
+    doc="DoReMi-shaped domain reweighting (static step): per-source excess "
+    "LM surprisal over the corpus baseline, in integer micro-bits per "
+    "bigram — the quantity whose softmax gives the domain sampling "
+    "weights.  Reuses q206's bigram-bits scorer (bit-length ⌊log2⌋ of "
+    "exact counts); the per-doc relation reduces to one row per source "
+    "before the baseline compare, so the reweighting table is "
+    "domain-count-sized.  Integer DIV on non-negative sums keeps the "
+    "micro-bit ratio engine-exact (production scale would lift the "
+    "1e6-scaled products into DECIMAL(38,0)).",
+    tags=("llm", "curation", "mixing"),
+)
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr("filter(split(lower(trim(text)), ' '), t -> t != '')").alias("tk"),
+    )
+    big = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "filter(zip_with(tk, slice(tk, 2, size(tk)), "
+                "(x, y) -> struct(x AS w1, y AS w2)), p -> p.w2 IS NOT NULL)"
+            )
+        ).alias("p"),
+    ).select("doc_id", "source", "p.w1", "p.w2")
+    docbg = (
+        big.groupBy("doc_id", "source", "w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .localCheckpoint(eager=False)  # feeds both count tables and the scorer
+    )
+    bc = docbg.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("c12"))
+    heads = docbg.groupBy("w1").agg(F.sum("k").cast("long").alias("c1"))
+    sc = (
+        docbg.join(bc, ["w1", "w2"])
+        .join(heads, ["w1"])
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("k") * (_bitlen(F.col("c1")) - _bitlen(F.col("c12")))
+            )
+            .cast("long")
+            .alias("bits"),
+        )
+    )
+    tot = sc.agg(
+        F.sum("bits").cast("long").alias("gbits"),
+        F.sum("n_bigrams").cast("long").alias("gbigrams"),
+    )
+    return (
+        sc.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_bigrams",
+            F.expr("CAST((1000000 * bits) DIV n_bigrams AS BIGINT)").alias(
+                "bits_per_mbigram"
+            ),
+            F.expr(
+                "CAST(GREATEST(0, (1000000 * bits) DIV n_bigrams "
+                "- (1000000 * gbits) DIV gbigrams) AS BIGINT)"
+            ).alias("excess_per_mbigram"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213: sequence packing (concat-then-chunk into fixed-length sequences)
+
+_SEQ_LEN = 2048
+_PACK_SHARDS = 4
+
+_PACK_ORACLE = (
+    "WITH base AS (SELECT doc_id, source, "
+    f"  doc_id % {_PACK_SHARDS} AS shard, "
+    "  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    "    t -> t <> '')) AS BIGINT) AS n_tokens FROM documents), "
+    "packed AS (SELECT doc_id, source, shard, n_tokens, "
+    "  CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) "
+    "    AS start_tok FROM base) "
+    "SELECT doc_id, source, CAST(shard AS BIGINT) AS shard, n_tokens, "
+    f"  CAST(start_tok // {_SEQ_LEN} AS BIGINT) AS seq_id, "
+    f"  CAST(start_tok % {_SEQ_LEN} AS BIGINT) AS seq_offset "
+    "FROM packed ORDER BY doc_id"
+)
+
+
+@query(
+    "q213_sequence_packing",
+    _PACK_ORACLE,
+    doc="Concat-then-chunk sequence packing: within each (source, shard) "
+    "stream, documents lie head-to-tail in doc_id order and are cut into "
+    f"fixed {_SEQ_LEN}-token training sequences; every document learns its "
+    "sequence id and offset.  One running-sum window per stream — exactly "
+    "how production packing jobs run (pack per shard, never a global "
+    "order), so the window partition count scales with sources×shards and "
+    "no single sort ever sees the whole corpus.  Integer DIV/% on the "
+    "non-negative running start keeps both engines bit-identical.",
+    tags=("llm", "curation", "packing"),
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % _PACK_SHARDS).cast("long").alias("shard"),
+        F.size(
+            F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = base.withColumn(
+        "start_tok", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        "shard",
+        "n_tokens",
+        F.expr(f"CAST(start_tok DIV {_SEQ_LEN} AS BIGINT)").alias("seq_id"),
+        (F.col("start_tok") % _SEQ_LEN).cast("long").alias("seq_offset"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q214: Heaps-law vocabulary growth over corpus prefixes
+
+_HEAPS_BUCKETS = 10
+
+_HEAPS_ORACLE = (
+    "WITH bound AS (SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS md FROM documents), "
+    "tok AS (SELECT doc_id, "
+    "  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents), "
+    f"tb AS (SELECT CAST((doc_id * {_HEAPS_BUCKETS}) // md AS BIGINT) AS bucket, w "
+    "  FROM tok CROSS JOIN bound), "
+    "firsts AS (SELECT w, CAST(MIN(bucket) AS BIGINT) AS first_bucket FROM tb GROUP BY w), "
+    "newv AS (SELECT first_bucket AS bucket, CAST(COUNT(*) AS BIGINT) AS new_vocab "
+    "  FROM firsts GROUP BY first_bucket), "
+    "occ AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS bucket_tokens FROM tb GROUP BY bucket), "
+    "j AS (SELECT o.bucket, o.bucket_tokens, COALESCE(n.new_vocab, 0) AS new_vocab "
+    "  FROM occ o LEFT JOIN newv n ON o.bucket = n.bucket) "
+    "SELECT bucket, bucket_tokens, CAST(new_vocab AS BIGINT) AS new_vocab, "
+    "  CAST(SUM(bucket_tokens) OVER (ORDER BY bucket "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens, "
+    "  CAST(SUM(new_vocab) OVER (ORDER BY bucket "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab "
+    "FROM j ORDER BY bucket"
+)
+
+
+@query(
+    "q214_heaps_growth",
+    _HEAPS_ORACLE,
+    doc="Heaps-law vocabulary growth: cumulative distinct token types vs "
+    f"cumulative token count over {_HEAPS_BUCKETS} doc-id-ordered corpus "
+    "prefix buckets — the diagnostic for whether more data still buys new "
+    "vocabulary.  Each type contributes at its FIRST bucket (min-bucket "
+    "per token, a token-keyed agg), occurrences reduce per bucket, and the "
+    "cumulative window runs on the 10-row bucket table.  The corpus "
+    "shuffles once on the token key; nothing downstream scales with N.",
+    tags=("llm", "text", "analysis"),
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    bound = docs.agg((F.max("doc_id") + 1).cast("long").alias("md"))
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+    tb = tok.crossJoin(F.broadcast(bound)).select(
+        F.expr(f"CAST((doc_id * {_HEAPS_BUCKETS}) DIV md AS BIGINT)").alias("bucket"),
+        "w",
+    )
+    tb = tb.localCheckpoint(eager=False)  # feeds first-bucket AND occurrence aggs
+    firsts = tb.groupBy("w").agg(F.min("bucket").cast("long").alias("first_bucket"))
+    newv = firsts.groupBy(F.col("first_bucket").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("new_vocab")
+    )
+    occ = tb.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("bucket_tokens"))
+    j = occ.join(newv, "bucket", "left").select(
+        "bucket",
+        "bucket_tokens",
+        F.coalesce("new_vocab", F.lit(0)).cast("long").alias("new_vocab"),
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return j.select(
+        "bucket",
+        "bucket_tokens",
+        "new_vocab",
+        F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_vocab").over(w).cast("long").alias("cum_vocab"),
+    ).orderBy("bucket")

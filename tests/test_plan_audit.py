@@ -38,6 +38,9 @@ CARTESIAN_ALLOWED = {
     "q197_pq_encode": "deterministic 8-row codebook broadcast (PQ assignment; corpus never shuffles)",
     "q205_semdedup": "broadcast corpus-derived-K centroid assignment + 1-row k bound (corpus never shuffles)",
     "q198_bm25_retrieval": "1-row corpus stats (N, avgdl) broadcast into the scoring expression",
+    "q210_dsir_importance": "1-row (nr, nt) model-total broadcast into the ratio expression",
+    "q211_calibration_sweep": "1-row (tpos, tneg) total broadcast into the confusion arithmetic",
+    "q212_domain_mixture": "1-row global-baseline broadcast into the excess expression",
 }
 
 # streaming builders start real runs; their plans are covered by the

@@ -1,0 +1,101 @@
+"""Selection & mixing additions (q210–q214): oracle parity plus the
+semantic properties that make each operator trustworthy."""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.oracle import check_query, duckdb_connection
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+NEW = [
+    "q210_dsir_importance",
+    "q211_calibration_sweep",
+    "q212_domain_mixture",
+    "q213_sequence_packing",
+    "q214_heaps_growth",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_oracle_match(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_q210_target_lang_scores_higher_on_average(spark):
+    rows = QUERIES["q210_dsir_importance"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    by_lang: dict[str, list[float]] = {}
+    for r in rows:
+        # normalize by length so doc size doesn't dominate the comparison
+        by_lang.setdefault(r["lang"], []).append(r["dsir_mu"] / max(r["n_tokens"], 1))
+    mean = {k: sum(v) / len(v) for k, v in by_lang.items()}
+    # the target slice must out-score every non-target language under its
+    # own importance model — the defining DSIR property
+    for lang, m in mean.items():
+        if lang != "en":
+            assert mean["en"] > m, (lang, mean)
+
+
+def test_q211_confusion_counts_are_consistent(spark):
+    rows = QUERIES["q211_calibration_sweep"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    tpos = rows[0]["tp"] + rows[0]["fn"]
+    tneg = rows[0]["fp"] + rows[0]["tn"]
+    prev_tp, prev_fp = 0, 0
+    for r in rows:  # descending threshold: tp and fp are non-decreasing
+        assert r["tp"] + r["fn"] == tpos
+        assert r["fp"] + r["tn"] == tneg
+        assert r["tp"] >= prev_tp and r["fp"] >= prev_fp
+        prev_tp, prev_fp = r["tp"], r["fp"]
+    # the loosest threshold keeps everything
+    assert rows[-1]["fn"] == 0 and rows[-1]["tn"] == 0
+
+
+def test_q212_excess_is_zero_for_at_least_one_domain(spark):
+    rows = QUERIES["q212_domain_mixture"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    # excess is measured against the global mean, so at least one domain
+    # sits at or below baseline (excess 0) and not all can be above it
+    assert any(r["excess_per_mbigram"] == 0 for r in rows)
+    for r in rows:
+        assert r["excess_per_mbigram"] >= 0
+        assert r["bits_per_mbigram"] > 0
+
+
+def test_q213_packing_is_gapless_within_each_stream(spark):
+    rows = QUERIES["q213_sequence_packing"].builder(spark, SF_SMOKE).collect()
+    streams: dict[tuple, list] = {}
+    for r in rows:
+        streams.setdefault((r["source"], r["shard"]), []).append(r)
+    assert len(streams) > 1
+    for key, docs in streams.items():
+        docs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in docs:  # head-to-tail: each doc starts where the last ended
+            assert r["seq_id"] * 2048 + r["seq_offset"] == cum, (key, r)
+            cum += r["n_tokens"]
+
+
+def test_q214_growth_curve_is_monotone_and_complete(spark):
+    rows = QUERIES["q214_heaps_growth"].builder(spark, SF_SMOKE).collect()
+    assert [r["bucket"] for r in rows] == sorted(r["bucket"] for r in rows)
+    assert all(r["new_vocab"] >= 0 for r in rows)
+    assert rows[0]["cum_vocab"] == rows[0]["new_vocab"]
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_vocab"] >= a["cum_vocab"]
+        assert b["cum_tokens"] > a["cum_tokens"]
+    # sublinear growth: the first prefix discovers more new types per token
+    # than the last (Heaps' law direction)
+    first_rate = rows[0]["new_vocab"] / rows[0]["bucket_tokens"]
+    last_rate = rows[-1]["new_vocab"] / rows[-1]["bucket_tokens"]
+    assert first_rate > last_rate
