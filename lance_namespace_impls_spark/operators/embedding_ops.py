@@ -1,0 +1,89 @@
+"""Embedding-space transforms: Johnson–Lindenstrauss random projection
+(SURVEY.md §2B LLM row q215).
+
+Dimensionality reduction is the standard pre-step before large-scale ANN
+(project 64-d → 16-d, index the small vectors, re-rank survivors on the full
+vectors).  The classic JL construction with a ±1 (Achlioptas 2003) sign
+matrix is exactly integer arithmetic once the embedding is int-projected —
+so unlike Gaussian projections it can be hash-checked across engines.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code — this extends the data plane its
+table-centric API serves (SURVEY.md §2B mapping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.vectors import int_dot, int_projected
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+_JL_OUT_DIM = 16
+_JL_IN_DIM = 64
+
+_JL_ORACLE = (
+    "WITH grid AS (SELECT j.range AS j, i.range AS i "
+    f"  FROM range({_JL_OUT_DIM}) j, range({_JL_IN_DIM}) i), "
+    "s AS (SELECT j, list(CASE WHEN (('0x' || substr(md5(j || ',' || i), 1, 8))::BIGINT "
+    "    % 2) = 0 THEN 1 ELSE -1 END ORDER BY i) AS sv FROM grid GROUP BY j), "
+    "v AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings) "
+    "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(j AS BIGINT) AS j, "
+    "  CAST(list_dot_product(v.v, s.sv) AS BIGINT) AS proj "
+    "FROM v CROSS JOIN s ORDER BY vec_id, j"
+)
+
+
+def jl_project(emb: DataFrame, out_dim: int = _JL_OUT_DIM, in_dim: int = _JL_IN_DIM) -> DataFrame:
+    """±1 Johnson–Lindenstrauss projection of int-projected embeddings.
+
+    The sign matrix derives deterministically from md5 of the (j,i) cell
+    coordinates (the portable stand-in for a seeded Rademacher draw), is
+    built engine-side as an ``out_dim``-row DataFrame, and broadcasts —
+    the corpus is map-only: no shuffle anywhere in the projection.  Output
+    is the long relation (vec_id, j, proj); downstream ANN re-assembles or
+    keeps it long for per-dimension banding.
+    """
+    spark = emb.sparkSession
+    signs = spark.range(out_dim).select(
+        F.col("id").cast("long").alias("j"),
+        F.expr(
+            f"transform(sequence(0, {in_dim - 1}), i -> "
+            "CASE WHEN CAST(conv(substring(md5(concat(cast(id AS string), ',', "
+            "cast(i AS string))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 "
+            "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)"
+        ).alias("sv"),
+    )
+    v = spread(emb).select(
+        "vec_id", int_projected(F.col("embedding")).alias("v")
+    )
+    return (
+        v.crossJoin(F.broadcast(signs))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "j",
+            int_dot(F.col("v"), F.col("sv")).cast("long").alias("proj"),
+        )
+        .orderBy("vec_id", "j")
+    )
+
+
+@query(
+    "q215_jl_projection",
+    _JL_ORACLE,
+    doc="Johnson–Lindenstrauss ±1 random projection 64-d → 16-d (Achlioptas "
+    "2003 sign matrix): the dimensionality-reduction pre-step before ANN "
+    "indexing, exactly integer on int-projected embeddings so it "
+    "hash-checks across engines.  The sign matrix derives from md5 of the "
+    "cell coordinates, is 16 rows, and broadcasts; the corpus is map-only "
+    "— zero shuffles in the projection at any scale.  Distance "
+    "preservation is property-tested (projected vs original pairwise "
+    "distances correlate).",
+    tags=("llm", "similarity", "vectors"),
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jl_project(load_table(spark, "embeddings", sf_dir))

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lance_namespace_impls_spark.functions.text import tokens
+from lance_namespace_impls_spark.operators.traindata import bigram_bits
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.sources.tables import load_table, spread
 
@@ -513,3 +514,200 @@ def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bucket_tokens").over(w).cast("long").alias("cum_tokens"),
         F.sum("new_vocab").over(w).cast("long").alias("cum_vocab"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# q216: tokenizer vocabulary coverage / OOV-rate curve
+
+_VOCAB_SIZES = (100, 300, 1000, 3000)
+
+_COVERAGE_ORACLE = (
+    "WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w "
+    "  FROM documents), "
+    "counts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w), "
+    "ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk FROM counts), "
+    "cov AS (SELECT v, CAST(SUM(CASE WHEN rk <= v THEN c ELSE 0 END) AS BIGINT) AS covered, "
+    "  CAST(SUM(c) AS BIGINT) AS total_tokens "
+    "  FROM ranked CROSS JOIN (VALUES (100), (300), (1000), (3000)) t(v) GROUP BY v) "
+    "SELECT CAST(v AS BIGINT) AS vocab_size, covered, total_tokens, "
+    "  CAST((1000000 * (total_tokens - covered)) // total_tokens AS BIGINT) AS oov_per_m "
+    "FROM cov ORDER BY vocab_size"
+)
+
+
+@query(
+    "q216_vocab_coverage",
+    _COVERAGE_ORACLE,
+    doc="Tokenizer-budget planning curve: for candidate vocabulary sizes "
+    f"{_VOCAB_SIZES}, the exact fraction of token occurrences a "
+    "top-V-by-frequency vocabulary covers (OOV rate in ppm via integer "
+    "DIV).  The corpus reduces to the vocabulary-sized count table before "
+    "the frequency-ranking window, so the global window and the 4-row "
+    "V-grid broadcast only ever touch vocabulary-bounded relations — one "
+    "token-key shuffle total.",
+    tags=("llm", "text", "analysis"),
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("w")))
+        .cast("long")
+        .alias("rk"),
+    )
+    vols = docs.sparkSession.createDataFrame(
+        [(v,) for v in _VOCAB_SIZES], "v long"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(vols))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("v"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("covered"),
+            F.sum("c").cast("long").alias("total_tokens"),
+        )
+        .select(
+            F.col("v").cast("long").alias("vocab_size"),
+            "covered",
+            "total_tokens",
+            F.expr(
+                "CAST((1000000 * (total_tokens - covered)) DIV total_tokens AS BIGINT)"
+            ).alias("oov_per_m"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217: two-gate agreement census (Cohen's kappa, exact integer parts)
+
+_KAPPA_CLS_THRESHOLD = 3000  # classifier keep: score >= 3000 (≈ median)
+# The LM gate flags a document "fluent" when its bits/bigram ratio is below
+# the CORPUS MEAN — compared by exact integer cross-multiplication
+# (bits·Σn < Σbits·n), so the cut is scale-free: a fixed absolute ratio
+# (first attempt: 4.5) left one side of the 2x2 table empty at sf0.1.
+_KAPPA_ORACLE = (
+    "WITH tok AS (SELECT doc_id, "
+    "  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents), "
+    "feat AS (SELECT doc_id, "
+    "  (('0x' || substr(md5(w), 1, 8))::BIGINT % 1024) AS b FROM tok), "
+    "cls AS (SELECT doc_id, "
+    "  CAST(SUM((('0x' || substr(md5('w|' || CAST(b AS VARCHAR)), 1, 8))::BIGINT "
+    "    % 2001) - 1000) AS BIGINT) AS score FROM feat GROUP BY doc_id), "
+    "toks AS (SELECT doc_id, "
+    "  list_filter(string_split(lower(trim(text)), ' '), t -> t <> '') AS tk FROM documents), "
+    "big AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 "
+    "  FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    "docbg AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k "
+    "  FROM big GROUP BY doc_id, w1, w2), "
+    "bc AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c12 FROM docbg GROUP BY w1, w2), "
+    "heads AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS c1 FROM docbg GROUP BY w1), "
+    "lm AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams, "
+    "  CAST(SUM(k * (length(bin(c1)) - length(bin(c12)))) AS BIGINT) AS bits "
+    "  FROM docbg JOIN bc USING (w1, w2) JOIN heads USING (w1) GROUP BY doc_id), "
+    "gl AS (SELECT CAST(SUM(bits) AS BIGINT) AS gbits, "
+    "  CAST(SUM(n_bigrams) AS BIGINT) AS gbigrams FROM lm), "
+    "flags AS (SELECT c.doc_id, "
+    f"  CASE WHEN c.score >= {_KAPPA_CLS_THRESHOLD} THEN 1 ELSE 0 END AS f1, "
+    "  CASE WHEN COALESCE(l.bits, 0) * gbigrams < gbits * COALESCE(l.n_bigrams, 0) "
+    "    THEN 1 ELSE 0 END AS f2 "
+    "  FROM cls c LEFT JOIN lm l USING (doc_id) CROSS JOIN gl), "
+    "conf AS (SELECT "
+    "  CAST(SUM(f1 * f2) AS BIGINT) AS a, "
+    "  CAST(SUM(f1 * (1 - f2)) AS BIGINT) AS b, "
+    "  CAST(SUM((1 - f1) * f2) AS BIGINT) AS c, "
+    "  CAST(SUM((1 - f1) * (1 - f2)) AS BIGINT) AS d FROM flags) "
+    "SELECT a, b, c, d, CAST(a + b + c + d AS BIGINT) AS n, "
+    "  CAST(1000000 * ((a + d) * (a + b + c + d) "
+    "    - ((a + b) * (a + c) + (c + d) * (b + d))) AS BIGINT) AS kappa_num_m, "
+    "  CAST((a + b + c + d) * (a + b + c + d) "
+    "    - ((a + b) * (a + c) + (c + d) * (b + d)) AS BIGINT) AS kappa_den "
+    "FROM conf"
+)
+
+
+@query(
+    "q217_gate_agreement",
+    _KAPPA_ORACLE,
+    doc="Inter-gate agreement census: do the hashing-trick classifier "
+    f"(keep iff score >= {_KAPPA_CLS_THRESHOLD}) and the bigram-LM gate "
+    "(fluent iff below the corpus-mean bits/bigram, by exact integer "
+    "cross-multiplication — a scale-free cut) agree on which documents to "
+    "keep?  "
+    "Exact 2x2 confusion counts plus Cohen's kappa as an exact integer "
+    "fraction (kappa = kappa_num_m / (10^6 * kappa_den)) — emitted as "
+    "numerator/denominator so no engine ever divides a possibly-negative "
+    "integer (DIV truncates in Spark but floors in DuckDB).  Both gates "
+    "reduce corpus-side before the single-row confusion aggregate; at "
+    "production scale the n^2 products lift into DECIMAL(38,0).  Near-zero "
+    "kappa = the gates are complementary, not redundant — the signal a "
+    "pipeline uses to decide whether running both is worth it.",
+    tags=("llm", "curation", "analysis"),
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    bucket = _md5_bucket(F.col("w"), 1024)
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w|"), F.col("b").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    cls = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .select("doc_id", bucket.alias("b"))
+        .select("doc_id", weight.alias("wt"))
+        .groupBy("doc_id")
+        .agg(F.sum("wt").cast("long").alias("score"))
+    )
+    lm = bigram_bits(docs).select("doc_id", "n_bigrams", "bits")
+    lm = lm.localCheckpoint(eager=False)  # feeds the global mean AND the flags
+    gl = lm.agg(
+        F.sum("bits").cast("long").alias("gbits"),
+        F.sum("n_bigrams").cast("long").alias("gbigrams"),
+    )
+    flags = (
+        cls.join(lm, "doc_id", "left")
+        .crossJoin(F.broadcast(gl))
+        .select(
+            F.when(F.col("score") >= _KAPPA_CLS_THRESHOLD, 1).otherwise(0).alias("f1"),
+            F.when(
+                F.coalesce(F.col("bits"), F.lit(0)) * F.col("gbigrams")
+                < F.col("gbits") * F.coalesce(F.col("n_bigrams"), F.lit(0)),
+                1,
+            )
+            .otherwise(0)
+            .alias("f2"),
+        )
+    )
+    conf = flags.agg(
+        F.sum(F.col("f1") * F.col("f2")).cast("long").alias("a"),
+        F.sum(F.col("f1") * (1 - F.col("f2"))).cast("long").alias("b"),
+        F.sum((1 - F.col("f1")) * F.col("f2")).cast("long").alias("c"),
+        F.sum((1 - F.col("f1")) * (1 - F.col("f2"))).cast("long").alias("d"),
+    )
+    return conf.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("long").alias("n"),
+        F.expr(
+            "CAST(1000000 * ((a + d) * (a + b + c + d) "
+            "- ((a + b) * (a + c) + (c + d) * (b + d))) AS BIGINT)"
+        ).alias("kappa_num_m"),
+        F.expr(
+            "CAST((a + b + c + d) * (a + b + c + d) "
+            "- ((a + b) * (a + c) + (c + d) * (b + d)) AS BIGINT)"
+        ).alias("kappa_den"),
+    )

@@ -41,6 +41,9 @@ CARTESIAN_ALLOWED = {
     "q210_dsir_importance": "1-row (nr, nt) model-total broadcast into the ratio expression",
     "q211_calibration_sweep": "1-row (tpos, tneg) total broadcast into the confusion arithmetic",
     "q212_domain_mixture": "1-row global-baseline broadcast into the excess expression",
+    "q215_jl_projection": "16-row sign-matrix broadcast (corpus map-only, zero shuffles)",
+    "q216_vocab_coverage": "4-row vocabulary-size grid broadcast over the vocab count table",
+    "q217_gate_agreement": "1-row corpus-mean bits/bigram broadcast into the gate predicate",
 }
 
 # streaming builders start real runs; their plans are covered by the

@@ -99,3 +99,82 @@ def test_q214_growth_curve_is_monotone_and_complete(spark):
     first_rate = rows[0]["new_vocab"] / rows[0]["bucket_tokens"]
     last_rate = rows[-1]["new_vocab"] / rows[-1]["bucket_tokens"]
     assert first_rate > last_rate
+
+
+NEW2 = [
+    "q215_jl_projection",
+    "q216_vocab_coverage",
+    "q217_gate_agreement",
+]
+
+
+@pytest.mark.parametrize("name", NEW2)
+def test_oracle_match_batch2(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_q215_projection_preserves_distance_ordering(spark):
+    import itertools
+    import math
+
+    from lance_namespace_impls_spark.functions.vectors import int_projected
+    from lance_namespace_impls_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", SF_SMOKE).limit(40)
+    orig = {
+        r["vec_id"]: r["v"]
+        for r in emb.select(
+            "vec_id", int_projected(F.col("embedding")).alias("v")
+        ).collect()
+    }
+    proj_rows = QUERIES["q215_jl_projection"].builder(spark, SF_SMOKE).collect()
+    proj: dict[int, list[int]] = {}
+    for r in proj_rows:
+        proj.setdefault(r["vec_id"], []).append((r["j"], r["proj"]))
+    pv = {k: [p for _, p in sorted(v)] for k, v in proj.items() if k in orig}
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    pairs = list(itertools.combinations(sorted(orig), 2))[:300]
+    d_orig = [dist(orig[a], orig[b]) for a, b in pairs]
+    d_proj = [dist(pv[a], pv[b]) for a, b in pairs]
+    # Rademacher JL: E[|proj(a)-proj(b)|^2] = k * |a-b|^2 with k=16 output
+    # dims — the aggregate ratio must sit near 16
+    ratio = sum(d * d for d in d_proj) / sum(d * d for d in d_orig)
+    assert 10.0 < ratio < 22.0, ratio
+    # per-pair ordering: random 64-d vectors are near-equidistant (distance
+    # concentration), so the per-pair correlation is weak-positive by
+    # nature; require it clearly above zero rather than tight
+    n = len(pairs)
+    mo, mp = sum(d_orig) / n, sum(d_proj) / n
+    cov = sum((x - mo) * (y - mp) for x, y in zip(d_orig, d_proj))
+    so = math.sqrt(sum((x - mo) ** 2 for x in d_orig))
+    sp = math.sqrt(sum((y - mp) ** 2 for y in d_proj))
+    assert cov / (so * sp) > 0.2
+
+
+def test_q216_coverage_monotone_in_vocab_size(spark):
+    rows = QUERIES["q216_vocab_coverage"].builder(spark, SF_SMOKE).collect()
+    assert [r["vocab_size"] for r in rows] == [100, 300, 1000, 3000]
+    total = rows[0]["total_tokens"]
+    prev = -1
+    for r in rows:
+        assert r["total_tokens"] == total
+        assert prev <= r["covered"] <= total
+        assert 0 <= r["oov_per_m"] <= 1_000_000
+        prev = r["covered"]
+    # the fixture vocabulary is small: a 3000-type budget must cover it all
+    assert rows[-1]["covered"] == total and rows[-1]["oov_per_m"] == 0
+
+
+def test_q217_confusion_is_mixed_and_kappa_bounded(spark):
+    row = QUERIES["q217_gate_agreement"].builder(spark, SF_SMOKE).collect()[0]
+    assert row["a"] + row["b"] + row["c"] + row["d"] == row["n"] > 0
+    # the corpus-relative LM cut guarantees both gates fire both ways
+    assert row["a"] + row["b"] > 0 and row["c"] + row["d"] > 0
+    assert row["a"] + row["c"] > 0 and row["b"] + row["d"] > 0
+    kappa = row["kappa_num_m"] / (1_000_000 * row["kappa_den"])
+    assert -1.0 <= kappa <= 1.0
