@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from lance_namespace_impls_spark.functions.vectors import int_dot, int_projected
 from lance_namespace_impls_spark.plans.registry import query
@@ -87,3 +88,223 @@ def jl_project(emb: DataFrame, out_dim: int = _JL_OUT_DIM, in_dim: int = _JL_IN_
 )
 def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_project(load_table(spark, "embeddings", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q218: IVF-PQ approximate nearest neighbour with ADC + exact re-rank
+
+_IVFPQ_COARSE = 4  # coarse cells (centroids = the vec_id<4 rows)
+_IVFPQ_CODES = 8  # PQ centroids per subspace (codebook = the vec_id<8 rows)
+_IVFPQ_SUBSPACES = 8
+_IVFPQ_SUBDIM = 8
+_IVFPQ_NPROBE = 2
+_IVFPQ_POOL = 20
+_IVFPQ_K = 5
+
+_IVFPQ_ORACLE = (
+    "WITH proj AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    f"coarse AS (SELECT vec_id AS c, v AS cv FROM proj WHERE vec_id < {_IVFPQ_COARSE}), "
+    "cells AS (SELECT p.vec_id, "
+    "  CAST(MIN((CAST(list_dot_product(p.v, p.v) AS BIGINT) "
+    "    + CAST(list_dot_product(c.cv, c.cv) AS BIGINT) "
+    "    - 2 * CAST(list_dot_product(p.v, c.cv) AS BIGINT)) "
+    f"    * {_IVFPQ_COARSE} + c.c) % {_IVFPQ_COARSE} AS BIGINT) AS cell "
+    "  FROM proj p CROSS JOIN coarse c GROUP BY p.vec_id), "
+    f"cb AS (SELECT vec_id AS code, v AS cv FROM proj WHERE vec_id < {_IVFPQ_CODES}), "
+    "codes AS (SELECT p.vec_id, t.s, CAST(MIN(("
+    f"  CAST(list_dot_product(p.v[1 + t.s * {_IVFPQ_SUBDIM} : {_IVFPQ_SUBDIM} + t.s * {_IVFPQ_SUBDIM}], "
+    f"                        p.v[1 + t.s * {_IVFPQ_SUBDIM} : {_IVFPQ_SUBDIM} + t.s * {_IVFPQ_SUBDIM}]) AS BIGINT) "
+    f"  + CAST(list_dot_product(c.cv[1 + t.s * {_IVFPQ_SUBDIM} : {_IVFPQ_SUBDIM} + t.s * {_IVFPQ_SUBDIM}], "
+    f"                          c.cv[1 + t.s * {_IVFPQ_SUBDIM} : {_IVFPQ_SUBDIM} + t.s * {_IVFPQ_SUBDIM}]) AS BIGINT) "
+    f"  - 2 * CAST(list_dot_product(p.v[1 + t.s * {_IVFPQ_SUBDIM} : {_IVFPQ_SUBDIM} + t.s * {_IVFPQ_SUBDIM}], "
+    f"                              c.cv[1 + t.s * {_IVFPQ_SUBDIM} : {_IVFPQ_SUBDIM} + t.s * {_IVFPQ_SUBDIM}]) AS BIGINT)"
+    f"  ) * {_IVFPQ_CODES} + c.code) % {_IVFPQ_CODES} AS BIGINT) AS code "
+    f"  FROM proj p CROSS JOIN cb c CROSS JOIN range({_IVFPQ_SUBSPACES}) t(s) "
+    "  GROUP BY p.vec_id, t.s), "
+    f"qs AS (SELECT vec_id AS query_id, v AS qv FROM proj WHERE vec_id < {_IVFPQ_CODES}), "
+    "probe AS (SELECT query_id, cell FROM ("
+    "  SELECT q.query_id, c.c AS cell, ROW_NUMBER() OVER (PARTITION BY q.query_id "
+    "    ORDER BY CAST(list_dot_product(q.qv, q.qv) AS BIGINT) "
+    "      + CAST(list_dot_product(c.cv, c.cv) AS BIGINT) "
+    "      - 2 * CAST(list_dot_product(q.qv, c.cv) AS BIGINT), c.c) AS rn "
+    f"  FROM qs q CROSS JOIN coarse c) WHERE rn <= {_IVFPQ_NPROBE}), "
+    "lut AS (SELECT q.query_id, c.code, t.s, "
+    f"  CAST(list_dot_product(q.qv[1 + t.s * {_IVFPQ_SUBDIM} : {_IVFPQ_SUBDIM} + t.s * {_IVFPQ_SUBDIM}], "
+    f"                        q.qv[1 + t.s * {_IVFPQ_SUBDIM} : {_IVFPQ_SUBDIM} + t.s * {_IVFPQ_SUBDIM}]) AS BIGINT) "
+    f"  + CAST(list_dot_product(c.cv[1 + t.s * {_IVFPQ_SUBDIM} : {_IVFPQ_SUBDIM} + t.s * {_IVFPQ_SUBDIM}], "
+    f"                          c.cv[1 + t.s * {_IVFPQ_SUBDIM} : {_IVFPQ_SUBDIM} + t.s * {_IVFPQ_SUBDIM}]) AS BIGINT) "
+    f"  - 2 * CAST(list_dot_product(q.qv[1 + t.s * {_IVFPQ_SUBDIM} : {_IVFPQ_SUBDIM} + t.s * {_IVFPQ_SUBDIM}], "
+    f"                              c.cv[1 + t.s * {_IVFPQ_SUBDIM} : {_IVFPQ_SUBDIM} + t.s * {_IVFPQ_SUBDIM}]) AS BIGINT) AS d2s "
+    f"  FROM qs q CROSS JOIN cb c CROSS JOIN range({_IVFPQ_SUBSPACES}) t(s)), "
+    "cand AS (SELECT pr.query_id, ce.vec_id FROM probe pr JOIN cells ce USING (cell) "
+    "  WHERE ce.vec_id <> pr.query_id), "
+    "adc AS (SELECT cd.query_id, cd.vec_id, CAST(SUM(l.d2s) AS BIGINT) AS adc_d2 "
+    "  FROM cand cd JOIN codes k ON cd.vec_id = k.vec_id "
+    "  JOIN lut l ON l.query_id = cd.query_id AND l.s = k.s AND l.code = k.code "
+    "  GROUP BY cd.query_id, cd.vec_id), "
+    "pool AS (SELECT query_id, vec_id, adc_d2 FROM ("
+    "  SELECT query_id, vec_id, adc_d2, ROW_NUMBER() OVER (PARTITION BY query_id "
+    f"    ORDER BY adc_d2, vec_id) AS rn FROM adc) WHERE rn <= {_IVFPQ_POOL}), "
+    "rr AS (SELECT po.query_id, po.vec_id, po.adc_d2, "
+    "  CAST(list_dot_product(q.qv, q.qv) AS BIGINT) "
+    "    + CAST(list_dot_product(p.v, p.v) AS BIGINT) "
+    "    - 2 * CAST(list_dot_product(q.qv, p.v) AS BIGINT) AS exact_d2 "
+    "  FROM pool po JOIN qs q USING (query_id) JOIN proj p ON po.vec_id = p.vec_id) "
+    "SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, exact_d2, adc_d2 FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "    ORDER BY exact_d2, vec_id) AS rn FROM rr) "
+    f"WHERE rn <= {_IVFPQ_K} ORDER BY query_id, rank"
+)
+
+
+def _slice_d2(a, b, s: int, subdim: int):
+    """Exact integer squared L2 distance on one PQ subspace slice."""
+    sa = F.slice(a, s * subdim + 1, subdim)
+    sb = F.slice(b, s * subdim + 1, subdim)
+    return int_dot(sa, sa) + int_dot(sb, sb) - F.lit(2) * int_dot(sa, sb)
+
+
+@query(
+    "q218_ivfpq_search",
+    _IVFPQ_ORACLE,
+    doc="The composed ANN scale path: IVF coarse routing (4 cells, "
+    "nprobe=2) -> PQ asymmetric-distance scoring (8 subspaces x 8 codes, "
+    "per-query 64-entry LUT) -> exact integer re-rank of the top-20 ADC "
+    "pool to top-5.  Every stage is deterministic integer arithmetic "
+    "(order-free MIN-encode argmins, lowest-id ties), so unlike classic "
+    "float ANN the WHOLE pipeline carries a hash-exact oracle.  Scale "
+    "shape: cell assignment and PQ encoding are broadcast map-only passes "
+    "(corpus never shuffles to be indexed); a query touches "
+    "nprobe/num_cells of the corpus via the cell equi-join; ADC joins the "
+    "candidate code relation to a queries-x-64-row broadcast LUT — full "
+    "vectors are only read again for the 20-row-per-query re-rank pool.",
+    tags=("llm", "similarity", "vectors"),
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivfpq_search(load_table(spark, "embeddings", sf_dir))
+
+
+def ivfpq_search(emb: DataFrame) -> DataFrame:
+    """IVF-PQ ANN over an (vec_id, embedding) frame — see q218's doc."""
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    proj = proj.localCheckpoint(eager=False)  # feeds index build, queries, re-rank
+    coarse = proj.filter(F.col("vec_id") < _IVFPQ_COARSE).select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+    )
+    full_d2 = (
+        int_dot(F.col("v"), F.col("v"))
+        + int_dot(F.col("cv"), F.col("cv"))
+        - F.lit(2) * int_dot(F.col("v"), F.col("cv"))
+    )
+    cells = (
+        proj.crossJoin(F.broadcast(coarse))
+        .groupBy("vec_id")
+        .agg(
+            (F.min(full_d2 * _IVFPQ_COARSE + F.col("c")) % _IVFPQ_COARSE)
+            .cast("long")
+            .alias("cell")
+        )
+    )
+    cb = proj.filter(F.col("vec_id") < _IVFPQ_CODES).select(
+        F.col("vec_id").alias("code"), F.col("v").alias("cv")
+    )
+    d2s_arr = F.array(
+        *[
+            _slice_d2(F.col("v"), F.col("cv"), s, _IVFPQ_SUBDIM)
+            for s in range(_IVFPQ_SUBSPACES)
+        ]
+    )
+    codes = (
+        proj.crossJoin(F.broadcast(cb))
+        .select("vec_id", "code", F.posexplode(d2s_arr).alias("s", "d2s"))
+        .groupBy("vec_id", "s")
+        .agg(
+            (F.min(F.col("d2s") * _IVFPQ_CODES + F.col("code")) % _IVFPQ_CODES)
+            .cast("long")
+            .alias("code")
+        )
+    )
+    qs = proj.filter(F.col("vec_id") < _IVFPQ_CODES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    q_d2 = (
+        int_dot(F.col("qv"), F.col("qv"))
+        + int_dot(F.col("cv"), F.col("cv"))
+        - F.lit(2) * int_dot(F.col("qv"), F.col("cv"))
+    )
+    probe = (
+        qs.crossJoin(F.broadcast(coarse))
+        .select(
+            "query_id",
+            F.col("c").alias("cell"),
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy(q_d2, F.col("c")))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _IVFPQ_NPROBE)
+        .drop("rn")
+    )
+    lut_d2s = F.array(
+        *[
+            _slice_d2(F.col("qv"), F.col("cv"), s, _IVFPQ_SUBDIM)
+            for s in range(_IVFPQ_SUBSPACES)
+        ]
+    )
+    lut = qs.crossJoin(F.broadcast(cb)).select(
+        "query_id", "code", F.posexplode(lut_d2s).alias("s", "d2s")
+    )
+    cand = probe.join(cells, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id")
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2s").cast("long").alias("adc_d2"))
+    )
+    pool = (
+        adc.select(
+            "query_id",
+            "vec_id",
+            "adc_d2",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("adc_d2"), F.col("vec_id")
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _IVFPQ_POOL)
+        .drop("rn")
+    )
+    exact_d2 = (
+        int_dot(F.col("qv"), F.col("qv"))
+        + int_dot(F.col("v"), F.col("v"))
+        - F.lit(2) * int_dot(F.col("qv"), F.col("v"))
+    )
+    rr = (
+        proj.join(F.broadcast(pool), "vec_id")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "vec_id", "adc_d2", exact_d2.cast("long").alias("exact_d2"))
+    )
+    return (
+        rr.select(
+            "query_id",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("exact_d2"), F.col("vec_id")
+                )
+            )
+            .cast("long")
+            .alias("rank"),
+            "vec_id",
+            "exact_d2",
+            "adc_d2",
+        )
+        .filter(F.col("rank") <= _IVFPQ_K)
+        .orderBy("query_id", "rank")
+    )
