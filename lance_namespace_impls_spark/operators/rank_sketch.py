@@ -215,3 +215,144 @@ def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q219 — hybrid retrieval: BM25 + embedding lists fused by reciprocal rank
+
+_RRF_TERMS = ("scan", "dup", "spark")
+_RRF_K = 60  # the standard RRF smoothing constant
+_RRF_LIST = 100  # per-list depth (each list is a distributed top-k reduce)
+_RRF_TOP = 10
+
+_RRF_ORACLE = (
+    # lexical list: q198's integer BM25 over the same fixed terms
+    "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w "
+    "  FROM documents), "
+    "dl AS (SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id), "
+    "stats AS (SELECT COUNT(*) AS n_docs, (SUM(dlen) // COUNT(*)) AS avg_dl FROM dl), "
+    "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok "
+    "  WHERE w IN ('scan', 'dup', 'spark') GROUP BY doc_id, w), "
+    "dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w), "
+    "lexs AS (SELECT tf.doc_id, CAST(SUM("
+    "  CAST(length(bin(n_docs // df)) AS BIGINT) * "
+    "  ((1000000 * 22 * tf * avg_dl) // (10 * avg_dl * tf + 3 * avg_dl + 9 * dlen))"
+    "  ) AS BIGINT) AS score "
+    "  FROM tf JOIN dl ON tf.doc_id = dl.doc_id "
+    "  JOIN dfreq ON tf.w = dfreq.w CROSS JOIN stats GROUP BY tf.doc_id), "
+    f"lex AS (SELECT * FROM lexs ORDER BY score DESC, doc_id LIMIT {_RRF_LIST}), "
+    "lexr AS (SELECT doc_id, "
+    "  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank FROM lex), "
+    # semantic list: integer dot product against the vec_id=0 query vector
+    "proj AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    "qv AS (SELECT v AS q FROM proj WHERE vec_id = 0), "
+    "sems AS (SELECT vec_id AS doc_id, CAST(list_dot_product(v, q) AS BIGINT) AS dot "
+    "  FROM proj CROSS JOIN qv), "
+    f"sem AS (SELECT * FROM sems ORDER BY dot DESC, doc_id LIMIT {_RRF_LIST}), "
+    "semr AS (SELECT doc_id, "
+    "  CAST(ROW_NUMBER() OVER (ORDER BY dot DESC, doc_id) AS BIGINT) AS sem_rank FROM sem), "
+    "fused AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank, "
+    f"  CAST(COALESCE(1000000 // ({_RRF_K} + l.lex_rank), 0) "
+    f"     + COALESCE(1000000 // ({_RRF_K} + s.sem_rank), 0) AS BIGINT) AS rrf_m "
+    "  FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, lex_rank, sem_rank, rrf_m "
+    f"FROM fused ORDER BY rrf_m DESC, doc_id LIMIT {_RRF_TOP}"
+)
+
+
+@query(
+    "q219_hybrid_rrf_retrieval",
+    _RRF_ORACLE,
+    doc="Hybrid retrieval with reciprocal-rank fusion (the standard "
+    "lexical+semantic combiner): the integer-BM25 list (q198's scoring) "
+    "and an embedding dot-product list (query = the vec_id=0 vector, "
+    "int-projected) are each reduced to a distributed top-100 "
+    "(TakeOrdered — no global sort of the corpus), ranked by a window "
+    "that only ever sees 100 rows, then full-outer fused with "
+    f"rrf = Σ 10⁶ DIV ({_RRF_K}+rank) in exact integer arithmetic.  "
+    "Docs on one list only contribute that list's term (NULL rank "
+    "surfaces in the output).  Top-10 by fused score, lowest-id ties.",
+    tags=("llm", "corpus", "retrieval"),
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from lance_namespace_impls_spark.functions.vectors import int_dot, int_projected
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tc = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tfw"))
+        .localCheckpoint(eager=False)  # shared term-frequency frame (q198 shape)
+    )
+    dl = tc.groupBy("doc_id").agg(F.sum("tfw").cast("bigint").alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("SUM(dlen) DIV COUNT(*)").alias("avg_dl"),
+    )
+    tf = tc.filter(F.col("w").isin(*_RRF_TERMS)).select(
+        "doc_id", "w", F.col("tfw").alias("tf")
+    )
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    lexs = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "w")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(F.expr("n_docs DIV df"))).cast("bigint")
+                * F.expr(
+                    "(1000000 * 22 * tf * avg_dl) DIV "
+                    "(10 * avg_dl * tf + 3 * avg_dl + 9 * dlen)"
+                )
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("s").cast("bigint").alias("score"))
+    )
+    lex = lexs.orderBy(F.col("score").desc(), "doc_id").limit(_RRF_LIST)
+    lexr = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("lex_rank"),
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = emb.select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    qv = proj.filter(F.col("vec_id") == 0).select(F.col("v").alias("q"))
+    sems = proj.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        int_dot(F.col("v"), F.col("q")).cast("long").alias("dot"),
+    )
+    sem = sems.orderBy(F.col("dot").desc(), "doc_id").limit(_RRF_LIST)
+    semr = sem.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("dot").desc(), F.col("doc_id")))
+        .cast("long")
+        .alias("sem_rank"),
+    )
+    fused = (
+        lexr.join(semr, "doc_id", "full_outer")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 DIV ({_RRF_K} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 DIV ({_RRF_K} + sem_rank)"), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("rrf_m"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_m").desc(), "doc_id").limit(_RRF_TOP)

@@ -85,3 +85,28 @@ def test_q202_classifier_decision_consistency(spark):
     for r in rows:
         assert r["keep"] == (r["score"] >= _CLS_BIAS)
         assert r["n_tokens"] >= 1
+
+
+def test_q219_rrf_fuses_both_lists(spark):
+    from lance_namespace_impls_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["q219_hybrid_rrf_retrieval"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    # descending fused score, deterministic ties
+    for a, b in zip(rows, rows[1:]):
+        assert (a["rrf_m"], -a["doc_id"]) >= (b["rrf_m"], -b["doc_id"])
+    # the fused score decomposes into exactly the two rank terms
+    for r in rows:
+        expect = 0
+        if r["lex_rank"] is not None:
+            expect += 1_000_000 // (60 + r["lex_rank"])
+        if r["sem_rank"] is not None:
+            expect += 1_000_000 // (60 + r["sem_rank"])
+        assert r["rrf_m"] == expect, r
+    # both retrieval modalities contribute to the fused top-10
+    assert any(r["lex_rank"] is not None for r in rows)
+    assert any(r["sem_rank"] is not None for r in rows)
+    # the self-match (query vector = vec 0) tops the semantic list
+    sem_top = [r for r in rows if r["sem_rank"] == 1]
+    assert sem_top and sem_top[0]["doc_id"] == 0
