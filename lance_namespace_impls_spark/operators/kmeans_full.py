@@ -1,0 +1,158 @@
+"""Multi-round Lloyd k-means, integer-exact and hash-checked per round
+(SURVEY.md §2B LLM row q220).
+
+q106 declared ONE Lloyd iteration as the oracle-checkable unit; this runs
+the actual algorithm — three assignment/update rounds — with every round's
+cluster census (size + inertia) in the result, so the oracle hash-proves
+the whole trajectory, not just a step.  Two devices keep it engine-exact:
+
+* vectors are int-projected THEN SHIFTED +1024 so every element is
+  positive: centroid updates are elementwise SUM DIV COUNT, and on
+  non-negative sums Spark's truncating DIV equals DuckDB's flooring ``//``
+  (squared distances are shift-invariant, so the geometry is unchanged);
+* assignment uses the order-free ``MIN(d2·k + c)`` trick (q197/q205):
+  cell = key % k, and the assignment distance key DIV k rides along for
+  free — the inertia needs no second pass.
+
+Scale shape: each round is one broadcast-centroid cross join (the corpus
+never shuffles to be assigned) + one vec-keyed aggregate + one
+(cell, pos)-keyed aggregate whose output is k·dim rows; per-round
+``localCheckpoint(eager=False)`` cuts lineage exactly like the q99/q208
+iterative loops.  Rounds are unrolled (fixed 3) — the production variant
+iterates under a convergence check on the inertia column this query emits.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; this extends the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.vectors import int_dot
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+_KM_K = 4
+_KM_DIM = 64
+_KM_ROUNDS = 3
+_KM_SHIFT = 1024  # makes every projected element positive (min ≈ -530)
+
+
+def _round_sql(r: int) -> str:
+    """One Lloyd round as DuckDB CTEs: asg{r} from cent{r-1}, stat{r}, cent{r}."""
+    prev = f"cent{r - 1}"
+    dd = (
+        "CAST(list_dot_product(p.v, p.v) AS BIGINT) "
+        "+ CAST(list_dot_product(c.cv, c.cv) AS BIGINT) "
+        "- 2 * CAST(list_dot_product(p.v, c.cv) AS BIGINT)"
+    )
+    sql = (
+        f"asg{r} AS (SELECT p.vec_id, ANY_VALUE(p.v) AS v, "
+        f"  CAST(MIN(({dd}) * {_KM_K} + c.c) % {_KM_K} AS BIGINT) AS cell, "
+        f"  CAST(MIN(({dd}) * {_KM_K} + c.c) // {_KM_K} AS BIGINT) AS mind "
+        f"  FROM proj p CROSS JOIN {prev} c GROUP BY p.vec_id), "
+        f"stat{r} AS (SELECT CAST({r} AS BIGINT) AS round, cell, "
+        "  CAST(COUNT(*) AS BIGINT) AS n_members, "
+        f"  CAST(SUM(mind) AS BIGINT) AS inertia FROM asg{r} GROUP BY cell)"
+    )
+    if r < _KM_ROUNDS:
+        sql += (
+            f", cent{r} AS (SELECT cell AS c, list(m ORDER BY pos) AS cv FROM ("
+            f"  SELECT a.cell, t.i AS pos, CAST(SUM(a.v[t.i + 1]) // COUNT(*) AS BIGINT) AS m "
+            f"  FROM asg{r} a, range({_KM_DIM}) t(i) GROUP BY a.cell, t.i) GROUP BY cell)"
+        )
+    return sql
+
+
+_KMEANS_ORACLE = (
+    "WITH proj AS (SELECT vec_id, "
+    f"  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) + {_KM_SHIFT} AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    f"cent0 AS (SELECT vec_id AS c, v AS cv FROM proj WHERE vec_id < {_KM_K}), "
+    + ", ".join(_round_sql(r) for r in range(1, _KM_ROUNDS + 1))
+    + " SELECT * FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM stat{r}" for r in range(1, _KM_ROUNDS + 1))
+    + ") ORDER BY round, cell"
+)
+
+
+def kmeans_rounds(emb: DataFrame, rounds: int = _KM_ROUNDS, k: int = _KM_K) -> DataFrame:
+    """Run ``rounds`` Lloyd iterations; return the per-round cluster census."""
+    proj = spread(emb).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (F.round(x.cast("double") * 1000) + _KM_SHIFT).cast("long"),
+        ).alias("v"),
+    )
+    proj = proj.localCheckpoint(eager=False)  # feeds every round
+    cent = proj.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+    )
+    dd = (
+        int_dot(F.col("v"), F.col("v"))
+        + int_dot(F.col("cv"), F.col("cv"))
+        - F.lit(2) * int_dot(F.col("v"), F.col("cv"))
+    )
+    stats = []
+    for r in range(1, rounds + 1):
+        asg = (
+            proj.crossJoin(F.broadcast(cent))
+            .groupBy("vec_id")
+            .agg(
+                F.min(dd * k + F.col("c")).alias("key"),
+                F.first("v").alias("v"),
+            )
+            .select(
+                "vec_id",
+                "v",
+                (F.col("key") % k).cast("long").alias("cell"),
+                F.expr(f"CAST(key DIV {k} AS BIGINT)").alias("mind"),
+            )
+            .localCheckpoint(eager=False)  # feeds the census AND the update
+        )
+        stats.append(
+            asg.groupBy("cell").agg(
+                F.count(F.lit(1)).cast("long").alias("n_members"),
+                F.sum("mind").cast("long").alias("inertia"),
+            )
+            .select(F.lit(r).cast("long").alias("round"), "cell", "n_members", "inertia")
+        )
+        if r < rounds:
+            cent = (
+                asg.select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+                )
+                .select(F.col("cell").alias("c"), F.col("pm.m").alias("cv"))
+                .localCheckpoint(eager=False)
+            )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round", "cell")
+
+
+@query(
+    "q220_kmeans_lloyd_rounds",
+    _KMEANS_ORACLE,
+    doc="The FULL Lloyd k-means loop (3 rounds, k=4, centroids seeded from "
+    "the vec_id<4 rows), hash-proving the whole trajectory: every round's "
+    "cluster census (size + assignment inertia) is in the result.  "
+    "Engine-exact via (1) +1024 shift after int projection so centroid "
+    "SUM DIV COUNT runs on non-negative sums (Spark DIV truncates, DuckDB "
+    "// floors — equal only there; d² is shift-invariant) and (2) the "
+    "order-free MIN(d²·k+c) assignment whose key DIV k yields the "
+    "assignment distance for free.  Per round: one broadcast-centroid "
+    "pass (corpus never shuffles), one vec-keyed and one (cell,pos)-keyed "
+    "aggregate (k·dim output rows), lineage cut per round.",
+    tags=("llm", "similarity", "clustering"),
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_rounds(load_table(spark, "embeddings", sf_dir))

@@ -46,6 +46,7 @@ CARTESIAN_ALLOWED = {
     "q217_gate_agreement": "1-row corpus-mean bits/bigram broadcast into the gate predicate",
     "q218_ivfpq_search": "4-row coarse + 8-row PQ codebook broadcasts (index build is map-only)",
     "q219_hybrid_rrf_retrieval": "1-row query-vector and corpus-stats broadcasts into the scoring",
+    "q220_kmeans_lloyd_rounds": "k=4 broadcast-centroid assignment per round (corpus never shuffles)",
 }
 
 # streaming builders start real runs; their plans are covered by the
