@@ -1,0 +1,238 @@
+"""Portable sketch twins: KMV distinct estimation and a Bloom-filter
+membership audit (SURVEY.md §2B rows q221–q222).
+
+q64 declares Spark's native HLL++ ``approx_count_distinct`` (no oracle —
+the sketch is implementation-defined).  These two give the sketch family
+the q161/q201 treatment: the SAME algorithms rebuilt from md5-derived
+hashes that both engines compute identically, so the sketch output itself
+is hash-exact against DuckDB — and each result carries its own ground
+truth, so the estimate's error is part of the checked row.
+
+* **KMV / k-minimum-values (q221)** — the classic distinct sketch (Bar-
+  Yossef et al. 2002): keep the k smallest hash values of a set; the k-th
+  smallest m estimates |S| ≈ (k−1)·H/m for hash space H.  Mergeable (union
+  of min-sets), tiny (k values), and here integer-exact: est = (k−1)·2³²
+  DIV m_k.
+* **Bloom membership audit (q222)** — build an m-bit / 2-lane Bloom filter
+  over one source's vocabulary, probe another source's tokens, and report
+  the exact confusion: true members hit always (asserted — a Bloom filter
+  has NO false negatives), non-members hit at the measured false-positive
+  rate, which the row reports next to the m/n-driven expectation.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.text import tokens
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# 32-bit hash from the first 8 md5 hex chars — the cross-engine hash
+_H32 = "conv(substring(md5({x}), 1, 8), 16, 10)"
+_H32_DUCK = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+
+def _source_bigrams(docs: DataFrame) -> DataFrame:
+    """(source, w) with w = space-joined token bigram — the sketched set.
+
+    Unigram vocabulary in the fixture is ~31 types per source, which made
+    both sketches vacuous (KMV never left its exact-passthrough branch;
+    the Bloom probe had zero non-members).  Bigrams give 600–900 types
+    per source at every SF — the estimator and FP paths provably fire.
+    Map-only zip_with generation, the q206 device.
+    """
+    toks = spread(docs).select(
+        "source",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')").alias("tk"),
+    )
+    return toks.select(
+        "source",
+        F.explode(
+            F.expr(
+                "filter(zip_with(tk, slice(tk, 2, size(tk)), "
+                "(x, y) -> concat(x, ' ', y)), p -> p IS NOT NULL)"
+            )
+        ).alias("w"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221: KMV (k-minimum-values) distinct sketch per source
+
+_KMV_K = 64
+
+_KMV_ORACLE = (
+    "WITH toks AS (SELECT source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), "
+    "big AS (SELECT source, tk[i] || ' ' || tk[i + 1] AS w FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    "dist AS (SELECT DISTINCT source, w FROM big), "
+    f"hs AS (SELECT source, {_H32_DUCK.format(x='w')} AS h FROM dist), "
+    "ranked AS (SELECT source, h, "
+    "  ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM hs), "
+    "kth AS (SELECT source, CAST(MAX(h) AS BIGINT) AS mk, "
+    "  CAST(COUNT(*) AS BIGINT) AS kk FROM ranked "
+    f"  WHERE rk <= {_KMV_K} GROUP BY source), "
+    "truth AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM dist GROUP BY source) "
+    "SELECT t.source, t.exact_distinct, "
+    "  CAST(CASE WHEN k.kk < "
+    f"{_KMV_K} THEN t.exact_distinct ELSE ((k.kk - 1) * 4294967296) // k.mk END AS BIGINT) "
+    "    AS kmv_estimate "
+    "FROM truth t JOIN kth k USING (source) ORDER BY t.source"
+)
+
+
+@query(
+    "q221_kmv_distinct",
+    _KMV_ORACLE,
+    doc="KMV distinct sketch per source (Bar-Yossef et al. 2002), the "
+    "portable hash-exact twin of q64's native HLL++: keep the k=64 "
+    "smallest md5-derived 32-bit hashes of each source's token set; "
+    "estimate = (k-1)*2^32 DIV kth_min (exact-count passthrough when the "
+    "set is smaller than k).  The result carries the exact distinct count "
+    "next to the estimate, so the sketch's error is itself oracle-checked. "
+    " Scale shape: dedup to (source, token), hash, per-source top-k-by-min "
+    "— a map-side-combinable k-row state per source, mergeable by min-set "
+    "union exactly like production sketch aggregation.",
+    tags=("llm", "sketch", "aggregates"),
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    dist = _source_bigrams(docs).distinct()
+    hs = dist.select(
+        "source", F.expr(_H32.format(x="w")).cast("long").alias("h")
+    )
+    ranked = hs.select(
+        "source",
+        "h",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("h"))
+        .alias("rk"),
+    )
+    kth = (
+        ranked.filter(F.col("rk") <= _KMV_K)
+        .groupBy("source")
+        .agg(
+            F.max("h").cast("long").alias("mk"),
+            F.count(F.lit(1)).cast("long").alias("kk"),
+        )
+    )
+    truth = dist.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    return (
+        truth.join(kth, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.when(F.col("kk") < _KMV_K, F.col("exact_distinct"))
+            .otherwise(F.expr(f"((kk - 1) * 4294967296) DIV mk"))
+            .cast("long")
+            .alias("kmv_estimate"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q222: Bloom-filter membership audit (build on src0 vocab, probe src1)
+
+_BLOOM_BITS = 1024
+_BLOOM_LANES = 2
+
+_BLOOM_ORACLE = (
+    "WITH toks AS (SELECT source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), "
+    "big AS (SELECT source, tk[i] || ' ' || tk[i + 1] AS w FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    "vocab0 AS (SELECT DISTINCT w FROM big WHERE source = 'src0'), "
+    "bits AS (SELECT DISTINCT lane, CAST(CASE lane "
+    f"  WHEN 0 THEN {_H32_DUCK.format(x='w')} % {_BLOOM_BITS} "
+    f"  ELSE {_H32_DUCK.format(x=chr(39) + 'b|' + chr(39) + ' || w')} % {_BLOOM_BITS} END AS BIGINT) AS bit "
+    f"  FROM vocab0 CROSS JOIN (VALUES (0), (1)) l(lane)), "
+    "probe AS (SELECT DISTINCT w FROM big WHERE source = 'src1'), "
+    "pb AS (SELECT w, "
+    f"  CAST({_H32_DUCK.format(x='w')} % {_BLOOM_BITS} AS BIGINT) AS b0, "
+    f"  CAST({_H32_DUCK.format(x=chr(39) + 'b|' + chr(39) + ' || w')} % {_BLOOM_BITS} AS BIGINT) AS b1 "
+    "  FROM probe), "
+    "hits AS (SELECT pb.w, "
+    "  CASE WHEN EXISTS (SELECT 1 FROM bits WHERE lane = 0 AND bit = pb.b0) "
+    "   AND EXISTS (SELECT 1 FROM bits WHERE lane = 1 AND bit = pb.b1) "
+    "   THEN 1 ELSE 0 END AS hit, "
+    "  CASE WHEN pb.w IN (SELECT w FROM vocab0) THEN 1 ELSE 0 END AS member "
+    "  FROM pb) "
+    "SELECT CAST(SUM(member) AS BIGINT) AS true_members, "
+    "  CAST(SUM(member * hit) AS BIGINT) AS member_hits, "
+    "  CAST(SUM((1 - member)) AS BIGINT) AS non_members, "
+    "  CAST(SUM((1 - member) * hit) AS BIGINT) AS false_positives, "
+    "  CAST((SELECT COUNT(DISTINCT bit) FROM bits WHERE lane = 0) AS BIGINT) AS lane0_bits_set, "
+    "  CAST((SELECT COUNT(DISTINCT bit) FROM bits WHERE lane = 1) AS BIGINT) AS lane1_bits_set "
+    "FROM hits"
+)
+
+
+@query(
+    "q222_bloom_membership_audit",
+    _BLOOM_ORACLE,
+    doc=f"Bloom-filter membership audit: an m={_BLOOM_BITS}-bit, "
+    f"{_BLOOM_LANES}-lane filter built over src0's vocabulary probes "
+    "src1's vocabulary, and the row reports the exact confusion — "
+    "member_hits == true_members always (a Bloom filter has no false "
+    "negatives; asserted in tests) while false_positives measures the "
+    "real FP rate next to the bits-set occupancy that predicts it.  "
+    "Hash-exact twin of the engine's native runtime bloom pruning "
+    "(q116): both lanes are md5-derived, so the filter contents are "
+    "deterministic and the WHOLE audit carries a value oracle.  Scale "
+    "shape: the filter is a bounded bit-position relation (≤ m rows per "
+    "lane), broadcast to probes as a left-semi pair; at production scale "
+    "the same relation compiles into the long[] bloom Spark pushes into "
+    "scans.",
+    tags=("llm", "sketch", "joins"),
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = _source_bigrams(docs).localCheckpoint(eager=False)  # feeds build + probe
+    vocab0 = tok.filter(F.col("source") == "src0").select("w").distinct()
+    vocab0 = vocab0.localCheckpoint(eager=False)  # feeds both lanes + membership
+    b0 = F.expr(_H32.format(x="w")).cast("long") % _BLOOM_BITS
+    b1 = F.expr(_H32.format(x="concat('b|', w)")).cast("long") % _BLOOM_BITS
+    bits0 = vocab0.select(b0.alias("bit")).distinct()
+    bits1 = vocab0.select(b1.alias("bit")).distinct()
+    probe = tok.filter(F.col("source") == "src1").select("w").distinct()
+    pb = probe.select("w", b0.alias("b0"), b1.alias("b1"))
+    hit0 = pb.join(
+        F.broadcast(bits0.withColumnRenamed("bit", "b0")), "b0", "left_semi"
+    ).select("w")
+    hit1 = pb.join(
+        F.broadcast(bits1.withColumnRenamed("bit", "b1")), "b1", "left_semi"
+    ).select("w")
+    hits = hit0.intersect(hit1).withColumn("hit", F.lit(1))
+    member = vocab0.withColumn("member", F.lit(1))
+    audit = (
+        pb.select("w")
+        .join(hits, "w", "left")
+        .join(member, "w", "left")
+        .select(
+            F.coalesce("hit", F.lit(0)).alias("hit"),
+            F.coalesce("member", F.lit(0)).alias("member"),
+        )
+    )
+    occupancy = bits0.agg(F.count(F.lit(1)).cast("long").alias("lane0_bits_set")).crossJoin(
+        bits1.agg(F.count(F.lit(1)).cast("long").alias("lane1_bits_set"))
+    )
+    return (
+        audit.agg(
+            F.sum("member").cast("long").alias("true_members"),
+            F.sum(F.col("member") * F.col("hit")).cast("long").alias("member_hits"),
+            F.sum(1 - F.col("member")).cast("long").alias("non_members"),
+            F.sum((1 - F.col("member")) * F.col("hit"))
+            .cast("long")
+            .alias("false_positives"),
+        )
+        .crossJoin(F.broadcast(occupancy))
+    )

@@ -47,6 +47,7 @@ CARTESIAN_ALLOWED = {
     "q218_ivfpq_search": "4-row coarse + 8-row PQ codebook broadcasts (index build is map-only)",
     "q219_hybrid_rrf_retrieval": "1-row query-vector and corpus-stats broadcasts into the scoring",
     "q220_kmeans_lloyd_rounds": "k=4 broadcast-centroid assignment per round (corpus never shuffles)",
+    "q222_bloom_membership_audit": "two 1-row occupancy aggregates cross-joined onto the 1-row audit",
 }
 
 # streaming builders start real runs; their plans are covered by the
