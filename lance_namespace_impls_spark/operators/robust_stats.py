@@ -1,0 +1,167 @@
+"""Robust statistics and weighted sampling (SURVEY.md §2B rows q223–q224).
+
+* **Exact median + MAD (q223)** — the robust location/scale pair
+  (median, median-absolute-deviation) computed EXACTLY and distributed:
+  the corpus reduces to a value-frequency table (bounded by the number of
+  distinct lengths, not rows), the median is selected by cumulative count
+  crossing (n+1) DIV 2 on that bounded table, and the MAD repeats the
+  trick on |x − median| frequencies.  No single-partition sort of the
+  corpus anywhere — the classic two-pass exact-quantile shape.  Integer
+  lower-median convention keeps both engines bit-identical.
+* **Priority sampling (q224)** — bounded-size WEIGHTED sampling
+  (Duffield et al.'s priority sampling shape): each document draws the
+  deterministic key h DIV w (md5 hash over weight); the k smallest keys
+  form the sample, so doubling a document's weight halves its key and
+  monotonically raises its inclusion chance.  Fully deterministic, so the
+  SAMPLE ITSELF is hash-checked — the q154 acceptance-sampler's
+  fixed-size complement.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q223: exact distributed median + MAD of document lengths per language
+
+_MEDIAN_ORACLE = (
+    "WITH x AS (SELECT lang, n_chars AS v FROM documents), "
+    "vc AS (SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS c FROM x GROUP BY lang, v), "
+    "tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY lang), "
+    "cum AS (SELECT lang, v, c, SUM(c) OVER (PARTITION BY lang ORDER BY v "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM vc), "
+    "med AS (SELECT c.lang, CAST(MIN(c.v) AS BIGINT) AS median FROM cum c "
+    "  JOIN tot t USING (lang) WHERE c.cc >= (t.n + 1) // 2 GROUP BY c.lang), "
+    "dev AS (SELECT x.lang, abs(x.v - m.median) AS d FROM x JOIN med m USING (lang)), "
+    "dc AS (SELECT lang, d, CAST(COUNT(*) AS BIGINT) AS c FROM dev GROUP BY lang, d), "
+    "dcum AS (SELECT lang, d, SUM(c) OVER (PARTITION BY lang ORDER BY d "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM dc), "
+    "mad AS (SELECT dc2.lang, CAST(MIN(dc2.d) AS BIGINT) AS mad FROM dcum dc2 "
+    "  JOIN tot t USING (lang) WHERE dc2.cc >= (t.n + 1) // 2 GROUP BY dc2.lang) "
+    "SELECT m.lang, t.n AS n_docs, m.median, a.mad "
+    "FROM med m JOIN mad a USING (lang) JOIN tot t USING (lang) ORDER BY m.lang"
+)
+
+
+@query(
+    "q223_median_mad",
+    _MEDIAN_ORACLE,
+    doc="Exact per-language median and MAD of document length — the robust "
+    "location/scale pair outlier gates should use instead of mean/stddev. "
+    " Distributed exactly: the corpus reduces to a (lang, value)-frequency "
+    "table bounded by distinct lengths, the median is the first value "
+    "whose cumulative count crosses (n+1) DIV 2 (integer lower-median — "
+    "engine-bit-identical), and the MAD repeats the device on |x−median| "
+    "frequencies.  No single-partition corpus sort anywhere; the ordered "
+    "windows only ever see the bounded frequency tables.",
+    tags=("llm", "aggregates", "analysis"),
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    x = docs.select("lang", F.col("n_chars").cast("long").alias("v"))
+    vc = x.groupBy("lang", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = vc.groupBy("lang").agg(F.sum("c").cast("long").alias("n"))
+    wv = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.withColumn("cc", F.sum("c").over(wv))
+    med = (
+        cum.join(tot, "lang")
+        .filter(F.col("cc") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("lang")
+        .agg(F.min("v").cast("long").alias("median"))
+    )
+    dev = x.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(F.col("v") - F.col("median")).alias("d")
+    )
+    dc = dev.groupBy("lang", "d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wd = (
+        Window.partitionBy("lang")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dc.withColumn("cc", F.sum("c").over(wd))
+    mad = (
+        dcum.join(tot, "lang")
+        .filter(F.col("cc") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("lang")
+        .agg(F.min("d").cast("long").alias("mad"))
+    )
+    return (
+        med.join(mad, "lang")
+        .join(tot, "lang")
+        .select("lang", F.col("n").alias("n_docs"), "median", "mad")
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224: priority sampling — bounded-size weighted sample, fully deterministic
+
+_PRIO_K = 50
+
+_PRIO_ORACLE = (
+    "WITH w AS (SELECT doc_id, "
+    "  CAST(1 + length(trim(text)) // 100 AS BIGINT) AS weight, "
+    "  (('0x' || substr(md5('p|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) AS h "
+    "  FROM documents), "
+    "keyed AS (SELECT doc_id, weight, CAST(h // weight AS BIGINT) AS pkey FROM w), "
+    "ranked AS (SELECT doc_id, weight, pkey, "
+    "  ROW_NUMBER() OVER (ORDER BY pkey, doc_id) AS rk FROM keyed) "
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, weight, pkey, CAST(rk AS BIGINT) AS rk "
+    f"FROM ranked WHERE rk <= {_PRIO_K} ORDER BY rk"
+)
+
+
+@query(
+    "q224_priority_sample",
+    _PRIO_ORACLE,
+    doc="Priority sampling (Duffield et al. shape): a BOUNDED-SIZE weighted "
+    "sample — every document draws the deterministic key h DIV w (md5 of "
+    "its id over its length-derived weight) and the k=50 smallest keys "
+    "win, so doubling a weight halves the key and monotonically raises "
+    "inclusion.  Deterministic end to end: the SAMPLE ITSELF hash-checks "
+    "against DuckDB, the fixed-size complement of q154's accept/reject "
+    "sampler.  Scale shape: key assignment is map-only; the top-k is a "
+    "distributed TakeOrdered (map-side k-row heaps, one k-row merge) — "
+    "the window ranks only the k survivors.",
+    tags=("llm", "sampling", "curation"),
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    keyed = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (1 + F.expr("length(trim(text)) DIV 100")).cast("long").alias("weight"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("p|"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    ).select(
+        "doc_id", "weight", F.expr("CAST(h DIV weight AS BIGINT)").alias("pkey")
+    )
+    top = keyed.orderBy("pkey", "doc_id").limit(_PRIO_K)
+    return top.select(
+        "doc_id",
+        "weight",
+        "pkey",
+        F.row_number()
+        .over(Window.orderBy("pkey", "doc_id"))
+        .cast("long")
+        .alias("rk"),
+    ).orderBy("rk")
