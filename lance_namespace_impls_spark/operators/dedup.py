@@ -320,3 +320,82 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — sorted-neighborhood blocking (the classic ER candidate generator)
+
+_SNM_WINDOW = 3  # each record pairs with the next w-1 sort neighbours
+
+_SNM_ORACLE = (
+    "WITH d AS (SELECT doc_id, lower(trim(text)) AS key, "
+    "  list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+    "    t -> t <> '')) AS tk FROM documents), "
+    "s AS (SELECT doc_id, key, tk, substr(key, 1, 2) AS block FROM d), "
+    "w AS (SELECT block, doc_id AS id_a, tk AS ta, "
+    "  lead(doc_id, 1) OVER win AS b1, lead(tk, 1) OVER win AS t1, "
+    "  lead(doc_id, 2) OVER win AS b2, lead(tk, 2) OVER win AS t2 "
+    "  FROM s WINDOW win AS (PARTITION BY block ORDER BY key, doc_id)), "
+    "pairs AS ("
+    "  SELECT block, id_a, b1 AS id_b, ta, t1 AS tb FROM w WHERE b1 IS NOT NULL "
+    "  UNION ALL "
+    "  SELECT block, id_a, b2, ta, t2 FROM w WHERE b2 IS NOT NULL) "
+    "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, block, "
+    "  CAST((1000 * len(list_intersect(ta, tb))) "
+    "    // len(list_distinct(ta || tb)) AS BIGINT) AS sim_permil "
+    "FROM pairs ORDER BY id_a, id_b"
+)
+
+
+@query(
+    "q225_sorted_neighborhood",
+    _SNM_ORACLE,
+    doc="Sorted-neighborhood blocking (Hernandez & Stolfo 1995), the "
+    "entity-resolution candidate generator the LSH/shingle family does "
+    "not cover: records sort by a normalized key (lowercased text) and "
+    f"each pairs with its next {_SNM_WINDOW - 1} sort neighbours, scored "
+    "with integer-permil unigram Jaccard.  Distributed form: the sort is "
+    "per 2-char key-prefix block — window partitions scale with blocks "
+    "and no global corpus sort exists; cross-block boundary pairs are the "
+    "documented SNM tradeoff (production recovers them with a second "
+    "pass under a shifted key, same plan).  Candidate count is exactly "
+    f"(w-1)·N — linear, never quadratic.",
+    tags=("llm", "dedup", "joins"),
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        F.lower(F.trim(F.col("text"))).alias("key"),
+        F.array_distinct(
+            F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')")
+        ).alias("tk"),
+    ).withColumn("block", F.substring("key", 1, 2))
+    win = Window.partitionBy("block").orderBy("key", "doc_id")
+    w = d.select(
+        "block",
+        F.col("doc_id").alias("id_a"),
+        F.col("tk").alias("ta"),
+        F.lead("doc_id", 1).over(win).alias("b1"),
+        F.lead("tk", 1).over(win).alias("t1"),
+        F.lead("doc_id", 2).over(win).alias("b2"),
+        F.lead("tk", 2).over(win).alias("t2"),
+    )
+    p1 = w.filter(F.col("b1").isNotNull()).select(
+        "block", "id_a", F.col("b1").alias("id_b"), "ta", F.col("t1").alias("tb")
+    )
+    p2 = w.filter(F.col("b2").isNotNull()).select(
+        "block", "id_a", F.col("b2").alias("id_b"), "ta", F.col("t2").alias("tb")
+    )
+    pairs = p1.unionAll(p2)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "block",
+        F.expr(
+            "CAST((1000 * size(array_intersect(ta, tb))) "
+            "DIV size(array_union(ta, tb)) AS BIGINT)"
+        ).alias("sim_permil"),
+    ).orderBy("id_a", "id_b")
