@@ -1,0 +1,74 @@
+"""Plan-shape assertions for the round-6 operator batch: the scale claims
+in each query's doc (partitioned windows, distributed top-k, broadcast
+model sides) checked against the ACTUAL executed plan, so a regression
+that silently de-distributes a stage fails here, not at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        QUERIES[name]
+        .builder(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+# Queries whose every window/top-k is partitioned or TakeOrdered and which
+# have no global 1-row aggregate: ANY SinglePartition exchange here means a
+# corpus-sized stage collapsed onto one task.
+NO_SINGLE_PARTITION = [
+    "q213_sequence_packing",  # per-(source, shard) packing windows
+    "q220_kmeans_lloyd_rounds",  # per-cell census, broadcast assignment
+    "q223_median_mad",  # per-lang frequency-table windows
+    "q224_priority_sample",  # TakeOrdered top-k, no global sort
+    "q225_sorted_neighborhood",  # per-block neighbour windows
+]
+
+
+@pytest.mark.parametrize("name", NO_SINGLE_PARTITION)
+def test_no_single_partition_exchange(spark, name):
+    assert "SinglePartition" not in _plan(spark, name), (
+        f"{name}: a corpus stage collapsed to one partition"
+    )
+
+
+# The per-list / global top-k reductions must compile to Spark's
+# distributed TakeOrderedAndProject, never a global sort.
+TAKE_ORDERED = ["q224_priority_sample", "q219_hybrid_rrf_retrieval"]
+
+
+@pytest.mark.parametrize("name", TAKE_ORDERED)
+def test_topk_is_take_ordered(spark, name):
+    assert "TakeOrderedAndProject" in _plan(spark, name), (
+        f"{name}: top-k did not compile to a distributed TakeOrdered"
+    )
+
+
+# Model/side tables (hash-bucket models, codebooks, bound rows, medians)
+# must reach the corpus via a broadcast, not a shuffle join.
+BROADCAST_SIDE = [
+    "q210_dsir_importance",
+    "q211_calibration_sweep",
+    "q212_domain_mixture",
+    "q214_heaps_growth",
+    "q216_vocab_coverage",
+    "q218_ivfpq_search",
+    "q223_median_mad",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_SIDE)
+def test_model_side_is_broadcast(spark, name):
+    assert "BroadcastExchange" in _plan(spark, name), (
+        f"{name}: the bounded side table is not broadcast"
+    )
