@@ -226,3 +226,23 @@ def simhash64(toks: Column) -> Column:
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures via popcount(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine 32-bit md5 hash (the q58/q161/q202 parity idiom, centralized)
+
+#: DuckDB twin of :func:`md5_h32` — format with ``x=<sql expression>``.
+#: Both sides read the first 8 md5 hex chars as an unsigned 32-bit integer,
+#: so the value fits int64 and is identical character-for-character.
+MD5_H32_DUCK = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+
+def md5_h32(col: Column) -> Column:
+    """First 8 md5 hex chars of ``col`` as a non-negative 32-bit integer.
+
+    The ONE portable hash every oracle-checked operator should derive
+    buckets/weights/keys from; its DuckDB twin is :data:`MD5_H32_DUCK`.
+    Keeping a single definition prevents the silent one-character parity
+    breaks that independent restatements invite.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")

@@ -189,15 +189,14 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivfpq_search(emb: DataFrame) -> DataFrame:
     """IVF-PQ ANN over an (vec_id, embedding) frame — see q218's doc."""
     proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    # self-dot-products are per-row constants: carry them as a column so the
+    # broadcast joins evaluate one dot per pair, not three (review finding)
+    proj = proj.withColumn("nn", int_dot(F.col("v"), F.col("v")).cast("long"))
     proj = proj.localCheckpoint(eager=False)  # feeds index build, queries, re-rank
     coarse = proj.filter(F.col("vec_id") < _IVFPQ_COARSE).select(
-        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+        F.col("vec_id").alias("c"), F.col("v").alias("cv"), F.col("nn").alias("cnn")
     )
-    full_d2 = (
-        int_dot(F.col("v"), F.col("v"))
-        + int_dot(F.col("cv"), F.col("cv"))
-        - F.lit(2) * int_dot(F.col("v"), F.col("cv"))
-    )
+    full_d2 = F.col("nn") + F.col("cnn") - F.lit(2) * int_dot(F.col("v"), F.col("cv"))
     cells = (
         proj.crossJoin(F.broadcast(coarse))
         .groupBy("vec_id")
@@ -227,13 +226,9 @@ def ivfpq_search(emb: DataFrame) -> DataFrame:
         )
     )
     qs = proj.filter(F.col("vec_id") < _IVFPQ_CODES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nn").alias("qnn")
     )
-    q_d2 = (
-        int_dot(F.col("qv"), F.col("qv"))
-        + int_dot(F.col("cv"), F.col("cv"))
-        - F.lit(2) * int_dot(F.col("qv"), F.col("cv"))
-    )
+    q_d2 = F.col("qnn") + F.col("cnn") - F.lit(2) * int_dot(F.col("qv"), F.col("cv"))
     probe = (
         qs.crossJoin(F.broadcast(coarse))
         .select(
@@ -280,11 +275,7 @@ def ivfpq_search(emb: DataFrame) -> DataFrame:
         .filter(F.col("rn") <= _IVFPQ_POOL)
         .drop("rn")
     )
-    exact_d2 = (
-        int_dot(F.col("qv"), F.col("qv"))
-        + int_dot(F.col("v"), F.col("v"))
-        - F.lit(2) * int_dot(F.col("qv"), F.col("v"))
-    )
+    exact_d2 = F.col("qnn") + F.col("nn") - F.lit(2) * int_dot(F.col("qv"), F.col("v"))
     rr = (
         proj.join(F.broadcast(pool), "vec_id")
         .join(F.broadcast(qs), "query_id")

@@ -88,13 +88,17 @@ def kmeans_rounds(emb: DataFrame, rounds: int = _KM_ROUNDS, k: int = _KM_K) -> D
             lambda x: (F.round(x.cast("double") * 1000) + _KM_SHIFT).cast("long"),
         ).alias("v"),
     )
+    # the self-dot-products are constants per row/centroid: precompute them
+    # once as columns so the broadcast cross join evaluates ONE dot per pair
+    # instead of three (review finding; identical results)
+    proj = proj.withColumn("vv", int_dot(F.col("v"), F.col("v")).cast("long"))
     proj = proj.localCheckpoint(eager=False)  # feeds every round
     cent = proj.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+        F.col("vec_id").alias("c"), F.col("v").alias("cv"), F.col("vv").alias("cvv")
     )
     dd = (
-        int_dot(F.col("v"), F.col("v"))
-        + int_dot(F.col("cv"), F.col("cv"))
+        F.col("vv")
+        + F.col("cvv")
         - F.lit(2) * int_dot(F.col("v"), F.col("cv"))
     )
     stats = []
@@ -105,10 +109,12 @@ def kmeans_rounds(emb: DataFrame, rounds: int = _KM_ROUNDS, k: int = _KM_K) -> D
             .agg(
                 F.min(dd * k + F.col("c")).alias("key"),
                 F.first("v").alias("v"),
+                F.first("vv").alias("vv"),
             )
             .select(
                 "vec_id",
                 "v",
+                "vv",
                 (F.col("key") % k).cast("long").alias("cell"),
                 F.expr(f"CAST(key DIV {k} AS BIGINT)").alias("mind"),
             )
@@ -131,6 +137,7 @@ def kmeans_rounds(emb: DataFrame, rounds: int = _KM_ROUNDS, k: int = _KM_K) -> D
                     F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
                 )
                 .select(F.col("cell").alias("c"), F.col("pm.m").alias("cv"))
+                .withColumn("cvv", int_dot(F.col("cv"), F.col("cv")).cast("long"))
                 .localCheckpoint(eager=False)
             )
     out = stats[0]

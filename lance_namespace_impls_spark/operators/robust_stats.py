@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lance_namespace_impls_spark.functions.hashing import md5_h32
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.sources.tables import load_table
 
@@ -143,15 +144,7 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         (1 + F.expr("length(trim(text)) DIV 100")).cast("long").alias("weight"),
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("p|"), F.col("doc_id").cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+        md5_h32(F.concat(F.lit("p|"), F.col("doc_id").cast("string"))).alias("h"),
     ).select(
         "doc_id", "weight", F.expr("CAST(h DIV weight AS BIGINT)").alias("pkey")
     )

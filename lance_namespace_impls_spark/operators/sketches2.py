@@ -32,9 +32,10 @@ from pyspark.sql import functions as F
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.sources.tables import load_table, spread
 
-# 32-bit hash from the first 8 md5 hex chars — the cross-engine hash
+from lance_namespace_impls_spark.functions.hashing import MD5_H32_DUCK as _H32_DUCK  # noqa: E402
+
+# SQL-expression form of functions.hashing.md5_h32 for f-string composition
 _H32 = "conv(substring(md5({x}), 1, 8), 16, 10)"
-_H32_DUCK = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
 
 
 
@@ -143,8 +144,7 @@ def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # q222: Bloom-filter membership audit (build on src0 vocab, probe src1)
 
-_BLOOM_BITS = 1024
-_BLOOM_LANES = 2
+_BLOOM_BITS = 1024  # the filter is 2-lane throughout (hash pair b0/b1)
 
 _BLOOM_ORACLE = (
     "WITH toks AS (SELECT source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), "
@@ -179,7 +179,7 @@ _BLOOM_ORACLE = (
     "q222_bloom_membership_audit",
     _BLOOM_ORACLE,
     doc=f"Bloom-filter membership audit: an m={_BLOOM_BITS}-bit, "
-    f"{_BLOOM_LANES}-lane filter built over src0's vocabulary probes "
+    "2-lane filter built over src0's vocabulary probes "
     "src1's vocabulary, and the row reports the exact confusion — "
     "member_hits == true_members always (a Bloom filter has no false "
     "negatives; asserted in tests) while false_positives measures the "

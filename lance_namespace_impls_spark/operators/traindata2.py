@@ -45,6 +45,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from lance_namespace_impls_spark.functions.hashing import md5_h32
 from lance_namespace_impls_spark.functions.text import tokens
 from lance_namespace_impls_spark.operators.traindata import bigram_bits
 from lance_namespace_impls_spark.plans.registry import query
@@ -61,9 +62,25 @@ def _bitlen(c: Column) -> Column:
 
 
 def _md5_bucket(col: Column, buckets: int) -> Column:
-    """First 8 md5 hex chars mod ``buckets`` — the cross-engine hash
-    (q202 precedent; DuckDB twin ``('0x'||substr(md5(x),1,8))::BIGINT``)."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets
+    """:func:`md5_h32` mod ``buckets`` — the cross-engine feature bucket
+    (q202 precedent; DuckDB twin :data:`MD5_H32_DUCK` % buckets)."""
+    return md5_h32(col) % buckets
+
+
+def _cls_features(docs: DataFrame, buckets: int = 1024) -> DataFrame:
+    """(doc_id, lang, wt): the q202 hashing-trick classifier's per-token
+    weight stream — THE single definition q211 and q217 aggregate from
+    (q202 predates it and keeps its own inline copy with an identical
+    oracle; any change to the hash scheme must touch both and re-verify)."""
+    bucket = _md5_bucket(F.col("w"), buckets)
+    weight = (
+        md5_h32(F.concat(F.lit("w|"), F.col("b").cast("string"))) % 2001 - 1000
+    )
+    return (
+        docs.select("doc_id", "lang", F.explode(tokens("text")).alias("w"))
+        .select("doc_id", "lang", bucket.alias("b"))
+        .select("doc_id", "lang", weight.alias("wt"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -83,8 +100,8 @@ _DSIR_ORACLE = (
     "  WHERE lang = 'en' GROUP BY b), "
     "side AS (SELECT r.b, r.cr, COALESCE(t.ct, 0) AS ct "
     "  FROM raw r LEFT JOIN tgt t USING (b)), "
-    "tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, CAST(SUM(ct) AS BIGINT) AS nt "
-    "  FROM side) "
+    "tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, "
+    "  CAST(GREATEST(SUM(ct), 1) AS BIGINT) AS nt FROM side) "
     "SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, "
     "  CAST(SUM(k) AS BIGINT) AS n_tokens, "
     "  CAST(SUM(k * ((1000000 * (ct + 1) * nr) // ((cr + 1) * nt))) AS BIGINT) "
@@ -134,8 +151,11 @@ def dsir_weights(
     side = raw.join(tgt, "b", "left").select(
         "b", "cr", F.coalesce("ct", F.lit(0)).cast("long").alias("ct")
     )
+    # GREATEST(.., 1): a target_lang matching zero documents must yield a
+    # defined (all-ratios-tiny) score, not a divide-by-zero under ANSI mode
     tot = side.agg(
-        F.sum("cr").cast("long").alias("nr"), F.sum("ct").cast("long").alias("nt")
+        F.sum("cr").cast("long").alias("nr"),
+        F.greatest(F.sum("ct"), F.lit(1)).cast("long").alias("nt"),
     )
     return (
         docb.join(F.broadcast(side), "b")
@@ -228,21 +248,8 @@ _CAL_ORACLE = (
 )
 def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, "documents", sf_dir))
-    bucket = _md5_bucket(F.col("w"), _CAL_BUCKETS)
-    weight = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("w|"), F.col("b").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 2001
-        - 1000
-    )
-    feat = docs.select(
-        "doc_id", "lang", F.explode(tokens("text")).alias("w")
-    ).select("doc_id", "lang", bucket.alias("b"))
     scored = (
-        feat.select("doc_id", "lang", weight.alias("wt"))
+        _cls_features(docs, _CAL_BUCKETS)
         .groupBy("doc_id")
         .agg(F.max("lang").alias("lang"), F.sum("wt").cast("long").alias("score"))
     )
@@ -653,20 +660,8 @@ _KAPPA_ORACLE = (
 )
 def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, "documents", sf_dir))
-    bucket = _md5_bucket(F.col("w"), 1024)
-    weight = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("w|"), F.col("b").cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % 2001
-        - 1000
-    )
     cls = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
-        .select("doc_id", bucket.alias("b"))
-        .select("doc_id", weight.alias("wt"))
+        _cls_features(docs)
         .groupBy("doc_id")
         .agg(F.sum("wt").cast("long").alias("score"))
     )
