@@ -1,0 +1,155 @@
+"""BPE tokenizer TRAINING loop — three merge rounds, hash-checked
+end-to-end (SURVEY.md §2B LLM row q226).
+
+q196 declared one merge round's pair census; this runs the actual
+algorithm (Sennrich et al. 2016): census adjacent symbol pairs on the
+word-frequency table, adopt the most frequent pair as a merge, rewrite
+the symbol sequences, repeat.  The engine-portability devices:
+
+* words are symbol STRINGS with every symbol bracketed — ``hello`` →
+  ``<h> <e> <l> <l> <o>`` — so a merge is a plain ``replace(sym_str,
+  '<a> <b>', '<ab>')``: no regex (no Java-vs-RE2 dialect risk), and the
+  brackets make partial-symbol matches impossible while plain string
+  replace gives identical greedy leftmost non-overlapping application in
+  Spark and DuckDB;
+* every round's state lives on the WORD-FREQUENCY table (vocabulary-
+  sized), exactly how production BPE trainers work — the corpus is read
+  once to build word counts and never touched again, so three (or three
+  thousand) merge rounds cost O(vocab) each at any corpus size.
+
+The result is the merge trajectory itself: per round, the adopted pair,
+its weighted frequency, and the corpus symbol count after applying it —
+all integer/string, hash-exact against the DuckDB replay.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; this extends the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.text import tokens
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+_BPE_ROUNDS = 3
+
+_SYMS_DUCK = (
+    "'<' || array_to_string(list_transform(range(1, length(w) + 1), "
+    "i -> substr(w, CAST(i AS INT), 1)), '> <') || '>'"
+)
+
+
+def _round_sql(r: int) -> str:
+    prev = f"wc{r - 1}"
+    return (
+        f"pr{r} AS (SELECT l[i] || ' ' || l[i + 1] AS pair, "
+        "  CAST(SUM(cnt) AS BIGINT) AS freq FROM ("
+        f"  SELECT string_split(sym, ' ') AS l, cnt FROM {prev}), "
+        "  unnest(range(1, len(l))) AS u(i) GROUP BY pair), "
+        f"top{r} AS (SELECT pair, freq FROM pr{r} ORDER BY freq DESC, pair LIMIT 1), "
+        f"wc{r} AS (SELECT replace(w.sym, t.pair, replace(t.pair, '> <', '')) AS sym, "
+        f"  w.cnt FROM {prev} w CROSS JOIN top{r} t), "
+        f"stat{r} AS (SELECT CAST({r} AS BIGINT) AS round, t.pair AS merged_pair, "
+        "  t.freq, (SELECT CAST(SUM(len(string_split(sym, ' ')) * cnt) AS BIGINT) "
+        f"    FROM wc{r}) AS corpus_symbols_after FROM top{r} t)"
+    )
+
+
+_BPE_ORACLE = (
+    "WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w "
+    "  FROM documents), "
+    "wc0 AS (SELECT " + _SYMS_DUCK + " AS sym, CAST(COUNT(*) AS BIGINT) AS cnt "
+    "  FROM tok WHERE length(w) >= 1 GROUP BY w), "
+    + ", ".join(_round_sql(r) for r in range(1, _BPE_ROUNDS + 1))
+    + " SELECT * FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM stat{r}" for r in range(1, _BPE_ROUNDS + 1))
+    + ") ORDER BY round"
+)
+
+
+def bpe_train_rounds(docs: DataFrame, rounds: int = _BPE_ROUNDS) -> DataFrame:
+    """Run ``rounds`` BPE merges on the corpus word-frequency table."""
+    syms = F.concat(
+        F.lit("<"),
+        F.concat_ws(
+            "> <",
+            F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"),
+        ),
+        F.lit(">"),
+    )
+    wc = (
+        spread(docs)
+        .select(F.explode(tokens("text")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(syms.alias("sym"), "cnt")
+        .localCheckpoint(eager=False)  # the vocabulary-sized training state
+    )
+    stats = []
+    for r in range(1, rounds + 1):
+        pairs = (
+            wc.select(F.split("sym", " ").alias("l"), "cnt")
+            .select(
+                F.explode(
+                    F.expr(
+                        "filter(zip_with(l, slice(l, 2, size(l)), "
+                        "(x, y) -> concat(x, ' ', y)), p -> p IS NOT NULL)"
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("long").alias("freq"))
+        )
+        top = pairs.orderBy(F.col("freq").desc(), "pair").limit(1)
+        wc = (
+            wc.crossJoin(F.broadcast(top))
+            .select(
+                F.expr("replace(sym, pair, replace(pair, '> <', ''))").alias("sym"),
+                "cnt",
+            )
+            .localCheckpoint(eager=False)  # next round reads the merged state
+        )
+        after = wc.agg(
+            F.sum(F.size(F.split("sym", " ")) * F.col("cnt"))
+            .cast("long")
+            .alias("corpus_symbols_after")
+        )
+        stats.append(
+            top.crossJoin(F.broadcast(after)).select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("pair").alias("merged_pair"),
+                "freq",
+                "corpus_symbols_after",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round")
+
+
+@query(
+    "q226_bpe_train_rounds",
+    _BPE_ORACLE,
+    doc="The FULL BPE training loop (Sennrich et al. 2016), three merge "
+    "rounds hash-proved end-to-end: census adjacent symbol pairs on the "
+    "word-frequency table, adopt the (freq DESC, pair) top pair, rewrite "
+    "via plain string replace on bracketed symbol strings ('<h> <e>' -> "
+    "'<he>') — bracketing forbids partial-symbol matches and plain "
+    "replace gives identical greedy leftmost non-overlapping application "
+    "on both engines, no regex dialect risk.  The training state is the "
+    "vocabulary-sized word-frequency table (the corpus is read once for "
+    "counts and never again), so each round is O(vocab) at any corpus "
+    "size; per-round lineage cuts bound the plan exactly like q220's "
+    "Lloyd loop.  Output: the merge trajectory (pair, weighted freq, "
+    "corpus symbol count after) — symbol counts strictly decrease.",
+    tags=("llm", "corpus", "tokenizer"),
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train_rounds(load_table(spark, "documents", sf_dir))

@@ -48,6 +48,7 @@ CARTESIAN_ALLOWED = {
     "q219_hybrid_rrf_retrieval": "1-row query-vector and corpus-stats broadcasts into the scoring",
     "q220_kmeans_lloyd_rounds": "k=4 broadcast-centroid assignment per round (corpus never shuffles)",
     "q222_bloom_membership_audit": "two 1-row occupancy aggregates cross-joined onto the 1-row audit",
+    "q226_bpe_train_rounds": "1-row top-merge and symbol-count broadcasts per round (state is vocab-sized)",
 }
 
 # streaming builders start real runs; their plans are covered by the
