@@ -356,3 +356,101 @@ def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf_m").desc(), "doc_id").limit(_RRF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# q227 — full PageRank loop (3 damped iterations on the bipartite graph)
+
+_PR_ROUNDS = 3
+_PR_TOP = 5
+
+
+def _pr_round_sql(t: int) -> str:
+    prev = f"r{t - 1}"
+    return (
+        f"r{t} AS (SELECT ed.dst AS node, "
+        f"  CAST(150000 + (85 * SUM(r.r // deg.d)) // 100 AS BIGINT) AS r "
+        f"  FROM ed JOIN {prev} r ON ed.src = r.node "
+        "  JOIN deg ON ed.src = deg.src GROUP BY ed.dst), "
+        f"stat{t} AS (SELECT CAST({t} AS BIGINT) AS round, "
+        "  CAST(node % 2 AS BIGINT) AS is_supp, CAST(node // 2 AS BIGINT) AS key, r "
+        f"  FROM r{t} ORDER BY r DESC, node LIMIT {_PR_TOP})"
+    )
+
+
+_PR_ORACLE = (
+    "WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem), "
+    "ed AS (SELECT p * 2 AS src, s * 2 + 1 AS dst FROM e "
+    "  UNION ALL SELECT s * 2 + 1, p * 2 FROM e), "
+    "deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY src), "
+    "r0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS r FROM ed), "
+    + ", ".join(_pr_round_sql(t) for t in range(1, _PR_ROUNDS + 1))
+    + " SELECT * FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM stat{t}" for t in range(1, _PR_ROUNDS + 1))
+    + ") ORDER BY round, r DESC, is_supp, key"
+)
+
+
+@query(
+    "q227_pagerank_rounds",
+    _PR_ORACLE,
+    doc="The FULL damped PageRank loop (3 rounds, d=0.85) over the "
+    "undirected bipartite part<->supplier shipment graph, hash-proving "
+    "the whole trajectory: each round's top-5 nodes in rank-x-10^6 "
+    "integer arithmetic (contribution = rank DIV degree, damping = "
+    "(85*s) DIV 100 + 150000 — non-negative throughout, so Spark DIV == "
+    "DuckDB //).  q199 declared one step; this iterates it with the "
+    "q220/q226 loop discipline: the rank state is node-sized, each round "
+    "is one co-partitioned edge join + one dst-keyed aggregate (shuffles "
+    "carry two BIGINTs per edge), per-round lineage cuts.  Floats would "
+    "diverge run-to-run by summation order; integers make even the "
+    "iteration trajectory oracle-checkable.",
+    tags=("graph", "rank"),
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    e = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    ed = (
+        e.select((F.col("p") * 2).alias("src"), (F.col("s") * 2 + 1).alias("dst"))
+        .unionAll(
+            e.select((F.col("s") * 2 + 1).alias("src"), (F.col("p") * 2).alias("dst"))
+        )
+        .localCheckpoint(eager=False)  # the edge relation feeds every round
+    )
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    r = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(1_000_000).cast("long").alias("r")
+    )
+    stats = []
+    for t in range(1, _PR_ROUNDS + 1):
+        r = (
+            ed.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(150_000)
+                    + F.expr("CAST((85 * SUM(r DIV d)) DIV 100 AS BIGINT)")
+                )
+                .cast("long")
+                .alias("r")
+            )
+            .withColumnRenamed("dst", "node")
+            .localCheckpoint(eager=False)  # next round reads this state
+        )
+        stats.append(
+            r.orderBy(F.col("r").desc(), "node")
+            .limit(_PR_TOP)
+            .select(
+                F.lit(t).cast("long").alias("round"),
+                (F.col("node") % 2).cast("long").alias("is_supp"),
+                F.expr("CAST(node DIV 2 AS BIGINT)").alias("key"),
+                "r",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("round", F.col("r").desc(), "is_supp", "key")

@@ -110,3 +110,24 @@ def test_q219_rrf_fuses_both_lists(spark):
     # the self-match (query vector = vec 0) tops the semantic list
     sem_top = [r for r in rows if r["sem_rank"] == 1]
     assert sem_top and sem_top[0]["doc_id"] == 0
+
+
+def test_q227_pagerank_trajectory_invariants(spark):
+    from lance_namespace_impls_spark.plans.registry import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    rows = QUERIES["q227_pagerank_rounds"].builder(spark, SF_SMOKE).collect()
+    by_round: dict[int, list] = {}
+    for r in rows:
+        by_round.setdefault(r["round"], []).append(r)
+    assert set(by_round) == {1, 2, 3}
+    for rnd, rs in by_round.items():
+        assert len(rs) == 5
+        # descending rank, deterministic ties
+        for a, b in zip(rs, rs[1:]):
+            assert a["r"] >= b["r"]
+        # damping floor: every rank >= 0.15 * SCALE
+        assert all(r["r"] >= 150_000 for r in rs)
+    # the iteration does something: the round-3 leaders' ranks differ from
+    # round-1's (power iteration moves mass toward high-degree hubs)
+    assert [r["r"] for r in by_round[1]] != [r["r"] for r in by_round[3]]
