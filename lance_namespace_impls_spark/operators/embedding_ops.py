@@ -299,3 +299,105 @@ def ivfpq_search(emb: DataFrame) -> DataFrame:
         .filter(F.col("rank") <= _IVFPQ_K)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q232: ANN recall audit — IVF-PQ (q218) scored against the exact top-k
+
+_RECALL_ORACLE = (
+    f"WITH approx AS (SELECT query_id, vec_id, rank FROM ({_IVFPQ_ORACLE})), "
+    "proj2 AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    f"qs2 AS (SELECT vec_id AS query_id, v AS qv FROM proj2 WHERE vec_id < {_IVFPQ_CODES}), "
+    "d AS (SELECT q.query_id, p.vec_id, "
+    "  CAST(list_dot_product(q.qv, q.qv) AS BIGINT) "
+    "    + CAST(list_dot_product(p.v, p.v) AS BIGINT) "
+    "    - 2 * CAST(list_dot_product(q.qv, p.v) AS BIGINT) AS d2 "
+    "  FROM qs2 q CROSS JOIN proj2 p WHERE p.vec_id <> q.query_id), "
+    "ex AS (SELECT query_id, vec_id, rank FROM ("
+    "  SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "    ORDER BY d2, vec_id) AS rank FROM d) "
+    f"  WHERE rank <= {_IVFPQ_K}), "
+    "hits AS (SELECT a.query_id, COUNT(*) AS hits FROM approx a "
+    "  JOIN ex e ON a.query_id = e.query_id AND a.vec_id = e.vec_id "
+    "  GROUP BY a.query_id), "
+    "t1 AS (SELECT a.query_id, "
+    "  CASE WHEN a.vec_id = e.vec_id THEN 1 ELSE 0 END AS top1 "
+    "  FROM approx a JOIN ex e ON a.query_id = e.query_id "
+    "  AND a.rank = 1 AND e.rank = 1) "
+    "SELECT CAST(q.query_id AS BIGINT) AS query_id, "
+    "  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, "
+    "  CAST(COALESCE(t.top1, 0) AS BIGINT) AS top1_match, "
+    f"  CAST({_IVFPQ_K} AS BIGINT) AS k "
+    "FROM qs2 q LEFT JOIN hits h USING (query_id) LEFT JOIN t1 t USING (query_id) "
+    "ORDER BY q.query_id"
+)
+
+
+@query(
+    "q232_ann_recall_audit",
+    _RECALL_ORACLE,
+    doc="ANN recall audit: q218's IVF-PQ top-5 scored against the exact "
+    "brute-force top-5 per query — hits (recall@5 numerator) and top1 "
+    "agreement, all integer so the EVALUATION HARNESS itself is "
+    "hash-exact across engines (both the index and its ground truth are "
+    "deterministic).  This is the operator a pipeline runs continuously "
+    "to decide nprobe/codebook sizes.  Scale shape: the ground-truth side "
+    "is the documented O(Q*N) brute-force pass confined to the audit "
+    "sample (Q queries broadcast against the corpus, per-query top-k via "
+    "a bounded window) — the standard recall-audit design at any scale; "
+    "the approximate side reuses q218's broadcast-indexed plan "
+    "unchanged.",
+    tags=("llm", "similarity", "vectors"),
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    approx = ivfpq_search(emb).select("query_id", "vec_id", "rank")
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    proj = proj.withColumn("nn", int_dot(F.col("v"), F.col("v")).cast("long"))
+    qs = proj.filter(F.col("vec_id") < _IVFPQ_CODES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nn").alias("qnn")
+    )
+    d2 = F.col("qnn") + F.col("nn") - F.lit(2) * int_dot(F.col("qv"), F.col("v"))
+    ex = (
+        proj.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy(d2, F.col("vec_id")))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= _IVFPQ_K)
+    )
+    hits = (
+        approx.join(ex.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    t1 = (
+        approx.filter(F.col("rank") == 1)
+        .select("query_id", F.col("vec_id").alias("av"))
+        .join(
+            ex.filter(F.col("rank") == 1).select("query_id", F.col("vec_id").alias("ev")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.when(F.col("av") == F.col("ev"), 1).otherwise(0).alias("top1"),
+        )
+    )
+    return (
+        qs.select("query_id")
+        .join(hits, "query_id", "left")
+        .join(t1, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.coalesce("top1", F.lit(0)).cast("long").alias("top1_match"),
+            F.lit(_IVFPQ_K).cast("long").alias("k"),
+        )
+        .orderBy("query_id")
+    )

@@ -18,6 +18,13 @@ truth, so the estimate's error is part of the checked row.
   the exact confusion: true members hit always (asserted — a Bloom filter
   has NO false negatives), non-members hit at the measured false-positive
   rate, which the row reports next to the m/n-driven expectation.
+* **HyperLogLog (q228)** — the register-based distinct sketch q64's native
+  ``approx_count_distinct`` actually runs (Flajolet et al. 2007), rebuilt
+  portable: md5-derived 32-bit hashes route to m=64 registers, the
+  register state is ``max(rho)`` (a map-side-combinable aggregate — the
+  production merge), and the harmonic-mean estimate is fixed-point integer
+  (``2^30 >> rho`` summands, alpha as the rational 709/1000), so the
+  WHOLE sketch — registers and estimate — hash-checks against DuckDB.
 
 Reference parity note: the reference repo (lance-format/lance-namespace-impls)
 contains no query-processing code; these extend the data plane per
@@ -234,4 +241,97 @@ def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("false_positives"),
         )
         .crossJoin(F.broadcast(occupancy))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q228: HyperLogLog distinct sketch per source (fixed-point estimate)
+
+_HLL_M = 64  # registers; 32-bit hash splits into 6 register bits + 26 rho bits
+# alpha_64 = 0.709 as the rational 709/1000; estimate = alpha*m^2 / Z with
+# Z = sum over registers of 2^-rho, carried at fixed-point scale 2^30
+_HLL_NUM = f"(709 * {_HLL_M} * {_HLL_M} * CAST(1073741824 AS BIGINT))"
+
+# rho = leading zeros of the 26-bit remainder + 1 (all-zero word => 27);
+# bin() has no leading zeros in either engine, so rho = 27 - bitlength
+_RHO = "CASE WHEN rest = 0 THEN 27 ELSE 27 - length(bin(rest)) END"
+
+_HLL_ORACLE = (
+    "WITH toks AS (SELECT source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), "
+    "big AS (SELECT source, tk[i] || ' ' || tk[i + 1] AS w FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    "dist AS (SELECT DISTINCT source, w FROM big), "
+    f"hs AS (SELECT source, {_H32_DUCK.format(x='w')} AS h FROM dist), "
+    f"rr AS (SELECT source, h % {_HLL_M} AS reg, h // {_HLL_M} AS rest FROM hs), "
+    f"rho AS (SELECT source, reg, MAX({_RHO}) AS mx FROM rr GROUP BY source, reg), "
+    "grid AS (SELECT s.source, g.range AS reg "
+    f"  FROM (SELECT DISTINCT source FROM dist) s, range({_HLL_M}) g), "
+    "filled AS (SELECT g.source, COALESCE(r.mx, 0) AS mx FROM grid g "
+    "  LEFT JOIN rho r ON g.source = r.source AND g.reg = r.reg), "
+    "zsum AS (SELECT source, SUM(1073741824 >> mx) AS z, "
+    "  SUM(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS zero_registers FROM filled GROUP BY source), "
+    "truth AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM dist GROUP BY source) "
+    "SELECT t.source, t.exact_distinct, "
+    f"  CAST({_HLL_NUM} // (1000 * z.z) AS BIGINT) AS hll_estimate, "
+    "  CAST(z.zero_registers AS BIGINT) AS zero_registers "
+    "FROM truth t JOIN zsum z USING (source) ORDER BY t.source"
+)
+
+
+@query(
+    "q228_hll_distinct",
+    _HLL_ORACLE,
+    doc="HyperLogLog distinct sketch per source (Flajolet et al. 2007), the "
+    "register-level portable twin of the HLL++ inside q64's native "
+    "approx_count_distinct: md5-derived 32-bit hashes split into a 6-bit "
+    f"register route (m={_HLL_M}) and a 26-bit word whose "
+    "leading-zero rank is the register value; the harmonic-mean estimate "
+    "is fixed-point integer (2^30 >> rho summands, alpha_64 = 709/1000), "
+    "so registers AND estimate hash-check against DuckDB, with the exact "
+    "distinct count in the same row auditing the sketch's error.  Scale "
+    "shape: the register state is max(rho) per (source, reg) — a "
+    "64-slot map-side-combinable aggregate, mergeable by pairwise max "
+    "exactly like production sketch union; the corpus shuffles only "
+    "(source, reg, rho) ints.  The linear-counting small-range branch is "
+    "deliberately reported as inputs (zero_registers) rather than applied "
+    "— it needs ln(), and at bigram cardinalities (600+ per source, "
+    ">= 2.5*m) the raw estimator is the active branch anyway.",
+    tags=("llm", "sketch", "aggregates"),
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    dist = _source_bigrams(docs).distinct()
+    dist = dist.localCheckpoint(eager=False)  # feeds registers + truth
+    hs = dist.select("source", F.expr(_H32.format(x="w")).cast("long").alias("h"))
+    rr = hs.select(
+        "source",
+        (F.col("h") % _HLL_M).alias("reg"),
+        F.expr(f"h DIV {_HLL_M}").alias("rest"),
+    )
+    rho = rr.groupBy("source", "reg").agg(F.expr(f"MAX({_RHO})").alias("mx"))
+    grid = (
+        dist.select("source")
+        .distinct()
+        .select("source", F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("reg"))
+    )
+    filled = grid.join(rho, ["source", "reg"], "left").select(
+        "source", F.coalesce("mx", F.lit(0)).alias("mx")
+    )
+    zsum = filled.groupBy("source").agg(
+        F.sum(F.expr("shiftright(1073741824, mx)")).alias("z"),
+        F.sum(F.when(F.col("mx") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("zero_registers"),
+    )
+    truth = dist.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    return (
+        truth.join(zsum, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.expr(f"CAST({_HLL_NUM} DIV (1000 * z) AS BIGINT)").alias("hll_estimate"),
+            "zero_registers",
+        )
+        .orderBy("source")
     )

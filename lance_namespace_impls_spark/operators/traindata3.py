@@ -1,0 +1,389 @@
+"""Round-6 batch-4 training-data operators (SURVEY.md §2B LLM rows
+q229–q231, q233).
+
+* **Repeated-span removal (q229)** — the REMOVAL half of Lee et al. 2021
+  exact-substring dedup that q177's census only counts: every non-canonical
+  occurrence of a duplicated 5-gram (canonical = globally first by
+  (doc_id, pos)) marks its covered token positions for clipping; the row
+  reports per-document removed/retained token counts with overlapping spans
+  union-counted once.
+* **Simpson diversity gate (q230)** — per-document token-repetition
+  concentration sum c_i(c_i−1) / n(n−1) (the Simpson index), integer-exact
+  as ppm: the no-float twin of entropy-based quality scoring; high
+  concentration flags keyword-stuffed/templated docs.
+* **Prefix-filtering similarity join (q231)** — the PPJoin-family
+  set-similarity join (Chaudhuri et al. 2006; Xiao et al. 2008): Jaccard
+  ≥ 0.8 document pairs over token-bigram sets found WITHOUT the quadratic
+  all-pairs scan, by the recall-lossless prefix filter (sets ordered
+  rarest-token-first; if two sets' (s − ⌈t·s⌉ + 1)-prefixes are disjoint
+  their Jaccard is provably < t), then exact verification of the bounded
+  candidate set.
+* **Positional-delete application (q233)** — the lance-format deletion-file
+  model made relational: a (fragment, pos) delete relation applied to a scan
+  as an anti-join, with per-fragment live counts and an order-free XOR
+  checksum proving exactly the flagged rows disappeared.
+
+All integer arithmetic on md5-derived portable hashes, so every row is
+hash-exact against DuckDB.  Reference parity note: the reference repo
+(lance-format/lance-namespace-impls) contains no query-processing code;
+these extend the data plane per SURVEY.md §2B — q233 mirrors the deletion
+semantics of the lance table format the reference's namespaces serve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.text import HASH_PRIME, tokens, word_shingles
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+from lance_namespace_impls_spark.functions.hashing import MD5_H32_DUCK as _H32_DUCK
+
+# SQL-expression form of functions.hashing.md5_h32 for f-string composition
+_H32 = "conv(substring(md5({x}), 1, 8), 16, 10)"
+
+
+# ---------------------------------------------------------------------------
+# q229: repeated-span removal (Lee et al. 2021, the clipping stage)
+
+_SPAN_W = 5
+# packed (doc_id, pos) occurrence key; docs are bounded far below 2^20 tokens
+_POS_BOUND = 1_048_576
+
+_SPAN_RM_ORACLE = (
+    "WITH toked AS (SELECT doc_id, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "base AS (SELECT doc_id, len(toks) AS n_tokens FROM toked), "
+    "sh AS (SELECT doc_id, i - 1 AS pos, "
+    f"""  {_H32_DUCK.format(x="array_to_string(toks[i:i+4], ' ')")} % {HASH_PRIME} AS h """
+    f"  FROM toked, unnest(generate_series(1, len(toks) - {_SPAN_W - 1})) AS u(i) "
+    f"  WHERE len(toks) >= {_SPAN_W}), "
+    f"fst AS (SELECT h, MIN(doc_id * {_POS_BOUND} + pos) AS fp FROM sh GROUP BY h), "
+    "dup AS (SELECT s.doc_id, s.pos FROM sh s JOIN fst f USING (h) "
+    f"  WHERE s.doc_id * {_POS_BOUND} + s.pos <> f.fp), "
+    "cov AS (SELECT DISTINCT doc_id, tp "
+    f"  FROM dup, unnest(generate_series(pos, pos + {_SPAN_W - 1})) AS g(tp)), "
+    "rem AS (SELECT doc_id, COUNT(*) AS removed FROM cov GROUP BY doc_id) "
+    "SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, "
+    "  CAST(COALESCE(r.removed, 0) AS BIGINT) AS removed_tokens, "
+    "  CAST(b.n_tokens - COALESCE(r.removed, 0) AS BIGINT) AS retained_tokens, "
+    "  CAST((1000000 * COALESCE(r.removed, 0)) // GREATEST(b.n_tokens, 1) AS BIGINT) "
+    "    AS removed_ppm "
+    "FROM base b LEFT JOIN rem r USING (doc_id) ORDER BY b.doc_id"
+)
+
+
+@query(
+    "q229_span_removal",
+    _SPAN_RM_ORACLE,
+    doc="Repeated-span REMOVAL (the clipping stage of Lee et al. 2021 "
+    "exact-substring dedup; q177 is the census): the canonical occurrence "
+    "of each duplicated 5-gram is the globally first (min packed "
+    "(doc_id, pos)); every other occurrence marks its 5 covered token "
+    "positions for removal, overlaps union-counted once.  Per document: "
+    "token count, removed/retained tokens, removed ppm.  Scale shape: "
+    "spans hash to 31-bit ints at construction so shuffles carry only "
+    "ints; the canonical occurrence is a MIN aggregate on the span key "
+    "(map-side-combinable — no window sort over skewed span groups, the "
+    "boilerplate-span hot key costs one combine, not a sort); covered "
+    "positions dedup on (doc_id, pos) ints; one final per-doc aggregate. "
+    "At 100 TB the sh relation is the written intermediate between the "
+    "dedup scan job and the clip job — exactly Lee et al.'s suffix-table "
+    "materialization, n-gram-granular.",
+    tags=("llm", "dedup", "text"),
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    toked = toked.localCheckpoint(eager=False)  # feeds spans + per-doc base
+    base = toked.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    sh = toked.select(
+        "doc_id", F.posexplode(word_shingles(F.col("toks"), _SPAN_W)).alias("pos", "span")
+    ).select(
+        "doc_id",
+        "pos",
+        (F.expr(_H32.format(x="span")).cast("long") % HASH_PRIME).alias("h"),
+    )
+    packed = F.col("doc_id") * _POS_BOUND + F.col("pos")
+    fst = sh.groupBy("h").agg(F.min(packed).alias("fp"))
+    dup = sh.join(fst, "h").filter(packed != F.col("fp"))
+    cov = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_W - 1))).alias("tp"),
+    ).distinct()
+    rem = cov.groupBy("doc_id").agg(F.count(F.lit(1)).alias("removed"))
+    return (
+        base.join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("removed", F.lit(0)).cast("long").alias("removed_tokens"),
+            (F.col("n_tokens") - F.coalesce("removed", F.lit(0)))
+            .cast("long")
+            .alias("retained_tokens"),
+            F.expr(
+                "CAST((1000000 * COALESCE(removed, 0)) DIV GREATEST(n_tokens, 1) "
+                "AS BIGINT)"
+            ).alias("removed_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q230: Simpson token-concentration quality gate
+
+_SIMPSON_GATE_PPM = 40_000  # ~10% of fixture docs exceed this at every SF
+
+_SIMPSON_ORACLE = (
+    "WITH tok AS (SELECT doc_id, "
+    "  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM documents), "
+    "c AS (SELECT doc_id, t, COUNT(*) AS k FROM tok GROUP BY doc_id, t), "
+    "a AS (SELECT doc_id, SUM(k) AS n, SUM(k * (k - 1)) AS ss, "
+    "  COUNT(*) AS dt, MAX(k) AS top FROM c GROUP BY doc_id) "
+    "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, "
+    "  CAST(dt AS BIGINT) AS distinct_tokens, CAST(top AS BIGINT) AS top_freq, "
+    "  CAST((1000000 * ss) // GREATEST(n * (n - 1), 1) AS BIGINT) AS simpson_ppm, "
+    f"  CAST(CASE WHEN (1000000 * ss) // GREATEST(n * (n - 1), 1) > {_SIMPSON_GATE_PPM} "
+    "    THEN 1 ELSE 0 END AS BIGINT) AS concentrated "
+    "FROM a ORDER BY doc_id"
+)
+
+
+@query(
+    "q230_simpson_diversity",
+    _SIMPSON_ORACLE,
+    doc="Simpson token-concentration quality gate: per-document "
+    "sum c_i(c_i-1) / n(n-1) — the collision probability of drawing the "
+    "same token twice — as an integer-exact ppm, with the "
+    f"> {_SIMPSON_GATE_PPM} ppm gate flagging keyword-stuffed/templated "
+    "docs (the no-float, hash-checkable twin of entropy-based quality "
+    "scoring; both branches fire at every SF).  Scale shape: one pass, "
+    "two map-side-combinable aggregations — (doc, token) counts then the "
+    "per-doc moment sums — shuffling only int pairs keyed by doc_id; no "
+    "join, no window, no corpus re-read.",
+    tags=("llm", "text", "quality"),
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    c = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("k"))
+    a = c.groupBy("doc_id").agg(
+        F.sum("k").alias("n"),
+        F.sum(F.col("k") * (F.col("k") - 1)).alias("ss"),
+        F.count(F.lit(1)).alias("dt"),
+        F.max("k").alias("top"),
+    )
+    ppm = "(1000000 * ss) DIV GREATEST(n * (n - 1), 1)"
+    return a.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("dt").cast("long").alias("distinct_tokens"),
+        F.col("top").cast("long").alias("top_freq"),
+        F.expr(f"CAST({ppm} AS BIGINT)").alias("simpson_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {ppm} > {_SIMPSON_GATE_PPM} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("concentrated"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q231: prefix-filtering set-similarity join (PPJoin-lite), Jaccard >= 0.8
+
+_JACC_NUM, _JACC_DEN = 8, 10  # threshold t = 0.8
+
+_PREFIX_ORACLE = (
+    "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), "
+    "big AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS w "
+    "  FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    "sz AS (SELECT doc_id, COUNT(*) AS s FROM big GROUP BY doc_id), "
+    "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS it "
+    "  FROM big a JOIN big b ON a.w = b.w AND a.doc_id < b.doc_id "
+    "  GROUP BY a.doc_id, b.doc_id), "
+    "j AS (SELECT d1, d2, it, s1.s AS s1, s2.s AS s2 FROM inter "
+    "  JOIN sz s1 ON s1.doc_id = d1 JOIN sz s2 ON s2.doc_id = d2) "
+    "SELECT CAST(d1 AS BIGINT) AS d1, CAST(d2 AS BIGINT) AS d2, "
+    "  CAST(it AS BIGINT) AS inter_size, CAST(s1 AS BIGINT) AS s1, "
+    "  CAST(s2 AS BIGINT) AS s2, CAST(s1 + s2 - it AS BIGINT) AS union_size "
+    f"FROM j WHERE {_JACC_DEN} * it >= {_JACC_NUM} * (s1 + s2 - it) "
+    "ORDER BY d1, d2"
+)
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, w) token-bigram sets (the q221 bigram device —
+    unigram vocabulary is ~31 types and makes every doc near-identical)."""
+    toks = spread(docs).select(
+        "doc_id",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')").alias("tk"),
+    )
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(zip_with(tk, slice(tk, 2, size(tk)), "
+                "(x, y) -> concat(x, ' ', y)), p -> p IS NOT NULL)"
+            )
+        ).alias("w"),
+    ).distinct()
+
+
+@query(
+    "q231_prefix_filter_join",
+    _PREFIX_ORACLE,
+    doc="Prefix-filtering set-similarity join (the PPJoin family — "
+    "Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008): all document pairs "
+    "with token-bigram Jaccard >= 0.8, found WITHOUT the all-pairs scan.  "
+    "Each doc's bigram set is ordered rarest-first (global doc-frequency, "
+    "ties by value); by the prefix-filter lemma, J(x,y) >= t implies the "
+    "(s - ceil(t*s) + 1)-prefixes share an element, so the equi-join on "
+    "prefix tokens is recall-lossless; candidates then shrink by the "
+    "size-ratio bound (min size >= t * max size) and are verified by exact "
+    "intersection counting — the integer predicate 10*|∩| >= 8*|∪|.  "
+    "The oracle is the obviously-correct quadratic (intersecting pairs "
+    "via the exploded self-join), so the filter's losslessness is itself "
+    "hash-checked.  Scale shape: candidate generation touches only prefix "
+    "tokens, which are by construction each doc's RAREST — the join "
+    "fan-out per token is its (small) document frequency, the classic "
+    "PPJoin skew argument; all shuffles carry int keys + short bigrams; "
+    "verification work is |candidates| * set size, never N^2.",
+    tags=("llm", "dedup", "joins"),
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    big = _doc_bigrams(docs)
+    big = big.localCheckpoint(eager=False)  # feeds df-ranking, sizes, verify
+    sz = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    # global doc-frequency attached as a window over the token key (each
+    # (doc, w) row is unique so COUNT(*) over w IS the doc frequency)
+    with_df = big.select(
+        "doc_id", "w", F.count(F.lit(1)).over(Window.partitionBy("w")).alias("df")
+    )
+    ranked = with_df.select(
+        "doc_id",
+        "w",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("df", "w"))
+        .alias("rn"),
+    ).join(sz, "doc_id")
+    # prefix length = s - ceil(t*s) + 1, integer ceil = (num*s + den-1) DIV den
+    prefix = ranked.filter(
+        F.expr(
+            f"rn <= s - (({_JACC_NUM} * s + {_JACC_DEN} - 1) DIV {_JACC_DEN}) + 1"
+        )
+    ).select("doc_id", "w", "s")
+    p2 = (
+        prefix.withColumnRenamed("doc_id", "d2")
+        .withColumnRenamed("s", "s2")
+    )
+    cand = (
+        prefix.withColumnRenamed("doc_id", "d1")
+        .withColumnRenamed("s", "s1")
+        .join(p2, "w")
+        .filter(F.col("d1") < F.col("d2"))
+        # size-ratio bound: J >= t forces min(s1,s2) >= t * max(s1,s2)
+        .filter(
+            F.expr(
+                f"{_JACC_DEN} * LEAST(s1, s2) >= {_JACC_NUM} * GREATEST(s1, s2)"
+            )
+        )
+        .select("d1", "d2", "s1", "s2")
+        .distinct()
+    )
+    a = big.select(F.col("doc_id").alias("d1"), "w")
+    b = big.select(F.col("doc_id").alias("d2b"), F.col("w").alias("wb"))
+    inter = (
+        cand.join(a, "d1")
+        .join(b, (F.col("d2") == F.col("d2b")) & (F.col("w") == F.col("wb")))
+        .groupBy("d1", "d2", "s1", "s2")
+        .agg(F.count(F.lit(1)).alias("it"))
+    )
+    return (
+        inter.filter(
+            F.expr(f"{_JACC_DEN} * it >= {_JACC_NUM} * (s1 + s2 - it)")
+        )
+        .select(
+            F.col("d1").cast("long").alias("d1"),
+            F.col("d2").cast("long").alias("d2"),
+            F.col("it").cast("long").alias("inter_size"),
+            F.col("s1").cast("long").alias("s1"),
+            F.col("s2").cast("long").alias("s2"),
+            (F.col("s1") + F.col("s2") - F.col("it")).cast("long").alias("union_size"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q233: positional-delete (deletion-vector) application, lance-style
+
+_FRAG_ROWS = 128  # rows per fragment: fragment = doc_id DIV 128, pos = doc_id % 128
+_DELETE_MOD = 7  # deterministic predicate: delete rows with md5(text) % 7 == 0
+
+_POSDEL_ORACLE = (
+    f"WITH f AS (SELECT doc_id // {_FRAG_ROWS} AS fragment, "
+    f"  doc_id % {_FRAG_ROWS} AS pos, {_H32_DUCK.format(x='text')} AS h FROM documents), "
+    f"dv AS (SELECT fragment, pos FROM f WHERE h % {_DELETE_MOD} = 0), "
+    "live AS (SELECT f.fragment, f.h FROM f ANTI JOIN dv USING (fragment, pos)), "
+    "tot AS (SELECT fragment, COUNT(*) AS rows_total FROM f GROUP BY fragment), "
+    "del AS (SELECT fragment, COUNT(*) AS rows_deleted FROM dv GROUP BY fragment), "
+    "lv AS (SELECT fragment, COUNT(*) AS rows_live, bit_xor(h) AS live_xor "
+    "  FROM live GROUP BY fragment) "
+    "SELECT t.fragment, CAST(t.rows_total AS BIGINT) AS rows_total, "
+    "  CAST(COALESCE(d.rows_deleted, 0) AS BIGINT) AS rows_deleted, "
+    "  CAST(COALESCE(l.rows_live, 0) AS BIGINT) AS rows_live, "
+    "  CAST(COALESCE(l.live_xor, 0) AS BIGINT) AS live_xor "
+    "FROM tot t LEFT JOIN del d USING (fragment) LEFT JOIN lv l USING (fragment) "
+    "ORDER BY t.fragment"
+)
+
+
+@query(
+    "q233_positional_deletes",
+    _POSDEL_ORACLE,
+    doc="Positional-delete application — the lance-format deletion-file "
+    "model (a table version carries per-fragment files of deleted row "
+    "positions; readers subtract them at scan time) made relational: rows "
+    "address as (fragment = doc_id DIV 128, pos = doc_id % 128), a "
+    "deterministic predicate derives the (fragment, pos) delete relation, "
+    "and the scan applies it as an anti-join.  Per fragment the row "
+    "reports total/deleted/live counts plus an order-free XOR checksum "
+    "over live-row content hashes, proving exactly the flagged rows "
+    "disappeared (deleted + live = total is asserted in tests).  Scale "
+    "shape: the delete relation is sparse relative to the data and "
+    "broadcasts, so the anti-join is map-side — zero shuffle on the "
+    "fact scan; in production both sides arrive fragment-aligned, making "
+    "application partition-local (the relational twin of lance's "
+    "per-fragment roaring bitmap subtraction).",
+    tags=("scan", "joins", "catalog"),
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    f = docs.select(
+        F.expr(f"doc_id DIV {_FRAG_ROWS}").alias("fragment"),
+        (F.col("doc_id") % _FRAG_ROWS).alias("pos"),
+        F.expr(_H32.format(x="text")).cast("long").alias("h"),
+    )
+    f = f.localCheckpoint(eager=False)  # feeds dv, totals, and the live scan
+    dv = f.filter(F.col("h") % _DELETE_MOD == 0).select("fragment", "pos")
+    live = f.join(F.broadcast(dv), ["fragment", "pos"], "left_anti")
+    tot = f.groupBy("fragment").agg(F.count(F.lit(1)).alias("rows_total"))
+    dcnt = dv.groupBy("fragment").agg(F.count(F.lit(1)).alias("rows_deleted"))
+    lv = live.groupBy("fragment").agg(
+        F.count(F.lit(1)).alias("rows_live"),
+        F.expr("bit_xor(h)").alias("live_xor"),
+    )
+    return (
+        tot.join(dcnt, "fragment", "left")
+        .join(lv, "fragment", "left")
+        .select(
+            "fragment",
+            F.col("rows_total").cast("long").alias("rows_total"),
+            F.coalesce("rows_deleted", F.lit(0)).cast("long").alias("rows_deleted"),
+            F.coalesce("rows_live", F.lit(0)).cast("long").alias("rows_live"),
+            F.coalesce("live_xor", F.lit(0)).cast("long").alias("live_xor"),
+        )
+        .orderBy("fragment")
+    )

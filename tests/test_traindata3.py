@@ -1,0 +1,96 @@
+"""Round-6 batch-4 rows (q228–q233): oracle parity plus each operator's
+defining guarantee — HLL error bound, span-removal conservation, Simpson
+gate balance, prefix-filter losslessness, recall-audit sanity, and
+positional-delete row conservation."""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.oracle import check_query, duckdb_connection
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+NEW = [
+    "q228_hll_distinct",
+    "q229_span_removal",
+    "q230_simpson_diversity",
+    "q231_prefix_filter_join",
+    "q232_ann_recall_audit",
+    "q233_positional_deletes",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_oracle_match(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_q228_hll_error_within_bound(spark):
+    rows = QUERIES["q228_hll_distinct"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 20  # every source sketched
+    for r in rows:
+        # bigram cardinality (600+) is >= 2.5*m, so the raw estimator is the
+        # active branch and its ~1.04/sqrt(64) = 13% std error applies; 4 sigma
+        err = abs(r["hll_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert err < 0.55, r
+        assert r["zero_registers"] <= 5, r  # registers must be near-fully occupied
+
+
+def test_q229_removal_conserves_and_fires(spark):
+    rows = QUERIES["q229_span_removal"].builder(spark, SF_SMOKE).collect()
+    assert rows, "span removal returned no rows"
+    assert all(r["removed_tokens"] + r["retained_tokens"] == r["n_tokens"] for r in rows)
+    assert all(0 <= r["removed_tokens"] <= r["n_tokens"] for r in rows)
+    # the fixture seeds near-duplicate docs: removal must actually fire,
+    # and must not wipe the corpus
+    fired = [r for r in rows if r["removed_tokens"] > 0]
+    assert fired and len(fired) < len(rows), (len(fired), len(rows))
+
+
+def test_q230_gate_both_branches(spark):
+    rows = QUERIES["q230_simpson_diversity"].builder(spark, SF_SMOKE).collect()
+    flagged = [r for r in rows if r["concentrated"] == 1]
+    assert flagged and len(flagged) < len(rows)
+    for r in rows:
+        assert 0 <= r["simpson_ppm"] <= 1_000_000
+        assert r["top_freq"] <= r["n_tokens"]
+        assert r["distinct_tokens"] <= r["n_tokens"]
+
+
+def test_q231_prefix_filter_is_lossless_vs_quadratic(spark, duck):
+    """The oracle IS the quadratic ground truth, so parity == losslessness;
+    this re-asserts the returned pairs genuinely meet the threshold."""
+    rows = QUERIES["q231_prefix_filter_join"].builder(spark, SF_SMOKE).collect()
+    assert rows, "no similar pairs found — threshold gone vacuous"
+    for r in rows:
+        assert r["d1"] < r["d2"]
+        assert r["union_size"] == r["s1"] + r["s2"] - r["inter_size"]
+        assert 10 * r["inter_size"] >= 8 * r["union_size"]
+
+
+def test_q232_recall_audit_sane(spark):
+    rows = QUERIES["q232_ann_recall_audit"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["hits"] <= r["k"] == 5
+        assert r["top1_match"] in (0, 1)
+    # nprobe=2 of 4 cells with exact re-rank: the index must find a decent
+    # share of true neighbours overall, else the audit itself is broken
+    assert sum(r["hits"] for r in rows) >= 8, rows
+
+
+def test_q233_delete_conservation(spark):
+    rows = QUERIES["q233_positional_deletes"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r["rows_deleted"] + r["rows_live"] == r["rows_total"] for r in rows)
+    assert sum(r["rows_deleted"] for r in rows) > 0  # the predicate fires
+    assert sum(r["rows_live"] for r in rows) > 0
