@@ -1,0 +1,137 @@
+"""Behavioral analytics over the events stream (SURVEY.md §2B rows
+q236–q237): retention cohorts and the Markov transition matrix — the two
+standard product-analytics reductions beside q75 sessionization and q90
+funnels.
+
+Both reduce the event stream to bounded relations (weeks x weeks;
+event-type x event-type) with integer-exact outputs, so they hash-check
+against DuckDB.  Reference parity note: the reference repo
+(lance-format/lance-namespace-impls) contains no query-processing code;
+these extend the data plane per SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# q236: weekly retention cohorts
+
+_COHORT_ORACLE = (
+    f"WITH wk AS (SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week "
+    "  FROM events WHERE event_type = 'purchase'), "
+    "fst AS (SELECT user_id, MIN(week) AS cohort FROM wk GROUP BY user_id) "
+    "SELECT CAST(f.cohort AS BIGINT) AS cohort_week, "
+    "  CAST(w.week - f.cohort AS BIGINT) AS week_offset, "
+    "  CAST(COUNT(*) AS BIGINT) AS active_users "
+    "FROM wk w JOIN fst f USING (user_id) "
+    "GROUP BY f.cohort, w.week - f.cohort "
+    "ORDER BY cohort_week, week_offset"
+)
+
+
+@query(
+    "q236_retention_cohorts",
+    _COHORT_ORACLE,
+    doc="Weekly purchase-retention cohorts: users grouped by their "
+    "first-purchase epoch-week, counted in every later week they purchase "
+    "again — the triangular (cohort x offset) matrix product analytics "
+    "reads retention off of.  Cohorting on the purchase event (not any "
+    "activity) is what keeps the cohort dimension non-degenerate: every "
+    "fixture user is ACTIVE from week one, but first purchases spread "
+    "over 2-4 weeks at every SF.  Scale shape: the stream reduces FIRST "
+    "to the distinct (user, week) relation (map-side-combined, weeks-per-"
+    "user rows — orders of magnitude below raw events); the cohort join "
+    "keys on user_id (already the distinct relation's partitioning), and "
+    "the final matrix is bounded by weeks^2 regardless of corpus size.  "
+    "Absolute epoch-week indices keep the output deterministic with no "
+    "min-week broadcast.",
+    tags=("events", "aggregates", "windows"),
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, "events", sf_dir))
+    wk = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_WEEK_US}").alias("week"),
+        )
+        .distinct()
+    )
+    wk = wk.localCheckpoint(eager=False)  # feeds first-week AND activity
+    fst = wk.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        wk.join(fst, "user_id")
+        .groupBy(
+            F.col("cohort").cast("long").alias("cohort_week"),
+            (F.col("week") - F.col("cohort")).cast("long").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q237: event-type Markov transition matrix
+
+_TRANSITION_ORACLE = (
+    "WITH seq AS (SELECT user_id, event_type, "
+    "  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+    "  FROM events), "
+    "tr AS (SELECT event_type AS from_type, nxt AS to_type, COUNT(*) AS n "
+    "  FROM seq WHERE nxt IS NOT NULL GROUP BY event_type, nxt), "
+    "tot AS (SELECT from_type, to_type, n, SUM(n) OVER (PARTITION BY from_type) AS rt "
+    "  FROM tr) "
+    "SELECT from_type, to_type, CAST(n AS BIGINT) AS n, "
+    "  CAST((1000000 * n) // rt AS BIGINT) AS row_ppm "
+    "FROM tot ORDER BY from_type, to_type"
+)
+
+
+@query(
+    "q237_event_transitions",
+    _TRANSITION_ORACLE,
+    doc="Event-type Markov transition matrix: per user, each event's "
+    "successor (LEAD over (ts, event_id) — the id tiebreak makes "
+    "same-timestamp ordering deterministic), reduced to "
+    "(from_type, to_type) counts with integer row-normalized ppm — the "
+    "first-order behavior model behind next-action prediction and "
+    "anomaly scoring.  Scale shape: the sequence window partitions by "
+    "user_id (millions of small partitions — the scalable window shape, "
+    "no global sort); everything after is a type x type relation bounded "
+    "by the event vocabulary, and the row normalizer is a window over "
+    "that tiny matrix, not the stream.",
+    tags=("events", "windows", "aggregates"),
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, "events", sf_dir))
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    tr = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = tr.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(Window.partitionBy("from_type")).alias("rt"),
+    )
+    return tot.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST((1000000 * n) DIV rt AS BIGINT)").alias("row_ppm"),
+    ).orderBy("from_type", "to_type")

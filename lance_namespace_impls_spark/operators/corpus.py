@@ -543,3 +543,127 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q234: MinHash accuracy audit — signature agreement vs exact Jaccard on the
+# LSH candidate pairs (the q232 audit device applied to the dedup family)
+
+_MH_AUDIT_ORACLE = (
+    "WITH toked AS (SELECT doc_id, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "shingled AS (SELECT doc_id, "
+    "  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS sh "
+    "  FROM toked WHERE len(toks) >= 3), "
+    "hexed AS (SELECT doc_id, " + _DUCK_HEX + " AS hx FROM shingled), "
+    "sig AS (SELECT doc_id, " + _DUCK_SIG + " AS sig FROM hexed), "
+    "bands AS (SELECT doc_id, sig, b, "
+    "  sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS bkey "
+    "  FROM sig, unnest(generate_series(0, 3)) AS u(b)), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "  a.sig AS sa, b.sig AS sb FROM bands a JOIN bands b "
+    "  ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id), "
+    "dsh AS (SELECT DISTINCT doc_id, t FROM "
+    "  (SELECT doc_id, unnest(sh) AS t FROM shingled)), "
+    "sz AS (SELECT doc_id, COUNT(*) AS s FROM dsh GROUP BY doc_id), "
+    "it AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS it FROM pairs p "
+    "  JOIN dsh a ON a.doc_id = p.doc_a JOIN dsh b ON b.doc_id = p.doc_b "
+    "  AND b.t = a.t GROUP BY p.doc_a, p.doc_b) "
+    "SELECT CAST(p.doc_a AS BIGINT) AS doc_a, CAST(p.doc_b AS BIGINT) AS doc_b, "
+    "  CAST(len(list_filter(generate_series(1, 8), i -> p.sa[i] = p.sb[i])) "
+    "    AS BIGINT) AS sig_matches, "
+    "  CAST(len(list_filter(generate_series(1, 8), i -> p.sa[i] = p.sb[i])) "
+    "    * 125000 AS BIGINT) AS est_ppm, "
+    "  CAST(COALESCE(i.it, 0) AS BIGINT) AS inter_size, "
+    "  CAST(s1.s + s2.s - COALESCE(i.it, 0) AS BIGINT) AS union_size, "
+    "  CAST((1000000 * COALESCE(i.it, 0)) "
+    "    // (s1.s + s2.s - COALESCE(i.it, 0)) AS BIGINT) AS jaccard_ppm "
+    "FROM pairs p LEFT JOIN it i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b "
+    "JOIN sz s1 ON s1.doc_id = p.doc_a JOIN sz s2 ON s2.doc_id = p.doc_b "
+    "ORDER BY p.doc_a, p.doc_b"
+)
+
+
+@query(
+    "q234_minhash_accuracy_audit",
+    _MH_AUDIT_ORACLE,
+    doc="MinHash accuracy audit — the q232 evaluation device applied to the "
+    "dedup family: for every q161 LSH candidate pair, the 8-lane "
+    "signature-agreement estimate (est_ppm) next to the EXACT 3-gram "
+    "Jaccard (inter/union ints, jaccard_ppm), so the estimator's bias is "
+    "itself a hash-checked result rather than a property-test assertion.  "
+    "The candidate set deliberately mixes true near-dups with band-"
+    "collision false positives, so the audited range spans the similarity "
+    "spectrum the banding actually surfaces.  Scale shape: identical to "
+    "q161 through the banded self-join (signatures checkpointed, shuffles "
+    "carry 8 ints/doc); the exact-verify stage joins the distinct-shingle "
+    "relation only for candidate docs — |candidates| x set-size work, "
+    "exactly the verify cost a production near-dup pipeline already pays.",
+    tags=("llm", "dedup", "lsh"),
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    ex = _exploded_shingles(docs, 3)
+    ex = ex.localCheckpoint(eager=False)  # feeds signatures AND exact verify
+    sig = _portable_minhash_sig(ex)
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(_BANDS - 1))).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr("concat_ws(',', element_at(sig, 2*band+1), element_at(sig, 2*band+2))"),
+    )
+    bands = bands.localCheckpoint(eager=False)
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+        )
+        .distinct()
+    )
+    dsh = ex.distinct()
+    sz = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    da = dsh.select(F.col("doc_id").alias("doc_a"), "t")
+    db = dsh.select(F.col("doc_id").alias("doc_b2"), F.col("t").alias("tb"))
+    it = (
+        pairs.select("doc_a", "doc_b")
+        .join(da, "doc_a")
+        .join(db, (F.col("doc_b") == F.col("doc_b2")) & (F.col("t") == F.col("tb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("it"))
+    )
+    matches = F.expr(
+        f"cast(size(filter(sequence(1, {_K}), i -> element_at(sa, i) = element_at(sb, i))) as bigint)"
+    )
+    s1 = sz.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s1"))
+    s2 = sz.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
+    return (
+        pairs.join(it, ["doc_a", "doc_b"], "left")
+        .join(s1, "doc_a")
+        .join(s2, "doc_b")
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            matches.alias("sig_matches"),
+            (matches * 125000).cast("long").alias("est_ppm"),
+            F.coalesce("it", F.lit(0)).cast("long").alias("inter_size"),
+            (F.col("s1") + F.col("s2") - F.coalesce("it", F.lit(0)))
+            .cast("long")
+            .alias("union_size"),
+            F.expr(
+                "CAST((1000000 * COALESCE(it, 0)) DIV (s1 + s2 - COALESCE(it, 0)) "
+                "AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

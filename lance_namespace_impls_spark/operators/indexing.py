@@ -1,0 +1,100 @@
+"""Inverted-index construction census (SURVEY.md §2B LLM row q235).
+
+Building a token -> postings-list index is the retrieval-side counterpart
+of the BM25/TF-IDF scoring rows (q95/q198); what matters at scale is the
+POSTINGS ENCODING — sorted doc-id gaps under a universal code (Elias
+gamma: 2*floor(log2 g)+1 bits) compress the index by an order of
+magnitude, and the compression ratio is a pure integer function of the
+gap structure, so the whole census hash-checks across engines.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; this extends the data plane per
+SURVEY.md §2B (lance's own scalar inverted index performs exactly this
+posting-list construction engine-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+_TOP = 100  # emitted rows: heaviest postings lists (df DESC, token ASC)
+
+_POSTINGS_ORACLE = (
+    "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), "
+    "big AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS w "
+    "  FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    "gaps AS (SELECT w, doc_id, "
+    "  COALESCE(doc_id - LAG(doc_id) OVER (PARTITION BY w ORDER BY doc_id), "
+    "           doc_id + 1) AS gap FROM big), "
+    "enc AS (SELECT w, COUNT(*) AS df, "
+    "  SUM(2 * length(bin(gap)) - 1) AS delta_bits FROM gaps GROUP BY w) "
+    "SELECT w, CAST(df AS BIGINT) AS df, "
+    "  CAST(64 * df AS BIGINT) AS raw_bits, "
+    "  CAST(delta_bits AS BIGINT) AS delta_bits, "
+    "  CAST((1000000 * delta_bits) // (64 * df) AS BIGINT) AS ratio_ppm "
+    f"FROM enc ORDER BY df DESC, w LIMIT {_TOP}"
+)
+
+
+@query(
+    "q235_postings_compression",
+    _POSTINGS_ORACLE,
+    doc="Inverted-index postings census with delta-gap compression: each "
+    "token-bigram's sorted doc-id postings list is gap-encoded (first "
+    "posting stored as doc_id+1) and costed under Elias gamma "
+    "(2*bitlen(gap)-1 bits, integer-exact via length(bin(g))), reported "
+    "against the raw 64-bit-per-posting size as ratio_ppm; the emitted "
+    f"{_TOP} heaviest lists are where encoding choice actually matters.  "
+    "Scale shape: the (token, doc_id) relation shuffles ONCE on the token "
+    "key and the gap structure falls out of a LAG window per token — the "
+    "exact partition-and-sort an index build performs to write postings; "
+    "the per-token reduction is map-side-combinable and the final top-"
+    f"{_TOP} compiles to TakeOrderedAndProject over the vocabulary-sized "
+    "census (never the corpus).  Dense lists (gap≈1, ~1 bit/posting) vs "
+    "sparse lists (~2 bitlen bits) make the ratio spread non-vacuous at "
+    "every SF.",
+    tags=("llm", "text", "aggregates"),
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')").alias("tk"),
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(zip_with(tk, slice(tk, 2, size(tk)), "
+                "(x, y) -> concat(x, ' ', y)), p -> p IS NOT NULL)"
+            )
+        ).alias("w"),
+    ).distinct()
+    gaps = big.select(
+        "w",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(Window.partitionBy("w").orderBy("doc_id")),
+            F.col("doc_id") + 1,
+        ).alias("gap"),
+    )
+    enc = gaps.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.expr("2 * length(bin(gap)) - 1")).alias("delta_bits"),
+    )
+    return (
+        enc.select(
+            "w",
+            F.col("df").cast("long").alias("df"),
+            (F.lit(64) * F.col("df")).cast("long").alias("raw_bits"),
+            F.col("delta_bits").cast("long").alias("delta_bits"),
+            F.expr("CAST((1000000 * delta_bits) DIV (64 * df) AS BIGINT)").alias(
+                "ratio_ppm"
+            ),
+        )
+        .orderBy(F.col("df").desc(), "w")
+        .limit(_TOP)
+    )

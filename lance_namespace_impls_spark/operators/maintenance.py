@@ -1,0 +1,173 @@
+"""Table-maintenance planning operators (SURVEY.md §2B rows q238–q239) —
+the lance-format housekeeping family beside q233's positional deletes.
+
+* **Zone-map pruning audit (q238)** — fragment-level min/max statistics on
+  the clustering column (event time) evaluated against a scan predicate:
+  which fragments a stats-aware reader skips entirely, next to the actual
+  matching row counts that prove skipping is sound.  This is the scan-
+  planning step lance/parquet readers run from fragment metadata.
+* **Compaction planning (q239)** — after q233's deletes leave fragments
+  partially empty, plan the rewrite: greedy sequential bin-packing of
+  adjacent fragments into target-sized output groups via a running-total
+  window over the fragment METADATA relation.
+
+Both are integer-exact and hash-check against DuckDB.  Reference parity
+note: the reference repo (lance-format/lance-namespace-impls) contains no
+query-processing code; these model the maintenance operations of the
+lance table format its namespaces serve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+from lance_namespace_impls_spark.functions.hashing import MD5_H32_DUCK as _H32_DUCK
+
+_H32 = "conv(substring(md5({x}), 1, 8), 16, 10)"
+
+
+# ---------------------------------------------------------------------------
+# q238: zone-map pruning audit over time-clustered event fragments
+
+_ZM_FRAG = 512  # events per fragment (event_id order == arrival order)
+# scan predicate: [2024-01-10, 2024-01-12) as epoch-microsecond bounds;
+# day numbers are epoch days (2024-01-01 = day 19723)
+_ZM_LO = "(CAST(19732 AS BIGINT) * 86400 * 1000000)"
+_ZM_HI = "(CAST(19734 AS BIGINT) * 86400 * 1000000)"
+
+_ZONEMAP_ORACLE = (
+    f"WITH f AS (SELECT event_id // {_ZM_FRAG} AS fragment, "
+    "  epoch_us(ts) AS ets FROM events), "
+    "zones AS (SELECT fragment, MIN(ets) AS min_ets, MAX(ets) AS max_ets, "
+    "  COUNT(*) AS rows_total FROM f GROUP BY fragment), "
+    "hits AS (SELECT fragment, COUNT(*) AS rows_matched FROM f "
+    f"  WHERE ets >= {_ZM_LO} AND ets < {_ZM_HI} GROUP BY fragment) "
+    "SELECT z.fragment, CAST(z.min_ets AS BIGINT) AS min_ets, "
+    "  CAST(z.max_ets AS BIGINT) AS max_ets, "
+    "  CAST(z.rows_total AS BIGINT) AS rows_total, "
+    f"  CAST(CASE WHEN z.max_ets < {_ZM_LO} OR z.min_ets >= {_ZM_HI} "
+    "    THEN 0 ELSE 1 END AS BIGINT) AS scan_needed, "
+    "  CAST(COALESCE(h.rows_matched, 0) AS BIGINT) AS rows_matched "
+    "FROM zones z LEFT JOIN hits h USING (fragment) ORDER BY z.fragment"
+)
+
+
+@query(
+    "q238_zonemap_pruning",
+    _ZONEMAP_ORACLE,
+    doc="Zone-map pruning audit: per-fragment min/max statistics on the "
+    "time column (events arrive time-ordered, so 512-row fragments are "
+    "time-clustered) evaluated against a 2-day scan window — scan_needed "
+    "is the fragment-skipping decision a lance/parquet reader makes from "
+    "metadata alone, and rows_matched proves it sound (pruned => 0 "
+    "matches, asserted in tests; both branches fire at every SF).  Scale "
+    "shape: zone construction is one map-side-combinable (min, max, "
+    "count) aggregate keyed by fragment; the audit join is "
+    "fragment-metadata-sized.  The lesson the row encodes: zone maps "
+    "prune exactly when the data is CLUSTERED on the predicate column — "
+    "the same statistics on the uniformly-scattered user_id column would "
+    "skip nothing (that contrast is the q139 z-order motivation).",
+    tags=("events", "scan", "aggregates"),
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, "events", sf_dir))
+    f = ev.select(
+        F.expr(f"event_id DIV {_ZM_FRAG}").alias("fragment"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ets"),
+    )
+    f = f.localCheckpoint(eager=False)  # feeds zones + predicate hits
+    zones = f.groupBy("fragment").agg(
+        F.min("ets").alias("min_ets"),
+        F.max("ets").alias("max_ets"),
+        F.count(F.lit(1)).alias("rows_total"),
+    )
+    hits = (
+        f.filter(F.expr(f"ets >= {_ZM_LO} AND ets < {_ZM_HI}"))
+        .groupBy("fragment")
+        .agg(F.count(F.lit(1)).alias("rows_matched"))
+    )
+    return (
+        zones.join(hits, "fragment", "left")
+        .select(
+            "fragment",
+            F.col("min_ets").cast("long").alias("min_ets"),
+            F.col("max_ets").cast("long").alias("max_ets"),
+            F.col("rows_total").cast("long").alias("rows_total"),
+            F.expr(
+                f"CAST(CASE WHEN max_ets < {_ZM_LO} OR min_ets >= {_ZM_HI} "
+                "THEN 0 ELSE 1 END AS BIGINT)"
+            ).alias("scan_needed"),
+            F.coalesce("rows_matched", F.lit(0)).cast("long").alias("rows_matched"),
+        )
+        .orderBy("fragment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239: compaction planning after positional deletes
+
+_CP_FRAG = 128  # q233's fragment geometry
+_CP_DELETE_MOD = 7  # q233's delete predicate
+_CP_TARGET = 256  # live rows per compacted output group
+
+_COMPACT_ORACLE = (
+    f"WITH f AS (SELECT doc_id // {_CP_FRAG} AS fragment, "
+    f"  {_H32_DUCK.format(x='text')} AS h FROM documents), "
+    "live AS (SELECT fragment, COUNT(*) AS live_rows FROM f "
+    f"  WHERE h % {_CP_DELETE_MOD} <> 0 GROUP BY fragment), "
+    "plan AS (SELECT fragment, live_rows, "
+    "  COALESCE(SUM(live_rows) OVER (ORDER BY fragment "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before "
+    "  FROM live) "
+    "SELECT fragment, CAST(live_rows AS BIGINT) AS live_rows, "
+    "  CAST(cum_before AS BIGINT) AS cum_before, "
+    f"  CAST(cum_before // {_CP_TARGET} AS BIGINT) AS target_group "
+    "FROM plan ORDER BY fragment"
+)
+
+
+@query(
+    "q239_compaction_planning",
+    _COMPACT_ORACLE,
+    doc="Compaction planning over delete-diminished fragments: q233's "
+    "positional deletes leave each 128-row fragment partially live; the "
+    "plan greedily packs ADJACENT fragments into ~256-live-row output "
+    "groups by running-total division (cum_before DIV target) — the "
+    "rewrite grouping lance compaction computes before moving any data, "
+    "preserving fragment order so row addresses stay monotone.  Scale "
+    "shape: live counts are one aggregate over the data; the planning "
+    "window runs on the fragment METADATA relation (thousands of rows at "
+    "100 TB, single partition by design — the planner is metadata-sized, "
+    "the data move it prescribes is the distributed part).",
+    tags=("scan", "windows", "catalog"),
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    f = docs.select(
+        F.expr(f"doc_id DIV {_CP_FRAG}").alias("fragment"),
+        F.expr(_H32.format(x="text")).cast("long").alias("h"),
+    )
+    live = (
+        f.filter(F.col("h") % _CP_DELETE_MOD != 0)
+        .groupBy("fragment")
+        .agg(F.count(F.lit(1)).alias("live_rows"))
+    )
+    w = (
+        Window.orderBy("fragment")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    plan = live.select(
+        "fragment",
+        "live_rows",
+        F.coalesce(F.sum("live_rows").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return plan.select(
+        "fragment",
+        F.col("live_rows").cast("long").alias("live_rows"),
+        F.col("cum_before").cast("long").alias("cum_before"),
+        F.expr(f"CAST(cum_before DIV {_CP_TARGET} AS BIGINT)").alias("target_group"),
+    ).orderBy("fragment")
