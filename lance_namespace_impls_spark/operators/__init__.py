@@ -30,6 +30,7 @@ from lance_namespace_impls_spark.operators import traindata3  # noqa: F401
 from lance_namespace_impls_spark.operators import indexing  # noqa: F401
 from lance_namespace_impls_spark.operators import behavior  # noqa: F401
 from lance_namespace_impls_spark.operators import maintenance  # noqa: F401
+from lance_namespace_impls_spark.operators import cbo  # noqa: F401
 from lance_namespace_impls_spark.operators import kmeans_full  # noqa: F401
 from lance_namespace_impls_spark.operators import sketches2  # noqa: F401
 from lance_namespace_impls_spark.operators import robust_stats  # noqa: F401

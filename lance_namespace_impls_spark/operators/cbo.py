@@ -1,0 +1,82 @@
+"""Optimizer-statistics operators (SURVEY.md §2B row q240): sampled
+join-cardinality estimation, audited against the exact join size.
+
+Cost-based optimizers decide join order and strategy from cardinality
+estimates; for skewed keys the only reliable estimator is KEY-coordinated
+sampling (keep every tuple of a hash-chosen subset of keys, so both sides
+of a sampled key are fully present and per-key products are exact).  With
+an md5-derived coordinator the sample is deterministic, making the
+estimate — and therefore the AUDIT of the estimator — hash-exact across
+engines, the q232/q234 audit device applied to engine internals.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; this extends the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+from lance_namespace_impls_spark.functions.hashing import MD5_H32_DUCK as _H32_DUCK
+
+_H32 = "conv(substring(md5({x}), 1, 8), 16, 10)"
+
+_JS_K = 8  # keep keys with h(key) % K == 0; scale the sampled mass by K
+
+_JS_ORACLE = (
+    "WITH c AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id), "
+    "s AS (SELECT user_id, c, "
+    f"  {_H32_DUCK.format(x='CAST(user_id AS VARCHAR)')} % {_JS_K} AS b FROM c) "
+    "SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs, "
+    f"  CAST({_JS_K} * SUM(CASE WHEN b = 0 THEN c * c ELSE 0 END) AS BIGINT) "
+    "    AS est_pairs, "
+    "  CAST(COUNT(*) FILTER (b = 0) AS BIGINT) AS sampled_keys, "
+    "  CAST(COUNT(*) AS BIGINT) AS total_keys "
+    "FROM s"
+)
+
+
+@query(
+    "q240_join_size_estimate",
+    _JS_ORACLE,
+    doc="Sampled join-cardinality estimation, audited: the self-join size "
+    "on the skewed user_id key (sum of per-key count squares — what a "
+    "CBO must know to avoid a blow-up join order) estimated from a "
+    "deterministic 1-in-8 KEY-coordinated sample (keep whole keys, not "
+    "rows: row-level Bernoulli breaks per-key products; key-level keeps "
+    "them exact and unbiased), next to the exact answer.  The md5 "
+    "coordinator makes sample and estimate hash-exact, so estimator "
+    "regressions are oracle failures (the q232/q234 audit device applied "
+    "to engine internals).  Scale shape: per-key counts are one "
+    "map-side-combined aggregate; the estimator then touches only the "
+    "count table — K-fold less than the key domain, and never the "
+    "events stream a second time.",
+    tags=("events", "aggregates", "sketch"),
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, "events", sf_dir))
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    s = c.select(
+        "c",
+        (
+            F.expr(_H32.format(x="CAST(user_id AS STRING)")).cast("long") % _JS_K
+        ).alias("b"),
+    )
+    return s.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs"),
+        (
+            F.lit(_JS_K)
+            * F.sum(F.when(F.col("b") == 0, F.col("c") * F.col("c")).otherwise(0))
+        )
+        .cast("long")
+        .alias("est_pairs"),
+        F.sum(F.when(F.col("b") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("sampled_keys"),
+        F.count(F.lit(1)).cast("long").alias("total_keys"),
+    )

@@ -171,3 +171,146 @@ def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cum_before").cast("long").alias("cum_before"),
         F.expr(f"CAST(cum_before DIV {_CP_TARGET} AS BIGINT)").alias("target_group"),
     ).orderBy("fragment")
+
+
+# ---------------------------------------------------------------------------
+# q241: concurrent-commit conflict detection (two delete transactions)
+
+_CC_MOD_A, _CC_MOD_B = 7, 11  # txn A deletes h%7==0; txn B deletes h%11==3
+
+_CONFLICT_ORACLE = (
+    f"WITH f AS (SELECT doc_id // {_CP_FRAG} AS fragment, "
+    f"  doc_id % {_CP_FRAG} AS pos, {_H32_DUCK.format(x='text')} AS h FROM documents), "
+    f"a AS (SELECT fragment, pos FROM f WHERE h % {_CC_MOD_A} = 0), "
+    f"b AS (SELECT fragment, pos FROM f WHERE h % {_CC_MOD_B} = 3), "
+    "confl AS (SELECT a.fragment, COUNT(*) AS row_conflicts "
+    "  FROM a JOIN b ON a.fragment = b.fragment AND a.pos = b.pos "
+    "  GROUP BY a.fragment), "
+    "ac AS (SELECT fragment, COUNT(*) AS a_deletes FROM a GROUP BY fragment), "
+    "bc AS (SELECT fragment, COUNT(*) AS b_deletes FROM b GROUP BY fragment), "
+    "frags AS (SELECT DISTINCT fragment FROM f) "
+    "SELECT fr.fragment, CAST(COALESCE(ac.a_deletes, 0) AS BIGINT) AS a_deletes, "
+    "  CAST(COALESCE(bc.b_deletes, 0) AS BIGINT) AS b_deletes, "
+    "  CAST(COALESCE(c.row_conflicts, 0) AS BIGINT) AS row_conflicts, "
+    "  CAST(CASE WHEN COALESCE(c.row_conflicts, 0) = 0 THEN 1 ELSE 0 END "
+    "    AS BIGINT) AS compatible "
+    "FROM frags fr LEFT JOIN ac USING (fragment) LEFT JOIN bc USING (fragment) "
+    "LEFT JOIN confl c USING (fragment) ORDER BY fr.fragment"
+)
+
+
+@query(
+    "q241_commit_conflict_check",
+    _CONFLICT_ORACLE,
+    doc="Concurrent-commit conflict detection — the check a lance-style "
+    "commit protocol runs before rebasing one transaction over another: "
+    "two concurrent delete transactions' write sets (each a (fragment, "
+    "pos) relation, as in q233) joined row-wise; fragments where both "
+    "touched the SAME row carry row_conflicts > 0 and the loser must "
+    "retry, while disjoint write sets (compatible = 1) rebase cleanly.  "
+    "Both branches fire at every SF.  Scale shape: write-set manifests "
+    "are delete-sized, not table-sized; the conflict join keys on "
+    "(fragment, pos) ints — fragment-aligned partitioning makes it "
+    "partition-local in production, and the verdict relation is "
+    "fragment-metadata-sized.",
+    tags=("scan", "joins", "catalog"),
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    f = docs.select(
+        F.expr(f"doc_id DIV {_CP_FRAG}").alias("fragment"),
+        (F.col("doc_id") % _CP_FRAG).alias("pos"),
+        F.expr(_H32.format(x="text")).cast("long").alias("h"),
+    )
+    f = f.localCheckpoint(eager=False)  # feeds both write sets + fragment list
+    a = f.filter(F.col("h") % _CC_MOD_A == 0).select("fragment", "pos")
+    b = f.filter(F.col("h") % _CC_MOD_B == 3).select("fragment", "pos")
+    confl = (
+        a.join(b, ["fragment", "pos"])
+        .groupBy("fragment")
+        .agg(F.count(F.lit(1)).alias("row_conflicts"))
+    )
+    ac = a.groupBy("fragment").agg(F.count(F.lit(1)).alias("a_deletes"))
+    bc = b.groupBy("fragment").agg(F.count(F.lit(1)).alias("b_deletes"))
+    frags = f.select("fragment").distinct()
+    return (
+        frags.join(ac, "fragment", "left")
+        .join(bc, "fragment", "left")
+        .join(confl, "fragment", "left")
+        .select(
+            "fragment",
+            F.coalesce("a_deletes", F.lit(0)).cast("long").alias("a_deletes"),
+            F.coalesce("b_deletes", F.lit(0)).cast("long").alias("b_deletes"),
+            F.coalesce("row_conflicts", F.lit(0)).cast("long").alias("row_conflicts"),
+            F.when(F.coalesce("row_conflicts", F.lit(0)) == 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("compatible"),
+        )
+        .orderBy("fragment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q242: scalar-index range lookup audited against the direct scan
+
+_IDX_LO, _IDX_HI = 200, 300  # n_chars range predicate (~20% selectivity)
+
+_IDX_ORACLE = (
+    f"WITH rows_ AS (SELECT doc_id // {_CP_FRAG} AS fragment, "
+    f"  doc_id % {_CP_FRAG} AS pos, n_chars, {_H32_DUCK.format(x='text')} AS h "
+    "  FROM documents), "
+    "idx AS (SELECT n_chars, fragment, pos FROM rows_), "
+    f"hit AS (SELECT fragment, pos FROM idx WHERE n_chars BETWEEN {_IDX_LO} AND {_IDX_HI}), "
+    "fetched AS (SELECT r.h FROM rows_ r SEMI JOIN hit "
+    "  ON r.fragment = hit.fragment AND r.pos = hit.pos), "
+    "direct AS (SELECT h FROM rows_ "
+    f"  WHERE n_chars BETWEEN {_IDX_LO} AND {_IDX_HI}) "
+    "SELECT CAST((SELECT COUNT(*) FROM direct) AS BIGINT) AS direct_rows, "
+    "  CAST((SELECT COUNT(*) FROM fetched) AS BIGINT) AS index_rows, "
+    "  CAST((SELECT COALESCE(bit_xor(h), 0) FROM direct) AS BIGINT) AS direct_xor, "
+    "  CAST((SELECT COALESCE(bit_xor(h), 0) FROM fetched) AS BIGINT) AS index_xor"
+)
+
+
+@query(
+    "q242_scalar_index_audit",
+    _IDX_ORACLE,
+    doc="Scalar-index range lookup audited against the direct scan — the "
+    "lance scalar-index contract: a (value, fragment, pos) index relation "
+    "answers the range predicate by row address, the fetch semi-joins "
+    "those addresses back to the data, and the row proves both paths "
+    "identical (counts AND order-free XOR content checksums; equality "
+    "asserted in tests).  Scale shape: the index relation is "
+    "narrow (one value + one address per row) and value-sorted in "
+    "production, so the range predicate reads a contiguous index slice "
+    "(the q238 zone-map argument applied to the index itself); the "
+    "address fetch is fragment-aligned and partition-local; the direct "
+    "path pays the full-width scan the index exists to avoid.",
+    tags=("scan", "joins", "aggregates"),
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    rows_ = docs.select(
+        F.expr(f"doc_id DIV {_CP_FRAG}").alias("fragment"),
+        (F.col("doc_id") % _CP_FRAG).alias("pos"),
+        "n_chars",
+        F.expr(_H32.format(x="text")).cast("long").alias("h"),
+    )
+    rows_ = rows_.localCheckpoint(eager=False)  # feeds index, fetch, direct
+    hit = rows_.filter(
+        F.col("n_chars").between(_IDX_LO, _IDX_HI)
+    ).select("fragment", "pos")
+    fetched = rows_.join(hit, ["fragment", "pos"], "left_semi").select("h")
+    direct = rows_.filter(F.col("n_chars").between(_IDX_LO, _IDX_HI)).select("h")
+    dsum = direct.agg(
+        F.count(F.lit(1)).cast("long").alias("direct_rows"),
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).cast("long").alias("direct_xor"),
+    )
+    isum = fetched.agg(
+        F.count(F.lit(1)).cast("long").alias("index_rows"),
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).cast("long").alias("index_xor"),
+    )
+    return dsum.crossJoin(isum).select(
+        "direct_rows", "index_rows", "direct_xor", "index_xor"
+    )
