@@ -48,6 +48,17 @@ FAMILIES = [
     "q197_pq_encode",
     "q198_bm25_retrieval",
     "q199_pagerank_step",
+    # round-6 batch 4-6 additions: MIN-aggregate canonical occurrence +
+    # interval-union dedup, prefix ranking windows over (df, token) ties,
+    # LAG gap encoding + top-100 tiebreak, LEAD sequence seams across
+    # partition boundaries, global running-total planning window, and the
+    # key-coordinated sampling estimator
+    "q229_span_removal",
+    "q231_prefix_filter_join",
+    "q235_postings_compression",
+    "q237_event_transitions",
+    "q239_compaction_planning",
+    "q240_join_size_estimate",
 ]
 
 CONFIGS = [

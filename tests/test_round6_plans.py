@@ -32,6 +32,14 @@ NO_SINGLE_PARTITION = [
     "q223_median_mad",  # per-lang frequency-table windows
     "q224_priority_sample",  # TakeOrdered top-k, no global sort
     "q225_sorted_neighborhood",  # per-block neighbour windows
+    # batches 4-6: aggregate-only / key-partitioned shapes
+    "q229_span_removal",  # canonical occurrence via MIN agg, not a rank window
+    "q230_simpson_diversity",  # two map-side-combinable per-doc aggregates
+    "q231_prefix_filter_join",  # df + prefix windows partitioned by token/doc
+    "q233_positional_deletes",  # broadcast anti-join + per-fragment aggs
+    "q236_retention_cohorts",  # distinct + per-user/per-cohort aggs
+    "q237_event_transitions",  # per-user sequence window, type-matrix window
+    "q238_zonemap_pruning",  # per-fragment (min, max, count) aggregate
 ]
 
 
@@ -44,7 +52,11 @@ def test_no_single_partition_exchange(spark, name):
 
 # The per-list / global top-k reductions must compile to Spark's
 # distributed TakeOrderedAndProject, never a global sort.
-TAKE_ORDERED = ["q224_priority_sample", "q219_hybrid_rrf_retrieval"]
+TAKE_ORDERED = [
+    "q224_priority_sample",
+    "q219_hybrid_rrf_retrieval",
+    "q235_postings_compression",  # top-100 heaviest postings lists
+]
 
 
 @pytest.mark.parametrize("name", TAKE_ORDERED)
@@ -64,6 +76,7 @@ BROADCAST_SIDE = [
     "q216_vocab_coverage",
     "q218_ivfpq_search",
     "q223_median_mad",
+    "q233_positional_deletes",  # explicit broadcast of the delete relation
 ]
 
 
