@@ -314,3 +314,128 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsum.crossJoin(isum).select(
         "direct_rows", "index_rows", "direct_xor", "index_xor"
     )
+
+
+# ---------------------------------------------------------------------------
+# q243: per-fragment Bloom data skipping for point predicates on a
+# SCATTERED column (the complement of q238's zone maps)
+
+_BL_M = 4096  # bits per lane; 2 lanes (the q222 pair construction)
+_BL_HOT = 7  # probe present in (nearly) every fragment at every SF
+_BL_ABSENT = 999983  # probe absent from the whole fixture at every SF
+
+_BLSKIP_ORACLE = (
+    f"WITH f AS (SELECT event_id // {_ZM_FRAG} AS fragment, user_id FROM events), "
+    "dv AS (SELECT DISTINCT fragment, user_id FROM f), "
+    "bits AS (SELECT fragment, "
+    f"  {_H32_DUCK.format(x='CAST(user_id AS VARCHAR)')} % {_BL_M} AS b0, "
+    f"  {_H32_DUCK.format(x=chr(39) + 'b|' + chr(39) + ' || CAST(user_id AS VARCHAR)')} % {_BL_M} AS b1 "
+    "  FROM dv), "
+    f"probes AS (SELECT p AS probe_uid, "
+    f"  {_H32_DUCK.format(x='CAST(p AS VARCHAR)')} % {_BL_M} AS p0, "
+    f"  {_H32_DUCK.format(x=chr(39) + 'b|' + chr(39) + ' || CAST(p AS VARCHAR)')} % {_BL_M} AS p1 "
+    f"  FROM (VALUES ({_BL_HOT}), ({_BL_ABSENT})) v(p)), "
+    "verdict AS (SELECT fr.fragment, pr.probe_uid, "
+    "  CASE WHEN EXISTS (SELECT 1 FROM bits b WHERE b.fragment = fr.fragment "
+    "         AND b.b0 = pr.p0) "
+    "   AND EXISTS (SELECT 1 FROM bits b WHERE b.fragment = fr.fragment "
+    "         AND b.b1 = pr.p1) THEN 1 ELSE 0 END AS may_contain "
+    "  FROM (SELECT DISTINCT fragment FROM f) fr CROSS JOIN probes pr), "
+    "hits AS (SELECT fragment, user_id AS probe_uid, COUNT(*) AS rows_matched "
+    f"  FROM f WHERE user_id IN ({_BL_HOT}, {_BL_ABSENT}) GROUP BY fragment, user_id) "
+    "SELECT v.fragment, CAST(v.probe_uid AS BIGINT) AS probe_uid, "
+    "  CAST(v.may_contain AS BIGINT) AS may_contain, "
+    "  CAST(COALESCE(h.rows_matched, 0) AS BIGINT) AS rows_matched "
+    "FROM verdict v LEFT JOIN hits h "
+    "  ON h.fragment = v.fragment AND h.probe_uid = v.probe_uid "
+    "ORDER BY v.fragment, v.probe_uid"
+)
+
+
+@query(
+    "q243_bloom_skipping",
+    _BLSKIP_ORACLE,
+    doc="Per-fragment Bloom data skipping — the complement q238's doc "
+    "promises: zone maps prune RANGE predicates on the clustering column "
+    "but skip nothing for point predicates on the uniformly-scattered "
+    "user_id; a per-fragment 2-lane md5 Bloom filter (m=4096/lane over "
+    "the fragment's distinct values) does.  Two probes audit both "
+    "verdicts at every SF: a hot user (scan, rows matched) and an "
+    "everywhere-absent id (skip, modulo the measured-elsewhere FP rate); "
+    "may_contain = 0 => rows_matched = 0 is the no-false-negative "
+    "soundness guarantee, asserted in tests.  Scale shape: filter "
+    "construction is one distinct + map-side hashing pass grouped by "
+    "fragment (the bit relation is fragment-metadata x occupancy sized); "
+    "probing touches only the bit relation — this is the declarative "
+    "form of the per-row-group bloom parquet/lance readers consult "
+    "before touching data pages.",
+    tags=("events", "scan", "sketch"),
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, "events", sf_dir))
+    f = ev.select(
+        F.expr(f"event_id DIV {_ZM_FRAG}").alias("fragment"), "user_id"
+    )
+    f = f.localCheckpoint(eager=False)  # feeds filter build, probes, truth
+    dv = f.distinct()
+    b0 = F.expr(_H32.format(x="CAST(user_id AS STRING)")).cast("long") % _BL_M
+    b1 = (
+        F.expr(_H32.format(x="concat('b|', CAST(user_id AS STRING))")).cast("long")
+        % _BL_M
+    )
+    bits = dv.select("fragment", b0.alias("b0"), b1.alias("b1"))
+    bits = bits.localCheckpoint(eager=False)  # probed twice (one per lane)
+    spark_local = f.sparkSession
+    probes = spark_local.createDataFrame(
+        [(_BL_HOT,), (_BL_ABSENT,)], "probe_uid long"
+    ).select(
+        "probe_uid",
+        (
+            F.expr(_H32.format(x="CAST(probe_uid AS STRING)")).cast("long") % _BL_M
+        ).alias("p0"),
+        (
+            F.expr(_H32.format(x="concat('b|', CAST(probe_uid AS STRING))")).cast(
+                "long"
+            )
+            % _BL_M
+        ).alias("p1"),
+    )
+    frags = f.select("fragment").distinct()
+    grid = frags.crossJoin(F.broadcast(probes))
+    hit0 = (
+        grid.join(
+            bits.select("fragment", F.col("b0").alias("p0")).distinct(),
+            ["fragment", "p0"],
+            "left_semi",
+        )
+        .select("fragment", "probe_uid")
+        .withColumn("l0", F.lit(1))
+    )
+    hit1 = (
+        grid.join(
+            bits.select("fragment", F.col("b1").alias("p1")).distinct(),
+            ["fragment", "p1"],
+            "left_semi",
+        )
+        .select("fragment", "probe_uid")
+        .withColumn("l1", F.lit(1))
+    )
+    truth = (
+        f.filter(F.col("user_id").isin(_BL_HOT, _BL_ABSENT))
+        .groupBy("fragment", F.col("user_id").alias("probe_uid"))
+        .agg(F.count(F.lit(1)).alias("rows_matched"))
+    )
+    return (
+        grid.join(hit0, ["fragment", "probe_uid"], "left")
+        .join(hit1, ["fragment", "probe_uid"], "left")
+        .join(truth, ["fragment", "probe_uid"], "left")
+        .select(
+            "fragment",
+            F.col("probe_uid").cast("long").alias("probe_uid"),
+            (F.coalesce("l0", F.lit(0)) * F.coalesce("l1", F.lit(0)))
+            .cast("long")
+            .alias("may_contain"),
+            F.coalesce("rows_matched", F.lit(0)).cast("long").alias("rows_matched"),
+        )
+        .orderBy("fragment", "probe_uid")
+    )

@@ -335,3 +335,132 @@ def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q244: HLL distributed merge law — per-shard sketches union to the
+# single-pass sketch, register for register
+
+_HLL_SHARD = 128  # doc_id DIV 128 shards stand in for per-executor partials
+
+_HLL_MERGE_ORACLE = (
+    "WITH toks AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), "
+    "big AS (SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS w FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    f"dist AS (SELECT DISTINCT doc_id // {_HLL_SHARD} AS shard, source, w FROM big), "
+    f"hs AS (SELECT shard, source, {_H32_DUCK.format(x='w')} AS h FROM dist), "
+    f"rr AS (SELECT shard, source, h % {_HLL_M} AS reg, h // {_HLL_M} AS rest FROM hs), "
+    f"shard_regs AS (SELECT shard, source, reg, MAX({_RHO}) AS mx "
+    "  FROM rr GROUP BY shard, source, reg), "
+    "merged AS (SELECT source, reg, MAX(mx) AS mx FROM shard_regs "
+    "  GROUP BY source, reg), "
+    f"direct AS (SELECT source, reg, MAX({_RHO}) AS mx "
+    "  FROM rr GROUP BY source, reg), "
+    "grid AS (SELECT s.source, g.range AS reg "
+    f"  FROM (SELECT DISTINCT source FROM dist) s, range({_HLL_M}) g), "
+    "zm AS (SELECT g.source, SUM(1073741824 >> COALESCE(m.mx, 0)) AS z "
+    "  FROM grid g LEFT JOIN merged m ON g.source = m.source AND g.reg = m.reg "
+    "  GROUP BY g.source), "
+    "zd AS (SELECT g.source, SUM(1073741824 >> COALESCE(d.mx, 0)) AS z "
+    "  FROM grid g LEFT JOIN direct d ON g.source = d.source AND g.reg = d.reg "
+    "  GROUP BY g.source), "
+    "truth AS (SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS exact_distinct "
+    "  FROM dist GROUP BY source), "
+    "nsh AS (SELECT source, CAST(COUNT(DISTINCT shard) AS BIGINT) AS n_shards "
+    "  FROM dist GROUP BY source) "
+    "SELECT t.source, t.exact_distinct, n.n_shards, "
+    f"  CAST({_HLL_NUM} // (1000 * zd.z) AS BIGINT) AS direct_estimate, "
+    f"  CAST({_HLL_NUM} // (1000 * zm.z) AS BIGINT) AS merged_estimate "
+    "FROM truth t JOIN nsh n USING (source) JOIN zd USING (source) "
+    "JOIN zm USING (source) ORDER BY t.source"
+)
+
+
+@query(
+    "q244_hll_merge_law",
+    _HLL_MERGE_ORACLE,
+    doc="HLL distributed merge law, audited: per-shard sketches (128-doc "
+    "shards standing in for per-executor partials) union by register-wise "
+    "MAX into exactly the single-pass sketch — merged_estimate equals "
+    "direct_estimate by construction (asserted in tests), which is THE "
+    "property that lets production sketch a 100 TB corpus as independent "
+    "partials merged at the coordinator with no rescan.  Both paths, the "
+    "merge, and the estimates are md5-derived fixed-point integers, so "
+    "the law itself is hash-checked against DuckDB.  Scale shape: the "
+    "shard pass is the same map-side-combinable (shard, source, reg) "
+    "max-aggregate an executor would hold; the merge input is "
+    "shards x 64 rows — metadata-sized regardless of corpus.",
+    tags=("llm", "sketch", "aggregates"),
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = spread(docs).select(
+        "doc_id",
+        "source",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')").alias("tk"),
+    )
+    big = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "filter(zip_with(tk, slice(tk, 2, size(tk)), "
+                "(x, y) -> concat(x, ' ', y)), p -> p IS NOT NULL)"
+            )
+        ).alias("w"),
+    )
+    dist = big.select(
+        F.expr(f"doc_id DIV {_HLL_SHARD}").alias("shard"), "source", "w"
+    ).distinct()
+    dist = dist.localCheckpoint(eager=False)  # feeds both sketch paths + truth
+    rr = dist.select(
+        "shard",
+        "source",
+        (F.expr(_H32.format(x="w")).cast("long") % _HLL_M).alias("reg"),
+        F.expr(f"CAST({_H32.format(x='w')} AS BIGINT) DIV {_HLL_M}").alias("rest"),
+    )
+    rr = rr.localCheckpoint(eager=False)  # feeds shard-wise AND direct registers
+    shard_regs = rr.groupBy("shard", "source", "reg").agg(
+        F.expr(f"MAX({_RHO})").alias("mx")
+    )
+    merged = shard_regs.groupBy("source", "reg").agg(F.max("mx").alias("mx"))
+    direct = rr.groupBy("source", "reg").agg(F.expr(f"MAX({_RHO})").alias("mx"))
+    grid = (
+        dist.select("source")
+        .distinct()
+        .select(
+            "source", F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("reg")
+        )
+    )
+    def _z(regs, name):
+        return (
+            grid.join(regs, ["source", "reg"], "left")
+            .groupBy("source")
+            .agg(
+                F.sum(F.expr("shiftright(1073741824, COALESCE(mx, 0))")).alias(name)
+            )
+        )
+    zm = _z(merged, "zm")
+    zd = _z(direct, "zd")
+    truth = dist.groupBy("source").agg(
+        F.countDistinct("w").cast("long").alias("exact_distinct")
+    )
+    nsh = dist.groupBy("source").agg(
+        F.countDistinct("shard").cast("long").alias("n_shards")
+    )
+    return (
+        truth.join(nsh, "source")
+        .join(zd, "source")
+        .join(zm, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            "n_shards",
+            F.expr(f"CAST({_HLL_NUM} DIV (1000 * zd) AS BIGINT)").alias(
+                "direct_estimate"
+            ),
+            F.expr(f"CAST({_HLL_NUM} DIV (1000 * zm) AS BIGINT)").alias(
+                "merged_estimate"
+            ),
+        )
+        .orderBy("source")
+    )

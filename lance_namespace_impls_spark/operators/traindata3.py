@@ -194,10 +194,17 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACC_NUM, _JACC_DEN = 8, 10  # threshold t = 0.8
 
+# 3-gram shingle sets, NOT bigrams: the fixture's bigram vocabulary is only
+# ~930 types for 5000 docs, so every "rare" prefix token still occurs in
+# hundreds of prefixes and the candidate set explodes to ~6M pairs (28 s at
+# sf0.1).  3-gram vocabulary is ~27k types — max prefix doc-frequency drops
+# from 264 to 8 and raw candidates 50x, with the same 25-256 true pairs.
+# Prefix filtering is only as good as its token selectivity; pick the
+# shingle width that makes the tail actually rare.
 _PREFIX_ORACLE = (
     "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), "
-    "big AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS w "
-    "  FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    "big AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS w "
+    "  FROM toks, unnest(range(1, len(tk) - 1)) AS u(i)), "
     "sz AS (SELECT doc_id, COUNT(*) AS s FROM big GROUP BY doc_id), "
     "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS it "
     "  FROM big a JOIN big b ON a.w = b.w AND a.doc_id < b.doc_id "
@@ -212,22 +219,16 @@ _PREFIX_ORACLE = (
 )
 
 
-def _doc_bigrams(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, w) token-bigram sets (the q221 bigram device —
-    unigram vocabulary is ~31 types and makes every doc near-identical)."""
-    toks = spread(docs).select(
-        "doc_id",
-        F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')").alias("tk"),
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, w) word-3-gram sets via the codegen-friendly
+    zip form (corpus._exploded_shingles; HOF shingling is interpreted)."""
+    from lance_namespace_impls_spark.operators.corpus import _exploded_shingles
+
+    return (
+        _exploded_shingles(spread(docs), 3)
+        .withColumnRenamed("t", "w")
+        .distinct()
     )
-    return toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "filter(zip_with(tk, slice(tk, 2, size(tk)), "
-                "(x, y) -> concat(x, ' ', y)), p -> p IS NOT NULL)"
-            )
-        ).alias("w"),
-    ).distinct()
 
 
 @query(
@@ -235,8 +236,8 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     _PREFIX_ORACLE,
     doc="Prefix-filtering set-similarity join (the PPJoin family — "
     "Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008): all document pairs "
-    "with token-bigram Jaccard >= 0.8, found WITHOUT the all-pairs scan.  "
-    "Each doc's bigram set is ordered rarest-first (global doc-frequency, "
+    "with word-3-gram Jaccard >= 0.8, found WITHOUT the all-pairs scan.  "
+    "Each doc's shingle set is ordered rarest-first (global doc-frequency, "
     "ties by value); by the prefix-filter lemma, J(x,y) >= t implies the "
     "(s - ceil(t*s) + 1)-prefixes share an element, so the equi-join on "
     "prefix tokens is recall-lossless; candidates then shrink by the "
@@ -247,13 +248,16 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     "hash-checked.  Scale shape: candidate generation touches only prefix "
     "tokens, which are by construction each doc's RAREST — the join "
     "fan-out per token is its (small) document frequency, the classic "
-    "PPJoin skew argument; all shuffles carry int keys + short bigrams; "
+    "PPJoin skew argument — and 3-gram shingling is what makes the rare "
+    "tail exist at all (bigram vocabulary is ~930 types for 5000 docs: "
+    "max prefix-df 264, ~6M candidates, 28 s; 3-grams: max prefix-df 8, "
+    "50x fewer candidates); all shuffles carry int keys + short shingles; "
     "verification work is |candidates| * set size, never N^2.",
     tags=("llm", "dedup", "joins"),
 )
 def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    big = _doc_bigrams(docs)
+    big = _doc_shingles(docs)
     big = big.localCheckpoint(eager=False)  # feeds df-ranking, sizes, verify
     sz = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
     # global doc-frequency attached as a window over the token key (each

@@ -51,6 +51,7 @@ CARTESIAN_ALLOWED = {
     "q226_bpe_train_rounds": "1-row top-merge and symbol-count broadcasts per round (state is vocab-sized)",
     "q232_ann_recall_audit": "q218's bounded index broadcasts + 8-query brute-force ground truth (the audit sample)",
     "q242_scalar_index_audit": "two 1-row path summaries (direct vs index) cross-joined into the audit row",
+    "q243_bloom_skipping": "fragment list x 2-row broadcast probe grid (bounded audit axes)",
 }
 
 # streaming builders start real runs; their plans are covered by the

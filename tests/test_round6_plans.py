@@ -40,6 +40,7 @@ NO_SINGLE_PARTITION = [
     "q236_retention_cohorts",  # distinct + per-user/per-cohort aggs
     "q237_event_transitions",  # per-user sequence window, type-matrix window
     "q238_zonemap_pruning",  # per-fragment (min, max, count) aggregate
+    "q244_hll_merge_law",  # two-level register max-aggregates, no collapse
 ]
 
 
