@@ -39,3 +39,4 @@ from lance_namespace_impls_spark.sources import pyds  # noqa: F401
 from lance_namespace_impls_spark.streaming import windows  # noqa: F401
 from lance_namespace_impls_spark.streaming import joins  # noqa: F401
 from lance_namespace_impls_spark.streaming import upsert  # noqa: F401
+from lance_namespace_impls_spark.streaming import stats_maint  # noqa: F401

@@ -1,0 +1,145 @@
+"""Streaming incremental statistics maintenance (SURVEY.md §2B row q245).
+
+q238 computes fragment zone maps from a full scan; a live table cannot
+afford a rescan per commit, so lakehouse readers depend on statistics that
+are maintained INCREMENTALLY as data arrives.  q245 replays events as four
+micro-batches through foreachBatch and merges each batch's partial
+(fragment, min, max, count) into a parquet stats table — min/max/count are
+associative and commutative, so the final state equals the full-scan zone
+maps for ANY batch slicing, which the DuckDB oracle verifies, down to the
+same skip verdict q238 derives.
+
+Scale posture: each merge touches only the incoming batch's fragments plus
+the (fragment-metadata-sized) current state; the data is never rescanned —
+exactly how lance/Delta keep per-fragment stats current under appends.
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; this models the statistics upkeep of the
+lance table format its namespaces serve.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.operators.maintenance import _ZM_FRAG, _ZM_HI, _ZM_LO
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.session import ensure_runtime_conf
+from lance_namespace_impls_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+
+def _batch_zones(batch: DataFrame) -> DataFrame:
+    """Per-fragment (min, max, count) partial for one micro-batch."""
+    return (
+        batch.select(
+            F.expr(f"event_id DIV {_ZM_FRAG}").alias("fragment"),
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ets"),
+        )
+        .groupBy("fragment")
+        .agg(
+            F.min("ets").alias("min_ets"),
+            F.max("ets").alias("max_ets"),
+            F.count(F.lit(1)).alias("rows_total"),
+        )
+    )
+
+
+def merge_zones(target_dir: str, batch: DataFrame) -> None:
+    """Merge one micro-batch's partial stats into the state table: union +
+    re-aggregate.  min/max/count are associative+commutative, so the result
+    is slicing-invariant."""
+    spark = batch.sparkSession
+    incoming = _batch_zones(batch)
+    if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+        current = spark.read.parquet(target_dir)
+        merged = (
+            current.unionByName(incoming)
+            .groupBy("fragment")
+            .agg(
+                F.min("min_ets").alias("min_ets"),
+                F.max("max_ets").alias("max_ets"),
+                F.sum("rows_total").alias("rows_total"),
+            )
+        )
+    else:
+        merged = incoming
+    staging = target_dir + ".staging"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(target_dir):
+        shutil.rmtree(target_dir)
+    os.replace(staging, target_dir)
+
+
+def run_stats_maintenance(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Replay events as ``n_files`` micro-batches, maintaining zone maps."""
+    ensure_runtime_conf(spark)
+    work = os.path.join(tempfile.gettempdir(), f"lni_zones_{uuid.uuid4().hex}")
+    staging = os.path.join(work, "in")
+    target = os.path.join(work, "state")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(n_files).write.parquet(
+        staging
+    )
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = (
+        stream.writeStream.foreachBatch(lambda b, _id: merge_zones(target, b))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+    return target
+
+
+_SM_ORACLE = (
+    f"WITH f AS (SELECT event_id // {_ZM_FRAG} AS fragment, "
+    "  epoch_us(ts) AS ets FROM events) "
+    "SELECT fragment, CAST(MIN(ets) AS BIGINT) AS min_ets, "
+    "  CAST(MAX(ets) AS BIGINT) AS max_ets, "
+    "  CAST(COUNT(*) AS BIGINT) AS rows_total, "
+    f"  CAST(CASE WHEN MAX(ets) < {_ZM_LO} OR MIN(ets) >= {_ZM_HI} "
+    "    THEN 0 ELSE 1 END AS BIGINT) AS scan_needed "
+    "FROM f GROUP BY fragment ORDER BY fragment"
+)
+
+
+@query(
+    "q245_streaming_stats_maintenance",
+    _SM_ORACLE,
+    doc="Streaming incremental zone-map maintenance: events replayed in 4 "
+    "micro-batches, each batch's per-fragment (min, max, count) partial "
+    "merged into a parquet stats table via foreachBatch — min/max/count "
+    "are associative+commutative, so the maintained state equals the "
+    "full-scan zone maps (q238) for ANY batch slicing, INCLUDING the "
+    "derived skip verdict, which the oracle verifies.  This is how "
+    "lakehouse statistics stay fresh under appends without rescans: each "
+    "merge touches the incoming batch plus the fragment-metadata-sized "
+    "state, never the table.",
+    tags=("streaming", "scan", "sink"),
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = run_stats_maintenance(spark, sf_dir)
+    zones = spark.read.parquet(target)
+    return (
+        zones.select(
+            "fragment",
+            F.col("min_ets").cast("long").alias("min_ets"),
+            F.col("max_ets").cast("long").alias("max_ets"),
+            F.col("rows_total").cast("long").alias("rows_total"),
+            F.expr(
+                f"CAST(CASE WHEN max_ets < {_ZM_LO} OR min_ets >= {_ZM_HI} "
+                "THEN 0 ELSE 1 END AS BIGINT)"
+            ).alias("scan_needed"),
+        )
+        .orderBy("fragment")
+    )

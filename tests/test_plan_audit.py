@@ -52,11 +52,14 @@ CARTESIAN_ALLOWED = {
     "q232_ann_recall_audit": "q218's bounded index broadcasts + 8-query brute-force ground truth (the audit sample)",
     "q242_scalar_index_audit": "two 1-row path summaries (direct vs index) cross-joined into the audit row",
     "q243_bloom_skipping": "fragment list x 2-row broadcast probe grid (bounded audit axes)",
+    "q246_bloom_join_reduction": "four 1-row path summaries cross-joined into the audit row",
 }
 
 # streaming builders start real runs; their plans are covered by the
 # streaming tests instead
-_STREAMING_PREFIXES = ("q61", "q62", "q79", "q80", "q87", "q104", "q105", "q109")
+_STREAMING_PREFIXES = (
+    "q61", "q62", "q79", "q80", "q87", "q104", "q105", "q109", "q245",
+)
 
 
 @pytest.mark.slow

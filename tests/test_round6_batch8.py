@@ -1,0 +1,56 @@
+"""Round-6 batch-8 rows (q245–q246): oracle parity plus the defining
+guarantees — slicing-invariant incremental statistics and the Bloom-join
+no-lost-rows law."""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.oracle import check_query, duckdb_connection
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+NEW = ["q245_streaming_stats_maintenance", "q246_bloom_join_reduction"]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_oracle_match(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_q245_state_is_slicing_invariant(spark):
+    """The maintained stats must not depend on how appends were batched."""
+    from lance_namespace_impls_spark.streaming.stats_maint import (
+        run_stats_maintenance,
+    )
+
+    four = QUERIES["q245_streaming_stats_maintenance"].builder(spark, SF_SMOKE)
+    three = spark.read.parquet(run_stats_maintenance(spark, SF_SMOKE, n_files=3))
+    a = sorted(
+        (r["fragment"], r["min_ets"], r["max_ets"], r["rows_total"])
+        for r in four.collect()
+    )
+    b = sorted(
+        (r["fragment"], r["min_ets"], r["max_ets"], r["rows_total"])
+        for r in three.collect()
+    )
+    assert a == b
+
+
+def test_q246_bloom_never_loses_rows_and_reduces(spark):
+    row = QUERIES["q246_bloom_join_reduction"].builder(spark, SF_SMOKE).collect()[0]
+    # no false negatives: the filtered join equals the direct join exactly
+    assert row["bloom_rows"] == row["direct_rows"] > 0
+    assert row["bloom_xor"] == row["direct_xor"]
+    # and the filter genuinely shrinks the fact side before the shuffle
+    assert row["orders_after_bloom"] < row["orders_total"]
+    assert row["reduction_ppm"] > 500_000  # ~20% selective dim => >50% cut
+    assert 0 <= row["bloom_fp_passed"] <= row["orders_after_bloom"]
