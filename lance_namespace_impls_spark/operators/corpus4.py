@@ -1,0 +1,397 @@
+"""Batch-nine operators: shift-robust chunk dedup, frame-distinct saturation,
+deterministic interleave scheduling, and a character-entropy quality gate
+(SURVEY.md §2B rows q247–q250).
+
+Four operators a 100 TB training-data pipeline runs that the earlier batches
+don't yet cover:
+
+* **Content-defined chunking (q247)** — the shift-robust dedup unit (LBFS /
+  Muthitacharoen et al. 2001; the device behind rsync/restic/casync dedup and
+  chunk-level corpus dedup).  Fixed-size shingles (q52/q161) miss duplicates
+  when an edit shifts all downstream offsets; CDC cuts chunk boundaries where
+  a rolling content hash hits a modulus, so identical content yields identical
+  chunks at ANY offset.  Here the boundary predicate is md5 of each 8-char
+  window ≡ 0 (mod 64) — engine-portable, expected chunk length ~64 chars —
+  computed entirely with array expressions (no per-character explode of the
+  corpus survives past the map stage).
+* **Event-type saturation (q248)** — running COUNT(DISTINCT) over an ordered
+  frame, the window aggregate Spark has no native form for.  The scalable
+  formulation is first-occurrence-flag + running SUM (two partitioned
+  windows), NOT ``array_distinct(collect_list(...))`` over a growing frame —
+  the set-materializing form is O(frame²) memory and dies on long user
+  histories.  Reports when each user's behavior vocabulary saturates.
+* **Fixed-stride interleave schedule (q249)** — the deterministic multi-source
+  training-order scheduler: rank documents inside each source by a seed-free
+  hash, then place rank r of source s at global position (r−1)·S + idx(s).
+  The closed form gives a total training order with NO global sort — each
+  executor can compute any schedule slice independently, which is exactly how
+  distributed data loaders shard a deterministic curriculum.
+* **Character-entropy gate (q250)** — the Gopher/C4-style gibberish filter:
+  character-unigram Shannon entropy per document, in exact integer milli-bits
+  via the ⌊log2⌋ = binary-string-length device (q206), so the score is
+  hash-exact across engines (no float log accumulation).  Low entropy =
+  repeated-character junk; the gate reports per-source pass rates.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# q247: content-defined chunking + chunk-level dedup census
+
+_CDC_MOD = 64  # boundary when h(window) % 64 == 0 -> expected chunk ~64 chars
+
+_CDC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, text AS tx, CAST(length(text) AS BIGINT) AS L
+  FROM documents
+),
+-- boundary ENDS: window [i, i+7] closes a chunk at i+7 when its hash hits 0 (mod {_CDC_MOD})
+b AS (
+  SELECT doc_id, i + 7 AS cut
+  FROM d, unnest(CASE WHEN L >= 8 THEN range(1, L - 6) ELSE [] END) AS t(i)
+  WHERE (('0x' || substr(md5(substr(tx, CAST(i AS INT), 8)), 1, 8))::BIGINT) % {_CDC_MOD} = 0
+    AND i + 7 < L
+),
+cuts AS (
+  SELECT d.doc_id, d.source, d.tx,
+         -- FILTER: DuckDB's list() keeps the NULL a LEFT-JOIN miss produces
+         [0] || coalesce(list(b.cut ORDER BY b.cut) FILTER (WHERE b.cut IS NOT NULL), []) || [d.L] AS cp
+  FROM d LEFT JOIN b USING (doc_id)
+  GROUP BY d.doc_id, d.source, d.tx, d.L
+),
+chunks AS (
+  SELECT source,
+         md5(substr(tx, CAST(cp[i] + 1 AS INT), CAST(cp[i + 1] - cp[i] AS INT))) AS h,
+         cp[i + 1] - cp[i] AS clen
+  FROM cuts, unnest(range(1, len(cp))) AS t(i)
+  WHERE cp[i + 1] - cp[i] > 0
+),
+per_hash AS (
+  SELECT h, COUNT(DISTINCT source) AS n_src FROM chunks GROUP BY h
+),
+per_src_hash AS (
+  SELECT source, h, COUNT(*) AS k, MAX(clen) AS clen FROM chunks GROUP BY source, h
+)
+SELECT s.source,
+       CAST(SUM(s.k) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(SUM(s.k * s.clen) * 100 // SUM(s.k) AS BIGINT) AS avg_chunk_len_x100,
+       CAST(COUNT(*) FILTER (WHERE p.n_src >= 2) AS BIGINT) AS chunks_shared
+FROM per_src_hash s JOIN per_hash p USING (h)
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+@query(
+    "q247_cdc_chunking",
+    _CDC_ORACLE,
+    doc="Content-defined chunking (LBFS-style): cut each document where the "
+    "md5 of the trailing 8-char window ≡ 0 (mod 64), hash the resulting "
+    "variable-length chunks, and report the per-source chunk-dedup census "
+    "including cross-source chunk sharing — the shift-robust dedup unit "
+    "fixed shingles (q52/q161) cannot give.  The boundary scan is pure "
+    "array expressions inside one map stage (sequence → transform → "
+    "filter; no per-character rows ever shuffle); only (source, chunk-"
+    "hash, len) tuples leave the scan, so the shuffle is chunk-count-"
+    "sized, not character-sized.  Documents are ~64-char-expected chunks; "
+    "at 100 TB the chunk-hash relation is the dedup ledger and partitions "
+    "uniformly by hash.",
+    tags=("llm", "dedup", "cdc"),
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = spread(docs).select(
+        "doc_id", "source", F.col("text").alias("tx"), F.length("text").cast("long").alias("L")
+    )
+    # boundary cut positions (chunk END offsets), all inside one projection
+    cuts = F.expr(
+        f"""
+        concat(
+          array(CAST(0 AS BIGINT)),
+          filter(
+            transform(
+              CASE WHEN L >= 8 THEN sequence(CAST(1 AS BIGINT), L - 7) ELSE array() END,
+              i -> IF(CAST(conv(substring(md5(substring(tx, CAST(i AS INT), 8)), 1, 8), 16, 10) AS BIGINT) % {_CDC_MOD} = 0
+                     AND i + 7 < L, i + 7, CAST(NULL AS BIGINT))
+            ),
+            x -> x IS NOT NULL
+          ),
+          array(L)
+        )
+        """
+    )
+    chunks = (
+        d.withColumn("cp", cuts)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "filter(zip_with(cp, slice(cp, 2, size(cp)), "
+                    "(a, b) -> struct(md5(substring(tx, CAST(a + 1 AS INT), CAST(b - a AS INT))) AS h, b - a AS clen)), "
+                    "c -> c.clen IS NOT NULL AND c.clen > 0)"
+                )
+            ).alias("c"),
+        )
+        .select("source", "c.h", "c.clen")
+    )
+    per_src_hash = chunks.groupBy("source", "h").agg(
+        F.count(F.lit(1)).alias("k"), F.max("clen").alias("clen")
+    )
+    per_src_hash = per_src_hash.localCheckpoint(eager=False)  # feeds two consumers
+    per_hash = per_src_hash.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_src")  # one row per (source, h) -> count = #sources
+    )
+    return (
+        per_src_hash.join(per_hash, "h")
+        .groupBy("source")
+        .agg(
+            F.sum("k").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+            (F.sum(F.col("k") * F.col("clen")) * 100 / F.sum("k"))
+            .cast("long")
+            .alias("avg_chunk_len_x100"),
+            F.sum(F.when(F.col("n_src") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("chunks_shared"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248: per-user event-type saturation (running distinct over ordered frames)
+
+_SATURATION_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_occ
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(first_occ) AS BIGINT) AS n_distinct_types,
+       CAST(MAX(CASE WHEN first_occ = 1 THEN seq END) AS BIGINT) AS saturation_rank,
+       CAST(COUNT(*) - MAX(CASE WHEN first_occ = 1 THEN seq END) AS BIGINT) AS events_after_saturation
+FROM e
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query(
+    "q248_event_type_saturation",
+    _SATURATION_ORACLE,
+    doc="Running COUNT(DISTINCT) over an ordered frame — the window aggregate "
+    "Spark has no native form for — via the scalable first-occurrence-flag "
+    "+ running-SUM formulation: flag each (user, event_type)'s first event "
+    "with one partitioned row_number, then the running sum of flags IS the "
+    "running distinct count.  Reports where each user's event-type "
+    "vocabulary saturates (rank of the last new type).  Deliberately NOT "
+    "array_distinct(collect_list(...)) over a growing frame: that "
+    "materializes an O(frame) set per row — O(n²) per partition — and "
+    "dies on long histories; this form is two O(n log n) partitioned "
+    "windows whose state is one integer.  Both windows partition on "
+    "user keys, so at 100 TB the sort is per-user-shard and no global "
+    "order exists anywhere in the plan.",
+    tags=("windows", "behavior"),
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w_seq).alias("seq"),
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_occ"),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("first_occ").cast("long").alias("n_distinct_types"),
+            F.max(F.when(F.col("first_occ") == 1, F.col("seq"))).cast("long").alias("saturation_rank"),
+            (F.count(F.lit(1)) - F.max(F.when(F.col("first_occ") == 1, F.col("seq"))))
+            .cast("long")
+            .alias("events_after_saturation"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_events",
+            "n_distinct_types",
+            "saturation_rank",
+            "events_after_saturation",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q249: fixed-stride deterministic interleave schedule
+
+_INTERLEAVE_N = 200
+
+_INTERLEAVE_ORACLE = f"""
+WITH s AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY source) AS src_idx FROM
+  (SELECT DISTINCT source FROM documents)
+),
+n AS (SELECT COUNT(*) AS n_src FROM s),
+r AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000, doc_id) AS rk
+  FROM documents
+)
+SELECT CAST((r.rk - 1) * n.n_src + s.src_idx AS BIGINT) AS pos,
+       r.source,
+       CAST(r.doc_id AS BIGINT) AS doc_id
+FROM r JOIN s USING (source) CROSS JOIN n
+WHERE (r.rk - 1) * n.n_src + s.src_idx <= {_INTERLEAVE_N}
+ORDER BY pos
+"""
+
+
+@query(
+    "q249_interleave_schedule",
+    _INTERLEAVE_ORACLE,
+    doc="Deterministic multi-source training-order scheduler: rank documents "
+    "inside each source by the seed-free multiplicative hash, then place "
+    "rank r of source s at global position (r−1)·S + idx(s) — a CLOSED "
+    "FORM for the round-robin interleave, so the total training order "
+    "exists with no global sort or window anywhere in the plan: any "
+    "executor can compute any slice of the schedule from its own "
+    "partition (exactly how distributed data loaders shard a "
+    "deterministic curriculum).  The only shuffle is the per-source rank "
+    "window (bounded-cardinality partitions); the source→index map is a "
+    "20-row broadcast.  First {n} positions returned.".format(
+        n=_INTERLEAVE_N
+    ),
+    tags=("llm", "curation", "scheduling"),
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    # (source, src_idx, n_src) — one tiny dimension row per source; both the
+    # rank and the count ride the same bounded-cardinality window frame, so
+    # no 1-row cross join (= nested-loop) ever enters the plan
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.row_number().over(Window.orderBy("source")).alias("src_idx"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n_src"),
+        )
+    )
+    hk = F.expr("((doc_id % 1000000007) * 2654435761) % 1000000")
+    w_rk = Window.partitionBy("source").orderBy(hk, "doc_id")
+    r = docs.select("source", "doc_id", F.row_number().over(w_rk).alias("rk"))
+    return (
+        r.join(F.broadcast(srcs), "source")
+        .select(
+            ((F.col("rk") - 1) * F.col("n_src") + F.col("src_idx"))
+            .cast("long")
+            .alias("pos"),
+            "source",
+            F.col("doc_id").cast("long").alias("doc_id"),
+        )
+        .filter(F.col("pos") <= _INTERLEAVE_N)
+        .orderBy("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q250: character-entropy quality gate (integer milli-bits)
+
+_ENTROPY_GATE_MBITS = 3500  # pass threshold, milli-bits/char of floor-log2 entropy
+
+_ENTROPY_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, lower(text) AS tx, CAST(length(text) AS BIGINT) AS L
+  FROM documents WHERE length(text) > 0
+),
+ch AS (
+  SELECT doc_id, source, L, substr(tx, CAST(i AS INT), 1) AS c
+  FROM d, unnest(range(1, L + 1)) AS t(i)
+),
+freq AS (
+  SELECT doc_id, source, L, c, CAST(COUNT(*) AS BIGINT) AS k
+  FROM ch GROUP BY ALL
+),
+ent AS (
+  SELECT doc_id, source,
+         SUM(k * (length(bin(L)) - length(bin(k)))) * 1000 // MAX(L) AS mbits
+  FROM freq GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE mbits >= {_ENTROPY_GATE_MBITS}) AS BIGINT) AS n_pass,
+       CAST(MIN(mbits) AS BIGINT) AS min_mbits,
+       CAST(MAX(mbits) AS BIGINT) AS max_mbits,
+       CAST(SUM(mbits) AS BIGINT) AS sum_mbits
+FROM ent GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "q250_char_entropy_gate",
+    _ENTROPY_ORACLE,
+    doc="Gopher/C4-style gibberish filter: character-unigram Shannon entropy "
+    "per document in exact integer milli-bits, via the binary-string-"
+    "length ⌊log2⌋ of exact counts (the q206 device) — Σ k·(bitlen(n) − "
+    "bitlen(k)) · 1000 / n — so the score is hash-exact across engines "
+    "with no float log anywhere.  Low-entropy documents are repeated-"
+    "character junk; the gate reports per-source pass rates and the "
+    "entropy range.  Characters explode inside one map stage and reduce "
+    "immediately to per-(doc, char) counts — alphabet-bounded (≤ ~40 "
+    "rows/doc leave the map-side combine), so the shuffle is metadata-"
+    "sized relative to the corpus; nothing downstream is bigger than "
+    "one row per document.",
+    tags=("llm", "curation", "quality"),
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = spread(docs).filter(F.length("text") > 0).select(
+        "doc_id", "source", F.lower("text").alias("tx"), F.length("text").cast("long").alias("L")
+    )
+    ch = d.select(
+        "doc_id",
+        "source",
+        "L",
+        F.explode(F.expr("transform(sequence(1, CAST(L AS INT)), i -> substring(tx, i, 1))")).alias("c"),
+    )
+    freq = ch.groupBy("doc_id", "source", "L", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    bitlen = lambda c: F.length(F.conv(F.col(c).cast("string"), 10, 2)).cast("long")  # noqa: E731
+    ent = freq.groupBy("doc_id", "source").agg(
+        F.floor(
+            F.sum(F.col("k") * (bitlen("L") - bitlen("k"))) * 1000 / F.max("L")
+        ).alias("mbits")
+    )
+    return (
+        ent.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("mbits") >= _ENTROPY_GATE_MBITS, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            F.min("mbits").cast("long").alias("min_mbits"),
+            F.max("mbits").cast("long").alias("max_mbits"),
+            F.sum("mbits").cast("long").alias("sum_mbits"),
+        )
+        .orderBy("source")
+    )
