@@ -59,6 +59,12 @@ FAMILIES = [
     "q237_event_transitions",
     "q239_compaction_planning",
     "q240_join_size_estimate",
+    # round-6 batch 9-10 additions: CDC chunk census (array-expression
+    # boundary scan must not depend on scan splits), min-cost equality join
+    # on an IEEE quotient, and the decimal cross-multiplied HAVING threshold
+    "q247_cdc_chunking",
+    "q251_tpch_q2_shape",
+    "q253_tpch_q11_shape",
 ]
 
 CONFIGS = [

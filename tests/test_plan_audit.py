@@ -35,6 +35,7 @@ CARTESIAN_ALLOWED = {
     "q176_temperature_mixture": "1-row weight-sum/total broadcasts into the quota arithmetic",
     "q180_collocation_lift": "1-row total-token-count broadcast into the lift expression",
     "q195_tpch_q22_sales_opportunity": "1-row segment-average balance threshold broadcast",
+    "q253_tpch_q11_shape": "1-row (total, cnt) threshold broadcast into the HAVING filter",
     "q197_pq_encode": "deterministic 8-row codebook broadcast (PQ assignment; corpus never shuffles)",
     "q205_semdedup": "broadcast corpus-derived-K centroid assignment + 1-row k bound (corpus never shuffles)",
     "q198_bm25_retrieval": "1-row corpus stats (N, avgdl) broadcast into the scoring expression",

@@ -2,8 +2,9 @@
 plan-shape assertions for the scale-sensitive members.
 
 The suite's earlier TPC-H shapes (Q1/Q3/Q10/Q18 = q18/q83/q84/q133) are
-covered in their home modules; this file covers the fifteen added by
-operators/tpch.py.
+covered in their home modules; this file covers the eighteen added by
+operators/tpch.py (q181-q195 plus the q251-q253 partsupp-derived trio
+that completes all 22 shapes).
 """
 
 from __future__ import annotations
@@ -16,12 +17,15 @@ from lance_namespace_impls_spark.plans.registry import QUERIES
 
 from tests.conftest import SF_SMOKE
 
-TPCH = sorted(n for n in QUERIES if n.startswith("q18") or n.startswith("q19"))
-TPCH = [n for n in TPCH if "tpch_q" in n]
+TPCH = sorted(
+    n
+    for n in QUERIES
+    if "tpch_q" in n and (n.startswith("q18") or n.startswith("q19") or n.startswith("q25"))
+)
 
 
-def test_all_fifteen_registered():
-    assert len(TPCH) == 15
+def test_all_eighteen_registered():
+    assert len(TPCH) == 18
 
 
 @pytest.fixture(scope="module")
