@@ -1,0 +1,201 @@
+"""Batch-eleven operators: referential-integrity audit and last-touch
+attribution (SURVEY.md §2B rows q254–q255).
+
+* **FK-integrity audit (q254)** — the cross-TABLE data-quality gate q118's
+  row-local expectations cannot express: for each declared foreign-key
+  relation, the orphan census (fact rows / distinct keys referencing a
+  missing dimension row).  Three relations audit the live fixtures (all
+  consistent — the zero branch), and one audits lineitem→part against a
+  post-delete dimension snapshot (parts with p_size > 45 simulated as
+  deleted, the q233 device), so the non-zero branch fires at every SF —
+  exactly the check a warehouse runs after a retention delete before
+  publishing a snapshot.
+* **Last-touch attribution (q255)** — the marketing-analytics standard:
+  each purchase attributes to the same user's most recent PRECEDING
+  non-purchase event (the touch channel) via last_value(... IGNORE NULLS)
+  over ROWS UNBOUNDED PRECEDING TO 1 PRECEDING; first-session purchases
+  with no prior touch fall to 'direct'.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.operators.relational import _dec, _money
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q254: referential-integrity (orphan) audit across four FK relations
+
+_FK_ORACLE = """
+WITH
+o_cust AS (
+  SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1
+),
+l_part AS (
+  SELECT l_partkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+),
+l_supp AS (
+  SELECT l_suppkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+),
+e_user AS (
+  SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1
+),
+part_live AS (SELECT p_partkey FROM part WHERE p_size <= 45),
+audit AS (
+  SELECT 'orders.o_custkey->customer' AS relation,
+         SUM(c) AS fact_rows, COUNT(*) AS distinct_keys,
+         COALESCE(SUM(c) FILTER (WHERE c_custkey IS NULL), 0) AS orphan_rows,
+         COUNT(*) FILTER (WHERE c_custkey IS NULL) AS orphan_keys
+  FROM o_cust LEFT JOIN customer ON k = c_custkey
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part(post-delete)',
+         SUM(c), COUNT(*),
+         COALESCE(SUM(c) FILTER (WHERE p_partkey IS NULL), 0),
+         COUNT(*) FILTER (WHERE p_partkey IS NULL)
+  FROM l_part LEFT JOIN part_live ON k = p_partkey
+  UNION ALL
+  SELECT 'lineitem.l_suppkey->supplier',
+         SUM(c), COUNT(*),
+         COALESCE(SUM(c) FILTER (WHERE s_suppkey IS NULL), 0),
+         COUNT(*) FILTER (WHERE s_suppkey IS NULL)
+  FROM l_supp LEFT JOIN supplier ON k = s_suppkey
+  UNION ALL
+  SELECT 'events.user_id->customer',
+         SUM(c), COUNT(*),
+         COALESCE(SUM(c) FILTER (WHERE c_custkey IS NULL), 0),
+         COUNT(*) FILTER (WHERE c_custkey IS NULL)
+  FROM e_user LEFT JOIN customer ON k = c_custkey
+)
+SELECT relation, CAST(fact_rows AS BIGINT) AS fact_rows,
+       CAST(distinct_keys AS BIGINT) AS distinct_keys,
+       CAST(orphan_rows AS BIGINT) AS orphan_rows,
+       CAST(orphan_keys AS BIGINT) AS orphan_keys
+FROM audit ORDER BY relation
+"""
+
+
+def _fk_audit(
+    fact: DataFrame, key: str, dim: DataFrame, dim_key: str, relation: str
+) -> DataFrame:
+    """Orphan census for one FK relation, key-sized end to end.
+
+    The fact table reduces to (key, count) BEFORE any join — the shuffle
+    carries one row per distinct key, never fact rows — and the dimension
+    projects to its key column only.  The LEFT join + null probe is the
+    decorrelated NOT EXISTS; at 100 TB each audit is two key-sized
+    exchanges regardless of fact width.
+    """
+    kc = fact.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    joined = kc.join(dim.select(F.col(dim_key).alias("dk")), F.col("k") == F.col("dk"), "left")
+    return joined.agg(
+        F.lit(relation).alias("relation"),
+        F.sum("c").cast("long").alias("fact_rows"),
+        F.count(F.lit(1)).cast("long").alias("distinct_keys"),
+        F.coalesce(F.sum(F.when(F.col("dk").isNull(), F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("orphan_rows"),
+        F.sum(F.when(F.col("dk").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("orphan_keys"),
+    )
+
+
+@query(
+    "q254_fk_integrity_audit",
+    _FK_ORACLE,
+    doc="Cross-table referential-integrity audit — the gate q118's row-local "
+    "expectations cannot express: orphan row/key censuses for four FK "
+    "relations in one report.  Three audit the live fixtures (consistent, "
+    "zero orphans — the clean branch); lineitem->part audits against a "
+    "post-delete dimension snapshot (p_size > 45 simulated deleted), so "
+    "the violation branch fires at every SF — the snapshot-publish check "
+    "after a retention delete.  Every fact reduces to (key, count) BEFORE "
+    "its join and every dimension projects to its key, so each audit is "
+    "two key-sized exchanges at any fact width; the four audits are "
+    "independent 1-row aggregates unioned at the end.",
+    tags=("quality", "join", "audit"),
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    events = load_table(spark, "events", sf_dir)
+    customer = load_table(spark, "customer", sf_dir)
+    part_live = load_table(spark, "part", sf_dir).filter(F.col("p_size") <= 45)
+    supplier = load_table(spark, "supplier", sf_dir)
+    audits = [
+        _fk_audit(orders, "o_custkey", customer, "c_custkey",
+                  "orders.o_custkey->customer"),
+        _fk_audit(lineitem, "l_partkey", part_live, "p_partkey",
+                  "lineitem.l_partkey->part(post-delete)"),
+        _fk_audit(lineitem, "l_suppkey", supplier, "s_suppkey",
+                  "lineitem.l_suppkey->supplier"),
+        _fk_audit(events, "user_id", customer, "c_custkey",
+                  "events.user_id->customer"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out.orderBy("relation")
+
+
+# ---------------------------------------------------------------------------
+# q255: last-touch attribution
+
+_ATTRIBUTION_ORACLE = """
+WITH t AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events
+)
+SELECT COALESCE(touch, 'direct') AS touch,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS attributed_value
+FROM t WHERE event_type = 'purchase'
+GROUP BY COALESCE(touch, 'direct') ORDER BY touch
+"""
+
+
+@query(
+    "q255_last_touch_attribution",
+    _ATTRIBUTION_ORACLE,
+    doc="Last-touch attribution: each purchase credits the same user's most "
+    "recent PRECEDING non-purchase event via last_value(... IGNORE NULLS) "
+    "over ROWS UNBOUNDED PRECEDING TO 1 PRECEDING (ties broken by "
+    "event_id, so the frame is total-ordered); purchases with no prior "
+    "touch fall to 'direct'.  The window partitions on user keys — no "
+    "global sort — and the report reduces to touch-channel cardinality "
+    "(~5 rows); purchase values sum DECIMAL-exact.  The marketing twin "
+    "of q90's funnel: q90 asks 'did the sequence complete', this asks "
+    "'which channel gets the credit'.",
+    tags=("windows", "behavior", "analytics"),
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("direct")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            _money(F.sum(_dec("value"))).alias("attributed_value"),
+        )
+        .orderBy("touch")
+    )
