@@ -41,6 +41,12 @@ NO_SINGLE_PARTITION = [
     "q237_event_transitions",  # per-user sequence window, type-matrix window
     "q238_zonemap_pruning",  # per-fragment (min, max, count) aggregate
     "q244_hll_merge_law",  # two-level register max-aggregates, no collapse
+    # batches 9-11: map-stage array scans, per-user frames, key-sized audits
+    "q247_cdc_chunking",  # boundary scan is one map stage; chunk-hash aggs
+    "q248_event_type_saturation",  # two per-user windows, per-user agg
+    "q250_char_entropy_gate",  # per-doc char counts -> per-source agg
+    "q252_tpch_q9_shape",  # five-table join, per-(nation, year) agg
+    "q255_last_touch_attribution",  # per-user IGNORE-NULLS frame
 ]
 
 
@@ -57,6 +63,7 @@ TAKE_ORDERED = [
     "q224_priority_sample",
     "q219_hybrid_rrf_retrieval",
     "q235_postings_compression",  # top-100 heaviest postings lists
+    "q251_tpch_q2_shape",  # top-100 min-cost suppliers
 ]
 
 
@@ -78,6 +85,8 @@ BROADCAST_SIDE = [
     "q218_ivfpq_search",
     "q223_median_mad",
     "q233_positional_deletes",  # explicit broadcast of the delete relation
+    "q252_tpch_q9_shape",  # nation dim rides an explicit broadcast
+    "q253_tpch_q11_shape",  # explicit 1-row (total, cnt) threshold broadcast
 ]
 
 
