@@ -1,0 +1,96 @@
+"""Batch-twelve operator: token-budget corpus fill (SURVEY.md §2B row q256).
+
+The step a curation pipeline runs LAST: given a per-source token budget,
+take documents in quality order until the budget is exhausted.  Quality
+order here is the deterministic (n_chars DESC, doc_id) key — longest-first,
+the common pre-training heuristic — and the budget is scale-free: each
+source keeps its best documents until HALF its total tokens are selected,
+compared cross-multiplied (2·cumsum ≤ total) so no ratio or float exists
+and both the selected and rejected branches are live at every SF.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; this extends the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+_BUDGET_ORACLE = r"""
+WITH d AS (
+  SELECT source, doc_id, n_chars,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS toks
+  FROM documents
+),
+w AS (
+  SELECT source, doc_id, toks,
+         SUM(toks) OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(toks) OVER (PARTITION BY source) AS total
+  FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE 2 * cum <= total) AS BIGINT) AS n_selected,
+       CAST(MAX(total) AS BIGINT) AS tokens_total,
+       CAST(COALESCE(SUM(toks) FILTER (WHERE 2 * cum <= total), 0) AS BIGINT) AS tokens_selected
+FROM w GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "q256_token_budget_fill",
+    _BUDGET_ORACLE,
+    doc="Token-budget corpus fill — the final curation step: take documents "
+    "in quality order (n_chars DESC, doc_id — deterministic, seed-free) "
+    "until each source's budget is exhausted.  The budget is scale-free — "
+    "keep while 2·(running token sum) ≤ (source total), cross-multiplied "
+    "so no ratio exists — which keeps BOTH the selected and rejected "
+    "branches live at every SF.  One per-source window pass (running sum "
+    "+ full-frame total share the same partition sort, one exchange on "
+    "the bounded-cardinality source key); tokenization is a map-side "
+    "array expression and only (source, doc_id, toks) triples shuffle.  "
+    "Completes the curation family: q154 samples by weight, q224 samples "
+    "to a fixed count, q249 orders the mix — this FILLS the budget.",
+    tags=("llm", "curation", "sampling"),
+)
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            r"CAST(size(filter(split(lower(trim(text)), '\\s+'), t -> t != '')) AS BIGINT)"
+        ).alias("toks"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    sel = d.select(
+        "source",
+        "toks",
+        F.sum("toks").over(w_cum).alias("cum"),
+        F.sum("toks").over(w_all).alias("total"),
+    )
+    keep = (F.lit(2) * F.col("cum")) <= F.col("total")
+    return (
+        sel.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_selected"),
+            F.max("total").cast("long").alias("tokens_total"),
+            F.coalesce(F.sum(F.when(keep, F.col("toks"))), F.lit(0))
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+        .orderBy("source")
+    )

@@ -65,6 +65,7 @@ FAMILIES = [
     "q247_cdc_chunking",
     "q251_tpch_q2_shape",
     "q253_tpch_q11_shape",
+    "q256_token_budget_fill",
 ]
 
 CONFIGS = [

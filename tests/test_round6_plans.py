@@ -47,6 +47,7 @@ NO_SINGLE_PARTITION = [
     "q250_char_entropy_gate",  # per-doc char counts -> per-source agg
     "q252_tpch_q9_shape",  # five-table join, per-(nation, year) agg
     "q255_last_touch_attribution",  # per-user IGNORE-NULLS frame
+    "q256_token_budget_fill",  # per-source budget window, no global order
 ]
 
 
