@@ -115,7 +115,10 @@ def synth_ppm(seed: int, width: int = 16, height: int = 16) -> bytes:
     decodable payloads without bundling binary assets."""
     y = np.arange(height, dtype=np.uint32)[:, None]
     x = np.arange(width, dtype=np.uint32)[None, :]
-    base = (x * 7 + y * 13 + np.uint32(seed) * np.uint32(2654435761)) & 0xFF
+    # Knuth-hash the seed in Python ints with an explicit 32-bit mask: the
+    # uint32*uint32 form raised an intentional-overflow RuntimeWarning.
+    phase = np.uint32((seed * 2654435761) & 0xFFFFFFFF)
+    base = (x * 7 + y * 13 + phase) & 0xFF
     img = np.stack(
         [base, (base * 3 + 17) & 0xFF, (base * 5 + 89) & 0xFF], axis=2
     ).astype(np.uint8)

@@ -15,9 +15,10 @@ SURVEY.md §2B.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lance_namespace_impls_spark.operators.scale_windows import distributed_running_sum
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.sources.tables import load_table
 
@@ -51,12 +52,17 @@ FROM w GROUP BY source ORDER BY source
     "until each source's budget is exhausted.  The budget is scale-free — "
     "keep while 2·(running token sum) ≤ (source total), cross-multiplied "
     "so no ratio exists — which keeps BOTH the selected and rejected "
-    "branches live at every SF.  One per-source window pass (running sum "
-    "+ full-frame total share the same partition sort, one exchange on "
-    "the bounded-cardinality source key); tokenization is a map-side "
-    "array expression and only (source, doc_id, toks) triples shuffle.  "
-    "Completes the curation family: q154 samples by weight, q224 samples "
-    "to a fixed count, q249 orders the mix — this FILLS the budget.",
+    "branches live at every SF.  The running sum is the TWO-PASS "
+    "distributed form (q92's range-repartition + per-partition partial "
+    "sums + broadcast prefix-sum offsets, see distributed_running_sum): "
+    "a ~20-source partitionBy window would sort each source's entire "
+    "corpus slice in ONE task at 100 TB, this sorts P parallel range "
+    "partitions and only the (source × P)-row partial relation sees a "
+    "window — same exact result, same oracle.  Tokenization is a "
+    "map-side array expression and only (source, doc_id, toks) triples "
+    "shuffle.  Completes the curation family: q154 samples by weight, "
+    "q224 samples to a fixed count, q249 orders the mix — this FILLS "
+    "the budget.",
     tags=("llm", "curation", "sampling"),
 )
 def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,18 +75,14 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"CAST(size(filter(split(lower(trim(text)), '\\s+'), t -> t != '')) AS BIGINT)"
         ).alias("toks"),
     )
-    w_cum = (
-        Window.partitionBy("source")
-        .orderBy(F.col("n_chars").desc(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("source")
-    sel = d.select(
+    sel = distributed_running_sum(
+        d,
         "source",
+        [F.col("n_chars").desc(), F.col("doc_id")],
         "toks",
-        F.sum("toks").over(w_cum).alias("cum"),
-        F.sum("toks").over(w_all).alias("total"),
-    )
+        cum_col="cum",
+        total_col="total",
+    ).select("source", "toks", "cum", "total")
     keep = (F.lit(2) * F.col("cum")) <= F.col("total")
     return (
         sel.groupBy("source")

@@ -158,9 +158,13 @@ def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("k").cast("long").alias("n_chunks"),
             F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
-            (F.sum(F.col("k") * F.col("clen")) * 100 / F.sum("k"))
-            .cast("long")
-            .alias("avg_chunk_len_x100"),
+            # exact integer DIV (the q229/q235 idiom), never double '/':
+            # double division only matches DuckDB's '//' while the numerator
+            # stays under 2^53 (ADVICE r6); operands are non-negative so
+            # Spark DIV (truncate) == DuckDB // (floor)
+            F.expr("CAST((SUM(k * clen) * 100) DIV SUM(k) AS BIGINT)").alias(
+                "avg_chunk_len_x100"
+            ),
             F.sum(F.when(F.col("n_src") >= 2, 1).otherwise(0))
             .cast("long")
             .alias("chunks_shared"),
@@ -376,10 +380,15 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = ch.groupBy("doc_id", "source", "L", "c").agg(
         F.count(F.lit(1)).cast("long").alias("k")
     )
-    bitlen = lambda c: F.length(F.conv(F.col(c).cast("string"), 10, 2)).cast("long")  # noqa: E731
+    bitlen = "length(conv(CAST({0} AS STRING), 10, 2))"
+    # exact integer DIV, never double '/' + floor: double only matches
+    # DuckDB's '//' under 2^53 (ADVICE r6); k <= L so the bitlen difference
+    # is non-negative and Spark DIV (truncate) == DuckDB // (floor)
     ent = freq.groupBy("doc_id", "source").agg(
-        F.floor(
-            F.sum(F.col("k") * (bitlen("L") - bitlen("k"))) * 1000 / F.max("L")
+        F.expr(
+            "CAST((SUM(k * ({0} - {1})) * 1000) DIV MAX(L) AS BIGINT)".format(
+                bitlen.format("L"), bitlen.format("k")
+            )
         ).alias("mbits")
     )
     return (

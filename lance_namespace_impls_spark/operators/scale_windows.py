@@ -94,6 +94,70 @@ def distributed_ntile(
     )
 
 
+def distributed_running_sum(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+    cum_col: str = "cum",
+    total_col: str = "total",
+) -> DataFrame:
+    """Exact per-``group_col`` running sum of ``value_col`` ordered by
+    ``order_cols`` WITHOUT a single-task-per-group sort.
+
+    ``Window.partitionBy(group).orderBy(...)`` over a low-cardinality group
+    key sorts each group's ENTIRE slice in one task — at 100 TB with ~20
+    sources that is a multi-TB single-task sort (VERDICT r6 #3).  This is
+    the q92 ``distributed_ntile`` device applied to SUM: range-repartition
+    on (group, order) into P parallel partitions, per-(group, partition)
+    local running sums, then per-group prefix-sum OFFSETS over the tiny
+    (group × P)-row partial-sum relation, broadcast back and added.  The
+    offsets window orders by partition id, which is monotone in the range
+    order, so ``cum_col`` equals the classic single-window running sum
+    exactly; ``total_col`` is the group total (the full-frame window's
+    replacement).  ``order_cols`` may contain Column expressions (e.g.
+    ``F.col(x).desc()``) but must form a total order within each group.
+    """
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+    # Persisted: the partial-sums pass and the local-rank pass must observe
+    # identical partition placement (range boundaries are sampled per job).
+    ranged = (
+        df.repartitionByRange(p, F.col(group_col), *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    partials = ranged.groupBy(group_col, "__pid").agg(
+        F.sum(value_col).alias("__s")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(group_col)
+    offsets = partials.select(
+        group_col,
+        "__pid",
+        F.coalesce(F.sum("__s").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__s").over(w_tot).alias(total_col),
+    )
+    w_local = (
+        Window.partitionBy(group_col, "__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), [group_col, "__pid"])
+        .withColumn(cum_col, F.col("__off") + F.sum(value_col).over(w_local))
+        .drop("__pid", "__off")
+    )
+
+
 @query(
     "q92_ntile_distributed",
     "SELECT c_custkey, CAST(NTILE(8) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) "

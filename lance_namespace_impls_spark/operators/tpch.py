@@ -875,7 +875,11 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tot AS (SELECT SUM(v) AS total, COUNT(*) AS cnt FROM val) "
     "SELECT CAST(ps_partkey AS BIGINT) AS p_partkey, "
     "  CAST(ROUND(v, 2) AS DOUBLE) AS stock_value "
-    "FROM val, tot WHERE v * cnt > total * 2 "
+    # operand widths bounded so the cross-multiply lands exactly on
+    # DECIMAL(38,4) on both engines — no precision-loss/promotion path
+    # (ADVICE r6): (24,4)x(13,0) -> (38,4); (37,4)+(37,4) -> (38,4)
+    "FROM val, tot WHERE CAST(v AS DECIMAL(24,4)) * CAST(cnt AS DECIMAL(13,0)) "
+    "  > CAST(total AS DECIMAL(37,4)) + CAST(total AS DECIMAL(37,4)) "
     "ORDER BY stock_value DESC, p_partkey",
     doc="TPC-H Q11 shape: important stock — per-part regional stock value "
     "(unit cost x quantity from the lineitem-derived ps relation; module "
@@ -913,9 +917,16 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # feeds the total AND the filter
     )
     tot = val.agg(F.sum("v").alias("total"), F.count(F.lit(1)).alias("cnt"))
+    # Operand widths bounded so the cross-multiply is EXACTLY decimal(38,4)
+    # on both engines (ADVICE r6): v as (24,4) x cnt as (13,0) -> (38,4) and
+    # total as (37,4) doubled via ADDITION -> (38,4), neither through
+    # Spark's allowPrecisionLoss rounding nor DuckDB's wide-decimal
+    # promotion.  Bounds hold to 10^20 stock value / 10^13 parts — orders
+    # beyond 100 TB — and a cast overflow fails loudly instead of rounding.
+    t2 = F.col("total").cast("decimal(37,4)") + F.col("total").cast("decimal(37,4)")
     return (
         val.join(F.broadcast(tot))
-        .filter(F.col("v") * F.col("cnt") > F.col("total") * 2)
+        .filter(F.col("v").cast("decimal(24,4)") * F.col("cnt").cast("decimal(13,0)") > t2)
         .select(
             F.col("ps_partkey").cast("long").alias("p_partkey"),
             _money(F.col("v")).alias("stock_value"),

@@ -66,13 +66,31 @@ _SEMDEDUP_ORACLE = (
     "  SELECT vec_id + 1000000, list_prepend(v[1] + 37, v[2:]) "
     "  FROM proj0 WHERE vec_id % 50 = 0), "
     # k is corpus-derived (N / target-cluster-size 64), so the per-cluster
-    # pair count — the only quadratic term — stays constant as N grows.
-    "cent AS (SELECT vec_id AS c, v AS cv FROM proj WHERE vec_id < "
-    "  GREATEST((SELECT COUNT(*) // 64 FROM embeddings), 1)), "
-    "d AS (SELECT p.vec_id, p.v, c.c, "
-    "  CAST(list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.cv) "
-    "       + list_dot_product(c.cv, c.cv) AS BIGINT) AS dist "
-    "  FROM proj p CROSS JOIN cent c), "
+    # pair count — the only quadratic term — stays constant as N grows;
+    # m = floor(sqrt(k)) super-centroids route the assignment so no stage
+    # ever compares the corpus against all k centroids (VERDICT r6 #2).
+    "bounds AS (SELECT kk, "
+    "  GREATEST(CAST(floor(sqrt(CAST(kk AS DOUBLE))) AS BIGINT), 1) AS mm "
+    "  FROM (SELECT GREATEST((SELECT COUNT(*) // 64 FROM embeddings), 1) AS kk)), "
+    "cent AS (SELECT vec_id AS c, v AS cv FROM proj, bounds WHERE vec_id < kk), "
+    "sup AS (SELECT vec_id AS s, v AS sv FROM proj, bounds WHERE vec_id < mm), "
+    # stage 1a: each centroid routes to its nearest super-centroid
+    "cc AS (SELECT c, cv, s AS cell FROM ("
+    "  SELECT c.c, c.cv, s.s, ROW_NUMBER() OVER (PARTITION BY c.c ORDER BY "
+    "    CAST(list_dot_product(c.cv, c.cv) - 2 * list_dot_product(c.cv, s.sv) "
+    "         + list_dot_product(s.sv, s.sv) AS BIGINT), s.s) AS rn "
+    "  FROM cent c CROSS JOIN sup s) WHERE rn = 1), "
+    # stage 1b: each vector routes to its nearest super-centroid
+    "vr AS (SELECT vec_id, v, cell FROM ("
+    "  SELECT p.vec_id, p.v, s.s AS cell, ROW_NUMBER() OVER (PARTITION BY p.vec_id "
+    "    ORDER BY CAST(list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, s.sv) "
+    "             + list_dot_product(s.sv, s.sv) AS BIGINT), s.s) AS rn "
+    "  FROM proj p CROSS JOIN sup s) WHERE rn = 1), "
+    # stage 2: exact argmin over the routed cell's centroid subset only
+    "d AS (SELECT vr.vec_id, vr.v, cc.c, "
+    "  CAST(list_dot_product(vr.v, vr.v) - 2 * list_dot_product(vr.v, cc.cv) "
+    "       + list_dot_product(cc.cv, cc.cv) AS BIGINT) AS dist "
+    "  FROM vr JOIN cc USING (cell)), "
     "asg AS (SELECT vec_id, v, c AS cluster FROM "
     "  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM d) "
     "  WHERE rn = 1), "
@@ -105,15 +123,27 @@ def semdedup(
     cluster is the blocking unit — no cross-cluster pair is ever formed, and
     the cluster count k = N / ``cluster_target`` is corpus-derived (a 1-row
     bound broadcast, the q130 pattern), so the per-cluster pair count — the
-    only quadratic term — stays constant as N grows.  ``twin_every`` seeds
-    a perturbed twin per N-th vector so the refine stage provably fires at
-    every scale (None disables).
+    only quadratic term — stays constant as N grows.
+
+    Assignment is two-level routed (the q218 IVF coarse idiom, VERDICT r6
+    fix): only the m = floor(sqrt(k)) SUPER-centroids broadcast — a √-sized
+    side that stays broadcastable as k grows with the corpus — and every
+    vector (and every centroid) routes to its nearest super-centroid
+    map-only; the exact argmin then runs only within the routed cell's
+    centroid subset via ONE shuffle join on the cell key.  Per-vector
+    distance work drops from k to m + k/m ≈ 2√k, and no stage ever holds a
+    corpus-proportional broadcast.  ``twin_every`` seeds a perturbed twin
+    per N-th vector so the refine stage provably fires at every scale
+    (None disables).
     """
     proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
     kb = emb.agg(
         F.greatest(
             F.floor(F.count(F.lit(1)) / cluster_target).cast("long"), F.lit(1)
         ).alias("kk")
+    ).select(
+        "kk",
+        F.greatest(F.floor(F.sqrt(F.col("kk"))).cast("long"), F.lit(1)).alias("mm"),
     )
     if twin_every is not None:
         twins = proj.filter(F.col("vec_id") % twin_every == 0).select(
@@ -123,17 +153,45 @@ def semdedup(
             ).alias("v"),
         )
         proj = proj.unionByName(twins)
-    # Three consumers (centroid seed, assignment, pair join) — materialize
-    # the interpreted int-projection once.
+    # Four consumers (centroid seed, super seed, routing, pair join) —
+    # materialize the interpreted int-projection once.
     proj = proj.localCheckpoint(eager=False)
     cent = (
         proj.crossJoin(F.broadcast(kb))
         .filter(F.col("vec_id") < F.col("kk"))
         .select(F.col("vec_id").alias("c"), F.col("v").alias("cv"))
     )
-    # Assignment: broadcast the k centroids; (distance, centroid-id) argmin
-    # via min(struct(d, c)) — map-side combinable, the corpus never shuffles.
-    d = proj.crossJoin(F.broadcast(cent)).select(
+    supers = (
+        proj.crossJoin(F.broadcast(kb))
+        .filter(F.col("vec_id") < F.col("mm"))
+        .select(F.col("vec_id").alias("s"), F.col("v").alias("sv"))
+    )
+
+    def _route(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        """Nearest super-centroid per row: broadcast the √k supers, argmin
+        via min(struct(d, s)) — map-side combinable, the input never
+        shuffles more than its own 1-row-per-key partials."""
+        dist = (
+            int_dot(F.col(vec_col), F.col(vec_col))
+            - 2 * int_dot(F.col(vec_col), F.col("sv"))
+            + int_dot(F.col("sv"), F.col("sv"))
+        )
+        return (
+            df.crossJoin(F.broadcast(supers))
+            .select(id_col, vec_col, "s", dist.alias("ds"))
+            .groupBy(id_col)
+            .agg(F.min(F.struct("ds", "s")).alias("rt"), F.first(vec_col).alias(vec_col))
+            .select(id_col, vec_col, F.col("rt.s").alias("cell"))
+        )
+
+    cent_cell = _route(cent.withColumnRenamed("cv", "v_c"), "c", "v_c").select(
+        "cell", "c", F.col("v_c").alias("cv")
+    )
+    vroute = _route(proj, "vec_id", "v")
+    # Stage 2: exact argmin within the routed cell — one shuffle join on the
+    # cell key (≈ k/m = √k centroids per cell), then a map-side-combinable
+    # argmin: the corpus never meets more than its own cell's centroids.
+    d = vroute.join(cent_cell, "cell").select(
         "vec_id",
         "v",
         "c",
@@ -191,13 +249,17 @@ def semdedup(
     doc="SemDeDup: embedding near-duplicate removal blocked by k-means "
     "cluster (Abbas et al. 2023 shape).  k = N/64 is corpus-derived (1-row "
     "bound broadcast), so the per-cluster pair count — the only quadratic "
-    "term — stays constant as N grows; centroids seeded from the k lowest "
-    "vec_ids are broadcast for assignment (the corpus never shuffles to be "
-    "assigned); one shuffle on the cluster key then co-locates each block, "
-    "and the cosine-vs-τ test runs only within a block with an exact "
-    "integer predicate (10000·dot² >= 8649·na·nb, overflow-bounded). "
-    "Keep-lowest-id drop policy; per-50th-vector perturbed twins seed the "
-    "refine stage at every scale.",
+    "term — stays constant as N grows.  Assignment is two-level routed "
+    "(IVF coarse idiom): ONLY the m=floor(sqrt(k)) super-centroids "
+    "broadcast, vectors and centroids route to their nearest super map-"
+    "only, and the exact argmin runs within the routed cell via one "
+    "shuffle join on the cell key — per-vector work 2·sqrt(k), no "
+    "corpus-proportional broadcast anywhere (the oracle replays the same "
+    "two-stage rule).  One shuffle on the cluster key then co-locates "
+    "each block, and the cosine-vs-τ test runs only within a block with "
+    "an exact integer predicate (10000·dot² >= 8649·na·nb, overflow-"
+    "bounded).  Keep-lowest-id drop policy; per-50th-vector perturbed "
+    "twins seed the refine stage at every scale.",
     tags=("llm", "dedup", "similarity"),
 )
 def q205(spark: SparkSession, sf_dir: str) -> DataFrame:

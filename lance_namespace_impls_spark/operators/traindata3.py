@@ -260,11 +260,14 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = _doc_shingles(docs)
     big = big.localCheckpoint(eager=False)  # feeds df-ranking, sizes, verify
     sz = big.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
-    # global doc-frequency attached as a window over the token key (each
-    # (doc, w) row is unique so COUNT(*) over w IS the doc frequency)
-    with_df = big.select(
-        "doc_id", "w", F.count(F.lit(1)).over(Window.partitionBy("w")).alias("df")
-    )
+    # global doc-frequency attached via groupBy+join, NOT a window over the
+    # token key: COUNT(*) OVER (PARTITION BY w) buffers a hot shingle's whole
+    # partition on one task, while groupBy(w).count() partial-aggregates
+    # map-side before the shuffle (each (doc, w) row is unique so the count
+    # IS the doc frequency).  The df relation is shuffle-joined (shingle
+    # vocabulary grows with the corpus — not broadcastable at 100 TB).
+    dfreq = big.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    with_df = big.join(dfreq, "w").select("doc_id", "w", "df")
     ranked = with_df.select(
         "doc_id",
         "w",

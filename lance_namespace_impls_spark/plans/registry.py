@@ -133,6 +133,30 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q197_pq_encode", "q198_bm25_retrieval", "q199_pagerank_step",
         "q200_countmin_heavy_hitters", "q201_simhash_portable",
         "q202_linear_classifier",
+        # round 6 greens (hash_match=true in CORRECTNESS_r06.json, 50 rows:
+        # the four RE_VERIFY recoveries — q160/q165/q189/q203 — plus the
+        # entire new q204–q249 band, all green on their first driver row)
+        "q203_vocab_encode", "q204_components_contraction", "q205_semdedup",
+        "q206_bigram_lm_bits", "q207_containment_dedup",
+        "q208_kcenter_selection", "q209_patch_pool", "q210_dsir_importance",
+        "q211_calibration_sweep", "q212_domain_mixture",
+        "q213_sequence_packing", "q214_heaps_growth", "q215_jl_projection",
+        "q216_vocab_coverage", "q217_gate_agreement", "q218_ivfpq_search",
+        "q219_hybrid_rrf_retrieval", "q220_kmeans_lloyd_rounds",
+        "q221_kmv_distinct", "q222_bloom_membership_audit", "q223_median_mad",
+        "q224_priority_sample", "q225_sorted_neighborhood",
+        "q226_bpe_train_rounds", "q227_pagerank_rounds", "q228_hll_distinct",
+        "q229_span_removal", "q230_simpson_diversity",
+        "q231_prefix_filter_join", "q232_ann_recall_audit",
+        "q233_positional_deletes", "q234_minhash_accuracy_audit",
+        "q235_postings_compression", "q236_retention_cohorts",
+        "q237_event_transitions", "q238_zonemap_pruning",
+        "q239_compaction_planning", "q240_join_size_estimate",
+        "q241_commit_conflict_check", "q242_scalar_index_audit",
+        "q243_bloom_skipping", "q244_hll_merge_law",
+        "q245_streaming_stats_maintenance", "q246_bloom_join_reduction",
+        "q247_cdc_chunking", "q248_event_type_saturation",
+        "q249_interleave_schedule",
     }
 )
 # Changed-since-green set.  The round-4 RE_VERIFY names all cleared in
@@ -146,18 +170,21 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 # query whose builder or oracle changes after its last driver-green row
 # re-enters here.
 #
-# Round 6: q203's r5 driver row errored in the harness canonicalizer (its
-# array<bigint> ids_head column is unhashable in pandas sort_values); the
-# column is now a comma-joined string on both engines, so the row re-enters
-# the front of the line for a real hash check.  q160/q165 gained in-query
-# seeded twins so their sf0.01 driver rows are non-empty (they were vacuous
-# 0=0 matches; VERDICT r5 What's-wrong #3) — both re-verify.
+# Round 6's four RE_VERIFY rows (q160/q165/q189/q203) all came back green in
+# CORRECTNESS_r06.json and are folded into DRIVER_VERIFIED above.
+#
+# Round 7: the three VERDICT-r6 scale-killer fixes change builders (and in
+# q205's case the oracle) after their r6 green rows, so they re-verify:
+# q205's assignment is now two-level routed (oracle mirrors the routing rule),
+# q232's exact ground truth is a bucketed partial top-k, and q231's
+# doc-frequency attach became a groupBy+join instead of a hot-key window.
+# q247/q250 moved to integer DIV (ADVICE r6) — q247 re-verifies; q250 has no
+# driver row yet so it is already at the front of the line.
 RE_VERIFY: set[str] = {
-    "q203_vocab_encode",
-    "q160_fuzzy_match_join",
-    "q165_source_overlap_exact",
-    # builder touched post-green: q189 gained the rev0 localCheckpoint
-    "q189_tpch_q15_top_supplier",
+    "q205_semdedup",
+    "q231_prefix_filter_join",
+    "q232_ann_recall_audit",
+    "q247_cdc_chunking",
 }
 
 

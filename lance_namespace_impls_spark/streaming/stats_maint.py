@@ -49,16 +49,39 @@ def _batch_zones(batch: DataFrame) -> DataFrame:
     )
 
 
-def merge_zones(target_dir: str, batch: DataFrame) -> None:
+def _read_pointer(state_root: str) -> tuple[int, str] | None:
+    """Read the CURRENT pointer: (last merged batch id, state dir name)."""
+    cur = os.path.join(state_root, "CURRENT")
+    if not os.path.exists(cur):
+        return None
+    with open(cur, encoding="utf-8") as fh:
+        bid, dirname = fh.read().strip().split("\n")
+    return int(bid), os.path.join(state_root, dirname)
+
+
+def merge_zones(state_root: str, batch: DataFrame, batch_id: int) -> bool:
     """Merge one micro-batch's partial stats into the state table: union +
     re-aggregate.  min/max/count are associative+commutative, so the result
-    is slicing-invariant."""
+    is slicing-invariant.
+
+    Exactly-once under foreachBatch retries (ADVICE r6): the state is
+    VERSIONED — each commit writes a fresh ``state_v{batch_id}`` directory
+    and then atomically swings a one-file CURRENT pointer (os.replace of a
+    file is atomic; the old rmtree+replace of the live directory was not) —
+    the same manifest-pointer protocol lance/Delta commits use.  A replayed
+    batch id <= the pointer's is skipped, so a retry after a partial
+    failure can never double-count ``rows_total``.  Returns False iff
+    skipped.
+    """
+    current = _read_pointer(state_root)
+    if current is not None and batch_id <= current[0]:
+        return False  # foreachBatch retry of an already-committed batch
     spark = batch.sparkSession
     incoming = _batch_zones(batch)
-    if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
-        current = spark.read.parquet(target_dir)
+    if current is not None:
         merged = (
-            current.unionByName(incoming)
+            spark.read.parquet(current[1])
+            .unionByName(incoming)
             .groupBy("fragment")
             .agg(
                 F.min("min_ets").alias("min_ets"),
@@ -68,19 +91,29 @@ def merge_zones(target_dir: str, batch: DataFrame) -> None:
         )
     else:
         merged = incoming
-    staging = target_dir + ".staging"
-    merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(target_dir):
-        shutil.rmtree(target_dir)
-    os.replace(staging, target_dir)
+    new_name = f"state_v{batch_id}"
+    merged.write.mode("overwrite").parquet(os.path.join(state_root, new_name))
+    tmp_ptr = os.path.join(state_root, f"CURRENT.tmp.{uuid.uuid4().hex}")
+    with open(tmp_ptr, "w", encoding="utf-8") as fh:
+        fh.write(f"{batch_id}\n{new_name}")
+    os.replace(tmp_ptr, os.path.join(state_root, "CURRENT"))  # the commit point
+    if current is not None:  # safe post-commit: retries read the pointer first
+        shutil.rmtree(current[1], ignore_errors=True)
+    return True
 
 
-def run_stats_maintenance(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
-    """Replay events as ``n_files`` micro-batches, maintaining zone maps."""
+def run_stats_maintenance(spark: SparkSession, sf_dir: str, n_files: int = 4) -> DataFrame:
+    """Replay events as ``n_files`` micro-batches, maintaining zone maps.
+
+    Returns the final state MATERIALIZED (eager localCheckpoint) so the
+    whole /tmp work tree — input staging, checkpoint, and state versions —
+    is deleted before returning (ADVICE r6: q245 used to leave its state
+    dir behind on every invocation)."""
     ensure_runtime_conf(spark)
     work = os.path.join(tempfile.gettempdir(), f"lni_zones_{uuid.uuid4().hex}")
     staging = os.path.join(work, "in")
-    target = os.path.join(work, "state")
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root)
     spark.read.parquet(f"{sf_dir}/events.parquet").repartition(n_files).write.parquet(
         staging
     )
@@ -90,15 +123,17 @@ def run_stats_maintenance(spark: SparkSession, sf_dir: str, n_files: int = 4) ->
         .parquet(staging)
     )
     q = (
-        stream.writeStream.foreachBatch(lambda b, _id: merge_zones(target, b))
+        stream.writeStream.foreachBatch(lambda b, bid: merge_zones(state_root, b, bid))
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
-    return target
+    pointer = _read_pointer(state_root)
+    assert pointer is not None, "stats maintenance stream produced no state"
+    zones = spark.read.parquet(pointer[1]).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return zones
 
 
 _SM_ORACLE = (
@@ -128,8 +163,7 @@ _SM_ORACLE = (
     tags=("streaming", "scan", "sink"),
 )
 def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
-    target = run_stats_maintenance(spark, sf_dir)
-    zones = spark.read.parquet(target)
+    zones = run_stats_maintenance(spark, sf_dir)
     return (
         zones.select(
             "fragment",

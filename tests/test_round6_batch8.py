@@ -33,7 +33,7 @@ def test_q245_state_is_slicing_invariant(spark):
     )
 
     four = QUERIES["q245_streaming_stats_maintenance"].builder(spark, SF_SMOKE)
-    three = spark.read.parquet(run_stats_maintenance(spark, SF_SMOKE, n_files=3))
+    three = run_stats_maintenance(spark, SF_SMOKE, n_files=3)
     a = sorted(
         (r["fragment"], r["min_ets"], r["max_ets"], r["rows_total"])
         for r in four.collect()
@@ -43,6 +43,33 @@ def test_q245_state_is_slicing_invariant(spark):
         for r in three.collect()
     )
     assert a == b
+
+
+def test_q245_merge_is_idempotent_per_batch(spark, tmp_path):
+    """A foreachBatch RETRY (same batch id) must be a no-op: the pointer
+    records the last committed id, so a partial-failure replay can never
+    double-count rows_total (ADVICE r6)."""
+    from lance_namespace_impls_spark.sources.tables import load_table
+    from lance_namespace_impls_spark.streaming.stats_maint import (
+        _read_pointer,
+        merge_zones,
+    )
+
+    root = str(tmp_path / "state")
+    import os
+
+    os.makedirs(root)
+    ev = load_table(spark, "events", SF_SMOKE).limit(200)
+    assert merge_zones(root, ev, 0) is True
+    first = sorted(map(tuple, spark.read.parquet(_read_pointer(root)[1]).collect()))
+    # retries: same id, then a stale lower id — both skipped, state unchanged
+    assert merge_zones(root, ev, 0) is False
+    assert merge_zones(root, ev, -1) is False
+    assert sorted(map(tuple, spark.read.parquet(_read_pointer(root)[1]).collect())) == first
+    # a genuinely new batch still merges
+    assert merge_zones(root, ev, 1) is True
+    doubled = {r[0]: r[3] for r in spark.read.parquet(_read_pointer(root)[1]).collect()}
+    assert doubled == {f: 2 * n for f, _, _, n in first}
 
 
 def test_q246_bloom_never_loses_rows_and_reduces(spark):
