@@ -146,6 +146,36 @@ def test_star_contraction_beats_diameter_bound(spark):
     assert got == [(i, 0) for i in range(n)]
 
 
+def test_star_contraction_survives_hub_skew(spark):
+    """Skew injection (VERDICT r6 #10): one hub with 10^4 edges — the
+    degenerate key distribution a near-dup boilerplate cluster produces.
+    Star contraction must (a) converge within the ceil(log2 n) + 2 round
+    budget the 100 TB story leans on (asserted by handing it EXACTLY that
+    budget: over-budget raises), and (b) label-match min-label propagation."""
+    import math
+
+    from lance_namespace_impls_spark.operators.pipeline import (
+        connected_components_contraction,
+    )
+
+    hub_n = 10_000
+    nodes_df = spark.range(hub_n + 1).selectExpr("id AS node")
+    # hub 0 -> every spoke, plus deterministic spoke-spoke chords so the
+    # graph is not a pure star (chords create the multi-round merges); one
+    # frame, not a union — Union-of-range trips a Catalyst constraint-
+    # rewrite bug (key not found: v#N) inside the contraction's checkpoint
+    edges_df = spark.range(1, hub_n + 501).selectExpr(
+        f"CASE WHEN id <= {hub_n} THEN CAST(0 AS LONG) ELSE id - {hub_n} END AS src",
+        f"CASE WHEN id <= {hub_n} THEN id "
+        f"ELSE CAST(1 + ((id - {hub_n}) * 7919) % {hub_n} AS LONG) END AS dst",
+    )
+    budget = math.ceil(math.log2(hub_n + 1)) + 2
+    got = _rows(connected_components_contraction(nodes_df, edges_df, max_iter=budget))
+    want = _rows(connected_components(nodes_df, edges_df))
+    assert got == want
+    assert got == [(i, 0) for i in range(hub_n + 1)]
+
+
 def test_star_contraction_empty_and_singletons(spark):
     from lance_namespace_impls_spark.operators.pipeline import (
         connected_components_contraction,
