@@ -1,0 +1,462 @@
+"""Round-7 training-data batch 1: blocklist gating, late-interaction
+retrieval, epoch allocation, and modal-token profiling (SURVEY.md §2B rows
+q258–q261).
+
+Four pipeline steps large-scale pretraining curation runs that the existing
+families do not cover:
+
+* **Blocklist gate (q258)** — the C4-style "bad phrases" filter: a
+  policy-derived phrase list (here: bigram phrases whose md5 lands in a
+  fixed residue class — deterministic and engine-portable, standing in for
+  an externally-supplied list) is broadcast against the corpus bigram
+  stream; the per-source census reports flagged-document rates, hit
+  volume, and the worst severity class seen.
+* **Late-interaction retrieval (q259)** — ColBERT-style MaxSim scoring:
+  multi-vector queries against multi-vector documents, score(Q, D) =
+  Σ_{q∈Q} max_{t∈D} ⟨q, t⟩, exactly integer on int-projected embeddings.
+  This is the retrieval family member q198 (BM25) / q219 (RRF) / q218
+  (IVF-PQ single-vector ANN) do not express: relevance from TOKEN-level
+  vector interactions.
+* **Epoch allocation (q260)** — the LLaMA-recipe planning step: apportion
+  a 2-epoch global token budget across sources proportional to
+  quality-weight × availability, cap any source at 3 epochs, and
+  redistribute the capped excess to uncapped sources in one pass.  All
+  integer arithmetic with corpus-size-independent intermediates (the
+  epochs-rate is computed FIRST, in basis points, so no product of two
+  corpus-sized numbers ever forms — exact to ~4×10^14 total tokens).
+* **Modal token (q261)** — per-source most-frequent token with exact
+  share: the one-line corpus profile quality dashboards key on.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.vectors import int_dot, int_projected
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# q258: blocklist quality gate
+
+# Policy list membership: bigram phrases with md5-hash % 37 == 0 (~2% of the
+# phrase vocabulary; 19 phrases on the fixture — broadcast-sized, and at
+# 100 TB a real blocklist is list-sized by definition).  Severity classes
+# 1..3 derive from the same hash so the list is self-describing.
+_BL_MOD = 37
+
+_BLOCKLIST_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+  FROM documents
+),
+big AS (
+  SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS w
+  FROM toks, unnest(range(1, len(tk))) AS u(i)
+),
+hits AS (
+  SELECT doc_id, source, COUNT(*) AS h,
+         MAX((('0x' || substr(md5(w), 1, 8))::BIGINT) % 3 + 1) AS sev
+  FROM big
+  WHERE (('0x' || substr(md5(w), 1, 8))::BIGINT) % {_BL_MOD} = 0
+  GROUP BY doc_id, source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(h.doc_id) AS BIGINT) AS n_flagged,
+       CAST(COALESCE(SUM(h.h), 0) AS BIGINT) AS total_hits,
+       CAST(COALESCE(MAX(h.sev), 0) AS BIGINT) AS max_severity,
+       CAST(1000000 * COUNT(h.doc_id) // COUNT(*) AS BIGINT) AS flagged_ppm
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+GROUP BY d.source ORDER BY d.source
+"""
+
+
+def _bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, w) bigram-phrase stream, one map stage (q206 idiom:
+    zip_with against the shifted token array — no posexplode self-join)."""
+    toks = spread(docs).select(
+        "doc_id",
+        "source",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')").alias("tk"),
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                # concat is NULL when the shifted side runs out — the tail
+                # sentinel the filter drops
+                "filter(zip_with(tk, slice(tk, 2, size(tk)), "
+                "(x, y) -> concat(x, ' ', y)), p -> p IS NOT NULL)"
+            )
+        ).alias("w"),
+    )
+
+
+@query(
+    "q258_blocklist_gate",
+    _BLOCKLIST_ORACLE,
+    doc="C4-style blocklist quality gate: a policy phrase list (bigrams in "
+    "a fixed md5 residue class — deterministic stand-in for an external "
+    "list, with hash-derived severity classes 1..3) filters the corpus "
+    "bigram stream; per-source census of flagged docs, hit volume, worst "
+    "severity, and exact flagged-ppm.  Scale shape: the list predicate is "
+    "a pure map-side expression (no list materialization needed at all "
+    "for a hash-defined list; an external list would broadcast), bigrams "
+    "reduce to per-doc hit counts before any join, and the final relation "
+    "is source-sized.  Both branches live at every SF (fixture: 299/500 "
+    "docs flagged at sf0.001).",
+    tags=("llm", "curation", "quality"),
+)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    big = _bigrams(docs)
+    h = F.expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)")
+    hits = (
+        big.filter(h % _BL_MOD == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("h"),
+            F.max(h % 3 + 1).alias("sev"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("h").cast("long").alias("n_flagged"),
+            F.coalesce(F.sum("h"), F.lit(0)).cast("long").alias("total_hits"),
+            F.coalesce(F.max("sev"), F.lit(0)).cast("long").alias("max_severity"),
+            F.expr("CAST((1000000 * COUNT(h)) DIV COUNT(*) AS BIGINT)").alias(
+                "flagged_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q259: ColBERT-style late-interaction (MaxSim) retrieval
+
+_LI_QUERY_VECS = 8  # vec_id < 8: two 4-token queries
+_LI_QTOKENS = 4
+_LI_DOC_TOKENS = 8  # corpus docs = 8 consecutive vectors each
+_LI_K = 5
+_LI_BUCKETS = 16
+
+_LI_ORACLE = f"""
+WITH proj AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+qs AS (
+  SELECT vec_id // {_LI_QTOKENS} AS qid, vec_id AS qtok, v AS qv
+  FROM proj WHERE vec_id < {_LI_QUERY_VECS}
+),
+dt AS (
+  SELECT vec_id // {_LI_DOC_TOKENS} AS dock, v
+  FROM proj WHERE vec_id >= {_LI_QUERY_VECS}
+),
+ms AS (
+  SELECT q.qid, d.dock, q.qtok,
+         MAX(CAST(list_dot_product(q.qv, d.v) AS BIGINT)) AS best
+  FROM qs q CROSS JOIN dt d
+  GROUP BY q.qid, d.dock, q.qtok
+),
+sc AS (
+  SELECT qid, dock, SUM(best) AS score FROM ms GROUP BY qid, dock
+),
+rk AS (
+  SELECT qid, dock, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, dock) AS rank
+  FROM sc
+)
+SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+       CAST(dock AS BIGINT) AS dock, CAST(score AS BIGINT) AS score
+FROM rk WHERE rank <= {_LI_K} ORDER BY qid, rank
+"""
+
+
+def late_interaction_topk(emb: DataFrame) -> DataFrame:
+    """MaxSim late-interaction retrieval over int-projected embeddings.
+
+    Multi-vector queries (the {_LI_QUERY_VECS} lowest vec_ids, {_LI_QTOKENS}
+    tokens each) score multi-vector documents ({_LI_DOC_TOKENS} consecutive
+    vectors per doc): score(Q, D) = Σ_{{q∈Q}} max_{{t∈D}} ⟨q, t⟩ — exact
+    integers, so the whole ranking is hash-checkable.  Scale shape: the
+    query-token table broadcasts (queries are request-sized at any corpus
+    size); the corpus is map-only through the interaction and reduces via
+    two map-side-combinable aggregations (max per (qid, dock, qtok), sum
+    per (qid, dock)) to one row per (query, doc); the final top-k is the
+    q232 bucketed two-stage form so no window partition ever carries the
+    doc relation.
+    """
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    qs = proj.filter(F.col("vec_id") < _LI_QUERY_VECS).select(
+        (F.col("vec_id") / _LI_QTOKENS).cast("long").alias("qid"),
+        F.col("vec_id").alias("qtok"),
+        F.col("v").alias("qv"),
+    )
+    dt = proj.filter(F.col("vec_id") >= _LI_QUERY_VECS).select(
+        (F.col("vec_id") / _LI_DOC_TOKENS).cast("long").alias("dock"), "v"
+    )
+    sc = (
+        dt.crossJoin(F.broadcast(qs))
+        .groupBy("qid", "dock", "qtok")
+        .agg(F.max(int_dot(F.col("qv"), F.col("v"))).alias("best"))
+        .groupBy("qid", "dock")
+        .agg(F.sum("best").alias("score"))
+    )
+    pre = (
+        sc.withColumn("b", F.col("dock") % _LI_BUCKETS)
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("qid", "b").orderBy(F.col("score").desc(), "dock")
+            ),
+        )
+        .filter(F.col("prank") <= _LI_K)
+    )
+    return (
+        pre.select(
+            "qid",
+            "dock",
+            "score",
+            F.row_number()
+            .over(Window.partitionBy("qid").orderBy(F.col("score").desc(), "dock"))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= _LI_K)
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("dock").cast("long").alias("dock"),
+            F.col("score").cast("long").alias("score"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+@query(
+    "q259_late_interaction",
+    _LI_ORACLE,
+    doc="ColBERT-style late-interaction retrieval: MaxSim score(Q, D) = "
+    "Σ_q max_t ⟨q, t⟩ between multi-vector queries and multi-vector "
+    "documents, exactly integer on int-projected embeddings so index AND "
+    "ranking are hash-checked.  The retrieval family member single-vector "
+    "ANN (q218), BM25 (q198) and RRF fusion (q219) cannot express — "
+    "token-level vector interactions.  Query tokens broadcast; the corpus "
+    "is map-only through the interaction and reduces by two map-side-"
+    "combinable aggregations; top-k per query is the q232 bucketed "
+    "two-stage window (no doc-relation-sized partition).",
+    tags=("llm", "similarity", "vectors"),
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return late_interaction_topk(load_table(spark, "embeddings", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# q260: epoch allocation with cap-and-redistribute
+
+# Global budget = 2 epochs of the corpus; per-source cap = 3 epochs; the
+# epochs RATE is computed first in basis points so intermediates stay
+# corpus-size-independent (no product of two corpus-sized numbers).
+_EA_BUDGET_EPOCHS = 2
+_EA_CAP_EPOCHS = 3
+_EA_BP = 10_000  # epochs-rate precision (basis points)
+_EA_RP = 1_000  # redistribution-rate precision
+
+_EPOCH_ORACLE = rf"""
+WITH a AS (
+  SELECT source,
+         SUM(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT)) AS avail,
+         (('0x' || substr(md5(source), 1, 8))::BIGINT) % 5 + 1 AS w
+  FROM documents GROUP BY source
+),
+t AS (SELECT SUM(avail) AS ta, SUM(w * avail) AS twa FROM a),
+s AS (
+  SELECT source, avail, w,
+         ({_EA_BUDGET_EPOCHS} * ta * w * {_EA_BP}) // twa AS rate_bp
+  FROM a, t
+),
+g AS (
+  SELECT source, avail, w, rate_bp,
+         LEAST(rate_bp, {_EA_CAP_EPOCHS * _EA_BP}) AS grant_bp,
+         avail * LEAST(rate_bp, {_EA_CAP_EPOCHS * _EA_BP}) // {_EA_BP} AS grant1,
+         avail * rate_bp // {_EA_BP}
+           - avail * LEAST(rate_bp, {_EA_CAP_EPOCHS * _EA_BP}) // {_EA_BP} AS excess
+  FROM s
+),
+x AS (
+  SELECT SUM(excess) AS pool,
+         SUM(CASE WHEN rate_bp < {_EA_CAP_EPOCHS * _EA_BP} THEN w * avail ELSE 0 END) AS un_twa
+  FROM g
+),
+f AS (
+  SELECT g.source, g.avail, g.w, g.grant1,
+         CASE WHEN g.rate_bp < {_EA_CAP_EPOCHS * _EA_BP} AND x.un_twa > 0
+              THEN g.avail * ((x.pool * g.w * {_EA_RP}) // x.un_twa) // {_EA_RP}
+              ELSE 0 END AS extra
+  FROM g, x
+)
+SELECT source, CAST(avail AS BIGINT) AS avail, CAST(w AS BIGINT) AS w,
+       CAST(grant1 AS BIGINT) AS grant1,
+       CAST(LEAST(grant1 + extra, {_EA_CAP_EPOCHS} * avail) AS BIGINT) AS target_tokens,
+       CAST(1000 * LEAST(grant1 + extra, {_EA_CAP_EPOCHS} * avail) // avail AS BIGINT) AS epochs_x1000
+FROM f ORDER BY source
+"""
+
+
+@query(
+    "q260_epoch_allocation",
+    _EPOCH_ORACLE,
+    doc="LLaMA-recipe epoch allocation: apportion a 2-epoch global token "
+    "budget across sources proportional to quality-weight x availability "
+    "(weights = md5-derived classes 1..5, standing in for an external "
+    "quality policy), cap any source at 3 epochs, redistribute the capped "
+    "excess to uncapped sources in ONE pass, clamp again.  All integer; "
+    "the epochs RATE is computed first in basis points so intermediates "
+    "are corpus-size-independent — the largest product is 2·total·w·10^4, "
+    "exact to ~4x10^14 total tokens (>1 PB of text), and every DIV is "
+    "non-negative.  Scale shape: one map-side-combined per-source token "
+    "count, then all arithmetic on the source-sized relation with two "
+    "1-row broadcasts.  Both branches live at every SF (4 of 20 fixture "
+    "sources hit the cap).  Complements q174 (Hamilton apportionment of "
+    "a COUNT budget): this allocates TOKENS with availability caps.",
+    tags=("llm", "curation", "sampling"),
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    a = (
+        spread(docs)
+        .select(
+            "source",
+            F.expr(
+                r"CAST(size(filter(split(lower(trim(text)), '\\s+'), t -> t != '')) AS BIGINT)"
+            ).alias("toks"),
+        )
+        .groupBy("source")
+        .agg(F.sum("toks").alias("avail"))
+        .withColumn(
+            "w",
+            F.expr("CAST(conv(substring(md5(source), 1, 8), 16, 10) AS BIGINT) % 5 + 1"),
+        )
+    )
+    t = a.agg(
+        F.sum("avail").alias("ta"), F.sum(F.col("w") * F.col("avail")).alias("twa")
+    )
+    cap_bp = _EA_CAP_EPOCHS * _EA_BP
+    s = a.crossJoin(F.broadcast(t)).withColumn(
+        "rate_bp",
+        F.expr(f"({_EA_BUDGET_EPOCHS} * ta * w * {_EA_BP}) DIV twa"),
+    )
+    g = s.select(
+        "source",
+        "avail",
+        "w",
+        "rate_bp",
+        F.expr(f"avail * LEAST(rate_bp, {cap_bp}) DIV {_EA_BP}").alias("grant1"),
+        F.expr(
+            f"avail * rate_bp DIV {_EA_BP} "
+            f"- avail * LEAST(rate_bp, {cap_bp}) DIV {_EA_BP}"
+        ).alias("excess"),
+    )
+    x = g.agg(
+        F.sum("excess").alias("pool"),
+        F.sum(
+            F.when(F.col("rate_bp") < cap_bp, F.col("w") * F.col("avail")).otherwise(0)
+        ).alias("un_twa"),
+    )
+    f = g.crossJoin(F.broadcast(x)).withColumn(
+        "extra",
+        F.expr(
+            f"CASE WHEN rate_bp < {cap_bp} AND un_twa > 0 "
+            f"THEN avail * ((pool * w * {_EA_RP}) DIV un_twa) DIV {_EA_RP} "
+            "ELSE 0 END"
+        ),
+    )
+    return f.select(
+        "source",
+        F.col("avail").cast("long").alias("avail"),
+        F.col("w").cast("long").alias("w"),
+        F.col("grant1").cast("long").alias("grant1"),
+        F.expr(f"CAST(LEAST(grant1 + extra, {_EA_CAP_EPOCHS} * avail) AS BIGINT)").alias(
+            "target_tokens"
+        ),
+        F.expr(
+            f"CAST(1000 * LEAST(grant1 + extra, {_EA_CAP_EPOCHS} * avail) DIV avail AS BIGINT)"
+        ).alias("epochs_x1000"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q261: per-source modal token
+
+_MODAL_ORACLE = r"""
+WITH tok AS (
+  SELECT source, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS w
+  FROM documents
+),
+freq AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY source, w),
+tot AS (SELECT source, SUM(cnt) AS n FROM freq GROUP BY source),
+rk AS (
+  SELECT source, w, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, w) AS r
+  FROM freq
+)
+SELECT rk.source, rk.w AS modal_token, CAST(rk.cnt AS BIGINT) AS cnt,
+       CAST(1000000 * rk.cnt // t.n AS BIGINT) AS share_ppm
+FROM rk JOIN tot t ON rk.source = t.source
+WHERE rk.r = 1 ORDER BY rk.source
+"""
+
+
+@query(
+    "q261_modal_token",
+    _MODAL_ORACLE,
+    doc="Per-source modal token with exact corpus share (ppm): the one-line "
+    "distribution profile quality dashboards key on (a modal share spike "
+    "is the classic boilerplate-contamination smell).  Scale shape: "
+    "tokens reduce map-side to the (source, token) frequency relation — "
+    "vocabulary-sized, not corpus-sized — before the per-source argmax "
+    "window (deterministic tie-break on the token value), and the share "
+    "divisor comes from the same relation.  Non-negative integer DIV "
+    "only.",
+    tags=("llm", "text", "agg"),
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = spread(docs).select(
+        "source",
+        F.explode(
+            F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')")
+        ).alias("w"),
+    )
+    freq = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.groupBy("source").agg(F.sum("cnt").alias("n"))
+    rk = freq.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("cnt").desc(), "w")
+        ),
+    ).filter(F.col("r") == 1)
+    return (
+        rk.join(tot, "source")
+        .select(
+            "source",
+            F.col("w").alias("modal_token"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("CAST((1000000 * cnt) DIV n AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("source")
+    )
