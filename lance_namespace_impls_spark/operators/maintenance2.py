@@ -1,0 +1,417 @@
+"""Round-7 batch 2: layout & index maintenance under growth (SURVEY.md §2B
+rows q262–q265).
+
+What a 100 TB table's maintenance loop runs between ingest and query —
+resharding plans, version expiry, and quantization/index health audits:
+
+* **Shard-rebalance audit (q262)** — the data-movement bill for growing a
+  sharded corpus 8 → 10 shards, modulo placement vs a consistent-hash ring
+  (4 virtual nodes per shard): with modulo nearly every row moves; on the
+  ring only rows captured by the new shards' nodes move.  The ring lookup
+  is the wraparound-min encoded as ONE integer MIN — no ordered structures,
+  so both engines agree exactly.
+* **Snapshot retention (q263)** — lance-style version expiry planning:
+  versions (one per distinct event day) are kept if within the 7-day
+  recency window or if they are their week's first version (the
+  keep-last-N + keep-weekly policy every table-format vacuum implements);
+  the plan is the metadata-sized relation a maintenance job feeds to
+  deletes.
+* **PQ distortion audit (q264)** — reconstruction error census for q197's
+  product quantizer: per subspace, the exact integer SSE between each
+  vector slice and its assigned codeword (which IS the argmin distance,
+  so the audit shares the encode pass), reported as count/total/mean/max.
+  The number that decides codebook size before committing an index.
+* **IVF growth audit (q265)** — after an append batch, per-cell base
+  count, new-vector count, growth and post-append share — the drift
+  signal that schedules centroid retraining for q218's index.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these model the maintenance loop of the
+lance tables its namespaces serve (SURVEY.md §2B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.vectors import int_dot, int_projected
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# q262: shard-rebalance audit (modulo vs consistent-hash ring)
+
+_SH_OLD = 8
+_SH_NEW = 10
+_SH_VNODES = 4
+# ring lookup = MIN over nodes of (wrap_flag, position, shard) encoded as one
+# integer: flag*(2^32)*64 dominates, then position*64, then shard tie-break
+_SH_ENC = "((CAST({flag} AS BIGINT) * 4294967296 + {pos}) * 64 + {shard})"
+
+
+def _ring_nodes_sql(n_shards: int) -> str:
+    """(shard, pos) virtual-node relation, md5-positioned on a 2^32 ring."""
+    return (
+        f"SELECT s.range AS shard, v.range AS vn, "
+        f"(('0x' || substr(md5('node' || s.range || '#' || v.range), 1, 8))::BIGINT) AS pos "
+        f"FROM range({n_shards}) s, range({_SH_VNODES}) v"
+    )
+
+
+_SHARD_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) AS hv
+  FROM documents
+),
+old_nodes AS ({_ring_nodes_sql(_SH_OLD)}),
+new_nodes AS ({_ring_nodes_sql(_SH_NEW)}),
+ring_old AS (
+  SELECT h.doc_id,
+         MIN({_SH_ENC.format(flag="CASE WHEN n.pos >= h.hv THEN 0 ELSE 1 END", pos="n.pos", shard="n.shard")}) % 64 AS shard
+  FROM h CROSS JOIN old_nodes n GROUP BY h.doc_id
+),
+ring_new AS (
+  SELECT h.doc_id,
+         MIN({_SH_ENC.format(flag="CASE WHEN n.pos >= h.hv THEN 0 ELSE 1 END", pos="n.pos", shard="n.shard")}) % 64 AS shard
+  FROM h CROSS JOIN new_nodes n GROUP BY h.doc_id
+),
+ring AS (
+  SELECT 'ring' AS policy,
+         CAST(COUNT(*) FILTER (WHERE o.shard <> nw.shard) AS BIGINT) AS moved,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM ring_old o JOIN ring_new nw USING (doc_id)
+),
+md AS (
+  SELECT 'modulo' AS policy,
+         CAST(COUNT(*) FILTER (WHERE hv % {_SH_OLD} <> hv % {_SH_NEW}) AS BIGINT) AS moved,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM h
+)
+SELECT policy, moved, total,
+       CAST(1000000 * moved // total AS BIGINT) AS moved_ppm
+FROM (SELECT * FROM md UNION ALL SELECT * FROM ring)
+ORDER BY policy
+"""
+
+
+def _ring_nodes_df(spark: SparkSession, n_shards: int) -> DataFrame:
+    return (
+        spark.range(n_shards)
+        .selectExpr("id AS shard")
+        .crossJoin(spark.range(_SH_VNODES).selectExpr("id AS vn"))
+        .selectExpr(
+            "shard",
+            "CAST(conv(substring(md5(concat('node', CAST(shard AS STRING), '#', "
+            "CAST(vn AS STRING))), 1, 8), 16, 10) AS BIGINT) AS pos",
+        )
+    )
+
+
+def _ring_assign(h: DataFrame, nodes: DataFrame, out: str) -> DataFrame:
+    enc = F.expr(
+        _SH_ENC.format(
+            flag="CASE WHEN pos >= hv THEN 0 ELSE 1 END", pos="pos", shard="shard"
+        )
+    )
+    return (
+        h.crossJoin(F.broadcast(nodes))
+        .groupBy("doc_id")
+        .agg((F.min(enc) % 64).alias(out))
+    )
+
+
+@query(
+    "q262_shard_rebalance_audit",
+    _SHARD_ORACLE,
+    doc="Resharding data-movement audit, 8 -> 10 shards: modulo placement "
+    "vs a consistent-hash ring with 4 md5-positioned virtual nodes per "
+    "shard.  The ring lookup (first node clockwise, wraparound to the "
+    "ring minimum) is ONE integer MIN over an encoded (wrap-flag, "
+    "position, shard) key — no ordered structure, engine-exact.  Scale "
+    "shape: the node tables (<= 64 rows at any corpus size) broadcast, "
+    "docs are map-only through both assignments and reduce via map-side-"
+    "combinable per-doc MINs; output is 2 policy rows.  The audited law "
+    "is the consistent-hashing guarantee itself: ring moves only the "
+    "rows captured by the new shards' nodes (~1/6 here) while modulo "
+    "moves ~4/5 — the reason a 100 TB corpus reshards on a ring "
+    "(asserted ring < modulo in tests).",
+    tags=("layout", "maintenance", "scale"),
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    h = spread(docs).selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) AS hv",
+    )
+    h = h.localCheckpoint(eager=False)  # feeds modulo census + two ring passes
+    ring = (
+        _ring_assign(h, _ring_nodes_df(spark, _SH_OLD), "old_shard")
+        .join(_ring_assign(h, _ring_nodes_df(spark, _SH_NEW), "new_shard"), "doc_id")
+        .agg(
+            F.sum(F.when(F.col("old_shard") != F.col("new_shard"), 1).otherwise(0))
+            .cast("long")
+            .alias("moved"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+        )
+        .select(F.lit("ring").alias("policy"), "moved", "total")
+    )
+    md = h.agg(
+        F.sum(
+            F.when(F.col("hv") % _SH_OLD != F.col("hv") % _SH_NEW, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("moved"),
+        F.count(F.lit(1)).cast("long").alias("total"),
+    ).select(F.lit("modulo").alias("policy"), "moved", "total")
+    return (
+        md.unionByName(ring)
+        .withColumn("moved_ppm", F.expr("CAST((1000000 * moved) DIV total AS BIGINT)"))
+        .orderBy("policy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q263: snapshot retention planning
+
+_RET_RECENT_DAYS = 7
+_DAY_US = 86_400_000_000
+
+_RETENTION_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+v AS (
+  SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS version_id,
+         MIN(day) OVER (PARTITION BY day // 7) AS week_first,
+         MAX(day) OVER () AS maxd
+  FROM d
+)
+SELECT CAST(version_id AS BIGINT) AS version_id, CAST(day AS BIGINT) AS day,
+       CASE WHEN day > maxd - {_RET_RECENT_DAYS} THEN 'recent'
+            WHEN day = week_first THEN 'weekly'
+            ELSE 'expire' END AS action
+FROM v ORDER BY version_id
+"""
+
+
+@query(
+    "q263_snapshot_retention",
+    _RETENTION_ORACLE,
+    doc="Lance-style version-expiry planning (the policy every table-format "
+    "vacuum implements): one version per distinct event day; keep versions "
+    "inside the 7-day recency window, keep each week's FIRST version as "
+    "the long-term anchor, expire the rest.  All integer epoch-day "
+    "arithmetic (non-negative DIV only).  Scale shape: the corpus reduces "
+    "to the distinct-day relation inside the map-side combine — the "
+    "version list is metadata-sized at any table size, which is exactly "
+    "why retention planning is cheap while the deletes it feeds are not; "
+    "windows run on that tiny relation only.  All three actions live at "
+    "every SF (30 days / 5 weeks in every fixture).",
+    tags=("maintenance", "scan", "scale"),
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    d = (
+        ev.select(
+            F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}"
+            ).alias("day")
+        )
+        .distinct()
+    )
+    v = d.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("version_id"),
+        F.min("day").over(Window.partitionBy(F.expr("day DIV 7"))).alias("week_first"),
+        F.max("day").over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("maxd"),
+    )
+    return v.select(
+        F.col("version_id").cast("long").alias("version_id"),
+        F.col("day").cast("long").alias("day"),
+        F.expr(
+            f"CASE WHEN day > maxd - {_RET_RECENT_DAYS} THEN 'recent' "
+            "WHEN day = week_first THEN 'weekly' ELSE 'expire' END"
+        ).alias("action"),
+    ).orderBy("version_id")
+
+
+# ---------------------------------------------------------------------------
+# q264: PQ reconstruction-distortion audit (per subspace)
+
+_PQ_SUBSPACES = 8
+_PQ_SUBDIM = 8
+_PQ_CODES = 8
+
+
+def _pq_distortion_oracle() -> str:
+    mins = []
+    for s in range(_PQ_SUBSPACES):
+        lo, hi = s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM
+        d2 = (
+            f"(CAST(list_dot_product(p.v[{lo}:{hi}], p.v[{lo}:{hi}]) AS BIGINT) "
+            f"+ CAST(list_dot_product(c.cv[{lo}:{hi}], c.cv[{lo}:{hi}]) AS BIGINT) "
+            f"- 2 * CAST(list_dot_product(p.v[{lo}:{hi}], c.cv[{lo}:{hi}]) AS BIGINT))"
+        )
+        mins.append(f"MIN({d2}) AS sse_{s}")
+    arms = " UNION ALL ".join(
+        f"SELECT {s} AS subspace, sse_{s} AS sse FROM m" for s in range(_PQ_SUBSPACES)
+    )
+    return (
+        "WITH proj AS (SELECT vec_id, "
+        "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+        "  FROM embeddings), "
+        f"cb AS (SELECT vec_id AS code, v AS cv FROM proj WHERE vec_id < {_PQ_CODES}), "
+        "m AS (SELECT p.vec_id, " + ", ".join(mins) + " "
+        "  FROM proj p CROSS JOIN cb c GROUP BY p.vec_id), "
+        f"longf AS ({arms}) "
+        "SELECT CAST(subspace AS BIGINT) AS subspace, "
+        "  CAST(COUNT(*) AS BIGINT) AS n, "
+        "  CAST(SUM(sse) AS BIGINT) AS total_sse, "
+        "  CAST(1000 * SUM(sse) // COUNT(*) AS BIGINT) AS mean_sse_x1000, "
+        "  CAST(MAX(sse) AS BIGINT) AS max_sse "
+        "FROM longf GROUP BY subspace ORDER BY subspace"
+    )
+
+
+@query(
+    "q264_pq_distortion_audit",
+    _pq_distortion_oracle(),
+    doc="PQ reconstruction-distortion audit for q197's product quantizer: "
+    "per subspace, the exact integer SSE between each vector slice and "
+    "its assigned codeword — which IS the encode argmin distance, so the "
+    "audit is the encode pass with the MIN kept instead of the code "
+    "index; census reports per-subspace count, total/mean(x1000)/max SSE. "
+    "The number that sizes the codebook before an index commits.  Scale "
+    "shape: codebook broadcasts, the corpus is map-only and reduces to "
+    "one row per vector inside the map-side combine, then to 8 subspace "
+    "rows; non-negative SSE so DIV is floor on both engines.",
+    tags=("llm", "similarity", "compression"),
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    cb = proj.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").alias("code"), F.col("v").alias("cv")
+    )
+    joined = proj.join(F.broadcast(cb))
+    aggs = []
+    for s in range(_PQ_SUBSPACES):
+        a = F.slice(F.col("v"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        b = F.slice(F.col("cv"), s * _PQ_SUBDIM + 1, _PQ_SUBDIM)
+        d2 = int_dot(a, a) + int_dot(b, b) - F.lit(2) * int_dot(a, b)
+        aggs.append(F.min(d2).alias(f"sse_{s}"))
+    m = joined.groupBy("vec_id").agg(*aggs)
+    stacked = ", ".join(
+        f"CAST({s} AS BIGINT), sse_{s}" for s in range(_PQ_SUBSPACES)
+    )
+    longf = m.selectExpr(
+        f"stack({_PQ_SUBSPACES}, {stacked}) AS (subspace, sse)"
+    )
+    return (
+        longf.groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("sse").cast("long").alias("total_sse"),
+            F.expr("CAST((1000 * SUM(sse)) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_sse_x1000"
+            ),
+            F.max("sse").cast("long").alias("max_sse"),
+        )
+        .orderBy("subspace")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q265: IVF growth audit after an append batch
+
+_IVF_CELLS = 4
+
+_IVF_GROWTH_ORACLE = f"""
+WITH proj AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v,
+         CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END AS is_new
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS c, v AS cv FROM proj WHERE vec_id < {_IVF_CELLS}),
+asg AS (
+  SELECT p.vec_id, p.is_new,
+         CAST(MIN((CAST(list_dot_product(p.v, p.v) AS BIGINT)
+           + CAST(list_dot_product(c.cv, c.cv) AS BIGINT)
+           - 2 * CAST(list_dot_product(p.v, c.cv) AS BIGINT))
+           * {_IVF_CELLS} + c.c) % {_IVF_CELLS} AS BIGINT) AS cell
+  FROM proj p CROSS JOIN cents c GROUP BY p.vec_id, p.is_new
+),
+census AS (
+  SELECT cell,
+         CAST(COUNT(*) FILTER (WHERE is_new = 0) AS BIGINT) AS n_base,
+         CAST(COUNT(*) FILTER (WHERE is_new = 1) AS BIGINT) AS n_new
+  FROM asg GROUP BY cell
+),
+tot AS (SELECT SUM(n_base + n_new) AS t FROM census)
+SELECT cell, n_base, n_new,
+       CAST(1000000 * n_new // GREATEST(n_base, 1) AS BIGINT) AS growth_ppm,
+       CAST(1000000 * (n_base + n_new) // t AS BIGINT) AS share_ppm
+FROM census, tot ORDER BY cell
+"""
+
+
+@query(
+    "q265_ivf_growth_audit",
+    _IVF_GROWTH_ORACLE,
+    doc="IVF index drift audit after an append: vectors split into the base "
+    "corpus (vec_id % 5 < 4) and an append batch, both assigned to the "
+    "base-trained coarse centroids (q218's index, order-free argmin "
+    "encoding); per-cell census of base count, appended count, growth-ppm "
+    "(GREATEST(..,1)-clamped divisor) and post-append share-ppm — the "
+    "imbalance signal that schedules centroid retraining.  Scale shape: "
+    "centroids broadcast, the corpus is map-only through assignment and "
+    "reduces inside the map-side combine to one row per vector, then to "
+    "one row per CELL; output is cell-count-sized.",
+    tags=("llm", "similarity", "maintenance"),
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = spread(emb).select(
+        "vec_id",
+        int_projected(F.col("embedding")).alias("v"),
+        F.when(F.col("vec_id") % 5 == 4, 1).otherwise(0).alias("is_new"),
+    )
+    cents = proj.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+    )
+    d2 = (
+        int_dot(F.col("v"), F.col("v"))
+        + int_dot(F.col("cv"), F.col("cv"))
+        - 2 * int_dot(F.col("v"), F.col("cv"))
+    )
+    asg = (
+        proj.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id", "is_new")
+        .agg((F.min(d2 * _IVF_CELLS + F.col("c")) % _IVF_CELLS).alias("cell"))
+    )
+    census = asg.groupBy("cell").agg(
+        F.sum(F.when(F.col("is_new") == 0, 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(F.col("is_new") == 1, 1).otherwise(0)).cast("long").alias("n_new"),
+    )
+    tot = census.agg(F.sum(F.col("n_base") + F.col("n_new")).alias("t"))
+    return (
+        census.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_base",
+            "n_new",
+            F.expr(
+                "CAST((1000000 * n_new) DIV GREATEST(n_base, 1) AS BIGINT)"
+            ).alias("growth_ppm"),
+            F.expr("CAST((1000000 * (n_base + n_new)) DIV t AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("cell")
+    )
