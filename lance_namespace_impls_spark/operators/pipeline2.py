@@ -1,0 +1,360 @@
+"""Round-7 batch 3: pipeline accounting & sketch laws (SURVEY.md §2B rows
+q266–q269).
+
+* **Dedup funnel (q266)** — the stage-by-stage accounting report every
+  dedup pipeline publishes: exact text dedup first (keep-lowest-id per
+  md5), then greedy near-dup on the survivors (a doc drops iff a
+  LOWER-id survivor has 3-gram Jaccard >= 0.5 with it — the pairwise
+  keep-first policy; the transitive-closure variants are q99/q204).
+  Seeded exact twins (doc_id % 100 == 0 duplicated at id+1000000) keep the
+  exact stage live at every SF.
+* **Corpus drift audit (q267)** — distribution drift between a base corpus
+  (doc_id % 4 < 3) and an append batch: per-token ppm shares in each
+  slice, L1 drift over the union vocabulary, and the single worst-drifting
+  token — the ingest-gate signal that a crawl batch changed character.
+* **Bitmap day index (q268)** — per-event-type day-presence bitmaps packed
+  into ONE int64 (bit_or of 1 << day-offset — the roaring-bitmap idea at
+  word granularity) and the pairwise co-activity census via bit AND/OR
+  popcounts: the bitmap-index intersection plan a metadata layer runs
+  without touching rows.
+* **MinHash merge law (q269)** — per-source shingle-set MinHash signatures
+  are MERGEABLE: elementwise min of the base slice's and append slice's
+  partial signatures must equal the full recompute, lane for lane — the
+  q244 (HLL) union law for the near-dup sketch family, asserted in-row
+  on every lane.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# q266: dedup funnel census
+
+_FUNNEL_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 0
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+n0 AS (SELECT COUNT(*) AS n FROM base),
+n1 AS (SELECT COUNT(*) AS n FROM keep),
+w AS (SELECT b.doc_id, string_split(lower(trim(b.text)), ' ') AS ws
+      FROM base b SEMI JOIN keep USING (doc_id)),
+t AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      for i in range(1, len(ws) - 1)]) AS toks FROM w WHERE len(ws) >= 3),
+drops AS (
+  SELECT DISTINCT b.doc_id FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / len(list_distinct(a.toks || b.toks)) >= 0.5
+),
+n2 AS (SELECT COUNT(*) AS n FROM drops)
+SELECT * FROM (
+  SELECT '1_exact' AS stage, CAST(n0.n AS BIGINT) AS docs_in,
+         CAST(n0.n - n1.n AS BIGINT) AS removed, CAST(n1.n AS BIGINT) AS docs_out
+  FROM n0, n1
+  UNION ALL
+  SELECT '2_neardup', CAST(n1.n AS BIGINT), CAST(n2.n AS BIGINT),
+         CAST(n1.n - n2.n AS BIGINT)
+  FROM n1, n2
+) ORDER BY stage
+"""
+
+
+@query(
+    "q266_dedup_funnel",
+    _FUNNEL_ORACLE,
+    doc="Dedup-funnel accounting: stage 1 exact text dedup (keep-lowest-id "
+    "per md5; seeded id+1000000 twins on every 100th doc keep the branch "
+    "live at every SF), stage 2 greedy near-dup on the survivors (drop "
+    "iff a lower-id survivor has 3-gram Jaccard >= 0.5 — the pairwise "
+    "keep-first policy; transitive closure is q99/q204's job); the report "
+    "is (stage, docs_in, removed, docs_out) — the numbers a curation run "
+    "publishes after every stage.  Scale shape: stage 1 is one md5 "
+    "groupBy (digest-only shuffle); stage 2 reuses the inverted-index "
+    "posting join (intersection counts from row counts, sizes broadcast) "
+    "and reduces to the distinct dropped-id set; output is 2 rows.",
+    tags=("llm", "dedup", "pipeline"),
+)
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.operators.pipeline import neardup_edges
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    base = docs.unionByName(twins)
+    keep = base.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    n0 = base.count()
+    survivors = base.join(keep.select("doc_id"), "doc_id", "left_semi")
+    survivors = survivors.localCheckpoint(eager=False)  # feeds count + edges
+    n1 = survivors.count()
+    raw_edges = neardup_edges(survivors, 0.5)
+    n2 = raw_edges.select("id_b").distinct().count()
+    raw_edges._lni_cached.unpersist()
+    rows = [
+        ("1_exact", n0, n0 - n1, n1),
+        ("2_neardup", n1, n2, n1 - n2),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, docs_in long, removed long, docs_out long"
+    ).orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# q267: corpus drift audit (base vs append batch)
+
+_DRIFT_ORACLE = r"""
+WITH tok AS (
+  SELECT CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS is_new,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS w
+  FROM documents
+),
+c AS (
+  SELECT w,
+         CAST(COUNT(*) FILTER (WHERE is_new = 0) AS BIGINT) AS cb,
+         CAST(COUNT(*) FILTER (WHERE is_new = 1) AS BIGINT) AS cd
+  FROM tok GROUP BY w
+),
+t AS (SELECT SUM(cb) AS tb, SUM(cd) AS td FROM c),
+d AS (
+  SELECT w, abs(1000000 * cb // tb - 1000000 * cd // td) AS drift
+  FROM c, t
+),
+agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab_n, CAST(SUM(drift) AS BIGINT) AS l1_ppm FROM d),
+top AS (SELECT w AS top_token, CAST(drift AS BIGINT) AS top_drift_ppm
+        FROM d ORDER BY drift DESC, w LIMIT 1)
+SELECT vocab_n, l1_ppm, top_token, top_drift_ppm FROM agg, top
+"""
+
+
+@query(
+    "q267_corpus_drift",
+    _DRIFT_ORACLE,
+    doc="Corpus drift audit between the base corpus (doc_id % 4 < 3) and an "
+    "append batch: per-token ppm shares in each slice (integer DIV — the "
+    "defined, engine-exact quantization), L1 drift summed over the union "
+    "vocabulary, plus the single worst-drifting token (deterministic "
+    "tie-break) — the ingest-gate signal that a crawl batch changed "
+    "character.  Scale shape: one token pass reduces map-side to the "
+    "vocabulary-sized (token, base-count, new-count) relation; the slice "
+    "totals broadcast from a 1-row aggregate; the argmax is a distributed "
+    "TakeOrdered over the vocabulary relation.  Non-negative DIV only "
+    "(shares are ppm of non-negative counts).",
+    tags=("llm", "quality", "monitoring"),
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = spread(docs).select(
+        F.when(F.col("doc_id") % 4 == 3, 1).otherwise(0).alias("is_new"),
+        F.explode(
+            F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')")
+        ).alias("w"),
+    )
+    c = tok.groupBy("w").agg(
+        F.sum(F.when(F.col("is_new") == 0, 1).otherwise(0)).cast("long").alias("cb"),
+        F.sum(F.when(F.col("is_new") == 1, 1).otherwise(0)).cast("long").alias("cd"),
+    )
+    t = c.agg(F.sum("cb").alias("tb"), F.sum("cd").alias("td"))
+    d = c.crossJoin(F.broadcast(t)).select(
+        "w",
+        F.expr(
+            "abs((1000000 * cb) DIV tb - (1000000 * cd) DIV td)"
+        ).alias("drift"),
+    )
+    d = d.localCheckpoint(eager=False)  # feeds the sum AND the argmax
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_n"),
+        F.sum("drift").cast("long").alias("l1_ppm"),
+    )
+    top = (
+        d.orderBy(F.col("drift").desc(), "w")
+        .limit(1)
+        .select(
+            F.col("w").alias("top_token"),
+            F.col("drift").cast("long").alias("top_drift_ppm"),
+        )
+    )
+    return agg.crossJoin(top)
+
+
+# ---------------------------------------------------------------------------
+# q268: bitmap day index + pairwise co-activity
+
+_DAY_US = 86_400_000_000
+
+_BITMAP_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // {_DAY_US} AS day FROM events
+),
+mind AS (SELECT MIN(day) AS m FROM e),
+masks AS (
+  SELECT event_type, bit_or(CAST(1 AS BIGINT) << CAST(day - m AS INT)) AS mask
+  FROM e, mind GROUP BY event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(bit_count(a.mask & b.mask) AS BIGINT) AS co_days,
+       CAST(bit_count(a.mask | b.mask) AS BIGINT) AS union_days,
+       CAST(1000000 * bit_count(a.mask & b.mask) // bit_count(a.mask | b.mask) AS BIGINT) AS jaccard_ppm
+FROM masks a JOIN masks b ON a.event_type < b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+@query(
+    "q268_bitmap_day_index",
+    _BITMAP_ORACLE,
+    doc="Bitmap-index intersection plan: each event type's day-presence set "
+    "packs into ONE int64 via bit_or(1 << day-offset) — the roaring-"
+    "bitmap idea at word granularity, exact for the fixture's 30-day span "
+    "— and the pairwise co-activity census (AND/OR popcounts, Jaccard in "
+    "ppm) runs on the type-count-sized mask relation without touching a "
+    "single event row again.  Scale shape: events reduce to one mask per "
+    "type inside the map-side combine (bit_or is associative/commutative "
+    "— the sketch-merge property); the pair join is K^2 over K=5 types.  "
+    "This is how metadata layers answer 'which segments co-occur' "
+    "without scans.",
+    tags=("indexing", "agg", "scale"),
+)
+def q268(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}").alias("day"),
+    )
+    mind = e.agg(F.min("day").alias("m"))
+    masks = (
+        e.crossJoin(F.broadcast(mind))
+        .groupBy("event_type")
+        .agg(
+            F.expr("bit_or(CAST(1 AS BIGINT) << CAST(day - m AS INT))").alias("mask")
+        )
+    )
+    a = masks.select(F.col("event_type").alias("type_a"), F.col("mask").alias("ma"))
+    b = masks.select(F.col("event_type").alias("type_b"), F.col("mask").alias("mb"))
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.expr("CAST(bit_count(ma & mb) AS BIGINT)").alias("co_days"),
+            F.expr("CAST(bit_count(ma | mb) AS BIGINT)").alias("union_days"),
+            F.expr(
+                "CAST((1000000 * bit_count(ma & mb)) DIV bit_count(ma | mb) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q269: MinHash signature merge law (per-source, base ∪ append)
+
+_MH_K = 8
+
+_MINHASH_MERGE_ORACLE = rf"""
+WITH toked AS (
+  SELECT source, CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END AS is_new,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT source, is_new, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS t
+  FROM toked, unnest(range(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 3
+),
+hx AS (SELECT source, is_new, md5(t) || md5('x|' || t) AS h FROM sh),
+lanes AS (
+  SELECT source, is_new, s.range AS lane,
+         (('0x' || substr(h, 1 + 8 * s.range, 8))::BIGINT) % 2147483647 AS hv
+  FROM hx, range({_MH_K}) s
+),
+parts AS (
+  SELECT source, lane,
+         MIN(hv) AS full_min,
+         MIN(CASE WHEN is_new = 0 THEN hv END) AS base_min,
+         MIN(CASE WHEN is_new = 1 THEN hv END) AS delta_min
+  FROM lanes GROUP BY source, lane
+)
+SELECT source, CAST(lane AS BIGINT) AS lane,
+       CAST(full_min AS BIGINT) AS full_min,
+       CAST(LEAST(COALESCE(base_min, delta_min), COALESCE(delta_min, base_min)) AS BIGINT) AS merged_min,
+       CAST(CASE WHEN full_min = LEAST(COALESCE(base_min, delta_min), COALESCE(delta_min, base_min))
+                 THEN 1 ELSE 0 END AS BIGINT) AS law_holds
+FROM parts ORDER BY source, lane
+"""
+
+
+@query(
+    "q269_minhash_merge_law",
+    _MINHASH_MERGE_ORACLE,
+    doc="MinHash signatures are MERGEABLE — the q244 (HLL) union law for "
+    "the near-dup sketch family: per-source 3-gram-shingle signatures "
+    "(q161's portable md5 lanes) computed separately on the base corpus "
+    "and an append slice, merged by elementwise MIN, must equal the full "
+    "recompute lane for lane; the law lands as an oracle-checked column "
+    "(law_holds = 1 on every row, also asserted in tests) — this is what "
+    "lets a 100 TB pipeline keep near-dup signatures current under "
+    "appends WITHOUT re-reading old data.  Scale shape: both partial "
+    "signatures come from the same one text pass (conditional MINs, "
+    "map-side combined, 3x8 ints per source ever shuffled).",
+    tags=("llm", "dedup", "lsh"),
+)
+def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.operators.corpus import _exploded_shingles
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    ex = _exploded_shingles(docs.select("doc_id", "text"), 3).join(
+        docs.select(
+            "doc_id",
+            "source",
+            F.when(F.col("doc_id") % 4 == 3, 1).otherwise(0).alias("is_new"),
+        ),
+        "doc_id",
+    )
+    hx = ex.select(
+        "source",
+        "is_new",
+        F.concat(F.md5("t"), F.md5(F.concat(F.lit("x|"), F.col("t")))).alias("h"),
+    )
+    lanes = (
+        hx.select(
+            "source",
+            "is_new",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(_MH_K - 1))).alias("lane"),
+        )
+        .withColumn(
+            "hv",
+            F.expr(
+                "CAST(conv(substring(h, 1 + 8 * lane, 8), 16, 10) AS BIGINT) % 2147483647"
+            ),
+        )
+        .drop("h")
+    )
+    parts = lanes.groupBy("source", "lane").agg(
+        F.min("hv").alias("full_min"),
+        F.min(F.when(F.col("is_new") == 0, F.col("hv"))).alias("base_min"),
+        F.min(F.when(F.col("is_new") == 1, F.col("hv"))).alias("delta_min"),
+    )
+    merged = F.expr(
+        "LEAST(COALESCE(base_min, delta_min), COALESCE(delta_min, base_min))"
+    )
+    return parts.select(
+        "source",
+        F.col("lane").cast("long").alias("lane"),
+        F.col("full_min").cast("long").alias("full_min"),
+        merged.cast("long").alias("merged_min"),
+        F.when(F.col("full_min") == merged, 1).otherwise(0).cast("long").alias(
+            "law_holds"
+        ),
+    ).orderBy("source", "lane")
