@@ -1,0 +1,374 @@
+"""Round-7 batch 4: kNN-graph construction, retrain-impact census, and LSH
+parameter tuning (SURVEY.md §2B rows q270–q272).
+
+* **kNN graph (q270)** — the all-vectors k-nearest-neighbor GRAPH (vs
+  q218's query-set search): the building block for graph-based dedup,
+  HNSW seeding and diversity selection.  Blocked by the SAME two-level
+  routed assignment as q205 (k = N/64 cells, √k broadcast supers), so the
+  within-cell pairwise term is per-cell-constant at any corpus size; top-3
+  per vector via a window whose partitions are cell-bounded.
+* **Retrain transition census (q271)** — the decision number for q265's
+  drift signal: one integer-exact Lloyd update on the base corpus (q220's
+  shift + SUM DIV COUNT device), then every vector (base AND append)
+  assigned to old and new centroids; the (old_cell → new_cell) transition
+  matrix with stay/move counts says whether retraining is worth the index
+  rebuild.
+* **LSH tuning curve (q272)** — the (bands × rows) S-curve table: the
+  SAME 8 portable min-hash lanes (q161 kernel) banded four ways (1×8,
+  2×4, 4×2, 8×1), each config's candidate pairs scored against the exact
+  Jaccard >= 0.5 truth — candidates, true positives, precision/recall in
+  ppm.  This is how banding parameters are chosen BEFORE a 100 TB dedup
+  run; the truth side reuses the inverted-index exact-Jaccard join.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.vectors import int_dot, int_projected
+from lance_namespace_impls_spark.operators.traindata import (
+    cluster_bounds,
+    routed_assignment,
+    routed_assignment_sql,
+)
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# q270: cell-blocked exact kNN graph
+
+_KNN_K = 3
+
+_KNN_ORACLE = (
+    "WITH proj AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    + routed_assignment_sql()
+    + "pairs AS (SELECT a.vec_id, b.vec_id AS neighbor, "
+    "  CAST(list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v) "
+    "       - 2 * list_dot_product(a.v, b.v) AS BIGINT) AS d2 "
+    "  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id), "
+    "rk AS (SELECT vec_id, neighbor, d2, "
+    "  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, neighbor) AS rank "
+    "  FROM pairs) "
+    "SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(rank AS BIGINT) AS rank, "
+    "  CAST(neighbor AS BIGINT) AS neighbor, d2 "
+    f"FROM rk WHERE rank <= {_KNN_K} ORDER BY vec_id, rank"
+)
+
+
+@query(
+    "q270_knn_graph",
+    _KNN_ORACLE,
+    doc="All-vectors kNN GRAPH (top-3 neighbors per vector by exact integer "
+    "squared L2), blocked by the q205 two-level routed assignment — "
+    "k = N/64 cells whose size stays constant as the corpus grows, so "
+    "the within-cell pairwise term is per-cell-bounded and the top-k "
+    "window partitions (per vec_id, fed only by its cell) never exceed "
+    "the cell size; only sqrt(k) super-centroids ever broadcast.  The "
+    "graph q218 (query-set ANN) does not build: the substrate for "
+    "graph dedup, HNSW seeding and farthest-point diversity.  DuckDB "
+    "replays the identical routing (shared routed_assignment_sql), so "
+    "edges AND blocking are hash-checked.",
+    tags=("llm", "similarity", "graph"),
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    proj = proj.localCheckpoint(eager=False)  # feeds seeds, routing, pair join
+    asg = routed_assignment(proj, cluster_bounds(emb))
+    a = asg.alias("a")
+    b = asg.select(
+        F.col("cluster").alias("b_cluster"),
+        F.col("vec_id").alias("neighbor"),
+        F.col("v").alias("bv"),
+    )
+    d2 = (
+        int_dot(F.col("a.v"), F.col("a.v"))
+        + int_dot(F.col("bv"), F.col("bv"))
+        - 2 * int_dot(F.col("a.v"), F.col("bv"))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b_cluster"))
+        & (F.col("neighbor") != F.col("a.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_id"), "neighbor", d2.alias("d2"))
+    return (
+        pairs.select(
+            "vec_id",
+            F.row_number()
+            .over(Window.partitionBy("vec_id").orderBy("d2", "neighbor"))
+            .cast("long")
+            .alias("rank"),
+            "neighbor",
+            "d2",
+        )
+        .filter(F.col("rank") <= _KNN_K)
+        .select("vec_id", "rank", F.col("neighbor").cast("long").alias("neighbor"), "d2")
+        .orderBy("vec_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q271: retrain transition census
+
+_RT_K = 4
+_RT_SHIFT = 1024  # q220 device: non-negative elements => DIV == //
+
+_RETRAIN_ORACLE = f"""
+WITH proj AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) + {_RT_SHIFT} AS BIGINT)) AS v,
+         CASE WHEN vec_id % 5 = 4 THEN 1 ELSE 0 END AS is_new
+  FROM embeddings
+),
+oldc AS (SELECT vec_id AS c, v AS cv FROM proj WHERE vec_id < {_RT_K}),
+base_asg AS (
+  SELECT p.vec_id, ANY_VALUE(p.v) AS v,
+         CAST(MIN((CAST(list_dot_product(p.v, p.v) AS BIGINT)
+           + CAST(list_dot_product(c.cv, c.cv) AS BIGINT)
+           - 2 * CAST(list_dot_product(p.v, c.cv) AS BIGINT)) * {_RT_K} + c.c) % {_RT_K} AS BIGINT) AS cell
+  FROM proj p CROSS JOIN oldc c WHERE p.is_new = 0 GROUP BY p.vec_id
+),
+newc AS (
+  SELECT cell AS c, list(m ORDER BY pos) AS cv FROM (
+    SELECT a.cell, t.i AS pos, CAST(SUM(a.v[t.i + 1]) // COUNT(*) AS BIGINT) AS m
+    FROM base_asg a, range(64) t(i) GROUP BY a.cell, t.i) GROUP BY cell
+),
+asg_old AS (
+  SELECT p.vec_id,
+         CAST(MIN((CAST(list_dot_product(p.v, p.v) AS BIGINT)
+           + CAST(list_dot_product(c.cv, c.cv) AS BIGINT)
+           - 2 * CAST(list_dot_product(p.v, c.cv) AS BIGINT)) * {_RT_K} + c.c) % {_RT_K} AS BIGINT) AS old_cell
+  FROM proj p CROSS JOIN oldc c GROUP BY p.vec_id
+),
+asg_new AS (
+  SELECT p.vec_id,
+         CAST(MIN((CAST(list_dot_product(p.v, p.v) AS BIGINT)
+           + CAST(list_dot_product(c.cv, c.cv) AS BIGINT)
+           - 2 * CAST(list_dot_product(p.v, c.cv) AS BIGINT)) * {_RT_K} + c.c) % {_RT_K} AS BIGINT) AS new_cell
+  FROM proj p CROSS JOIN newc c GROUP BY p.vec_id
+)
+SELECT o.old_cell, n.new_cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(CASE WHEN o.old_cell = n.new_cell THEN 0 ELSE 1 END AS BIGINT) AS moved
+FROM asg_old o JOIN asg_new n USING (vec_id)
+GROUP BY o.old_cell, n.new_cell ORDER BY old_cell, new_cell
+"""
+
+
+@query(
+    "q271_retrain_transition",
+    _RETRAIN_ORACLE,
+    doc="Retrain-impact census — the decision row for q265's drift signal: "
+    "ONE integer-exact Lloyd update on the base corpus (q220's +1024 "
+    "shift so centroid SUM DIV COUNT floors identically on both engines), "
+    "then every vector — base and append — assigned to the OLD seed "
+    "centroids and the NEW retrained ones; the (old_cell, new_cell, "
+    "count, moved) transition matrix prices the index rebuild.  Scale "
+    "shape: both assignment passes are broadcast-centroid map-only scans "
+    "with map-side-combined argmins; the centroid update is a (cell, pos)"
+    "-keyed aggregate with k·dim output rows; output is <= k² rows.",
+    tags=("llm", "similarity", "maintenance"),
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = spread(emb).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: (F.round(x.cast("double") * 1000) + _RT_SHIFT).cast("long"),
+        ).alias("v"),
+        F.when(F.col("vec_id") % 5 == 4, 1).otherwise(0).alias("is_new"),
+    )
+    proj = proj.localCheckpoint(eager=False)  # feeds seeds + three passes
+    oldc = proj.filter(F.col("vec_id") < _RT_K).select(
+        F.col("vec_id").alias("c"), F.col("v").alias("cv")
+    )
+
+    def _assign(df: DataFrame, cents: DataFrame, out: str) -> DataFrame:
+        d2 = (
+            int_dot(F.col("v"), F.col("v"))
+            + int_dot(F.col("cv"), F.col("cv"))
+            - 2 * int_dot(F.col("v"), F.col("cv"))
+        )
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .groupBy("vec_id")
+            .agg(F.first("v").alias("v"), F.min(d2 * _RT_K + F.col("c")).alias("key"))
+            .select("vec_id", "v", (F.col("key") % _RT_K).cast("long").alias(out))
+        )
+
+    base_asg = _assign(proj.filter(F.col("is_new") == 0), oldc, "cell")
+    newc = (
+        base_asg.select("cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.col("cell").alias("c"), F.col("pm.m").alias("cv"))
+    )
+    asg_old = _assign(proj, oldc, "old_cell").select("vec_id", "old_cell")
+    asg_new = _assign(proj, newc, "new_cell").select("vec_id", "new_cell")
+    return (
+        asg_old.join(asg_new, "vec_id")
+        .groupBy("old_cell", "new_cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .withColumn(
+            "moved",
+            F.when(F.col("old_cell") == F.col("new_cell"), 0).otherwise(1).cast("long"),
+        )
+        .orderBy("old_cell", "new_cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q272: LSH banding tuning curve
+
+_LSH_K = 8
+_LSH_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))  # (bands, rows): b*r = 8
+_LSH_DUCK_HEX = "list_transform(sh, t -> md5(t) || md5('x|' || t))"
+_LSH_DUCK_SIG = (
+    "[list_min(list_transform(hx, h -> ('0x' || substr(h, 1 + 8*s, 8))::BIGINT "
+    "% 2147483647)) for s in generate_series(0, 7)]"
+)
+
+
+def _lsh_config_sql(b: int, r: int) -> str:
+    """Candidate pairs for a (bands=b, rows=r) config as a DuckDB CTE body."""
+    return (
+        f"SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM "
+        f"(SELECT doc_id, bb, sig[{r}*bb+1:{r}*bb+{r}] AS bk FROM sig, "
+        f"  unnest(generate_series(0, {b - 1})) u(bb)) a "
+        f"JOIN (SELECT doc_id, bb, sig[{r}*bb+1:{r}*bb+{r}] AS bk FROM sig, "
+        f"  unnest(generate_series(0, {b - 1})) u(bb)) b "
+        f"ON a.bb = b.bb AND a.bk = b.bk AND a.doc_id < b.doc_id"
+    )
+
+
+_LSH_TUNE_ORACLE = (
+    "WITH toked AS (SELECT doc_id, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "shingled AS (SELECT doc_id, "
+    "  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS sh "
+    "  FROM toked WHERE len(toks) >= 3), "
+    "hexed AS (SELECT doc_id, " + _LSH_DUCK_HEX + " AS hx FROM shingled), "
+    "sig AS (SELECT doc_id, " + _LSH_DUCK_SIG + " AS sig FROM hexed), "
+    "sets AS (SELECT doc_id, list_distinct(sh) AS toks FROM shingled), "
+    "truth AS (SELECT a.doc_id AS d1, b.doc_id AS d2 FROM sets a JOIN sets b "
+    "  ON a.doc_id < b.doc_id "
+    "  AND 2 * len(list_intersect(a.toks, b.toks)) "
+    "      >= len(list_distinct(a.toks || b.toks))), "
+    + ", ".join(
+        f"cand_{b}x{r} AS ({_lsh_config_sql(b, r)})" for b, r in _LSH_CONFIGS
+    )
+    + ", stats AS ("
+    + " UNION ALL ".join(
+        f"SELECT '{b}x{r}' AS config, "
+        f"(SELECT COUNT(*) FROM cand_{b}x{r}) AS candidates, "
+        f"(SELECT COUNT(*) FROM cand_{b}x{r} SEMI JOIN truth USING (d1, d2)) AS true_pos"
+        for b, r in _LSH_CONFIGS
+    )
+    + ") "
+    "SELECT config, CAST(candidates AS BIGINT) AS candidates, "
+    "  CAST(true_pos AS BIGINT) AS true_pos, "
+    "  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS truth_total, "
+    "  CAST(1000000 * true_pos // GREATEST(candidates, 1) AS BIGINT) AS precision_ppm, "
+    "  CAST(1000000 * true_pos // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_ppm "
+    "FROM stats ORDER BY config"
+)
+
+
+@query(
+    "q272_lsh_tuning_curve",
+    _LSH_TUNE_ORACLE,
+    doc="LSH banding S-curve — the table that chooses (bands x rows) BEFORE "
+    "a 100 TB dedup run: the same 8 portable min-hash lanes (q161 kernel) "
+    "banded four ways (1x8, 2x4, 4x2, 8x1), each config's candidate "
+    "pairs scored against the exact 3-gram-shingle Jaccard >= 0.5 truth "
+    "(cross-multiplied, no division) for candidates / true positives / "
+    "precision / recall in ppm.  Monotonicity (more bands => more "
+    "candidates, never less recall) is test-asserted.  Scale shape: ONE "
+    "signature pass (map-side-combined lane mins, 8 ints/doc) feeds all "
+    "four band joins, each shuffling (band, key, doc_id) tuples with "
+    "candidates bounded by bucket collisions; the truth side is the "
+    "inverted-index exact join (never n²); censuses are config-sized.",
+    tags=("llm", "dedup", "lsh"),
+)
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.operators.corpus import (
+        _exploded_shingles,
+        _portable_minhash_sig,
+    )
+
+    docs = spread(load_table(spark, "documents", sf_dir)).select("doc_id", "text")
+    ex = _exploded_shingles(docs, 3)
+    ex = ex.localCheckpoint(eager=False)  # feeds signatures AND the truth join
+    sig = _portable_minhash_sig(ex).localCheckpoint(eager=False)  # 4 band joins
+    # exact truth: inverted-index intersection counts + cross-multiplied
+    # Jaccard >= 1/2 (posting rows are distinct per (doc, shingle))
+    posting = ex.distinct()
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        posting.alias("a")
+        .join(posting.alias("b"), "t")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        inter.join(
+            F.broadcast(sizes.selectExpr("doc_id AS d1", "sz AS sz1")), "d1"
+        )
+        .join(F.broadcast(sizes.selectExpr("doc_id AS d2", "sz AS sz2")), "d2")
+        .filter(
+            F.lit(2) * F.col("inter") >= F.col("sz1") + F.col("sz2") - F.col("inter")
+        )
+        .select("d1", "d2")
+        .localCheckpoint(eager=False)  # compared against every config
+    )
+    truth_total = truth.count()
+    spark = docs.sparkSession
+    outs = []
+    for b, r in _LSH_CONFIGS:
+        banded = sig.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("bb"),
+            "sig",
+        ).select(
+            "doc_id",
+            "bb",
+            F.expr(f"slice(sig, {r} * bb + 1, {r})").alias("bk"),
+        )
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["bb", "bk"])
+            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
+            )
+            .distinct()
+        )
+        n_cand = cand.count()
+        n_tp = cand.join(truth, ["d1", "d2"], "left_semi").count()
+        outs.append((f"{b}x{r}", n_cand, n_tp))
+    rows = [
+        (
+            cfg,
+            c,
+            tp,
+            truth_total,
+            1_000_000 * tp // max(c, 1),
+            1_000_000 * tp // max(truth_total, 1),
+        )
+        for cfg, c, tp in outs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "config string, candidates long, true_pos long, truth_total long, "
+        "precision_ppm long, recall_ppm long",
+    ).orderBy("config")
