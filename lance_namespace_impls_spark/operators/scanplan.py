@@ -1,0 +1,358 @@
+"""Round-7 batch 5: scan planning & temporal-join surface (SURVEY.md §2B
+rows q273–q275).
+
+* **Tolerance as-of join (q273)** — q63's as-of join with the bound every
+  production use carries: a click matches its most recent preceding view
+  ONLY within a 1-hour window; older matches are reported stale, viewless
+  clicks none.  Same union-merge window shape (one shuffle, no range
+  join) now carrying the matched timestamp so the tolerance test is one
+  row-local comparison; all three outcome branches live at every SF
+  (5/196/9 at sf0.001).
+* **Row-group sizing plan (q274)** — the parquet/lance writer-tuning step:
+  per fragment, estimate encoded bytes from column widths, derive
+  rows-per-group for a 16 KiB target (clamped to [64, fragment rows]),
+  group count and tail-group size — all integer closed form on
+  fragment-metadata-sized relations.
+* **Pruning stack audit (q275)** — the scan planner's three structures
+  stacked on one predicate (user_id = 5 AND ts within the 2-day window):
+  ts zone maps (prune ranges on the clustering column), user_id zone maps
+  (the scattered column — zones span everything, the documented
+  never-prunes contrast), and the per-fragment 2-lane Bloom (prunes point
+  predicates zones cannot).  Per-fragment verdicts + the matched-row
+  truth, so Bloom/zone soundness (pruned => zero rows) is hash-checked
+  fragment by fragment.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these model the scan planning of the
+lance tables its namespaces serve (SURVEY.md §2B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.hashing import MD5_H32_DUCK as _H32_DUCK
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+_H32 = "conv(substring(md5({x}), 1, 8), 16, 10)"
+
+# ---------------------------------------------------------------------------
+# q273: tolerance-bounded as-of join
+
+_TOL_US = 3_600_000_000  # 1 hour
+
+_ASOF_TOL_ORACLE = f"""
+WITH m AS (
+  SELECT a.event_id, a.user_id, epoch_us(a.ts) AS cts,
+         (SELECT b.event_id FROM events b
+           WHERE b.user_id = a.user_id AND b.event_type = 'view' AND b.ts <= a.ts
+           ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS vid,
+         (SELECT epoch_us(b.ts) FROM events b
+           WHERE b.user_id = a.user_id AND b.event_type = 'view' AND b.ts <= a.ts
+           ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS vts
+  FROM events a WHERE a.event_type = 'click'
+)
+SELECT event_id, user_id,
+       CASE WHEN vts IS NOT NULL AND cts - vts <= {_TOL_US} THEN vid END AS matched_view,
+       CASE WHEN vid IS NULL THEN 'none'
+            WHEN cts - vts <= {_TOL_US} THEN 'matched'
+            ELSE 'stale' END AS status
+FROM m ORDER BY event_id
+"""
+
+
+@query(
+    "q273_asof_tolerance_join",
+    _ASOF_TOL_ORACLE,
+    doc="Tolerance-bounded as-of join — q63 with the bound production "
+    "attribution always carries: each click matches its most recent "
+    "preceding view only within 1 hour; older matches report 'stale', "
+    "viewless clicks 'none' (all three branches live at every SF).  Same "
+    "union-merge window as q63 — one shuffle on user_id, no range join — "
+    "now ALSO carrying the matched event's timestamp through the "
+    "IGNORE-NULLS last() so tolerance is a row-local integer compare; "
+    "the oracle is an independent correlated-subquery formulation.",
+    tags=("events", "joins", "window"),
+)
+def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    l_ = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("_by"),
+        F.col("us").alias("_on"),
+        F.lit(1).alias("_side"),
+        F.col("event_id").alias("_id"),
+    )
+    r_ = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("_by"),
+        F.col("us").alias("_on"),
+        F.lit(0).alias("_side"),
+        F.col("event_id").alias("_id"),
+    )
+    w = (
+        Window.partitionBy("_by")
+        .orderBy("_on", "_side", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        r_.unionAll(l_)
+        .withColumn(
+            "vid",
+            F.last(F.when(F.col("_side") == 0, F.col("_id")), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "vts",
+            F.last(F.when(F.col("_side") == 0, F.col("_on")), ignorenulls=True).over(w),
+        )
+    )
+    return (
+        merged.filter(F.col("_side") == 1)
+        .select(
+            F.col("_id").alias("event_id"),
+            F.col("_by").alias("user_id"),
+            F.when(F.col("_on") - F.col("vts") <= _TOL_US, F.col("vid")).alias(
+                "matched_view"
+            ),
+            F.when(F.col("vid").isNull(), "none")
+            .when(F.col("_on") - F.col("vts") <= _TOL_US, "matched")
+            .otherwise("stale")
+            .alias("status"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q274: row-group sizing plan
+
+_RG_FRAG = 512
+_RG_TARGET = 16_384  # bytes per row group
+_RG_MIN_ROWS = 64
+
+# fixed numeric widths + encoded string lengths: the writer's estimate
+_ROW_BYTES = "32 + length(event_type) + length(props)"
+
+_RG_ORACLE = f"""
+WITH f AS (
+  SELECT event_id // {_RG_FRAG} AS fragment,
+         CAST({_ROW_BYTES} AS BIGINT) AS row_bytes
+  FROM events
+),
+s AS (
+  SELECT fragment, CAST(COUNT(*) AS BIGINT) AS rows_total,
+         CAST(SUM(row_bytes) AS BIGINT) AS est_bytes
+  FROM f GROUP BY fragment
+),
+p AS (
+  SELECT fragment, rows_total, est_bytes,
+         LEAST(GREATEST({_RG_TARGET} // GREATEST(est_bytes // rows_total, 1),
+                        {_RG_MIN_ROWS}), rows_total) AS rows_per_group
+  FROM s
+)
+SELECT fragment, rows_total, est_bytes,
+       CAST(rows_per_group AS BIGINT) AS rows_per_group,
+       CAST((rows_total + rows_per_group - 1) // rows_per_group AS BIGINT) AS n_groups,
+       CAST(rows_total - ((rows_total + rows_per_group - 1) // rows_per_group - 1)
+            * rows_per_group AS BIGINT) AS tail_rows
+FROM p ORDER BY fragment
+"""
+
+
+@query(
+    "q274_rowgroup_sizing",
+    _RG_ORACLE,
+    doc="Parquet/lance writer row-group sizing: per fragment, encoded-byte "
+    "estimate from column widths (fixed numerics + string lengths), "
+    "rows-per-group for a 16 KiB target clamped to [64, fragment rows], "
+    "ceil group count and tail-group size — the plan the writer follows "
+    "so row groups align with predicate-pruning granularity.  All "
+    "integer closed form (non-negative DIVs, integer ceil as "
+    "(n + d - 1) DIV d); events reduce map-side to the fragment-metadata "
+    "relation and everything after is metadata-sized.  Both clamp "
+    "branches live (full fragments hit the byte-target path, the tail "
+    "fragment the rows clamp).",
+    tags=("layout", "maintenance", "scale"),
+)
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    f = ev.select(
+        F.expr(f"event_id DIV {_RG_FRAG}").alias("fragment"),
+        F.expr(f"CAST({_ROW_BYTES} AS BIGINT)").alias("row_bytes"),
+    )
+    s = f.groupBy("fragment").agg(
+        F.count(F.lit(1)).cast("long").alias("rows_total"),
+        F.sum("row_bytes").cast("long").alias("est_bytes"),
+    )
+    p = s.withColumn(
+        "rows_per_group",
+        F.expr(
+            f"LEAST(GREATEST({_RG_TARGET} DIV GREATEST(est_bytes DIV rows_total, 1), "
+            f"{_RG_MIN_ROWS}), rows_total)"
+        ),
+    )
+    return p.select(
+        "fragment",
+        "rows_total",
+        "est_bytes",
+        F.col("rows_per_group").cast("long").alias("rows_per_group"),
+        F.expr(
+            "CAST((rows_total + rows_per_group - 1) DIV rows_per_group AS BIGINT)"
+        ).alias("n_groups"),
+        F.expr(
+            "CAST(rows_total - ((rows_total + rows_per_group - 1) DIV rows_per_group - 1) "
+            "* rows_per_group AS BIGINT)"
+        ).alias("tail_rows"),
+    ).orderBy("fragment")
+
+
+# ---------------------------------------------------------------------------
+# q275: pruning stack audit (zone maps + Bloom on one predicate)
+
+_PS_FRAG = 64  # smaller fragments than q238/q243 so the Bloom branch is live
+_PS_UID = 5  # present in SOME but not all 64-event fragments at every SF
+_PS_BL_M = 4096
+_PS_LO = "(CAST(19732 AS BIGINT) * 86400 * 1000000)"
+_PS_HI = "(CAST(19734 AS BIGINT) * 86400 * 1000000)"
+
+_PRUNE_STACK_ORACLE = f"""
+WITH f AS (
+  SELECT event_id // {_PS_FRAG} AS fragment, user_id, epoch_us(ts) AS ets
+  FROM events
+),
+z AS (
+  SELECT fragment, MIN(ets) AS min_ets, MAX(ets) AS max_ets,
+         MIN(user_id) AS min_uid, MAX(user_id) AS max_uid
+  FROM f GROUP BY fragment
+),
+bits AS (
+  SELECT DISTINCT fragment,
+         {_H32_DUCK.format(x='CAST(user_id AS VARCHAR)')} % {_PS_BL_M} AS b0,
+         {_H32_DUCK.format(x=chr(39) + 'b|' + chr(39) + ' || CAST(user_id AS VARCHAR)')} % {_PS_BL_M} AS b1
+  FROM f
+),
+probe AS (
+  SELECT {_H32_DUCK.format(x=f"CAST({_PS_UID} AS VARCHAR)")} % {_PS_BL_M} AS p0,
+         {_H32_DUCK.format(x=chr(39) + 'b|' + chr(39) + f' || CAST({_PS_UID} AS VARCHAR)')} % {_PS_BL_M} AS p1
+),
+v AS (
+  SELECT z.fragment,
+         CASE WHEN z.max_ets < {_PS_LO} OR z.min_ets >= {_PS_HI} THEN 1 ELSE 0 END AS zm_ts_prune,
+         CASE WHEN z.max_uid < {_PS_UID} OR z.min_uid > {_PS_UID} THEN 1 ELSE 0 END AS zm_uid_prune,
+         CASE WHEN EXISTS (SELECT 1 FROM bits b, probe p
+                           WHERE b.fragment = z.fragment AND b.b0 = p.p0)
+               AND EXISTS (SELECT 1 FROM bits b, probe p
+                           WHERE b.fragment = z.fragment AND b.b1 = p.p1)
+              THEN 0 ELSE 1 END AS bloom_prune
+  FROM z
+),
+truth AS (
+  SELECT fragment, COUNT(*) AS rows_matched FROM f
+  WHERE user_id = {_PS_UID} AND ets >= {_PS_LO} AND ets < {_PS_HI}
+  GROUP BY fragment
+)
+SELECT v.fragment,
+       CAST(v.zm_ts_prune AS BIGINT) AS zm_ts_prune,
+       CAST(v.zm_uid_prune AS BIGINT) AS zm_uid_prune,
+       CAST(v.bloom_prune AS BIGINT) AS bloom_prune,
+       CAST(CASE WHEN v.zm_ts_prune + v.zm_uid_prune + v.bloom_prune = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS scan_needed,
+       CAST(COALESCE(t.rows_matched, 0) AS BIGINT) AS rows_matched
+FROM v LEFT JOIN truth t ON v.fragment = t.fragment
+ORDER BY v.fragment
+"""
+
+
+@query(
+    "q275_pruning_stack",
+    _PRUNE_STACK_ORACLE,
+    doc="The scan planner's pruning STACK on one predicate (user_id = 5 AND "
+    "ts within the 2-day window): ts zone maps prune the range on the "
+    "clustering column, user_id zone maps demonstrate why min/max on a "
+    "scattered column prunes (nearly) nothing, and the per-fragment "
+    "2-lane md5 Bloom (q243 construction, 64-event fragments so the "
+    "prune branch is live at every SF) prunes the point predicate zones "
+    "cannot; a fragment scans only if ALL structures say maybe.  The "
+    "matched-row truth rides in the same row, so soundness (any prune "
+    "=> zero matching rows) is hash-checked fragment by fragment and "
+    "test-asserted.  Scale shape: one pass builds zones AND bloom bits "
+    "map-side (fragment-metadata x occupancy sized relations); verdicts "
+    "never re-touch event rows.",
+    tags=("events", "scan", "sketch"),
+)
+def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, "events", sf_dir))
+    f = ev.select(
+        F.expr(f"event_id DIV {_PS_FRAG}").alias("fragment"),
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ets"),
+    )
+    f = f.localCheckpoint(eager=False)  # feeds zones, bits, truth
+    z = f.groupBy("fragment").agg(
+        F.min("ets").alias("min_ets"),
+        F.max("ets").alias("max_ets"),
+        F.min("user_id").alias("min_uid"),
+        F.max("user_id").alias("max_uid"),
+    )
+    bits = f.select(
+        "fragment",
+        (F.expr(_H32.format(x="CAST(user_id AS STRING)")).cast("long") % _PS_BL_M).alias("b0"),
+        (
+            F.expr(_H32.format(x="concat('b|', CAST(user_id AS STRING))")).cast("long")
+            % _PS_BL_M
+        ).alias("b1"),
+    ).distinct()
+    p0 = F.expr(_H32.format(x=f"CAST({_PS_UID} AS STRING)")).cast("long") % _PS_BL_M
+    p1 = (
+        F.expr(_H32.format(x=f"concat('b|', CAST({_PS_UID} AS STRING))")).cast("long")
+        % _PS_BL_M
+    )
+    hit0 = (
+        bits.filter(F.col("b0") == p0).select("fragment").distinct().withColumn("l0", F.lit(1))
+    )
+    hit1 = (
+        bits.filter(F.col("b1") == p1).select("fragment").distinct().withColumn("l1", F.lit(1))
+    )
+    truth = (
+        f.filter(
+            (F.col("user_id") == _PS_UID)
+            & F.expr(f"ets >= {_PS_LO} AND ets < {_PS_HI}")
+        )
+        .groupBy("fragment")
+        .agg(F.count(F.lit(1)).alias("rows_matched"))
+    )
+    v = (
+        z.join(hit0, "fragment", "left")
+        .join(hit1, "fragment", "left")
+        .select(
+            "fragment",
+            F.expr(
+                f"CAST(CASE WHEN max_ets < {_PS_LO} OR min_ets >= {_PS_HI} "
+                "THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("zm_ts_prune"),
+            F.expr(
+                f"CAST(CASE WHEN max_uid < {_PS_UID} OR min_uid > {_PS_UID} "
+                "THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("zm_uid_prune"),
+            (1 - F.coalesce("l0", F.lit(0)) * F.coalesce("l1", F.lit(0)))
+            .cast("long")
+            .alias("bloom_prune"),
+        )
+    )
+    return (
+        v.join(truth, "fragment", "left")
+        .select(
+            "fragment",
+            "zm_ts_prune",
+            "zm_uid_prune",
+            "bloom_prune",
+            F.expr(
+                "CAST(CASE WHEN zm_ts_prune + zm_uid_prune + bloom_prune = 0 "
+                "THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("scan_needed"),
+            F.coalesce("rows_matched", F.lit(0)).cast("long").alias("rows_matched"),
+        )
+        .orderBy("fragment")
+    )
