@@ -158,6 +158,49 @@ def distributed_running_sum(
     )
 
 
+def distributed_running_max(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    *,
+    num_partitions: int | None = None,
+    out_col: str = "run_max_excl",
+) -> DataFrame:
+    """Exact GLOBAL running max of ``value_col`` over ``order_cols``
+    EXCLUSIVE of the current row, without a SinglePartition sort.
+
+    The q92/``distributed_running_sum`` device applied to MAX (associative,
+    so per-partition partials compose the same way): range-repartition on
+    the total order, per-partition exclusive running max, P-row partial-max
+    offsets broadcast back, combined with GREATEST (Spark's greatest skips
+    NULLs, so the first rows of each partition inherit the prior
+    partitions' max and the very first row stays NULL — the classic
+    UNBOUNDED-PRECEDING-TO-1-PRECEDING frame).  ``order_cols`` must form a
+    total order.
+    """
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(p, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    partials = ranged.groupBy("__pid").agg(F.max(value_col).alias("__m"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select("__pid", F.max("__m").over(w_off).alias("__off"))
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.greatest(F.max(value_col).over(w_local), F.col("__off")))
+        .drop("__pid", "__off")
+    )
+
+
 @query(
     "q92_ntile_distributed",
     "SELECT c_custkey, CAST(NTILE(8) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) "

@@ -1,0 +1,204 @@
+"""Round-7 batch 6 (continued): point-in-time attribution and watermark
+sizing (SURVEY.md §2B rows q277–q278).
+
+* **Point-in-time tier attribution (q277)** — the PIT-join pattern every
+  warehouse needs: each order is attributed to the customer tier valid AT
+  ORDER TIME, where the tier derives from the customer's cumulative spend
+  STRICTLY BEFORE the order (an as-of lookup against a slowly-changing
+  derivation, with no leakage from the order itself).  Expressed without
+  materializing SCD2 intervals: one per-customer exclusive-frame running
+  DECIMAL sum — partitions bounded by per-customer order counts at any
+  scale.
+* **Watermark lag census (q278)** — the number that SIZES a streaming
+  watermark: replaying events in a day-batched, intra-day-shuffled arrival
+  order (md5 of event_id — the deterministic stand-in for ingest
+  disorder), the lateness of each event is (max event-time seen so far) −
+  (its event time).  The global exclusive running max is the TWO-PASS
+  distributed form (``distributed_running_max`` — the q92 device applied
+  to MAX), so no single task ever sorts the stream; per-day census of
+  late>1h / late>6h counts and max lateness.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.operators.scale_windows import (
+    distributed_running_max,
+)
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q277: point-in-time tier attribution
+
+_TIER_GOLD = 300_000
+_TIER_SILVER = 100_000
+
+_PIT_ORACLE = f"""
+WITH s AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice,
+         COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM orders
+),
+t AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+         CASE WHEN prior >= {_TIER_GOLD} THEN 'gold'
+              WHEN prior >= {_TIER_SILVER} THEN 'silver'
+              ELSE 'bronze' END AS tier,
+         o_totalprice
+  FROM s
+)
+SELECT CAST(o_year AS BIGINT) AS o_year, tier,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM t GROUP BY o_year, tier ORDER BY o_year, tier
+"""
+
+
+@query(
+    "q277_pit_tier_attribution",
+    _PIT_ORACLE,
+    doc="Point-in-time attribution — the PIT join every warehouse runs: "
+    "each order lands in the customer tier valid AT ORDER TIME, derived "
+    "from cumulative spend STRICTLY BEFORE the order (exclusive window "
+    "frame — no leakage from the attributed order), so the result is what "
+    "a correctly versioned SCD2 lookup would give WITHOUT materializing "
+    "intervals or range-joining.  DECIMAL-exact running sums; all three "
+    "tiers live at every SF (1230/96/174 at sf0.001).  Scale shape: ONE "
+    "shuffle on o_custkey with window partitions bounded by per-customer "
+    "order counts (never corpus-proportional), then a year x tier "
+    "aggregate.",
+    tags=("tpch", "window", "scd"),
+)
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = od.select(
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.coalesce(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w),
+            F.lit(0).cast("decimal(18,2)"),
+        ).alias("prior"),
+        "o_totalprice",
+    )
+    t = s.select(
+        "o_year",
+        F.when(F.col("prior") >= _TIER_GOLD, "gold")
+        .when(F.col("prior") >= _TIER_SILVER, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+        "o_totalprice",
+    )
+    return (
+        t.groupBy("o_year", "tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_year", "tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q278: watermark lag census over a disordered replay
+
+_DAY_US = 86_400_000_000
+_LATE_1H = 3_600_000_000
+_LATE_6H = 21_600_000_000
+
+_WM_ORACLE = f"""
+WITH x AS (
+  SELECT event_id, epoch_us(ts) AS us, epoch_us(ts) // {_DAY_US} AS day,
+         (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT) AS h
+  FROM events
+),
+y AS (
+  SELECT day, us,
+         MAX(us) OVER (ORDER BY day, h, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+  FROM x
+),
+l AS (
+  SELECT day, GREATEST(COALESCE(prior_max - us, 0), 0) AS late_us FROM y
+)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE late_us > {_LATE_1H}) AS BIGINT) AS n_late_1h,
+       CAST(COUNT(*) FILTER (WHERE late_us > {_LATE_6H}) AS BIGINT) AS n_late_6h,
+       CAST(MAX(late_us) AS BIGINT) AS max_late_us
+FROM l GROUP BY day ORDER BY day
+"""
+
+
+@query(
+    "q278_watermark_lag_census",
+    _WM_ORACLE,
+    doc="Watermark sizing census: events replayed in a day-batched, "
+    "intra-day md5-shuffled arrival order (the deterministic stand-in "
+    "for ingest disorder); each event's lateness = (max event-time seen "
+    "before it) − (its event time), positive-clamped; per-day counts "
+    "above the 1 h and 6 h thresholds plus max lateness — THE numbers "
+    "that pick a withWatermark bound before deploying q61/q79/q170.  "
+    "The global exclusive running max is the TWO-PASS distributed form "
+    "(distributed_running_max: range repartition on the arrival order + "
+    "per-partition frames + P-row broadcast offsets), so no task ever "
+    "sorts the whole stream — the oracle replays the classic "
+    "single-window form, hash equality proving the two-pass form exact.  "
+    "All branches live at every SF (833 late>1h / 121 on-time at "
+    "sf0.001).",
+    tags=("events", "streaming", "window", "scale"),
+)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    x = ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}").alias("day"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
+    y = distributed_running_max(
+        x, ["day", "h", "event_id"], "us", out_col="prior_max"
+    )
+    lat = y.select(
+        "day",
+        F.greatest(
+            F.coalesce(F.col("prior_max") - F.col("us"), F.lit(0)), F.lit(0)
+        ).alias("late_us"),
+    )
+    return (
+        lat.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("late_us") > _LATE_1H, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late_1h"),
+            F.sum(F.when(F.col("late_us") > _LATE_6H, 1).otherwise(0))
+            .cast("long")
+            .alias("n_late_6h"),
+            F.max("late_us").cast("long").alias("max_late_us"),
+        )
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "n_events",
+            "n_late_1h",
+            "n_late_6h",
+            "max_late_us",
+        )
+        .orderBy("day")
+    )

@@ -933,3 +933,77 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("stock_value").desc(), "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q276 — TPC-H refresh functions (RF1 insert + RF2 delete) with a Q1 audit
+
+
+@query(
+    "q276_tpch_refresh",
+    # RF1: re-key a deterministic 1/97 slice above the current max orderkey
+    # (spec: new sales arrive with fresh keys); RF2: delete the o_orderkey %
+    # 119 == 7 slice.  The audit is the Q1 pricing summary over the
+    # refreshed lineitem state.
+    "WITH mk AS (SELECT MAX(o_orderkey) AS maxk FROM orders), "
+    "ins AS (SELECT l.l_orderkey + mk.maxk AS l_orderkey, l.l_quantity, "
+    "  l.l_extendedprice, l.l_discount, l.l_returnflag, l.l_linestatus "
+    "  FROM lineitem l, mk WHERE l.l_orderkey % 97 = 0), "
+    "dels AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 119 = 7), "
+    "refreshed AS (SELECT l_orderkey, l_quantity, l_extendedprice, l_discount, "
+    "    l_returnflag, l_linestatus FROM lineitem "
+    "  UNION ALL SELECT * FROM ins), "
+    "live AS (SELECT r.* FROM refreshed r ANTI JOIN dels d "
+    "  ON r.l_orderkey = d.o_orderkey) "
+    "SELECT l_returnflag, l_linestatus, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base, "
+    "  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "    * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue "
+    "FROM live GROUP BY l_returnflag, l_linestatus "
+    "ORDER BY l_returnflag, l_linestatus",
+    doc="TPC-H refresh functions — the part of the spec beyond the 22 "
+    "queries: RF1 inserts a deterministic 1/97 order slice re-keyed above "
+    "the current MAX(o_orderkey) (a 1-row broadcast bound), RF2 deletes "
+    "the o_orderkey % 119 == 7 slice, and the Q1 pricing summary audits "
+    "the refreshed lineitem state — DECIMAL-exact money so the refreshed "
+    "aggregate hash-matches.  Scale shape: the insert slice is a filter + "
+    "map-only re-key (no shuffle), the delete applies as ONE key-only "
+    "anti-join (delete keys are key-sized), and the audit is the ordinary "
+    "map-side-combined Q1 aggregate — exactly how a lakehouse applies "
+    "merge-on-read deletes during a scan.",
+    tags=("tpch", "cdc", "agg"),
+)
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus",
+    )
+    od = load_table(spark, "orders", sf_dir)
+    mk = od.agg(F.max("o_orderkey").alias("maxk"))
+    ins = (
+        li.filter(F.col("l_orderkey") % 97 == 0)
+        .crossJoin(F.broadcast(mk))
+        .select(
+            (F.col("l_orderkey") + F.col("maxk")).alias("l_orderkey"),
+            "l_quantity", "l_extendedprice", "l_discount",
+            "l_returnflag", "l_linestatus",
+        )
+    )
+    dels = od.filter(F.col("o_orderkey") % 119 == 7).select("o_orderkey")
+    live = li.unionByName(ins).join(
+        dels, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+    )
+    return (
+        live.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            _money(F.sum(_dec("l_extendedprice"))).alias("sum_base"),
+            _money(
+                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount", 4)))
+            ).alias("revenue"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
