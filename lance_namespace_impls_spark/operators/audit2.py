@@ -1,0 +1,287 @@
+"""Round-7 batch 7: eval hygiene, state sizing, and the third sketch law
+(SURVEY.md §2B rows q279–q281).
+
+* **Cross-split leakage audit (q279)** — the eval-hygiene number exact
+  dedup cannot give: after a deterministic train/test split, how many
+  NEAR-duplicate pairs (3-gram Jaccard >= 0.5) straddle the split?  A
+  cross-split near-dup is test-set contamination that survives exact
+  dedup (the doc differs byte-wise but not statistically); the census
+  (cross / within-train / within-test, cross ppm) is what decides whether
+  the split is publishable.
+* **Stream state sizing (q280)** — the planning number for q104/q105's
+  watermarked joins: per event type, the PEAK number of events inside any
+  sliding 1-hour window (the rows a stream-stream join would hold in
+  state at watermark W = 1 h) plus the per-type mean rate — computed on
+  the minute-bucketed count relation, never the raw stream.
+* **Count-Min merge law (q281)** — completes the mergeable-sketch law
+  trio (q244 HLL max-merge, q269 MinHash min-merge): CM is LINEAR, so
+  per-source partial bucket tables SUMMED equal the one-pass sketch,
+  bucket for bucket — why heavy-hitter sketches aggregate hierarchically
+  at 100 TB; law_holds asserted on all 128 rows.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# q279: cross-split near-dup leakage audit
+
+_LEAK_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+t AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      for i in range(1, len(ws) - 1)]) AS toks FROM w WHERE len(ws) >= 3),
+e AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE 2 * len(list_intersect(a.toks, b.toks))
+        >= len(list_distinct(a.toks || b.toks))
+),
+cls AS (
+  SELECT CASE WHEN (d1 % 10 = 7) <> (d2 % 10 = 7) THEN 'cross'
+              WHEN d1 % 10 = 7 THEN 'within_test'
+              ELSE 'within_train' END AS kind
+  FROM e
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(*) FILTER (WHERE kind = 'cross') AS BIGINT) AS n_cross,
+       CAST(COUNT(*) FILTER (WHERE kind = 'within_train') AS BIGINT) AS n_within_train,
+       CAST(COUNT(*) FILTER (WHERE kind = 'within_test') AS BIGINT) AS n_within_test,
+       CAST(1000000 * COUNT(*) FILTER (WHERE kind = 'cross')
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS cross_ppm
+FROM cls
+"""
+
+
+@query(
+    "q279_cross_split_leakage",
+    _LEAK_ORACLE,
+    doc="Eval-hygiene leakage audit: after the deterministic doc_id % 10 == "
+    "7 test split, count NEAR-duplicate pairs (3-gram Jaccard >= 0.5, "
+    "cross-multiplied) that STRADDLE the split — contamination exact "
+    "dedup cannot see; census of cross / within-train / within-test "
+    "edges and the cross-ppm rate that decides whether the split is "
+    "publishable.  Scale shape: edges come from the inverted-index "
+    "posting join (intersection counts from row counts, sizes broadcast "
+    "— never n²), the split classification is a row-local expression, "
+    "and the output is one census row.",
+    tags=("llm", "dedup", "quality"),
+)
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.operators.pipeline import neardup_edges
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    raw = neardup_edges(docs, 0.5)
+    kind = (
+        F.when(
+            (F.col("id_a") % 10 == 7) != (F.col("id_b") % 10 == 7), "cross"
+        )
+        .when(F.col("id_a") % 10 == 7, "within_test")
+        .otherwise("within_train")
+    )
+    out = raw.select(kind.alias("kind")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("kind") == "cross", 1).otherwise(0))
+        .cast("long")
+        .alias("n_cross"),
+        F.sum(F.when(F.col("kind") == "within_train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_train"),
+        F.sum(F.when(F.col("kind") == "within_test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_test"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN kind = 'cross' THEN 1 ELSE 0 END)) "
+            "DIV GREATEST(COUNT(*), 1) AS BIGINT)"
+        ).alias("cross_ppm"),
+    )
+    # Eager: materialize the 1-row census BEFORE releasing the posting
+    # cache (a lazy checkpoint would drop the cache out from under the
+    # three posting consumers and recompute the shingle pass per branch).
+    out = out.localCheckpoint(eager=True)
+    raw._lni_cached.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q280: stream-join state sizing
+
+_MIN_US = 60_000_000
+_WIN_MIN = 60  # 1-hour window in minutes
+
+_STATE_ORACLE = f"""
+WITH m AS (
+  SELECT event_type, epoch_us(ts) // {_MIN_US} AS minute, COUNT(*) AS c
+  FROM events GROUP BY event_type, minute
+),
+w AS (
+  SELECT event_type, minute, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY minute
+                      RANGE BETWEEN {_WIN_MIN - 1} PRECEDING AND CURRENT ROW) AS in_window
+  FROM m
+),
+span AS (
+  SELECT event_type, SUM(c) AS total,
+         MAX(minute) - MIN(minute) + 1 AS span_min,
+         MAX(in_window) AS peak_1h
+  FROM w GROUP BY event_type
+)
+SELECT event_type,
+       CAST(total AS BIGINT) AS total_events,
+       CAST(peak_1h AS BIGINT) AS peak_rows_1h,
+       CAST(1000 * total // span_min AS BIGINT) AS rate_x1000_per_min
+FROM span ORDER BY event_type
+"""
+
+
+@query(
+    "q280_stream_state_sizing",
+    _STATE_ORACLE,
+    doc="Stream-join state sizing — the planning number for the q104/q105 "
+    "watermarked joins: per event type, the PEAK event count inside any "
+    "sliding 1-hour event-time window (= the rows a stream-stream join "
+    "holds in state at watermark 1 h) via a RANGE frame over the "
+    "minute-bucketed counts, plus the mean per-minute rate (x1000, "
+    "integer DIV).  Scale shape: the raw stream reduces map-side to the "
+    "(type, minute) count relation — time-span-sized, not event-sized — "
+    "and every window runs there; peak >= ceil(rate) by construction "
+    "(test-asserted).",
+    tags=("events", "streaming", "window"),
+)
+def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    m = (
+        ev.select(
+            "event_type",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_MIN_US}").alias(
+                "minute"
+            ),
+        )
+        .groupBy("event_type", "minute")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rangeBetween(-(_WIN_MIN - 1), Window.currentRow)
+    )
+    ww = m.withColumn("in_window", F.sum("c").over(w))
+    return (
+        ww.groupBy("event_type")
+        .agg(
+            F.sum("c").cast("long").alias("total_events"),
+            F.max("in_window").cast("long").alias("peak_rows_1h"),
+            F.expr(
+                "CAST((1000 * SUM(c)) DIV (MAX(minute) - MIN(minute) + 1) AS BIGINT)"
+            ).alias("rate_x1000_per_min"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q281: Count-Min merge law (linearity)
+
+_CM_W = 64
+
+_CM_MERGE_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+tc AS (
+  SELECT source, w, COUNT(*) AS c,
+         (('0x' || substr(md5(w), 1, 8))::BIGINT % {_CM_W}) AS h0,
+         (('0x' || substr(md5('x|' || w), 1, 8))::BIGINT % {_CM_W}) AS h1
+  FROM tok GROUP BY source, w
+),
+lanes AS (
+  SELECT 0 AS lane, h0 AS bucket, source, c FROM tc
+  UNION ALL SELECT 1, h1, source, c FROM tc
+),
+partials AS (
+  SELECT lane, bucket, source, SUM(c) AS pc FROM lanes GROUP BY lane, bucket, source
+),
+merged AS (SELECT lane, bucket, SUM(pc) AS merged_count FROM partials GROUP BY lane, bucket),
+onepass AS (SELECT lane, bucket, SUM(c) AS one_pass_count FROM lanes GROUP BY lane, bucket)
+SELECT o.lane, o.bucket,
+       CAST(o.one_pass_count AS BIGINT) AS one_pass_count,
+       CAST(m.merged_count AS BIGINT) AS merged_count,
+       CAST(CASE WHEN o.one_pass_count = m.merged_count THEN 1 ELSE 0 END AS BIGINT) AS law_holds
+FROM onepass o JOIN merged m ON o.lane = m.lane AND o.bucket = m.bucket
+ORDER BY o.lane, o.bucket
+"""
+
+
+@query(
+    "q281_countmin_merge_law",
+    _CM_MERGE_ORACLE,
+    doc="Count-Min merge law — the third of the mergeable-sketch trio "
+    "(q244 HLL register-max, q269 MinHash lane-min): CM is LINEAR, so "
+    "per-source partial bucket tables SUMMED equal the one-pass sketch "
+    "bucket for bucket (2 md5 lanes x 64 buckets, q200's construction); "
+    "law_holds oracle-checked and test-asserted on all 128 rows — the "
+    "property that lets heavy-hitter counts aggregate shard -> region -> "
+    "global at 100 TB without ever re-reading data.  Scale shape: one "
+    "tokenize pass reduces map-side to vocabulary-sized counts; both the "
+    "partial and one-pass tables are sketch-sized aggregations of it.",
+    tags=("llm", "sketch", "corpus"),
+)
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tc = (
+        docs.select("source", F.explode(tokens("text")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "source",
+            "c",
+            (
+                F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _CM_W
+            ).alias("h0"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("x|"), F.col("w"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % _CM_W
+            ).alias("h1"),
+        )
+    )
+    lanes = tc.select(
+        F.lit(0).alias("lane"), F.col("h0").alias("bucket"), "source", "c"
+    ).unionByName(
+        tc.select(F.lit(1).alias("lane"), F.col("h1").alias("bucket"), "source", "c")
+    )
+    lanes = lanes.localCheckpoint(eager=False)  # feeds partials AND one-pass
+    partials = lanes.groupBy("lane", "bucket", "source").agg(F.sum("c").alias("pc"))
+    merged = partials.groupBy("lane", "bucket").agg(
+        F.sum("pc").alias("merged_count")
+    )
+    onepass = lanes.groupBy("lane", "bucket").agg(F.sum("c").alias("one_pass_count"))
+    return (
+        onepass.join(merged, ["lane", "bucket"])
+        .select(
+            F.col("lane").cast("long").alias("lane"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("one_pass_count").cast("long").alias("one_pass_count"),
+            F.col("merged_count").cast("long").alias("merged_count"),
+            F.when(F.col("one_pass_count") == F.col("merged_count"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("law_holds"),
+        )
+        .orderBy("lane", "bucket")
+    )

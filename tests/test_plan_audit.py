@@ -54,6 +54,17 @@ CARTESIAN_ALLOWED = {
     "q242_scalar_index_audit": "two 1-row path summaries (direct vs index) cross-joined into the audit row",
     "q243_bloom_skipping": "fragment list x 2-row broadcast probe grid (bounded audit axes)",
     "q246_bloom_join_reduction": "four 1-row path summaries cross-joined into the audit row",
+    # round 7
+    "q259_late_interaction": "8-row query-token broadcast (requests are request-sized at any corpus size)",
+    "q260_epoch_allocation": "two 1-row total broadcasts into source-sized allocation arithmetic",
+    "q262_shard_rebalance_audit": "<=64-row virtual-node ring broadcasts (fixed at any corpus size)",
+    "q264_pq_distortion_audit": "deterministic 8-row codebook broadcast (q197's encode pass)",
+    "q265_ivf_growth_audit": "4-row coarse-centroid broadcast + 1-row total into share arithmetic",
+    "q267_corpus_drift": "1-row slice-total broadcast into the ppm-share expression",
+    "q268_bitmap_day_index": "1-row min-day bound + 5-row mask-table pair grid (type-count-sized)",
+    "q270_knn_graph": "q205's routed assignment: 1-row (k, m) bounds + sqrt(k) super broadcasts",
+    "q271_retrain_transition": "k=4 old/new centroid broadcasts (corpus never shuffles to be assigned)",
+    "q276_tpch_refresh": "1-row MAX(o_orderkey) re-key bound broadcast into the insert slice",
 }
 
 # streaming builders start real runs; their plans are covered by the
