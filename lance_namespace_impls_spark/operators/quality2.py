@@ -1,0 +1,252 @@
+"""Round-7 batch 8: serving & ingest hygiene (SURVEY.md §2B rows q282–q284).
+
+* **Diversified top-k (q282)** — search-results diversification: the
+  global top-20 documents by quality with AT MOST 2 per source (the
+  per-provider cap every retrieval serving layer applies).  Per-source
+  rank windows are source-bounded; the capped global cut compiles to a
+  distributed TakeOrdered — no global sort.  The cap provably binds at
+  every SF (the uncapped top-20 holds 3–4 docs from one source).
+* **Dictionary-encoding plan (q283)** — the parquet/lance writer's
+  per-column encoding decision from one profiling pass: exact NDV, plain
+  bytes (width-weighted), dictionary bytes (values + bitlen(ndv)-wide
+  codes, integer ceil) — choose dictionary iff it is smaller.  Both
+  decisions live on the fixture (event_type/props/user_id dict, the
+  near-unique double `value` plain).
+* **Embedding quality gate (q284)** — the vector-ingest hygiene check run
+  before any indexing: per label, zero-norm counts (zero vectors poison
+  cosine/IVF training) and the integer norm² range; seeded zeroed twins
+  (vec_id % 100 == 0, id+1000000) keep the violation branch live at
+  every SF.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.vectors import int_dot, int_projected
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# q282: diversified global top-k
+
+_DIV_K = 20
+_DIV_PER_SOURCE = 2
+
+_DIVTOPK_ORACLE = f"""
+WITH rk AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS srank
+  FROM documents
+),
+pool AS (SELECT * FROM rk WHERE srank <= {_DIV_PER_SOURCE}),
+g AS (
+  SELECT doc_id, source, n_chars, srank,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS grank
+  FROM pool
+)
+SELECT CAST(grank AS BIGINT) AS grank, CAST(doc_id AS BIGINT) AS doc_id,
+       source, CAST(n_chars AS BIGINT) AS n_chars, CAST(srank AS BIGINT) AS srank
+FROM g WHERE grank <= {_DIV_K} ORDER BY grank
+"""
+
+
+@query(
+    "q282_diversified_topk",
+    _DIVTOPK_ORACLE,
+    doc="Search-results diversification: global top-20 by quality (n_chars "
+    "DESC, doc_id) with AT MOST 2 documents per source — the per-provider "
+    "cap every serving layer applies, and the cap provably binds at every "
+    "SF (the uncapped top-20 carries 3-4 docs from one source).  Scale "
+    "shape: the per-source rank window is source-bounded; only the "
+    "<= 2 x |sources| survivors reach the global cut, which compiles to "
+    "a distributed TakeOrdered over that capped pool — no global sort, "
+    "no corpus-sized window partition anywhere.",
+    tags=("llm", "retrieval", "window"),
+)
+def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    rk = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("srank"),
+    ).filter(F.col("srank") <= _DIV_PER_SOURCE)
+    pool = rk.orderBy(F.col("n_chars").desc(), "doc_id").limit(_DIV_K)
+    return pool.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .cast("long")
+        .alias("grank"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("srank").cast("long").alias("srank"),
+    ).orderBy("grank")
+
+
+# ---------------------------------------------------------------------------
+# q283: dictionary-encoding plan
+
+# per-column width rule: strings weigh their length, numerics 8 bytes;
+# dictionary pages store each distinct value once plus bitlen(ndv)-wide
+# codes per row (integer ceil to bytes)
+_DICT_ORACLE = """
+WITH prof AS (
+  SELECT 'event_type' AS col_name, COUNT(*) AS n_rows, COUNT(DISTINCT event_type) AS ndv,
+         SUM(length(event_type)) AS plain_bytes FROM events
+  UNION ALL
+  SELECT 'props', COUNT(*), COUNT(DISTINCT props), SUM(length(props)) FROM events
+  UNION ALL
+  SELECT 'user_id', COUNT(*), COUNT(DISTINCT user_id), 8 * COUNT(*) FROM events
+  UNION ALL
+  SELECT 'value', COUNT(*), COUNT(DISTINCT value), 8 * COUNT(*) FROM events
+),
+plan AS (
+  SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows, CAST(ndv AS BIGINT) AS ndv,
+         CAST(plain_bytes AS BIGINT) AS plain_bytes,
+         CAST(ndv * (plain_bytes // n_rows)
+              + n_rows * ((length(bin(ndv)) + 7) // 8) AS BIGINT) AS dict_bytes
+  FROM prof
+)
+SELECT col_name, n_rows, ndv, plain_bytes, dict_bytes,
+       CAST(CASE WHEN dict_bytes < plain_bytes THEN 1 ELSE 0 END AS BIGINT) AS use_dict
+FROM plan ORDER BY col_name
+"""
+
+
+@query(
+    "q283_dict_encoding_plan",
+    _DICT_ORACLE,
+    doc="Parquet/lance writer dictionary-encoding plan from ONE profiling "
+    "pass per column: exact NDV, width-weighted plain bytes, and the "
+    "dictionary estimate (each distinct value once + bitlen(ndv)-wide "
+    "codes per row, integer ceil) — encode with a dictionary iff smaller. "
+    "Both decisions live on the fixture: low-NDV strings and ids take "
+    "the dictionary, the near-unique double `value` column stays plain "
+    "(the case dictionary encoding loses).  Scale shape: four map-side-"
+    "combined single-column aggregates (exact COUNT DISTINCT partial-"
+    "aggregates per column), output is column-count-sized.  Integer "
+    "arithmetic only (bitlen via binary-string length, non-negative "
+    "DIVs).",
+    tags=("layout", "maintenance", "agg"),
+)
+def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    profs = []
+    for name, expr, width in (
+        ("event_type", "event_type", "length(event_type)"),
+        ("props", "props", "length(props)"),
+        ("user_id", "user_id", "8"),
+        ("value", "value", "8"),
+    ):
+        profs.append(
+            ev.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(F.expr(expr)).cast("long").alias("ndv"),
+                F.sum(F.expr(width)).cast("long").alias("plain_bytes"),
+            ).select(F.lit(name).alias("col_name"), "n_rows", "ndv", "plain_bytes")
+        )
+    prof = profs[0]
+    for p in profs[1:]:
+        prof = prof.unionByName(p)
+    plan = prof.withColumn(
+        "dict_bytes",
+        F.expr(
+            "CAST(ndv * (plain_bytes DIV n_rows) "
+            "+ n_rows * ((length(conv(CAST(ndv AS STRING), 10, 2)) + 7) DIV 8) AS BIGINT)"
+        ),
+    )
+    return plan.select(
+        "col_name",
+        "n_rows",
+        "ndv",
+        "plain_bytes",
+        "dict_bytes",
+        F.when(F.col("dict_bytes") < F.col("plain_bytes"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("use_dict"),
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# q284: embedding quality gate
+
+_EMB_GATE_ORACLE = """
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings
+),
+aug AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 1000000, label, list_transform(v, x -> CAST(0 AS BIGINT))
+  FROM base WHERE vec_id % 100 = 0
+),
+n AS (SELECT label, CAST(list_dot_product(v, v) AS BIGINT) AS nn FROM aug)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) FILTER (WHERE nn = 0) AS BIGINT) AS n_zero,
+       CAST(MIN(nn) FILTER (WHERE nn > 0) AS BIGINT) AS min_nn_nonzero,
+       CAST(MAX(nn) AS BIGINT) AS max_nn
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+@query(
+    "q284_embedding_quality_gate",
+    _EMB_GATE_ORACLE,
+    doc="Vector-ingest hygiene gate run BEFORE any indexing: per label, "
+    "zero-norm vector counts (zero vectors poison cosine similarity and "
+    "IVF training — every ANN build must reject them) and the integer "
+    "norm-squared range of the healthy ones.  Seeded zeroed twins "
+    "(vec_id % 100 == 0, id+1000000) keep the violation branch live at "
+    "every SF; the healthy branch is the corpus itself.  Scale shape: "
+    "one map-only norm pass reduces to per-label aggregates inside the "
+    "map-side combine — nothing downstream is bigger than one row per "
+    "label.",
+    tags=("llm", "vectors", "quality"),
+)
+def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = spread(emb).select(
+        "vec_id", "label", int_projected(F.col("embedding")).alias("v")
+    )
+    twins = base.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "label",
+        F.expr("transform(v, x -> CAST(0 AS BIGINT))").alias("v"),
+    )
+    n = base.unionByName(twins).select(
+        "label", int_dot(F.col("v"), F.col("v")).cast("long").alias("nn")
+    )
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.when(F.col("nn") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero"),
+            F.min(F.when(F.col("nn") > 0, F.col("nn")))
+            .cast("long")
+            .alias("min_nn_nonzero"),
+            F.max("nn").cast("long").alias("max_nn"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vectors",
+            "n_zero",
+            "min_nn_nonzero",
+            "max_nn",
+        )
+        .orderBy("label")
+    )
