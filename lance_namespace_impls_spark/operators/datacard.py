@@ -1,0 +1,442 @@
+"""Round-7 batch 9: data-card reporting & encoding estimates (SURVEY.md §2B
+rows q285–q289).
+
+* **Data-card matrix (q285)** — the (source × lang) composition matrix
+  every dataset card publishes: doc and token counts with exact ppm
+  shares along both axes (row share of the source, column share of the
+  language).
+* **Front-coding estimate (q286)** — lance/parquet string-dictionary
+  planning: per source, the bytes a sorted front-coded vocabulary would
+  take (each token stores only its suffix after the longest common
+  prefix with its predecessor) vs plain — LCP computed by a pure
+  prefix-equality expression identical on both engines.
+* **Delta-encoding plan (q287)** — the numeric twin of q283: per fragment
+  and column, the max storage-order delta and its bit width decide
+  delta-vs-plain encoding; event_id (delta 1) and event-time both ride
+  monotone arrival order, so deltas are non-negative integers.
+* **Weekly engagement churn (q288)** — per week, (user, event_type)
+  engagement pairs that lapse next week or are newly formed — the
+  retention complement of q236's cohorts.  User-LEVEL churn is zero at
+  every SF (every fixture user is active every week — the q236 vacuity
+  lesson), so the census runs at the (user, type) grain where both
+  branches live.
+* **Invoice reconciliation (q289)** — the billing audit: per order, the
+  lineitem part-sum vs the order header in exact integer cents,
+  per-year census of over/under counts and the mean ratio (ppm) — the
+  cross-table consistency check q254's key-level FK audit cannot see.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# q285: data-card composition matrix
+
+_CARD_ORACLE = r"""
+WITH d AS (
+  SELECT source, lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS BIGINT) AS toks
+  FROM documents
+),
+m AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(toks) AS BIGINT) AS n_tokens
+  FROM d GROUP BY source, lang
+),
+s AS (SELECT source, SUM(n_docs) AS sdocs FROM m GROUP BY source),
+l AS (SELECT lang, SUM(n_docs) AS ldocs FROM m GROUP BY lang)
+SELECT m.source, m.lang, m.n_docs, m.n_tokens,
+       CAST(1000000 * m.n_docs // s.sdocs AS BIGINT) AS source_share_ppm,
+       CAST(1000000 * m.n_docs // l.ldocs AS BIGINT) AS lang_share_ppm
+FROM m JOIN s ON m.source = s.source JOIN l ON m.lang = l.lang
+ORDER BY m.source, m.lang
+"""
+
+
+@query(
+    "q285_data_card_matrix",
+    _CARD_ORACLE,
+    doc="Dataset-card composition matrix: (source x lang) doc and token "
+    "counts with exact ppm shares along BOTH axes (share of the source's "
+    "docs, share of the language's docs) — the table every data card "
+    "publishes and every mixture decision starts from.  Scale shape: one "
+    "tokenize pass reduces map-side to the (source, lang) cell relation; "
+    "both marginals are aggregations of it (never re-touch the corpus); "
+    "non-negative integer DIV only.",
+    tags=("llm", "corpus", "agg"),
+)
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = spread(docs).select(
+        "source",
+        "lang",
+        F.expr(
+            r"CAST(size(filter(split(lower(trim(text)), '\\s+'), t -> t != '')) AS BIGINT)"
+        ).alias("toks"),
+    )
+    m = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+    )
+    m = m.localCheckpoint(eager=False)  # feeds both marginals + the join
+    s = m.groupBy("source").agg(F.sum("n_docs").alias("sdocs"))
+    lg = m.groupBy("lang").agg(F.sum("n_docs").alias("ldocs"))
+    return (
+        m.join(s, "source")
+        .join(lg, "lang")
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST((1000000 * n_docs) DIV sdocs AS BIGINT)").alias(
+                "source_share_ppm"
+            ),
+            F.expr("CAST((1000000 * n_docs) DIV ldocs AS BIGINT)").alias(
+                "lang_share_ppm"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q286: front-coding (incremental prefix) estimate
+
+_FRONT_ORACLE = r"""
+WITH tok AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS w
+  FROM documents
+),
+o AS (
+  SELECT source, w,
+         lag(w) OVER (PARTITION BY source ORDER BY w) AS pw
+  FROM tok
+),
+c AS (
+  SELECT source, w,
+         CASE WHEN pw IS NULL THEN 0
+              ELSE len(list_filter(range(1, least(length(w), length(pw)) + 1),
+                       i -> substr(w, 1, CAST(i AS INT)) = substr(pw, 1, CAST(i AS INT))))
+         END AS lcp
+  FROM o
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab_n,
+       CAST(SUM(length(w) + 1) AS BIGINT) AS plain_bytes,
+       CAST(SUM(length(w) - lcp + 2) AS BIGINT) AS front_bytes,
+       CAST(1000000 * (SUM(length(w) + 1) - SUM(length(w) - lcp + 2))
+            // SUM(length(w) + 1) AS BIGINT) AS saved_ppm
+FROM c GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "q286_front_coding_estimate",
+    _FRONT_ORACLE,
+    doc="Front-coding (incremental prefix) dictionary estimate — the "
+    "sorted-string-page encoding lance/parquet dictionaries use: per "
+    "source, each vocabulary token stores only its suffix after the "
+    "longest common prefix with its sorted predecessor (+1 length byte "
+    "each for suffix and lcp vs +1 for plain); LCP is a pure "
+    "prefix-equality expression identical on both engines.  saved_ppm "
+    "can be NEGATIVE for prefix-poor vocabularies (the honest planning "
+    "answer) — kept as a subtraction of non-negative DIV-safe sums.  "
+    "Scale shape: the corpus reduces map-side to the distinct (source, "
+    "token) vocabulary; the lag window partitions by source over that "
+    "vocabulary-sized relation only.",
+    tags=("layout", "corpus", "maintenance"),
+)
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = (
+        spread(docs)
+        .select(
+            "source",
+            F.explode(
+                F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')")
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    o = tok.withColumn(
+        "pw", F.lag("w").over(Window.partitionBy("source").orderBy("w"))
+    )
+    c = o.withColumn(
+        "lcp",
+        F.expr(
+            "CASE WHEN pw IS NULL THEN 0 ELSE "
+            "size(filter(sequence(1, least(length(w), length(pw))), "
+            "i -> substring(w, 1, i) = substring(pw, 1, i))) END"
+        ),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_n"),
+            F.sum(F.length("w") + 1).cast("long").alias("plain_bytes"),
+            F.sum(F.length("w") - F.col("lcp") + 2).cast("long").alias("front_bytes"),
+            F.expr(
+                "CAST((1000000 * (SUM(length(w) + 1) - SUM(length(w) - lcp + 2))) "
+                "DIV SUM(length(w) + 1) AS BIGINT)"
+            ).alias("saved_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q287: delta-encoding plan
+
+_DE_FRAG = 512
+
+_DELTA_ORACLE = f"""
+WITH f AS (
+  SELECT event_id // {_DE_FRAG} AS fragment, event_id,
+         epoch_us(ts) AS ets
+  FROM events
+),
+d AS (
+  SELECT fragment, 'event_id' AS col_name,
+         event_id - lag(event_id) OVER (PARTITION BY fragment ORDER BY event_id) AS delta
+  FROM f
+  UNION ALL
+  SELECT fragment, 'ets',
+         ets - lag(ets) OVER (PARTITION BY fragment ORDER BY event_id) AS delta
+  FROM f
+),
+s AS (
+  SELECT fragment, col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(MAX(delta) AS BIGINT) AS max_delta,
+         CAST(length(bin(GREATEST(MAX(delta), 1))) AS BIGINT) AS delta_bits
+  FROM d WHERE delta IS NOT NULL GROUP BY fragment, col_name
+)
+SELECT fragment, col_name, n_rows, max_delta, delta_bits,
+       CAST(64 * (n_rows + 1) AS BIGINT) AS plain_bits,
+       CAST(64 + delta_bits * n_rows AS BIGINT) AS delta_encoded_bits,
+       CAST(CASE WHEN 64 + delta_bits * n_rows < 64 * (n_rows + 1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS use_delta
+FROM s ORDER BY fragment, col_name
+"""
+
+
+@query(
+    "q287_delta_encoding_plan",
+    _DELTA_ORACLE,
+    doc="Delta-encoding plan — q283's numeric twin: per fragment and "
+    "column, the max storage-order delta and its bit width (bitlen of "
+    "exact integer deltas; event_id and event-time are monotone in "
+    "arrival order so deltas are non-negative) decide delta-vs-plain: "
+    "64 base bits + delta_bits per row vs 64 per row.  Scale shape: lag "
+    "windows partition by fragment (512-row-bounded at any table size), "
+    "everything after is fragment-metadata-sized.  The plan that makes "
+    "sorted id/timestamp columns ~10x smaller on disk.",
+    tags=("layout", "maintenance", "window"),
+)
+def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    f = ev.select(
+        F.expr(f"event_id DIV {_DE_FRAG}").alias("fragment"),
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ets"),
+    )
+    w = Window.partitionBy("fragment").orderBy("event_id")
+    d = f.select(
+        "fragment",
+        F.lit("event_id").alias("col_name"),
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("delta"),
+    ).unionByName(
+        f.select(
+            "fragment",
+            F.lit("ets").alias("col_name"),
+            (F.col("ets") - F.lag("ets").over(w)).alias("delta"),
+        )
+    )
+    s = (
+        d.filter(F.col("delta").isNotNull())
+        .groupBy("fragment", "col_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.max("delta").cast("long").alias("max_delta"),
+            F.expr(
+                "CAST(length(conv(CAST(GREATEST(MAX(delta), 1) AS STRING), 10, 2)) AS BIGINT)"
+            ).alias("delta_bits"),
+        )
+    )
+    return s.select(
+        "fragment",
+        "col_name",
+        "n_rows",
+        "max_delta",
+        "delta_bits",
+        F.expr("CAST(64 * (n_rows + 1) AS BIGINT)").alias("plain_bits"),
+        F.expr("CAST(64 + delta_bits * n_rows AS BIGINT)").alias("delta_encoded_bits"),
+        F.expr(
+            "CAST(CASE WHEN 64 + delta_bits * n_rows < 64 * (n_rows + 1) "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("use_delta"),
+    ).orderBy("fragment", "col_name")
+
+
+# ---------------------------------------------------------------------------
+# q288: weekly engagement churn at the (user, event_type) grain
+
+_WK_US = 7 * 86_400_000_000
+
+_CHURN_ORACLE = f"""
+WITH a AS (
+  SELECT DISTINCT user_id, event_type, epoch_us(ts) // {_WK_US} AS wk FROM events
+),
+b AS (SELECT MAX(wk) AS maxwk, MIN(wk) AS minwk FROM a),
+x AS (
+  SELECT a.*, b.maxwk, b.minwk,
+         lead(wk) OVER (PARTITION BY user_id, event_type ORDER BY wk) AS nwk,
+         lag(wk) OVER (PARTITION BY user_id, event_type ORDER BY wk) AS pwk
+  FROM a, b
+)
+SELECT CAST(wk AS BIGINT) AS wk,
+       CAST(COUNT(*) AS BIGINT) AS active_pairs,
+       CAST(COUNT(*) FILTER (WHERE wk < maxwk AND (nwk IS NULL OR nwk > wk + 1)) AS BIGINT) AS churned_pairs,
+       CAST(COUNT(*) FILTER (WHERE wk > minwk AND (pwk IS NULL OR pwk < wk - 1)) AS BIGINT) AS new_pairs,
+       CAST(1000000 * COUNT(*) FILTER (WHERE wk < maxwk AND (nwk IS NULL OR nwk > wk + 1))
+            // COUNT(*) AS BIGINT) AS churn_ppm
+FROM x GROUP BY wk ORDER BY wk
+"""
+
+
+@query(
+    "q288_weekly_churn",
+    _CHURN_ORACLE,
+    doc="Weekly engagement churn at the (user, event_type) grain — the "
+    "retention complement of q236's cohorts: per week, active engagement "
+    "pairs, pairs that LAPSE (no same-type activity next week), pairs "
+    "newly (re)formed, and the churn rate in ppm.  The grain matters: "
+    "every fixture user is active every week, so USER-level churn is "
+    "vacuously zero at every SF (the q236 grouping-spread lesson) — "
+    "type-level engagement lapses are live everywhere (12 at sf0.001).  "
+    "Scale shape: events reduce map-side to the distinct (user, type, "
+    "week) relation; lead/lag windows partition per (user, type) — "
+    "week-count-bounded; 1-row min/max bounds broadcast.",
+    tags=("events", "window", "agg"),
+)
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    a = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_WK_US}").alias("wk"),
+        )
+        .distinct()
+    )
+    b = a.agg(F.max("wk").alias("maxwk"), F.min("wk").alias("minwk"))
+    w = Window.partitionBy("user_id", "event_type").orderBy("wk")
+    x = (
+        a.crossJoin(F.broadcast(b))
+        .withColumn("nwk", F.lead("wk").over(w))
+        .withColumn("pwk", F.lag("wk").over(w))
+    )
+    churned = (F.col("wk") < F.col("maxwk")) & (
+        F.col("nwk").isNull() | (F.col("nwk") > F.col("wk") + 1)
+    )
+    newp = (F.col("wk") > F.col("minwk")) & (
+        F.col("pwk").isNull() | (F.col("pwk") < F.col("wk") - 1)
+    )
+    return (
+        x.groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_pairs"),
+            F.sum(F.when(churned, 1).otherwise(0)).cast("long").alias("churned_pairs"),
+            F.sum(F.when(newp, 1).otherwise(0)).cast("long").alias("new_pairs"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN wk < maxwk AND (nwk IS NULL OR nwk > wk + 1) "
+                "THEN 1 ELSE 0 END)) DIV COUNT(*) AS BIGINT)"
+            ).alias("churn_ppm"),
+        )
+        .select(F.col("wk").cast("long").alias("wk"), "active_pairs", "churned_pairs", "new_pairs", "churn_ppm")
+        .orderBy("wk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q289: invoice reconciliation (order header vs lineitem parts)
+
+_RECON_ORACLE = """
+WITH s AS (
+  SELECT o.o_orderkey, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+         CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+         SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS parts_cents
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o_year, o.o_totalprice
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE parts_cents > total_cents) AS BIGINT) AS n_over,
+       CAST(COUNT(*) FILTER (WHERE parts_cents < total_cents) AS BIGINT) AS n_under,
+       CAST(SUM(1000000 * parts_cents // total_cents) // COUNT(*) AS BIGINT) AS mean_ratio_ppm
+FROM s GROUP BY o_year ORDER BY o_year
+"""
+
+
+@query(
+    "q289_invoice_reconciliation",
+    _RECON_ORACLE,
+    doc="Invoice reconciliation — the cross-table CONSISTENCY audit q254's "
+    "key-level FK audit cannot see: per order, the lineitem part-sum vs "
+    "the order header in exact integer cents (FLOOR(x*100+0.5), the q66 "
+    "convention), per-year census of over/under-billed counts and the "
+    "mean parts/total ratio in ppm (non-negative DIVs; per-order ratio "
+    "then integer mean, the defined engine-exact rule).  Both violation "
+    "directions live at every SF on the synthetic fixture (628 over / "
+    "845 under at sf0.001) — exactly what the audit is FOR.  Scale "
+    "shape: ONE l_orderkey-keyed join rides the same shuffle every TPC-H "
+    "query uses; everything after is year-sized.",
+    tags=("tpch", "quality", "agg"),
+)
+def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    s = (
+        li.select(
+            "l_orderkey",
+            F.expr("CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)").alias("pc"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("pc").alias("parts_cents"))
+        .join(
+            od.select(
+                "o_orderkey",
+                F.year("o_orderdate").cast("long").alias("o_year"),
+                F.expr("CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)").alias(
+                    "total_cents"
+                ),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        s.groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("parts_cents") > F.col("total_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_over"),
+            F.sum(F.when(F.col("parts_cents") < F.col("total_cents"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_under"),
+            F.expr(
+                "CAST(SUM((1000000 * parts_cents) DIV total_cents) DIV COUNT(*) AS BIGINT)"
+            ).alias("mean_ratio_ppm"),
+        )
+        .orderBy("o_year")
+    )

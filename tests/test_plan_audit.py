@@ -65,6 +65,7 @@ CARTESIAN_ALLOWED = {
     "q270_knn_graph": "q205's routed assignment: 1-row (k, m) bounds + sqrt(k) super broadcasts",
     "q271_retrain_transition": "k=4 old/new centroid broadcasts (corpus never shuffles to be assigned)",
     "q276_tpch_refresh": "1-row MAX(o_orderkey) re-key bound broadcast into the insert slice",
+    "q288_weekly_churn": "1-row (min, max) week bounds broadcast into the lapse predicates",
 }
 
 # streaming builders start real runs; their plans are covered by the
