@@ -48,6 +48,17 @@ NO_SINGLE_PARTITION = [
     "q252_tpch_q9_shape",  # five-table join, per-(nation, year) agg
     "q255_last_touch_attribution",  # per-user IGNORE-NULLS frame
     "q256_token_budget_fill",  # per-source budget window, no global order
+    # round 7 (q263 is excluded on purpose: its version_id row_number runs
+    # on the ~30-row distinct-day relation — the legitimate tiny-side case)
+    "q258_blocklist_gate",  # per-doc hit counts -> source-sized census
+    "q261_modal_token",  # vocabulary-sized per-source argmax window
+    "q273_asof_tolerance_join",  # per-user union-merge window
+    "q274_rowgroup_sizing",  # fragment-keyed aggregates only
+    "q275_pruning_stack",  # per-fragment zones/bits, no global window
+    "q277_pit_tier_attribution",  # per-customer exclusive frames
+    "q285_data_card_matrix",  # cell-relation aggregates + marginal joins
+    "q286_front_coding_estimate",  # per-source vocabulary lag window
+    "q287_delta_encoding_plan",  # fragment-bounded lag windows
 ]
 
 
