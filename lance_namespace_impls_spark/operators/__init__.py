@@ -36,6 +36,7 @@ from lance_namespace_impls_spark.operators import temporal2  # noqa: F401
 from lance_namespace_impls_spark.operators import audit2  # noqa: F401
 from lance_namespace_impls_spark.operators import quality2  # noqa: F401
 from lance_namespace_impls_spark.operators import datacard  # noqa: F401
+from lance_namespace_impls_spark.operators import metrics2  # noqa: F401
 from lance_namespace_impls_spark.operators import indexing  # noqa: F401
 from lance_namespace_impls_spark.operators import behavior  # noqa: F401
 from lance_namespace_impls_spark.operators import maintenance  # noqa: F401

@@ -1,0 +1,264 @@
+"""Round-7 batch 10: product & workload metrics (SURVEY.md §2B rows
+q290–q293).
+
+The reporting queries a table's consumers run daily — each reduces the
+corpus map-side to a metadata-sized relation before any window:
+
+* **DAU/WAU stickiness (q290)** — per day, daily active users over the
+  containing week's weekly actives in ppm (the engagement ratio every
+  product dashboard tracks), from the distinct (day, user) and
+  (week, user) relations.
+* **Order backlog aging (q291)** — per (status, 90-day age bucket from
+  the table's max date): counts and DECIMAL-exact value — the finance
+  aging report; all 3 statuses x 27 buckets live at every SF.
+* **Hourly seasonality (q292)** — the (hour-of-day × type) load profile
+  plus each type's peak hour (deterministic argmax) — what capacity
+  planning and anomaly baselines key on.
+* **User concentration (q293)** — the top-1% heaviest users' share of
+  all events in ppm (the skew number that decides salting strategy for
+  user-keyed operators, computed on the user-sized count relation with
+  a rank window there, never on raw events).
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+_DAY_US = 86_400_000_000
+_WK_US = 7 * 86_400_000_000
+
+# ---------------------------------------------------------------------------
+# q290: DAU/WAU stickiness
+
+_STICKY_ORACLE = f"""
+WITH d AS (SELECT DISTINCT epoch_us(ts) // {_DAY_US} AS day, user_id FROM events),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY day),
+w AS (SELECT DISTINCT epoch_us(ts) // {_WK_US} AS wk, user_id FROM events),
+wau AS (SELECT wk, CAST(COUNT(*) AS BIGINT) AS wau FROM w GROUP BY wk)
+SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
+       CAST(1000000 * dau.dau // wau.wau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau ON dau.day * {_DAY_US} // {_WK_US} = wau.wk
+ORDER BY day
+"""
+
+
+@query(
+    "q290_dau_wau_stickiness",
+    _STICKY_ORACLE,
+    doc="DAU/WAU stickiness — the engagement ratio every product dashboard "
+    "tracks: per day, distinct daily actives over the containing week's "
+    "weekly actives in ppm (non-negative integer DIV).  Scale shape: "
+    "events reduce map-side to the distinct (day, user) and (week, user) "
+    "relations; both censuses and the day->week join are calendar-sized, "
+    "never event-sized.",
+    tags=("events", "agg", "metrics"),
+)
+def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    d = ev.select((us / _DAY_US).cast("long").alias("day"), "user_id").distinct()
+    dau = d.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    w = ev.select((us / _WK_US).cast("long").alias("wk"), "user_id").distinct()
+    wau = w.groupBy("wk").agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    return (
+        dau.withColumn("wk", F.expr(f"(day * {_DAY_US}) DIV {_WK_US}"))
+        .join(wau, "wk")
+        .select(
+            F.col("day").cast("long").alias("day"),
+            "dau",
+            "wau",
+            F.expr("CAST((1000000 * dau) DIV wau AS BIGINT)").alias("stickiness_ppm"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q291: order backlog aging
+
+_AGE_BUCKET_DAYS = 90
+
+_AGING_ORACLE = f"""
+WITH mx AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+b AS (
+  SELECT o_orderstatus,
+         datediff('day', o_orderdate, mx.maxd) // {_AGE_BUCKET_DAYS} AS age_bucket,
+         o_totalprice
+  FROM orders, mx
+)
+SELECT o_orderstatus, CAST(age_bucket AS BIGINT) AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM b GROUP BY o_orderstatus, age_bucket
+ORDER BY o_orderstatus, age_bucket
+"""
+
+
+@query(
+    "q291_order_backlog_aging",
+    _AGING_ORACLE,
+    doc="Order backlog aging — the finance aging report: per (status, "
+    "90-day age bucket from the table's max date, a 1-row broadcast "
+    "bound): order counts and DECIMAL-exact value.  All 3 statuses x 27 "
+    "buckets live at every SF.  Scale shape: one map-side-combined "
+    "aggregate over (status, bucket); nothing after the scan is bigger "
+    "than the bucket grid.",
+    tags=("tpch", "agg", "metrics"),
+)
+def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, "orders", sf_dir)
+    mx = od.agg(F.max("o_orderdate").alias("maxd"))
+    b = od.crossJoin(F.broadcast(mx)).select(
+        "o_orderstatus",
+        F.expr(f"datediff(maxd, o_orderdate) DIV {_AGE_BUCKET_DAYS}")
+        .cast("long")
+        .alias("age_bucket"),
+        "o_totalprice",
+    )
+    return (
+        b.groupBy("o_orderstatus", "age_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("o_orderstatus", "age_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q292: hourly seasonality profile
+
+_SEASON_ORACLE = """
+WITH h AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 % 24 AS hour FROM events
+),
+c AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY event_type, hour),
+p AS (
+  SELECT event_type, hour AS peak_hour, n AS peak_n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, hour) AS r
+  FROM c
+)
+SELECT c.event_type, CAST(c.hour AS BIGINT) AS hour, c.n,
+       CAST(p.peak_hour AS BIGINT) AS peak_hour
+FROM c JOIN p ON c.event_type = p.event_type AND p.r = 1
+ORDER BY c.event_type, c.hour
+"""
+
+
+@query(
+    "q292_hourly_seasonality",
+    _SEASON_ORACLE,
+    doc="Hourly seasonality profile: the (hour-of-day x type) load matrix "
+    "with each type's peak hour attached (deterministic argmax, ties to "
+    "the earliest hour) — what capacity planning and anomaly baselines "
+    "key on.  Scale shape: events reduce map-side to the <= 24 x |types| "
+    "grid; the argmax window runs on that grid only.  All 24 hours live "
+    "at every SF.",
+    tags=("events", "window", "metrics"),
+)
+def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000 % 24").alias(
+                "hour"
+            ),
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    c = c.localCheckpoint(eager=False)  # feeds the grid AND the argmax
+    p = (
+        c.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy(F.col("n").desc(), "hour")
+            ),
+        )
+        .filter(F.col("r") == 1)
+        .select("event_type", F.col("hour").alias("peak_hour"))
+    )
+    return (
+        c.join(p, "event_type")
+        .select(
+            "event_type",
+            F.col("hour").cast("long").alias("hour"),
+            "n",
+            F.col("peak_hour").cast("long").alias("peak_hour"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q293: heavy-user concentration
+
+_CONC_ORACLE = """
+WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(n) AS BIGINT) AS n_events,
+             GREATEST(COUNT(*) // 100, 1) AS k FROM u),
+r AS (SELECT u.n, ROW_NUMBER() OVER (ORDER BY u.n DESC, u.user_id) AS rk FROM u)
+SELECT t.n_users, t.n_events, CAST(t.k AS BIGINT) AS top_k,
+       CAST(SUM(r.n) AS BIGINT) AS top_k_events,
+       CAST(1000000 * SUM(r.n) // t.n_events AS BIGINT) AS top_share_ppm
+FROM r, t WHERE r.rk <= t.k
+GROUP BY t.n_users, t.n_events, t.k
+"""
+
+
+@query(
+    "q293_user_concentration",
+    _CONC_ORACLE,
+    doc="Heavy-user concentration: the top-1% heaviest users' share of all "
+    "events in ppm — THE skew number that decides whether user-keyed "
+    "operators (sessionization, stream joins, per-user windows) need "
+    "salting at scale.  Scale shape: events reduce map-side to the "
+    "user-sized count relation; k = max(users/100, 1) comes from a 1-row "
+    "bound; the top-k cut is a rank over the user relation (at extreme "
+    "user cardinality the q232 bucketed form applies — documented, not "
+    "needed at the user-count scales any real tenant table has relative "
+    "to its event count).",
+    tags=("events", "agg", "skew"),
+)
+def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    u = u.localCheckpoint(eager=False)  # feeds totals AND the rank
+    t = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.expr("CAST(GREATEST(COUNT(*) DIV 100, 1) AS BIGINT)").alias("k"),
+    )
+    r = u.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("user_id"))),
+    )
+    return (
+        r.crossJoin(F.broadcast(t))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("n_users", "n_events", "k")
+        .agg(
+            F.sum("n").cast("long").alias("top_k_events"),
+            F.expr("CAST((1000000 * SUM(n)) DIV FIRST(n_events) AS BIGINT)").alias(
+                "top_share_ppm"
+            ),
+        )
+        .select(
+            "n_users",
+            "n_events",
+            F.col("k").cast("long").alias("top_k"),
+            "top_k_events",
+            "top_share_ppm",
+        )
+    )

@@ -66,6 +66,8 @@ CARTESIAN_ALLOWED = {
     "q271_retrain_transition": "k=4 old/new centroid broadcasts (corpus never shuffles to be assigned)",
     "q276_tpch_refresh": "1-row MAX(o_orderkey) re-key bound broadcast into the insert slice",
     "q288_weekly_churn": "1-row (min, max) week bounds broadcast into the lapse predicates",
+    "q291_order_backlog_aging": "1-row MAX(o_orderdate) bound broadcast into the bucket arithmetic",
+    "q293_user_concentration": "1-row (n_users, n_events, k) bound broadcast into the top-k cut",
 }
 
 # streaming builders start real runs; their plans are covered by the
