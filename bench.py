@@ -29,6 +29,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
 from lance_namespace_impls_spark import get_spark
+from lance_namespace_impls_spark.operators.scale_windows import (
+    release_ranged_caches,
+)
 from lance_namespace_impls_spark.plans.registry import QUERIES
 
 
@@ -95,6 +98,10 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
+            # Release scale_windows ranged-input pins between runs
+            # (ADVICE r7) — each repeat rebuilds the plan, so the cache
+            # never needs to survive past its own materialization.
+            release_ranged_caches()
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)

@@ -320,11 +320,12 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # Plain shuffle joins (ADVICE r7): sizes is doc-count-sized, not bounded,
+    # so broadcasting it would violate the no-corpus-proportional-broadcast
+    # posture the rest of the repo holds.
     truth = (
-        inter.join(
-            F.broadcast(sizes.selectExpr("doc_id AS d1", "sz AS sz1")), "d1"
-        )
-        .join(F.broadcast(sizes.selectExpr("doc_id AS d2", "sz AS sz2")), "d2")
+        inter.join(sizes.selectExpr("doc_id AS d1", "sz AS sz1"), "d1")
+        .join(sizes.selectExpr("doc_id AS d2", "sz AS sz2"), "d2")
         .filter(
             F.lit(2) * F.col("inter") >= F.col("sz1") + F.col("sz2") - F.col("inter")
         )
@@ -372,3 +373,102 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
         "config string, candidates long, true_pos long, truth_total long, "
         "precision_ppm long, recall_ppm long",
     ).orderBy("config")
+
+
+# ---------------------------------------------------------------------------
+# q295: mutual-kNN graph dedup — the q270 consumer (VERDICT r7 #7)
+
+_GRAPH_DEDUP_ORACLE = (
+    "WITH RECURSIVE knn AS (SELECT * FROM (" + _KNN_ORACLE + ")), "
+    "mut AS (SELECT k1.vec_id AS src, k1.neighbor AS dst FROM knn k1 "
+    "  JOIN knn k2 ON k1.vec_id = k2.neighbor AND k1.neighbor = k2.vec_id "
+    "  WHERE k1.vec_id < k1.neighbor), "
+    "ee AS (SELECT src, dst FROM mut UNION SELECT dst, src FROM mut), "
+    "reach(node, lab) AS ("
+    "  SELECT vec_id, vec_id FROM embeddings "
+    "  UNION "
+    "  SELECT ee.src, reach.lab FROM reach JOIN ee ON ee.dst = reach.node "
+    "  WHERE reach.lab < ee.src), "
+    "compo AS (SELECT node AS vec_id, CAST(MIN(lab) AS BIGINT) AS component "
+    "  FROM reach GROUP BY node), "
+    "nrm AS (SELECT vec_id, CAST(list_dot_product(v9, v9) AS BIGINT) AS norm2 "
+    "  FROM (SELECT vec_id, list_transform(embedding, "
+    "    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v9 "
+    "    FROM embeddings)), "
+    "best AS (SELECT component, vec_id AS keeper FROM ("
+    "  SELECT c2.component, c2.vec_id, ROW_NUMBER() OVER ("
+    "    PARTITION BY c2.component ORDER BY n2.norm2 DESC, c2.vec_id) AS brk "
+    "  FROM compo c2 JOIN nrm n2 USING (vec_id)) WHERE brk = 1) "
+    "SELECT CAST(c.vec_id AS BIGINT) AS vec_id, c.component, n.norm2, "
+    "  CAST(CASE WHEN b.keeper = c.vec_id THEN 1 ELSE 0 END AS BIGINT) AS keep "
+    "FROM compo c JOIN nrm n USING (vec_id) JOIN best b USING (component) "
+    "ORDER BY c.vec_id"
+)
+
+
+@query(
+    "q295_graph_dedup",
+    _GRAPH_DEDUP_ORACLE,
+    doc="Graph-based embedding dedup — the consumer the q270 kNN graph "
+    "advertises: mutual top-3 edges (both endpoints rank each other) "
+    "define near-duplicate clusters, clustered by the q204 "
+    "large-star/small-star contraction (O(log n) shuffle rounds on any "
+    "topology), then one keeper per component by keep-best (max integer "
+    "squared norm, min vec_id tie) — three existing devices composed: "
+    "routed-assignment blocking, components contraction, per-component "
+    "argmax.  Mutuality makes the graph sparse and symmetric, so "
+    "components are tight near-dup clusters rather than hub chains.  The "
+    "DuckDB oracle replays routing + kNN + a recursive-CTE closure + the "
+    "same keep rule: edges, clustering AND keeper choice are hash-checked. "
+    "Scale shape: the mutual check is a self-semi-join of the (N*k)-edge "
+    "relation on int pairs; contraction rounds are min-aggregations and "
+    "equi-joins; the keeper window partitions by component (cell-bounded "
+    "by construction — mutual degree <= k).",
+    tags=("llm", "similarity", "dedup", "graph"),
+)
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.operators.pipeline import (
+        connected_components_contraction,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    g = q270(spark, sf_dir).select("vec_id", "neighbor")
+    rev = g.select(
+        F.col("neighbor").alias("vec_id"), F.col("vec_id").alias("neighbor")
+    )
+    mut = (
+        g.join(rev, ["vec_id", "neighbor"], "left_semi")
+        .filter(F.col("vec_id") < F.col("neighbor"))
+        .selectExpr("vec_id AS src", "neighbor AS dst")
+    )
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    comp = connected_components_contraction(nodes, mut).select(
+        F.col("node").alias("vec_id"), F.col("lab").cast("long").alias("component")
+    )
+    nrm = spread(emb).select(
+        "vec_id",
+        int_dot(
+            int_projected(F.col("embedding")), int_projected(F.col("embedding"))
+        )
+        .cast("long")
+        .alias("norm2"),
+    )
+    joined = comp.join(nrm, "vec_id")
+    keep = F.when(
+        F.row_number().over(
+            Window.partitionBy("component").orderBy(
+                F.col("norm2").desc(), F.col("vec_id")
+            )
+        )
+        == 1,
+        1,
+    ).otherwise(0)
+    return (
+        joined.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            "component",
+            "norm2",
+            keep.cast("long").alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

@@ -16,8 +16,10 @@ corpus map-side to a metadata-sized relation before any window:
   planning and anomaly baselines key on.
 * **User concentration (q293)** — the top-1% heaviest users' share of
   all events in ppm (the skew number that decides salting strategy for
-  user-keyed operators, computed on the user-sized count relation with
-  a rank window there, never on raw events).
+  user-keyed operators): the k-th count threshold comes from a
+  distributed running count over the (count, frequency) relation and
+  the top-k event sum from an identity-free closed form — no rank over
+  users, no SinglePartition window anywhere (VERDICT r7 #2).
 
 Reference parity note: the reference repo (lance-format/lance-namespace-impls)
 contains no query-processing code; these extend the data plane per
@@ -63,10 +65,16 @@ ORDER BY day
 )
 def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
-    d = ev.select((us / _DAY_US).cast("long").alias("day"), "user_id").distinct()
+    # Integer DIV bucketing (ADVICE r7): epoch-us magnitudes are float-safe,
+    # but the repo-standard cross-engine rule is DIV everywhere (q263/q268).
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    d = ev.select(
+        F.expr(f"{us} DIV {_DAY_US}").alias("day"), "user_id"
+    ).distinct()
     dau = d.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
-    w = ev.select((us / _WK_US).cast("long").alias("wk"), "user_id").distinct()
+    w = ev.select(
+        F.expr(f"{us} DIV {_WK_US}").alias("wk"), "user_id"
+    ).distinct()
     wau = w.groupBy("wk").agg(F.count(F.lit(1)).cast("long").alias("wau"))
     return (
         dau.withColumn("wk", F.expr(f"(day * {_DAY_US}) DIV {_WK_US}"))
@@ -223,42 +231,74 @@ GROUP BY t.n_users, t.n_events, t.k
     doc="Heavy-user concentration: the top-1% heaviest users' share of all "
     "events in ppm — THE skew number that decides whether user-keyed "
     "operators (sessionization, stream joins, per-user windows) need "
-    "salting at scale.  Scale shape: events reduce map-side to the "
-    "user-sized count relation; k = max(users/100, 1) comes from a 1-row "
-    "bound; the top-k cut is a rank over the user relation (at extreme "
-    "user cardinality the q232 bucketed form applies — documented, not "
-    "needed at the user-count scales any real tenant table has relative "
-    "to its event count).",
+    "salting at scale.  Scale shape (VERDICT r7 #2 — no rank over users): "
+    "events reduce map-side to the user-sized count relation, which "
+    "reduces again to the (count, frequency) relation bounded by distinct "
+    "per-user counts; the k-th user's count (threshold) is the q223 "
+    "cumulative-crossing device computed with distributed_running_sum "
+    "(two-pass range partition — NO SinglePartition sort or window "
+    "anywhere); top_k_events is then the identity-free closed form "
+    "events_above + threshold*(k - users_above), exact under ties because "
+    "every tied user contributes the same count.  The oracle still RANKS "
+    "(ROW_NUMBER over users) — hash equality proves the closed form "
+    "equals the ranked truth.",
     tags=("events", "agg", "skew"),
 )
 def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.operators.scale_windows import (
+        distributed_running_sum,
+    )
+
     ev = load_table(spark, "events", sf_dir)
     u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    u = u.localCheckpoint(eager=False)  # feeds totals AND the rank
-    t = u.agg(
-        F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.sum("n").cast("long").alias("n_events"),
-        F.expr("CAST(GREATEST(COUNT(*) DIV 100, 1) AS BIGINT)").alias("k"),
+    f = u.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    f = f.localCheckpoint(eager=False)  # feeds totals, threshold AND above-agg
+    t = f.agg(
+        F.sum("cnt").cast("long").alias("n_users"),
+        F.sum(F.col("n") * F.col("cnt")).cast("long").alias("n_events"),
+        F.expr("CAST(GREATEST(SUM(cnt) DIV 100, 1) AS BIGINT)").alias("k"),
     )
-    r = u.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.col("n").desc(), F.col("user_id"))),
+    # cc = #users with count >= n (running count in descending-n order);
+    # the threshold is the largest n whose cc crosses k.
+    cum = distributed_running_sum(
+        f.withColumn("__g", F.lit(1)),
+        "__g",
+        [F.col("n").desc()],
+        "cnt",
+        cum_col="cc",
+        total_col="__tot",
+    )
+    thr = (
+        cum.crossJoin(F.broadcast(t.select("k")))
+        .filter(F.col("cc") >= F.col("k"))
+        .agg(F.max("n").cast("long").alias("threshold"))
+    )
+    ab = (
+        f.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") > F.col("threshold"))
+        .agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("users_above"),
+            F.coalesce(F.sum(F.col("n") * F.col("cnt")), F.lit(0))
+            .cast("long")
+            .alias("events_above"),
+        )
     )
     return (
-        r.crossJoin(F.broadcast(t))
-        .filter(F.col("rk") <= F.col("k"))
-        .groupBy("n_users", "n_events", "k")
-        .agg(
-            F.sum("n").cast("long").alias("top_k_events"),
-            F.expr("CAST((1000000 * SUM(n)) DIV FIRST(n_events) AS BIGINT)").alias(
-                "top_share_ppm"
-            ),
-        )
+        t.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(ab))
         .select(
             "n_users",
             "n_events",
             F.col("k").cast("long").alias("top_k"),
-            "top_k_events",
-            "top_share_ppm",
+            (
+                F.col("events_above")
+                + F.col("threshold") * (F.col("k") - F.col("users_above"))
+            )
+            .cast("long")
+            .alias("top_k_events"),
+            F.expr(
+                "CAST((1000000 * (events_above + threshold * (k - users_above)))"
+                " DIV n_events AS BIGINT)"
+            ).alias("top_share_ppm"),
         )
     )

@@ -37,6 +37,30 @@ from pyspark.sql import functions as F
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.sources.tables import load_table
 
+# Every ranged persist these helpers create (ADVICE r7): the cache must
+# outlive the helper (the counts pass and the rank pass must observe the
+# SAME sampled range placement, so it can only be released AFTER the final
+# result materializes) — callers that materialize results (bench, the oracle
+# checker) call release_ranged_caches() between queries so a long session
+# never accumulates corpus-sized pins.
+_RANGED_CACHES: list[DataFrame] = []
+
+
+def release_ranged_caches() -> None:
+    """Unpersist every ranged input cached by the helpers in this module.
+
+    Call only AFTER the consuming query's result has been materialized.
+    Re-executing the SAME DataFrame object after release is not supported
+    (the two passes could then observe different sampled range boundaries);
+    rebuild the query instead — bench and the oracle checker already call
+    the builder fresh per run.
+    """
+    while _RANGED_CACHES:
+        try:
+            _RANGED_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
 
 def distributed_ntile(
     df: DataFrame,
@@ -60,6 +84,7 @@ def distributed_ntile(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    _RANGED_CACHES.append(ranged)
 
     # P rows total: the single-partition running-sum window here is over the
     # partition COUNT list, never the data — the legitimate tiny-side case.
@@ -131,6 +156,7 @@ def distributed_running_sum(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    _RANGED_CACHES.append(ranged)
     partials = ranged.groupBy(group_col, "__pid").agg(
         F.sum(value_col).alias("__s")
     )
@@ -186,6 +212,7 @@ def distributed_running_max(
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
+    _RANGED_CACHES.append(ranged)
     partials = ranged.groupBy("__pid").agg(F.max(value_col).alias("__m"))
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = partials.select("__pid", F.max("__m").over(w_off).alias("__off"))

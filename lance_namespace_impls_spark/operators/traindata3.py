@@ -133,6 +133,119 @@ def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q294: maximal removable runs (the missing member of the Lee et al. family)
+
+_RUNS_ORACLE = (
+    "WITH un AS (SELECT doc_id, text FROM documents "
+    "  UNION ALL SELECT doc_id + 1000000, "
+    "    text || ' q294sep' || CAST(doc_id AS VARCHAR) || ' ' || text "
+    "  FROM documents WHERE doc_id % 100 = 0), "
+    "toked AS (SELECT doc_id, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM un), "
+    "base AS (SELECT doc_id, len(toks) AS n_tokens FROM toked), "
+    "sh AS (SELECT doc_id, i - 1 AS pos, "
+    f"""  {_H32_DUCK.format(x="array_to_string(toks[i:i+4], ' ')")} % {HASH_PRIME} AS h """
+    f"  FROM toked, unnest(generate_series(1, len(toks) - {_SPAN_W - 1})) AS u(i) "
+    f"  WHERE len(toks) >= {_SPAN_W}), "
+    f"fst AS (SELECT h, MIN(doc_id * {_POS_BOUND} + pos) AS fp FROM sh GROUP BY h), "
+    "dup AS (SELECT s.doc_id, s.pos FROM sh s JOIN fst f USING (h) "
+    f"  WHERE s.doc_id * {_POS_BOUND} + s.pos <> f.fp), "
+    "cov AS (SELECT DISTINCT doc_id, tp "
+    f"  FROM dup, unnest(generate_series(pos, pos + {_SPAN_W - 1})) AS g(tp)), "
+    "isl AS (SELECT doc_id, tp, "
+    "  tp - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tp) AS grp FROM cov), "
+    "runs AS (SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS run_len "
+    "  FROM isl GROUP BY doc_id, grp), "
+    "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs, "
+    "  CAST(SUM(run_len) AS BIGINT) AS removed_tokens, "
+    "  CAST(MAX(run_len) AS BIGINT) AS max_run_len FROM runs GROUP BY doc_id) "
+    "SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens, "
+    "  CAST(COALESCE(a.n_runs, 0) AS BIGINT) AS n_runs, "
+    "  CAST(COALESCE(a.removed_tokens, 0) AS BIGINT) AS removed_tokens, "
+    "  CAST(COALESCE(a.max_run_len, 0) AS BIGINT) AS max_run_len "
+    "FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id"
+)
+
+
+@query(
+    "q294_maximal_removal_runs",
+    _RUNS_ORACLE,
+    doc="Maximal removable runs — the remaining member of the Lee et al. "
+    "2021 exact-substring pipeline (q177 censuses, q229 clips): ADJACENT "
+    "duplicated 5-gram cover positions merge into maximal runs via the "
+    "islands idiom (tp - row_number per doc, the q169 device), so span "
+    "removal cuts per-maximal-run instead of per-5-gram and never "
+    "over-fragments text.  Per doc: run count, covered tokens, longest "
+    "run (runs longer than one span width prove overlapping spans "
+    "actually merged; seeded id+1000000 twins — text‖sep‖text on every "
+    "100th doc, the unique separator token keeping the copies' covered "
+    "regions apart — guarantee the n_runs >= 2 SPLIT branch fires at "
+    "every SF).  Scale shape: identical int-only shuffles to q229 "
+    "through the cover set; the islands window is partitioned per doc "
+    "and ordered by position — never a global sort.",
+    tags=("llm", "dedup", "text"),
+)
+def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    twins = raw.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" q294sep"),
+            F.col("doc_id").cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    docs = spread(raw.unionByName(twins))
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    toked = toked.localCheckpoint(eager=False)  # feeds spans + per-doc base
+    base = toked.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    sh = toked.select(
+        "doc_id", F.posexplode(word_shingles(F.col("toks"), _SPAN_W)).alias("pos", "span")
+    ).select(
+        "doc_id",
+        "pos",
+        (F.expr(_H32.format(x="span")).cast("long") % HASH_PRIME).alias("h"),
+    )
+    packed = F.col("doc_id") * _POS_BOUND + F.col("pos")
+    fst = sh.groupBy("h").agg(F.min(packed).alias("fp"))
+    dup = sh.join(fst, "h").filter(packed != F.col("fp"))
+    cov = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (_SPAN_W - 1))).alias("tp"),
+    ).distinct()
+    isl = cov.select(
+        "doc_id",
+        (
+            F.col("tp")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("tp"))
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len")
+    )
+    agg = runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("run_len").cast("long").alias("removed_tokens"),
+        F.max("run_len").cast("long").alias("max_run_len"),
+    )
+    return (
+        base.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_runs", F.lit(0)).cast("long").alias("n_runs"),
+            F.coalesce("removed_tokens", F.lit(0))
+            .cast("long")
+            .alias("removed_tokens"),
+            F.coalesce("max_run_len", F.lit(0)).cast("long").alias("max_run_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q230: Simpson token-concentration quality gate
 
 _SIMPSON_GATE_PPM = 40_000  # ~10% of fixture docs exceed this at every SF

@@ -142,9 +142,18 @@ def check_query(
 def check_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[dict]:
     con = duckdb_connection(sf_dir)
     out = []
+    from lance_namespace_impls_spark.operators.scale_windows import (
+        release_ranged_caches,
+    )
+
     for name in names or list(QUERIES):
         try:
             out.append(check_query(spark, con, name, sf_dir))
         except Exception as exc:  # surface, don't abort the sweep
             out.append({"name": name, "ok": False, "error": f"{type(exc).__name__}: {exc}"})
+        finally:
+            # The scale_windows helpers pin their ranged inputs until the
+            # result materializes (ADVICE r7); the sweep is the natural
+            # release point so a 290-query session never accumulates them.
+            release_ranged_caches()
     return out

@@ -157,6 +157,30 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q245_streaming_stats_maintenance", "q246_bloom_join_reduction",
         "q247_cdc_chunking", "q248_event_type_saturation",
         "q249_interleave_schedule",
+        # round 7 greens (hash_match=true in CORRECTNESS_r07.json, 50 rows:
+        # the four RE_VERIFY recoveries — q205/q231/q232/q247, all re-green
+        # on their rewritten plans — the entire never-checked q250–q293 band
+        # on its first driver row, and the q01/q02 regression spot-checks)
+        "q250_char_entropy_gate", "q251_tpch_q2_shape", "q252_tpch_q9_shape",
+        "q253_tpch_q11_shape", "q254_fk_integrity_audit",
+        "q255_last_touch_attribution", "q256_token_budget_fill",
+        "q257_hive3_catalog_scoped", "q258_blocklist_gate",
+        "q259_late_interaction", "q260_epoch_allocation", "q261_modal_token",
+        "q262_shard_rebalance_audit", "q263_snapshot_retention",
+        "q264_pq_distortion_audit", "q265_ivf_growth_audit",
+        "q266_dedup_funnel", "q267_corpus_drift", "q268_bitmap_day_index",
+        "q269_minhash_merge_law", "q270_knn_graph", "q271_retrain_transition",
+        "q272_lsh_tuning_curve", "q273_asof_tolerance_join",
+        "q274_rowgroup_sizing", "q275_pruning_stack", "q276_tpch_refresh",
+        "q277_pit_tier_attribution", "q278_watermark_lag_census",
+        "q279_cross_split_leakage", "q280_stream_state_sizing",
+        "q281_countmin_merge_law", "q282_diversified_topk",
+        "q283_dict_encoding_plan", "q284_embedding_quality_gate",
+        "q285_data_card_matrix", "q286_front_coding_estimate",
+        "q287_delta_encoding_plan", "q288_weekly_churn",
+        "q289_invoice_reconciliation", "q290_dau_wau_stickiness",
+        "q291_order_backlog_aging", "q292_hourly_seasonality",
+        "q293_user_concentration",
     }
 )
 # Changed-since-green set.  The round-4 RE_VERIFY names all cleared in
@@ -174,17 +198,28 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 # CORRECTNESS_r06.json and are folded into DRIVER_VERIFIED above.
 #
 # Round 7: the three VERDICT-r6 scale-killer fixes change builders (and in
-# q205's case the oracle) after their r6 green rows, so they re-verify:
-# q205's assignment is now two-level routed (oracle mirrors the routing rule),
-# q232's exact ground truth is a bucketed partial top-k, and q231's
-# doc-frequency attach became a groupBy+join instead of a hot-key window.
-# q247/q250 moved to integer DIV (ADVICE r6) — q247 re-verifies; q250 has no
-# driver row yet so it is already at the front of the line.
+# q205's case the oracle) after their r6 green rows, so they re-verified:
+# q205/q231/q232/q247 all came back green in CORRECTNESS_r07.json and are
+# folded into DRIVER_VERIFIED above.
+#
+# Round 8 (VERDICT-r7 items #1/#2): three rows whose ENGINES changed after
+# their last driver-green rows without a RE_VERIFY entry re-enter —
+# q245's stats_maint.py was rewritten in ffd5135 for idempotent versioned
+# commits (judge re-ran its oracle hash-exact, but the ledger policy requires
+# the driver row), and q144/q209 sit on imaging.py whose uint32 overflow mask
+# edit is numerically identity but still a post-green engine change.
+# q293's rank was distributed this round (VERDICT-r7 #2: threshold via the
+# cumulative-crossing idiom instead of a SinglePartition ROW_NUMBER), and the
+# ADVICE-r7 closures changed q290 (integer DIV day/week bucketing) and q272
+# (sizes joins de-broadcast) after their r7 greens — all re-enter.  All five
+# re-verified locally (sf0.001 + sf0.01 hash-exact) before declaring.
 RE_VERIFY: set[str] = {
-    "q205_semdedup",
-    "q231_prefix_filter_join",
-    "q232_ann_recall_audit",
-    "q247_cdc_chunking",
+    "q144_image_channel_stats",
+    "q209_patch_pool",
+    "q245_streaming_stats_maintenance",
+    "q272_lsh_tuning_curve",
+    "q290_dau_wau_stickiness",
+    "q293_user_concentration",
 }
 
 

@@ -411,3 +411,115 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q296_pyds_stream_replay",
+    None,  # state-manipulating streaming surface: rows-only driver check;
+    # the value assertions live in tests/test_pyds.py::test_q296_*
+    doc="Python DataSource STREAMING-write idempotence under checkpoint "
+    "replay, at the declared-query level (VERDICT r7 #10 — the surface "
+    "tests/test_pyds.py covers but no row exercised through the driver): "
+    "events split into four deterministic files stream through "
+    "writeStream.format('lance_namespace') (one file per micro-batch, "
+    "availableNow), then the LAST batch's checkpoint commit record is "
+    "deleted and the stream restarted — Structured Streaming's recovery "
+    "path replays that batch into the sink, whose commit(messages, "
+    "batchId) purges its own earlier batch-<id>-* files before promoting "
+    "(the exactly-once sink contract).  The row reports the reconciliation "
+    "census AFTER the replay: source vs sink rows, distinct event ids, "
+    "duplicate count (0 iff the replay was idempotent) and the batch "
+    "census read back from the batch-id file prefixes.  Scale shape: the "
+    "sink is file-granular and commit work is per-batch metadata only; "
+    "the census is one aggregate over the sink scan.",
+    tags=("streaming", "pyds", "catalog"),
+)
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lance_namespace_impls_spark.catalog import DirectoryNamespace
+    from lance_namespace_impls_spark.catalog import models as cm
+    from lance_namespace_impls_spark.session import ensure_runtime_conf
+
+    ensure_runtime_conf(spark)
+    spark.dataSource.register(LanceNamespaceDataSource)
+    work = tempfile.mkdtemp(prefix="lni_pyds_replay_")
+    try:
+        root = os.path.join(work, "ns")
+        ns = DirectoryNamespace({"root": root})
+        ns.create_namespace(cm.CreateNamespaceRequest(id=["main"]))
+        ns.declare_table(cm.DeclareTableRequest(id=["main", "sink"]))
+        loc = ns.describe_table(
+            cm.DescribeTableRequest(id=["main", "sink"])
+        ).location
+        src = os.path.join(work, "src")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "user_id"
+        )
+        n_src = ev.count()
+        # four deterministic quarter files (event_id % 4) -> four batches
+        for k in range(4):
+            ev.filter(F.pmod("event_id", F.lit(4)) == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        def run_stream() -> None:
+            import time
+
+            q = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+                .writeStream.format("lance_namespace")
+                .option("root", root)
+                .option("table", "main.sink")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            # availableNow termination deregisters the checkpoint lock
+            # asynchronously; the restart below must not race it.
+            q.stop()
+            for _ in range(100):
+                if q.id not in {a.id for a in spark.streams.active}:
+                    break
+                time.sleep(0.1)
+
+        run_stream()
+        # checkpoint-recovery device: deleting the LAST commit record makes
+        # the restart believe that batch never finished, so it replays it.
+        commits = os.path.join(work, "ckpt", "commits")
+        last = max(int(f) for f in os.listdir(commits) if f.isdigit())
+        os.unlink(os.path.join(commits, str(last)))
+        # Hadoop's local FS keeps a .N.crc sidecar next to every commit
+        # record; the replayed commit renames onto it, so it must go too.
+        crc = os.path.join(commits, f".{last}.crc")
+        if os.path.exists(crc):
+            os.unlink(crc)
+        run_stream()
+
+        back = spark.read.parquet(loc).select(
+            "event_id",
+            F.regexp_extract(F.input_file_name(), r"batch-(\d+)-", 1)
+            .cast("long")
+            .alias("batch_id"),
+        )
+        out = back.agg(
+            F.lit(n_src).cast("long").alias("src_rows"),
+            F.count(F.lit(1)).cast("long").alias("sink_rows"),
+            F.count_distinct("event_id").cast("long").alias("distinct_ids"),
+            (F.count(F.lit(1)) - F.count_distinct("event_id"))
+            .cast("long")
+            .alias("dup_ids"),
+            F.count_distinct("batch_id").cast("long").alias("n_batches"),
+            F.max("batch_id").cast("long").alias("replayed_batch"),
+        )
+        # Eager: materialize the 1-row census BEFORE the work tree (sink
+        # included) is deleted — the q245 cleanup pattern.
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

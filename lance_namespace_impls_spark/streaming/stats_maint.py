@@ -97,8 +97,19 @@ def merge_zones(state_root: str, batch: DataFrame, batch_id: int) -> bool:
     with open(tmp_ptr, "w", encoding="utf-8") as fh:
         fh.write(f"{batch_id}\n{new_name}")
     os.replace(tmp_ptr, os.path.join(state_root, "CURRENT"))  # the commit point
-    if current is not None:  # safe post-commit: retries read the pointer first
-        shutil.rmtree(current[1], ignore_errors=True)
+    # Post-commit GC (ADVICE r7): the pointer swing makes EVERY other
+    # state_v* directory provably dead (readers resolve CURRENT first), so
+    # sweep them all — not just the direct predecessor — and any orphaned
+    # CURRENT.tmp.* from a crash between tempfile write and os.replace.
+    for entry in os.listdir(state_root):
+        path = os.path.join(state_root, entry)
+        if entry.startswith("state_v") and entry != new_name:
+            shutil.rmtree(path, ignore_errors=True)
+        elif entry.startswith("CURRENT.tmp."):
+            try:
+                os.remove(path)
+            except OSError:
+                pass
     return True
 
 

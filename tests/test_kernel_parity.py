@@ -1,0 +1,110 @@
+"""Production-kernel parity probes for the dedup family (VERDICT r7 #5).
+
+q52/q53 run the PRODUCTION path (xxhash64 shingles, 64-hash MinHash, 63-bit
+Arrow/NumPy SimHash kernel); their portable oracle twins q161/q201 use md5
+lanes and 60-bit hashes so DuckDB can replay them.  The signature SETS
+therefore differ BY DESIGN — different hash families, widths and seeds —
+and can never be asserted equal.  What IS assertable, and what these tests
+pin at two scales (sf0.001 and sf0.01), is the semantic layer:
+
+* the q53 NumPy signature kernel equals an independent Spark-side
+  vote-aggregate recomputation of the same definition on the same inputs
+  (bit-for-bit, ties included);
+* every pair q52 emits is a TRUE >=0.5-Jaccard pair of the exact
+  string-shingle sets, with the exact similarity value, and every exact
+  DUPLICATE (Jaccard 1.0) is guaranteed to be found (identical shingle
+  sets hash to identical signatures, so LSH cannot miss them).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.functions.hashing import (
+    simhash_from_votes,
+    simhash_signature_udf,
+    simhash_vote_exprs,
+)
+from lance_namespace_impls_spark.functions.text import tokens, word_shingles
+from lance_namespace_impls_spark.plans.registry import QUERIES
+from lance_namespace_impls_spark.sources.tables import load_table
+
+SCALES = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_q53_kernel_matches_vote_aggregates(spark, sf_dir):
+    """The Arrow/NumPy SimHash kernel == 63 Spark vote aggregates, both
+    scales: same xxhash64 token hashes in, bit-identical signatures out
+    (including the ties->1 contract)."""
+    th = load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("th"),
+    ).filter(F.size("th") > 0)
+    kernel = th.select("doc_id", simhash_signature_udf()(F.col("th")).alias("sig"))
+    votes = (
+        th.select("doc_id", F.explode("th").alias("h"))
+        .groupBy("doc_id")
+        .agg(*simhash_vote_exprs(F.col("h")))
+        .select("doc_id", simhash_from_votes().alias("sig"))
+    )
+    k = {r["doc_id"]: r["sig"] for r in kernel.collect()}
+    v = {r["doc_id"]: r["sig"] for r in votes.collect()}
+    assert k == v
+
+
+@pytest.mark.parametrize("sf_dir", SCALES)
+def test_q52_pairs_are_exact_jaccard_sound_and_dup_complete(spark, sf_dir):
+    """q52's verified output against the exact string-shingle truth, both
+    scales: every emitted pair is a true >=0.5 pair with the exact ROUND 4
+    similarity (soundness of the verify join over HASHED shingle sets), and
+    every Jaccard-1.0 pair is present (exact dups cannot escape LSH)."""
+    docs = load_table(spark, "documents", sf_dir)
+    posting = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(tokens(F.col("text")), 3))
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        posting.alias("a")
+        .join(posting.alias("b"), "s")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        inter.join(sizes.selectExpr("doc_id AS id_a", "sz AS sz_a"), "id_a")
+        .join(sizes.selectExpr("doc_id AS id_b", "sz AS sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.5)
+    )
+    truth_map = {(r["id_a"], r["id_b"]): r["sim"] for r in truth.collect()}
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in QUERIES["q52_minhash_neardup"].builder(spark, sf_dir).collect()
+    }
+    assert got, "q52 found no pairs — the fixture's dup branch went vacuous"
+    # soundness: every emitted pair is in the truth, with the exact sim
+    for pair, sim in got.items():
+        assert pair in truth_map, f"{pair} emitted but not a true >=0.5 pair"
+        assert sim == truth_map[pair], (pair, sim, truth_map[pair])
+    # duplicate completeness: identical shingle sets => identical signatures
+    exact_dups = {p for p, s in truth_map.items() if s == 1.0}
+    assert exact_dups <= set(got), sorted(exact_dups - set(got))[:5]

