@@ -415,3 +415,84 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# q300: IVF cell-radius audit (round 8 — completes the index-health ring)
+
+from lance_namespace_impls_spark.operators.traindata import (  # noqa: E402
+    routed_assignment_sql as _ras_sql,
+)
+
+_RADIUS_ORACLE = (
+    "WITH proj AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    + _ras_sql()
+    + "dd AS (SELECT a.cluster, "
+    "  CAST(list_dot_product(a.v, a.v) - 2 * list_dot_product(a.v, c.cv) "
+    "       + list_dot_product(c.cv, c.cv) AS BIGINT) AS d2 "
+    "  FROM asg a JOIN cent c ON a.cluster = c.c) "
+    "SELECT CAST(cluster AS BIGINT) AS cluster, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+    "  CAST(SUM(d2) // COUNT(*) AS BIGINT) AS mean_d2, "
+    "  CAST(MAX(d2) AS BIGINT) AS radius_d2 "
+    "FROM dd GROUP BY cluster ORDER BY cluster"
+)
+
+
+@query(
+    "q300_cell_radius_audit",
+    _RADIUS_ORACLE,
+    doc="IVF cell-radius audit — the geometric health number q265's count "
+    "census cannot see: per routed cell (the shared q205/q270 two-level "
+    "assignment), exact integer squared-L2 mean and MAX distance to the "
+    "cell's centroid.  The radius is what bounds multi-probe search "
+    "(a query within d of a cell boundary must probe the neighbor iff "
+    "d < radius) and what flags cells whose variance says they should "
+    "split before the index degrades.  Distances are non-negative, so "
+    "mean_d2 = SUM DIV COUNT is engine-exact with no shift.  Scale "
+    "shape: assignment is the routed map-only pass (sqrt(k) broadcast); "
+    "the audit joins each vector to its ONE centroid on the cluster key "
+    "and reduces to the k-row cell relation.",
+    tags=("llm", "similarity", "maintenance"),
+)
+def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.operators.traindata import (
+        cluster_bounds,
+        routed_assignment,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    proj = proj.localCheckpoint(eager=False)  # feeds seeds, routing, audit
+    kb = cluster_bounds(emb)
+    asg = routed_assignment(proj, kb)
+    cent = (
+        proj.crossJoin(F.broadcast(kb))
+        .filter(F.col("vec_id") < F.col("kk"))
+        .select(F.col("vec_id").alias("c"), F.col("v").alias("cv"))
+    )
+    d2 = (
+        int_dot(F.col("v"), F.col("v"))
+        - 2 * int_dot(F.col("v"), F.col("cv"))
+        + int_dot(F.col("cv"), F.col("cv"))
+    )
+    dd = asg.join(cent, asg["cluster"] == cent["c"]).select(
+        "cluster", d2.alias("d2")
+    )
+    return (
+        dd.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.expr("CAST(SUM(d2) DIV COUNT(*) AS BIGINT)").alias("mean_d2"),
+            F.max("d2").cast("long").alias("radius_d2"),
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            "n_vectors",
+            "mean_d2",
+            "radius_d2",
+        )
+        .orderBy("cluster")
+    )

@@ -1,0 +1,210 @@
+"""Round-8 batch 3: event-sequence product analytics (SURVEY.md §2B rows
+q298–q299).
+
+* **Ordered funnel (q298)** — the signup → view → click → purchase
+  conversion funnel with a per-step 24 h completion window: each step's
+  anchor is the user's FIRST qualifying event strictly after the previous
+  step's anchor, the census reports users and step-over-step conversion
+  ppm.  The canonical product-analytics query (and the shape every
+  "funnels" feature compiles to).
+* **Inter-arrival percentiles (q299)** — per event type, exact p50/p95 of
+  the per-(user, type) inter-arrival gaps in seconds, via the q223
+  cumulative-crossing device over the (type, gap)-frequency relation —
+  the latency/cadence distribution capacity models consume, computed
+  exactly with no single-task sort and no float percentile.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+_FUNNEL_W_US = 86_400_000_000  # 24 h per-step completion window
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+_FUNNEL_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT user_id, MIN(us) AS t FROM e WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.us) AS t FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'view' AND e.us > s1.t AND e.us <= s1.t + {_FUNNEL_W_US}
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.us) AS t FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'click' AND e.us > s2.t AND e.us <= s2.t + {_FUNNEL_W_US}
+       GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, MIN(e.us) AS t FROM e JOIN s3 USING (user_id)
+       WHERE event_type = 'purchase' AND e.us > s3.t AND e.us <= s3.t + {_FUNNEL_W_US}
+       GROUP BY e.user_id),
+census AS (
+  SELECT 0 AS step, '0_all' AS name, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users FROM e
+  UNION ALL SELECT 1, '1_signup', CAST(COUNT(*) AS BIGINT) FROM s1
+  UNION ALL SELECT 2, '2_view', CAST(COUNT(*) AS BIGINT) FROM s2
+  UNION ALL SELECT 3, '3_click', CAST(COUNT(*) AS BIGINT) FROM s3
+  UNION ALL SELECT 4, '4_purchase', CAST(COUNT(*) AS BIGINT) FROM s4)
+SELECT c.name AS step, c.users,
+       CAST((1000000 * c.users) // GREATEST(p.users, 1) AS BIGINT) AS conv_ppm
+FROM census c JOIN census p ON p.step = GREATEST(c.step - 1, 0)
+ORDER BY c.name
+"""
+
+
+@query(
+    "q298_ordered_funnel",
+    _FUNNEL_ORACLE,
+    doc="Ordered conversion funnel signup -> view -> click -> purchase, "
+    "each step completed within 24 h of the previous step's anchor "
+    "(strictly after, first qualifying event — the window is what keeps "
+    "all four steps non-vacuous at every SF; unwindowed, every fixture "
+    "user converts).  Output: per step users + conversion ppm vs the "
+    "previous step (step 0 is the distinct-user base and self-converts "
+    "at 1e6).  Scale shape: each step is one user-keyed MIN aggregate "
+    "plus one equi-join on user_id against the (shrinking) previous "
+    "step — no windows over raw events, no per-user sequence "
+    "materialization; the census is 5 rows.",
+    tags=("events", "agg", "metrics"),
+)
+def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    ev = ev.localCheckpoint(eager=False)  # feeds base census + all 4 steps
+    prev = None
+    step_counts = [
+        ev.agg(
+            F.lit(0).alias("step"),
+            F.lit("0_all").alias("name"),
+            F.count_distinct("user_id").cast("long").alias("users"),
+        )
+    ]
+    for i, etype in enumerate(_FUNNEL_STEPS, start=1):
+        cur = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(
+                (F.col("us") > F.col("t"))
+                & (F.col("us") <= F.col("t") + _FUNNEL_W_US)
+            )
+        stage = cur.groupBy("user_id").agg(F.min("us").alias("t"))
+        step_counts.append(
+            stage.agg(
+                F.lit(i).alias("step"),
+                F.lit(f"{i}_{etype}").alias("name"),
+                F.count(F.lit(1)).cast("long").alias("users"),
+            )
+        )
+        prev = stage.localCheckpoint(eager=False)  # feeds next step + census
+    census = step_counts[0]
+    for s in step_counts[1:]:
+        census = census.unionByName(s)
+    census = census.localCheckpoint(eager=False)  # both join sides
+    p = census.selectExpr("step AS pstep", "users AS pusers")
+    return (
+        census.join(
+            p, F.col("pstep") == F.greatest(F.col("step") - 1, F.lit(0))
+        )
+        .select(
+            F.col("name").alias("step"),
+            "users",
+            F.expr(
+                "CAST((1000000 * users) DIV GREATEST(pusers, 1) AS BIGINT)"
+            ).alias("conv_ppm"),
+        )
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q299: exact inter-arrival percentiles per event type
+
+_GAP_ORACLE = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+g AS (SELECT event_type,
+        (us - LAG(us) OVER (PARTITION BY user_id, event_type ORDER BY us))
+          // 1000000 AS gap_s
+      FROM e),
+f AS (SELECT event_type, gap_s, CAST(COUNT(*) AS BIGINT) AS c
+      FROM g WHERE gap_s IS NOT NULL GROUP BY event_type, gap_s),
+t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM f GROUP BY event_type),
+cum AS (SELECT event_type, gap_s, SUM(c) OVER (PARTITION BY event_type
+        ORDER BY gap_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        FROM f),
+p50 AS (SELECT c.event_type, CAST(MIN(c.gap_s) AS BIGINT) AS p50_s
+        FROM cum c JOIN t USING (event_type)
+        WHERE c.cc >= (t.n + 1) // 2 GROUP BY c.event_type),
+p95 AS (SELECT c.event_type, CAST(MIN(c.gap_s) AS BIGINT) AS p95_s
+        FROM cum c JOIN t USING (event_type)
+        WHERE 20 * c.cc >= 19 * t.n GROUP BY c.event_type),
+mx AS (SELECT event_type, CAST(MAX(gap_s) AS BIGINT) AS max_s FROM f GROUP BY event_type)
+SELECT t.event_type, t.n AS n_gaps, p50.p50_s, p95.p95_s, mx.max_s
+FROM t JOIN p50 USING (event_type) JOIN p95 USING (event_type)
+       JOIN mx USING (event_type)
+ORDER BY t.event_type
+"""
+
+
+@query(
+    "q299_interarrival_percentiles",
+    _GAP_ORACLE,
+    doc="Exact per-type inter-arrival percentiles: per-(user, type) "
+    "consecutive gaps in whole seconds (integer DIV bucketing; the gap "
+    "multiset is tie-order-invariant, so LAG over a non-unique us order "
+    "is still deterministic), then exact p50/p95/max via the q223 "
+    "cumulative-crossing device on the (type, gap)-frequency relation — "
+    "p50 at cc >= (n+1) DIV 2, p95 at 20*cc >= 19*n, both engine-exact "
+    "integer rules.  The cadence distribution capacity planning and "
+    "anomaly baselines key on.  Scale shape: the only event-sized "
+    "operations are the per-(user, type) lag window (keys spread with "
+    "users) and the frequency aggregate; the crossing windows run on "
+    "the bounded frequency relation partitioned by type.",
+    tags=("events", "window", "metrics"),
+)
+def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    lag_w = Window.partitionBy("user_id", "event_type").orderBy("us")
+    g = (
+        ev.withColumn("gap_us", F.col("us") - F.lag("us").over(lag_w))
+        .filter(F.col("gap_us").isNotNull())
+        .select("event_type", F.expr("gap_us DIV 1000000").alias("gap_s"))
+    )
+    f = g.groupBy("event_type", "gap_s").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    f = f.localCheckpoint(eager=False)  # feeds totals, cum, max
+    t = f.groupBy("event_type").agg(F.sum("c").cast("long").alias("n"))
+    cum_w = (
+        Window.partitionBy("event_type")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = f.withColumn("cc", F.sum("c").over(cum_w))
+    p50 = (
+        cum.join(t, "event_type")
+        .filter(F.col("cc") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(F.min("gap_s").cast("long").alias("p50_s"))
+    )
+    p95 = (
+        cum.join(t, "event_type")
+        .filter(20 * F.col("cc") >= 19 * F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("gap_s").cast("long").alias("p95_s"))
+    )
+    mx = f.groupBy("event_type").agg(F.max("gap_s").cast("long").alias("max_s"))
+    return (
+        t.join(p50, "event_type")
+        .join(p95, "event_type")
+        .join(mx, "event_type")
+        .select("event_type", F.col("n").alias("n_gaps"), "p50_s", "p95_s", "max_s")
+        .orderBy("event_type")
+    )

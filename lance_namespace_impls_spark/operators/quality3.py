@@ -1,0 +1,260 @@
+"""Round-8 batch 2: corpus quality gates and eval hygiene (SURVEY.md §2B
+rows q297, q301, q302).
+
+* **Gopher rules census (q297)** — the multi-rule Gopher-style quality
+  matrix (Rae et al. 2021): token-count bounds, mean-word-length bounds,
+  stopword presence — per-source pass rates for each rule AND their
+  conjunction, every ratio an exact integer ppm.  q101 owns the
+  repetition pair (top-token / duplicate-bigram); this row is the
+  document-shape ruleset that runs alongside it in a real curation pass.
+* **Charset hygiene census (q301)** — control-character detection (the
+  mojibake/binary-leak gate every ingest runs): per-source docs flagged,
+  control chars counted; the fixture is clean, so seeded id+1000000
+  twins carrying BEL/ESC bytes keep the dirty branch live at every SF.
+* **Language-ID confusion matrix (q302)** — q57's stopword-argmax
+  heuristic evaluated against the labeled lang column as a (lang, pred)
+  confusion matrix with per-cell share — the eval artifact a router or
+  filter threshold is actually chosen from.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.text import lang_id, tokens
+from lance_namespace_impls_spark.operators.textops import _duck_lang_id_sql
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# q297: Gopher-style document-shape rules census
+
+# Bounds probed live at every SF (sf0.001/0.01/0.1): each rule fails for
+# some docs and passes for others at all three scales.
+_G_MIN_TOKS = 30
+_G_MAX_TOKS = 80
+_G_MIN_LEN10 = 40  # mean word length >= 4.0 (tenths, exact integer compare)
+_G_MAX_LEN10 = 47  # mean word length <= 4.7
+_G_STOPWORDS = ("the", "a", "and", "of", "to")
+
+_GOPHER_ORACLE = (
+    "WITH t AS (SELECT doc_id, source, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "st AS (SELECT doc_id, source, len(toks) AS n, "
+    "  CAST(SUM(length(x)) AS BIGINT) AS chars, "
+    "  SUM(CASE WHEN x IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS stop "
+    "  FROM t, unnest(toks) AS u(x) GROUP BY doc_id, source, len(toks)), "
+    "fl AS (SELECT source, "
+    f"  CASE WHEN n >= {_G_MIN_TOKS} AND n <= {_G_MAX_TOKS} THEN 1 ELSE 0 END AS r_len, "
+    f"  CASE WHEN 10 * chars >= {_G_MIN_LEN10} * n "
+    f"       AND 10 * chars <= {_G_MAX_LEN10} * n THEN 1 ELSE 0 END AS r_word, "
+    "  CASE WHEN stop >= 1 THEN 1 ELSE 0 END AS r_stop FROM st) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS docs, "
+    "  CAST(SUM(r_len) AS BIGINT) AS pass_len, "
+    "  CAST(SUM(r_word) AS BIGINT) AS pass_word, "
+    "  CAST(SUM(r_stop) AS BIGINT) AS pass_stop, "
+    "  CAST(SUM(r_len * r_word * r_stop) AS BIGINT) AS pass_all, "
+    "  CAST((1000000 * SUM(r_len * r_word * r_stop)) // COUNT(*) AS BIGINT) "
+    "    AS keep_ppm "
+    "FROM fl GROUP BY source ORDER BY source"
+)
+
+
+@query(
+    "q297_gopher_rules_census",
+    _GOPHER_ORACLE,
+    doc="Gopher-style quality-rule census (Rae et al. 2021 appendix A1 "
+    "document-shape rules, fixture-tuned bounds): token count in "
+    f"[{_G_MIN_TOKS}, {_G_MAX_TOKS}], mean word length in [4.0, 4.7] "
+    "(compared as 10*chars vs bound*n — exact integers, no float mean), "
+    "and >= 1 canonical stopword; per-source pass counts per rule, the "
+    "conjunction, and keep ppm.  Every rule has both branches live at "
+    "every SF (probed).  q101 carries the repetition rules; together "
+    "they are the standard pre-LM quality pass.  Scale shape: one "
+    "tokenize pass, two map-side-combinable aggregations (per-doc then "
+    "per-source), int-only shuffles keyed by doc then source.",
+    tags=("llm", "curation", "quality"),
+)
+def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    st = docs.select(
+        "doc_id",
+        "source",
+        tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("long").alias("n"),
+        F.aggregate(
+            F.transform(F.col("toks"), lambda t: F.length(t)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("chars"),
+        F.size(
+            F.filter(F.col("toks"), lambda t: t.isin(*_G_STOPWORDS))
+        ).alias("stop"),
+    )
+    fl = st.select(
+        "source",
+        F.when(
+            (F.col("n") >= _G_MIN_TOKS) & (F.col("n") <= _G_MAX_TOKS), 1
+        )
+        .otherwise(0)
+        .alias("r_len"),
+        F.when(
+            (10 * F.col("chars") >= _G_MIN_LEN10 * F.col("n"))
+            & (10 * F.col("chars") <= _G_MAX_LEN10 * F.col("n")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_word"),
+        F.when(F.col("stop") >= 1, 1).otherwise(0).alias("r_stop"),
+    )
+    return (
+        fl.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("r_len").cast("long").alias("pass_len"),
+            F.sum("r_word").cast("long").alias("pass_word"),
+            F.sum("r_stop").cast("long").alias("pass_stop"),
+            F.sum(F.col("r_len") * F.col("r_word") * F.col("r_stop"))
+            .cast("long")
+            .alias("pass_all"),
+            F.expr(
+                "CAST((1000000 * SUM(r_len * r_word * r_stop)) DIV COUNT(*) "
+                "AS BIGINT)"
+            ).alias("keep_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q301: charset hygiene census (control characters)
+
+_CTRL_RE = "[\\x00-\\x08\\x0b-\\x1f]"
+
+_CHARSET_ORACLE = (
+    "WITH un AS (SELECT doc_id, source, text FROM documents "
+    "  UNION ALL SELECT doc_id + 1000000, source, "
+    "    text || chr(7) || 'x' || chr(27) || chr(8) "
+    "  FROM documents WHERE doc_id % 100 = 0), "
+    "d AS (SELECT source, "
+    f"  len(regexp_extract_all(text, '{_CTRL_RE}')) AS n_ctrl FROM un) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS docs, "
+    "  CAST(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS dirty_docs, "
+    "  CAST(SUM(n_ctrl) AS BIGINT) AS ctrl_chars, "
+    "  CAST((1000000 * SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END)) "
+    "    // COUNT(*) AS BIGINT) AS dirty_ppm "
+    "FROM d GROUP BY source ORDER BY source"
+)
+
+
+@query(
+    "q301_charset_hygiene",
+    _CHARSET_ORACLE,
+    doc="Charset hygiene census — the mojibake/binary-leak gate every "
+    "ingest runs before tokenization: per-source documents containing "
+    "C0 control characters (BEL/backspace/ESC class, tab/newline "
+    "excluded), total control chars, dirty ppm.  The synthetic fixture "
+    "is clean, so seeded id+1000000 twins carrying BEL+ESC+BS bytes "
+    "keep the dirty branch live at every SF; originals keep the clean "
+    "branch.  Scale shape: one regexp_count map pass, one per-source "
+    "aggregate — no shuffle wider than the source census.",
+    tags=("llm", "curation", "quality"),
+)
+def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, "documents", sf_dir).select("doc_id", "source", "text")
+    twins = raw.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit("\x07"),
+            F.lit("x"),
+            F.lit("\x1b"),
+            F.lit("\x08"),
+        ).alias("text"),
+    )
+    d = spread(raw.unionByName(twins)).select(
+        "source",
+        F.regexp_count(F.col("text"), F.lit(_CTRL_RE)).alias("n_ctrl"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum(F.when(F.col("n_ctrl") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("dirty_docs"),
+            F.sum("n_ctrl").cast("long").alias("ctrl_chars"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END)) "
+                "DIV COUNT(*) AS BIGINT)"
+            ).alias("dirty_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q302: language-ID confusion matrix
+
+_CONFUSION_ORACLE = (
+    "WITH pred AS (SELECT * FROM (" + _duck_lang_id_sql() + ")) "
+    "SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n, "
+    "  CAST((1000000 * COUNT(*)) // SUM(COUNT(*)) OVER (PARTITION BY lang) "
+    "    AS BIGINT) AS row_ppm, "
+    "  CAST(CASE WHEN lang = pred THEN 1 ELSE 0 END AS BIGINT) AS correct "
+    "FROM pred GROUP BY lang, pred ORDER BY lang, pred"
+)
+
+
+@query(
+    "q302_langid_confusion",
+    _CONFUSION_ORACLE,
+    doc="Language-ID confusion matrix: q57's stopword-profile argmax "
+    "heuristic scored against the labeled lang column — per (label, "
+    "prediction) cell counts, row-normalized share in ppm, and the "
+    "diagonal flag; the artifact a language router's threshold is chosen "
+    "from (accuracy alone hides WHICH languages confuse).  Both branches "
+    "live: the heuristic is imperfect at every SF, so the matrix always "
+    "has on- and off-diagonal mass.  Scale shape: the scoring pass is "
+    "map-only (stopword ratios per doc), the matrix is a "
+    "|langs|^2-bounded aggregate; the row-share window runs on the "
+    "matrix relation, never the corpus.",
+    tags=("llm", "text", "quality"),
+)
+def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    pred = docs.select(
+        "lang", lang_id(tokens(F.col("text"))).alias("pred")
+    )
+    cells = pred.groupBy("lang", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred",
+        "n",
+        F.expr("CAST((1000000 * n) AS BIGINT)")
+        .alias("_num"),
+        F.sum("n").over(w).alias("_den"),
+    ).select(
+        "lang",
+        "pred",
+        "n",
+        F.expr("CAST(_num DIV _den AS BIGINT)").alias("row_ppm"),
+        F.when(F.col("lang") == F.col("pred"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("correct"),
+    ).orderBy("lang", "pred")

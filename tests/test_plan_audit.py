@@ -68,6 +68,8 @@ CARTESIAN_ALLOWED = {
     "q288_weekly_churn": "1-row (min, max) week bounds broadcast into the lapse predicates",
     "q291_order_backlog_aging": "1-row MAX(o_orderdate) bound broadcast into the bucket arithmetic",
     "q293_user_concentration": "1-row (n_users, n_events, k) bound broadcast into the top-k cut",
+    # round 8
+    "q300_cell_radius_audit": "q205's routed assignment: 1-row (k, m) bounds + sqrt(k) super broadcasts",
 }
 
 # streaming builders start real runs; their plans are covered by the

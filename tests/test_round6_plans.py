@@ -63,6 +63,14 @@ NO_SINGLE_PARTITION = [
     "q289_invoice_reconciliation",  # per-order two-sided reconciliation aggs
     "q290_dau_wau_stickiness",  # calendar-keyed distinct censuses + join
     "q292_hourly_seasonality",  # (type × hour) grid, per-type argmax window
+    # round-8 rows
+    "q294_maximal_removal_runs",  # per-doc islands window, MIN-agg canonical
+    "q295_graph_dedup",  # contraction checkpoints; component-keyed keeper
+    "q297_gopher_rules_census",  # two map-side-combinable aggregations
+    "q298_ordered_funnel",  # user-keyed MIN cascade (1-row censuses checkpointed)
+    "q299_interarrival_percentiles",  # per-(user,type) lag + freq-relation windows
+    "q301_charset_hygiene",  # regexp map pass + per-source aggregate
+    "q302_langid_confusion",  # map-only scoring, matrix-relation window
 ]
 
 # Queries whose output is (or depends on) a global 1-row bound: a keyless
@@ -75,7 +83,15 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q288_weekly_churn",  # global (max_wk, min_wk) bound
     "q291_order_backlog_aging",  # global max(o_orderdate) anchor
     "q293_user_concentration",  # totals/threshold/above 1-row bounds
+    "q300_cell_radius_audit",  # kk/mm cluster-bounds 1-row aggregates
 ]
+
+
+def _depth(line: str) -> int:
+    import re
+
+    m = re.search(r"[A-Za-z]", line)
+    return m.start() if m else len(line)
 
 
 @pytest.mark.parametrize("name", AGG_ONLY_SINGLE_PARTITION)
@@ -84,7 +100,12 @@ def test_single_partition_only_under_global_agg(spark, name):
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
             continue
-        parent = lines[i - 1] if i else ""
+        # tree parent = nearest shallower line above (glyph-safe)
+        parent = ""
+        for j in range(i - 1, -1, -1):
+            if _depth(lines[j]) < _depth(line):
+                parent = lines[j]
+                break
         assert "HashAggregate(keys=[]" in parent, (
             f"{name}: SinglePartition exchange under {parent.strip()[:80]!r} "
             "— only a keyless final aggregate may collapse to one partition"
