@@ -1,0 +1,237 @@
+"""Round-8 batch 4: basket mining, value segmentation, changelog
+compaction (SURVEY.md §2B rows q303–q305).
+
+* **Co-purchase pairs (q303)** — market-basket pair mining over lineitem:
+  support-filtered part pairs within an order plus exact integer lift —
+  the association-rule primitive (and the shape recommendation
+  candidate generation compiles to).  The pair join is per-order
+  bounded, never corpus-quadratic.
+* **Revenue deciles (q304)** — customers bucketed into exact global
+  revenue deciles with per-decile census — the value-segmentation
+  report; the global NTILE runs through ``distributed_ntile`` (range
+  repartition + offsets), no single-task sort.
+* **Changelog compaction (q305)** — a CDC log reduced to its net effect:
+  last-writer-wins per key with delete tombstones, reported as the
+  (last-op, keys, live-value) census plus the raw op counts — the
+  changelog-to-snapshot operator every CDC-fed lakehouse table runs.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B (q305 models the CDC merge semantics of the lance tables the
+reference's namespaces serve).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# q303: co-purchase pair mining
+
+_MB_MIN_SUP = 2
+_MB_TOP_K = 50
+
+_BASKET_ORACLE = f"""
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+sup AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS s
+        FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey HAVING COUNT(*) >= {_MB_MIN_SUP}),
+pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY l_partkey),
+t AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM p)
+SELECT CAST(pa AS BIGINT) AS part_a, CAST(pb AS BIGINT) AS part_b, s AS support,
+  CAST((1000000 * s * t.n) // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+FROM sup JOIN pc ca ON ca.l_partkey = pa JOIN pc cb ON cb.l_partkey = pb, t
+ORDER BY support DESC, part_a, part_b LIMIT {_MB_TOP_K}
+"""
+
+
+@query(
+    "q303_copurchase_pairs",
+    _BASKET_ORACLE,
+    doc="Market-basket pair mining: part pairs co-occurring in >= "
+    f"{_MB_MIN_SUP} orders, scored with exact integer lift "
+    "(1e6·sup·N_orders DIV (cnt_a·cnt_b), all factors positive), top-"
+    f"{_MB_TOP_K} by (support, pair) — the association-rule primitive "
+    "recommendation candidates compile to.  Scale shape: the pair join "
+    "is a self-join of the distinct (order, part) relation ON THE ORDER "
+    "KEY — per-order quadratic only (orders are small), never "
+    "corpus-quadratic; support counts combine map-side; the top-k is "
+    "TakeOrdered (no global sort); the 1-row order-count bound rides a "
+    "broadcast.",
+    tags=("relational", "agg", "joins"),
+)
+def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    p = li.select("l_orderkey", "l_partkey").distinct()
+    p = p.localCheckpoint(eager=False)  # feeds pairs, part counts, total
+    a = p.selectExpr("l_orderkey", "l_partkey AS pa")
+    b = p.selectExpr("l_orderkey", "l_partkey AS pb")
+    sup = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+        .filter(F.col("s") >= _MB_MIN_SUP)
+    )
+    pc = p.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    t = p.agg(F.count_distinct("l_orderkey").cast("long").alias("n"))
+    return (
+        sup.join(pc.selectExpr("l_partkey AS pa", "c AS ca"), "pa")
+        .join(pc.selectExpr("l_partkey AS pb", "c AS cb"), "pb")
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("pa").cast("long").alias("part_a"),
+            F.col("pb").cast("long").alias("part_b"),
+            F.col("s").alias("support"),
+            F.expr("CAST((1000000 * s * n) DIV (ca * cb) AS BIGINT)").alias(
+                "lift_ppm"
+            ),
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(_MB_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q304: exact revenue deciles
+
+_DECILE_ORACLE = """
+WITH rev AS (SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents FROM orders GROUP BY o_custkey),
+d AS (SELECT o_custkey, cents,
+      NTILE(10) OVER (ORDER BY cents, o_custkey) AS decile FROM rev)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS customers,
+  CAST(MIN(cents) AS BIGINT) AS min_cents, CAST(MAX(cents) AS BIGINT) AS max_cents,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM d GROUP BY decile ORDER BY decile
+"""
+
+
+@query(
+    "q304_revenue_deciles",
+    _DECILE_ORACLE,
+    doc="Customer revenue deciles — the value-segmentation report (decile "
+    "boundaries, counts, exact cent totals) built on exact global NTILE "
+    "over (revenue, custkey).  The oracle replays the classic "
+    "single-window NTILE; the engine runs distributed_ntile (range "
+    "repartition, per-partition ranks, P-row prefix offsets broadcast "
+    "back — q92's device), so hash equality re-proves the two-pass form "
+    "on a DERIVED relation, then consumes it with the per-decile "
+    "aggregate no prior row exercised.  Scale shape: orders reduce to "
+    "the customer-sized revenue relation before any ordering; no "
+    "single-task sort anywhere.",
+    tags=("relational", "window", "scale"),
+)
+def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.operators.scale_windows import (
+        distributed_ntile,
+    )
+
+    o = load_table(spark, "orders", sf_dir)
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    d = distributed_ntile(rev, ["cents", "o_custkey"], 10, out_col="decile")
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("customers"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            "customers",
+            "min_cents",
+            "max_cents",
+            "sum_cents",
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q305: changelog compaction (CDC net effect)
+
+_CDC_KEY_DIV = 8  # 8 consecutive events form one entity's change history
+
+_CDC_ORACLE = f"""
+WITH log AS (SELECT event_id // {_CDC_KEY_DIV} AS key, epoch_us(ts) AS us, event_id,
+  CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+  CAST(round(value * 100) AS BIGINT) AS val100 FROM events),
+ops AS (SELECT op, CAST(COUNT(*) AS BIGINT) AS n_ops FROM log GROUP BY op),
+last AS (SELECT key, op, val100 FROM (
+  SELECT key, op, val100,
+    ROW_NUMBER() OVER (PARTITION BY key ORDER BY us DESC, event_id DESC) AS rn
+  FROM log) WHERE rn = 1),
+census AS (SELECT op, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(CASE WHEN op <> 'D' THEN val100 ELSE 0 END) AS BIGINT) AS live_val100
+  FROM last GROUP BY op)
+SELECT o.op, o.n_ops, c.n_keys, c.live_val100,
+  CAST(CASE WHEN o.op = 'D' THEN 0 ELSE 1 END AS BIGINT) AS live
+FROM ops o JOIN census c USING (op) ORDER BY o.op
+"""
+
+
+@query(
+    "q305_changelog_compaction",
+    _CDC_ORACLE,
+    doc="Changelog compaction — a CDC log reduced to its net effect "
+    "(last-writer-wins per key, delete tombstones): the events stream "
+    "read as an I/U/D log over synthetic entity keys (8 consecutive "
+    "event ids = one entity's history; signup=I, error=D, rest=U), "
+    "compacted with one per-key ROW_NUMBER over the unique (us, "
+    "event_id) order; output joins the raw op census to the last-op "
+    "census with the surviving value mass in cents — what a Delta/lance "
+    "CDC merge materializes before rewriting a snapshot.  All three op "
+    "branches (live inserts, live updates, tombstoned keys) fire at "
+    "every SF.  Scale shape: one per-key window (keys = events/8, fully "
+    "spread), two key-sized aggregates, a 3-row join.",
+    tags=("relational", "cdc", "window"),
+)
+def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    log = ev.select(
+        F.expr(f"event_id DIV {_CDC_KEY_DIV}").alias("key"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("value") * 100).cast("long").alias("val100"),
+    )
+    log = log.localCheckpoint(eager=False)  # feeds op census + compaction
+    ops = log.groupBy("op").agg(F.count(F.lit(1)).cast("long").alias("n_ops"))
+    w = Window.partitionBy("key").orderBy(
+        F.col("us").desc(), F.col("event_id").desc()
+    )
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "val100")
+    )
+    census = last.groupBy("op").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("op") != "D", F.col("val100")).otherwise(0))
+        .cast("long")
+        .alias("live_val100"),
+    )
+    return (
+        ops.join(census, "op")
+        .select(
+            "op",
+            "n_ops",
+            "n_keys",
+            "live_val100",
+            F.when(F.col("op") == "D", 0).otherwise(1).cast("long").alias("live"),
+        )
+        .orderBy("op")
+    )

@@ -70,12 +70,14 @@ CARTESIAN_ALLOWED = {
     "q293_user_concentration": "1-row (n_users, n_events, k) bound broadcast into the top-k cut",
     # round 8
     "q300_cell_radius_audit": "q205's routed assignment: 1-row (k, m) bounds + sqrt(k) super broadcasts",
+    "q303_copurchase_pairs": "1-row distinct-order-count bound broadcast into the lift expression",
 }
 
 # streaming builders start real runs; their plans are covered by the
 # streaming tests instead
 _STREAMING_PREFIXES = (
     "q61", "q62", "q79", "q80", "q87", "q104", "q105", "q109", "q245",
+    "q296",  # the builder runs two real streams + a checkpoint replay
 )
 
 

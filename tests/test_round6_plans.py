@@ -71,6 +71,11 @@ NO_SINGLE_PARTITION = [
     "q299_interarrival_percentiles",  # per-(user,type) lag + freq-relation windows
     "q301_charset_hygiene",  # regexp map pass + per-source aggregate
     "q302_langid_confusion",  # map-only scoring, matrix-relation window
+    # (q304 is excluded on purpose: distributed_ntile's offsets window runs
+    # on the P-row partition-count relation — the legitimate tiny-side case,
+    # same as q92/q263)
+    "q305_changelog_compaction",  # per-key compaction window, op censuses
+    "q306_simhash_multitable",  # vote aggregates + per-(table,bucket) join
 ]
 
 # Queries whose output is (or depends on) a global 1-row bound: a keyless
@@ -84,6 +89,7 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q291_order_backlog_aging",  # global max(o_orderdate) anchor
     "q293_user_concentration",  # totals/threshold/above 1-row bounds
     "q300_cell_radius_audit",  # kk/mm cluster-bounds 1-row aggregates
+    "q303_copurchase_pairs",  # 1-row distinct-order-count bound
 ]
 
 
@@ -126,6 +132,7 @@ TAKE_ORDERED = [
     "q219_hybrid_rrf_retrieval",
     "q235_postings_compression",  # top-100 heaviest postings lists
     "q251_tpch_q2_shape",  # top-100 min-cost suppliers
+    "q303_copurchase_pairs",  # top-50 support pairs
 ]
 
 
