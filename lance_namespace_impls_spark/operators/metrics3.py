@@ -208,3 +208,105 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("n").alias("n_gaps"), "p50_s", "p95_s", "max_s")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q307: linear multi-touch attribution
+
+_ATTR_W_US = 7 * 86_400_000_000  # 7-day lookback
+_ATTR_UNIT = 1_000_000  # each purchase distributes exactly 1e6 credit ppm
+
+_ATTR_ORACLE = f"""
+WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT user_id, event_type, event_id AS tid, epoch_us(ts) AS tus
+      FROM events WHERE event_type IN ('view', 'click')),
+m AS (SELECT p.pid, t.event_type, t.tid, t.tus FROM p JOIN t
+      ON p.user_id = t.user_id AND t.tus < p.pus
+      AND t.tus >= p.pus - CAST({_ATTR_W_US} AS BIGINT)),
+k AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS k FROM m GROUP BY pid),
+credit AS (SELECT m.event_type,
+  CAST({_ATTR_UNIT} // k.k AS BIGINT)
+  + CASE WHEN ROW_NUMBER() OVER (PARTITION BY m.pid ORDER BY m.tus, m.tid) = 1
+         THEN CAST({_ATTR_UNIT} % k.k AS BIGINT) ELSE 0 END AS c
+  FROM m JOIN k USING (pid)),
+attributed AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS touches,
+  CAST(SUM(c) AS BIGINT) AS credit_ppm FROM credit GROUP BY event_type),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+na AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM k)
+SELECT * FROM (
+  SELECT event_type, touches, credit_ppm FROM attributed
+  UNION ALL
+  SELECT 'none', np.n - na.n, (np.n - na.n) * {_ATTR_UNIT} FROM np, na
+) ORDER BY event_type
+"""
+
+
+@query(
+    "q307_linear_attribution",
+    _ATTR_ORACLE,
+    doc="Linear multi-touch attribution — the q255 last-touch model's "
+    "fair-split sibling: every purchase distributes EXACTLY 1e6 ppm of "
+    "credit equally across its view/click touches in the prior 7 days; "
+    "the integer remainder (1e6 mod k, live at every SF) goes to the "
+    "earliest touch so conservation is exact — total credit = 1e6 x "
+    "purchases, test-assertable with no float leakage.  Touchless "
+    "purchases surface as the 'none' row (live at every SF: 11/79/792). "
+    "Scale shape: the touch-window match is a user-keyed range join "
+    "(purchases and touches co-partition on user_id); the remainder "
+    "window partitions per purchase (bounded by a user's weekly "
+    "touches); output is type-sized.",
+    tags=("events", "agg", "metrics"),
+)
+def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    ev = ev.localCheckpoint(eager=False)  # feeds purchases AND touches
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("us").alias("pus")
+    )
+    p = p.localCheckpoint(eager=False)  # feeds match + the none census
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("tid"),
+        F.col("us").alias("tus"),
+    )
+    m = p.join(t, "user_id").filter(
+        (F.col("tus") < F.col("pus"))
+        & (F.col("tus") >= F.col("pus") - _ATTR_W_US)
+    ).select("pid", "event_type", "tid", "tus")
+    m = m.localCheckpoint(eager=False)  # feeds k AND credit
+    k = m.groupBy("pid").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    w = Window.partitionBy("pid").orderBy("tus", "tid")
+    credit = m.join(k, "pid").select(
+        "event_type",
+        (
+            F.expr(f"CAST({_ATTR_UNIT} DIV k AS BIGINT)")
+            + F.when(
+                F.row_number().over(w) == 1,
+                F.expr(f"CAST({_ATTR_UNIT} % k AS BIGINT)"),
+            ).otherwise(0)
+        ).alias("c"),
+    )
+    attributed = credit.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("touches"),
+        F.sum("c").cast("long").alias("credit_ppm"),
+    )
+    np_ = p.agg(F.count(F.lit(1)).cast("long").alias("n_p"))
+    na = k.agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    none = (
+        np_.crossJoin(F.broadcast(na))
+        .select(
+            F.lit("none").alias("event_type"),
+            (F.col("n_p") - F.col("n_a")).cast("long").alias("touches"),
+            ((F.col("n_p") - F.col("n_a")) * _ATTR_UNIT)
+            .cast("long")
+            .alias("credit_ppm"),
+        )
+    )
+    return attributed.unionByName(none).orderBy("event_type")

@@ -258,3 +258,136 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("correct"),
     ).orderBy("lang", "pred")
+
+
+# ---------------------------------------------------------------------------
+# q308: CCNet-style perplexity tertile bucketing
+
+_BITLEN_DUCK = "length(bin({0}))"
+_BITLEN_SPARK = "length(conv(CAST({0} AS STRING), 10, 2))"
+
+_PPL_ORACLE = f"""
+WITH t AS (SELECT doc_id, source,
+  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+bg AS (SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+       FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)),
+db AS (SELECT doc_id, source, w1, w2, CAST(COUNT(*) AS BIGINT) AS k
+       FROM bg GROUP BY doc_id, source, w1, w2),
+c1 AS (SELECT w1, CAST(SUM(k) AS BIGINT) AS c FROM db GROUP BY w1),
+c12 AS (SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c FROM db GROUP BY w1, w2),
+bits AS (SELECT d.doc_id, d.source,
+  CAST(SUM(d.k * ({_BITLEN_DUCK.format('c1.c')} - {_BITLEN_DUCK.format('c12.c')}))
+       * 1000 // SUM(d.k) AS BIGINT) AS mbits
+  FROM db d JOIN c1 USING (w1) JOIN c12 ON d.w1 = c12.w1 AND d.w2 = c12.w2
+  GROUP BY d.doc_id, d.source),
+f AS (SELECT mbits, CAST(COUNT(*) AS BIGINT) AS c FROM bits GROUP BY mbits),
+tt AS (SELECT CAST(SUM(c) AS BIGINT) AS nd FROM f),
+cum AS (SELECT mbits, SUM(c) OVER (ORDER BY mbits
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM f),
+t1 AS (SELECT CAST(MIN(cum.mbits) AS BIGINT) AS t FROM cum, tt WHERE 3 * cum.cc >= tt.nd),
+t2 AS (SELECT CAST(MIN(cum.mbits) AS BIGINT) AS t FROM cum, tt WHERE 3 * cum.cc >= 2 * tt.nd),
+bucketed AS (SELECT b.source,
+  CASE WHEN b.mbits <= t1.t THEN '1_head'
+       WHEN b.mbits <= t2.t THEN '2_middle' ELSE '3_tail' END AS bucket
+  FROM bits b, t1, t2)
+SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS docs
+FROM bucketed GROUP BY source, bucket ORDER BY source, bucket
+"""
+
+
+@query(
+    "q308_perplexity_tertiles",
+    _PPL_ORACLE,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): per-doc "
+    "bigram-LM cross-entropy in exact integer milli-bits/bigram (the "
+    "q206 conditional-code-length device: k·(bitlen(C_w1) − "
+    "bitlen(C_w1w2)), a floor-log2 of 1/p(w2|w1)), docs split into "
+    "head/middle/tail at the global tertile thresholds — the bucketing "
+    "CCNet uses to keep 'head' web text and down-sample the tail.  "
+    "Bigram conditionals, not unigram surprisal: the fixture's unigram "
+    "profile collapses to one mode (probed — middle tertile empty), the "
+    "bigram score spreads ~220 distinct values and all three buckets "
+    "are live at every SF (167/168/165 at sf0.001).  The thresholds "
+    "come from the cumulative-crossing rule (3·cc >= nd, 3·cc >= 2·nd) "
+    "over the (mbits, frequency) relation computed with "
+    "distributed_running_sum — the per-doc score relation is doc-sized, "
+    "so the q293 lesson applies: NO unpartitioned window touches it on "
+    "the engine side (the oracle may replay the classic window).  Scale "
+    "shape: bigram counts combine map-side; the LM joins are "
+    "vocabulary-sized; thresholds are two 1-row bounds broadcast into "
+    "the classifier.",
+    tags=("llm", "curation", "quality"),
+)
+def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.operators.scale_windows import (
+        distributed_running_sum,
+    )
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    t = docs.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    bg = t.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.expr("slice(toks, 1, size(toks) - 1)")).alias("i", "w1"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        "w1",
+        F.expr("toks[i + 1]").alias("w2"),
+    )
+    db = bg.groupBy("doc_id", "source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    db = db.localCheckpoint(eager=False)  # feeds c1, c12, bits
+    c1 = db.groupBy("w1").agg(F.sum("k").cast("long").alias("c1"))
+    c12 = db.groupBy("w1", "w2").agg(F.sum("k").cast("long").alias("c12"))
+    bits = (
+        db.join(c1, "w1")
+        .join(c12, ["w1", "w2"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr(
+                "CAST(SUM(k * ({0} - {1})) * 1000 DIV SUM(k) AS BIGINT)".format(
+                    _BITLEN_SPARK.format("c1"), _BITLEN_SPARK.format("c12")
+                )
+            ).alias("mbits")
+        )
+    )
+    bits = bits.localCheckpoint(eager=False)  # feeds freq AND the classifier
+    f = bits.groupBy("mbits").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = distributed_running_sum(
+        f.withColumn("__g", F.lit(1)),
+        "__g",
+        ["mbits"],
+        "c",
+        cum_col="cc",
+        total_col="__tot",
+    )
+    tt = f.agg(F.sum("c").cast("long").alias("nd"))
+    t1 = (
+        cum.crossJoin(F.broadcast(tt))
+        .filter(3 * F.col("cc") >= F.col("nd"))
+        .agg(F.min("mbits").cast("long").alias("t1"))
+    )
+    t2 = (
+        cum.crossJoin(F.broadcast(tt))
+        .filter(3 * F.col("cc") >= 2 * F.col("nd"))
+        .agg(F.min("mbits").cast("long").alias("t2"))
+    )
+    bucketed = (
+        bits.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "source",
+            F.when(F.col("mbits") <= F.col("t1"), "1_head")
+            .when(F.col("mbits") <= F.col("t2"), "2_middle")
+            .otherwise("3_tail")
+            .alias("bucket"),
+        )
+    )
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("docs"))
+        .orderBy("source", "bucket")
+    )

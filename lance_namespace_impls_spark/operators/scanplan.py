@@ -356,3 +356,92 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fragment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q309: Bloom-filter sizing plan (round 8)
+
+_BF_FRAG = 128  # docs per fragment (matches the q238/q239 fragment grain)
+# millibits/key from the closed form m/n = ln(1/p)/(ln 2)^2, k = (m/n)·ln 2,
+# precomputed so the plan is pure integer arithmetic on both engines:
+#   p = 1%  -> 9585 millibits/key, k = 7
+#   p = 0.1% -> 14378 millibits/key, k = 10
+_BF_TARGETS = (("fpp_1pct", 9585, 7), ("fpp_01pct", 14378, 10))
+
+_BF_CASES = " UNION ALL ".join(
+    f"SELECT '{lbl}' AS fpp, CAST({mb} AS BIGINT) AS mbk, CAST({k} AS BIGINT) AS k_hashes"
+    for lbl, mb, k in _BF_TARGETS
+)
+
+_BF_ORACLE = f"""
+WITH tok AS (SELECT doc_id // {_BF_FRAG} AS fragment,
+  unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w FROM documents),
+keys AS (SELECT fragment, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_keys
+         FROM tok GROUP BY fragment),
+tgt AS ({_BF_CASES}),
+plan AS (SELECT k.fragment, t.fpp, k.n_keys, t.k_hashes,
+  CAST((k.n_keys * t.mbk + 999) // 1000 AS BIGINT) AS m_bits FROM keys k, tgt t)
+SELECT fragment, fpp, n_keys, m_bits,
+  CAST(1 << length(bin(m_bits - 1)) AS BIGINT) AS m_pow2_bits,
+  CAST((1 << length(bin(m_bits - 1))) // 8 AS BIGINT) AS pow2_bytes,
+  k_hashes
+FROM plan ORDER BY fragment, fpp
+"""
+
+
+@query(
+    "q309_bloom_sizing_plan",
+    _BF_ORACLE,
+    doc="Bloom-filter sizing plan — the decision relation a token-Bloom "
+    "skip-index build (q243's runtime twin) materializes BEFORE touching "
+    "data: per fragment and target false-positive rate, the distinct-key "
+    "count, optimal bit count m = ceil(n·ln(1/p)/ln²2) (millibits/key "
+    "precomputed: 9585 @1%, 14378 @0.1% — pure integer ceiling division "
+    "on both engines), the power-of-two rounding real allocators use "
+    "(next-pow2 via the bitlen device), and the optimal hash count.  "
+    "Scale shape: the only data pass is the per-fragment distinct-token "
+    "count (map-side combinable); the plan itself is a fragment-sized "
+    "relation joined to a 2-row constant target grid.",
+    tags=("scan", "maintenance", "quality"),
+)
+def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = docs.select(
+        F.expr(f"doc_id DIV {_BF_FRAG}").alias("fragment"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    )
+    keys = tok.groupBy("fragment").agg(
+        F.count_distinct("w").cast("long").alias("n_keys")
+    )
+    tgt = docs.sparkSession.createDataFrame(
+        list(_BF_TARGETS), "fpp string, mbk long, k_hashes long"
+    )
+    bitlen = "length(conv(CAST(m_bits - 1 AS STRING), 10, 2))"
+    return (
+        keys.crossJoin(F.broadcast(tgt))
+        .select(
+            "fragment",
+            "fpp",
+            "n_keys",
+            F.expr("CAST((n_keys * mbk + 999) DIV 1000 AS BIGINT)").alias(
+                "m_bits"
+            ),
+            "k_hashes",
+        )
+        .select(
+            "fragment",
+            "fpp",
+            "n_keys",
+            "m_bits",
+            F.expr(f"CAST(shiftleft(1, {bitlen}) AS BIGINT)").alias(
+                "m_pow2_bits"
+            ),
+            F.expr(f"CAST(shiftleft(1, {bitlen}) DIV 8 AS BIGINT)").alias(
+                "pow2_bytes"
+            ),
+            "k_hashes",
+        )
+        .orderBy("fragment", "fpp")
+    )

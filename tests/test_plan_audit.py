@@ -71,6 +71,9 @@ CARTESIAN_ALLOWED = {
     # round 8
     "q300_cell_radius_audit": "q205's routed assignment: 1-row (k, m) bounds + sqrt(k) super broadcasts",
     "q303_copurchase_pairs": "1-row distinct-order-count bound broadcast into the lift expression",
+    "q307_linear_attribution": "two 1-row purchase/attributed censuses cross-joined into the none row",
+    "q308_perplexity_tertiles": "1-row corpus-total + two 1-row tertile-threshold bounds broadcast into the classifier",
+    "q309_bloom_sizing_plan": "2-row constant fpp-target grid broadcast over the fragment census",
 }
 
 # streaming builders start real runs; their plans are covered by the

@@ -76,6 +76,7 @@ NO_SINGLE_PARTITION = [
     # same as q92/q263)
     "q305_changelog_compaction",  # per-key compaction window, op censuses
     "q306_simhash_multitable",  # vote aggregates + per-(table,bucket) join
+    "q309_bloom_sizing_plan",  # fragment census x 2-row constant grid
 ]
 
 # Queries whose output is (or depends on) a global 1-row bound: a keyless
@@ -90,6 +91,8 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q293_user_concentration",  # totals/threshold/above 1-row bounds
     "q300_cell_radius_audit",  # kk/mm cluster-bounds 1-row aggregates
     "q303_copurchase_pairs",  # 1-row distinct-order-count bound
+    "q307_linear_attribution",  # purchase/attributed 1-row censuses
+    "q308_perplexity_tertiles",  # corpus-total + tertile-threshold bounds
 ]
 
 

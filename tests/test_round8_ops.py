@@ -1,0 +1,89 @@
+"""Defining-property tests for the round-8 operator batch — the invariants
+the oracles alone don't state (conservation, completeness, monotonicity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+
+def _run(spark, name):
+    return QUERIES[name].builder(spark, SF_SMOKE)
+
+
+def test_q307_credit_conservation(spark):
+    """Linear attribution must distribute EXACTLY 1e6 ppm per purchase —
+    including the integer remainder and the touchless 'none' row."""
+    out = _run(spark, "q307_linear_attribution").collect()
+    total_credit = sum(r["credit_ppm"] for r in out)
+    n_purchases = (
+        QUERIES["q01_scan_count"]
+        .builder(spark, SF_SMOKE)
+        .sparkSession.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert total_credit == 1_000_000 * n_purchases
+
+
+def test_q308_all_tertiles_live(spark):
+    """The tertile classifier must place mass in head, middle AND tail."""
+    buckets = {
+        r["bucket"]
+        for r in _run(spark, "q308_perplexity_tertiles").collect()
+    }
+    assert buckets == {"1_head", "2_middle", "3_tail"}
+
+
+def test_q294_runs_merge_and_split(spark):
+    """Maximal runs must both MERGE overlapping spans (a run longer than
+    one span width) and SPLIT disjoint regions (a doc with >= 2 runs)."""
+    rows = _run(spark, "q294_maximal_removal_runs").collect()
+    assert any(r["max_run_len"] > 5 for r in rows)
+    assert any(r["n_runs"] >= 2 for r in rows)
+    assert any(r["n_runs"] == 0 for r in rows)
+    # covered tokens never exceed the doc's tokens
+    assert all(r["removed_tokens"] <= r["n_tokens"] for r in rows)
+
+
+def test_q295_one_keeper_per_component(spark):
+    """Graph dedup keeps EXACTLY one vector per component, and at least
+    one component is a real multi-member near-dup cluster."""
+    rows = _run(spark, "q295_graph_dedup").collect()
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    assert all(
+        sum(m["keep"] for m in members) == 1 for members in by_comp.values()
+    )
+    assert any(len(members) > 1 for members in by_comp.values())
+    # keep-best rule: the keeper has the max norm (min vec_id tiebreak)
+    for members in by_comp.values():
+        best = max(members, key=lambda m: (m["norm2"], -m["vec_id"]))
+        assert best["keep"] == 1
+
+
+def test_q298_funnel_monotone(spark):
+    """Each funnel step can only lose users, and the 24 h window must
+    actually bind (the last step converts strictly fewer than signups)."""
+    rows = {r["step"]: r["users"] for r in _run(spark, "q298_ordered_funnel").collect()}
+    seq = [rows["0_all"], rows["1_signup"], rows["2_view"], rows["3_click"], rows["4_purchase"]]
+    assert all(a >= b for a, b in zip(seq, seq[1:]))
+    assert rows["4_purchase"] < rows["1_signup"]
+
+
+def test_q306_multitable_superset_of_single(spark):
+    """Pigeonhole: the 4-segment tables find EVERY radius-3 pair, so the
+    found_single=1 subset must equal q201's single-table output."""
+    multi = _run(spark, "q306_simhash_multitable").collect()
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in _run(spark, "q201_simhash_portable").collect()
+    }
+    got_single = {(r["id_a"], r["id_b"]) for r in multi if r["found_single"] == 1}
+    assert got_single == single
+    assert any(r["found_single"] == 0 for r in multi)  # the recall gain
