@@ -667,3 +667,137 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q313: incremental LSH index maintenance (round 8)
+
+_INC_MOD = 40  # append batch: every 40th doc's exact twin at id+1000000
+
+_INC_ORACLE = (
+    "WITH un AS (SELECT doc_id, text, 0 AS is_new FROM documents "
+    "  UNION ALL SELECT doc_id + 1000000, text, 1 FROM documents "
+    f"  WHERE doc_id % {_INC_MOD} = 0), "
+    "toked AS (SELECT doc_id, is_new, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM un), "
+    "shingled AS (SELECT doc_id, is_new, "
+    "  [array_to_string(toks[i:i+2], ' ') for i in generate_series(1, len(toks)-2)] AS sh "
+    "  FROM toked WHERE len(toks) >= 3), "
+    "hexed AS (SELECT doc_id, is_new, " + _DUCK_HEX + " AS hx FROM shingled), "
+    "sg AS (SELECT doc_id, is_new, " + _DUCK_SIG + " AS sig FROM hexed), "
+    "bands AS (SELECT doc_id, is_new, b, "
+    "  sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS bkey "
+    "  FROM sg, unnest(generate_series(0, 3)) AS u(b)), "
+    "base_pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db "
+    "  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey "
+    "  AND a.doc_id < b.doc_id WHERE a.is_new = 0 AND b.is_new = 0), "
+    "delta_pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db "
+    "  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey "
+    "  AND a.doc_id < b.doc_id WHERE a.is_new = 1 OR b.is_new = 1), "
+    "full_pairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db "
+    "  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey "
+    "  AND a.doc_id < b.doc_id) "
+    "SELECT * FROM ("
+    "  SELECT '1_batch_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value "
+    "    FROM un WHERE is_new = 1 "
+    "  UNION ALL SELECT '2_base_buckets', CAST(COUNT(DISTINCT (b, bkey)) AS BIGINT) "
+    "    FROM bands WHERE is_new = 0 "
+    "  UNION ALL SELECT '3_touched_buckets', CAST(COUNT(DISTINCT (b, bkey)) AS BIGINT) "
+    "    FROM bands WHERE is_new = 1 "
+    "  UNION ALL SELECT '4_base_pairs', CAST(COUNT(*) AS BIGINT) FROM base_pairs "
+    "  UNION ALL SELECT '5_delta_pairs', CAST(COUNT(*) AS BIGINT) FROM delta_pairs "
+    "  UNION ALL SELECT '6_full_pairs', CAST(COUNT(*) AS BIGINT) FROM full_pairs "
+    "  UNION ALL SELECT '7_law_holds', CAST(CASE WHEN "
+    "    (SELECT COUNT(*) FROM full_pairs) = "
+    "    (SELECT COUNT(*) FROM base_pairs) + (SELECT COUNT(*) FROM delta_pairs) "
+    "    THEN 1 ELSE 0 END AS BIGINT) "
+    ") ORDER BY metric"
+)
+
+
+@query(
+    "q313_incremental_lsh_maintenance",
+    _INC_ORACLE,
+    doc="Incremental LSH index maintenance — the law that lets a 100 TB "
+    "dedup index absorb an append batch WITHOUT recompute: signatures "
+    "are per-document (new docs hash independently), so the only "
+    "buckets that can produce new candidate pairs are the ones the "
+    "batch touches, and full-index pairs = base pairs + delta pairs "
+    "EXACTLY (every new pair has a batch member; the law row is "
+    "oracle-checked, not assumed).  Census: batch size, base vs "
+    "touched bucket counts (the work ratio an incremental build pays), "
+    "base/delta/full pair counts and the disjointness law.  Scale "
+    "shape: only the batch re-shingles; the delta join probes the "
+    "banded relation on (band, bucket) keys — the indexed-lookup shape "
+    "— and the full recompute exists here only to CHECK the law.",
+    tags=("llm", "dedup", "lsh", "maintenance"),
+)
+def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    base = docs.withColumn("is_new", F.lit(0))
+    batch = docs.filter(F.col("doc_id") % _INC_MOD == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    ).withColumn("is_new", F.lit(1))
+    un = spread(base.unionByName(batch))
+    flags = un.select("doc_id", "is_new")
+    sig = _portable_minhash_sig(_exploded_shingles(un.select("doc_id", "text"), 3))
+    bands = (
+        sig.select(
+            "doc_id",
+            F.explode(F.expr("sequence(0, 3)")).alias("b"),
+            "sig",
+        )
+        .select(
+            "doc_id",
+            "b",
+            F.expr(
+                "CAST(sig[2*b] AS STRING) || ',' || CAST(sig[2*b+1] AS STRING)"
+            ).alias("bkey"),
+        )
+        .join(flags, "doc_id")
+    )
+    bands = bands.localCheckpoint(eager=False)  # feeds all three pair joins
+    a = bands.selectExpr("doc_id AS da", "b", "bkey", "is_new AS na")
+    b = bands.selectExpr("doc_id AS db", "b", "bkey", "is_new AS nb")
+    joined = a.join(b, ["b", "bkey"]).filter(F.col("da") < F.col("db"))
+
+    def metric(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("metric"), F.count(F.lit(1)).cast("long").alias("value")
+        )
+
+    base_pairs = joined.filter((F.col("na") == 0) & (F.col("nb") == 0)).select(
+        "da", "db"
+    ).distinct().localCheckpoint(eager=False)
+    delta_pairs = joined.filter((F.col("na") == 1) | (F.col("nb") == 1)).select(
+        "da", "db"
+    ).distinct().localCheckpoint(eager=False)
+    full_pairs = joined.select("da", "db").distinct().localCheckpoint(eager=False)
+    law = (
+        full_pairs.agg(F.count(F.lit(1)).alias("f"))
+        .crossJoin(F.broadcast(base_pairs.agg(F.count(F.lit(1)).alias("p"))))
+        .crossJoin(F.broadcast(delta_pairs.agg(F.count(F.lit(1)).alias("d"))))
+        .select(
+            F.lit("7_law_holds").alias("metric"),
+            F.when(F.col("f") == F.col("p") + F.col("d"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("value"),
+        )
+    )
+    out = (
+        metric("1_batch_docs", flags.filter(F.col("is_new") == 1))
+        .unionByName(
+            metric("2_base_buckets", bands.filter(F.col("is_new") == 0)
+                   .select("b", "bkey").distinct())
+        )
+        .unionByName(
+            metric("3_touched_buckets", bands.filter(F.col("is_new") == 1)
+                   .select("b", "bkey").distinct())
+        )
+        .unionByName(metric("4_base_pairs", base_pairs))
+        .unionByName(metric("5_delta_pairs", delta_pairs))
+        .unionByName(metric("6_full_pairs", full_pairs))
+        .unionByName(law)
+    )
+    return out.orderBy("metric")

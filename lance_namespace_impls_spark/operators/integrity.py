@@ -199,3 +199,82 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch")
     )
+
+
+# ---------------------------------------------------------------------------
+# q312: deletion-cascade audit (round 8 — the GDPR-erasure bill)
+
+_ERASE_MOD = 100  # erased set: every 100th customer
+
+_CASCADE_ORACLE = f"""
+WITH erased AS (SELECT c_custkey FROM customer WHERE c_custkey % {_ERASE_MOD} = 0),
+o AS (SELECT o_orderkey FROM orders SEMI JOIN erased ON o_custkey = c_custkey),
+tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM customer),
+dc AS (SELECT CAST(COUNT(*) AS BIGINT) AS del FROM erased),
+t_o AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders),
+d_o AS (SELECT CAST(COUNT(*) AS BIGINT) AS del FROM o),
+t_l AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
+d_l AS (SELECT CAST(COUNT(*) AS BIGINT) AS del FROM lineitem SEMI JOIN o
+        ON l_orderkey = o_orderkey)
+SELECT * FROM (
+  SELECT '1_customer' AS tbl, tc.total, dc.del AS deleted,
+    CAST((1000000 * dc.del) // tc.total AS BIGINT) AS del_ppm FROM tc, dc
+  UNION ALL
+  SELECT '2_orders', t_o.total, d_o.del,
+    CAST((1000000 * d_o.del) // t_o.total AS BIGINT) FROM t_o, d_o
+  UNION ALL
+  SELECT '3_lineitem', t_l.total, d_l.del,
+    CAST((1000000 * d_l.del) // t_l.total AS BIGINT) FROM t_l, d_l
+) ORDER BY tbl
+"""
+
+
+@query(
+    "q312_deletion_cascade",
+    _CASCADE_ORACLE,
+    doc="Deletion-cascade audit — the GDPR-erasure bill a compliance job "
+    "prices BEFORE rewriting anything: given an erased-customer set "
+    "(every 100th custkey), the rows that must disappear from each "
+    "table along the FK cascade customer -> orders -> lineitem, as "
+    "(table, total, deleted, deleted-ppm).  The inverse of q254's "
+    "orphan check: q254 finds children without parents, this prices "
+    "removing parents WITH their children.  All three cascade levels "
+    "live at every SF (2/20/76 rows at sf0.001).  Scale shape: two "
+    "semi-joins down the FK chain (key-partitioned, no data wider than "
+    "the keys moves), three 1-row censuses unioned.",
+    tags=("relational", "joins", "audit"),
+)
+def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    erased = cu.filter(F.col("c_custkey") % _ERASE_MOD == 0).select("c_custkey")
+    del_o = o.join(
+        erased, o["o_custkey"] == erased["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    del_o = del_o.localCheckpoint(eager=False)  # feeds its census + lineitem
+    del_l = li.join(
+        del_o, li["l_orderkey"] == del_o["o_orderkey"], "left_semi"
+    )
+
+    def census(tbl: str, total_df: DataFrame, del_df: DataFrame) -> DataFrame:
+        t = total_df.agg(F.count(F.lit(1)).cast("long").alias("total"))
+        d = del_df.agg(F.count(F.lit(1)).cast("long").alias("deleted"))
+        return (
+            t.crossJoin(F.broadcast(d))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "total",
+                "deleted",
+                F.expr("CAST((1000000 * deleted) DIV total AS BIGINT)").alias(
+                    "del_ppm"
+                ),
+            )
+        )
+
+    return (
+        census("1_customer", cu, erased)
+        .unionByName(census("2_orders", o, del_o))
+        .unionByName(census("3_lineitem", li, del_l))
+        .orderBy("tbl")
+    )

@@ -310,3 +310,213 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return attributed.unionByName(none).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q310: seasonal anomaly census (median/MAD per (type, hour-of-day))
+
+_DAY_US = 86_400_000_000
+_HR_US = 3_600_000_000
+
+_ANOM_ORACLE = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+           (epoch_us(ts) % {_DAY_US}) // {_HR_US} AS hr FROM events),
+c AS (SELECT event_type, hr, day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY event_type, hr, day),
+vc AS (SELECT event_type, hr, n, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM c GROUP BY event_type, hr, n),
+tot AS (SELECT event_type, hr, CAST(SUM(cnt) AS BIGINT) AS days
+        FROM vc GROUP BY event_type, hr),
+cum AS (SELECT event_type, hr, n, SUM(cnt) OVER (PARTITION BY event_type, hr
+        ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM vc),
+med AS (SELECT cum.event_type, cum.hr, CAST(MIN(cum.n) AS BIGINT) AS med_n
+        FROM cum JOIN tot USING (event_type, hr)
+        WHERE cum.cc >= (tot.days + 1) // 2 GROUP BY cum.event_type, cum.hr),
+dev AS (SELECT c.event_type, c.hr, c.day, c.n, ABS(c.n - med.med_n) AS d
+        FROM c JOIN med USING (event_type, hr)),
+dc AS (SELECT event_type, hr, d, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM dev GROUP BY event_type, hr, d),
+dcum AS (SELECT event_type, hr, d, SUM(cnt) OVER (PARTITION BY event_type, hr
+         ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM dc),
+mad AS (SELECT dcum.event_type, dcum.hr, CAST(MIN(dcum.d) AS BIGINT) AS mad_n
+        FROM dcum JOIN tot USING (event_type, hr)
+        WHERE dcum.cc >= (tot.days + 1) // 2 GROUP BY dcum.event_type, dcum.hr)
+SELECT t.event_type, CAST(t.hr AS BIGINT) AS hr, t.days, m.med_n, a.mad_n,
+  CAST(SUM(CASE WHEN 2 * dev.d > 3 * GREATEST(a.mad_n, 1) THEN 1 ELSE 0 END)
+       AS BIGINT) AS anomalies
+FROM dev JOIN med m USING (event_type, hr) JOIN mad a USING (event_type, hr)
+     JOIN tot t USING (event_type, hr)
+GROUP BY t.event_type, t.hr, t.days, m.med_n, a.mad_n
+ORDER BY t.event_type, hr
+"""
+
+
+@query(
+    "q310_seasonal_anomaly",
+    _ANOM_ORACLE,
+    doc="Seasonal anomaly census — the robust-statistics consumer of "
+    "q292's load profile: per (type, hour-of-day), the exact integer "
+    "lower-median and MAD of the per-day counts (the q223 crossing "
+    "device, PARTITIONED by the 120-cell grid), then days whose "
+    "deviation exceeds 1.5x MAD (2·d > 3·max(mad,1) — pure integers, "
+    "live at every SF: 11/976/1053 anomalous cell-days) — the "
+    "median/MAD baseline alerting pipelines use BECAUSE mean/stddev "
+    "break on the very outliers being hunted.  Scale shape: events "
+    "reduce map-side to the (type, hr, day) count relation; every "
+    "ordered window is partitioned per grid cell over the bounded "
+    "count-frequency relation.",
+    tags=("events", "window", "metrics"),
+)
+def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    e = ev.select(
+        "event_type",
+        F.expr(f"{us} DIV {_DAY_US}").alias("day"),
+        F.expr(f"({us} % {_DAY_US}) DIV {_HR_US}").alias("hr"),
+    )
+    c = e.groupBy("event_type", "hr", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    c = c.localCheckpoint(eager=False)  # feeds median, deviations, census
+    vc = c.groupBy("event_type", "hr", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = vc.groupBy("event_type", "hr").agg(
+        F.sum("cnt").cast("long").alias("days")
+    )
+    w_n = (
+        Window.partitionBy("event_type", "hr")
+        .orderBy("n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.withColumn("cc", F.sum("cnt").over(w_n))
+    med = (
+        cum.join(tot, ["event_type", "hr"])
+        .filter(F.col("cc") >= F.expr("(days + 1) DIV 2"))
+        .groupBy("event_type", "hr")
+        .agg(F.min("n").cast("long").alias("med_n"))
+    )
+    dev = c.join(med, ["event_type", "hr"]).select(
+        "event_type", "hr", "n", F.abs(F.col("n") - F.col("med_n")).alias("d")
+    )
+    dev = dev.localCheckpoint(eager=False)  # feeds MAD AND the census
+    dc = dev.groupBy("event_type", "hr", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_d = (
+        Window.partitionBy("event_type", "hr")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dcum = dc.withColumn("cc", F.sum("cnt").over(w_d))
+    mad = (
+        dcum.join(tot, ["event_type", "hr"])
+        .filter(F.col("cc") >= F.expr("(days + 1) DIV 2"))
+        .groupBy("event_type", "hr")
+        .agg(F.min("d").cast("long").alias("mad_n"))
+    )
+    return (
+        dev.join(med, ["event_type", "hr"])
+        .join(mad, ["event_type", "hr"])
+        .join(tot, ["event_type", "hr"])
+        .groupBy("event_type", "hr", "days", "med_n", "mad_n")
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("d") > 3 * F.greatest(F.col("mad_n"), F.lit(1)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("anomalies")
+        )
+        .select(
+            "event_type",
+            F.col("hr").cast("long").alias("hr"),
+            "days",
+            "med_n",
+            "mad_n",
+            "anomalies",
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q314: A/B assignment + sample-ratio-mismatch census
+
+_SRM_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+asg AS (SELECT user_id,
+  ('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk
+  FROM u),
+armed AS (SELECT CASE WHEN bk < 50 THEN 'A_control'
+                      WHEN bk < 75 THEN 'B_treat1' ELSE 'C_treat2' END AS arm,
+                 CASE WHEN bk < 50 THEN 50 WHEN bk < 75 THEN 25 ELSE 25 END AS pct
+          FROM asg),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM armed)
+SELECT arm, CAST(COUNT(*) AS BIGINT) AS users,
+  CAST(ANY_VALUE(pct) AS BIGINT) AS pct_intended, t.n AS total_users,
+  CAST((1000000 * ABS(100 * COUNT(*) - ANY_VALUE(pct) * t.n))
+       // (ANY_VALUE(pct) * t.n) AS BIGINT) AS srm_delta_ppm
+FROM armed, t GROUP BY arm, t.n ORDER BY arm
+"""
+
+
+@query(
+    "q314_ab_srm_census",
+    _SRM_ORACLE,
+    doc="A/B assignment + sample-ratio-mismatch census — the first sanity "
+    "check every experiment platform runs: users hash-bucket "
+    "deterministically into 50/25/25 arms (md5 mod 100, the same "
+    "portable integer device as q73's hash sample — assignment is "
+    "reproducible on any engine, no state), and each arm reports its "
+    "observed count against the intended ratio as an exact integer "
+    "mismatch ppm (|100·obs − pct·total| scaled — no floats).  A large "
+    "delta means broken bucketing or differential logging BEFORE any "
+    "metric is read.  Scale shape: events reduce to the distinct-user "
+    "relation map-side; assignment is a map-only expression; the census "
+    "is a 3-row aggregate with a 1-row total broadcast.",
+    tags=("events", "agg", "metrics"),
+)
+def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.select("user_id").distinct()
+    asg = u.select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(100),
+        ).alias("bk")
+    )
+    armed = asg.select(
+        F.when(F.col("bk") < 50, "A_control")
+        .when(F.col("bk") < 75, "B_treat1")
+        .otherwise("C_treat2")
+        .alias("arm"),
+        F.when(F.col("bk") < 50, 50).otherwise(25).alias("pct"),
+    )
+    t = armed.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        armed.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("users"),
+            F.first("pct").cast("long").alias("pct_intended"),
+        )
+        .crossJoin(F.broadcast(t))
+        .select(
+            "arm",
+            "users",
+            "pct_intended",
+            F.col("n").alias("total_users"),
+            F.expr(
+                "CAST((1000000 * ABS(100 * users - pct_intended * n)) "
+                "DIV (pct_intended * n) AS BIGINT)"
+            ).alias("srm_delta_ppm"),
+        )
+        .orderBy("arm")
+    )

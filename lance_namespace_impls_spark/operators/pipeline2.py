@@ -358,3 +358,104 @@ def q269(spark: SparkSession, sf_dir: str) -> DataFrame:
             "law_holds"
         ),
     ).orderBy("source", "lane")
+
+
+# ---------------------------------------------------------------------------
+# q311: near-dup cluster purity (round 8 — the dedup-eval artifact)
+
+_PURITY_ORACLE = (
+    "WITH RECURSIVE "
+    "w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents), "
+    "t AS (SELECT doc_id, list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    "      for i in range(1, len(ws)-1)]) AS toks FROM w WHERE len(ws) >= 3), "
+    "e AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM t a JOIN t b ON a.doc_id < b.doc_id "
+    "      WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) "
+    "            / len(list_distinct(a.toks || b.toks)) >= 0.5), "
+    "ee AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e), "
+    "reach(node, lab) AS ("
+    "  SELECT doc_id, doc_id FROM documents "
+    "  UNION "
+    "  SELECT ee.src, reach.lab FROM reach JOIN ee ON ee.dst = reach.node "
+    "  WHERE reach.lab < ee.src) "
+    ", compo AS (SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS component "
+    "  FROM reach GROUP BY node), "
+    "cs AS (SELECT c.component, d.source, CAST(COUNT(*) AS BIGINT) AS k "
+    "  FROM compo c JOIN documents d USING (doc_id) GROUP BY c.component, d.source), "
+    "sz AS (SELECT component, CAST(SUM(k) AS BIGINT) AS size, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_sources FROM cs GROUP BY component), "
+    "mj AS (SELECT component, source AS majority_source, k AS majority_n FROM ("
+    "  SELECT component, source, k, ROW_NUMBER() OVER ("
+    "    PARTITION BY component ORDER BY k DESC, source) AS rn FROM cs) WHERE rn = 1) "
+    "SELECT s.component, s.size, s.n_sources, m.majority_source, m.majority_n, "
+    "  CAST((1000000 * m.majority_n) // s.size AS BIGINT) AS purity_ppm "
+    "FROM sz s JOIN mj m USING (component) WHERE s.size > 1 ORDER BY s.component"
+)
+
+
+@query(
+    "q311_component_purity",
+    _PURITY_ORACLE,
+    doc="Near-dup cluster purity — the dedup-eval artifact that says "
+    "whether q204's clusters are REAL duplicates (template copies land "
+    "same-source, purity 1e6) or cross-source contamination (mixed "
+    "clusters — the interesting ones for provenance review): per "
+    "multi-member component, size, distinct sources, the majority "
+    "source (count-then-name argmax, deterministic) and integer purity "
+    "ppm.  Shares q204's edges + recursive-CTE component truth, so "
+    "clustering AND the purity report are hash-checked end-to-end.  "
+    "Scale shape: components from the O(log n) contraction; the purity "
+    "pass is two component-keyed aggregates and a component-partitioned "
+    "argmax window over the (component, source) relation — bounded by "
+    "cluster count x sources.",
+    tags=("llm", "dedup", "graph", "quality"),
+)
+def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lance_namespace_impls_spark.operators.pipeline import (
+        connected_components_contraction,
+        neardup_edges,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    raw_edges = neardup_edges(docs, 0.5)
+    edges = raw_edges.selectExpr("id_a AS src", "id_b AS dst")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    comp = connected_components_contraction(nodes, edges)
+    raw_edges._lni_cached.unpersist()
+    cs = (
+        comp.selectExpr("node AS doc_id", "lab AS component")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("component", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    cs = cs.localCheckpoint(eager=False)  # feeds sizes AND the argmax
+    sz = cs.groupBy("component").agg(
+        F.sum("k").cast("long").alias("size"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+    )
+    w = Window.partitionBy("component").orderBy(F.col("k").desc(), "source")
+    mj = (
+        cs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("source").alias("majority_source"),
+            F.col("k").alias("majority_n"),
+        )
+    )
+    return (
+        sz.join(mj, "component")
+        .filter(F.col("size") > 1)
+        .select(
+            F.col("component").cast("long").alias("component"),
+            "size",
+            "n_sources",
+            "majority_source",
+            "majority_n",
+            F.expr("CAST((1000000 * majority_n) DIV size AS BIGINT)").alias(
+                "purity_ppm"
+            ),
+        )
+        .orderBy("component")
+    )

@@ -74,6 +74,9 @@ CARTESIAN_ALLOWED = {
     "q307_linear_attribution": "two 1-row purchase/attributed censuses cross-joined into the none row",
     "q308_perplexity_tertiles": "1-row corpus-total + two 1-row tertile-threshold bounds broadcast into the classifier",
     "q309_bloom_sizing_plan": "2-row constant fpp-target grid broadcast over the fragment census",
+    "q312_deletion_cascade": "three (total, deleted) 1-row census pairs cross-joined per table row",
+    "q313_incremental_lsh_maintenance": "1-row full/base/delta pair counts cross-joined into the law row",
+    "q314_ab_srm_census": "1-row total-users bound broadcast into the mismatch arithmetic",
 }
 
 # streaming builders start real runs; their plans are covered by the

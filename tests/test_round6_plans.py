@@ -77,6 +77,8 @@ NO_SINGLE_PARTITION = [
     "q305_changelog_compaction",  # per-key compaction window, op censuses
     "q306_simhash_multitable",  # vote aggregates + per-(table,bucket) join
     "q309_bloom_sizing_plan",  # fragment census x 2-row constant grid
+    "q310_seasonal_anomaly",  # grid-partitioned median/MAD crossing windows
+    "q311_component_purity",  # contraction checkpoints; component argmax
 ]
 
 # Queries whose output is (or depends on) a global 1-row bound: a keyless
@@ -93,6 +95,9 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q303_copurchase_pairs",  # 1-row distinct-order-count bound
     "q307_linear_attribution",  # purchase/attributed 1-row censuses
     "q308_perplexity_tertiles",  # corpus-total + tertile-threshold bounds
+    "q312_deletion_cascade",  # three (total, deleted) 1-row census pairs
+    "q313_incremental_lsh_maintenance",  # seven 1-row metric censuses
+    "q314_ab_srm_census",  # 1-row total-users bound
 ]
 
 
