@@ -445,3 +445,81 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fragment", "fpp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q316: storage tiering plan (round 8)
+
+_TIER_DAY_US = 86_400_000_000
+_TIER_HOT_D = 7
+_TIER_WARM_D = 21
+
+_TIER_ORACLE = f"""
+WITH e AS (SELECT epoch_us(ts) // {_TIER_DAY_US} AS day FROM events),
+p AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS rows_total FROM e GROUP BY day),
+mx AS (SELECT CAST(MAX(day) AS BIGINT) AS maxd FROM p),
+tiered AS (SELECT p.day, p.rows_total, mx.maxd - p.day AS age_d,
+  CASE WHEN mx.maxd - p.day <= {_TIER_HOT_D} THEN '1_hot'
+       WHEN mx.maxd - p.day <= {_TIER_WARM_D} THEN '2_warm'
+       ELSE '3_cold' END AS tier
+  FROM p, mx),
+tot AS (SELECT CAST(SUM(rows_total) AS BIGINT) AS n FROM p)
+SELECT tier, CAST(COUNT(*) AS BIGINT) AS partitions,
+  CAST(SUM(rows_total) AS BIGINT) AS rows_total,
+  CAST(MIN(age_d) AS BIGINT) AS min_age_d, CAST(MAX(age_d) AS BIGINT) AS max_age_d,
+  CAST((1000000 * SUM(rows_total)) // tot.n AS BIGINT) AS share_ppm
+FROM tiered, tot GROUP BY tier, tot.n ORDER BY tier
+"""
+
+
+@query(
+    "q316_storage_tiering_plan",
+    _TIER_ORACLE,
+    doc="Storage tiering plan — the lifecycle decision every day-partitioned "
+    "event table runs nightly: partitions age against the table's max day "
+    f"(hot <= {_TIER_HOT_D} d, warm <= {_TIER_WARM_D} d, else cold) and "
+    "the plan reports per-tier partition/row counts, age range and row "
+    "share ppm — the relation a tiering job feeds to storage-class moves "
+    "(and the pruning prior for q107-style partition elimination).  All "
+    "three tiers live at every SF (the fixture spans ~30 days).  Scale "
+    "shape: events reduce map-side to the day-partition census; the "
+    "anchor is a 1-row max-day bound; the plan is calendar-sized.",
+    tags=("scan", "maintenance", "events"),
+)
+def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.select(
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_TIER_DAY_US}").alias("day")
+    ).groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("rows_total"))
+    p = p.localCheckpoint(eager=False)  # feeds the anchor, tiers AND total
+    mx = p.agg(F.max("day").cast("long").alias("maxd"))
+    tot = p.agg(F.sum("rows_total").cast("long").alias("n"))
+    tiered = p.crossJoin(F.broadcast(mx)).select(
+        "rows_total",
+        (F.col("maxd") - F.col("day")).alias("age_d"),
+        F.when(F.col("maxd") - F.col("day") <= _TIER_HOT_D, "1_hot")
+        .when(F.col("maxd") - F.col("day") <= _TIER_WARM_D, "2_warm")
+        .otherwise("3_cold")
+        .alias("tier"),
+    )
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("partitions"),
+            F.sum("rows_total").cast("long").alias("rows_total"),
+            F.min("age_d").cast("long").alias("min_age_d"),
+            F.max("age_d").cast("long").alias("max_age_d"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            "partitions",
+            "rows_total",
+            "min_age_d",
+            "max_age_d",
+            F.expr("CAST((1000000 * rows_total) DIV n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("tier")
+    )

@@ -464,3 +464,127 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q315: sketch accuracy census (round 8 — the cross-sketch artifact)
+
+_ACC_KMV_EST = (
+    f"CASE WHEN kk < {_KMV_K} THEN exact_distinct "
+    "ELSE ((kk - 1) * 4294967296) // mk END"
+)
+
+_ACC_ORACLE = (
+    "WITH toks AS (SELECT source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), "
+    "big AS (SELECT source, tk[i] || ' ' || tk[i + 1] AS w FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    "dist AS (SELECT DISTINCT source, w FROM big), "
+    f"hs AS (SELECT source, {_H32_DUCK.format(x='w')} AS h FROM dist), "
+    "ranked AS (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk FROM hs), "
+    "kth AS (SELECT source, CAST(MAX(h) AS BIGINT) AS mk, CAST(COUNT(*) AS BIGINT) AS kk "
+    f"  FROM ranked WHERE rk <= {_KMV_K} GROUP BY source), "
+    f"rr AS (SELECT source, h % {_HLL_M} AS reg, h // {_HLL_M} AS rest FROM hs), "
+    f"rho AS (SELECT source, reg, MAX({_RHO}) AS mx FROM rr GROUP BY source, reg), "
+    "grid AS (SELECT s.source, g.range AS reg "
+    f"  FROM (SELECT DISTINCT source FROM dist) s, range({_HLL_M}) g), "
+    "filled AS (SELECT g.source, COALESCE(r.mx, 0) AS mx FROM grid g "
+    "  LEFT JOIN rho r ON g.source = r.source AND g.reg = r.reg), "
+    "zsum AS (SELECT source, SUM(1073741824 >> mx) AS z FROM filled GROUP BY source), "
+    "truth AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM dist GROUP BY source), "
+    "est AS (SELECT t.source, t.exact_distinct, "
+    f"  CAST({_ACC_KMV_EST} AS BIGINT) AS kmv_est, "
+    f"  CAST({_HLL_NUM} // (1000 * z.z) AS BIGINT) AS hll_est "
+    "  FROM truth t JOIN kth USING (source) JOIN zsum z USING (source)) "
+    "SELECT source, exact_distinct, kmv_est, hll_est, "
+    "  CAST((1000000 * ABS(kmv_est - exact_distinct)) // exact_distinct AS BIGINT) AS kmv_err_ppm, "
+    "  CAST((1000000 * ABS(hll_est - exact_distinct)) // exact_distinct AS BIGINT) AS hll_err_ppm "
+    "FROM est ORDER BY source"
+)
+
+
+@query(
+    "q315_sketch_accuracy_census",
+    _ACC_ORACLE,
+    doc="Sketch accuracy census — the cross-sketch decision artifact "
+    "q221/q228 each show half of: per source, the exact distinct bigram "
+    "count against BOTH the KMV (k=64) and HLL (m=64) estimates with "
+    "integer error ppm for each — what picks the sketch (and its "
+    "memory/error point) before a 100 TB profiling run commits to one. "
+    " |est − exact| is the one place a signed value appears; it is "
+    "wrapped in ABS before the DIV, so the cross-engine sign rule "
+    "holds.  Scale shape: ONE dedup + hash pass feeds both sketches "
+    "(the whole point — production profilers compute sketch families "
+    "off a shared scan); KMV state is k rows and HLL state 64 registers "
+    "per source, both map-side-combinable.",
+    tags=("llm", "sketch", "aggregates", "quality"),
+)
+def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    dist = _source_bigrams(docs).distinct()
+    dist = dist.localCheckpoint(eager=False)  # feeds truth + both sketches
+    hs = dist.select("source", F.expr(_H32.format(x="w")).cast("long").alias("h"))
+    hs = hs.localCheckpoint(eager=False)  # feeds KMV ranks + HLL registers
+    ranked = hs.select(
+        "source",
+        "h",
+        F.row_number().over(Window.partitionBy("source").orderBy("h")).alias("rk"),
+    )
+    kth = (
+        ranked.filter(F.col("rk") <= _KMV_K)
+        .groupBy("source")
+        .agg(
+            F.max("h").cast("long").alias("mk"),
+            F.count(F.lit(1)).cast("long").alias("kk"),
+        )
+    )
+    rr = hs.select(
+        "source",
+        (F.col("h") % _HLL_M).alias("reg"),
+        F.expr(f"h DIV {_HLL_M}").alias("rest"),
+    )
+    rho = rr.groupBy("source", "reg").agg(F.expr(f"MAX({_RHO})").alias("mx"))
+    grid = (
+        dist.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(_HLL_M - 1))).alias("reg"),
+        )
+    )
+    zsum = (
+        grid.join(rho, ["source", "reg"], "left")
+        .select("source", F.coalesce("mx", F.lit(0)).alias("mx"))
+        .groupBy("source")
+        .agg(F.sum(F.expr("shiftright(1073741824, mx)")).alias("z"))
+    )
+    truth = dist.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_distinct")
+    )
+    est = (
+        truth.join(kth, "source")
+        .join(zsum, "source")
+        .select(
+            "source",
+            "exact_distinct",
+            F.when(F.col("kk") < _KMV_K, F.col("exact_distinct"))
+            .otherwise(F.expr("((kk - 1) * 4294967296) DIV mk"))
+            .cast("long")
+            .alias("kmv_est"),
+            F.expr(f"CAST({_HLL_NUM} DIV (1000 * z) AS BIGINT)").alias("hll_est"),
+        )
+    )
+    return est.select(
+        "source",
+        "exact_distinct",
+        "kmv_est",
+        "hll_est",
+        F.expr(
+            "CAST((1000000 * ABS(kmv_est - exact_distinct)) DIV exact_distinct "
+            "AS BIGINT)"
+        ).alias("kmv_err_ppm"),
+        F.expr(
+            "CAST((1000000 * ABS(hll_est - exact_distinct)) DIV exact_distinct "
+            "AS BIGINT)"
+        ).alias("hll_err_ppm"),
+    ).orderBy("source")

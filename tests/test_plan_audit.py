@@ -77,6 +77,7 @@ CARTESIAN_ALLOWED = {
     "q312_deletion_cascade": "three (total, deleted) 1-row census pairs cross-joined per table row",
     "q313_incremental_lsh_maintenance": "1-row full/base/delta pair counts cross-joined into the law row",
     "q314_ab_srm_census": "1-row total-users bound broadcast into the mismatch arithmetic",
+    "q316_storage_tiering_plan": "1-row max-day anchor + 1-row total broadcast over the day census",
 }
 
 # streaming builders start real runs; their plans are covered by the

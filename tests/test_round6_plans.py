@@ -79,6 +79,7 @@ NO_SINGLE_PARTITION = [
     "q309_bloom_sizing_plan",  # fragment census x 2-row constant grid
     "q310_seasonal_anomaly",  # grid-partitioned median/MAD crossing windows
     "q311_component_purity",  # contraction checkpoints; component argmax
+    "q315_sketch_accuracy_census",  # per-source sketch states, no collapse
 ]
 
 # Queries whose output is (or depends on) a global 1-row bound: a keyless
@@ -98,6 +99,7 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q312_deletion_cascade",  # three (total, deleted) 1-row census pairs
     "q313_incremental_lsh_maintenance",  # seven 1-row metric censuses
     "q314_ab_srm_census",  # 1-row total-users bound
+    "q316_storage_tiering_plan",  # 1-row max-day anchor + total bound
 ]
 
 
