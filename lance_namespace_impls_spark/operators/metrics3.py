@@ -1,5 +1,5 @@
 """Round-8 batch 3: event-sequence product analytics (SURVEY.md §2B rows
-q298–q299).
+q298–q299, q307, q310, q314).
 
 * **Ordered funnel (q298)** — the signup → view → click → purchase
   conversion funnel with a per-step 24 h completion window: each step's
@@ -12,6 +12,13 @@ q298–q299).
   cumulative-crossing device over the (type, gap)-frequency relation —
   the latency/cadence distribution capacity models consume, computed
   exactly with no single-task sort and no float percentile.
+* **Linear attribution (q307)** — fair-split multi-touch credit with
+  exact integer conservation (1e6 ppm per purchase, remainder to the
+  earliest touch).
+* **Seasonal anomaly census (q310)** — per-(type, hour) integer
+  median/MAD baseline + 1.5×MAD outlier days.
+* **A/B SRM census (q314)** — deterministic md5 arm assignment with
+  sample-ratio-mismatch ppm per arm.
 
 Reference parity note: the reference repo (lance-format/lance-namespace-impls)
 contains no query-processing code; these extend the data plane per

@@ -1,5 +1,5 @@
 """Round-7 batch 3: pipeline accounting & sketch laws (SURVEY.md §2B rows
-q266–q269).
+q266–q269; round-8 addition q311 component purity).
 
 * **Dedup funnel (q266)** — the stage-by-stage accounting report every
   dedup pipeline publishes: exact text dedup first (keep-lowest-id per

@@ -1,5 +1,5 @@
 """Round-8 batch 2: corpus quality gates and eval hygiene (SURVEY.md §2B
-rows q297, q301, q302).
+rows q297, q301, q302, q308).
 
 * **Gopher rules census (q297)** — the multi-rule Gopher-style quality
   matrix (Rae et al. 2021): token-count bounds, mean-word-length bounds,
@@ -15,6 +15,9 @@ rows q297, q301, q302).
   heuristic evaluated against the labeled lang column as a (lang, pred)
   confusion matrix with per-cell share — the eval artifact a router or
   filter threshold is actually chosen from.
+* **Perplexity tertiles (q308)** — CCNet-style head/middle/tail
+  bucketing on the integer bigram-LM milli-bits score, thresholds from
+  the cumulative-crossing rule via ``distributed_running_sum``.
 
 Reference parity note: the reference repo (lance-format/lance-namespace-impls)
 contains no query-processing code; these extend the data plane per

@@ -1,5 +1,5 @@
 """Round-7 batch 5: scan planning & temporal-join surface (SURVEY.md §2B
-rows q273–q275).
+rows q273–q275; round-8 additions q309 Bloom sizing and q316 tiering plan).
 
 * **Tolerance as-of join (q273)** — q63's as-of join with the bound every
   production use carries: a click matches its most recent preceding view
@@ -522,4 +522,115 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q318: clustering-effectiveness audit (round 8)
+
+_CL_NFRAG = 20
+_CL_DAY_US = 86_400_000_000
+
+_CLUSTER_ORACLE = f"""
+WITH e AS (SELECT event_id, epoch_us(ts) // {_CL_DAY_US} AS day FROM events),
+w AS (SELECT GREATEST((MAX(event_id) + {_CL_NFRAG}) // {_CL_NFRAG}, 1) AS width FROM e),
+lay AS (
+  SELECT 'a_clustered' AS layout, e.event_id // w.width AS frag, e.day FROM e, w
+  UNION ALL
+  SELECT 'b_hashed',
+    (('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT) % {_CL_NFRAG},
+    e.day FROM e
+),
+zones AS (SELECT layout, frag, MIN(day) AS mind, MAX(day) AS maxd
+          FROM lay GROUP BY layout, frag),
+probes AS (SELECT DISTINCT day FROM e),
+stats AS (SELECT layout, CAST(COUNT(DISTINCT frag) AS BIGINT) AS fragments
+          FROM zones GROUP BY layout),
+touch AS (SELECT z.layout, CAST(COUNT(*) AS BIGINT) AS touched
+          FROM zones z JOIN probes p ON p.day BETWEEN z.mind AND z.maxd
+          GROUP BY z.layout),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_probes FROM probes)
+SELECT s.layout, s.fragments, np.n_probes, t.touched,
+  CAST((1000 * t.touched) // (s.fragments * np.n_probes) AS BIGINT) AS touch_permil
+FROM stats s JOIN touch t USING (layout), np ORDER BY s.layout
+"""
+
+
+@query(
+    "q318_clustering_effectiveness",
+    _CLUSTER_ORACLE,
+    doc="Clustering-effectiveness audit — the number that justifies "
+    "sort-on-write: the SAME events under (a) the natural id-clustered "
+    f"layout ({_CL_NFRAG} sequential fragments; ids arrive in time "
+    "order, so each fragment spans ~1-2 days) and (b) an md5-hashed "
+    "layout (every fragment spans the whole month), zonemapped on day "
+    "and probed with every distinct day as a point-range query.  "
+    "touch_permil is the fraction of (probe × fragment) pairs a zonemap "
+    "scan cannot skip — clustered ~60-100, hashed 1000 (skips NOTHING): "
+    "the measured gap IS the q140 Z-order/q238 zonemap payoff, stated "
+    "as one relation.  Scale shape: one pass builds both layouts' "
+    "zonemaps map-side; the probe join is (fragments × days) — "
+    "metadata-sized at any corpus size.",
+    tags=("scan", "layout", "audit"),
+)
+def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "event_id",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_CL_DAY_US}").alias("day"),
+    )
+    e = e.localCheckpoint(eager=False)  # feeds width, both layouts, probes
+    w = e.agg(
+        F.expr(
+            f"CAST(GREATEST((MAX(event_id) + {_CL_NFRAG}) DIV {_CL_NFRAG}, 1) "
+            "AS BIGINT)"
+        ).alias("width")
+    )
+    clustered = e.crossJoin(F.broadcast(w)).select(
+        F.lit("a_clustered").alias("layout"),
+        F.expr("event_id DIV width").alias("frag"),
+        "day",
+    )
+    hashed = e.select(
+        F.lit("b_hashed").alias("layout"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(_CL_NFRAG),
+        ).alias("frag"),
+        "day",
+    )
+    zones = (
+        clustered.unionByName(hashed)
+        .groupBy("layout", "frag")
+        .agg(F.min("day").alias("mind"), F.max("day").alias("maxd"))
+    )
+    zones = zones.localCheckpoint(eager=False)  # feeds stats AND the probe join
+    probes = e.select("day").distinct()
+    probes = probes.localCheckpoint(eager=False)  # feeds count AND the join
+    stats = zones.groupBy("layout").agg(
+        F.count_distinct("frag").cast("long").alias("fragments")
+    )
+    touch = (
+        zones.join(
+            F.broadcast(probes),
+            (F.col("day") >= F.col("mind")) & (F.col("day") <= F.col("maxd")),
+        )
+        .groupBy("layout")
+        .agg(F.count(F.lit(1)).cast("long").alias("touched"))
+    )
+    np_ = probes.agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+    return (
+        stats.join(touch, "layout")
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "layout",
+            "fragments",
+            "n_probes",
+            "touched",
+            F.expr(
+                "CAST((1000 * touched) DIV (fragments * n_probes) AS BIGINT)"
+            ).alias("touch_permil"),
+        )
+        .orderBy("layout")
     )

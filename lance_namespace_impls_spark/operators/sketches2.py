@@ -1,5 +1,5 @@
 """Portable sketch twins: KMV distinct estimation and a Bloom-filter
-membership audit (SURVEY.md §2B rows q221–q222).
+membership audit (SURVEY.md §2B rows q221–q222; later additions q228/q244 HLL and the round-8 q315 cross-sketch accuracy census).
 
 q64 declares Spark's native HLL++ ``approx_count_distinct`` (no oracle —
 the sketch is implementation-defined).  These two give the sketch family

@@ -78,6 +78,7 @@ CARTESIAN_ALLOWED = {
     "q313_incremental_lsh_maintenance": "1-row full/base/delta pair counts cross-joined into the law row",
     "q314_ab_srm_census": "1-row total-users bound broadcast into the mismatch arithmetic",
     "q316_storage_tiering_plan": "1-row max-day anchor + 1-row total broadcast over the day census",
+    "q318_clustering_effectiveness": "1-row width bound + ~30-row probe list against 40 zonemap rows",
 }
 
 # streaming builders start real runs; their plans are covered by the

@@ -100,6 +100,8 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q313_incremental_lsh_maintenance",  # seven 1-row metric censuses
     "q314_ab_srm_census",  # 1-row total-users bound
     "q316_storage_tiering_plan",  # 1-row max-day anchor + total bound
+    "q317_selectivity_correlation",  # four map-side-combined census rows
+    "q318_clustering_effectiveness",  # 1-row width bound + probe-count bound
 ]
 
 
