@@ -760,6 +760,9 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = bands.selectExpr("doc_id AS da", "b", "bkey", "is_new AS na")
     b = bands.selectExpr("doc_id AS db", "b", "bkey", "is_new AS nb")
     joined = a.join(b, ["b", "bkey"]).filter(F.col("da") < F.col("db"))
+    # Checkpointed: the base/delta/full pair censuses all consume this
+    # bucket join — uncached it would execute three times.
+    joined = joined.localCheckpoint(eager=False)
 
     def metric(name: str, df: DataFrame) -> DataFrame:
         return df.agg(

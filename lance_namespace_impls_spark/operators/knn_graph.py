@@ -432,7 +432,14 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    g = q270(spark, sf_dir).select("vec_id", "neighbor")
+    # Checkpointed: BOTH sides of the mutuality semi-join read the kNN
+    # edges — without it the whole q270 subtree (routing + cell pair join)
+    # executes twice (measured ~2x the row's cost at sf0.1).
+    g = (
+        q270(spark, sf_dir)
+        .select("vec_id", "neighbor")
+        .localCheckpoint(eager=False)
+    )
     rev = g.select(
         F.col("neighbor").alias("vec_id"), F.col("vec_id").alias("neighbor")
     )
