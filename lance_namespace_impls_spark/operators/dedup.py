@@ -519,3 +519,265 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV size(array_union(ta, tb)) AS BIGINT)"
         ).alias("sim_permil"),
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# q319 — dedup robustness matrix (round 8): which family member survives
+# which edit class
+
+_ROB_MOD = 50  # seed twins from every 50th doc
+_ROB_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(_SH_BITS)
+)
+_ROB_FOLD = " + ".join(
+    f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(_SH_BITS)
+)
+
+_ROBUST_ORACLE = f"""
+WITH raw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+             FROM documents WHERE doc_id % {_ROB_MOD} = 0),
+tw AS (
+  SELECT doc_id, 'c1_exact' AS cls, doc_id + 1000000 AS tid, tk AS ttk FROM raw
+  UNION ALL
+  SELECT doc_id, 'c2_light', doc_id + 2000000,
+    ['q319l' || CAST(doc_id AS VARCHAR)] || tk[2:] FROM raw WHERE len(tk) >= 2
+  UNION ALL
+  SELECT doc_id, 'c3_heavy', doc_id + 3000000,
+    list_transform(tk, (x, i) -> CASE WHEN (i - 1) % 3 = 0
+      THEN 'q319h' || CAST(doc_id AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)
+      ELSE x END) FROM raw
+),
+allt AS (
+  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\\s+') AS tk
+  FROM documents
+  UNION ALL SELECT tid, ttk FROM tw
+),
+sh AS (SELECT id, [array_to_string(tk[i:i+2], ' ')
+       for i in generate_series(1, len(tk)-2)] AS s FROM allt WHERE len(tk) >= 3),
+hx AS (SELECT id, list_transform(s, t -> md5(t) || md5('x|' || t)) AS hx FROM sh),
+sg1 AS (SELECT id, [list_min(list_transform(hx, h ->
+        ('0x' || substr(h, 1 + 8*s, 8))::BIGINT % 2147483647))
+        for s in generate_series(0, 7)] AS sig FROM hx),
+bands AS (SELECT id, b, sig[2*b+1]::VARCHAR || ',' || sig[2*b+2]::VARCHAR AS bk
+          FROM sg1, unnest(generate_series(0, 3)) AS u(b)),
+mh_pairs AS (SELECT DISTINCT a.id AS ia, b.id AS ib FROM bands a JOIN bands b
+             ON a.b = b.b AND a.bk = b.bk AND a.id < b.id),
+tok AS (SELECT id, unnest(tk) AS t FROM allt),
+hh AS (SELECT id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+vv AS (SELECT id, {_ROB_VOTES} FROM hh GROUP BY id),
+ss AS (SELECT id, CAST({_ROB_FOLD} AS BIGINT) AS sg FROM vv),
+seg AS (SELECT id, sg, k, (sg >> (15*k)) & 32767 AS s
+        FROM ss, unnest([0, 1, 2, 3]) AS u(k)),
+sh_pairs AS (SELECT DISTINCT a.id AS ia, b.id AS ib FROM seg a JOIN seg b
+             ON a.k = b.k AND a.s = b.s AND a.id < b.id
+             WHERE bit_count(xor(a.sg, b.sg)) <= 3),
+txt AS (SELECT id, array_to_string(tk, ' ') AS t2 FROM allt),
+ex_pairs AS (SELECT a.id AS ia, b.id AS ib FROM txt a JOIN txt b
+             ON a.t2 = b.t2 AND a.id < b.id),
+caught AS (
+  SELECT tw.cls, 'm1_exact_md5' AS method, COUNT(*) AS seeded,
+    SUM(CASE WHEN EXISTS (SELECT 1 FROM ex_pairs e
+        WHERE e.ia = tw.doc_id AND e.ib = tw.tid) THEN 1 ELSE 0 END) AS caught
+  FROM tw GROUP BY tw.cls
+  UNION ALL
+  SELECT tw.cls, 'm2_minhash_4x2', COUNT(*),
+    SUM(CASE WHEN EXISTS (SELECT 1 FROM mh_pairs m
+        WHERE m.ia = tw.doc_id AND m.ib = tw.tid) THEN 1 ELSE 0 END)
+  FROM tw GROUP BY tw.cls
+  UNION ALL
+  SELECT tw.cls, 'm3_simhash_h3', COUNT(*),
+    SUM(CASE WHEN EXISTS (SELECT 1 FROM sh_pairs s2
+        WHERE s2.ia = tw.doc_id AND s2.ib = tw.tid) THEN 1 ELSE 0 END)
+  FROM tw GROUP BY tw.cls
+)
+SELECT cls, method, CAST(seeded AS BIGINT) AS seeded,
+  CAST(caught AS BIGINT) AS caught,
+  CAST((1000000 * caught) // seeded AS BIGINT) AS recall_ppm
+FROM caught ORDER BY cls, method
+"""
+
+
+@query(
+    "q319_dedup_robustness_matrix",
+    _ROBUST_ORACLE,
+    doc="Dedup robustness matrix — which family member survives which edit "
+    "class: seeded twins in three classes (exact copy; light edit = first "
+    "token replaced; heavy edit = every 3rd token replaced) scored "
+    "against three detectors on the SAME corpus+twins relation — exact "
+    "normalized-text match, the q161 portable MinHash 4x2 banding, and "
+    "the q306 4-segment SimHash at Hamming <= 3.  The measured matrix IS "
+    "the textbook: exact catches only copies (0 recall on any edit), "
+    "MinHash catches light edits totally (3-gram shingles absorb one "
+    "token), SimHash most of them, and heavy edits escape everything — "
+    "the honest boundary that motivates the q229/q294 span-level family. "
+    " Scale shape: one tokenize pass feeds all three detectors; each "
+    "detector is its declared row's plan (banded joins, segment tables, "
+    "md5 equality) over the corpus+twins union; the scoring is a "
+    "9-cell census via semi-join membership of the seeded (orig, twin) "
+    "pairs.",
+    tags=("llm", "dedup", "quality"),
+)
+def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.functions.hashing import (
+        simhash_from_votes,
+        simhash_vote_exprs,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    raw = docs.filter(F.col("doc_id") % _ROB_MOD == 0).select(
+        "doc_id", tokens(F.col("text")).alias("tk")
+    )
+    raw = raw.localCheckpoint(eager=False)  # feeds all three twin classes
+    tw = (
+        raw.select(
+            "doc_id",
+            F.lit("c1_exact").alias("cls"),
+            (F.col("doc_id") + 1000000).alias("tid"),
+            F.col("tk").alias("ttk"),
+        )
+        .unionByName(
+            raw.filter(F.size("tk") >= 2).select(
+                "doc_id",
+                F.lit("c2_light").alias("cls"),
+                (F.col("doc_id") + 2000000).alias("tid"),
+                F.concat(
+                    F.array(F.concat(F.lit("q319l"), F.col("doc_id").cast("string"))),
+                    F.expr("slice(tk, 2, size(tk) - 1)"),
+                ).alias("ttk"),
+            )
+        )
+        .unionByName(
+            raw.select(
+                "doc_id",
+                F.lit("c3_heavy").alias("cls"),
+                (F.col("doc_id") + 3000000).alias("tid"),
+                F.expr(
+                    "transform(tk, (x, i) -> CASE WHEN i % 3 = 0 "
+                    "THEN concat('q319h', CAST(doc_id AS STRING), '_', "
+                    "CAST(i AS STRING)) ELSE x END)"
+                ).alias("ttk"),
+            )
+        )
+    )
+    tw = tw.localCheckpoint(eager=False)  # feeds the union AND the scoring
+    allt = (
+        docs.select(F.col("doc_id").alias("id"), tokens(F.col("text")).alias("tk"))
+        .unionByName(tw.select(F.col("tid").alias("id"), F.col("ttk").alias("tk")))
+    )
+    allt = allt.localCheckpoint(eager=False)  # feeds all three detectors
+
+    # m2: portable MinHash 4x2 banding (q161 geometry) over the union
+    from lance_namespace_impls_spark.operators.corpus import (
+        _portable_minhash_sig,
+    )
+
+    ex_sh = allt.filter(F.size("tk") >= 3).select(
+        F.col("id").alias("doc_id"),
+        F.explode(
+            F.expr(
+                "transform(arrays_zip(slice(tk, 1, size(tk) - 2), "
+                "slice(tk, 2, size(tk) - 2), slice(tk, 3, size(tk) - 2)), "
+                "g -> concat_ws(' ', g['0'], g['1'], g['2']))"
+            )
+        ).alias("t"),
+    )
+    sig = _portable_minhash_sig(ex_sh)
+    bands = sig.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.expr("sequence(0, 3)")).alias("b"),
+        F.expr(
+            "CAST(sig[2*b] AS STRING) || ',' || CAST(sig[2*b+1] AS STRING)"
+        ).alias("bk"),
+    )
+    bands = bands.localCheckpoint(eager=False)  # both join sides
+    mh_pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .distinct()
+    )
+
+    # m3: 4-segment SimHash at Hamming <= 3 (q306 geometry)
+    hh = allt.select("id", F.explode("tk").alias("t")).select(
+        "id", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    ss = (
+        hh.groupBy("id")
+        .agg(*simhash_vote_exprs(F.col("h"), bits=_SH_BITS))
+        .select("id", simhash_from_votes(_SH_BITS).alias("sg"))
+        .localCheckpoint(eager=False)
+    )
+    seg = ss.select(
+        "id",
+        "sg",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"),
+    ).select(
+        "id",
+        "sg",
+        "k",
+        F.expr(
+            "CASE "
+            + " ".join(
+                f"WHEN k = {k} THEN shiftright(sg, {15 * k}) & 32767"
+                for k in range(4)
+            )
+            + " END"
+        ).alias("s"),
+    )
+    sh_pairs = (
+        seg.alias("a")
+        .join(
+            seg.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(hamming64(F.col("a.sg"), F.col("b.sg")) <= 3)
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        .distinct()
+    )
+
+    # m1: exact normalized-text equality (joined on the md5 digest so the
+    # shuffle carries 32-byte keys, not document bodies — the q45 convention)
+    txt = allt.select("id", F.md5(F.concat_ws(" ", F.col("tk"))).alias("t2"))
+    ex_pairs = (
+        txt.alias("a")
+        .join(
+            txt.alias("b"),
+            (F.col("a.t2") == F.col("b.t2")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+    )
+
+    seeds = tw.select("cls", F.col("doc_id").alias("ia"), F.col("tid").alias("ib"))
+    seeds = seeds.localCheckpoint(eager=False)  # scored three times
+
+    def score(method: str, pairs: DataFrame) -> DataFrame:
+        hit = seeds.join(pairs, ["ia", "ib"], "left_semi")
+        tot = seeds.groupBy("cls").agg(F.count(F.lit(1)).cast("long").alias("seeded"))
+        got = hit.groupBy("cls").agg(F.count(F.lit(1)).cast("long").alias("caught"))
+        return tot.join(got, "cls", "left").select(
+            "cls",
+            F.lit(method).alias("method"),
+            "seeded",
+            F.coalesce("caught", F.lit(0)).cast("long").alias("caught"),
+        )
+
+    out = (
+        score("m1_exact_md5", ex_pairs)
+        .unionByName(score("m2_minhash_4x2", mh_pairs))
+        .unionByName(score("m3_simhash_h3", sh_pairs))
+    )
+    return out.select(
+        "cls",
+        "method",
+        "seeded",
+        "caught",
+        F.expr("CAST((1000000 * caught) DIV seeded AS BIGINT)").alias("recall_ppm"),
+    ).orderBy("cls", "method")

@@ -102,6 +102,7 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q316_storage_tiering_plan",  # 1-row max-day anchor + total bound
     "q317_selectivity_correlation",  # four map-side-combined census rows
     "q318_clustering_effectiveness",  # 1-row width bound + probe-count bound
+    "q319_dedup_robustness_matrix",  # three detector joins, class-keyed census
 ]
 
 
