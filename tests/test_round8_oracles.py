@@ -1,0 +1,54 @@
+"""Oracle parity for every round-8 declared row (q294–q319) at smoke scale —
+the same check_query gate the external driver runs, kept in the suite so a
+regression to any builder or oracle fails locally before a driver round."""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.oracle import check_query, duckdb_connection
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+NEW = [
+    "q294_maximal_removal_runs",
+    "q295_graph_dedup",
+    "q297_gopher_rules_census",
+    "q298_ordered_funnel",
+    "q299_interarrival_percentiles",
+    "q300_cell_radius_audit",
+    "q301_charset_hygiene",
+    "q302_langid_confusion",
+    "q303_copurchase_pairs",
+    "q304_revenue_deciles",
+    "q305_changelog_compaction",
+    "q306_simhash_multitable",
+    "q307_linear_attribution",
+    "q308_perplexity_tertiles",
+    "q309_bloom_sizing_plan",
+    "q310_seasonal_anomaly",
+    "q311_component_purity",
+    "q312_deletion_cascade",
+    "q313_incremental_lsh_maintenance",
+    "q314_ab_srm_census",
+    "q315_sketch_accuracy_census",
+    "q316_storage_tiering_plan",
+    "q317_selectivity_correlation",
+    "q318_clustering_effectiveness",
+    "q319_dedup_robustness_matrix",
+]
+# q296 is rows-only (real streaming runs); its value assertions live in
+# tests/test_pyds.py::test_q296_stream_replay_is_idempotent.
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_oracle_match(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
