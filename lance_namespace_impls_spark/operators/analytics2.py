@@ -235,3 +235,96 @@ def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("op")
     )
+
+
+# ---------------------------------------------------------------------------
+# q321: ship-delay SLA percentiles by order priority (round 8)
+
+_SLA_DAYS = 30
+
+_SLA_ORACLE = f"""
+WITH j AS (SELECT o.o_orderpriority AS pri,
+             datediff('day', o.o_orderdate, l.l_shipdate) AS d
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+f AS (SELECT pri, d, CAST(COUNT(*) AS BIGINT) AS c FROM j GROUP BY pri, d),
+t AS (SELECT pri, CAST(SUM(c) AS BIGINT) AS n FROM f GROUP BY pri),
+cum AS (SELECT pri, d, SUM(c) OVER (PARTITION BY pri ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM f),
+p50 AS (SELECT cum.pri, CAST(MIN(cum.d) AS BIGINT) AS p50_d FROM cum JOIN t USING (pri)
+        WHERE cum.cc >= (t.n + 1) // 2 GROUP BY cum.pri),
+p95 AS (SELECT cum.pri, CAST(MIN(cum.d) AS BIGINT) AS p95_d FROM cum JOIN t USING (pri)
+        WHERE 20 * cum.cc >= 19 * t.n GROUP BY cum.pri),
+sla AS (SELECT pri, CAST(SUM(CASE WHEN d <= {_SLA_DAYS} THEN c ELSE 0 END) AS BIGINT)
+        AS within FROM f GROUP BY pri)
+SELECT t.pri AS priority, t.n AS n_lines, p50.p50_d, p95.p95_d,
+  CAST((1000000 * sla.within) // t.n AS BIGINT) AS sla_{_SLA_DAYS}d_ppm
+FROM t JOIN p50 USING (pri) JOIN p95 USING (pri) JOIN sla USING (pri)
+ORDER BY priority
+"""
+
+
+@query(
+    "q321_ship_delay_sla",
+    _SLA_ORACLE,
+    doc="Ship-delay SLA percentiles by order priority — the fulfilment "
+    "report: per priority, exact integer p50/p95 of order-to-ship days "
+    "(the q223 crossing device PARTITIONED by priority over the "
+    "(priority, delay)-frequency relation) plus the within-"
+    f"{_SLA_DAYS}-day attainment ppm.  Delay values may be NEGATIVE in "
+    "the synthetic fixture (dates are generated independently) — the "
+    "crossing device never divides by a value, so signedness is safe; "
+    "the only DIV is the non-negative attainment ratio.  Scale shape: "
+    "one orderkey equi-join, map-side reduction to the bounded "
+    "delay-frequency relation, priority-partitioned windows only.",
+    tags=("relational", "window", "metrics"),
+)
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_orderpriority").alias("pri"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("d"),
+    )
+    f = j.groupBy("pri", "d").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    f = f.localCheckpoint(eager=False)  # feeds totals, cum, sla
+    t = f.groupBy("pri").agg(F.sum("c").cast("long").alias("n"))
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = f.withColumn("cc", F.sum("c").over(w))
+    p50 = (
+        cum.join(t, "pri")
+        .filter(F.col("cc") >= F.expr("(n + 1) DIV 2"))
+        .groupBy("pri")
+        .agg(F.min("d").cast("long").alias("p50_d"))
+    )
+    p95 = (
+        cum.join(t, "pri")
+        .filter(20 * F.col("cc") >= 19 * F.col("n"))
+        .groupBy("pri")
+        .agg(F.min("d").cast("long").alias("p95_d"))
+    )
+    sla = f.groupBy("pri").agg(
+        F.sum(F.when(F.col("d") <= _SLA_DAYS, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("within")
+    )
+    return (
+        t.join(p50, "pri")
+        .join(p95, "pri")
+        .join(sla, "pri")
+        .select(
+            F.col("pri").alias("priority"),
+            F.col("n").alias("n_lines"),
+            "p50_d",
+            "p95_d",
+            F.expr(f"CAST((1000000 * within) DIV n AS BIGINT)").alias(
+                f"sla_{_SLA_DAYS}d_ppm"
+            ),
+        )
+        .orderBy("priority")
+    )

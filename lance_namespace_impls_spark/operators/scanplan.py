@@ -634,3 +634,150 @@ def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# q320: nearest-either as-of join (round 8 — completes the temporal family)
+
+_NE_TOL_US = 3_600_000_000  # 1 hour either direction
+
+_ASOF_NEAREST_ORACLE = f"""
+WITH m AS (
+  SELECT a.event_id, a.user_id, epoch_us(a.ts) AS cts,
+         (SELECT b.event_id FROM events b
+           WHERE b.user_id = a.user_id AND b.event_type = 'view' AND b.ts <= a.ts
+           ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS pid,
+         (SELECT epoch_us(b.ts) FROM events b
+           WHERE b.user_id = a.user_id AND b.event_type = 'view' AND b.ts <= a.ts
+           ORDER BY b.ts DESC, b.event_id DESC LIMIT 1) AS pts,
+         (SELECT b.event_id FROM events b
+           WHERE b.user_id = a.user_id AND b.event_type = 'view' AND b.ts > a.ts
+           ORDER BY b.ts ASC, b.event_id DESC LIMIT 1) AS nid,
+         (SELECT epoch_us(b.ts) FROM events b
+           WHERE b.user_id = a.user_id AND b.event_type = 'view' AND b.ts > a.ts
+           ORDER BY b.ts ASC, b.event_id DESC LIMIT 1) AS nts
+  FROM events a WHERE a.event_type = 'click'
+),
+d AS (
+  SELECT event_id, user_id, pid, nid,
+         CASE WHEN pts IS NULL THEN NULL ELSE cts - pts END AS dp,
+         CASE WHEN nts IS NULL THEN NULL ELSE nts - cts END AS dn
+  FROM m
+)
+SELECT event_id, user_id,
+  CASE WHEN dp IS NOT NULL AND dp <= {_NE_TOL_US}
+            AND (dn IS NULL OR dn > {_NE_TOL_US} OR dp <= dn) THEN 'prev'
+       WHEN dn IS NOT NULL AND dn <= {_NE_TOL_US} THEN 'next'
+       ELSE 'none' END AS direction,
+  CASE WHEN dp IS NOT NULL AND dp <= {_NE_TOL_US}
+            AND (dn IS NULL OR dn > {_NE_TOL_US} OR dp <= dn) THEN pid
+       WHEN dn IS NOT NULL AND dn <= {_NE_TOL_US} THEN nid END AS matched_view,
+  CASE WHEN dp IS NOT NULL AND dp <= {_NE_TOL_US}
+            AND (dn IS NULL OR dn > {_NE_TOL_US} OR dp <= dn) THEN dp
+       WHEN dn IS NOT NULL AND dn <= {_NE_TOL_US} THEN dn END AS delta_us
+FROM d ORDER BY event_id
+"""
+
+
+@query(
+    "q320_asof_nearest_join",
+    _ASOF_NEAREST_ORACLE,
+    doc="Nearest-EITHER-direction as-of join — the member q63 (backward) "
+    "and q273 (backward + tolerance) leave open, and what sensor/trade "
+    "alignment actually wants: each click matches its closest view "
+    "within 1 h on EITHER side, ties to the preceding one.  Both "
+    "directions run the SAME union-merge window device — the forward "
+    "pass just orders by negated time (an IGNORE-NULLS last over "
+    "(-us) is 'first view at or after') — so the whole operator is two "
+    "user-partitioned windows and one row-local argmin, never a range "
+    "join.  prev/next/none all live at every SF (probed).  The oracle "
+    "is an independent two-sided correlated-subquery formulation.",
+    tags=("events", "joins", "window"),
+)
+def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    ev = ev.localCheckpoint(eager=False)  # feeds both directional passes
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+
+    def direction(sign: int, pid: str, pts: str) -> DataFrame:
+        # sign=+1: backward (view at or before click); sign=-1: forward
+        # (view strictly after — the strictness comes from side ordering).
+        l_ = clicks.select(
+            F.col("user_id").alias("_by"),
+            (sign * F.col("us")).alias("_on"),
+            F.lit(1).alias("_side"),
+            F.col("event_id").alias("_id"),
+            F.col("us").alias("_cus"),
+        )
+        r_ = views.select(
+            F.col("user_id").alias("_by"),
+            (sign * F.col("us")).alias("_on"),
+            # backward: views sort BEFORE clicks at equal ts (<=); forward:
+            # views sort AFTER clicks at equal ts (strictly >)
+            F.lit(0 if sign == 1 else 2).alias("_side"),
+            F.col("event_id").alias("_id"),
+            F.col("us").alias("_cus"),
+        )
+        w = (
+            Window.partitionBy("_by")
+            .orderBy("_on", "_side", "_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        view_side = 0 if sign == 1 else 2
+        merged = (
+            r_.unionAll(l_)
+            .withColumn(
+                pid,
+                F.last(
+                    F.when(F.col("_side") == view_side, F.col("_id")),
+                    ignorenulls=True,
+                ).over(w),
+            )
+            .withColumn(
+                pts,
+                F.last(
+                    F.when(F.col("_side") == view_side, F.col("_cus")),
+                    ignorenulls=True,
+                ).over(w),
+            )
+        )
+        return merged.filter(F.col("_side") == 1).select(
+            F.col("_id").alias("event_id"),
+            F.col("_by").alias("user_id"),
+            F.col("_cus").alias("cus"),
+            pid,
+            pts,
+        )
+
+    back = direction(1, "pid", "pts")
+    # forward pass on negated time: "last view at or before -cus" in the
+    # negated order == "first view at or after cus"; _side=2 makes an
+    # equal-timestamp view sort AFTER the click, so the match is strict.
+    fwd = direction(-1, "nid", "nts").select("event_id", "nid", "nts")
+    d = back.join(fwd, "event_id").select(
+        "event_id",
+        "user_id",
+        (F.col("cus") - F.col("pts")).alias("dp"),
+        (F.col("nts") - F.col("cus")).alias("dn"),
+        "pid",
+        "nid",
+    )
+    prev_wins = (
+        F.col("dp").isNotNull()
+        & (F.col("dp") <= _NE_TOL_US)
+        & (F.col("dn").isNull() | (F.col("dn") > _NE_TOL_US) | (F.col("dp") <= F.col("dn")))
+    )
+    next_wins = F.col("dn").isNotNull() & (F.col("dn") <= _NE_TOL_US)
+    return d.select(
+        "event_id",
+        "user_id",
+        F.when(prev_wins, "prev").when(next_wins, "next").otherwise("none").alias("direction"),
+        F.when(prev_wins, F.col("pid")).when(next_wins, F.col("nid")).alias("matched_view"),
+        F.when(prev_wins, F.col("dp")).when(next_wins, F.col("dn")).alias("delta_us"),
+    ).orderBy("event_id")

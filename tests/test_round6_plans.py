@@ -103,6 +103,8 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q317_selectivity_correlation",  # four map-side-combined census rows
     "q318_clustering_effectiveness",  # 1-row width bound + probe-count bound
     "q319_dedup_robustness_matrix",  # three detector joins, class-keyed census
+    "q320_asof_nearest_join",  # two user-partitioned union-merge windows
+    "q321_ship_delay_sla",  # priority-partitioned crossing windows
 ]
 
 

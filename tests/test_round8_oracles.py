@@ -38,6 +38,8 @@ NEW = [
     "q317_selectivity_correlation",
     "q318_clustering_effectiveness",
     "q319_dedup_robustness_matrix",
+    "q320_asof_nearest_join",
+    "q321_ship_delay_sla",
 ]
 # q296 is rows-only (real streaming runs); its value assertions live in
 # tests/test_pyds.py::test_q296_stream_replay_is_idempotent.
