@@ -544,3 +544,138 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(batches, PATCH_SCHEMA)
         .orderBy("doc_id", "py", "px")
     )
+
+
+# ---------------------------------------------------------------------------
+# q322: perceptual-hash image near-dup (round 8 — the dedup member of the
+# multimodal family)
+
+_AH_TWIN_MOD = 20  # every 20th image gets an identical-content twin
+
+_AHASH_ORACLE = """
+WITH d AS (SELECT doc_id, doc_id AS src FROM documents WHERE doc_id < 200
+           UNION ALL
+           SELECT doc_id + 1000000, doc_id FROM documents
+           WHERE doc_id < 200 AND doc_id % 20 = 0),
+px AS (SELECT d.doc_id, x.g AS x, y.g AS y,
+  (x.g*7 + y.g*13 + (d.src * 2654435761) % 4294967296) % 256 AS base
+  FROM d, generate_series(0, 15) AS x(g), generate_series(0, 15) AS y(g)),
+g AS (SELECT doc_id, x // 2 AS bx, y // 2 AS by,
+  (base + (base*3 + 17) % 256 + (base*5 + 89) % 256) // 3 AS gray FROM px),
+blk AS (SELECT doc_id, by, bx, CAST(SUM(gray) AS BIGINT) AS bs
+        FROM g GROUP BY doc_id, by, bx),
+tot AS (SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS t FROM blk GROUP BY doc_id),
+h AS (SELECT blk.doc_id,
+  CAST(SUM(CASE WHEN 64 * blk.bs >= tot.t AND (by*8 + bx) < 63
+       THEN 1 << (by*8 + bx) ELSE 0 END) AS BIGINT) AS ah
+  FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id),
+seg AS (SELECT doc_id, ah, k, (ah >> (16*k)) & 65535 AS s
+        FROM h, unnest([0, 1, 2, 3]) AS u(k)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
+  FROM seg a JOIN seg b ON a.k = b.k AND a.s = b.s AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2 ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "q322_image_phash_neardup",
+    _AHASH_ORACLE,
+    doc="Perceptual-hash image near-dup — the dedup member the multimodal "
+    "family lacked: every payload is a REAL 16x16 PPM decoded through the "
+    "netpbm codec executor-side (mapInPandas), reduced to a 63-bit aHash "
+    "(2x2 block means vs the global mean — all integer: 64·block_sum >= "
+    "total is the exact mean compare), and paired within Hamming <= 2 "
+    "through the q306 4-segment tables (pigeonhole-complete at this "
+    "radius).  Seeded identical-CONTENT twins (same source image under a "
+    "new id) keep the exact-duplicate branch live; the synthetic "
+    "gradient family supplies 27 natural near pairs.  The oracle replays "
+    "the generator's closed-form pixel arithmetic — a single mis-parsed "
+    "byte, transposed axis or off-by-one block boundary in the codec "
+    "diverges the hash (the q144 guarantee, extended from channel means "
+    "to the full perceptual signature).  Scale shape: decode+hash is a "
+    "pure map; only (id, 4 segment ints) shuffle; the pair join is "
+    "bucket-bounded.",
+    tags=("llm", "multimodal", "dedup"),
+)
+def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from lance_namespace_impls_spark.functions.imaging import (
+        decode_netpbm,
+        synth_ppm,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    ids = docs.select(
+        "doc_id", F.col("doc_id").alias("src")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % _AH_TWIN_MOD == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.col("doc_id").alias("src"),
+        )
+    )
+
+    hash_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("ah", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "ah": []}
+            for doc_id, src in zip(pdf["doc_id"], pdf["src"]):
+                # REAL bytes in, REAL decode out — the hash is computed from
+                # the decoded pixel grid, never from the generator formula.
+                arr = decode_netpbm(synth_ppm(int(src), 16, 16)).astype("int64")
+                gray = (arr[:, :, 0] + arr[:, :, 1] + arr[:, :, 2]) // 3
+                blocks = gray.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+                total = int(blocks.sum())
+                bits = (64 * blocks >= total).flatten()  # row-major: by*8+bx
+                ah = 0
+                for i in range(63):  # bit 63 would overflow int64 (q201 rule)
+                    if bits[i]:
+                        ah |= 1 << i
+                out["doc_id"].append(int(doc_id))
+                out["ah"].append(ah)
+            yield pd.DataFrame(out)
+
+    h = ids.mapInPandas(batches, hash_schema)
+    h = h.localCheckpoint(eager=False)  # both sides of the 4-table join
+    seg = h.select(
+        "doc_id",
+        "ah",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"),
+    ).select(
+        "doc_id",
+        "ah",
+        "k",
+        F.expr(
+            "CASE "
+            + " ".join(
+                f"WHEN k = {k} THEN shiftright(ah, {16 * k}) & 65535"
+                for k in range(4)
+            )
+            + " END"
+        ).alias("s"),
+    )
+    from lance_namespace_impls_spark.functions.hashing import hamming64
+
+    pairs = (
+        seg.alias("a")
+        .join(
+            seg.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming64(F.col("a.ah"), F.col("b.ah")).cast("long").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 2).orderBy("id_a", "id_b")

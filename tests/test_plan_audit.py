@@ -133,6 +133,7 @@ PYTHON_ALLOWED = {
     "q89_skyline": "partition-local NumPy sweep kernel (two-phase skyline design)",
     "q144_image_channel_stats": "real netpbm decode via mapInPandas (multimodal surface)",
     "q209_patch_pool": "real netpbm decode + patch pooling via mapInPandas (multimodal surface)",
+    "q322_image_phash_neardup": "real netpbm decode + aHash via mapInPandas (multimodal surface)",
     "q178_map_in_arrow_census": "declared mapInArrow surface (Arrow-native census kernel)",
     "q179_apply_in_arrow_profile": "declared applyInArrow surface (grouped Arrow kernel)",
 }

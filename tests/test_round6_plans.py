@@ -105,6 +105,7 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q319_dedup_robustness_matrix",  # three detector joins, class-keyed census
     "q320_asof_nearest_join",  # two user-partitioned union-merge windows
     "q321_ship_delay_sla",  # priority-partitioned crossing windows
+    "q322_image_phash_neardup",  # map-only decode+hash, segment-table join
 ]
 
 

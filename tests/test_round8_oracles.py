@@ -40,6 +40,7 @@ NEW = [
     "q319_dedup_robustness_matrix",
     "q320_asof_nearest_join",
     "q321_ship_delay_sla",
+    "q322_image_phash_neardup",
 ]
 # q296 is rows-only (real streaming runs); its value assertions live in
 # tests/test_pyds.py::test_q296_stream_replay_is_idempotent.
