@@ -402,7 +402,11 @@ _PURITY_ORACLE = (
     "multi-member component, size, distinct sources, the majority "
     "source (count-then-name argmax, deterministic) and integer purity "
     "ppm.  Shares q204's edges + recursive-CTE component truth, so "
-    "clustering AND the purity report are hash-checked end-to-end.  "
+    "clustering AND the purity report are hash-checked end-to-end "
+    "(gate scale sf0.01; at sf0.1 this ORACLE is the q99-class "
+    "quadratic-truth shape whose recursion re-executes the pairwise "
+    "join per step under DuckDB CTE inlining — hours of oracle CPU; "
+    "run it deliberately or not at all).  "
     "Scale shape: components from the O(log n) contraction; the purity "
     "pass is two component-keyed aggregates and a component-partitioned "
     "argmax window over the (component, source) relation — bounded by "
