@@ -181,6 +181,30 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q289_invoice_reconciliation", "q290_dau_wau_stickiness",
         "q291_order_backlog_aging", "q292_hourly_seasonality",
         "q293_user_concentration",
+        # round 8 greens (hash_match=true in CORRECTNESS_r08.json, 49 oracle
+        # rows + q296's rows-only record: the six r8 RE_VERIFY recoveries —
+        # q144/q209/q245/q272/q290/q293, all re-green on their changed
+        # engines — the entire never-checked q294–q322 band on its first
+        # driver row, and 15 regression spot-checks q01–q09/q100–q105).
+        # q296_pyds_stream_replay is the rows-only streaming-replay row by
+        # design (no oracle — err "no_oracle", spark_rows recorded); its
+        # exactly-once VALUE guarantee is pinned by tests/test_pyds.py, the
+        # same credit model as q124's.
+        "q294_maximal_removal_runs", "q295_graph_dedup",
+        "q296_pyds_stream_replay", "q297_gopher_rules_census",
+        "q298_ordered_funnel", "q299_interarrival_percentiles",
+        "q300_cell_radius_audit", "q301_charset_hygiene",
+        "q302_langid_confusion", "q303_copurchase_pairs",
+        "q304_revenue_deciles", "q305_changelog_compaction",
+        "q306_simhash_multitable", "q307_linear_attribution",
+        "q308_perplexity_tertiles", "q309_bloom_sizing_plan",
+        "q310_seasonal_anomaly", "q311_component_purity",
+        "q312_deletion_cascade", "q313_incremental_lsh_maintenance",
+        "q314_ab_srm_census", "q315_sketch_accuracy_census",
+        "q316_storage_tiering_plan", "q317_selectivity_correlation",
+        "q318_clustering_effectiveness", "q319_dedup_robustness_matrix",
+        "q320_asof_nearest_join", "q321_ship_delay_sla",
+        "q322_image_phash_neardup",
     }
 )
 # Changed-since-green set.  The round-4 RE_VERIFY names all cleared in
@@ -213,14 +237,49 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 # ADVICE-r7 closures changed q290 (integer DIV day/week bucketing) and q272
 # (sizes joins de-broadcast) after their r7 greens — all re-enter.  All five
 # re-verified locally (sf0.001 + sf0.01 hash-exact) before declaring.
+#
+# Round 9 (VERDICT-r8 #1): all six round-8 RE_VERIFY names came back green in
+# CORRECTNESS_r08.json and are folded into DRIVER_VERIFIED above — the debt
+# ledger is EMPTY for the first time since round 5.
+#
+# Round 9 (VERDICT-r8 #3 + ADVICE-r8 #1): two engines changed after their r8
+# greens and re-enter: q272 (the four banding configs' 8 driver-side .count()
+# actions folded into one grouped aggregate relation) and q313 (delta_pairs
+# now computed via the actual incremental probe path — batch-touched buckets
+# against the base band relation — so the merge law is falsifiable).  Both
+# re-verified locally (sf0.001 + sf0.01 + sf0.1 hash-exact) before declaring.
 RE_VERIFY: set[str] = {
-    "q144_image_channel_stats",
-    "q209_patch_pool",
-    "q245_streaming_stats_maintenance",
     "q272_lsh_tuning_curve",
-    "q290_dau_wau_stickiness",
-    "q293_user_concentration",
+    "q313_incremental_lsh_maintenance",
 }
+
+# Deliberate regression window (VERDICT-r8 #2).  With zero verification debt
+# and every oracle row driver-green, round 9's ~50-row window is free for the
+# first time — spend it re-validating the OLDEST greens against four rounds
+# of shared-helper drift.  _priority_order emits these right after the
+# unverified/RE_VERIFY front so the driver's cap lands on them: the q10–q46
+# band (last checked round 1, the oldest rows in the ledger) plus one row per
+# shared scale device whose helper code has since evolved —
+# q92 (distributed_ntile), q223 (crossing-rule percentiles), q232 (bucketed
+# partial top-k), q256 (routed token-budget running sums), q270 (kNN graph,
+# now also feeding q295).
+REGRESSION_PROPOSED: tuple[str, ...] = (
+    "q10_broadcast_join", "q11_multiway_join_revenue", "q12_left_outer_join",
+    "q13_left_semi_join", "q14_left_anti_join", "q15_theta_join",
+    "q16_cross_join", "q17_self_join", "q18_hash_agg_multi_measure",
+    "q19_global_agg", "q20_count_distinct", "q21_multi_count_distinct",
+    "q22_having", "q23_grouping_sets", "q24_rollup",
+    "q25_window_topk_per_group", "q26_window_lag", "q27_window_running_sum",
+    "q28_ntile", "q29_global_topk", "q30_sort_nulls_ordering",
+    "q31_limit_offset", "q32_union_all", "q33_union_distinct",
+    "q34_intersect", "q35_except", "q36_string_functions",
+    "q37_date_functions", "q38_math_functions", "q39_case_when",
+    "q40_cast", "q41_array_functions", "q42_json_functions",
+    "q43_tumbling_window_batch", "q44_python_udf", "q45_exact_dedup_stats",
+    "q46_text_lang_stats",
+    "q92_ntile_distributed", "q223_median_mad", "q232_ann_recall_audit",
+    "q256_token_budget_fill", "q270_knn_graph",
+)
 
 
 def _qnum(name: str) -> int:
@@ -245,8 +304,11 @@ def _priority_order(names: list[str]) -> list[str]:
         (n for n in names if n not in DRIVER_VERIFIED or n in RE_VERIFY),
         key=lambda n: (_qnum(n), n),
     )
-    back = sorted(n for n in names if n in DRIVER_VERIFIED and n not in RE_VERIFY)
-    return front + back
+    taken = set(front)
+    regress = [n for n in REGRESSION_PROPOSED if n in names and n not in taken]
+    taken.update(regress)
+    back = sorted(n for n in names if n not in taken)
+    return front + regress + back
 
 
 def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
