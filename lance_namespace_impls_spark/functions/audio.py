@@ -1,0 +1,85 @@
+"""WAV-ish PCM container codec for the audio data path (round 9).
+
+The fixture tables carry no real audio, so — exactly like
+``functions/imaging.synth_ppm`` for images — ``synth_wav`` produces a REAL
+container-framed payload executor-side whose sample bytes have a closed
+form the DuckDB oracle can replay, and ``decode_wav_pcm8`` is a genuine
+RIFF chunk walker: it verifies magics, iterates chunks with the RIFF
+word-alignment rule (an odd-sized chunk is followed by a pad byte), reads
+the fmt chunk, and locates the data chunk at a doc-dependent offset.  A
+decoder that skipped chunk walking (fixed offset), ignored odd-chunk
+padding, or mis-read a single sample byte diverges the q324 hash.
+
+Closed forms (replayed by the q324 oracle):
+
+* ``R(doc)    = (doc_id * 2654435761) mod 2^32``      (sample-phase seed)
+* ``n(doc)    = 200 + (doc_id * 13) mod 97``          (sample count)
+* ``byte(i)   = (R + 37*i) mod 256``                  (raw PCM byte)
+* ``s(i)      = byte(i) if byte(i) < 128 else byte(i) - 256``  (int8 value)
+* ``pad(doc)  = 1 + doc_id mod 23``                   (LIST chunk size — odd
+  sizes exercise the RIFF pad-byte rule before the data chunk)
+
+Reference parity note: the reference repo
+(lance-format/lance-namespace-impls) stores multimodal payloads as opaque
+blob columns and delegates decode to the reader; this module is the
+Spark-side reader for the audio modality, beside imaging.py's netpbm path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_KNUTH = 2654435761
+
+
+def synth_wav(doc_id: int) -> bytes:
+    """Deterministic WAV-ish payload: RIFF/WAVE container with fmt, a
+    doc-dependent-size LIST chunk (so the data chunk offset varies), and an
+    8-bit mono PCM data chunk whose bytes follow the closed form above."""
+    n = 200 + (doc_id * 13) % 97
+    r = (doc_id * _KNUTH) % (1 << 32)
+    samples = bytes((r + 37 * i) % 256 for i in range(n))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    pad_len = 1 + doc_id % 23
+    chunks = b""
+    for cid, body in (
+        (b"fmt ", fmt),
+        (b"LIST", b"\x55" * pad_len),
+        (b"data", samples),
+    ):
+        chunks += cid + struct.pack("<I", len(body)) + body
+        if len(body) % 2:
+            chunks += b"\x00"  # RIFF word alignment
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_pcm8(blob: bytes) -> np.ndarray:
+    """Parse the RIFF container and return the data chunk as signed int8
+    samples.  Walks chunks honestly: magic checks, little-endian sizes,
+    odd-chunk pad bytes, fmt sanity (PCM, 8-bit)."""
+    if blob[0:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    declared = struct.unpack("<I", blob[4:8])[0]
+    if declared + 8 != len(blob):
+        raise ValueError("RIFF size mismatch")
+    off, bits = 12, None
+    while off + 8 <= len(blob):
+        cid = blob[off : off + 4]
+        size = struct.unpack("<I", blob[off + 4 : off + 8])[0]
+        body = blob[off + 8 : off + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            audio_format, _ch, _rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body
+            )
+            if audio_format != 1 or bits != 8:
+                raise ValueError("unsupported encoding")
+        elif cid == b"data":
+            if bits is None:
+                raise ValueError("data chunk before fmt")
+            return np.frombuffer(body, dtype=np.int8)
+        off += 8 + size + (size & 1)  # odd chunks are padded to even
+    raise ValueError("no data chunk")

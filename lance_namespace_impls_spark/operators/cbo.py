@@ -268,7 +268,13 @@ _SELCORR_ORACLE = (
     tags=("relational", "cbo", "audit"),
 )
 def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
+    # Project to the five predicate columns BEFORE pinning (ADVICE r8 #2):
+    # the checkpoint materializes to executor storage, so pinning the full
+    # ~16-column lineitem rows for a 5-column census would store 3x the
+    # bytes the four consumers ever read.
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_quantity", "l_discount", "l_returnflag", "l_linestatus", "l_shipdate"
+    )
     li = li.localCheckpoint(eager=False)  # one scan feeds all four censuses
 
     def pair(name: str, p1: str, p2: str) -> DataFrame:

@@ -723,13 +723,19 @@ _INC_ORACLE = (
     "are per-document (new docs hash independently), so the only "
     "buckets that can produce new candidate pairs are the ones the "
     "batch touches, and full-index pairs = base pairs + delta pairs "
-    "EXACTLY (every new pair has a batch member; the law row is "
-    "oracle-checked, not assumed).  Census: batch size, base vs "
+    "EXACTLY.  The Spark side computes delta via the ACTUAL incremental "
+    "path — the batch's band rows probe the banded relation on (band, "
+    "bucket) keys, so only batch-touched buckets are ever read — while "
+    "the oracle computes delta from the definitional full self-join "
+    "filtered to any-new pairs: the cross-engine hash check is therefore "
+    "a falsifiable equivalence of the maintenance algorithm to its "
+    "specification (a lossy probe diverges metrics 5 and 7), not a set "
+    "partition identity (ADVICE r8 #1).  Census: batch size, base vs "
     "touched bucket counts (the work ratio an incremental build pays), "
     "base/delta/full pair counts and the disjointness law.  Scale "
-    "shape: only the batch re-shingles; the delta join probes the "
-    "banded relation on (band, bucket) keys — the indexed-lookup shape "
-    "— and the full recompute exists here only to CHECK the law.",
+    "shape: only the batch re-shingles; the delta probe is the "
+    "indexed-lookup shape — and the full recompute exists here only to "
+    "CHECK the law.",
     tags=("llm", "dedup", "lsh", "maintenance"),
 )
 def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -760,8 +766,8 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = bands.selectExpr("doc_id AS da", "b", "bkey", "is_new AS na")
     b = bands.selectExpr("doc_id AS db", "b", "bkey", "is_new AS nb")
     joined = a.join(b, ["b", "bkey"]).filter(F.col("da") < F.col("db"))
-    # Checkpointed: the base/delta/full pair censuses all consume this
-    # bucket join — uncached it would execute three times.
+    # Checkpointed: the base and full pair censuses both consume this
+    # bucket join — uncached it would execute twice.
     joined = joined.localCheckpoint(eager=False)
 
     def metric(name: str, df: DataFrame) -> DataFrame:
@@ -772,9 +778,22 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_pairs = joined.filter((F.col("na") == 0) & (F.col("nb") == 0)).select(
         "da", "db"
     ).distinct().localCheckpoint(eager=False)
-    delta_pairs = joined.filter((F.col("na") == 1) | (F.col("nb") == 1)).select(
-        "da", "db"
-    ).distinct().localCheckpoint(eager=False)
+    # The ACTUAL incremental path (ADVICE r8 #1): the batch's band rows are
+    # the probe side, so only batch-touched (b, bkey) buckets are read from
+    # the banded relation — the indexed-lookup shape a real index-append
+    # executes.  The oracle derives delta definitionally (any-new pairs of
+    # the full self-join); equality of the two is the maintenance law.
+    delta_pairs = (
+        bands.filter(F.col("is_new") == 1)
+        .selectExpr("doc_id AS dx", "b", "bkey")
+        .join(bands.selectExpr("doc_id AS dy", "b", "bkey"), ["b", "bkey"])
+        .filter(F.col("dx") != F.col("dy"))
+        .select(
+            F.least("dx", "dy").alias("da"), F.greatest("dx", "dy").alias("db")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     full_pairs = joined.select("da", "db").distinct().localCheckpoint(eager=False)
     law = (
         full_pairs.agg(F.count(F.lit(1)).alias("f"))

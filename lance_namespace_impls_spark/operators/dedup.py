@@ -781,3 +781,125 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
         "caught",
         F.expr("CAST((1000000 * caught) DIV seeded AS BIGINT)").alias("recall_ppm"),
     ).orderBy("cls", "method")
+
+
+# ---------------------------------------------------------------------------
+# q326 — sorted-neighborhood SECOND pass (round 9): the q225 tradeoff measured
+
+_SNM2_MOD = 40  # seed a boundary-straddling twin from every 40th doc
+
+_SNM2_ORACLE = f"""
+WITH d0 AS (SELECT doc_id, lower(trim(text)) AS key FROM documents),
+tw AS (SELECT doc_id + 1000000 AS doc_id, 'zz' || substr(key, 3) AS key
+       FROM d0 WHERE doc_id % {_SNM2_MOD} = 0 AND length(key) >= 3),
+un AS (SELECT doc_id, key FROM d0 UNION ALL SELECT doc_id, key FROM tw),
+s1 AS (SELECT doc_id, key, substr(key, 1, 2) AS blk FROM un),
+w1 AS (SELECT doc_id AS a,
+         lead(doc_id, 1) OVER win AS b1, lead(doc_id, 2) OVER win AS b2
+       FROM s1 WINDOW win AS (PARTITION BY blk ORDER BY key, doc_id)),
+p1 AS (SELECT DISTINCT LEAST(a, b) AS da, GREATEST(a, b) AS db FROM (
+         SELECT a, b1 AS b FROM w1 WHERE b1 IS NOT NULL
+         UNION ALL SELECT a, b2 FROM w1 WHERE b2 IS NOT NULL)),
+s2 AS (SELECT doc_id, substr(key, 3) AS key2, substr(key, 3, 2) AS blk FROM un),
+w2 AS (SELECT doc_id AS a,
+         lead(doc_id, 1) OVER win AS b1, lead(doc_id, 2) OVER win AS b2
+       FROM s2 WINDOW win AS (PARTITION BY blk ORDER BY key2, doc_id)),
+p2 AS (SELECT DISTINCT LEAST(a, b) AS da, GREATEST(a, b) AS db FROM (
+         SELECT a, b1 AS b FROM w2 WHERE b1 IS NOT NULL
+         UNION ALL SELECT a, b2 FROM w2 WHERE b2 IS NOT NULL)),
+ov AS (SELECT da, db FROM p1 INTERSECT SELECT da, db FROM p2),
+rec AS (SELECT da, db FROM p2 EXCEPT SELECT da, db FROM p1),
+sr AS (SELECT da, db FROM rec
+       WHERE db - da = 1000000 AND da % {_SNM2_MOD} = 0)
+SELECT * FROM (
+  SELECT '1_pass1_pairs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM p1
+  UNION ALL SELECT '2_pass2_pairs', CAST(COUNT(*) AS BIGINT) FROM p2
+  UNION ALL SELECT '3_overlap_pairs', CAST(COUNT(*) AS BIGINT) FROM ov
+  UNION ALL SELECT '4_recovered_pairs', CAST(COUNT(*) AS BIGINT) FROM rec
+  UNION ALL SELECT '5_union_pairs', CAST(COUNT(*) AS BIGINT) FROM
+    (SELECT da, db FROM p1 UNION SELECT da, db FROM p2)
+  UNION ALL SELECT '6_seeded_recovered', CAST(COUNT(*) AS BIGINT) FROM sr
+) ORDER BY metric
+"""
+
+
+@query(
+    "q326_snm_second_pass",
+    _SNM2_ORACLE,
+    doc="Multi-pass sorted-neighborhood (Hernandez & Stolfo's full method): "
+    "q225 documents its cross-block boundary-pair miss and names the fix "
+    "('a second pass under a shifted key recovers them') — this row RUNS "
+    "both passes and measures the recovery, turning the documented caveat "
+    "into an oracle-checked law the way q319 did for the detector matrix.  "
+    "Pass 1 blocks on the first-2-char key prefix; pass 2 re-blocks and "
+    "re-sorts under the shifted key (chars 3+), so records split by a "
+    "leading-prefix difference become sort neighbours.  Seeded "
+    f"boundary-straddling twins (every {_SNM2_MOD}th doc, first two key "
+    "chars replaced with 'zz') guarantee the recovered branch is live at "
+    "every SF: pass 1 separates twin from original by construction, pass "
+    "2's shifted key makes them identical-key neighbours — metric "
+    "6_seeded_recovered counts exactly these and is test-asserted > 0.  "
+    "Census: per-pass pair counts, overlap, recovered (pass2-only), "
+    "union, seeded-recovered.  Scale shape: both passes are the q225 "
+    "plan (window partitions scale with 2-char blocks, candidates exactly "
+    "(w-1)*N per pass — linear); the set algebra shuffles (da, db) int "
+    "pairs only; p1/p2/rec feed multiple censuses so each is "
+    "localCheckpointed (the r8 shared-subtree lesson).",
+    tags=("llm", "dedup", "joins"),
+)
+def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    d0 = docs.select("doc_id", F.lower(F.trim(F.col("text"))).alias("key"))
+    tw = (
+        d0.filter((F.col("doc_id") % _SNM2_MOD == 0) & (F.length("key") >= 3))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("zz"), F.expr("substring(key, 3)")).alias("key"),
+        )
+    )
+    un = spread(d0.unionByName(tw))
+
+    def snm_pairs(rel: DataFrame, key_col: str, blk_col) -> DataFrame:
+        win = Window.partitionBy("blk").orderBy(key_col, "doc_id")
+        w = rel.withColumn("blk", blk_col).select(
+            F.col("doc_id").alias("a"),
+            F.lead("doc_id", 1).over(win).alias("b1"),
+            F.lead("doc_id", 2).over(win).alias("b2"),
+        )
+        cand = w.filter(F.col("b1").isNotNull()).select(
+            "a", F.col("b1").alias("b")
+        ).unionAll(w.filter(F.col("b2").isNotNull()).select("a", F.col("b2").alias("b")))
+        return cand.select(
+            F.least("a", "b").alias("da"), F.greatest("a", "b").alias("db")
+        ).distinct()
+
+    p1 = snm_pairs(un, "key", F.substring("key", 1, 2)).localCheckpoint(eager=False)
+    s2 = un.select("doc_id", F.expr("substring(key, 3)").alias("key2"))
+    p2 = snm_pairs(s2, "key2", F.substring("key2", 1, 2)).localCheckpoint(eager=False)
+    rec = p2.subtract(p1).localCheckpoint(eager=False)
+
+    def metric(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("metric"),
+            F.count(F.lit(1)).cast("long").alias("value"),
+        )
+
+    out = (
+        metric("1_pass1_pairs", p1)
+        .unionByName(metric("2_pass2_pairs", p2))
+        .unionByName(metric("3_overlap_pairs", p1.intersect(p2)))
+        .unionByName(metric("4_recovered_pairs", rec))
+        .unionByName(metric("5_union_pairs", p1.union(p2).distinct()))
+        .unionByName(
+            metric(
+                "6_seeded_recovered",
+                rec.filter(
+                    (F.col("db") - F.col("da") == 1000000)
+                    & (F.col("da") % _SNM2_MOD == 0)
+                ),
+            )
+        )
+    )
+    return out.orderBy("metric")

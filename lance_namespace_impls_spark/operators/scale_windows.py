@@ -31,11 +31,26 @@ rows.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.sources.tables import load_table
+
+_LOG = logging.getLogger(__name__)
+
+# The errors a stopped/stopping SparkSession raises from unpersist(): py4j
+# gateway/connection failures and the JVM-side IllegalStateException that
+# py4j surfaces as Py4JJavaError.  Anything OUTSIDE these is a real bug
+# (e.g. a non-DataFrame appended to _RANGED_CACHES) and must not be eaten.
+try:  # py4j ships with pyspark; guard anyway so import never fails
+    from py4j.protocol import Py4JError
+
+    _STOPPED_SESSION_ERRORS: tuple[type[BaseException], ...] = (Py4JError, RuntimeError)
+except ImportError:  # pragma: no cover
+    _STOPPED_SESSION_ERRORS = (RuntimeError,)
 
 # Every ranged persist these helpers create (ADVICE r7): the cache must
 # outlive the helper (the counts pass and the rank pass must observe the
@@ -56,10 +71,18 @@ def release_ranged_caches() -> None:
     the builder fresh per run.
     """
     while _RANGED_CACHES:
+        df = _RANGED_CACHES.pop()
         try:
-            _RANGED_CACHES.pop().unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+            df.unpersist()
+        except _STOPPED_SESSION_ERRORS:
+            pass  # session already stopped — nothing left to release
+        except Exception:  # noqa: BLE001 — genuine unpersist failures must
+            # not silently re-open the cache leak this function prevents
+            # (ADVICE r8 #3): surface them at debug and keep draining so one
+            # bad entry cannot pin every cache behind it.
+            _LOG.debug(
+                "release_ranged_caches: unpersist failed for %r", df, exc_info=True
+            )
 
 
 def distributed_ntile(

@@ -588,3 +588,199 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("hll_err_ppm"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q323 — mergeable quantile summary + its error law (round 9, VERDICT r8 #4):
+# the missing fourth member of the merge-law trio (q244 HLL register-max,
+# q269 MinHash lane-min, q281 Count-Min bucket-sum)
+
+_QS_K = 256  # per-shard summary size bound
+_QS_SHARDS = 8
+_QS_PCTS = (10, 25, 50, 75, 90)
+
+_QS_ORACLE = f"""
+WITH li AS (SELECT
+    CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS v,
+    l_orderkey * 8 + l_linenumber AS kk,
+    (l_orderkey * 31 + l_linenumber) % {_QS_SHARDS} AS s
+  FROM lineitem),
+shardrank AS (SELECT v, kk, s,
+    ROW_NUMBER() OVER (PARTITION BY s ORDER BY v, kk) AS r,
+    COUNT(*) OVER (PARTITION BY s) AS n_s FROM li),
+kept AS (SELECT s, v, kk, (n_s + {_QS_K - 1}) // {_QS_K} AS w FROM shardrank
+    WHERE r % ((n_s + {_QS_K - 1}) // {_QS_K}) = 0),
+grank AS MATERIALIZED (SELECT v, kk,
+    ROW_NUMBER() OVER (ORDER BY v, kk) AS rg,
+    COUNT(*) OVER () AS n FROM li),
+keptg AS (SELECT v, kk, (n + {_QS_K - 1}) // {_QS_K} AS w FROM grank
+    WHERE rg % ((n + {_QS_K - 1}) // {_QS_K}) = 0),
+msum AS (SELECT v, kk, SUM(w) OVER (ORDER BY v, kk) AS cumw FROM kept),
+osum AS (SELECT v, kk, SUM(w) OVER (ORDER BY v, kk) AS cumw FROM keptg),
+tgt AS (SELECT pct, (pct * (SELECT MAX(n) FROM grank)) // 100 AS target
+    FROM (VALUES {', '.join(f'({p})' for p in _QS_PCTS)}) t(pct)),
+exact AS (SELECT t.pct, g.v AS exact_cents FROM tgt t
+    JOIN grank g ON g.rg = t.target),
+mest AS (SELECT pct, v, kk FROM (
+    SELECT t.pct, m.v, m.kk,
+      ROW_NUMBER() OVER (PARTITION BY t.pct ORDER BY m.v, m.kk) AS rn
+    FROM tgt t JOIN msum m ON m.cumw >= t.target) WHERE rn = 1),
+oest AS (SELECT pct, v, kk FROM (
+    SELECT t.pct, o.v, o.kk,
+      ROW_NUMBER() OVER (PARTITION BY t.pct ORDER BY o.v, o.kk) AS rn
+    FROM tgt t JOIN osum o ON o.cumw >= t.target) WHERE rn = 1),
+bound AS (SELECT SUM((n_s + {_QS_K - 1}) // {_QS_K}) AS b FROM
+    (SELECT DISTINCT s, n_s FROM shardrank))
+SELECT CAST(t.pct AS BIGINT) AS pct,
+  CAST(t.target AS BIGINT) AS target_rank,
+  CAST(e.exact_cents AS BIGINT) AS exact_cents,
+  CAST(m.v AS BIGINT) AS merged_cents,
+  CAST(ABS(gm.rg - t.target) AS BIGINT) AS merged_err,
+  CAST(o.v AS BIGINT) AS onepass_cents,
+  CAST(ABS(go.rg - t.target) AS BIGINT) AS onepass_err,
+  CAST(b.b AS BIGINT) AS err_bound,
+  CAST(CASE WHEN ABS(gm.rg - t.target) <= b.b THEN 1 ELSE 0 END AS BIGINT)
+    AS within_bound
+FROM tgt t
+JOIN exact e ON e.pct = t.pct
+JOIN mest m ON m.pct = t.pct
+JOIN oest o ON o.pct = t.pct
+JOIN grank gm ON gm.v = m.v AND gm.kk = m.kk
+JOIN grank go ON go.v = o.v AND go.kk = o.kk
+CROSS JOIN bound b
+ORDER BY pct
+"""
+
+
+@query(
+    "q323_quantile_merge_law",
+    _QS_ORACLE,
+    doc="Mergeable quantile summary + its error law — the fourth member of "
+    "the merge-law family (q244 HLL max-merge, q269 MinHash min-merge, "
+    "q281 Count-Min sum-merge; q82's approx_percentile is seed-opaque and "
+    "no-oracle, this is the deterministic replacement): each of 8 shards "
+    f"builds a k-bounded summary (k={_QS_K}) by keeping every c_s-th item "
+    "of its local (value, md5-free integer tiebreak) order with weight "
+    "c_s = ceil(n_s/k) — the classic Munro-Paterson / sample-sort local "
+    "summary a per-executor pass produces — and the merged summary (plain "
+    "union, <= S*k rows) answers quantile queries by cumulative-weight "
+    "crossing.  The LAW is the measured error census: for each of five "
+    "percentiles, the merged estimate's TRUE global rank (joined back "
+    "against the exact rank relation) deviates from the target rank by at "
+    "most sum_s(c_s) — err_bound is computed in-query and within_bound is "
+    "hash-checked, so a compaction bug (wrong offset, wrong weight, lossy "
+    "merge) diverges merged_err and the flag.  A one-pass summary at the "
+    "same k is measured beside it (merging loses accuracy vs one-pass; "
+    "both are in-bound).  Scale shape: per-shard ranks come from "
+    "distributed_running_sum (range-partitioned two-pass, no per-shard "
+    "single-task sort — the q293 lesson applied at authoring time); "
+    "summaries are k*S-bounded so every downstream window/join is "
+    "constant-sized; exact ranks exist only to CHECK the law.",
+    tags=("sketch", "law", "quantile"),
+)
+def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from lance_namespace_impls_spark.operators.scale_windows import (
+        distributed_running_sum,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.expr(
+            "CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+        ).alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("kk"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % _QS_SHARDS).alias("s"),
+    ).withColumn("__one", F.lit(1))
+
+    ranked_s = distributed_running_sum(
+        li, "s", ["v", "kk"], "__one", cum_col="r", total_col="n_s"
+    )
+    c_s = F.expr(f"CAST((n_s + {_QS_K - 1}) DIV {_QS_K} AS BIGINT)")
+    kept = (
+        ranked_s.withColumn("w", c_s)
+        .filter(F.col("r") % F.col("w") == 0)
+        .select("s", "v", "kk", "w")
+        .localCheckpoint(eager=False)  # feeds the summary window AND the bound
+    )
+
+    gli = li.withColumn("g", F.lit(0))
+    ranked_g = distributed_running_sum(
+        gli, "g", ["v", "kk"], "__one", cum_col="rg", total_col="n"
+    ).localCheckpoint(eager=False)  # exact ranks: keptg, targets, 3 rank joins
+    c_g = F.expr(f"CAST((n + {_QS_K - 1}) DIV {_QS_K} AS BIGINT)")
+    keptg = (
+        ranked_g.withColumn("w", c_g)
+        .filter(F.col("rg") % F.col("w") == 0)
+        .select("v", "kk", "w")
+    )
+
+    # Summaries are <= S*k rows by construction: the single-partition
+    # cumulative window here runs on the SUMMARY, never the data — the
+    # legitimate k-bounded tiny side.
+    w_cum = Window.orderBy("v", "kk").rowsBetween(Window.unboundedPreceding, 0)
+    msum = kept.select("v", "kk", F.sum("w").over(w_cum).alias("cumw"))
+    osum = keptg.select("v", "kk", F.sum("w").over(w_cum).alias("cumw"))
+
+    n_census = ranked_g.agg(F.max("n").alias("nn"))
+    pcts = spark.createDataFrame([(p,) for p in _QS_PCTS], "pct long")
+    tgt = (
+        pcts.crossJoin(F.broadcast(n_census))
+        .select("pct", F.expr("CAST((pct * nn) DIV 100 AS BIGINT)").alias("target"))
+        .localCheckpoint(eager=False)  # feeds exact + two crossing joins
+    )
+
+    exact = tgt.join(
+        ranked_g.select("rg", F.col("v").alias("exact_cents")),
+        F.col("rg") == F.col("target"),
+    ).select("pct", "target", "exact_cents")
+
+    def crossing(summary: DataFrame, out: str) -> DataFrame:
+        # 5-row target grid against a k*S-bounded summary: the non-equi
+        # join is constant-sized on both sides.
+        hit = F.broadcast(tgt).join(summary, F.col("cumw") >= F.col("target"))
+        return (
+            hit.groupBy("pct")
+            .agg(F.min(F.struct("v", "kk")).alias("m"))
+            .select("pct", F.col("m.v").alias(out), F.col("m.kk").alias(f"{out}_kk"))
+        )
+
+    mest = crossing(msum, "merged_cents")
+    oest = crossing(osum, "onepass_cents")
+
+    def true_rank(est: DataFrame, vcol: str, out: str) -> DataFrame:
+        return est.join(
+            ranked_g.select(
+                F.col("v").alias(vcol), F.col("kk").alias(f"{vcol}_kk"), "rg"
+            ),
+            [vcol, f"{vcol}_kk"],
+        ).select("pct", vcol, F.col("rg").alias(out))
+
+    mrank = true_rank(mest, "merged_cents", "m_rg")
+    orank = true_rank(oest, "onepass_cents", "o_rg")
+
+    bound = (
+        kept.select("s", "w")
+        .distinct()
+        .agg(F.sum("w").alias("b"))
+    )
+
+    return (
+        exact.join(mrank, "pct")
+        .join(orank, "pct")
+        .crossJoin(F.broadcast(bound))
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.col("target").cast("long").alias("target_rank"),
+            F.col("exact_cents").cast("long").alias("exact_cents"),
+            F.col("merged_cents").cast("long").alias("merged_cents"),
+            F.expr("CAST(ABS(m_rg - target) AS BIGINT)").alias("merged_err"),
+            F.col("onepass_cents").cast("long").alias("onepass_cents"),
+            F.expr("CAST(ABS(o_rg - target) AS BIGINT)").alias("onepass_err"),
+            F.col("b").cast("long").alias("err_bound"),
+            F.expr(
+                "CAST(CASE WHEN ABS(m_rg - target) <= b THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("within_bound"),
+        )
+        .orderBy("pct")
+    )

@@ -1,0 +1,140 @@
+"""Snapshot reads (time travel) over a manifest-versioned dataset (round 9,
+VERDICT r8 #8).
+
+The lance table format names data files in per-version manifests; readers
+pin a version by resolving its manifest and scanning ONLY the files it
+lists, so an append commits a new manifest without touching old ones and
+every prior version stays readable.  The reference hard-codes
+``managed_versioning=false`` and delegates the version model to the format
+(reference: python/src/lance_namespace_impls/glue.py:382 and the
+version_id-less table records across the dialects) — this module is the
+data plane owning what the reference delegates:
+
+* :func:`versioned_dataset_dir` materializes (once per sf_dir, the q107
+  fixture pattern) a two-version dataset: v1 = orders with
+  ``o_orderkey % 3 <> 0``, v2 = v1 plus the appended remainder — each
+  version's row set recorded in ``_versions/<v>.json`` manifests written
+  via tmp+rename (the atomic-commit shape);
+* :func:`read_version` is the version-pinned scan: resolve the manifest,
+  ``spark.read.parquet(*files)`` — distributed, pushdown-friendly, and
+  structurally incapable of seeing files a later commit added;
+* q327 reads BOTH versions through pinned scans AFTER v2 exists and
+  hash-checks both censuses against the oracle's definitional filters —
+  v1's census surviving the append unchanged IS the append-invariance
+  (time-travel) guarantee: a manifest bug that let v2 files leak into the
+  v1 scan (or dropped v1 files from v2) diverges the hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+
+def versioned_dataset_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir) the two-version orders dataset."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"lni_snap_{tag}")
+    marker = os.path.join(root, "_LNI_READY")
+    if not os.path.exists(marker):
+        cents = F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+        )
+        orders = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", cents.alias("cents")
+        )
+        orders.filter(F.col("o_orderkey") % 3 != 0).write.mode("overwrite").parquet(
+            os.path.join(root, "files", "v1")
+        )
+        orders.filter(F.col("o_orderkey") % 3 == 0).write.mode("overwrite").parquet(
+            os.path.join(root, "files", "v2")
+        )
+        os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
+        for v, files in ((1, ["files/v1"]), (2, ["files/v1", "files/v2"])):
+            # tmp + rename: a reader never observes a half-written manifest
+            tmp = os.path.join(root, "_versions", f".{v}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"version": v, "files": files}, f)
+            os.replace(tmp, os.path.join(root, "_versions", f"{v}.json"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+def read_version(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Version-pinned scan: only the manifest's files are readable."""
+    with open(os.path.join(root, "_versions", f"{version}.json")) as f:
+        manifest = json.load(f)
+    if manifest["version"] != version:
+        raise ValueError(f"manifest/version mismatch: {manifest}")
+    paths = [os.path.join(root, p) for p in manifest["files"]]
+    return spark.read.parquet(*paths)
+
+
+_SNAP_ORACLE = (
+    "WITH src AS (SELECT o_orderkey, o_orderstatus, "
+    "  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents "
+    "  FROM orders), "
+    "v1 AS (SELECT * FROM src WHERE o_orderkey % 3 <> 0), "
+    "v2 AS (SELECT * FROM src) "
+    "SELECT * FROM ("
+    "  SELECT CAST(1 AS BIGINT) AS version, o_orderstatus, "
+    "    CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "    CAST(SUM(cents) AS BIGINT) AS total_cents "
+    "  FROM v1 GROUP BY o_orderstatus "
+    "  UNION ALL "
+    "  SELECT CAST(2 AS BIGINT), o_orderstatus, CAST(COUNT(*) AS BIGINT), "
+    "    CAST(SUM(cents) AS BIGINT) "
+    "  FROM v2 GROUP BY o_orderstatus"
+    ") ORDER BY version, o_orderstatus"
+)
+
+
+@query(
+    "q327_snapshot_read",
+    _SNAP_ORACLE,
+    doc="Snapshot read (time travel) through version-pinned manifest scans "
+    "— the read side of the version model q263 plans retention for and "
+    "q141 diffs: the dataset commits v1, then APPENDS v2 (new files + new "
+    "manifest; v1's manifest and files untouched), and this row scans "
+    "BOTH versions through read_version AFTER the append exists.  The "
+    "oracle derives each version's per-status census definitionally from "
+    "the source predicate, so v1's rows hash-matching proves the pinned "
+    "scan is append-invariant — a manifest bug that leaked v2 files into "
+    "the v1 scan, dropped v1 files from v2, or double-listed a file "
+    "diverges counts and cent-exact totals.  The reference hard-codes "
+    "managed_versioning=false (glue.py:382) and delegates versioning to "
+    "the format; this is the engine owning it.  Scale shape: manifests "
+    "are metadata (file lists); the pinned scan is an ordinary "
+    "distributed parquet read with pushdown, and each census is one "
+    "map-side-combinable aggregate keyed by (version, status).",
+    tags=("catalog", "scan", "versioning"),
+)
+def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = versioned_dataset_dir(spark, sf_dir)
+
+    def census(version: int) -> DataFrame:
+        return (
+            read_version(spark, root, version)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .select(
+                F.lit(version).cast("long").alias("version"),
+                "o_orderstatus",
+                "n_orders",
+                "total_cents",
+            )
+        )
+
+    return census(1).unionByName(census(2)).orderBy("version", "o_orderstatus")

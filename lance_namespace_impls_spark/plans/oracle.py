@@ -81,6 +81,25 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def check_query(
     spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str
 ) -> dict:
+    # The scale_windows helpers pin their ranged inputs until the result
+    # materializes (ADVICE r7); releasing in THIS function's finally makes
+    # the per-query release invariant hold for every caller — check_all,
+    # the parametrized oracle tests, and ad-hoc sessions alike (ADVICE r8
+    # #4).  Both engines' results are fully materialized (collect/fetchall)
+    # before return, so nothing re-reads the caches afterwards.
+    from lance_namespace_impls_spark.operators.scale_windows import (
+        release_ranged_caches,
+    )
+
+    try:
+        return _check_query_inner(spark, con, name, sf_dir)
+    finally:
+        release_ranged_caches()
+
+
+def _check_query_inner(
+    spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str, sf_dir: str
+) -> dict:
     spec = QUERIES[name]
     sdf = spec.builder(spark, sf_dir)
     srows = sdf.collect()
@@ -142,18 +161,11 @@ def check_query(
 def check_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> list[dict]:
     con = duckdb_connection(sf_dir)
     out = []
-    from lance_namespace_impls_spark.operators.scale_windows import (
-        release_ranged_caches,
-    )
-
     for name in names or list(QUERIES):
         try:
+            # check_query releases the scale_windows ranged caches in its
+            # own finally, so the sweep needs no per-iteration cleanup.
             out.append(check_query(spark, con, name, sf_dir))
         except Exception as exc:  # surface, don't abort the sweep
             out.append({"name": name, "ok": False, "error": f"{type(exc).__name__}: {exc}"})
-        finally:
-            # The scale_windows helpers pin their ranged inputs until the
-            # result materializes (ADVICE r7); the sweep is the natural
-            # release point so a 290-query session never accumulates them.
-            release_ranged_caches()
     return out

@@ -247,7 +247,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 # actions folded into one grouped aggregate relation) and q313 (delta_pairs
 # now computed via the actual incremental probe path — batch-touched buckets
 # against the base band relation — so the merge law is falsifiable).  Both
-# re-verified locally (sf0.001 + sf0.01 + sf0.1 hash-exact) before declaring.
+# re-verified locally at sf0.001 + sf0.01 before declaring; q313 also at
+# sf0.1 (q272's sf0.1 oracle is the documented quadratic-truth DuckDB class
+# whose gate is sf0.01 — see BASELINE.md).
 RE_VERIFY: set[str] = {
     "q272_lsh_tuning_curve",
     "q313_incremental_lsh_maintenance",

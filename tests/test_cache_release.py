@@ -1,0 +1,100 @@
+"""Leak-regression pin for the scale_windows ranged-cache release (VERDICT r8
+#9 / ADVICE r7+r8).
+
+The crossing-device helpers (distributed_ntile / distributed_running_sum /
+distributed_running_max) persist their ranged inputs so the counts pass and
+the rank pass observe identical partition placement; `check_query` must
+release every one of them in its own finally so the per-query release
+invariant holds for EVERY caller — check_all, the parametrized oracle tests,
+and ad-hoc sessions alike.  This test pins that invariant against future
+device additions: if a new scale-window device pins a cache that no release
+path drains, the storage-level assertion here goes red.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+# One query per scale-window device family that pins ranged caches today.
+_RANGED_QUERIES = [
+    "q304_revenue_deciles",  # distributed_ntile
+    "q308_perplexity_tertiles",  # distributed_running_sum
+]
+
+
+@pytest.mark.parametrize("name", _RANGED_QUERIES)
+def test_check_query_releases_ranged_caches(spark, name, monkeypatch):
+    from lance_namespace_impls_spark.operators import scale_windows as sw
+    from lance_namespace_impls_spark.plans.oracle import (
+        check_query,
+        duckdb_connection,
+    )
+
+    captured: list = []
+
+    class SpyList(list):
+        def append(self, df):  # record every DF the helpers pin
+            captured.append(df)
+            super().append(df)
+
+    monkeypatch.setattr(sw, "_RANGED_CACHES", SpyList())
+
+    con = duckdb_connection(SF_SMOKE)
+    try:
+        result = check_query(spark, con, name, SF_SMOKE)
+    finally:
+        con.close()
+    assert result["ok"], result
+
+    # The device actually pinned something (otherwise this test is vacuous —
+    # if a rewrite stops using ranged caches, swap in a query that does).
+    assert captured, f"{name} no longer exercises the ranged-cache path"
+    # ... and check_query's finally drained and unpersisted every pin.
+    assert sw._RANGED_CACHES == [], "release_ranged_caches left entries behind"
+    for df in captured:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap), (
+            f"{name}: a ranged cache survived release: {lvl}"
+        )
+
+
+def test_release_surfaces_programming_errors(monkeypatch):
+    """A non-DataFrame in the cache list must not be silently eaten (ADVICE
+    r8 #3): release keeps draining but logs the failure at debug level."""
+    from lance_namespace_impls_spark.operators import scale_windows as sw
+
+    monkeypatch.setattr(sw, "_RANGED_CACHES", [object()])
+    with _debug_capture(sw) as records:
+        sw.release_ranged_caches()
+    assert sw._RANGED_CACHES == []
+    assert any("unpersist failed" in r.getMessage() for r in records)
+
+
+class _debug_capture:
+    def __init__(self, module):
+        self.logger = logging.getLogger(module.__name__)
+        self.records: list = []
+
+    def __enter__(self):
+        class _H(logging.Handler):
+            def __init__(self, sink):
+                super().__init__(level=logging.DEBUG)
+                self._sink = sink
+
+            def emit(self, record):
+                self._sink.append(record)
+
+        self._handler = _H(self.records)
+        self._old_level = self.logger.level
+        self.logger.setLevel(logging.DEBUG)
+        self.logger.addHandler(self._handler)
+        return self.records
+
+    def __exit__(self, *exc):
+        self.logger.removeHandler(self._handler)
+        self.logger.setLevel(self._old_level)
+        return False

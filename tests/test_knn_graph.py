@@ -66,3 +66,33 @@ def test_q272_nested_banding_monotonicity(spark):
     assert all(rows[c]["true_pos"] <= rows[c]["candidates"] for c in order)
     assert all(rows[c]["truth_total"] == rows[order[0]]["truth_total"] for c in order)
     assert rows["8x1"]["recall_ppm"] > 0
+
+
+def test_q272_builder_schedules_no_driver_jobs(spark):
+    """VERDICT r8 #3: the S-curve is ONE DataFrame — building it must not
+    run any Spark job (the round-8 version ran 8 .count() actions, 2 per
+    banding config, during construction)."""
+    sc = spark.sparkContext
+    group = "q272-build-audit"
+    sc.setJobGroup(group, "q272 builder job audit")
+    try:
+        df = QUERIES[NEW[2]].builder(spark, SF_SMOKE)
+        # The builder may legitimately schedule AQE stage-materialization
+        # jobs for its lazy localCheckpoints (callsite withThreadLocalCaptured)
+        # and parquet footer reads — but NO action jobs: the round-8 version
+        # ran 8 .count() actions (2 per banding config) whose stages carry a
+        # 'count at ...' callsite.
+        st = sc.statusTracker()
+        action_stages = []
+        for j in st.getJobIdsForGroup(group):
+            info = st.getJobInfo(j)
+            for s in info.stageIds if info else []:
+                si = st.getStageInfo(s)
+                if si and si.name.split(" at ")[0] in ("count", "collect", "collectToPython"):
+                    action_stages.append(si.name)
+        assert action_stages == [], (
+            f"q272's builder ran driver-side actions during construction: {action_stages}"
+        )
+        assert len(df.collect()) == 4  # the one deliberate action
+    finally:
+        sc.setJobGroup("", "")

@@ -79,6 +79,11 @@ CARTESIAN_ALLOWED = {
     "q314_ab_srm_census": "1-row total-users bound broadcast into the mismatch arithmetic",
     "q316_storage_tiering_plan": "1-row max-day anchor + 1-row total broadcast over the day census",
     "q318_clustering_effectiveness": "1-row width bound + ~30-row probe list against 40 zonemap rows",
+    # round 9
+    "q272_lsh_tuning_curve": "4-row config spine + 1-row truth census cross-joined into the ppm arithmetic",
+    "q325_compaction_execution": "two 1-row conservation censuses (direct vs grouped) cross-joined onto the group relation",
+    "q323_quantile_merge_law": "5-row target grid against k*S-bounded summaries (non-equi crossing joins) + 1-row N/bound broadcasts",
+    "q328_hnsw_layered_search": "8-row query broadcasts against the md5-thinned L2 layer and the brute-force audit side (q232's device); routed 1-row (k, m) bounds",
 }
 
 # streaming builders start real runs; their plans are covered by the
@@ -136,6 +141,7 @@ PYTHON_ALLOWED = {
     "q322_image_phash_neardup": "real netpbm decode + aHash via mapInPandas (multimodal surface)",
     "q178_map_in_arrow_census": "declared mapInArrow surface (Arrow-native census kernel)",
     "q179_apply_in_arrow_profile": "declared applyInArrow surface (grouped Arrow kernel)",
+    "q324_audio_window_census": "real RIFF/WAV chunk-walk decode + windowing via mapInPandas (multimodal surface)",
 }
 
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonMapInArrow")

@@ -106,6 +106,8 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q320_asof_nearest_join",  # two user-partitioned union-merge windows
     "q321_ship_delay_sla",  # priority-partitioned crossing windows
     "q322_image_phash_neardup",  # map-only decode+hash, segment-table join
+    # round-9 rows
+    "q326_snm_second_pass",  # six 1-row pair-set censuses
 ]
 
 

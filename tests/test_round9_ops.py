@@ -1,0 +1,142 @@
+"""Round-9 rows: oracle parity at the smoke scale plus each row's defining
+property — the quantile-summary error law (q323), the WAV container decode
+guarantee (q324), compaction conservation (q325), SNM second-pass recovery
+(q326), and snapshot append-invariance (q327)."""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.oracle import check_query, duckdb_connection
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+NEW = [
+    "q323_quantile_merge_law",
+    "q324_audio_window_census",
+    "q325_compaction_execution",
+    "q326_snm_second_pass",
+    "q327_snapshot_read",
+    "q328_hnsw_layered_search",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_oracle_match(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_q323_error_law_and_summary_bound(spark):
+    rows = QUERIES[NEW[0]].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 5
+    assert all(r["within_bound"] == 1 for r in rows)
+    assert all(r["merged_err"] <= r["err_bound"] for r in rows)
+    # the one-pass summary at the same k is at least as accurate in the
+    # aggregate: its compaction never crosses shard boundaries
+    assert sum(r["onepass_err"] for r in rows) <= sum(
+        r["merged_err"] for r in rows
+    ) + sum(r["err_bound"] for r in rows)
+    # estimates bracket reality: a summary estimate sits within bound ranks
+    # of the target, so its VALUE is >= the exact value whenever err == 0
+    exact0 = [r for r in rows if r["onepass_err"] == 0]
+    assert all(r["onepass_cents"] == r["exact_cents"] for r in exact0)
+
+
+def test_q324_wav_codec_is_a_real_chunk_walker():
+    """A single flipped byte, a skipped pad rule, or a fixed data offset
+    must not decode silently — the q322-style byte-exactness guarantee."""
+    import numpy as np
+
+    from lance_namespace_impls_spark.functions.audio import (
+        decode_wav_pcm8,
+        synth_wav,
+    )
+
+    blob = synth_wav(7)
+    pcm = decode_wav_pcm8(blob)
+    n = 200 + (7 * 13) % 97
+    r = (7 * 2654435761) % (1 << 32)
+    want = [(r + 37 * i) % 256 for i in range(n)]
+    want = [b if b < 128 else b - 256 for b in want]
+    assert pcm.dtype == np.int8 and list(pcm.astype(int)) == want
+
+    # the data offset varies with the doc-dependent LIST chunk (a fixed
+    # offset reader cannot be right for all docs)
+    offsets = {synth_wav(d).index(b"data") for d in range(30)}
+    assert len(offsets) > 1
+
+    # corrupted magic / truncated chunk / size mismatch all refuse
+    with pytest.raises(ValueError):
+        decode_wav_pcm8(b"RIFX" + blob[4:])
+    with pytest.raises(ValueError):
+        decode_wav_pcm8(blob[:-3])
+    # odd-sized LIST chunks exist in the fixture (pad rule exercised)
+    assert any((1 + d % 23) % 2 == 1 for d in range(200))
+
+
+def test_q325_conservation_and_plan_agreement(spark):
+    rows = QUERIES[NEW[2]].builder(spark, SF_SMOKE).collect()
+    assert rows, "no compaction groups"
+    assert all(r["conserved_rows"] == 1 and r["conserved_xor"] == 1 for r in rows)
+    # groups pack ADJACENT fragments: spans never overlap and ascend
+    spans = sorted((r["frag_lo"], r["frag_hi"]) for r in rows)
+    assert all(a <= b for a, b in spans)
+    assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
+    # the executed grouping agrees with q239's published plan
+    plan = {
+        r["fragment"]: r["target_group"]
+        for r in QUERIES["q239_compaction_planning"].builder(spark, SF_SMOKE).collect()
+    }
+    for r in rows:
+        for frag in range(r["frag_lo"], r["frag_hi"] + 1):
+            if frag in plan:
+                assert plan[frag] == r["target_group"]
+
+
+def test_q326_set_algebra_and_seeded_recovery(spark):
+    m = {
+        r["metric"]: r["value"]
+        for r in QUERIES[NEW[3]].builder(spark, SF_SMOKE).collect()
+    }
+    assert m["6_seeded_recovered"] > 0  # the boundary-straddling branch is live
+    assert m["4_recovered_pairs"] >= m["6_seeded_recovered"]
+    assert m["3_overlap_pairs"] + m["4_recovered_pairs"] == m["2_pass2_pairs"]
+    assert m["5_union_pairs"] == m["1_pass1_pairs"] + m["4_recovered_pairs"]
+
+
+def test_q328_descent_is_sublinear_and_recall_is_honest(spark):
+    from lance_namespace_impls_spark.sources.tables import load_table
+
+    rows = QUERIES[NEW[5]].builder(spark, SF_SMOKE).collect()
+    n = load_table(spark, "embeddings", SF_SMOKE).count()
+    assert len(rows) == 8
+    assert all(0 <= r["hits"] <= r["k"] for r in rows)
+    assert any(r["hits"] == r["k"] for r in rows)  # the descent does work...
+    assert all(r["top1_match"] in (0, 1) for r in rows)
+    for r in rows:
+        # every layer actually participated
+        assert r["l2_scanned"] > 0 and r["l1_scanned"] > 0 and r["l0_scanned"] > 0
+        # the HNSW point: total scanned work is well below the brute scan
+        assert r["l2_scanned"] + r["l1_scanned"] + r["l0_scanned"] < n
+
+
+def test_q327_append_invariance_and_idempotence(spark):
+    rows1 = QUERIES[NEW[4]].builder(spark, SF_SMOKE).collect()
+    v1 = {r["o_orderstatus"]: r for r in rows1 if r["version"] == 1}
+    v2 = {r["o_orderstatus"]: r for r in rows1 if r["version"] == 2}
+    assert v1 and set(v1) == set(v2)
+    for status, r in v1.items():
+        assert v2[status]["n_orders"] >= r["n_orders"]  # append-only
+        assert v2[status]["total_cents"] >= r["total_cents"]
+    assert any(v2[s]["n_orders"] > v1[s]["n_orders"] for s in v1)
+    # the fixture is materialize-once: a second run reads the SAME versions
+    rows2 = QUERIES[NEW[4]].builder(spark, SF_SMOKE).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
