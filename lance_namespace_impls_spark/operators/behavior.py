@@ -135,3 +135,110 @@ def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.expr("CAST((1000000 * n) DIV rt AS BIGINT)").alias("row_ppm"),
     ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# q332 — Markov next-event backtest (round 9): q237's transition matrix put
+# to work and scored on held-out data
+
+_MKV_ORACLE = """
+WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ets, event_id
+            FROM events),
+seq AS (SELECT user_id, event_type,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ets, event_id) AS rn,
+          COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM ev),
+nxts AS (SELECT user_id, event_type, rn, cnt,
+          lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY rn) AS nxt
+        FROM seq),
+train AS (SELECT event_type AS prev, nxt
+          FROM nxts WHERE nxt IS NOT NULL AND rn + 1 <= cnt - 1),
+model AS (SELECT prev, nxt AS predicted FROM (
+            SELECT prev, nxt, ROW_NUMBER() OVER (PARTITION BY prev
+              ORDER BY COUNT(*) DESC, nxt) AS rk
+            FROM train GROUP BY prev, nxt) WHERE rk = 1),
+tests AS (SELECT event_type AS prev, nxt AS actual
+          FROM nxts WHERE rn = cnt - 1 AND cnt >= 2)
+SELECT t.prev, CAST(COUNT(*) AS BIGINT) AS n_tests,
+  CAST(SUM(CASE WHEN m.predicted = t.actual THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  CAST(1000000 * SUM(CASE WHEN m.predicted = t.actual THEN 1 ELSE 0 END)
+    // COUNT(*) AS BIGINT) AS accuracy_ppm
+FROM tests t LEFT JOIN model m ON m.prev = t.prev
+GROUP BY t.prev ORDER BY t.prev
+"""
+
+
+@query(
+    "q332_markov_backtest",
+    _MKV_ORACLE,
+    doc="Markov next-event backtest — q237's transition matrix promoted "
+    "from description to PREDICTION and scored honestly on held-out "
+    "data: per user the final transition is the test case and every "
+    "earlier consecutive pair is training; the model is the per-prev-type "
+    "argmax next type (count desc, lexicographic tie), and the census "
+    "reports per-prev-type test count, correct count and accuracy ppm — "
+    "the leakage discipline (train strictly excludes the scored "
+    "transition) is the same split hygiene q137/q279 enforce for "
+    "training corpora, applied to behavioral modeling.  Scale shape: "
+    "per-user sequencing + lead() are ONE user-keyed window pass (q237's "
+    "shape — linear, never a per-user pair join); training pairs reduce "
+    "immediately to the type x type matrix (map-side-combinable counts); "
+    "the model and the backtest join are type-cardinality-sized.",
+    tags=("events", "windows", "analytics"),
+)
+def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ets"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ets", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("cnt"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("rn")
+    nxts = seq.withColumn("nxt", F.lead("event_type", 1).over(wl)).localCheckpoint(
+        eager=False
+    )  # feeds training pairs AND the test slice
+    train = nxts.filter(
+        F.col("nxt").isNotNull() & (F.col("rn") + 1 <= F.col("cnt") - 1)
+    ).select(F.col("event_type").alias("prev"), "nxt")
+    model = (
+        train.groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("prev").orderBy(F.col("c").desc(), "nxt")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    tests = nxts.filter(
+        (F.col("rn") == F.col("cnt") - 1) & (F.col("cnt") >= 2)
+    ).select(F.col("event_type").alias("prev"), F.col("nxt").alias("actual"))
+    return (
+        tests.join(F.broadcast(model), "prev", "left")
+        .groupBy("prev")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tests"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .selectExpr(
+            "prev",
+            "n_tests",
+            "n_correct",
+            "CAST(1000000 * n_correct DIV n_tests AS BIGINT) AS accuracy_ppm",
+        )
+        .orderBy("prev")
+    )

@@ -429,3 +429,180 @@ def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q331 — Matryoshka truncation audit (round 9): how much recall do the
+# first 16 of 64 dimensions keep?
+
+_MRL_DIM = 48
+_MRL_K = 5
+_MRL_Q = 8
+
+_MRL_ORACLE = (
+    "WITH proj AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    f"tr AS (SELECT vec_id, v[1:{_MRL_DIM}] AS vt FROM proj), "
+    f"qs AS (SELECT p.vec_id AS query_id, p.v AS qv, t.vt AS qvt "
+    f"  FROM proj p JOIN tr t USING (vec_id) WHERE p.vec_id < {_MRL_Q}), "
+    "fd AS (SELECT q.query_id, p.vec_id, "
+    "  CAST(list_dot_product(q.qv, q.qv) + list_dot_product(p.v, p.v) "
+    "       - 2 * CAST(list_dot_product(q.qv, p.v) AS BIGINT) AS BIGINT) AS d2 "
+    "  FROM qs q CROSS JOIN proj p WHERE p.vec_id <> q.query_id), "
+    "td AS (SELECT q.query_id, t.vec_id, "
+    "  CAST(list_dot_product(q.qvt, q.qvt) + list_dot_product(t.vt, t.vt) "
+    "       - 2 * CAST(list_dot_product(q.qvt, t.vt) AS BIGINT) AS BIGINT) AS d2 "
+    "  FROM qs q CROSS JOIN tr t WHERE t.vec_id <> q.query_id), "
+    "fx AS (SELECT query_id, vec_id, rank FROM (SELECT query_id, vec_id, "
+    "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank FROM fd) "
+    f"  WHERE rank <= {_MRL_K}), "
+    "tx AS (SELECT query_id, vec_id, rank FROM (SELECT query_id, vec_id, "
+    "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS rank FROM td) "
+    f"  WHERE rank <= {_MRL_K}), "
+    "hits AS (SELECT t.query_id, COUNT(*) AS hits FROM tx t "
+    "  JOIN fx f ON t.query_id = f.query_id AND t.vec_id = f.vec_id "
+    "  GROUP BY t.query_id), "
+    "t1 AS (SELECT t.query_id, CASE WHEN t.vec_id = f.vec_id THEN 1 ELSE 0 END AS top1 "
+    "  FROM tx t JOIN fx f ON t.query_id = f.query_id AND t.rank = 1 AND f.rank = 1), "
+    "drift AS (SELECT f.query_id, td.d2rank FROM "
+    "  (SELECT query_id, vec_id FROM fx WHERE rank = 1) f "
+    "  JOIN (SELECT query_id, vec_id, "
+    "    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, vec_id) AS d2rank "
+    "    FROM td) td ON td.query_id = f.query_id AND td.vec_id = f.vec_id) "
+    "SELECT CAST(q.query_id AS BIGINT) AS query_id, "
+    f"  CAST({_MRL_K} AS BIGINT) AS k, "
+    "  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits, "
+    "  CAST(COALESCE(t.top1, 0) AS BIGINT) AS top1_match, "
+    "  CAST(d.d2rank AS BIGINT) AS full_top1_trunc_rank "
+    "FROM qs q LEFT JOIN hits h USING (query_id) LEFT JOIN t1 t USING (query_id) "
+    "JOIN drift d USING (query_id) ORDER BY q.query_id"
+)
+
+
+@query(
+    "q331_matryoshka_truncation",
+    _MRL_ORACLE,
+    doc="Matryoshka truncation audit — the decision row for serving "
+    "truncated embeddings (Kusupati et al.'s MRL deployment question): "
+    "for 8 audit queries, the top-5 under the FIRST-48-of-64-dimension "
+    "integer distance scored against the full-dimension exact top-5 — "
+    "hits (recall@5), top1 agreement, and where the full-space winner "
+    "lands under the truncated metric (full_top1_trunc_rank, the rank "
+    "drift a re-rank stage must absorb).  All integer, hash-exact "
+    "(q232's audit harness applied to the dimension axis instead of the "
+    "index axis).  Scale shape: both sides are the documented "
+    "brute-force audit confined to the 8-query sample; the Spark side "
+    "runs the two-stage bucketed top-k (rank within (query, vec%32) "
+    "buckets, then a bounded pool) so no window partition ever sees the "
+    "corpus; truncation itself is a zero-shuffle slice projection.",
+    tags=("llm", "similarity", "vectors"),
+)
+def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    proj = proj.withColumn("vt", F.expr(f"slice(v, 1, {_MRL_DIM})"))
+    proj = proj.localCheckpoint(eager=False)  # corpus side of both metrics
+    qs = proj.filter(F.col("vec_id") < _MRL_Q).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("vt").alias("qvt"),
+    )
+
+    def brute_topk(vcol: str, qcol: str) -> DataFrame:
+        d2 = (
+            int_dot(F.col(qcol), F.col(qcol))
+            + int_dot(F.col(vcol), F.col(vcol))
+            - F.lit(2) * int_dot(F.col(qcol), F.col(vcol))
+        ).cast("long")
+        scored = (
+            proj.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id", d2.alias("d2"))
+        )
+        pre = scored.withColumn("b", F.col("vec_id") % _GT_BUCKETS).withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("query_id", "b").orderBy("d2", "vec_id")
+            ),
+        ).filter(F.col("prank") <= _MRL_K)
+        return (
+            pre.withColumn(
+                "rank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy("d2", "vec_id")
+                ),
+            )
+            .select("query_id", "vec_id", "rank")
+            .filter(F.col("rank") <= _MRL_K)
+        )
+
+    fx = brute_topk("v", "qv").localCheckpoint(eager=False)  # hits + t1 + drift
+    tx = brute_topk("vt", "qvt").localCheckpoint(eager=False)
+    hits = (
+        tx.join(fx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    t1 = (
+        tx.filter(F.col("rank") == 1)
+        .select("query_id", F.col("vec_id").alias("tv"))
+        .join(
+            fx.filter(F.col("rank") == 1).select("query_id", F.col("vec_id").alias("fv")),
+            "query_id",
+        )
+        .select(
+            "query_id", F.when(F.col("tv") == F.col("fv"), 1).otherwise(0).alias("top1")
+        )
+    )
+    # rank of the full-space top-1 under the truncated metric: count of
+    # truncated-closer rows + 1 — a broadcast aggregate, not a window
+    d2t = (
+        int_dot(F.col("qvt"), F.col("qvt"))
+        + int_dot(F.col("vt"), F.col("vt"))
+        - F.lit(2) * int_dot(F.col("qvt"), F.col("vt"))
+    ).cast("long")
+    tall = (
+        proj.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2t.alias("d2"))
+    )
+    # the anchor row: the full-space winner's TRUNCATED distance (equi-join
+    # on query_id, filtered to the winner — an 8-row relation)
+    anchor = (
+        fx.filter(F.col("rank") == 1)
+        .select("query_id", F.col("vec_id").alias("avec"))
+        .join(tall.withColumnRenamed("d2", "ad2"), "query_id")
+        .filter(F.col("vec_id") == F.col("avec"))
+        .select("query_id", "avec", "ad2")
+    )
+    drift = (
+        tall.join(F.broadcast(anchor), "query_id")
+        .groupBy("query_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("d2") < F.col("ad2"))
+                        | ((F.col("d2") == F.col("ad2")) & (F.col("vec_id") < F.col("avec"))),
+                        1,
+                    ).otherwise(0)
+                )
+                + 1
+            ).alias("d2rank")
+        )
+    )
+    return (
+        qs.select("query_id")
+        .join(hits, "query_id", "left")
+        .join(t1, "query_id", "left")
+        .join(drift, "query_id")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.lit(_MRL_K).cast("long").alias("k"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("hits"),
+            F.coalesce("top1", F.lit(0)).cast("long").alias("top1_match"),
+            F.col("d2rank").cast("long").alias("full_top1_trunc_rank"),
+        )
+        .orderBy("query_id")
+    )

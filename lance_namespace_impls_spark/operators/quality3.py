@@ -394,3 +394,81 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("docs"))
         .orderBy("source", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q333 — readability census (round 9): the Flesch-style shape signal beside
+# q297's Gopher rules
+
+_READ_ORACLE = """
+WITH d AS (SELECT doc_id, source, lower(trim(text)) AS t FROM documents),
+m AS (SELECT doc_id, source,
+        CAST(len(list_filter(regexp_split_to_array(t, '\\s+'), x -> x <> ''))
+          AS BIGINT) AS words,
+        CAST(1 + len(regexp_extract_all(t, '[.!?]')) AS BIGINT) AS sentences,
+        CAST(len(regexp_extract_all(t, '[aeiou]+')) AS BIGINT) AS vruns
+      FROM d),
+f AS (SELECT doc_id, source, words, sentences, vruns,
+        206835 - (1015 * words) // sentences
+               - (84600 * vruns) // GREATEST(words, 1) AS flesch_milli
+      FROM m WHERE words > 0)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(words) AS BIGINT) AS words,
+  CAST(SUM(sentences) AS BIGINT) AS sentences,
+  CAST(SUM(vruns) AS BIGINT) AS vowel_runs,
+  CAST(SUM(flesch_milli) AS BIGINT) AS flesch_milli_sum
+FROM f GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "q333_readability_census",
+    _READ_ORACLE,
+    doc="Readability census — the Flesch-reading-ease shape signal next to "
+    "q297's Gopher rules and q49's quality score, in exact integer "
+    "milli-units (206.835 -> 206835; 1.015 -> 1015 per words/sentence; "
+    "84.6 -> 84600 per syllables/word, with vowel RUNS as the standard "
+    "syllable proxy): per-doc words / sentence terminators / vowel runs "
+    "from three regexp passes, per-source sums.  Per-doc Flesch values "
+    "can be negative (a long unpunctuated doc), so the source relation "
+    "carries the SUM, never a mean — the q217 device that keeps every "
+    "cross-engine division non-negative; the two per-doc divisions have "
+    "non-negative operands by construction.  Scale shape: row-local "
+    "regexp arithmetic rides the scan (whole-stage codegen, no Python), "
+    "one map-side-combinable aggregate keyed by source.",
+    tags=("llm", "quality", "text"),
+)
+def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, "documents", sf_dir).select(
+        "source", F.lower(F.trim(F.col("text"))).alias("t")
+    )
+    m = d.select(
+        "source",
+        F.expr(r"size(filter(split(t, '\\s+'), x -> x != ''))")
+        .cast("long")
+        .alias("words"),
+        (F.lit(1) + F.expr("size(regexp_extract_all(t, '[.!?]', 0))"))
+        .cast("long")
+        .alias("sentences"),
+        F.expr("size(regexp_extract_all(t, '[aeiou]+', 0))")
+        .cast("long")
+        .alias("vruns"),
+    )
+    f = m.filter(F.col("words") > 0).withColumn(
+        "flesch_milli",
+        F.expr(
+            "206835 - (1015 * words) DIV sentences"
+            " - (84600 * vruns) DIV GREATEST(words, 1)"
+        ),
+    )
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("words"),
+            F.sum("sentences").cast("long").alias("sentences"),
+            F.sum("vruns").cast("long").alias("vowel_runs"),
+            F.sum("flesch_milli").cast("long").alias("flesch_milli_sum"),
+        )
+        .orderBy("source")
+    )

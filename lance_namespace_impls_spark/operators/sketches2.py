@@ -784,3 +784,131 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# q330 — bottom-k (theta-style) SET-OPERATION estimates (round 9): the
+# oracle-checked upgrade of q124's rows-only overlap sketch
+
+_SO_K = 64
+_SO_PAIRS = (("src0", "src1"), ("src2", "src3"), ("src4", "src5"), ("src6", "src7"))
+
+_SO_CASE = "CASE source " + " ".join(
+    f"WHEN '{a}' THEN 'p{i}_{a}_{b}' WHEN '{b}' THEN 'p{i}_{a}_{b}'"
+    for i, (a, b) in enumerate(_SO_PAIRS)
+) + " END"
+_SO_A = "CASE source " + " ".join(
+    f"WHEN '{a}' THEN 1" for a, _ in _SO_PAIRS
+) + " ELSE 0 END"
+_SO_B = "CASE source " + " ".join(
+    f"WHEN '{b}' THEN 1" for _, b in _SO_PAIRS
+) + " ELSE 0 END"
+
+_SO_ORACLE = (
+    "WITH toks AS (SELECT source, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents "
+    f"  WHERE source IN ({', '.join(repr(s) for p in _SO_PAIRS for s in p)})), "
+    "big AS (SELECT source, tk[i] || ' ' || tk[i + 1] AS w FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    f"tagged AS (SELECT DISTINCT {_SO_CASE} AS pair, "
+    f"  {_H32_DUCK.format(x='w')} AS h, "
+    f"  {_SO_A} AS ia, {_SO_B} AS ib FROM big), "
+    "sets AS (SELECT pair, h, MAX(ia) AS in_a, MAX(ib) AS in_b "
+    "  FROM tagged GROUP BY pair, h), "
+    "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pair ORDER BY h) AS rk "
+    "  FROM sets), "
+    f"sk AS (SELECT pair, CAST(MAX(h) AS BIGINT) AS mk, CAST(COUNT(*) AS BIGINT) AS kk, "
+    "  CAST(SUM(in_a * in_b) AS BIGINT) AS cnt_both "
+    f"  FROM ranked WHERE rk <= {_SO_K} GROUP BY pair), "
+    "ex AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS exact_union, "
+    "  CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter FROM sets GROUP BY pair) "
+    "SELECT e.pair, e.exact_union, "
+    f"  CAST(CASE WHEN s.kk < {_SO_K} THEN e.exact_union "
+    "    ELSE ((s.kk - 1) * 4294967296) // s.mk END AS BIGINT) AS est_union, "
+    "  e.exact_inter, "
+    f"  CAST(s.cnt_both * (CASE WHEN s.kk < {_SO_K} THEN e.exact_union "
+    "    ELSE ((s.kk - 1) * 4294967296) // s.mk END) // GREATEST(s.kk, 1) "
+    "    AS BIGINT) AS est_inter, "
+    "  CAST(1000000 * e.exact_inter // GREATEST(e.exact_union, 1) AS BIGINT) "
+    "    AS exact_jaccard_ppm, "
+    "  CAST(1000000 * s.cnt_both // GREATEST(s.kk, 1) AS BIGINT) "
+    "    AS est_jaccard_ppm "
+    "FROM ex e JOIN sk s USING (pair) ORDER BY e.pair"
+)
+
+
+@query(
+    "q330_kmv_set_ops",
+    _SO_ORACLE,
+    doc="Bottom-k (theta-sketch-style) SET-OPERATION estimates — the "
+    "oracle-checked upgrade of q124's rows-only overlap sketch and the "
+    "set-algebra completion of q221's single-set KMV: for four source "
+    "pairs, the k=64 smallest md5 hashes of the UNION sample the space "
+    "below theta = kth_min, union size estimates as (k-1)*2^32 DIV theta "
+    "(q221's form), intersection as cnt_both*est_union DIV k (the "
+    "below-theta members seen on BOTH sides), Jaccard as cnt_both DIV k "
+    "in ppm — each estimate hash-checked NEXT TO its exact truth, so the "
+    "estimator's error is itself part of the verified row (and the "
+    "small-set branch is the exact passthrough, same as q221).  This is "
+    "how cross-source contamination/overlap is priced at 100 TB: k-row "
+    "mergeable states per source, never a set join.  Scale shape: "
+    "distinct (pair, hash, side-flags) is one map-side-combinable "
+    "reduction over bigrams; the bottom-k window runs per pair on the "
+    "vocabulary-sized set relation (the q221 posture).",
+    tags=("llm", "sketch", "dedup"),
+)
+def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir).filter(
+        F.col("source").isin([s for p in _SO_PAIRS for s in p])
+    )
+    tagged = _source_bigrams(docs).select(
+        F.expr(_SO_CASE).alias("pair"),
+        F.expr(_H32.format(x="w")).cast("long").alias("h"),
+        F.expr(_SO_A).alias("ia"),
+        F.expr(_SO_B).alias("ib"),
+    )
+    sets = tagged.groupBy("pair", "h").agg(
+        F.max("ia").alias("in_a"), F.max("ib").alias("in_b")
+    )
+    sets = sets.localCheckpoint(eager=False)  # feeds the sketch AND the truth
+    ranked = sets.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("pair").orderBy("h"))
+    )
+    sk = (
+        ranked.filter(F.col("rk") <= _SO_K)
+        .groupBy("pair")
+        .agg(
+            F.max("h").cast("long").alias("mk"),
+            F.count(F.lit(1)).cast("long").alias("kk"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("cnt_both"),
+        )
+    )
+    ex = sets.groupBy("pair").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("exact_inter"),
+    )
+    est_union = (
+        F.when(F.col("kk") < _SO_K, F.col("exact_union"))
+        .otherwise(F.expr("((kk - 1) * 4294967296) DIV mk"))
+        .cast("long")
+    )
+    return (
+        ex.join(sk, "pair")
+        .withColumn("est_union", est_union)
+        .select(
+            "pair",
+            "exact_union",
+            "est_union",
+            "exact_inter",
+            F.expr("CAST(cnt_both * est_union DIV GREATEST(kk, 1) AS BIGINT)").alias(
+                "est_inter"
+            ),
+            F.expr(
+                "CAST(1000000 * exact_inter DIV GREATEST(exact_union, 1) AS BIGINT)"
+            ).alias("exact_jaccard_ppm"),
+            F.expr("CAST(1000000 * cnt_both DIV GREATEST(kk, 1) AS BIGINT)").alias(
+                "est_jaccard_ppm"
+            ),
+        )
+        .orderBy("pair")
+    )

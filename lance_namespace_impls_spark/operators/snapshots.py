@@ -138,3 +138,121 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return census(1).unionByName(census(2)).orderBy("version", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# q329 — retention/vacuum EXECUTION (round 9): q263 plans retention, q327
+# reads versions; this row runs the GC and proves the survivor still reads
+
+
+def vacuum_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir) a three-version lifecycle and RUN the
+    vacuum: v1 = partial orders, v2 = v1 + append (manifests share files),
+    v3 = a compaction REWRITE of v2 into fresh files (its manifest
+    references files/v3 only, orphaning v1/v2's data), then retention
+    keeps only v3 and the vacuum deletes every data directory no retained
+    manifest references — the lance cleanup_old_versions contract.  The
+    removal record lands in vacuum.json beside the manifests."""
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"lni_vac_{tag}")
+    marker = os.path.join(root, "_LNI_READY")
+    if not os.path.exists(marker):
+        cents = F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+        )
+        orders = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", cents.alias("cents")
+        )
+        orders.filter(F.col("o_orderkey") % 3 != 0).write.mode("overwrite").parquet(
+            os.path.join(root, "files", "v1")
+        )
+        orders.filter(F.col("o_orderkey") % 3 == 0).write.mode("overwrite").parquet(
+            os.path.join(root, "files", "v2")
+        )
+        os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
+
+        def commit(v: int, files: list[str]) -> None:
+            tmp = os.path.join(root, "_versions", f".{v}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"version": v, "files": files}, f)
+            os.replace(tmp, os.path.join(root, "_versions", f"{v}.json"))
+
+        commit(1, ["files/v1"])
+        commit(2, ["files/v1", "files/v2"])
+        # v3: compaction rewrite — same rows as v2, fresh files
+        read_version(spark, root, 2).write.mode("overwrite").parquet(
+            os.path.join(root, "files", "v3")
+        )
+        commit(3, ["files/v3"])
+        # vacuum with retention = {3}: delete data dirs no retained manifest
+        # references (the EXECUTION of the q263-style retention plan)
+        retained = {3}
+        referenced: set[str] = set()
+        for v in retained:
+            with open(os.path.join(root, "_versions", f"{v}.json")) as f:
+                referenced.update(json.load(f)["files"])
+        removed = []
+        for d in sorted(os.listdir(os.path.join(root, "files"))):
+            rel = f"files/{d}"
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(root, "files", d))
+                removed.append(rel)
+        with open(os.path.join(root, "vacuum.json"), "w") as f:
+            json.dump({"retained": sorted(retained), "removed": removed}, f)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+_VACUUM_ORACLE = (
+    "SELECT CAST(3 AS BIGINT) AS version, o_orderstatus, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "  CAST(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)) "
+    "    AS BIGINT) AS total_cents, "
+    "  CAST(2 AS BIGINT) AS orphan_dirs_removed "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+)
+
+
+@query(
+    "q329_vacuum_execution",
+    _VACUUM_ORACLE,
+    doc="Retention/vacuum EXECUTION — the GC loop closed the way q325 "
+    "closed compaction's: after a compaction rewrite (v3 = v2's rows in "
+    "fresh files) retention keeps only v3, the vacuum deletes every data "
+    "directory no retained manifest references (files/v1 and files/v2 — "
+    "recorded in vacuum.json and counted in orphan_dirs_removed), and "
+    "this row reads the SURVIVING version through its pinned manifest "
+    "scan AFTER the deletion ran.  The oracle derives v3's census "
+    "definitionally from the full orders table (a compaction rewrite "
+    "conserves content), so a vacuum that deleted a LIVE file diverges "
+    "counts / cent-exact totals or fails the read outright, and "
+    "tests/test_round9_ops.py additionally asserts the orphan dirs are "
+    "really gone and a v1 read now fails — the retention contract's "
+    "other half.  Scale shape: manifest resolution is metadata; the "
+    "referenced-set difference is directory-list-sized; the rewrite and "
+    "the surviving scan are ordinary distributed parquet jobs.",
+    tags=("catalog", "maintenance", "versioning"),
+)
+def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = vacuum_fixture_dir(spark, sf_dir)
+    with open(os.path.join(root, "vacuum.json")) as f:
+        vac = json.load(f)
+    return (
+        read_version(spark, root, 3)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .select(
+            F.lit(3).cast("long").alias("version"),
+            "o_orderstatus",
+            "n_orders",
+            "total_cents",
+            F.lit(len(vac["removed"])).cast("long").alias("orphan_dirs_removed"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -266,6 +266,12 @@ RE_VERIFY: set[str] = {
 # partial top-k), q256 (routed token-budget running sums), q270 (kNN graph,
 # now also feeding q295).
 REGRESSION_PROPOSED: tuple[str, ...] = (
+    # the five shared-scale-device rows lead: the driver's ~50-row cap falls
+    # on the tail, and these five must not be the rows it drops (the round-9
+    # front is 13 rows — 2 RE_VERIFY + 11 never-checked — so ~37 regression
+    # slots remain)
+    "q92_ntile_distributed", "q223_median_mad", "q232_ann_recall_audit",
+    "q256_token_budget_fill", "q270_knn_graph",
     "q10_broadcast_join", "q11_multiway_join_revenue", "q12_left_outer_join",
     "q13_left_semi_join", "q14_left_anti_join", "q15_theta_join",
     "q16_cross_join", "q17_self_join", "q18_hash_agg_multi_measure",
@@ -279,8 +285,6 @@ REGRESSION_PROPOSED: tuple[str, ...] = (
     "q40_cast", "q41_array_functions", "q42_json_functions",
     "q43_tumbling_window_batch", "q44_python_udf", "q45_exact_dedup_stats",
     "q46_text_lang_stats",
-    "q92_ntile_distributed", "q223_median_mad", "q232_ann_recall_audit",
-    "q256_token_budget_fill", "q270_knn_graph",
 )
 
 

@@ -57,6 +57,12 @@ NO_SINGLE_PARTITION = [
     "q275_pruning_stack",  # per-fragment zones/bits, no global window
     "q277_pit_tier_attribution",  # per-customer exclusive frames
     "q285_data_card_matrix",  # cell-relation aggregates + marginal joins
+    # round 9
+    "q327_snapshot_read",  # version-pinned scans + (version, status) aggs
+    "q329_vacuum_execution",  # survivor scan + per-status agg
+    "q330_kmv_set_ops",  # per-pair bottom-k window on the vocab-sized set relation
+    "q332_markov_backtest",  # user-keyed lead window; type-matrix model
+    "q333_readability_census",  # row-local regexp arithmetic + per-source agg
     "q286_front_coding_estimate",  # per-source vocabulary lag window
     "q287_delta_encoding_plan",  # fragment-bounded lag windows
     # round-8 extension (VERDICT r7 #3): the last round-7 batches
@@ -108,7 +114,14 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q322_image_phash_neardup",  # map-only decode+hash, segment-table join
     # round-9 rows
     "q326_snm_second_pass",  # six 1-row pair-set censuses
+    "q331_matryoshka_truncation",  # AQE-injected 8-row bloom_filter_agg builds
 ]
+
+# Round-9 strict additions live in NO_SINGLE_PARTITION above; q323/q325/q328
+# are excluded on purpose: q323's cumulative windows run on the k*S-bounded
+# summaries, q325's planning window on the fragment-metadata relation, and
+# q328 carries the same AQE bloom-filter builds as q331 plus beam-bounded
+# set ops — the legitimate tiny-side cases, same as q304/q263.
 
 
 def _depth(line: str) -> int:
