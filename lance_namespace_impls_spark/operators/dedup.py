@@ -842,9 +842,10 @@ SELECT * FROM (
     "Census: per-pass pair counts, overlap, recovered (pass2-only), "
     "union, seeded-recovered.  Scale shape: both passes are the q225 "
     "plan (window partitions scale with 2-char blocks, candidates exactly "
-    "(w-1)*N per pass — linear); the set algebra shuffles (da, db) int "
-    "pairs only; p1/p2/rec feed multiple censuses so each is "
-    "localCheckpointed (the r8 shared-subtree lesson).",
+    "(w-1)*N per pass — linear); the entire set algebra is ONE shuffle — "
+    "side-flagged pairs reduce to (da, db, in1, in2) and all six censuses "
+    "are conditional sums over that relation (no intersect/subtract/"
+    "distinct set-op triple, which would re-shuffle the pair sets).",
     tags=("llm", "dedup", "joins"),
 )
 def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,7 +860,9 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("zz"), F.expr("substring(key, 3)")).alias("key"),
         )
     )
-    un = spread(d0.unionByName(tw))
+    # both passes consume the twinned relation — checkpoint it so the doc
+    # scan + twin union executes once (the r8 shared-subtree lesson)
+    un = spread(d0.unionByName(tw)).localCheckpoint(eager=False)
 
     def snm_pairs(rel: DataFrame, key_col: str, blk_col) -> DataFrame:
         win = Window.partitionBy("blk").orderBy(key_col, "doc_id")
@@ -875,31 +878,36 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a", "b").alias("da"), F.greatest("a", "b").alias("db")
         ).distinct()
 
-    p1 = snm_pairs(un, "key", F.substring("key", 1, 2)).localCheckpoint(eager=False)
+    p1 = snm_pairs(un, "key", F.substring("key", 1, 2))
     s2 = un.select("doc_id", F.expr("substring(key, 3)").alias("key2"))
-    p2 = snm_pairs(s2, "key2", F.substring("key2", 1, 2)).localCheckpoint(eager=False)
-    rec = p2.subtract(p1).localCheckpoint(eager=False)
-
-    def metric(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("metric"),
-            F.count(F.lit(1)).cast("long").alias("value"),
-        )
-
-    out = (
-        metric("1_pass1_pairs", p1)
-        .unionByName(metric("2_pass2_pairs", p2))
-        .unionByName(metric("3_overlap_pairs", p1.intersect(p2)))
-        .unionByName(metric("4_recovered_pairs", rec))
-        .unionByName(metric("5_union_pairs", p1.union(p2).distinct()))
-        .unionByName(
-            metric(
-                "6_seeded_recovered",
-                rec.filter(
-                    (F.col("db") - F.col("da") == 1000000)
-                    & (F.col("da") % _SNM2_MOD == 0)
-                ),
-            )
-        )
+    p2 = snm_pairs(s2, "key2", F.substring("key2", 1, 2))
+    # ONE shuffle for the whole set algebra: tag each pass's pairs with a
+    # side flag, reduce to (da, db, in1, in2), and every census is a
+    # conditional sum over that relation — no intersect/subtract/distinct
+    # set-op triple (each of which would shuffle the pair sets again).
+    tagged = (
+        p1.select("da", "db", F.lit(1).alias("in1"), F.lit(0).alias("in2"))
+        .unionAll(p2.select("da", "db", F.lit(0).alias("in1"), F.lit(1).alias("in2")))
+        .groupBy("da", "db")
+        .agg(F.max("in1").alias("in1"), F.max("in2").alias("in2"))
     )
-    return out.orderBy("metric")
+    seeded = (
+        ((F.col("db") - F.col("da")) == 1000000) & (F.col("da") % _SNM2_MOD == 0)
+    ).cast("int")
+    agg = tagged.agg(
+        F.sum("in1").alias("v1"),
+        F.sum("in2").alias("v2"),
+        F.sum(F.col("in1") * F.col("in2")).alias("v3"),
+        F.sum((1 - F.col("in1")) * F.col("in2")).alias("v4"),
+        F.count(F.lit(1)).alias("v5"),
+        F.sum((1 - F.col("in1")) * F.col("in2") * seeded).alias("v6"),
+    )
+    return agg.selectExpr(
+        "stack(6, "
+        "'1_pass1_pairs', CAST(v1 AS BIGINT), "
+        "'2_pass2_pairs', CAST(v2 AS BIGINT), "
+        "'3_overlap_pairs', CAST(v3 AS BIGINT), "
+        "'4_recovered_pairs', CAST(v4 AS BIGINT), "
+        "'5_union_pairs', CAST(v5 AS BIGINT), "
+        "'6_seeded_recovered', CAST(v6 AS BIGINT)) AS (metric, value)"
+    ).orderBy("metric")
