@@ -298,3 +298,129 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q334 — tokenizer round-trip fidelity (round 9): q203's encoder proven
+# invertible, content-exact
+
+# The fixture has ~31 unigram types; K=28 keeps BOTH the OOV branch and the
+# UNK-free-doc branch live at every SF (probed: 455-489 of 500 docs carry an
+# UNK at the small SFs, 4586 of 5000 at sf0.1).
+_RT_VOCAB_K = 28
+
+_RT_ORACLE = (
+    "WITH tok AS (SELECT doc_id, source, w, CAST(i AS BIGINT) - 1 AS pos FROM ("
+    "  SELECT doc_id, source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w, "
+    "  generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS i "
+    "  FROM documents)), "
+    "vc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w), "
+    f"vocab AS (SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS tid "
+    f"  FROM vc ORDER BY c DESC, w LIMIT {_RT_VOCAB_K}), "
+    "enc AS (SELECT tok.doc_id, tok.source, tok.pos, tok.w, "
+    "  COALESCE(vocab.tid, 0) AS tid FROM tok LEFT JOIN vocab ON tok.w = vocab.w), "
+    "dec AS (SELECT e.doc_id, e.source, e.pos, e.tid, "
+    "  COALESCE(v.w, '<unk>') AS wd, "
+    "  CASE WHEN e.tid = 0 THEN '<unk>' ELSE e.w END AS wref "
+    "  FROM enc e LEFT JOIN vocab v ON e.tid = v.tid), "
+    "recon AS (SELECT doc_id, source, "
+    "  string_agg(wd, ' ' ORDER BY pos) AS a, "
+    "  string_agg(wref, ' ' ORDER BY pos) AS b, "
+    "  CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unks "
+    "  FROM dec GROUP BY doc_id, source) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(SUM(CASE WHEN unks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_docs, "
+    "  CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS roundtrip_ok, "
+    "  CAST(bit_xor(('0x' || substr(md5(a), 1, 8))::BIGINT) AS BIGINT) "
+    "    AS recon_h32_xor "
+    "FROM recon GROUP BY source ORDER BY source"
+)
+
+
+@query(
+    "q334_tokenizer_roundtrip",
+    _RT_ORACLE,
+    doc="Tokenizer round-trip fidelity — the invertibility law behind "
+    "q203's encode step, measured the falsifiable way (vocab K=28 of the "
+    "fixture's 31 unigram types, so OOV docs AND UNK-free docs both exist "
+    "at every SF — the q203-size vocab would swallow the whole corpus): "
+    "path A decodes the "
+    "ACTUAL id sequence back through the inverted vocabulary "
+    "(tid -> token, 0 -> '<unk>') and reassembles by position; path B "
+    "replaces OOV tokens directly in the token stream; per source the "
+    "census counts docs, UNK-affected docs, A==B round-trips, and an "
+    "order-free XOR of 32-bit md5 content hashes of the RECONSTRUCTION — "
+    "so an id collision, a broken inverse mapping, or a position-order "
+    "bug diverges both the ok-count and the content signature (and the "
+    "oracle recomputes everything definitionally, pinning the Spark "
+    "decoder cross-engine).  Scale shape: vocabulary windows rank the "
+    "bounded vocab; decode is a broadcast join; reassembly groups by doc "
+    "(doc-sized strings, never corpus-wide).",
+    tags=("llm", "corpus", "tokenizer"),
+)
+def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    tok = docs.select(
+        "doc_id", "source", F.posexplode(tokens("text")).alias("pos", "w")
+    )
+    tok = tok.localCheckpoint(eager=False)  # feeds vocab count AND encode
+    vc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.orderBy(F.col("c").desc(), "w")  # vocabulary-sized
+    vocab = (
+        vc.withColumn("tid", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("tid") <= _RT_VOCAB_K)
+        .select("w", "tid")
+        .localCheckpoint(eager=False)  # encode join AND inverse join
+    )
+    enc = tok.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id",
+        "source",
+        "pos",
+        "w",
+        F.coalesce("tid", F.lit(0)).alias("tid"),
+    )
+    inv = vocab.select(F.col("tid").alias("tid"), F.col("w").alias("wv"))
+    dec = enc.join(F.broadcast(inv), "tid", "left").select(
+        "doc_id",
+        "source",
+        "pos",
+        "tid",
+        F.coalesce("wv", F.lit("<unk>")).alias("wd"),
+        F.when(F.col("tid") == 0, "<unk>").otherwise(F.col("w")).alias("wref"),
+    )
+    recon = (
+        dec.groupBy("doc_id", "source")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "wd", "wref", "tid"))).alias(
+                "seq"
+            )
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.expr("array_join(transform(seq, x -> x.wd), ' ')").alias("a"),
+            F.expr("array_join(transform(seq, x -> x.wref), ' ')").alias("b"),
+            F.expr(
+                "aggregate(seq, CAST(0 AS BIGINT), "
+                "(acc, x) -> acc + CASE WHEN x.tid = 0 THEN 1 ELSE 0 END)"
+            ).alias("unks"),
+        )
+    )
+    return (
+        recon.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("unks") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unk_docs"),
+            F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+            .cast("long")
+            .alias("roundtrip_ok"),
+            F.expr(
+                "bit_xor(CAST(conv(substring(md5(a), 1, 8), 16, 10) AS BIGINT))"
+            ).alias("recon_h32_xor"),
+        )
+        .orderBy("source")
+    )

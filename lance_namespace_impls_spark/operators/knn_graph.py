@@ -746,3 +746,103 @@ def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q336 — contrastive triplet margin census (round 9): hard-negative mining
+# over the routed cells, the training-data op the kNN graph feeds
+
+_CTM_ORACLE = (
+    "WITH proj AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    + routed_assignment_sql()
+    + "pairs AS (SELECT a.vec_id, b.vec_id AS neighbor, "
+    "  CAST(list_dot_product(a.v, a.v) + list_dot_product(b.v, b.v) "
+    "       - 2 * list_dot_product(a.v, b.v) AS BIGINT) AS d2 "
+    "  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id <> b.vec_id), "
+    "rk AS (SELECT vec_id, neighbor, d2, "
+    "  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, neighbor) AS rank "
+    "  FROM pairs), "
+    "trip AS (SELECT p.vec_id, p.d2 AS pos_d2, n.d2 AS neg_d2, "
+    "  n.d2 - p.d2 AS margin "
+    "  FROM (SELECT vec_id, d2 FROM rk WHERE rank = 1) p "
+    "  JOIN (SELECT vec_id, d2 FROM rk WHERE rank = 4) n USING (vec_id)) "
+    "SELECT CAST(length(bin(margin)) AS BIGINT) AS margin_bits, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_triplets, "
+    "  CAST(MIN(margin) AS BIGINT) AS min_margin, "
+    "  CAST(MAX(margin) AS BIGINT) AS max_margin, "
+    "  CAST(SUM(pos_d2) AS BIGINT) AS pos_d2_sum "
+    "FROM trip GROUP BY margin_bits ORDER BY margin_bits"
+)
+
+
+@query(
+    "q336_contrastive_margins",
+    _CTM_ORACLE,
+    doc="Contrastive triplet margin census — hard-negative mining, the "
+    "training-data op the kNN graph exists to feed (anchor, positive, "
+    "hard negative) triplets to: per anchor the positive is its exact "
+    "nearest within-cell neighbor (q270's rank-1 edge) and the HARD "
+    "negative its rank-4 neighbor — the closest vector outside the top-3 "
+    "edge set, i.e. the negative that actually stresses a contrastive "
+    "loss (a random negative would be trivially far).  The census "
+    "buckets margins (neg_d2 - pos_d2, >= 0 by rank order) by exact "
+    "integer bit-length (the q166 no-libm log2), with min/max margins "
+    "and the positive-distance mass per bucket — the margin distribution "
+    "IS the curriculum-difficulty profile a triplet-loss run is tuned "
+    "on.  Scale shape: one routed-cell pair join (q270's blocking, "
+    "per-cell-bounded), per-anchor rank windows fed only by the cell, "
+    "and a bucket-count census; no corpus-wide window or join anywhere.",
+    tags=("llm", "similarity", "training"),
+)
+def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    proj = proj.localCheckpoint(eager=False)
+    asg = routed_assignment(proj, cluster_bounds(emb))
+    a = asg.alias("a")
+    b = asg.select(
+        F.col("cluster").alias("b_cluster"),
+        F.col("vec_id").alias("neighbor"),
+        F.col("v").alias("bv"),
+    )
+    d2 = (
+        int_dot(F.col("a.v"), F.col("a.v"))
+        + int_dot(F.col("bv"), F.col("bv"))
+        - 2 * int_dot(F.col("a.v"), F.col("bv"))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b_cluster"))
+        & (F.col("neighbor") != F.col("a.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_id"), "neighbor", d2.alias("d2"))
+    rk = pairs.select(
+        "vec_id",
+        "d2",
+        F.row_number()
+        .over(Window.partitionBy("vec_id").orderBy("d2", "neighbor"))
+        .alias("rank"),
+    ).filter(F.col("rank").isin(1, 4))
+    rk = rk.localCheckpoint(eager=False)  # feeds both triplet sides
+    trip = (
+        rk.filter(F.col("rank") == 1)
+        .select("vec_id", F.col("d2").alias("pos_d2"))
+        .join(
+            rk.filter(F.col("rank") == 4).select(
+                "vec_id", F.col("d2").alias("neg_d2")
+            ),
+            "vec_id",
+        )
+        .withColumn("margin", F.col("neg_d2") - F.col("pos_d2"))
+    )
+    return (
+        trip.groupBy(F.expr("CAST(length(bin(margin)) AS BIGINT)").alias("margin_bits"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triplets"),
+            F.min("margin").cast("long").alias("min_margin"),
+            F.max("margin").cast("long").alias("max_margin"),
+            F.sum("pos_d2").cast("long").alias("pos_d2_sum"),
+        )
+        .orderBy("margin_bits")
+    )

@@ -472,3 +472,98 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q335 — quality-vs-duplication calibration (round 9): does the q49 quality
+# gate actually separate duplicated content?
+
+_QD_MOD = 40  # seed an exact twin from every 40th doc (dup branch live)
+
+_QD_ORACLE = """
+WITH un AS (SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, n_chars FROM documents WHERE doc_id % 40 = 0),
+q AS (SELECT doc_id, text,
+    (10000 * (LEAST(n_chars, 400) * GREATEST(n_chars, 1)
+              + 400 * len(string_split(text, ' ')))
+     + 400 * GREATEST(n_chars, 1))
+    // (800 * GREATEST(n_chars, 1)) AS qmilli
+  FROM un),
+dup AS (SELECT md5(text) AS dg, COUNT(*) AS c FROM q GROUP BY md5(text)),
+flagged AS (SELECT q.doc_id, q.qmilli,
+    CASE WHEN d.c > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM q JOIN dup d ON md5(q.text) = d.dg),
+dec AS (SELECT doc_id, is_dup,
+    NTILE(10) OVER (ORDER BY qmilli, doc_id) AS decile FROM flagged)
+SELECT CAST(decile AS BIGINT) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+  CAST(1000000 * SUM(is_dup) // COUNT(*) AS BIGINT) AS dup_ppm
+FROM dec GROUP BY decile ORDER BY decile
+"""
+
+
+@query(
+    "q335_quality_dup_calibration",
+    _QD_ORACLE,
+    doc="Quality-vs-duplication calibration — the measured law behind "
+    "using a quality gate as a dedup prior: documents (plus exact twins "
+    "seeded from every 40th doc, so the duplicate branch is live at every "
+    "SF) ranked into exact "
+    "global deciles of the q49 quality score (integer milli-units, "
+    "doc_id tiebreak) via distributed_ntile (q92's device — no "
+    "SinglePartition sort), each decile's exact-duplicate membership "
+    "(md5 text digest seen more than once) counted and ppm-rated.  "
+    "Whether duplication concentrates in low-quality deciles is the "
+    "empirical question a curation pipeline must ANSWER before wiring "
+    "quality into dedup priority (q163/q171 keep-best assumes it); this "
+    "row measures it as an oracle-checked relation.  Scale shape: the "
+    "digest census shuffles md5 digests only (the q121 trick); the "
+    "decile assignment is the two-pass ranged device; the calibration "
+    "table is 10 rows.",
+    tags=("llm", "quality", "dedup"),
+)
+def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lance_namespace_impls_spark.operators.scale_windows import (
+        distributed_ntile,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "n_chars"
+    )
+    tw = docs.filter(F.col("doc_id") % _QD_MOD == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "n_chars"
+    )
+    un = docs.unionByName(tw)
+    q = un.select(
+        "doc_id",
+        F.md5("text").alias("dg"),
+        F.expr(
+            "(10000 * (LEAST(n_chars, 400) * GREATEST(n_chars, 1)"
+            " + 400 * SIZE(SPLIT(text, ' ')))"
+            " + 400 * GREATEST(n_chars, 1)) DIV (800 * GREATEST(n_chars, 1))"
+        ).alias("qmilli"),
+    )
+    q = q.localCheckpoint(eager=False)  # feeds the digest census AND ntile
+    dup = q.groupBy("dg").agg(F.count(F.lit(1)).alias("c"))
+    flagged = q.join(dup, "dg").select(
+        "doc_id",
+        "qmilli",
+        F.when(F.col("c") > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    dec = distributed_ntile(flagged, ["qmilli", "doc_id"], 10, out_col="decile")
+    return (
+        dec.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        )
+        .selectExpr(
+            "CAST(decile AS BIGINT) AS decile",
+            "n_docs",
+            "n_dup_docs",
+            "CAST(1000000 * n_dup_docs DIV n_docs AS BIGINT) AS dup_ppm",
+        )
+        .orderBy("decile")
+    )

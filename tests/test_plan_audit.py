@@ -85,6 +85,7 @@ CARTESIAN_ALLOWED = {
     "q323_quantile_merge_law": "5-row target grid against k*S-bounded summaries (non-equi crossing joins) + 1-row N/bound broadcasts",
     "q328_hnsw_layered_search": "8-row query broadcasts against the md5-thinned L2 layer and the brute-force audit side (q232's device); routed 1-row (k, m) bounds",
     "q331_matryoshka_truncation": "8-row query broadcasts against the corpus for both metrics (the q232 brute-force audit sample) + 8-row anchor broadcast",
+    "q336_contrastive_margins": "q205's routed assignment: 1-row (k, m) bounds + sqrt(k) super broadcasts (q270's blocking)",
 }
 
 # streaming builders start real runs; their plans are covered by the

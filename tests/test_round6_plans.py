@@ -63,6 +63,7 @@ NO_SINGLE_PARTITION = [
     "q330_kmv_set_ops",  # per-pair bottom-k window on the vocab-sized set relation
     "q332_markov_backtest",  # user-keyed lead window; type-matrix model
     "q333_readability_census",  # row-local regexp arithmetic + per-source agg
+    "q336_contrastive_margins",  # cell-bounded rank windows, bit-bucket census
     "q286_front_coding_estimate",  # per-source vocabulary lag window
     "q287_delta_encoding_plan",  # fragment-bounded lag windows
     # round-8 extension (VERDICT r7 #3): the last round-7 batches
@@ -116,6 +117,11 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q326_snm_second_pass",  # six 1-row pair-set censuses
     "q331_matryoshka_truncation",  # AQE-injected 8-row bloom_filter_agg builds
 ]
+
+# (q334 is excluded on purpose: its vocabulary-ranking window runs on the
+# bounded vocab relation, q203's documented tiny side; q335 on purpose:
+# distributed_ntile's offsets window runs on the P-row partition-count
+# relation, same as q304/q92.)
 
 # Round-9 strict additions live in NO_SINGLE_PARTITION above; q323/q325/q328
 # are excluded on purpose: q323's cumulative windows run on the k*S-bounded

@@ -1,7 +1,11 @@
 """Round-9 rows: oracle parity at the smoke scale plus each row's defining
 property — the quantile-summary error law (q323), the WAV container decode
 guarantee (q324), compaction conservation (q325), SNM second-pass recovery
-(q326), and snapshot append-invariance (q327)."""
+(q326), snapshot append-invariance (q327), sub-linear HNSW descent (q328),
+vacuum's negative contract (q329), set-op estimator sanity (q330),
+truncation-recall branches (q331), backtest split hygiene (q332),
+readability identities (q333), tokenizer invertibility (q334), calibration
+branches (q335), and margin non-negativity (q336)."""
 
 from __future__ import annotations
 
@@ -25,6 +29,9 @@ NEW = [
     "q331_matryoshka_truncation",
     "q332_markov_backtest",
     "q333_readability_census",
+    "q334_tokenizer_roundtrip",
+    "q335_quality_dup_calibration",
+    "q336_contrastive_margins",
 ]
 
 
@@ -218,3 +225,31 @@ def test_q333_flesch_identity(spark):
     for r in rows:
         assert r["n_docs"] > 0 and r["words"] > 0 and r["sentences"] >= r["n_docs"]
         assert r["vowel_runs"] > 0
+
+
+def test_q334_roundtrip_law_and_branches(spark):
+    rows = QUERIES["q334_tokenizer_roundtrip"].builder(spark, SF_SMOKE).collect()
+    n = sum(r["n_docs"] for r in rows)
+    assert sum(r["roundtrip_ok"] for r in rows) == n  # the invertibility law
+    unk = sum(r["n_unk_docs"] for r in rows)
+    assert 0 < unk < n  # OOV docs AND UNK-free docs both exist
+
+
+def test_q335_calibration_branches(spark):
+    rows = QUERIES["q335_quality_dup_calibration"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    assert sum(r["n_dup_docs"] for r in rows) > 0  # seeded twins live
+    assert any(r["dup_ppm"] == 0 for r in rows) or any(
+        r["dup_ppm"] != rows[0]["dup_ppm"] for r in rows
+    )  # the calibration table is not flat
+    # deciles are near-equal-sized (exact NTILE semantics)
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_q336_margins_nonnegative_and_bucketed(spark):
+    rows = QUERIES["q336_contrastive_margins"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) >= 3  # a real distribution, not one bucket
+    assert all(r["min_margin"] >= 0 for r in rows)  # rank-4 >= rank-1
+    assert all(r["max_margin"] >= r["min_margin"] for r in rows)
+    assert all(r["n_triplets"] > 0 for r in rows)
