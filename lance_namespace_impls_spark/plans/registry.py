@@ -268,8 +268,8 @@ RE_VERIFY: set[str] = {
 REGRESSION_PROPOSED: tuple[str, ...] = (
     # the five shared-scale-device rows lead: the driver's ~50-row cap falls
     # on the tail, and these five must not be the rows it drops (the round-9
-    # front is 13 rows — 2 RE_VERIFY + 11 never-checked — so ~37 regression
-    # slots remain)
+    # front is 16 rows — 2 RE_VERIFY + 14 never-checked q323–q336 — so ~34
+    # regression slots remain; the q39–q46 tail waits one more round)
     "q92_ntile_distributed", "q223_median_mad", "q232_ann_recall_audit",
     "q256_token_budget_fill", "q270_knn_graph",
     "q10_broadcast_join", "q11_multiway_join_revenue", "q12_left_outer_join",
