@@ -606,3 +606,138 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+# ---------------------------------------------------------------------------
+# q340 — scalar-quantization (int8-style) recall audit (round 9): the SQ
+# index family beside q197/q264's PQ and q331's Matryoshka truncation.
+
+_SQ_NQ = 8  # audit queries (vec_id < 8 — the q232 sample convention)
+_SQ_K = 10  # top-k depth
+_SQ_LEVELS = 254  # quantization levels (int8 code range)
+
+_SQ_ORACLE = (
+    "WITH v AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    "lng AS (SELECT vec_id, generate_subscripts(v, 1) AS i, unnest(v) AS x FROM v), "
+    "st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM lng GROUP BY i), "
+    "ql AS (SELECT l.vec_id, l.i, CASE WHEN s.mx = s.mn THEN 0 ELSE "
+    f"  ((l.x - s.mn) * {2 * _SQ_LEVELS} + (s.mx - s.mn)) // (2 * (s.mx - s.mn)) "
+    "  END AS q FROM lng l JOIN st s USING (i)), "
+    "qv AS (SELECT vec_id, list(q ORDER BY i) AS qv FROM ql GROUP BY vec_id), "
+    "u AS (SELECT v.vec_id, v.v, qv.qv FROM v JOIN qv USING (vec_id)), "
+    f"pairs AS (SELECT q.vec_id AS query_id, d.vec_id AS did, "
+    "  CAST(list_dot_product(q.v, q.v) AS BIGINT) "
+    "    - 2 * CAST(list_dot_product(q.v, d.v) AS BIGINT) "
+    "    + CAST(list_dot_product(d.v, d.v) AS BIGINT) AS d2e, "
+    "  CAST(list_dot_product(q.qv, q.qv) AS BIGINT) "
+    "    - 2 * CAST(list_dot_product(q.qv, d.qv) AS BIGINT) "
+    "    + CAST(list_dot_product(d.qv, d.qv) AS BIGINT) AS d2q "
+    f"  FROM u q JOIN u d ON d.vec_id <> q.vec_id WHERE q.vec_id < {_SQ_NQ}), "
+    "rk AS (SELECT query_id, did, "
+    "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2e, did) AS rne, "
+    "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2q, did) AS rnq "
+    "  FROM pairs) "
+    "SELECT CAST(query_id AS BIGINT) AS query_id, "
+    f"  CAST(SUM(CASE WHEN rne <= {_SQ_K} AND rnq <= {_SQ_K} THEN 1 ELSE 0 END) AS BIGINT) AS overlap, "
+    f"  CAST(SUM(CASE WHEN rne <= {_SQ_K} AND rnq <= {_SQ_K} THEN 1 ELSE 0 END) * 1000000 // {_SQ_K} AS BIGINT) AS recall_ppm, "
+    "  CAST(MAX(CASE WHEN rne = 1 AND rnq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS top1_match "
+    "FROM rk GROUP BY query_id ORDER BY query_id"
+)
+
+
+@query(
+    "q340_sq_recall_audit",
+    _SQ_ORACLE,
+    doc="Scalar-quantization recall audit — the int8 SQ index family "
+    "(lance's SQ variant beside the PQ family q197/q264 audits): per "
+    "dimension the corpus min/max train the affine quantizer (a 64-row "
+    "broadcast stats relation), every vector compresses to codes in "
+    "[0, 254] via exact half-up integer rounding, and the audit ranks "
+    "the corpus for 8 sample queries under BOTH the exact int-projected "
+    "L2 and the quantized-code L2, reporting top-10 overlap, recall in "
+    "ppm, and whether the top-1 neighbour survives compression.  Every "
+    "step is integer arithmetic (the quantizer, both distance kernels, "
+    "the ranks), so the oracle replays the WHOLE pipeline definitionally "
+    "and one mis-rounded code diverges the hash.  Scale shape: training "
+    "the quantizer is one map-side-combinable per-dimension aggregate; "
+    "encoding is a broadcast join (corpus never shuffles); the audit "
+    "sample is NQ-bounded — per-query ranking partitions by query over "
+    "the candidate relation exactly like q232's ground-truth side (in "
+    "production the exact side comes from the q232 bucketed partial "
+    "top-k; the law needs the small exact sample, not a corpus sort).",
+    tags=("llm", "similarity", "vectors"),
+)
+def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spread(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", int_projected(F.col("embedding")).alias("v")
+    )
+    lng = e.select("vec_id", F.posexplode("v").alias("i", "x"))
+    st = lng.groupBy("i").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    ql = lng.join(F.broadcast(st), "i").select(
+        "vec_id",
+        "i",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.expr(
+                f"((x - mn) * {2 * _SQ_LEVELS} + (mx - mn)) DIV (2 * (mx - mn))"
+            )
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    qv = ql.groupBy("vec_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, q))), s -> s.q)").alias(
+            "qv"
+        )
+    )
+    u = e.join(qv, "vec_id")
+    u = u.localCheckpoint(eager=False)  # query side AND candidate side
+    qs = u.filter(F.col("vec_id") < _SQ_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qe"),
+        F.col("qv").alias("qq"),
+    )
+    pairs = u.join(
+        F.broadcast(qs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("did"),
+        (
+            int_dot(F.col("qe"), F.col("qe"))
+            - 2 * int_dot(F.col("qe"), F.col("v"))
+            + int_dot(F.col("v"), F.col("v"))
+        ).alias("d2e"),
+        (
+            int_dot(F.col("qq"), F.col("qq"))
+            - 2 * int_dot(F.col("qq"), F.col("qv"))
+            + int_dot(F.col("qv"), F.col("qv"))
+        ).alias("d2q"),
+    )
+    we = Window.partitionBy("query_id").orderBy("d2e", "did")
+    wq = Window.partitionBy("query_id").orderBy("d2q", "did")
+    rk = pairs.select(
+        "query_id",
+        F.row_number().over(we).alias("rne"),
+        F.row_number().over(wq).alias("rnq"),
+    )
+    hit = (F.col("rne") <= _SQ_K) & (F.col("rnq") <= _SQ_K)
+    return (
+        rk.groupBy("query_id")
+        .agg(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("overlap"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN rne <= {_SQ_K} AND rnq <= {_SQ_K} THEN 1 ELSE 0 END) * 1000000 DIV {_SQ_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.max(F.when((F.col("rne") == 1) & (F.col("rnq") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias("top1_match"),
+        )
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "overlap",
+            "recall_ppm",
+            "top1_match",
+        )
+        .orderBy("query_id")
+    )

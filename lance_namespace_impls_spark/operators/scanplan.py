@@ -781,3 +781,163 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(prev_wins, F.col("pid")).when(next_wins, F.col("nid")).alias("matched_view"),
         F.when(prev_wins, F.col("dp")).when(next_wins, F.col("dn")).alias("delta_us"),
     ).orderBy("event_id")
+
+# ---------------------------------------------------------------------------
+# q339 — zonemap-prune EXECUTION (round 9): q275 audits per-fragment verdict
+# soundness and q318 measures clustering effectiveness; this row RUNS the
+# pruned scan each verdict prescribes and proves it returns exactly the
+# full-scan answer — the execution closure of the pruning family, the way
+# q325/q329/q337 closed compaction/vacuum/CoW-delete.
+
+_ZX_FRAG = 512  # rows per fragment (insertion-clustered: fragment = key DIV 512)
+_ZX_MAXK = 9_000_000_000_000_000_000
+# (pred_id, column, lo, hi): p1/p2 range the CLUSTERED key (zonemaps prune),
+# p3 ranges the unclustered cents column (zones span everything — the
+# documented never-prunes contrast, still answer-exact).  Every predicate
+# matches rows at all SFs (probed 13/149/1472 for p3).
+_ZX_PREDS = (
+    (1, "k", 600, 899),
+    (2, "k", 1200, _ZX_MAXK),
+    (3, "c", 1_000_000, 1_500_000),
+)
+
+_ZX_CENTS_DUCK = "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+
+_ZX_ORACLE = (
+    f"WITH f AS (SELECT o_orderkey // {_ZX_FRAG} AS fragment, o_orderkey AS k, "
+    f"  {_ZX_CENTS_DUCK} AS c FROM orders), "
+    "zm AS (SELECT fragment, MIN(k) AS kmn, MAX(k) AS kmx, "
+    "  MIN(c) AS cmn, MAX(c) AS cmx, COUNT(*) AS n FROM f GROUP BY fragment), "
+    "preds AS (SELECT * FROM (VALUES "
+    + ", ".join(f"({p}, '{col}', CAST({lo} AS BIGINT), CAST({hi} AS BIGINT))" for p, col, lo, hi in _ZX_PREDS)
+    + ") AS t(pred_id, col, lo, hi)), "
+    "touch AS (SELECT p.pred_id, z.fragment, z.n FROM preds p JOIN zm z ON "
+    "  CASE WHEN p.col = 'k' THEN z.kmx >= p.lo AND z.kmn <= p.hi "
+    "       ELSE z.cmx >= p.lo AND z.cmn <= p.hi END), "
+    "pruned AS (SELECT p.pred_id, COUNT(*) AS n_pruned, "
+    "  COALESCE(SUM(f.c), 0) AS cents_pruned FROM preds p "
+    "  JOIN touch t ON t.pred_id = p.pred_id JOIN f ON f.fragment = t.fragment "
+    "  WHERE CASE WHEN p.col = 'k' THEN f.k BETWEEN p.lo AND p.hi "
+    "        ELSE f.c BETWEEN p.lo AND p.hi END GROUP BY p.pred_id), "
+    "full_ AS (SELECT p.pred_id, COUNT(*) AS n_full, "
+    "  COALESCE(SUM(f.c), 0) AS cents_full FROM preds p JOIN f ON "
+    "  CASE WHEN p.col = 'k' THEN f.k BETWEEN p.lo AND p.hi "
+    "       ELSE f.c BETWEEN p.lo AND p.hi END GROUP BY p.pred_id), "
+    "econ AS (SELECT pred_id, COUNT(*) AS frags_touched, SUM(n) AS rows_scanned "
+    "  FROM touch GROUP BY pred_id), "
+    "tot AS (SELECT COUNT(*) AS frags_total, SUM(n) AS rows_total FROM zm) "
+    "SELECT CAST(p.pred_id AS BIGINT) AS pred_id, "
+    "  CAST(t.frags_total AS BIGINT) AS frags_total, "
+    "  CAST(COALESCE(e.frags_touched, 0) AS BIGINT) AS frags_touched, "
+    "  CAST(COALESCE(e.rows_scanned, 0) AS BIGINT) AS rows_scanned, "
+    "  CAST(t.rows_total AS BIGINT) AS rows_total, "
+    "  CAST(COALESCE(pr.n_pruned, 0) AS BIGINT) AS n_matched, "
+    "  CAST(COALESCE(pr.cents_pruned, 0) AS BIGINT) AS cents_matched, "
+    "  CAST(CASE WHEN COALESCE(pr.n_pruned, 0) = COALESCE(fu.n_full, 0) "
+    "    THEN 1 ELSE 0 END AS BIGINT) AS rows_exact, "
+    "  CAST(CASE WHEN COALESCE(pr.cents_pruned, 0) = COALESCE(fu.cents_full, 0) "
+    "    THEN 1 ELSE 0 END AS BIGINT) AS cents_exact "
+    "FROM preds p CROSS JOIN tot t "
+    "LEFT JOIN econ e ON e.pred_id = p.pred_id "
+    "LEFT JOIN pruned pr ON pr.pred_id = p.pred_id "
+    "LEFT JOIN full_ fu ON fu.pred_id = p.pred_id "
+    "ORDER BY p.pred_id"
+)
+
+
+@query(
+    "q339_zonemap_prune_execution",
+    _ZX_ORACLE,
+    doc="Zonemap-prune EXECUTION — q275 audits fragment verdicts and q318 "
+    "measures how clustering changes the touch rate; this row RUNS the "
+    "pruned scan: for each of three range predicates (two on the "
+    "insertion-clustered key — zonemaps prune hard; one on the scattered "
+    "cents column — every fragment's zone overlaps, the documented "
+    "never-prunes contrast) it derives the fragment min/max zonemaps, "
+    "keeps only overlapping fragments, scans JUST those, and reports the "
+    "matched census beside the FULL-scan census computed independently — "
+    "rows_exact/cents_exact are the soundness law (a zonemap that "
+    "wrongly excluded a matching fragment diverges them), and "
+    "frags_touched/rows_scanned are the pruning economics the planner "
+    "buys.  Both paths and the zonemaps are recomputed definitionally by "
+    "the oracle, pinning the whole stack cross-engine.  Scale shape: "
+    "zonemaps are one map-side-combinable aggregate over the "
+    "fragment-keyed scan; the touched list is fragment-metadata-sized "
+    "and broadcasts into a semi-join (in production it prunes at the "
+    "file-listing level, before any row is read); censuses are 1-row "
+    "aggregates per predicate over a 3-predicate spine.",
+    tags=("scan", "maintenance", "planning"),
+)
+def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.expr(
+        "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+    )
+    f = load_table(spark, "orders", sf_dir).select(
+        F.expr(f"o_orderkey DIV {_ZX_FRAG}").cast("long").alias("fragment"),
+        F.col("o_orderkey").alias("k"),
+        cents.alias("c"),
+    )
+    # projected to 3 columns BEFORE the checkpoint (the q317 ADVICE rule);
+    # feeds the zonemap build, three pruned scans and three full scans
+    f = f.localCheckpoint(eager=False)
+    zm = f.groupBy("fragment").agg(
+        F.min("k").alias("kmn"),
+        F.max("k").alias("kmx"),
+        F.min("c").alias("cmn"),
+        F.max("c").alias("cmx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    zm = zm.localCheckpoint(eager=False)  # per-predicate touch + 1-row totals
+    tot = zm.agg(
+        F.count(F.lit(1)).alias("frags_total"),
+        F.sum("n").alias("rows_total"),
+    )
+    out = []
+    for pred_id, col, lo, hi in _ZX_PREDS:
+        mn, mx = ("kmn", "kmx") if col == "k" else ("cmn", "cmx")
+        touched = zm.filter((F.col(mx) >= lo) & (F.col(mn) <= hi)).select(
+            "fragment", "n"
+        )
+        econ = touched.agg(
+            F.count(F.lit(1)).alias("frags_touched"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("rows_scanned"),
+        )
+        matched = F.col(col).between(lo, hi)
+        pruned = (
+            f.join(F.broadcast(touched.select("fragment")), "fragment", "left_semi")
+            .filter(matched)
+            .agg(
+                F.count(F.lit(1)).alias("n_matched"),
+                F.coalesce(F.sum("c"), F.lit(0)).alias("cents_matched"),
+            )
+        )
+        full = f.filter(matched).agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("cents_full"),
+        )
+        out.append(
+            econ.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(pruned))
+            .crossJoin(F.broadcast(full))
+            .select(
+                F.lit(pred_id).cast("long").alias("pred_id"),
+                F.col("frags_total").cast("long").alias("frags_total"),
+                F.col("frags_touched").cast("long").alias("frags_touched"),
+                F.col("rows_scanned").cast("long").alias("rows_scanned"),
+                F.col("rows_total").cast("long").alias("rows_total"),
+                F.col("n_matched").cast("long").alias("n_matched"),
+                F.col("cents_matched").cast("long").alias("cents_matched"),
+                F.when(F.col("n_matched") == F.col("n_full"), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("rows_exact"),
+                F.when(F.col("cents_matched") == F.col("cents_full"), 1)
+                .otherwise(0)
+                .cast("long")
+                .alias("cents_exact"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("pred_id")

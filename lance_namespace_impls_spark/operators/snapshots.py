@@ -256,3 +256,302 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+# ---------------------------------------------------------------------------
+# q337 — copy-on-write DELETE materialization (round 9): q233 applies
+# positional deletes at SCAN time (merge-on-read); this row EXECUTES the
+# other materialization strategy the lance format offers (rewrite the
+# affected fragments without the deleted rows, commit a manifest that swaps
+# them in) and proves the two strategies agree file-for-file.
+
+_COW_FRAG = 128  # rows per fragment (q233's addressing: fragment = doc_id DIV 128)
+_COW_LO, _COW_HI = 100, 299  # range delete: the GDPR/batch-purge shape
+
+
+def cow_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir) the base fragments and RUN the
+    copy-on-write delete ``doc_id BETWEEN 100 AND 299``.
+
+    Base = documents addressed as (fragment = doc_id DIV 128), written
+    partitioned by fragment with a precomputed content hash column.  The
+    delete range straddles fragment boundaries ON PURPOSE so all three
+    execution actions are live at every SF: fragment 0 and 2 are PARTIALLY
+    hit (rewritten without their dead rows), fragment 1 is FULLY covered
+    (dropped — no rewrite file at all, the whole-fragment-removal branch),
+    and fragments >= 3 are untouched (their v1 files carry over verbatim).
+    The v2 manifest lists carried base fragment dirs + rewritten dirs; the
+    executed plan (fragment -> action) lands in ``cow_plan.json``.
+    """
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"lni_cow_{tag}")
+    marker = os.path.join(root, "_LNI_READY")
+    if not os.path.exists(marker):
+        docs = load_table(spark, "documents", sf_dir).select(
+            F.expr(f"doc_id DIV {_COW_FRAG}").cast("long").alias("fragment"),
+            # the fragment id ALSO travels inside the files: a manifest scan
+            # lists fragment subdirectories directly (no basePath), so the
+            # partition key is not recoverable from the path at read time
+            F.expr(f"doc_id DIV {_COW_FRAG}").cast("long").alias("frag"),
+            "doc_id",
+            F.expr("conv(substring(md5(text), 1, 8), 16, 10)")
+            .cast("long")
+            .alias("h"),
+        )
+        docs.write.mode("overwrite").partitionBy("fragment").parquet(
+            os.path.join(root, "files", "base")
+        )
+        dead = F.col("doc_id").between(_COW_LO, _COW_HI)
+        per_frag = (
+            docs.groupBy("fragment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(dead, 1).otherwise(0)).alias("nd"),
+            )
+            .collect()  # fragment-metadata-sized: the plan relation
+        )
+        plan = {}
+        for r in sorted(per_frag, key=lambda r: r["fragment"]):
+            if r["nd"] == 0:
+                plan[str(r["fragment"])] = "carry"
+            elif r["nd"] == r["n"]:
+                plan[str(r["fragment"])] = "drop"
+            else:
+                plan[str(r["fragment"])] = "rewrite"
+        rw_frags = [int(k) for k, v in plan.items() if v == "rewrite"]
+        docs.filter(F.col("fragment").isin(rw_frags) & ~dead).write.mode(
+            "overwrite"
+        ).partitionBy("fragment").parquet(os.path.join(root, "files", "rw"))
+        manifest = {
+            "version": 2,
+            "files": sorted(
+                [f"files/base/fragment={k}" for k, v in plan.items() if v == "carry"]
+                + [f"files/rw/fragment={f}" for f in sorted(rw_frags)]
+            ),
+        }
+        os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
+        tmp = os.path.join(root, "_versions", ".2.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(root, "_versions", "2.json"))
+        with open(os.path.join(root, "cow_plan.json"), "w") as f:
+            json.dump(plan, f)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+_COW_H32 = "(('0x' || substr(md5(text), 1, 8))::BIGINT)"
+
+_COW_ORACLE = (
+    f"WITH f AS (SELECT doc_id // {_COW_FRAG} AS fragment, doc_id, "
+    f"  {_COW_H32} AS h FROM documents), "
+    f"live AS (SELECT * FROM f WHERE doc_id NOT BETWEEN {_COW_LO} AND {_COW_HI}), "
+    "b AS (SELECT fragment, COUNT(*) AS rows_before FROM f GROUP BY fragment), "
+    "d AS (SELECT fragment, COUNT(*) AS rows_deleted FROM f "
+    f"  WHERE doc_id BETWEEN {_COW_LO} AND {_COW_HI} GROUP BY fragment), "
+    "l AS (SELECT fragment, COUNT(*) AS rows_after, bit_xor(h) AS live_xor "
+    "  FROM live GROUP BY fragment) "
+    "SELECT CAST(b.fragment AS BIGINT) AS fragment, "
+    "  CASE WHEN COALESCE(d.rows_deleted, 0) = 0 THEN 'carry' "
+    "       WHEN COALESCE(l.rows_after, 0) = 0 THEN 'drop' "
+    "       ELSE 'rewrite' END AS action, "
+    "  CAST(b.rows_before AS BIGINT) AS rows_before, "
+    "  CAST(COALESCE(d.rows_deleted, 0) AS BIGINT) AS rows_deleted, "
+    "  CAST(COALESCE(l.rows_after, 0) AS BIGINT) AS rows_after, "
+    "  CAST(COALESCE(l.live_xor, 0) AS BIGINT) AS live_xor "
+    "FROM b LEFT JOIN d USING (fragment) LEFT JOIN l USING (fragment) "
+    "ORDER BY b.fragment"
+)
+
+
+@query(
+    "q337_cow_delete_execution",
+    _COW_ORACLE,
+    doc="Copy-on-write DELETE execution — the materialization strategy dual "
+    "to q233's merge-on-read: the fixture RUNS a range delete (doc_id "
+    "BETWEEN 100 AND 299, the batch-purge shape) by rewriting only the "
+    "fragments the range touches, dropping the fully-covered fragment "
+    "outright, carrying untouched fragment files verbatim, and committing "
+    "a v2 manifest over the surviving paths; this row then reads the "
+    "BEFORE image (all base files) and the AFTER image (the v2 manifest "
+    "scan) back FROM DISK and reports per fragment the executed action, "
+    "rows before/deleted/after and an order-free XOR of content hashes — "
+    "rows_deleted is computed as the DISK difference (before - after) "
+    "while the oracle counts the range definitionally, so a rewrite that "
+    "dropped a live row, kept a dead one, mis-listed a manifest path, or "
+    "recorded the wrong action diverges.  All three actions are live at "
+    "every SF (the range straddles fragment 0/1/2; fragment 1 dies "
+    "whole).  Scale shape: the plan relation is fragment-metadata-sized; "
+    "the rewrite touches ONLY affected fragments (the point of CoW "
+    "economics); reads are ordinary distributed parquet scans; censuses "
+    "are map-side-combinable aggregates keyed by fragment.",
+    tags=("scan", "maintenance", "versioning"),
+)
+def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = cow_fixture_dir(spark, sf_dir)
+    with open(os.path.join(root, "cow_plan.json")) as f:
+        plan = json.load(f)
+    actions = spark.createDataFrame(
+        [(int(k), v) for k, v in sorted(plan.items(), key=lambda kv: int(kv[0]))],
+        "fragment long, action string",
+    )
+    base = spark.read.parquet(os.path.join(root, "files", "base"))
+    before = base.groupBy(F.col("frag").cast("long").alias("fragment")).agg(
+        F.count(F.lit(1)).alias("rows_before")
+    )
+    after = (
+        read_version(spark, root, 2)
+        .groupBy(F.col("frag").cast("long").alias("fragment"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_after"),
+            F.expr("bit_xor(h)").alias("live_xor"),
+        )
+    )
+    return (
+        before.join(F.broadcast(actions), "fragment", "left")
+        .join(after, "fragment", "left")
+        .select(
+            "fragment",
+            "action",
+            F.col("rows_before").cast("long").alias("rows_before"),
+            (
+                F.col("rows_before") - F.coalesce("rows_after", F.lit(0))
+            ).cast("long").alias("rows_deleted"),
+            F.coalesce("rows_after", F.lit(0)).cast("long").alias("rows_after"),
+            F.coalesce("live_xor", F.lit(0)).cast("long").alias("live_xor"),
+        )
+        .orderBy("fragment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q338 — schema evolution read (round 9): add-column without rewriting old
+# files — the lance format's zero-copy ALTER TABLE ADD COLUMN contract.
+
+def schema_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir) a two-schema dataset: v1 files carry
+    (o_orderkey, o_orderstatus) ONLY; the v2 commit adds the ``cents``
+    column by writing NEW files that have it — old files are never
+    rewritten (the zero-copy add-column contract).  Each manifest records
+    the version's column list; the pinned reader projects to it."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"lni_schevo_{tag}")
+    marker = os.path.join(root, "_LNI_READY")
+    if not os.path.exists(marker):
+        cents = F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+        )
+        orders = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", cents.alias("cents")
+        )
+        orders.filter(F.col("o_orderkey") % 3 != 0).select(
+            "o_orderkey", "o_orderstatus"
+        ).write.mode("overwrite").parquet(os.path.join(root, "files", "v1"))
+        orders.filter(F.col("o_orderkey") % 3 == 0).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, "files", "v2add"))
+        os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
+        for v, files, cols in (
+            (1, ["files/v1"], ["o_orderkey", "o_orderstatus"]),
+            (
+                2,
+                ["files/v1", "files/v2add"],
+                ["o_orderkey", "o_orderstatus", "cents"],
+            ),
+        ):
+            tmp = os.path.join(root, "_versions", f".{v}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"version": v, "files": files, "columns": cols}, f)
+            os.replace(tmp, os.path.join(root, "_versions", f"{v}.json"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+def read_schema_version(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """Schema-pinned scan: mergeSchema unions file footers, the manifest's
+    column list is the authority — columns later versions added do not
+    exist in a v1 read, and v1-file rows surface the added column as NULL
+    in a v2 read (exactly the lance add-column read semantics)."""
+    with open(os.path.join(root, "_versions", f"{version}.json")) as f:
+        manifest = json.load(f)
+    if manifest["version"] != version:
+        raise ValueError(f"manifest/version mismatch: {manifest}")
+    paths = [os.path.join(root, p) for p in manifest["files"]]
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    return df.select(*manifest["columns"])
+
+
+_SCHEVO_ORACLE = (
+    "WITH src AS (SELECT o_orderkey, o_orderstatus, "
+    "  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents "
+    "  FROM orders) "
+    "SELECT * FROM ("
+    "  SELECT CAST(1 AS BIGINT) AS version, o_orderstatus, "
+    "    CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "    CAST(COUNT(*) AS BIGINT) AS n_missing_cents, "
+    "    CAST(0 AS BIGINT) AS cents_sum "
+    "  FROM src WHERE o_orderkey % 3 <> 0 GROUP BY o_orderstatus "
+    "  UNION ALL "
+    "  SELECT CAST(2 AS BIGINT), o_orderstatus, CAST(COUNT(*) AS BIGINT), "
+    "    CAST(SUM(CASE WHEN o_orderkey % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT), "
+    "    CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN cents ELSE 0 END) AS BIGINT) "
+    "  FROM src GROUP BY o_orderstatus"
+    ") ORDER BY version, o_orderstatus"
+)
+
+
+@query(
+    "q338_schema_evolution_read",
+    _SCHEVO_ORACLE,
+    doc="Schema-evolution read — ALTER TABLE ADD COLUMN without rewriting "
+    "old files, the lance zero-copy evolution contract: v1 data files "
+    "carry two columns, the v2 commit adds ``cents`` by writing only NEW "
+    "files, and the manifest's column list (not the file footers) is the "
+    "schema authority.  This row reads BOTH versions through the pinned "
+    "scans AFTER v2 exists: the v1 read must not see the added column at "
+    "all (its census reports every row missing-cents with a zero sum), "
+    "and the v2 read must surface v1-file rows with NULL cents while "
+    "v2-file rows carry real values — n_missing_cents counts the NULLs "
+    "the merged scan filled, cents_sum the cent-exact total over the new "
+    "files.  The oracle derives both versions' censuses definitionally "
+    "from orders, so a mergeSchema bug, a manifest projecting the wrong "
+    "columns, or NULL-fill applied to the wrong file's rows diverges the "
+    "hash.  Scale shape: schema resolution is metadata; the scan is an "
+    "ordinary distributed parquet read; censuses are map-side-combinable "
+    "aggregates keyed by (version, status).",
+    tags=("catalog", "scan", "versioning"),
+)
+def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = schema_evolution_dir(spark, sf_dir)
+    v1 = (
+        read_schema_version(spark, root, 1)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(1).cast("long").alias("version"),
+            "o_orderstatus",
+            F.col("n").cast("long").alias("n_orders"),
+            F.col("n").cast("long").alias("n_missing_cents"),
+            F.lit(0).cast("long").alias("cents_sum"),
+        )
+    )
+    v2 = (
+        read_schema_version(spark, root, 2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing_cents"),
+            F.sum(F.coalesce("cents", F.lit(0))).cast("long").alias("cents_sum"),
+        )
+        .select(
+            F.lit(2).cast("long").alias("version"),
+            "o_orderstatus",
+            "n_orders",
+            "n_missing_cents",
+            "cents_sum",
+        )
+    )
+    return v1.unionByName(v2).orderBy("version", "o_orderstatus")

@@ -86,6 +86,8 @@ CARTESIAN_ALLOWED = {
     "q328_hnsw_layered_search": "8-row query broadcasts against the md5-thinned L2 layer and the brute-force audit side (q232's device); routed 1-row (k, m) bounds",
     "q331_matryoshka_truncation": "8-row query broadcasts against the corpus for both metrics (the q232 brute-force audit sample) + 8-row anchor broadcast",
     "q336_contrastive_margins": "q205's routed assignment: 1-row (k, m) bounds + sqrt(k) super broadcasts (q270's blocking)",
+    "q339_zonemap_prune_execution": "per-predicate 1-row census/economics aggregates cross-joined onto the 3-predicate spine",
+    "q340_sq_recall_audit": "8-row query broadcast against the corpus (the q232 brute-force audit sample)",
 }
 
 # streaming builders start real runs; their plans are covered by the
