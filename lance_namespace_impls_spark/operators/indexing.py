@@ -98,3 +98,192 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "w")
         .limit(_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q345 — conjunctive boolean retrieval THROUGH the inverted index (round 9):
+# q235 builds and costs the postings; this row queries them — AND queries
+# answered by decoded-posting intersection, checked against direct scans.
+
+_CJ_TOP = 3  # query tokens: the 3 heaviest postings lists (df DESC, w)
+
+_CONJ_ORACLE = (
+    "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk FROM documents), "
+    "big AS (SELECT DISTINCT doc_id, tk[i] || ' ' || tk[i + 1] AS w "
+    "  FROM toks, unnest(range(1, len(tk))) AS u(i)), "
+    "dfr AS (SELECT w, COUNT(*) AS df, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk "
+    f"  FROM big GROUP BY w QUALIFY rk <= {_CJ_TOP}), "
+    "gaps AS (SELECT b.w, b.doc_id, "
+    "  COALESCE(b.doc_id - LAG(b.doc_id) OVER (PARTITION BY b.w ORDER BY b.doc_id), "
+    "           b.doc_id + 1) AS gap "
+    "  FROM big b SEMI JOIN dfr ON b.w = dfr.w), "
+    "dec AS (SELECT w, doc_id, SUM(gap) OVER (PARTITION BY w ORDER BY doc_id "
+    "  ROWS UNBOUNDED PRECEDING) - 1 AS dec_id FROM gaps), "
+    "spine AS (SELECT a.rk * 10 + b.rk AS pair_id, a.w AS w1, b.w AS w2, "
+    "  a.df AS df1, b.df AS df2 FROM dfr a JOIN dfr b ON a.rk < b.rk), "
+    "hits AS (SELECT s.pair_id, p1.dec_id AS d "
+    "  FROM spine s JOIN dec p1 ON p1.w = s.w1 JOIN dec p2 "
+    "  ON p2.w = s.w2 AND p2.dec_id = p1.dec_id), "
+    "idx AS (SELECT pair_id, COUNT(*) AS n_results, bit_xor(d) AS res_xor "
+    "  FROM hits GROUP BY pair_id), "
+    "direct AS (SELECT s.pair_id, COUNT(*) AS n_direct, bit_xor(t.doc_id) AS direct_xor "
+    "  FROM spine s JOIN (SELECT doc_id, tk FROM toks) t "
+    "  ON list_contains(list_transform(range(1, len(t.tk)), "
+    "       i -> t.tk[i] || ' ' || t.tk[i + 1]), s.w1) "
+    "  AND list_contains(list_transform(range(1, len(t.tk)), "
+    "       i -> t.tk[i] || ' ' || t.tk[i + 1]), s.w2) "
+    "  GROUP BY s.pair_id), "
+    "derr AS (SELECT COUNT(*) AS decode_errors FROM dec WHERE dec_id <> doc_id) "
+    "SELECT CAST(s.pair_id AS BIGINT) AS pair_id, s.w1, s.w2, "
+    "  CAST(s.df1 AS BIGINT) AS df1, CAST(s.df2 AS BIGINT) AS df2, "
+    "  CAST(COALESCE(i.n_results, 0) AS BIGINT) AS n_results, "
+    "  CAST(COALESCE(i.res_xor, 0) AS BIGINT) AS res_xor, "
+    "  CAST(CASE WHEN COALESCE(i.n_results, 0) = COALESCE(d.n_direct, 0) "
+    "    AND COALESCE(i.res_xor, 0) = COALESCE(d.direct_xor, 0) "
+    "    THEN 1 ELSE 0 END AS BIGINT) AS direct_match, "
+    "  CAST(de.decode_errors AS BIGINT) AS decode_errors "
+    "FROM spine s LEFT JOIN idx i USING (pair_id) "
+    "LEFT JOIN direct d USING (pair_id) CROSS JOIN derr de "
+    "ORDER BY pair_id"
+)
+
+
+@query(
+    "q345_conjunctive_retrieval",
+    _CONJ_ORACLE,
+    doc="Conjunctive (AND) boolean retrieval through the inverted index — "
+    "the query side of q235's postings build, completing the retrieval "
+    "trio (BM25 ranks, MaxSim scores vectors, this answers boolean "
+    "predicates): the three heaviest bigram postings lists are "
+    "gap-ENCODED exactly as q235 costs them, DECODED back by running-sum "
+    "(dec_id = cumulative gap - 1 — decode_errors counts any posting "
+    "the round trip corrupts), and each of the three query pairs is "
+    "answered by intersecting the DECODED lists; direct_match compares "
+    "count and order-free doc-id XOR against a direct per-document "
+    "containment scan that never touches the index, so an encode bug, "
+    "a window mis-order, or an intersection join fault diverges.  "
+    "Intersections are non-empty at every SF (probed 8-28 docs).  Scale "
+    "shape: the posting build is q235's single token-keyed shuffle; "
+    "queries touch only the 3 selected lists (semi-join pushes the "
+    "token filter into the scan); the intersection join is keyed on "
+    "(doc id) exactly like a production posting merge; the direct-scan "
+    "audit side is per-document array logic, map-side before its census.",
+    tags=("llm", "text", "joins"),
+)
+def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')").alias("tk"),
+    )
+    toks = toks.localCheckpoint(eager=False)  # feeds the index AND the audit scan
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(zip_with(tk, slice(tk, 2, size(tk)), "
+                "(x, y) -> concat(x, ' ', y)), p -> p IS NOT NULL)"
+            )
+        ).alias("w"),
+    ).distinct()
+    big = big.localCheckpoint(eager=False)  # feeds df ranking AND the gap encode
+    dfr = (
+        big.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("df").desc(), "w")),
+        )
+        .filter(F.col("rk") <= _CJ_TOP)
+    )
+    dfr = dfr.localCheckpoint(eager=False)  # spine join + posting semi-join
+    gaps = (
+        big.join(F.broadcast(dfr.select("w")), "w", "left_semi")
+        .select(
+            "w",
+            "doc_id",
+            F.coalesce(
+                F.col("doc_id")
+                - F.lag("doc_id").over(Window.partitionBy("w").orderBy("doc_id")),
+                F.col("doc_id") + 1,
+            ).alias("gap"),
+        )
+    )
+    dec = gaps.select(
+        "w",
+        "doc_id",
+        (
+            F.sum("gap").over(
+                Window.partitionBy("w")
+                .orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        ).alias("dec_id"),
+    )
+    dec = dec.localCheckpoint(eager=False)  # two intersection probes + decode audit
+    spine = (
+        dfr.alias("a")
+        .join(dfr.alias("b"), F.col("a.rk") < F.col("b.rk"))
+        .select(
+            (F.col("a.rk") * 10 + F.col("b.rk")).alias("pair_id"),
+            F.col("a.w").alias("w1"),
+            F.col("b.w").alias("w2"),
+            F.col("a.df").alias("df1"),
+            F.col("b.df").alias("df2"),
+        )
+    )
+    p1 = dec.select(F.col("w").alias("w1"), F.col("dec_id").alias("d"))
+    p2 = dec.select(F.col("w").alias("w2"), F.col("dec_id").alias("d"))
+    hits = (
+        F.broadcast(spine).join(p1, "w1").join(p2, ["w2", "d"])
+    )
+    idx = hits.groupBy("pair_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.expr("bit_xor(d)").alias("res_xor"),
+    )
+    grams = "filter(zip_with(tk, slice(tk, 2, size(tk)), (x, y) -> concat(x, ' ', y)), p -> p IS NOT NULL)"
+    direct = (
+        F.broadcast(spine.select("pair_id", "w1", "w2"))
+        .join(
+            toks,
+            F.expr(f"array_contains({grams}, w1) AND array_contains({grams}, w2)"),
+        )
+        .groupBy("pair_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_direct"),
+            F.expr("bit_xor(doc_id)").alias("direct_xor"),
+        )
+    )
+    derr = dec.agg(
+        F.sum(F.when(F.col("dec_id") != F.col("doc_id"), 1).otherwise(0)).alias(
+            "decode_errors"
+        )
+    )
+    return (
+        spine.join(idx, "pair_id", "left")
+        .join(direct, "pair_id", "left")
+        .crossJoin(F.broadcast(derr))
+        .select(
+            F.col("pair_id").cast("long").alias("pair_id"),
+            "w1",
+            "w2",
+            F.col("df1").cast("long").alias("df1"),
+            F.col("df2").cast("long").alias("df2"),
+            F.coalesce("n_results", F.lit(0)).cast("long").alias("n_results"),
+            F.coalesce("res_xor", F.lit(0)).cast("long").alias("res_xor"),
+            F.when(
+                (F.coalesce("n_results", F.lit(0)) == F.coalesce("n_direct", F.lit(0)))
+                & (
+                    F.coalesce("res_xor", F.lit(0))
+                    == F.coalesce("direct_xor", F.lit(0))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("direct_match"),
+            F.coalesce("decode_errors", F.lit(0)).cast("long").alias("decode_errors"),
+        )
+        .orderBy("pair_id")
+    )

@@ -567,3 +567,110 @@ def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q343 — duplicated-n-gram coverage census (round 9): the Gopher repetition
+# rules q101 does NOT own — fraction of the document covered by 3-grams
+# that repeat WITHIN it (Rae et al. 2021 table A1's dup-n-gram family).
+
+_DUPG_N = 3  # n-gram order
+_DUPG_GATE_MILLI = 200  # flag docs with >= 20% of tokens inside repeated 3-grams
+
+_DUPG_ORACLE = (
+    "WITH toks AS (SELECT doc_id, source, "
+    "  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk "
+    "  FROM documents), "
+    "sz AS (SELECT doc_id, source, len(tk) AS n_toks FROM toks WHERE len(tk) >= 3), "
+    "g AS (SELECT doc_id, i AS p, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS w "
+    "  FROM toks, unnest(range(1, len(tk) - 1)) AS u(i)), "
+    "c AS (SELECT doc_id, w FROM g GROUP BY doc_id, w HAVING COUNT(*) >= 2), "
+    "cov AS (SELECT DISTINCT g.doc_id, q.p FROM g JOIN c USING (doc_id, w), "
+    "  unnest([g.p, g.p + 1, g.p + 2]) AS q(p)), "
+    "per AS (SELECT s.doc_id, s.source, s.n_toks, "
+    "  COALESCE(cv.n_cov, 0) AS n_cov, "
+    "  1000 * COALESCE(cv.n_cov, 0) // s.n_toks AS cov_milli "
+    "  FROM sz s LEFT JOIN (SELECT doc_id, COUNT(*) AS n_cov FROM cov "
+    "    GROUP BY doc_id) cv USING (doc_id)) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(SUM(CASE WHEN n_cov > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, "
+    "  CAST(1000 * SUM(n_cov) // SUM(n_toks) AS BIGINT) AS agg_cov_milli, "
+    "  CAST(MAX(cov_milli) AS BIGINT) AS max_cov_milli, "
+    f"  CAST(SUM(CASE WHEN cov_milli >= {_DUPG_GATE_MILLI} THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS n_gated "
+    "FROM per GROUP BY source ORDER BY source"
+)
+
+
+@query(
+    "q343_dup_ngram_coverage",
+    _DUPG_ORACLE,
+    doc="Duplicated-3-gram coverage census — the Gopher repetition rule "
+    "family q101 leaves open (q101 owns top-token fraction and duplicate-"
+    "bigram COUNTS; Rae et al.'s table A1 gates on the fraction of the "
+    "document COVERED by repeated n-grams, which differs because "
+    "overlapping repeats must not double-count): per document every "
+    "3-gram occurring twice or more marks its three token positions, the "
+    "UNION of marked positions (distinct, so overlaps collapse) over the "
+    "token count is the exact coverage in integer milli-units, and the "
+    "per-source census reports affected docs, aggregate coverage, the "
+    "worst document, and how many exceed the 20% gate.  Both the "
+    "covered-position union and the gate are recomputed definitionally "
+    "by the oracle.  Scale shape: n-grams explode per document and "
+    "every aggregate is keyed by doc_id (doc-bounded — a document's "
+    "3-gram multiset never leaves its partition's group), then one "
+    "map-side-combinable source census; no corpus-wide structure "
+    "anywhere.  Both branches live at every SF (probed: 33/27/287 docs "
+    "carry a repeated 3-gram; the rest do not).",
+    tags=("llm", "quality", "text"),
+)
+def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    t = docs.select("doc_id", "source", tokens(F.col("text")).alias("tk"))
+    sz = t.filter(F.size("tk") >= _DUPG_N).select(
+        "doc_id", "source", F.size("tk").cast("long").alias("n_toks")
+    )
+    # grams only on docs with >= 3 tokens, indices always in range (ANSI-safe)
+    g = t.filter(F.size("tk") >= _DUPG_N).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(tk) - 3), "
+                "i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2]))"
+            )
+        ).alias("p0", "w"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    g = g.localCheckpoint(eager=False)  # feeds the dup census AND the cover join
+    c = g.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    cov = (
+        g.join(c.select("doc_id", "w"), ["doc_id", "w"])
+        .select("doc_id", F.explode(F.expr("array(p, p + 1, p + 2)")).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_cov"))
+    )
+    per = sz.join(cov, "doc_id", "left").select(
+        "source",
+        "n_toks",
+        F.coalesce("n_cov", F.lit(0)).alias("n_cov"),
+        F.expr("1000 * COALESCE(n_cov, 0) DIV n_toks").alias("cov_milli"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_cov") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs"),
+            F.expr("CAST(1000 * SUM(n_cov) DIV SUM(n_toks) AS BIGINT)").alias(
+                "agg_cov_milli"
+            ),
+            F.max("cov_milli").cast("long").alias("max_cov_milli"),
+            F.sum(F.when(F.col("cov_milli") >= _DUPG_GATE_MILLI, 1).otherwise(0))
+            .cast("long")
+            .alias("n_gated"),
+        )
+        .orderBy("source")
+    )

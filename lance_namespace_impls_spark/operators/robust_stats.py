@@ -158,3 +158,161 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rk"),
     ).orderBy("rk")
+
+# ---------------------------------------------------------------------------
+# q341 — Neyman stratified-sampling allocation (round 9): the variance-
+# optimal companion of q174's proportional allocation and q224's priority
+# sample.
+
+_NEY_N = 100  # total sample size
+_NEY_H32_DUCK = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+
+# exact integer sqrt: float sqrt + two-sided correction (float error is
+# at most 1 ulp at these magnitudes, so one step each way lands exactly)
+_NEY_ISQRT_DUCK = (
+    "(SELECT CASE WHEN (s1 + 1) * (s1 + 1) <= {v} THEN s1 + 1 "
+    "  WHEN s1 * s1 > {v} THEN s1 - 1 ELSE s1 END "
+    " FROM (SELECT CAST(FLOOR(SQRT(CAST({v} AS DOUBLE))) AS BIGINT) AS s1))"
+)
+
+_NEY_ORACLE = (
+    "WITH x AS (SELECT source, doc_id, text, "
+    "  CAST(length(trim(text)) AS BIGINT) AS len FROM documents), "
+    "st AS (SELECT source, COUNT(*) AS n_docs, SUM(len) AS s1, "
+    "  SUM(len * len) AS s2 FROM x GROUP BY source), "
+    "wv AS (SELECT source, n_docs, n_docs * s2 - s1 * s1 AS v FROM st), "
+    f"ws AS (SELECT source, n_docs, {_NEY_ISQRT_DUCK.format(v='v')} AS w FROM wv), "
+    "tot AS (SELECT GREATEST(SUM(w), 1) AS wt FROM ws), "
+    f"alloc AS (SELECT source, n_docs, w, ({_NEY_N} * w) // wt AS base, "
+    f"  ({_NEY_N} * w) % wt AS rem, "
+    "  ROW_NUMBER() OVER (ORDER BY ({_N} * w) % wt DESC, source) AS rr "
+    "  FROM ws CROSS JOIN tot), "
+    f"need AS (SELECT {_NEY_N} - SUM(base) AS k FROM alloc), "
+    "fin AS (SELECT a.source, a.n_docs, a.w, "
+    "  a.base + CASE WHEN a.rr <= n.k THEN 1 ELSE 0 END AS n_alloc "
+    "  FROM alloc a CROSS JOIN need n), "
+    "rk AS (SELECT x.source, x.doc_id, x.text, ROW_NUMBER() OVER ("
+    "  PARTITION BY x.source ORDER BY "
+    f"  {_NEY_H32_DUCK.format(x=chr(39) + 'ney|' + chr(39) + ' || CAST(x.doc_id AS VARCHAR)')}, x.doc_id) AS r "
+    "  FROM x), "
+    "smp AS (SELECT rk.source, COUNT(*) AS n_sampled, "
+    f"  bit_xor({_NEY_H32_DUCK.format(x='rk.text')}) AS sample_xor "
+    "  FROM rk JOIN fin ON fin.source = rk.source AND rk.r <= fin.n_alloc "
+    "  GROUP BY rk.source) "
+    "SELECT f.source, CAST(f.n_docs AS BIGINT) AS n_docs, "
+    "  CAST(f.w AS BIGINT) AS w_sigma, CAST(f.n_alloc AS BIGINT) AS n_alloc, "
+    "  CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled, "
+    "  CAST(COALESCE(s.sample_xor, 0) AS BIGINT) AS sample_xor "
+    "FROM fin f LEFT JOIN smp s USING (source) ORDER BY f.source"
+).replace("{_N}", str(_NEY_N))
+
+
+@query(
+    "q341_neyman_allocation",
+    _NEY_ORACLE,
+    doc="Neyman (variance-optimal) stratified-sampling allocation — the "
+    "statistical upgrade of q174's proportional split: each stratum's "
+    "weight is N_s*sigma_s = isqrt(N_s*SUM(x^2) - SUM(x)^2) over document "
+    "lengths (the whole weight stays integer because the population-"
+    "variance numerator is a pure integer moment; the only float touch is "
+    "a sqrt immediately repaired by a two-sided integer correction, so "
+    "both engines land on the exact isqrt), the 100-doc budget splits by "
+    "largest-remainder apportionment (base = quota DIV, the deficit goes "
+    "to the biggest remainders — sums to the budget EXACTLY, no float "
+    "rounding drift), and each stratum then draws its quota by "
+    "deterministic hash order.  The sampled sets themselves are "
+    "hash-checked (order-free XOR of content hashes), so a wrong isqrt, "
+    "a remainder mis-rank, or an off-by-one in the quota rank diverges.  "
+    "Scale shape: moments are one map-side-combinable aggregate; the "
+    "allocation window runs on the STRATUM relation (source-sized); the "
+    "per-stratum quota rank is the q224 device (n_alloc <= 100 bounded — "
+    "production swaps in the bucketed partial top-k).",
+    tags=("llm", "curation", "sampling"),
+)
+def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    x = docs.select(
+        "source", "doc_id", "text", F.length(F.trim("text")).cast("long").alias("len")
+    )
+    x = x.localCheckpoint(eager=False)  # feeds the moments AND the quota rank
+    st = x.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").alias("s1"),
+        F.sum(F.col("len") * F.col("len")).alias("s2"),
+    )
+    wv = st.select(
+        "source", "n_docs", (F.col("n_docs") * F.col("s2") - F.col("s1") * F.col("s1")).alias("v")
+    )
+    # the float sqrt seed is immediately repaired by the two-sided integer
+    # correction, so the isqrt is exact in both engines
+    ws = wv.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CASE WHEN (CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS BIGINT) + 1) * "
+            "(CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS BIGINT) + 1) <= v "
+            "THEN CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS BIGINT) + 1 "
+            "WHEN CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS BIGINT) * "
+            "CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS BIGINT) > v "
+            "THEN CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS BIGINT) - 1 "
+            "ELSE CAST(FLOOR(SQRT(CAST(v AS DOUBLE))) AS BIGINT) END"
+        ).alias("w"),
+    )
+    tot = ws.agg(F.greatest(F.sum("w"), F.lit(1)).alias("wt"))
+    alloc = ws.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr(f"({_NEY_N} * w) DIV wt").alias("base"),
+        F.expr(f"({_NEY_N} * w) % wt").alias("rem"),
+    )
+    wr = Window.orderBy(F.col("rem").desc(), "source")  # stratum-sized window
+    alloc = alloc.withColumn("rr", F.row_number().over(wr))
+    need = alloc.agg((F.lit(_NEY_N) - F.sum("base")).alias("k"))
+    fin = alloc.crossJoin(F.broadcast(need)).select(
+        "source",
+        "n_docs",
+        "w",
+        (F.col("base") + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)).alias(
+            "n_alloc"
+        ),
+    )
+    rk = x.select(
+        "source",
+        "doc_id",
+        "text",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                md5_h32(F.concat(F.lit("ney|"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        )
+        .alias("r"),
+    )
+    smp = (
+        rk.join(
+            F.broadcast(fin.select("source", "n_alloc")),
+            ["source"],
+        )
+        .filter(F.col("r") <= F.col("n_alloc"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.expr(
+                "bit_xor(CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT))"
+            ).alias("sample_xor"),
+        )
+    )
+    return (
+        fin.join(smp, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("w").cast("long").alias("w_sigma"),
+            F.col("n_alloc").cast("long").alias("n_alloc"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("sample_xor", F.lit(0)).cast("long").alias("sample_xor"),
+        )
+        .orderBy("source")
+    )

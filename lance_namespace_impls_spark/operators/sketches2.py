@@ -912,3 +912,130 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair")
     )
+
+
+# ---------------------------------------------------------------------------
+# q344 — mergeable heavy-hitter summary law (round 9): the frequency-sketch
+# member beside q244 (HLL max-merge), q269 (MinHash min-merge), q281
+# (Count-Min sum-merge) and q323 (quantile summaries): per-shard top-k
+# summaries merged by addition, error bounded by the Misra-Gries theorem.
+
+_HH_K = 16  # counters per shard summary
+_HH_SHARDS = 4
+_HH_TOP = 10  # merged heavy hitters emitted
+
+_HH_ORACLE = (
+    "WITH toks AS (SELECT doc_id, "
+    "  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '') AS tk "
+    "  FROM documents), "
+    f"g AS (SELECT doc_id % {_HH_SHARDS} AS shard, "
+    "  tk[i] || ' ' || tk[i + 1] AS w FROM toks, "
+    "  unnest(range(1, len(tk))) AS u(i)), "
+    "c AS (SELECT shard, w, COUNT(*) AS c FROM g GROUP BY shard, w), "
+    "rk AS (SELECT shard, w, c, ROW_NUMBER() OVER (PARTITION BY shard "
+    "  ORDER BY c DESC, w) AS r FROM c), "
+    f"ns AS (SELECT shard, SUM(c) AS n FROM c GROUP BY shard), "
+    f"b AS (SELECT SUM(n // {_HH_K + 1}) AS bound FROM ns), "
+    f"est AS (SELECT w, SUM(c) AS est FROM rk WHERE r <= {_HH_K} GROUP BY w), "
+    "tr AS (SELECT w, SUM(c) AS true_cnt FROM c GROUP BY w), "
+    "tt AS (SELECT w, ROW_NUMBER() OVER (ORDER BY true_cnt DESC, w) AS tr_rank "
+    "  FROM tr), "
+    "m AS (SELECT e.w, e.est, t.true_cnt, t.true_cnt - e.est AS err, "
+    "  ROW_NUMBER() OVER (ORDER BY e.est DESC, e.w) AS mr "
+    "  FROM est e JOIN tr t USING (w)) "
+    "SELECT m.w, CAST(m.est AS BIGINT) AS est, "
+    "  CAST(m.true_cnt AS BIGINT) AS true_cnt, "
+    "  CAST(m.err AS BIGINT) AS err, CAST(b.bound AS BIGINT) AS err_bound, "
+    "  CAST(CASE WHEN m.err <= b.bound THEN 1 ELSE 0 END AS BIGINT) AS within_bound, "
+    f"  CAST(CASE WHEN tt.tr_rank <= {_HH_TOP} THEN 1 ELSE 0 END AS BIGINT) "
+    "    AS in_true_topk "
+    "FROM m JOIN tt USING (w) CROSS JOIN b "
+    f"WHERE m.mr <= {_HH_TOP} ORDER BY m.est DESC, m.w"
+)
+
+
+@query(
+    "q344_heavy_hitter_merge_law",
+    _HH_ORACLE,
+    doc="Mergeable heavy-hitter summary law — the frequency member that "
+    "completes the sketch-merge quartet (q244 HLL max-merge, q269 MinHash "
+    "min-merge, q281 Count-Min sum-merge, q323 quantile summaries): each "
+    "of 4 shards keeps only its top-16 bigram counters (the k-bounded "
+    "state a SpaceSaving/Misra-Gries summary ships), the merged estimate "
+    "is the SUM of surviving counters, and the Misra-Gries THEOREM — an "
+    "item outside a shard's top-k has count <= N_s/(k+1), because k+1 "
+    "larger counts cannot each exceed N_s/(k+1) — bounds the merged "
+    "underestimate by SUM_s(N_s DIV (k+1)).  The law is a theorem, not a "
+    "construction identity: est, true count, and the bound are computed "
+    "from INDEPENDENT relations (survivor sum, full-count sum, shard "
+    "totals), so a wrong top-k cut, a shard-key bug, or a merge that "
+    "double-counts diverges err/within_bound, and in_true_topk reports "
+    "how well the k-bounded summaries recover the TRUE top-10 (the "
+    "recall a production heavy-hitter pass is chosen for).  Bigrams, "
+    "not unigrams, keep the vocabulary non-degenerate (600-900 types "
+    "per source — the round-6 vacuity rule).  Scale shape: one "
+    "(shard, w) count shuffle; ranking windows run on the "
+    "vocabulary-sized per-shard census; shipped state is k-bounded per "
+    "shard at any corpus size.",
+    tags=("llm", "sketches", "aggregates"),
+)
+def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(trim(text)), '\\s+'), t -> t != '')").alias("tk"),
+    )
+    g = toks.select(
+        (F.col("doc_id") % _HH_SHARDS).alias("shard"),
+        F.explode(
+            F.expr(
+                "filter(zip_with(tk, slice(tk, 2, size(tk)), "
+                "(x, y) -> concat(x, ' ', y)), p -> p IS NOT NULL)"
+            )
+        ).alias("w"),
+    )
+    c = g.groupBy("shard", "w").agg(F.count(F.lit(1)).alias("c"))
+    c = c.localCheckpoint(eager=False)  # feeds rank, shard totals AND true counts
+    rk = c.withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("shard").orderBy(F.col("c").desc(), "w")),
+    )
+    ns = c.groupBy("shard").agg(F.sum("c").alias("n"))
+    b = ns.agg(F.sum(F.expr(f"n DIV {_HH_K + 1}")).alias("bound"))
+    est = (
+        rk.filter(F.col("r") <= _HH_K).groupBy("w").agg(F.sum("c").alias("est"))
+    )
+    tr = c.groupBy("w").agg(F.sum("c").alias("true_cnt"))
+    tt = tr.withColumn(
+        "tr_rank", F.row_number().over(Window.orderBy(F.col("true_cnt").desc(), "w"))
+    ).select("w", "tr_rank")
+    m = (
+        est.join(tr, "w")
+        .withColumn("err", F.col("true_cnt") - F.col("est"))
+        .withColumn(
+            "mr", F.row_number().over(Window.orderBy(F.col("est").desc(), "w"))
+        )
+        .filter(F.col("mr") <= _HH_TOP)
+    )
+    return (
+        m.join(tt, "w")
+        .crossJoin(F.broadcast(b))
+        .select(
+            "w",
+            F.col("est").cast("long").alias("est"),
+            F.col("true_cnt").cast("long").alias("true_cnt"),
+            F.col("err").cast("long").alias("err"),
+            F.col("bound").cast("long").alias("err_bound"),
+            F.when(F.col("err") <= F.col("bound"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("within_bound"),
+            F.when(F.col("tr_rank") <= _HH_TOP, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("in_true_topk"),
+        )
+        .orderBy(F.col("est").desc(), "w")
+    )

@@ -91,3 +91,98 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", rolling_fingerprint(tokens(F.col("text"))).alias("fingerprint")
     ).orderBy("doc_id")
+
+# ---------------------------------------------------------------------------
+# q342 — text-normalization idempotence law (round 9): the canonicalization
+# every dedup/fingerprint pass runs BEFORE hashing, proven convergent.
+
+_NORM_SPARK = (
+    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9 ]', ' '), "
+    "' +', ' '))"
+)
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower({x}), '[^a-z0-9 ]', ' ', 'g'), "
+    "' +', ' ', 'g'))"
+)
+
+# the fixture text is ALREADY canonical (probed: zero docs change at any
+# SF), so seeded dirty twins (the q301 charset-hygiene device) keep the
+# rewrite branch live: every doc_id % 10 == 0 doc gets a twin wrapped in
+# case, punctuation and space-run dirt the chain must remove.  The
+# twin predicate strides WITHIN each source (source = doc_id % 20, so a
+# plain doc_id % 10 seed would hit only two sources).
+_NORM_DIRTY = "concat('  ', upper({x}), ' ...!!  ')"
+_NORM_DIRTY_DUCK = "('  ' || upper({x}) || ' ...!!  ')"
+
+_NORM_ORACLE = (
+    "WITH base AS (SELECT source, text FROM documents "
+    "  UNION ALL SELECT source, "
+    f"  {_NORM_DIRTY_DUCK.format(x='text')} AS text "
+    "  FROM documents WHERE (doc_id // 20) % 10 = 0), "
+    f"n1 AS (SELECT source, text, {_NORM_DUCK.format(x='text')} AS a "
+    "  FROM base), "
+    f"n2 AS (SELECT source, text, a, {_NORM_DUCK.format(x='a')} AS b FROM n1) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(SUM(CASE WHEN a <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed, "
+    "  CAST(SUM(CASE WHEN b = a THEN 1 ELSE 0 END) AS BIGINT) AS n_idempotent, "
+    "  CAST(bit_xor(('0x' || substr(md5(a), 1, 8))::BIGINT) AS BIGINT) "
+    "    AS norm_xor "
+    "FROM n2 GROUP BY source ORDER BY source"
+)
+
+
+@query(
+    "q342_normalization_idempotence",
+    _NORM_ORACLE,
+    doc="Text-normalization idempotence law — the canonicalization chain "
+    "(lowercase -> strip non-alphanumerics to spaces -> collapse space "
+    "runs -> trim) that q45/q58's dedup and fingerprint passes assume is "
+    "CONVERGENT, proven instead of assumed: the chain is applied once "
+    "(a) and then AGAIN on its own output (b), and the census counts "
+    "docs where b == a — a normalizer that keeps oscillating (e.g. a "
+    "collapse step that reintroduces boundary spaces the trim then "
+    "removes asymmetrically) breaks n_idempotent, and the order-free XOR "
+    "over 32-bit md5 content hashes of the NORMALIZED text pins the "
+    "exact canonical form cross-engine (one regex-dialect divergence "
+    "between Spark and DuckDB flips the hash; note DuckDB needs the "
+    "explicit 'g' flag where Spark replaces all matches by default).  "
+    "n_changed keeps the law non-vacuous: the fixture text is already "
+    "canonical (probed: zero rewrites at every SF), so a within-source "
+    "stride of docs "
+    "contributes a seeded dirty twin — leading/trailing space runs, "
+    "upper case, trailing punctuation — that the first application "
+    "must rewrite (the q301 seeded-twin device).  Scale shape: pure map-side string "
+    "expressions in whole-stage codegen, one map-side-combinable census "
+    "keyed by source — zero shuffles beyond the aggregate at any corpus "
+    "size.",
+    tags=("llm", "text", "quality"),
+)
+def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    base = docs.select("source", "text").unionByName(
+        docs.filter(F.expr("(doc_id DIV 20) % 10 = 0")).select(
+            "source", F.expr(_NORM_DIRTY.format(x="text")).alias("text")
+        )
+    )
+    n1 = base.select(
+        "source", "text", F.expr(_NORM_SPARK.format(x="text")).alias("a")
+    )
+    n2 = n1.select(
+        "source", "text", "a", F.expr(_NORM_SPARK.format(x="a")).alias("b")
+    )
+    return (
+        n2.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("a") != F.col("text"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_changed"),
+            F.sum(F.when(F.col("b") == F.col("a"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_idempotent"),
+            F.expr(
+                "bit_xor(CAST(conv(substring(md5(a), 1, 8), 16, 10) AS BIGINT))"
+            ).alias("norm_xor"),
+        )
+        .orderBy("source")
+    )

@@ -88,6 +88,9 @@ CARTESIAN_ALLOWED = {
     "q336_contrastive_margins": "q205's routed assignment: 1-row (k, m) bounds + sqrt(k) super broadcasts (q270's blocking)",
     "q339_zonemap_prune_execution": "per-predicate 1-row census/economics aggregates cross-joined onto the 3-predicate spine",
     "q340_sq_recall_audit": "8-row query broadcast against the corpus (the q232 brute-force audit sample)",
+    "q341_neyman_allocation": "1-row weight-total/deficit broadcasts into stratum-sized allocation arithmetic",
+    "q344_heavy_hitter_merge_law": "1-row theorem-bound broadcast onto the 10-row heavy-hitter relation",
+    "q345_conjunctive_retrieval": "3-row query-pair spine self-join + 1-row decode-audit broadcast",
 }
 
 # streaming builders start real runs; their plans are covered by the
