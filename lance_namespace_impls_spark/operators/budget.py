@@ -96,3 +96,135 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q347 — systematic importance resampling (round 9): the draw step the
+# importance-weighting family stops short of — q210 computes DSIR weights,
+# q154 accepts by weight, q224 bounds the sample; a training run needs the
+# actual WITH-REPLACEMENT resample, and systematic (fixed-grid) sampling is
+# the deterministic, exactly-conserving way to execute it.
+
+_SYS_N = 64  # draws (with replacement)
+
+# the fixture's length weights are near-uniform, so no document ever spans
+# two grid points (probed max_mult == 1 at every SF under linear AND squared
+# weights) — the with-replacement branch would be dead.  One seeded stress
+# doc (doc_id 42, present at every SF) gets a weight CALIBRATED to a tenth
+# of the base corpus mass, so it draws ~6 times at any corpus size.
+_SYS_ORACLE = (
+    "WITH w0 AS (SELECT source, doc_id, text, "
+    "  CAST(1 + length(trim(text)) // 100 AS BIGINT) AS w0 FROM documents), "
+    "t0 AS (SELECT SUM(w0) AS tot0 FROM w0), "
+    "w AS (SELECT source, doc_id, text, "
+    "  CASE WHEN doc_id = 42 THEN GREATEST(t0.tot0 // 10, 1) ELSE w0 END AS wt "
+    "  FROM w0 CROSS JOIN t0), "
+    "c AS (SELECT source, doc_id, text, wt, "
+    "  SUM(wt) OVER (ORDER BY doc_id) AS cum FROM w), "
+    "t AS (SELECT SUM(wt) AS tot FROM w), "
+    # doc interval [lo, hi) on the cumulative-weight axis; draw points sit
+    # at (2j+1)*tot/(2N), j = 0..N-1; counts via exact integer ceil
+    f"m AS (SELECT c.source, c.doc_id, c.text, c.wt, "
+    "  (CASE WHEN 2 * {N} * (c.cum - c.wt) <= t.tot THEN 0 "
+    "        ELSE (2 * {N} * (c.cum - c.wt) - t.tot + 2 * t.tot - 1) // (2 * t.tot) END) AS jmin, "
+    "  (CASE WHEN 2 * {N} * c.cum <= t.tot THEN 0 "
+    "        ELSE (2 * {N} * c.cum - t.tot + 2 * t.tot - 1) // (2 * t.tot) END) AS jmax "
+    "  FROM c CROSS JOIN t), "
+    "d AS (SELECT source, doc_id, text, wt, "
+    "  GREATEST(jmax - jmin, 0) AS mult FROM m) "
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "  CAST(SUM(wt) AS BIGINT) AS w_total, "
+    "  CAST(SUM(mult) AS BIGINT) AS n_draws, "
+    "  CAST(SUM(CASE WHEN mult > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_drawn, "
+    "  CAST(MAX(mult) AS BIGINT) AS max_mult, "
+    "  CAST(SUM(mult * (('0x' || substr(md5(text), 1, 8))::BIGINT)) AS BIGINT) "
+    "    AS draw_checksum "
+    "FROM d GROUP BY source ORDER BY source"
+).replace("{N}", str(_SYS_N))
+
+
+@query(
+    "q347_systematic_resampling",
+    _SYS_ORACLE,
+    doc="Systematic importance resampling — the with-replacement draw the "
+    "DSIR/quality-weighting family prescribes, executed on the fixed "
+    "grid: 64 draw points sit at (2j+1)*W/(2N) on the cumulative-weight "
+    "axis and each document receives exactly the number of points inside "
+    "its [cum-w, cum) interval, computed CLOSED-FORM by exact integer "
+    "ceils (guarded so every DIV operand is non-negative — the round-6 "
+    "DIV sign rule), so the multiplicities conserve the draw count "
+    "EXACTLY (sum(mult) == 64, asserted in tests) — the property "
+    "multinomial sampling only has in expectation, and the reason "
+    "particle filters and data-mixture resamplers use the systematic "
+    "grid.  The fixture's length weights are too uniform for any doc "
+    "to span two grid points, so one seeded stress doc's weight is "
+    "calibrated to a tenth of the corpus mass (a 1-row total broadcast) "
+    "— the multi-draw branch is live at every SF (~6 draws on it).  "
+    "The per-source census carries a multiplicity-weighted "
+    "content checksum (XOR cancels repeats, so the checksum is "
+    "SUM(mult * h32(text))), pinning exactly WHICH documents drew and "
+    "how often.  Scale shape: the global cumulative sum runs through "
+    "distributed_running_sum (range-repartition + per-partition partials "
+    "+ offset broadcast — no single-task sort at any corpus size); the "
+    "draw arithmetic is map-side closed form; one source-keyed census.",
+    tags=("llm", "curation", "sampling"),
+)
+def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w0 = docs.select(
+        "source",
+        "doc_id",
+        "text",
+        F.expr("CAST(1 + length(trim(text)) DIV 100 AS BIGINT)").alias("w0"),
+    )
+    t0 = w0.agg(F.sum("w0").alias("tot0"))
+    w = w0.crossJoin(F.broadcast(t0)).select(
+        "source",
+        "doc_id",
+        "text",
+        F.expr(
+            "CASE WHEN doc_id = 42 THEN GREATEST(tot0 DIV 10, 1) ELSE w0 END"
+        ).alias("wt"),
+        F.lit(0).alias("g"),
+    )
+    c = distributed_running_sum(
+        w, "g", [F.col("doc_id")], "wt", cum_col="cum", total_col="tot"
+    )
+    n2 = 2 * _SYS_N
+    m = c.select(
+        "source",
+        "text",
+        "wt",
+        F.expr(
+            f"CASE WHEN {n2} * (cum - wt) <= tot THEN 0 "
+            f"ELSE ({n2} * (cum - wt) - tot + 2 * tot - 1) DIV (2 * tot) END"
+        ).alias("jmin"),
+        F.expr(
+            f"CASE WHEN {n2} * cum <= tot THEN 0 "
+            f"ELSE ({n2} * cum - tot + 2 * tot - 1) DIV (2 * tot) END"
+        ).alias("jmax"),
+    ).select(
+        "source",
+        "text",
+        "wt",
+        F.greatest(F.col("jmax") - F.col("jmin"), F.lit(0)).alias("mult"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("wt").cast("long").alias("w_total"),
+            F.sum("mult").cast("long").alias("n_draws"),
+            F.sum(F.when(F.col("mult") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_distinct_drawn"),
+            F.max("mult").cast("long").alias("max_mult"),
+            F.sum(
+                F.col("mult")
+                * F.expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)")
+            )
+            .cast("long")
+            .alias("draw_checksum"),
+        )
+        .orderBy("source")
+    )

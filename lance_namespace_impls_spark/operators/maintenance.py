@@ -565,3 +565,147 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("target_group")
     )
+
+
+# ---------------------------------------------------------------------------
+# q348 — index remap after compaction (round 9): q325 moves the rows; this
+# row proves the secondary index SURVIVES the move — the lance
+# optimize-indices contract (compaction invalidates row addresses; the
+# index is remapped old-address -> new-address instead of rebuilt).
+
+_IR_CELLS = 8  # scalar-index cells (posting lists keyed by content hash)
+
+_IR_ORACLE = (
+    f"WITH f AS (SELECT doc_id, doc_id // {_CP_FRAG} AS fragment, "
+    f"  doc_id % {_CP_FRAG} AS pos, "
+    "  (('0x' || substr(md5(text), 1, 8))::BIGINT) AS h FROM documents), "
+    f"live AS (SELECT * FROM f WHERE h % {_CP_DELETE_MOD} <> 0), "
+    "lc AS (SELECT fragment, COUNT(*) AS live_rows FROM live GROUP BY fragment), "
+    "plan AS (SELECT fragment, "
+    "  COALESCE(SUM(live_rows) OVER (ORDER BY fragment "
+    f"    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_CP_TARGET} "
+    "  AS tg FROM lc), "
+    "moved AS (SELECT l.doc_id, l.h, p.tg, "
+    "  ROW_NUMBER() OVER (PARTITION BY p.tg ORDER BY l.fragment, l.pos) - 1 "
+    "    AS newpos, l.fragment * 1024 + l.pos AS old_addr "
+    "  FROM live l JOIN plan p USING (fragment)), "
+    "remap AS (SELECT old_addr, tg * 1024 + newpos AS new_addr FROM moved), "
+    # the PRE-compaction index: cell -> old addresses (built before the move)
+    f"idx AS (SELECT h % {_IR_CELLS} AS cell, fragment * 1024 + pos AS old_addr "
+    "  FROM live), "
+    # remapped index entries resolved THROUGH the compacted table
+    "post AS (SELECT tg * 1024 + newpos AS new_addr, h FROM moved), "
+    "resolved AS (SELECT i.cell, p.h FROM idx i "
+    "  JOIN remap r USING (old_addr) JOIN post p ON p.new_addr = r.new_addr), "
+    # the from-scratch rebuild on the compacted table
+    f"rebuilt AS (SELECT h % {_IR_CELLS} AS cell, h FROM post), "
+    "a AS (SELECT cell, COUNT(*) AS n_entries, bit_xor(h) AS resolved_xor "
+    "  FROM resolved GROUP BY cell), "
+    "b AS (SELECT cell, COUNT(*) AS n_rebuilt, bit_xor(h) AS rebuilt_xor "
+    "  FROM rebuilt GROUP BY cell) "
+    "SELECT CAST(a.cell AS BIGINT) AS cell, "
+    "  CAST(a.n_entries AS BIGINT) AS n_entries, "
+    "  CAST(a.resolved_xor AS BIGINT) AS resolved_xor, "
+    "  CAST(b.rebuilt_xor AS BIGINT) AS rebuilt_xor, "
+    "  CAST(CASE WHEN a.n_entries = b.n_rebuilt "
+    "    AND a.resolved_xor = b.rebuilt_xor THEN 1 ELSE 0 END AS BIGINT) "
+    "    AS remap_exact "
+    "FROM a JOIN b USING (cell) ORDER BY a.cell"
+)
+
+
+@query(
+    "q348_index_remap_after_compaction",
+    _IR_ORACLE,
+    doc="Index remap after compaction — the maintenance step q325 leaves "
+    "open: compaction moves every live row to a new (group, position) "
+    "address, invalidating the scalar index's posting lists; lance "
+    "remaps the index (old address -> new address) instead of paying a "
+    "full rebuild, and this row proves the remap is lossless.  The "
+    "pre-compaction index (8 content-hash cells -> old addresses) is "
+    "pushed through the remap relation and RESOLVED against the "
+    "compacted table (address -> content), then compared cell by cell — "
+    "count and order-free content XOR — against an index rebuilt from "
+    "scratch on the moved rows.  The resolution step is what makes the "
+    "law falsifiable: a remap that routes one address to the wrong slot "
+    "resolves to the wrong row's content and diverges that cell's XOR "
+    "even when totals conserve.  Scale shape: the plan window runs on "
+    "fragment metadata (q325's shape); new positions are per-group "
+    "windows over target-size-bounded groups; the remap and resolution "
+    "are address-keyed equi-joins — the exact shuffle a distributed "
+    "index remap performs; censuses are map-side-combinable per cell.",
+    tags=("scan", "maintenance", "catalog"),
+)
+def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    f = docs.select(
+        "doc_id",
+        F.expr(f"doc_id DIV {_CP_FRAG}").alias("fragment"),
+        (F.col("doc_id") % _CP_FRAG).alias("pos"),
+        F.expr(_H32.format(x="text")).cast("long").alias("h"),
+    )
+    live = f.filter(F.col("h") % _CP_DELETE_MOD != 0)
+    live = live.localCheckpoint(eager=False)  # plan, move, and index builds
+    lc = live.groupBy("fragment").agg(F.count(F.lit(1)).alias("live_rows"))
+    w = Window.orderBy("fragment").rowsBetween(Window.unboundedPreceding, -1)
+    plan = lc.select(
+        "fragment",
+        F.expr(
+            f"CAST(COALESCE(SUM(live_rows) OVER (ORDER BY fragment "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) DIV {_CP_TARGET} AS BIGINT)"
+        ).alias("tg"),
+    )
+    moved = live.join(plan, "fragment").select(
+        "h",
+        "tg",
+        (
+            F.row_number().over(
+                Window.partitionBy("tg").orderBy("fragment", "pos")
+            )
+            - 1
+        ).alias("newpos"),
+        (F.col("fragment") * 1024 + F.col("pos")).alias("old_addr"),
+    )
+    moved = moved.localCheckpoint(eager=False)  # remap, post table, rebuild
+    remap = moved.select(
+        "old_addr", (F.col("tg") * 1024 + F.col("newpos")).alias("new_addr")
+    )
+    idx = live.select(
+        (F.col("h") % _IR_CELLS).alias("cell"),
+        (F.col("fragment") * 1024 + F.col("pos")).alias("old_addr"),
+    )
+    post = moved.select(
+        (F.col("tg") * 1024 + F.col("newpos")).alias("new_addr"), "h"
+    )
+    resolved = (
+        idx.join(remap, "old_addr").join(post, "new_addr")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.expr("bit_xor(h)").alias("resolved_xor"),
+        )
+    )
+    rebuilt = post.select((F.col("h") % _IR_CELLS).alias("cell"), "h").groupBy(
+        "cell"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rebuilt"),
+        F.expr("bit_xor(h)").alias("rebuilt_xor"),
+    )
+    return (
+        resolved.join(rebuilt, "cell")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n_entries").cast("long").alias("n_entries"),
+            F.col("resolved_xor").cast("long").alias("resolved_xor"),
+            F.col("rebuilt_xor").cast("long").alias("rebuilt_xor"),
+            F.when(
+                (F.col("n_entries") == F.col("n_rebuilt"))
+                & (F.col("resolved_xor") == F.col("rebuilt_xor")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("remap_exact"),
+        )
+        .orderBy("cell")
+    )

@@ -555,3 +555,151 @@ def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return v1.unionByName(v2).orderBy("version", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# q346 — optimistic-concurrency commit protocol (round 9): two writers race
+# for the same version slot; the loser must DETECT the conflict via the
+# put-if-absent manifest commit and rebase — the lance commit contract the
+# whole version family (q327/q329/q337/q338) assumes.
+
+def concurrent_commit_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (once per sf_dir) a commit race and RUN the protocol.
+
+    Base v1 = orders with ``o_orderkey % 3 <> 0``.  Writers A and B prepare
+    disjoint appends (the %3 == 0 remainder split by parity) and BOTH
+    target version 2.  A commit is ``open(manifest, 'x')`` — put-if-absent,
+    the atomic primitive every lance commit adapter reduces to (reference:
+    the dialects' register_table conflict responses).  A lands v2; B's
+    exclusive create raises FileExistsError, B re-reads the head version,
+    REBASES (new file list = head's files + its own) and lands v3.  The
+    race record (attempts / conflicts / winner) lands in commits.json."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"lni_occ_{tag}")
+    marker = os.path.join(root, "_LNI_READY")
+    if not os.path.exists(marker):
+        cents = F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+        )
+        orders = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus", cents.alias("cents")
+        )
+        orders.filter(F.col("o_orderkey") % 3 != 0).write.mode("overwrite").parquet(
+            os.path.join(root, "files", "base")
+        )
+        orders.filter(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 2 == 0)
+        ).write.mode("overwrite").parquet(os.path.join(root, "files", "a"))
+        orders.filter(
+            (F.col("o_orderkey") % 3 == 0) & (F.col("o_orderkey") % 2 == 1)
+        ).write.mode("overwrite").parquet(os.path.join(root, "files", "b"))
+        os.makedirs(os.path.join(root, "_versions"), exist_ok=True)
+
+        def try_commit(v: int, files: list[str]) -> bool:
+            # put-if-absent: exclusive create IS the whole protocol
+            try:
+                with open(
+                    os.path.join(root, "_versions", f"{v}.json"), "x"
+                ) as f:
+                    json.dump({"version": v, "files": files}, f)
+                return True
+            except FileExistsError:
+                return False
+
+        def head_version() -> int:
+            vs = [
+                int(p.split(".")[0])
+                for p in os.listdir(os.path.join(root, "_versions"))
+                if p.endswith(".json")
+            ]
+            return max(vs)
+
+        assert try_commit(1, ["files/base"])
+        attempts, conflicts = 0, 0
+        # both writers read head=1 and target version 2
+        for writer, add in (("A", "files/a"), ("B", "files/b")):
+            target = 2  # both saw head=1 before either committed
+            with open(os.path.join(root, "_versions", "1.json")) as f:
+                files = json.load(f)["files"] + [add]
+            attempts += 1
+            while not try_commit(target, files):
+                conflicts += 1
+                head = head_version()  # rebase: re-read the new head
+                with open(
+                    os.path.join(root, "_versions", f"{head}.json")
+                ) as f:
+                    files = json.load(f)["files"] + [add]
+                target = head + 1
+                attempts += 1
+        with open(os.path.join(root, "commits.json"), "w") as f:
+            json.dump({"attempts": attempts, "conflicts": conflicts}, f)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+_OCC_ORACLE = (
+    "WITH src AS (SELECT o_orderkey, o_orderstatus, "
+    "  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents "
+    "  FROM orders) "
+    "SELECT * FROM ("
+    "  SELECT CAST(1 AS BIGINT) AS version, o_orderstatus, "
+    "    CAST(COUNT(*) AS BIGINT) AS n_orders, CAST(SUM(cents) AS BIGINT) AS total_cents "
+    "  FROM src WHERE o_orderkey % 3 <> 0 GROUP BY o_orderstatus "
+    "  UNION ALL "
+    "  SELECT CAST(2 AS BIGINT), o_orderstatus, CAST(COUNT(*) AS BIGINT), "
+    "    CAST(SUM(cents) AS BIGINT) FROM src "
+    "  WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0 GROUP BY o_orderstatus "
+    "  UNION ALL "
+    "  SELECT CAST(3 AS BIGINT), o_orderstatus, CAST(COUNT(*) AS BIGINT), "
+    "    CAST(SUM(cents) AS BIGINT) FROM src GROUP BY o_orderstatus"
+    ") ORDER BY version, o_orderstatus"
+)
+
+
+@query(
+    "q346_optimistic_commit",
+    _OCC_ORACLE,
+    doc="Optimistic-concurrency commit protocol — the put-if-absent manifest "
+    "race every lance writer runs (the reference's dialects surface it as "
+    "register_table/version-conflict errors; the format resolves it by "
+    "exclusive-create of the next version file): writers A and B both "
+    "read head v1 and both target v2 with DISJOINT appends; A's exclusive "
+    "create lands, B's raises, and B must rebase — re-read the new head, "
+    "extend ITS file list, commit v3.  This row scans all three committed "
+    "versions through the pinned reader AFTER the race and hash-checks "
+    "each census: v2 = base + A's slice, v3 = everything exactly once — "
+    "a lost update (B overwriting v2), a double-applied append, or a "
+    "rebase that dropped A's files diverges counts/cent totals.  The "
+    "race record (2 commit attempts for B, 1 conflict) is asserted in "
+    "tests.  Scale shape: the protocol is metadata-only (one exclusive "
+    "create per attempt); data files write once and are never rewritten "
+    "on rebase — exactly why optimistic concurrency is the lake-format "
+    "choice; scans and censuses are ordinary distributed reads.",
+    tags=("catalog", "maintenance", "versioning"),
+)
+def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = concurrent_commit_dir(spark, sf_dir)
+
+    def census(version: int) -> DataFrame:
+        return (
+            read_version(spark, root, version)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .select(
+                F.lit(version).cast("long").alias("version"),
+                "o_orderstatus",
+                "n_orders",
+                "total_cents",
+            )
+        )
+
+    return (
+        census(1)
+        .unionByName(census(2))
+        .unionByName(census(3))
+        .orderBy("version", "o_orderstatus")
+    )

@@ -91,6 +91,7 @@ CARTESIAN_ALLOWED = {
     "q341_neyman_allocation": "1-row weight-total/deficit broadcasts into stratum-sized allocation arithmetic",
     "q344_heavy_hitter_merge_law": "1-row theorem-bound broadcast onto the 10-row heavy-hitter relation",
     "q345_conjunctive_retrieval": "3-row query-pair spine self-join + 1-row decode-audit broadcast",
+    "q347_systematic_resampling": "1-row corpus-mass broadcast calibrates the stress weight (map-side arithmetic)",
 }
 
 # streaming builders start real runs; their plans are covered by the

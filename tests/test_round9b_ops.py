@@ -166,3 +166,49 @@ def test_q345_index_matches_direct_scan(spark):
         assert r["decode_errors"] == 0
         assert r["direct_match"] == 1
         assert r["n_results"] > 0  # intersections are live at every SF
+
+
+NEW3 = [
+    "q346_optimistic_commit",
+    "q347_systematic_resampling",
+    "q348_index_remap_after_compaction",
+]
+
+
+@pytest.mark.parametrize("name", NEW3)
+def test_oracle_match_batch3(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_q346_conflict_detected_and_rebased(spark):
+    import json
+
+    from lance_namespace_impls_spark.operators.snapshots import (
+        concurrent_commit_dir,
+    )
+
+    root = concurrent_commit_dir(spark, SF_SMOKE)
+    with open(os.path.join(root, "commits.json")) as f:
+        rec = json.load(f)
+    # writer B's first attempt MUST have failed the put-if-absent create
+    assert rec == {"attempts": 3, "conflicts": 1}
+    # the rebased manifest carries both appends exactly once
+    with open(os.path.join(root, "_versions", "3.json")) as f:
+        v3 = json.load(f)
+    assert sorted(v3["files"]) == ["files/a", "files/b", "files/base"]
+
+
+def test_q347_conserves_draw_count_and_multi_draw_live(spark):
+    rows = QUERIES[NEW3[1]].builder(spark, SF_SMOKE).collect()
+    assert sum(r["n_draws"] for r in rows) == 64  # systematic conservation
+    assert max(r["max_mult"] for r in rows) >= 2  # with-replacement branch live
+    for r in rows:
+        assert r["n_distinct_drawn"] <= r["n_draws"]
+
+
+def test_q348_remap_lossless(spark):
+    rows = QUERIES[NEW3[2]].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 8  # every cell populated
+    assert all(r["remap_exact"] == 1 for r in rows)
+    assert all(r["resolved_xor"] == r["rebuilt_xor"] for r in rows)
