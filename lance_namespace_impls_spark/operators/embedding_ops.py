@@ -741,3 +741,160 @@ def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+# ---------------------------------------------------------------------------
+# q349 — multi-probe LSH audit (round 9): probing Hamming-adjacent buckets
+# recovers the neighbours one exact-bucket lookup misses — the standard
+# trick for cutting LSH table count at constant recall (Lv et al. 2007).
+
+_MP_BITS = 5  # signature bits (probed: the liveliest recall curve at every SF)
+_MP_NQ = 8
+_MP_K = 10
+_MP_DEPTHS = (0, 1, 2)  # probe radius: 1 / 1+5 / 1+5+10 buckets
+
+_MP_ORACLE = (
+    "WITH grid AS (SELECT j.range AS j, i.range AS i "
+    f"  FROM range({_MP_BITS}) j, range(64) i), "
+    "s AS (SELECT j, list(CASE WHEN (('0x' || substr(md5(j || ',' || i), 1, 8))::BIGINT "
+    "    % 2) = 0 THEN 1 ELSE -1 END ORDER BY i) AS sv FROM grid GROUP BY j), "
+    "v AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    "sg AS (SELECT v.vec_id, CAST(SUM(CASE WHEN list_dot_product(v.v, s.sv) >= 0 "
+    "  THEN 1 << CAST(s.j AS INTEGER) ELSE 0 END) AS BIGINT) AS sig "
+    "  FROM v CROSS JOIN s GROUP BY v.vec_id), "
+    "u AS (SELECT v.vec_id, v.v, sg.sig FROM v JOIN sg USING (vec_id)), "
+    f"pairs AS (SELECT q.vec_id AS qid, d.vec_id AS did, "
+    "  CAST(bit_count(xor(q.sig, d.sig)) AS BIGINT) AS ham, "
+    "  CAST(list_dot_product(q.v, q.v) AS BIGINT) "
+    "    - 2 * CAST(list_dot_product(q.v, d.v) AS BIGINT) "
+    "    + CAST(list_dot_product(d.v, d.v) AS BIGINT) AS d2e "
+    f"  FROM u q JOIN u d ON d.vec_id <> q.vec_id WHERE q.vec_id < {_MP_NQ}), "
+    "rk AS (SELECT qid, did, ham, "
+    "  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2e, did) AS rne FROM pairs), "
+    "depths AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(depth)) "
+    "SELECT CAST(d.depth AS BIGINT) AS depth, "
+    "  CAST(CASE d.depth WHEN 0 THEN 1 WHEN 1 THEN 6 ELSE 16 END AS BIGINT) "
+    "    AS buckets_probed, "
+    "  CAST(SUM(CASE WHEN rk.ham <= d.depth THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS candidates, "
+    f"  CAST(SUM(CASE WHEN rk.ham <= d.depth AND rk.rne <= {_MP_K} THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS found, "
+    f"  CAST(SUM(CASE WHEN rk.ham <= d.depth AND rk.rne <= {_MP_K} THEN 1 ELSE 0 END) "
+    f"    * 1000000 // ({_MP_NQ} * {_MP_K}) AS BIGINT) AS recall_ppm, "
+    "  CAST(SUM(CASE WHEN rk.ham <= d.depth AND rk.rne = 1 THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS top1_found "
+    "FROM depths d CROSS JOIN rk GROUP BY d.depth ORDER BY depth"
+)
+
+
+@query(
+    "q349_multiprobe_lsh_audit",
+    _MP_ORACLE,
+    doc="Multi-probe LSH audit — the Lv et al. 2007 trick the banding "
+    "family (q272 tunes tables x rows) leaves unmeasured: instead of "
+    "more tables, probe the Hamming-adjacent buckets of ONE 5-bit "
+    "hyperplane signature (md5-seeded ±1 planes on int-projected "
+    "vectors, every sign decision exact integer).  A candidate sits "
+    "within probe radius d iff bit_count(sig_q XOR sig_v) <= d, so the "
+    "census needs no bucket enumeration: per radius (0/1/2 = 1/6/16 "
+    "buckets probed) it reports candidate volume (the cost axis), "
+    "top-10 recall against the exact L2 ground truth (the q232/q340 "
+    "8-query audit sample), and whether the true top-1 is recovered — "
+    "the measured cost/recall curve that decides probe depth before a "
+    "100 TB index build.  Scale shape: signatures are one broadcast "
+    "matmul pass (map-only); the audit pairs are NQ-bounded like q340; "
+    "in production candidates come from bucket joins, and the probe "
+    "law measured here is exactly what that join's key-expansion ships.",
+    tags=("llm", "similarity", "vectors"),
+)
+def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
+    signs = None
+    e = spread(load_table(spark, "embeddings", sf_dir)).select(
+        "vec_id", int_projected(F.col("embedding")).alias("v")
+    )
+    spark_ = e.sparkSession
+    signs = spark_.range(_MP_BITS).select(
+        F.col("id").cast("long").alias("j"),
+        F.expr(
+            "transform(sequence(0, 63), i -> "
+            "CASE WHEN CAST(conv(substring(md5(concat(cast(id AS string), ',', "
+            "cast(i AS string))), 1, 8), 16, 10) AS BIGINT) % 2 = 0 "
+            "THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)"
+        ).alias("sv"),
+    )
+    sg = (
+        e.crossJoin(F.broadcast(signs))
+        .select(
+            "vec_id",
+            F.when(
+                int_dot(F.col("v"), F.col("sv")) >= 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))"),
+            )
+            .otherwise(0)
+            .alias("bit"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("bit").cast("long").alias("sig"))
+    )
+    u = e.join(sg, "vec_id")
+    u = u.localCheckpoint(eager=False)  # query side AND candidate side
+    qs = u.filter(F.col("vec_id") < _MP_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("sig").alias("qsig"),
+    )
+    pairs = u.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("did"),
+        F.expr("bit_count(qsig ^ sig)").cast("long").alias("ham"),
+        (
+            int_dot(F.col("qv"), F.col("qv"))
+            - 2 * int_dot(F.col("qv"), F.col("v"))
+            + int_dot(F.col("v"), F.col("v"))
+        ).alias("d2e"),
+    )
+    rk = pairs.select(
+        "qid",
+        "ham",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy("d2e", "did"))
+        .alias("rne"),
+    )
+    depths = spark_.createDataFrame([(d,) for d in _MP_DEPTHS], "depth long")
+    return (
+        rk.crossJoin(F.broadcast(depths))
+        .groupBy("depth")
+        .agg(
+            F.sum(F.when(F.col("ham") <= F.col("depth"), 1).otherwise(0))
+            .cast("long")
+            .alias("candidates"),
+            F.sum(
+                F.when((F.col("ham") <= F.col("depth")) & (F.col("rne") <= _MP_K), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("found"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN ham <= depth AND rne <= {_MP_K} THEN 1 ELSE 0 END) "
+                f"* 1000000 DIV ({_MP_NQ} * {_MP_K}) AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.sum(
+                F.when((F.col("ham") <= F.col("depth")) & (F.col("rne") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("top1_found"),
+        )
+        .select(
+            "depth",
+            F.expr(
+                "CAST(CASE depth WHEN 0 THEN 1 WHEN 1 THEN 6 ELSE 16 END AS BIGINT)"
+            ).alias("buckets_probed"),
+            "candidates",
+            "found",
+            "recall_ppm",
+            "top1_found",
+        )
+        .orderBy("depth")
+    )

@@ -278,3 +278,150 @@ def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census("3_lineitem", li, del_l))
         .orderBy("tbl")
     )
+
+
+# ---------------------------------------------------------------------------
+# q351 — subject-access extract (round 9): the GDPR right-of-access read,
+# the dual of q312's deletion-cascade bill — BEFORE deleting a subject you
+# must be able to EXPORT everything you hold on them, across every table.
+
+_SAR_P = 1_000_003  # per-table row-signature salt
+# subject 7: full presence (customer + orders + lineitems + events);
+# subject 20: customer with orders but outside the events user domain
+# (user_id < 15 at every SF) — the no-events branch;
+# subject 999999: absent everywhere — the empty-export branch.
+_SAR_SUBJECTS = (7, 20, 999999)
+
+_SAR_ORACLE = (
+    "WITH s AS (SELECT * FROM (VALUES (7), (20), (999999)) t(subject)), "
+    "c AS (SELECT s.subject, COUNT(c_custkey) AS n_customer, "
+    f"  COALESCE(bit_xor(1 * {_SAR_P} + c_custkey), 0) AS x FROM s "
+    "  LEFT JOIN customer ON c_custkey = s.subject GROUP BY s.subject), "
+    "o AS (SELECT s.subject, COUNT(o_orderkey) AS n_orders, "
+    "  COALESCE(SUM(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)), 0) AS cents, "
+    f"  COALESCE(bit_xor(2 * {_SAR_P} + o_orderkey), 0) AS x FROM s "
+    "  LEFT JOIN orders ON o_custkey = s.subject GROUP BY s.subject), "
+    "l AS (SELECT s.subject, COUNT(l.l_orderkey) AS n_lineitems, "
+    f"  COALESCE(bit_xor(3 * {_SAR_P} + l.l_orderkey * 10 + l.l_linenumber), 0) AS x "
+    "  FROM s LEFT JOIN (SELECT o_custkey, l_orderkey, l_linenumber "
+    "    FROM orders JOIN lineitem ON l_orderkey = o_orderkey) l "
+    "  ON l.o_custkey = s.subject GROUP BY s.subject), "
+    "e AS (SELECT s.subject, COUNT(event_id) AS n_events, "
+    f"  COALESCE(bit_xor(4 * {_SAR_P} + event_id), 0) AS x FROM s "
+    "  LEFT JOIN events ON user_id = s.subject GROUP BY s.subject) "
+    "SELECT CAST(s.subject AS BIGINT) AS subject, "
+    "  CAST(c.n_customer AS BIGINT) AS n_customer, "
+    "  CAST(o.n_orders AS BIGINT) AS n_orders, "
+    "  CAST(l.n_lineitems AS BIGINT) AS n_lineitems, "
+    "  CAST(e.n_events AS BIGINT) AS n_events, "
+    "  CAST(o.cents AS BIGINT) AS orders_cents, "
+    "  CAST(xor(xor(c.x, o.x), xor(l.x, e.x)) AS BIGINT) AS export_xor "
+    "FROM s JOIN c USING (subject) JOIN o USING (subject) "
+    "JOIN l USING (subject) JOIN e USING (subject) ORDER BY s.subject"
+)
+
+
+@query(
+    "q351_subject_access_extract",
+    _SAR_ORACLE,
+    doc="Subject-access extract — the GDPR right-of-access read and the "
+    "dual of q312's deletion-cascade bill: for each data subject the "
+    "export census spans every table that can hold their data (customer "
+    "row, orders by custkey, lineitems THROUGH the order join, events by "
+    "user id), with per-table row counts, the cent-exact order total, "
+    "and one order-free export signature XORed across table-tagged row "
+    "keys — the manifest a compliance export ships and the before-image "
+    "q312's delete bill is reconciled against.  Three probe subjects "
+    "keep every branch live at every SF: full presence, a customer "
+    "outside the events user domain (no-events branch), and an absent "
+    "key (empty export, all-zero row).  Scale shape: the subject list "
+    "broadcasts into semi-join-shaped probes on each table's key (in "
+    "production: index point-lookups); the lineitem reach-through is "
+    "the only join and it is orderkey-equi; censuses are per-subject "
+    "map-side-combinable aggregates.",
+    tags=("joins", "integrity", "catalog"),
+)
+def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = spark.createDataFrame(
+        [(s,) for s in _SAR_SUBJECTS], "subject long"
+    )
+    spine = F.broadcast(spine)
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+    c = (
+        spine.join(cust, cust.c_custkey == F.col("subject"), "left")
+        .groupBy("subject")
+        .agg(
+            F.count("c_custkey").alias("n_customer"),
+            F.coalesce(
+                F.expr(f"bit_xor(1 * {_SAR_P} + c_custkey)"), F.lit(0)
+            ).alias("xc"),
+        )
+    )
+    o = (
+        spine.join(orders, orders.o_custkey == F.col("subject"), "left")
+        .groupBy("subject")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+                    )
+                ),
+                F.lit(0),
+            ).alias("cents"),
+            F.coalesce(
+                F.expr(f"bit_xor(2 * {_SAR_P} + o_orderkey)"), F.lit(0)
+            ).alias("xo"),
+        )
+    )
+    reach = orders.select("o_custkey", "o_orderkey").join(
+        li.select("l_orderkey", "l_linenumber"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    l = (
+        spine.join(reach, reach.o_custkey == F.col("subject"), "left")
+        .groupBy("subject")
+        .agg(
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.coalesce(
+                F.expr(f"bit_xor(3 * {_SAR_P} + l_orderkey * 10 + l_linenumber)"),
+                F.lit(0),
+            ).alias("xl"),
+        )
+    )
+    e = (
+        spine.join(ev, ev.user_id == F.col("subject"), "left")
+        .groupBy("subject")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.coalesce(
+                F.expr(f"bit_xor(4 * {_SAR_P} + event_id)"), F.lit(0)
+            ).alias("xe"),
+        )
+    )
+    return (
+        c.join(o, "subject")
+        .join(l, "subject")
+        .join(e, "subject")
+        .select(
+            F.col("subject").cast("long").alias("subject"),
+            F.col("n_customer").cast("long").alias("n_customer"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_lineitems").cast("long").alias("n_lineitems"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("cents").cast("long").alias("orders_cents"),
+            (
+                F.col("xc")
+                .bitwiseXOR(F.col("xo"))
+                .bitwiseXOR(F.col("xl"))
+                .bitwiseXOR(F.col("xe"))
+            )
+            .cast("long")
+            .alias("export_xor"),
+        )
+        .orderBy("subject")
+    )

@@ -780,3 +780,199 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
         "energy",
         "zero_crossings",
     ).orderBy("doc_id", "win_idx")
+
+
+# ---------------------------------------------------------------------------
+# q350 — cross-modal dedup agreement (round 9): does image-level near-dup
+# agree with text-level exact-dup on the same documents?  The audit every
+# multimodal curation pass needs before trusting EITHER detector alone.
+
+_XM_PAIR_SALT = 3000017  # pair signature: bit_xor(id_a * salt + id_b)
+
+_XM_ORACLE = """
+WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+u AS (SELECT doc_id, doc_id AS src, text FROM d0
+      UNION ALL
+      SELECT doc_id + 1000000, doc_id, text FROM d0 WHERE doc_id % 20 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, doc_id + 2000000, text FROM d0
+      WHERE doc_id % 20 = 10),
+px AS (SELECT u.doc_id, x.g AS x, y.g AS y,
+  (x.g*7 + y.g*13 + (u.src * 2654435761) % 4294967296) % 256 AS base
+  FROM u, generate_series(0, 15) AS x(g), generate_series(0, 15) AS y(g)),
+g AS (SELECT doc_id, x // 2 AS bx, y // 2 AS by,
+  (base + (base*3 + 17) % 256 + (base*5 + 89) % 256) // 3 AS gray FROM px),
+blk AS (SELECT doc_id, by, bx, CAST(SUM(gray) AS BIGINT) AS bs
+        FROM g GROUP BY doc_id, by, bx),
+tot AS (SELECT doc_id, CAST(SUM(bs) AS BIGINT) AS t FROM blk GROUP BY doc_id),
+h AS (SELECT blk.doc_id,
+  CAST(SUM(CASE WHEN 64 * blk.bs >= tot.t AND (by*8 + bx) < 63
+       THEN 1 << (by*8 + bx) ELSE 0 END) AS BIGINT) AS ah
+  FROM blk JOIN tot USING (doc_id) GROUP BY blk.doc_id),
+seg AS (SELECT doc_id, ah, k, (ah >> (16*k)) & 65535 AS s
+        FROM h, unnest([0, 1, 2, 3]) AS u2(k)),
+ip AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM seg a JOIN seg b ON a.k = b.k AND a.s = b.s AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ah, b.ah)) <= 2),
+tp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM u a JOIN u b ON a.text = b.text AND a.doc_id < b.doc_id),
+cl AS (SELECT COALESCE(i.id_a, t.id_a) AS id_a,
+  COALESCE(i.id_b, t.id_b) AS id_b,
+  CASE WHEN i.id_a IS NOT NULL AND t.id_a IS NOT NULL THEN 'both'
+       WHEN i.id_a IS NOT NULL THEN 'image_only' ELSE 'text_only' END AS cls
+  FROM ip i FULL JOIN tp t ON i.id_a = t.id_a AND i.id_b = t.id_b),
+spine AS (SELECT * FROM (VALUES ('both'), ('image_only'), ('text_only')) s(cls))
+SELECT s.cls, CAST(COUNT(c.id_a) AS BIGINT) AS n_pairs,
+  CAST(COALESCE(bit_xor(c.id_a * {salt} + c.id_b), 0) AS BIGINT) AS pair_xor
+FROM spine s LEFT JOIN cl c ON c.cls = s.cls
+GROUP BY s.cls ORDER BY s.cls
+""".format(salt=_XM_PAIR_SALT)
+
+
+@query(
+    "q350_crossmodal_dedup_agreement",
+    _XM_ORACLE,
+    doc="Cross-modal dedup agreement — q322's perceptual-hash image "
+    "detector and the exact-text detector run over the SAME document "
+    "universe and their pair sets are classified both/image_only/"
+    "text_only (count + order-free pair signature per class): the audit "
+    "that tells a multimodal curation pass where one modality's "
+    "detector is blind.  All three classes are seeded live at every SF "
+    "(the fixture has no natural exact-text dups under doc_id 200): "
+    "image+text twins (doc_id%20==0 under a new id — same pixels, same "
+    "text -> both), the synthetic gradient family's 27 natural image "
+    "pairs whose texts differ (image_only), and text twins "
+    "(doc_id%20==10 under a new id with a FRESH image seed — same "
+    "text, different pixels -> text_only).  The image side re-runs the "
+    "REAL netpbm decode -> aHash -> 4-segment Hamming<=2 pipeline "
+    "(q322's device) over the extended universe; the oracle replays "
+    "the generator's closed-form pixel arithmetic AND the text join, "
+    "so a decode fault, a twin mis-seed, or a class mislabel diverges.  "
+    "Scale shape: decode+hash is map-only mapInPandas; image pairing "
+    "is the 4-segment bucket join (never quadratic); text pairing "
+    "joins on the text key; the class census is 3 rows.",
+    tags=("llm", "multimodal", "dedup"),
+)
+def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np  # noqa: F401  (imaging decode path)
+
+    from lance_namespace_impls_spark.functions.hashing import hamming64
+    from lance_namespace_impls_spark.functions.imaging import (
+        decode_netpbm,
+        synth_ppm,
+    )
+
+    d0 = load_table(spark, "documents", sf_dir).filter(F.col("doc_id") < 200)
+    d0 = d0.select("doc_id", "text").localCheckpoint(eager=False)  # 3 universe arms
+    u = (
+        d0.select("doc_id", F.col("doc_id").alias("src"), "text")
+        .unionByName(
+            d0.filter(F.col("doc_id") % 20 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.col("doc_id").alias("src"),
+                "text",
+            )
+        )
+        .unionByName(
+            d0.filter(F.col("doc_id") % 20 == 10).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                (F.col("doc_id") + 2000000).alias("src"),
+                "text",
+            )
+        )
+    )
+    u = u.localCheckpoint(eager=False)  # image pipeline AND text self-join
+
+    hash_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("ah", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "ah": []}
+            for doc_id, src in zip(pdf["doc_id"], pdf["src"]):
+                arr = decode_netpbm(synth_ppm(int(src), 16, 16)).astype("int64")
+                gray = (arr[:, :, 0] + arr[:, :, 1] + arr[:, :, 2]) // 3
+                blocks = gray.reshape(8, 2, 8, 2).sum(axis=(1, 3))
+                total = int(blocks.sum())
+                bits = (64 * blocks >= total).flatten()
+                ah = 0
+                for i in range(63):
+                    if bits[i]:
+                        ah |= 1 << i
+                out["doc_id"].append(int(doc_id))
+                out["ah"].append(ah)
+            yield pd.DataFrame(out)
+
+    h = u.select("doc_id", "src").mapInPandas(batches, hash_schema)
+    h = h.localCheckpoint(eager=False)  # both sides of the segment join
+    seg = h.select(
+        "doc_id",
+        "ah",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"),
+    ).select(
+        "doc_id",
+        "ah",
+        "k",
+        F.expr(
+            "CASE "
+            + " ".join(
+                f"WHEN k = {k} THEN shiftright(ah, {16 * k}) & 65535"
+                for k in range(4)
+            )
+            + " END"
+        ).alias("s"),
+    )
+    ip = (
+        seg.alias("a")
+        .join(
+            seg.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming64(F.col("a.ah"), F.col("b.ah")) <= 2)
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ta = u.select(F.col("doc_id").alias("ta_id"), F.col("text").alias("t"))
+    tb = u.select(F.col("doc_id").alias("tb_id"), F.col("text").alias("t"))
+    tp = (
+        ta.join(tb, "t")
+        .filter(F.col("ta_id") < F.col("tb_id"))
+        .select(F.col("ta_id").alias("id_a"), F.col("tb_id").alias("id_b"))
+    )
+    cl = (
+        ip.withColumn("img", F.lit(1))
+        .join(tp.withColumn("txt", F.lit(1)), ["id_a", "id_b"], "full")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("img").isNotNull() & F.col("txt").isNotNull(), "both")
+            .when(F.col("img").isNotNull(), "image_only")
+            .otherwise("text_only")
+            .alias("cls"),
+        )
+    )
+    spine = spark.createDataFrame(
+        [("both",), ("image_only",), ("text_only",)], "cls string"
+    )
+    return (
+        F.broadcast(spine)
+        .join(cl, "cls", "left")
+        .groupBy("cls")
+        .agg(
+            F.count("id_a").cast("long").alias("n_pairs"),
+            F.coalesce(
+                F.expr(f"bit_xor(id_a * {_XM_PAIR_SALT} + id_b)"), F.lit(0)
+            )
+            .cast("long")
+            .alias("pair_xor"),
+        )
+        .orderBy("cls")
+    )

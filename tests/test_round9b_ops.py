@@ -212,3 +212,47 @@ def test_q348_remap_lossless(spark):
     assert len(rows) == 8  # every cell populated
     assert all(r["remap_exact"] == 1 for r in rows)
     assert all(r["resolved_xor"] == r["rebuilt_xor"] for r in rows)
+
+
+NEW4 = [
+    "q349_multiprobe_lsh_audit",
+    "q350_crossmodal_dedup_agreement",
+    "q351_subject_access_extract",
+]
+
+
+@pytest.mark.parametrize("name", NEW4)
+def test_oracle_match_batch4(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_q349_curve_monotone_and_live(spark):
+    rows = {r["depth"]: r for r in QUERIES[NEW4[0]].builder(spark, SF_SMOKE).collect()}
+    assert list(rows) == [0, 1, 2]
+    # cost and recall both rise with probe depth; deeper probes dominate
+    assert rows[0]["candidates"] < rows[1]["candidates"] < rows[2]["candidates"]
+    assert rows[0]["found"] <= rows[1]["found"] <= rows[2]["found"]
+    assert rows[2]["found"] > rows[0]["found"]  # multi-probe really recovers
+    assert rows[2]["top1_found"] >= 1  # the top-1 recovery branch is live
+    assert rows[0]["buckets_probed"] == 1 and rows[2]["buckets_probed"] == 16
+
+
+def test_q350_all_classes_live(spark):
+    rows = {r["cls"]: r for r in QUERIES[NEW4[1]].builder(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"both", "image_only", "text_only"}
+    for r in rows.values():
+        assert r["n_pairs"] > 0
+        assert r["pair_xor"] != 0
+    # every seeded image+text twin lands in 'both'; every text twin in
+    # 'text_only' (10 of each under doc_id < 200)
+    assert rows["both"]["n_pairs"] >= 10
+    assert rows["text_only"]["n_pairs"] >= 10
+
+
+def test_q351_branches_live_and_reconciled(spark):
+    rows = {r["subject"]: r for r in QUERIES[NEW4[2]].builder(spark, SF_SMOKE).collect()}
+    full, noev, absent = rows[7], rows[20], rows[999999]
+    assert full["n_customer"] == 1 and full["n_events"] > 0 and full["n_lineitems"] > 0
+    assert noev["n_customer"] == 1 and noev["n_orders"] > 0 and noev["n_events"] == 0
+    assert all(absent[c] == 0 for c in absent.asDict() if c != "subject")
