@@ -425,3 +425,121 @@ def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subject")
     )
+
+
+# ---------------------------------------------------------------------------
+# q354 — MERGE idempotence law (round 9): re-applying the same upsert batch
+# must be a no-op — the retry-safety contract every exactly-once pipeline
+# (q109's streaming upsert, q96's batch MERGE) silently relies on.
+
+_MI_P = 1_000_033  # content-signature salt
+
+_MERGE_IDEM_ORACLE = (
+    "WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st, "
+    "  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents "
+    "  FROM orders), "
+    "mx AS (SELECT MAX(k) AS mk FROM base), "
+    # the upsert batch: update every %7==0 key (+5 cents), insert 10 fresh keys
+    "u AS (SELECT k, st, cents + 5 AS cents FROM base WHERE k % 7 = 0 "
+    "  UNION ALL SELECT mx.mk + r.range + 1, 'N', 1000 + r.range "
+    "  FROM mx, range(10) r), "
+    "t1 AS (SELECT * FROM u UNION ALL "
+    "  SELECT * FROM base ANTI JOIN u USING (k)), "
+    "t2 AS (SELECT * FROM u UNION ALL "
+    "  SELECT * FROM t1 ANTI JOIN u USING (k)), "
+    "c1 AS (SELECT st, COUNT(*) AS n1, SUM(cents) AS s1, "
+    f"  bit_xor(k * {_MI_P} + cents) AS x1 FROM t1 GROUP BY st), "
+    "c2 AS (SELECT st, COUNT(*) AS n2, SUM(cents) AS s2, "
+    f"  bit_xor(k * {_MI_P} + cents) AS x2 FROM t2 GROUP BY st) "
+    "SELECT c1.st AS o_orderstatus, CAST(c1.n1 AS BIGINT) AS n_rows, "
+    "  CAST(c1.s1 AS BIGINT) AS cents_sum, CAST(c1.x1 AS BIGINT) AS content_xor, "
+    "  CAST(CASE WHEN c1.n1 = c2.n2 AND c1.s1 = c2.s2 AND c1.x1 = c2.x2 "
+    "    THEN 1 ELSE 0 END AS BIGINT) AS idempotent "
+    "FROM c1 JOIN c2 USING (st) ORDER BY c1.st"
+)
+
+
+@query(
+    "q354_merge_idempotence",
+    _MERGE_IDEM_ORACLE,
+    doc="MERGE idempotence law — the retry-safety contract exactly-once "
+    "pipelines assume, proven instead: one upsert batch (updates: +5 "
+    "cents on every seventh order key; inserts: 10 fresh keys in a new "
+    "'N' status — both branches live at every SF) is applied to the "
+    "orders image TWICE through the same key-matched MERGE (merge(T, U) "
+    "= U union (T anti-join U on key)), and the per-status censuses of "
+    "the once-applied and twice-applied states are compared on count, "
+    "cent sum AND an order-free (key, content) signature — a MERGE that "
+    "appends instead of updating, double-applies the increment, or "
+    "re-inserts the fresh keys diverges `idempotent` (and the oracle "
+    "recomputes both applications definitionally, pinning the Spark "
+    "anti-join plan cross-engine).  Scale shape: each application is "
+    "one key-equi anti-join plus a union (the production MERGE shuffle "
+    "shape, both sides key-partitioned); censuses are map-side-"
+    "combinable by status; the batch derives from the corpus, so no "
+    "driver-side state at any scale.",
+    tags=("joins", "integrity", "maintenance"),
+)
+def q354(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("st"),
+        F.expr(
+            "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+        ).alias("cents"),
+    )
+    base = base.localCheckpoint(eager=False)  # batch build AND first merge
+    mx = base.agg(F.max("k").alias("mk"))
+    fresh = (
+        mx.crossJoin(
+            F.broadcast(
+                base.sparkSession.range(10).select(F.col("id").alias("r"))
+            )
+        )
+        .select(
+            (F.col("mk") + F.col("r") + 1).alias("k"),
+            F.lit("N").alias("st"),
+            (F.lit(1000) + F.col("r")).cast("long").alias("cents"),
+        )
+    )
+    u = (
+        base.filter(F.col("k") % 7 == 0)
+        .select("k", "st", (F.col("cents") + 5).alias("cents"))
+        .unionByName(fresh)
+    )
+    u = u.localCheckpoint(eager=False)  # applied twice + two anti-joins
+
+    def merge(t: DataFrame) -> DataFrame:
+        return u.unionByName(t.join(u.select("k"), "k", "left_anti"))
+
+    t1 = merge(base).localCheckpoint(eager=False)  # census AND second merge
+    t2 = merge(t1)
+
+    def census(t: DataFrame, n: str, s: str, x: str) -> DataFrame:
+        return t.groupBy("st").agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.sum("cents").cast("long").alias(s),
+            F.expr(f"bit_xor(k * {_MI_P} + cents)").alias(x),
+        )
+
+    c1 = census(t1, "n1", "s1", "x1")
+    c2 = census(t2, "n2", "s2", "x2")
+    return (
+        c1.join(c2, "st")
+        .select(
+            F.col("st").alias("o_orderstatus"),
+            F.col("n1").cast("long").alias("n_rows"),
+            F.col("s1").cast("long").alias("cents_sum"),
+            F.col("x1").cast("long").alias("content_xor"),
+            F.when(
+                (F.col("n1") == F.col("n2"))
+                & (F.col("s1") == F.col("s2"))
+                & (F.col("x1") == F.col("x2")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("idempotent"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -527,3 +527,122 @@ def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# q353 — position-based (U-shaped) attribution (round 9): the third member
+# of the attribution family — q255 last-touch, q307 linear, this one the
+# 40/20/40 position model every marketing stack ships alongside them.
+
+_U_FIRST = 400_000  # ppm to the first touch (k >= 3)
+_U_LAST = 400_000  # ppm to the last touch (k >= 3)
+_U_MID = 200_000  # ppm shared equally by the middle touches (k >= 3)
+
+_UATTR_ORACLE = f"""
+WITH p AS (SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT user_id, event_type, event_id AS tid, epoch_us(ts) AS tus
+      FROM events WHERE event_type IN ('view', 'click')),
+m AS (SELECT p.pid, t.event_type, t.tid, t.tus FROM p JOIN t
+      ON p.user_id = t.user_id AND t.tus < p.pus
+      AND t.tus >= p.pus - CAST({_ATTR_W_US} AS BIGINT)),
+r AS (SELECT pid, event_type, tid,
+  ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tus, tid) AS rn,
+  CAST(COUNT(*) OVER (PARTITION BY pid) AS BIGINT) AS k FROM m),
+credit AS (SELECT event_type,
+  CASE WHEN k = 1 THEN {_ATTR_UNIT}
+       WHEN k = 2 THEN {_ATTR_UNIT} // 2
+       WHEN rn = 1 THEN {_U_FIRST}
+       WHEN rn = k THEN {_U_LAST}
+       ELSE {_U_MID} // (k - 2)
+            + CASE WHEN rn = 2 THEN {_U_MID} % (k - 2) ELSE 0 END
+  END AS c,
+  CASE WHEN k <= 2 THEN 'edge' WHEN rn = 1 THEN 'first'
+       WHEN rn = k THEN 'last' ELSE 'middle' END AS role
+  FROM r),
+attributed AS (SELECT event_type, role, CAST(COUNT(*) AS BIGINT) AS touches,
+  CAST(SUM(c) AS BIGINT) AS credit_ppm FROM credit GROUP BY event_type, role),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM p),
+na AS (SELECT CAST(COUNT(DISTINCT pid) AS BIGINT) AS n FROM m)
+SELECT * FROM (
+  SELECT event_type, role, touches, credit_ppm FROM attributed
+  UNION ALL
+  SELECT 'none', 'none', np.n - na.n, (np.n - na.n) * {_ATTR_UNIT} FROM np, na
+) ORDER BY event_type, role
+"""
+
+
+@query(
+    "q353_ushaped_attribution",
+    _UATTR_ORACLE,
+    doc="Position-based (U-shaped, 40/20/40) attribution — the third "
+    "attribution model beside q255's last-touch and q307's linear split: "
+    "within each purchase's 7-day touch window the FIRST touch earns "
+    "400000 ppm, the LAST 400000, and the middles share 200000 equally "
+    "(integer remainder to the earliest middle); one-touch journeys take "
+    "the whole unit and two-touch journeys split it 50/50 (the 'edge' "
+    "role) — conservation stays EXACT (total credit = 1e6 x purchases, "
+    "test-asserted) because every branch is integer closed form.  The "
+    "census reports (channel, role) touches and credit so the U-shape "
+    "is visible: first/last rows carry ~2x the per-touch credit of "
+    "middles.  All roles live at every SF (journeys of length 1, 2 and "
+    ">= 3 all occur).  Scale shape: q307's user-keyed window join "
+    "unchanged; position ranks are per-purchase windows (journey-"
+    "bounded); the census is map-side-combinable keyed by (channel, "
+    "role).",
+    tags=("analytics", "window", "events"),
+)
+def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), us.alias("pus")
+    )
+    t = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", F.col("event_id").alias("tid"), us.alias("tus")
+    )
+    m = p.join(t, "user_id").filter(
+        (F.col("tus") < F.col("pus"))
+        & (F.col("tus") >= F.col("pus") - F.lit(_ATTR_W_US))
+    )
+    m = m.localCheckpoint(eager=False)  # rank pass AND the attributed census
+    wr = Window.partitionBy("pid").orderBy("tus", "tid")
+    r = m.select(
+        "pid",
+        "event_type",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("pid")).cast("long").alias("k"),
+    )
+    credit = r.select(
+        "event_type",
+        F.expr(
+            f"CASE WHEN k = 1 THEN {_ATTR_UNIT} "
+            f"WHEN k = 2 THEN {_ATTR_UNIT} DIV 2 "
+            f"WHEN rn = 1 THEN {_U_FIRST} "
+            f"WHEN rn = k THEN {_U_LAST} "
+            f"ELSE {_U_MID} DIV (k - 2) "
+            f"  + CASE WHEN rn = 2 THEN {_U_MID} % (k - 2) ELSE 0 END END"
+        ).alias("c"),
+        F.expr(
+            "CASE WHEN k <= 2 THEN 'edge' WHEN rn = 1 THEN 'first' "
+            "WHEN rn = k THEN 'last' ELSE 'middle' END"
+        ).alias("role"),
+    )
+    attributed = credit.groupBy("event_type", "role").agg(
+        F.count(F.lit(1)).cast("long").alias("touches"),
+        F.sum("c").cast("long").alias("credit_ppm"),
+    )
+    np_ = p.agg(F.count(F.lit(1)).alias("n"))
+    na = m.select("pid").distinct().agg(F.count(F.lit(1)).alias("n"))
+    none_row = (
+        np_.crossJoin(F.broadcast(na.withColumnRenamed("n", "na")))
+        .select(
+            F.lit("none").alias("event_type"),
+            F.lit("none").alias("role"),
+            (F.col("n") - F.col("na")).cast("long").alias("touches"),
+            ((F.col("n") - F.col("na")) * _ATTR_UNIT).cast("long").alias(
+                "credit_ppm"
+            ),
+        )
+    )
+    return attributed.unionByName(none_row).orderBy("event_type", "role")

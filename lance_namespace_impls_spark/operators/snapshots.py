@@ -703,3 +703,106 @@ def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census(3))
         .orderBy("version", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q352 — version tags (round 9): named pointers into the version history —
+# the lance tags surface (create/retarget/delete a name -> version binding)
+# on top of q327's manifests.
+
+def tagged_dataset_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Reuse q327's two-version dataset and RUN a tag lifecycle beside it:
+    ``stable`` is created at v1 and stays; ``main`` is created at v1 and
+    RETARGETED to v2 after the append (the moving-head pattern); ``tmp``
+    is created at v1 and deleted.  Tags live in ``_tags/<name>.json``
+    written via tmp+rename; retarget overwrites, delete removes."""
+    root = versioned_dataset_dir(spark, sf_dir)
+    tdir = os.path.join(root, "_tags")
+    marker = os.path.join(root, "_LNI_TAGS_READY")
+    if not os.path.exists(marker):
+        os.makedirs(tdir, exist_ok=True)
+
+        def put_tag(name: str, version: int) -> None:
+            tmp = os.path.join(tdir, f".{name}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump({"tag": name, "version": version}, f)
+            os.replace(tmp, os.path.join(tdir, f"{name}.json"))
+
+        put_tag("stable", 1)
+        put_tag("main", 1)
+        put_tag("tmp", 1)
+        put_tag("main", 2)  # retarget after the append
+        os.remove(os.path.join(tdir, "tmp.json"))  # delete
+        with open(marker, "w") as f:
+            f.write("ok")
+    return root
+
+
+def read_tag(spark: SparkSession, root: str, name: str) -> DataFrame:
+    """Tag-pinned scan: resolve the name, then the version manifest."""
+    with open(os.path.join(root, "_tags", f"{name}.json")) as f:
+        rec = json.load(f)
+    if rec["tag"] != name:
+        raise ValueError(f"tag record mismatch: {rec}")
+    return read_version(spark, root, rec["version"])
+
+
+_TAG_ORACLE = (
+    "WITH src AS (SELECT o_orderkey, o_orderstatus, "
+    "  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents "
+    "  FROM orders) "
+    "SELECT * FROM ("
+    "  SELECT 'main' AS tag, CAST(2 AS BIGINT) AS version, o_orderstatus, "
+    "    CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "    CAST(SUM(cents) AS BIGINT) AS total_cents "
+    "  FROM src GROUP BY o_orderstatus "
+    "  UNION ALL "
+    "  SELECT 'stable', CAST(1 AS BIGINT), o_orderstatus, "
+    "    CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) "
+    "  FROM src WHERE o_orderkey % 3 <> 0 GROUP BY o_orderstatus"
+    ") ORDER BY tag, version, o_orderstatus"
+)
+
+
+@query(
+    "q352_version_tags",
+    _TAG_ORACLE,
+    doc="Version tags — named pointers into the manifest history, the lance "
+    "tags surface (create / retarget / delete) run as a lifecycle on "
+    "q327's two-version dataset: 'stable' pins v1 forever, 'main' is "
+    "retargeted from v1 to v2 after the append (the moving-head pattern "
+    "every release process uses), 'tmp' is created and deleted.  This "
+    "row reads THROUGH both surviving tags after the lifecycle ran and "
+    "hash-checks each census against the version the tag must resolve "
+    "to — a retarget that failed to move 'main', moved 'stable' too, or "
+    "resurrected the deleted tag diverges counts/totals (tests also "
+    "assert the tmp read now fails).  Scale shape: tag resolution is "
+    "one metadata read before planning; the pinned scans and censuses "
+    "are q327's distributed reads, unchanged.",
+    tags=("catalog", "versioning", "scan"),
+)
+def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = tagged_dataset_dir(spark, sf_dir)
+
+    def census(tag: str, version: int) -> DataFrame:
+        return (
+            read_tag(spark, root, tag)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum("cents").cast("long").alias("total_cents"),
+            )
+            .select(
+                F.lit(tag).alias("tag"),
+                F.lit(version).cast("long").alias("version"),
+                "o_orderstatus",
+                "n_orders",
+                "total_cents",
+            )
+        )
+
+    return (
+        census("main", 2)
+        .unionByName(census("stable", 1))
+        .orderBy("tag", "version", "o_orderstatus")
+    )

@@ -93,6 +93,7 @@ CARTESIAN_ALLOWED = {
     "q345_conjunctive_retrieval": "3-row query-pair spine self-join + 1-row decode-audit broadcast",
     "q347_systematic_resampling": "1-row corpus-mass broadcast calibrates the stress weight (map-side arithmetic)",
     "q349_multiprobe_lsh_audit": "5-row sign-matrix + 8-row query + 3-row depth-spine broadcasts (the q232 audit sample)",
+    "q353_ushaped_attribution": "two 1-row purchase/attributed censuses cross-joined into the none row (q307's shape)",
 }
 
 # streaming builders start real runs; their plans are covered by the

@@ -256,3 +256,63 @@ def test_q351_branches_live_and_reconciled(spark):
     assert full["n_customer"] == 1 and full["n_events"] > 0 and full["n_lineitems"] > 0
     assert noev["n_customer"] == 1 and noev["n_orders"] > 0 and noev["n_events"] == 0
     assert all(absent[c] == 0 for c in absent.asDict() if c != "subject")
+
+
+NEW5 = [
+    "q352_version_tags",
+    "q353_ushaped_attribution",
+    "q354_merge_idempotence",
+]
+
+
+@pytest.mark.parametrize("name", NEW5)
+def test_oracle_match_batch5(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_q352_deleted_tag_gone_and_retarget_isolated(spark):
+    from lance_namespace_impls_spark.operators.snapshots import (
+        read_tag,
+        tagged_dataset_dir,
+    )
+
+    root = tagged_dataset_dir(spark, SF_SMOKE)
+    with pytest.raises(FileNotFoundError):
+        read_tag(spark, root, "tmp")
+    # retargeting 'main' must not have moved 'stable'
+    import json
+
+    with open(os.path.join(root, "_tags", "stable.json")) as f:
+        assert json.load(f)["version"] == 1
+    with open(os.path.join(root, "_tags", "main.json")) as f:
+        assert json.load(f)["version"] == 2
+
+
+def test_q353_conserves_credit_and_u_shape(spark):
+    rows = QUERIES[NEW5[1]].builder(spark, SF_SMOKE).collect()
+    total = sum(r["credit_ppm"] for r in rows)
+    purchases = QUERIES["q307_linear_attribution"].builder(spark, SF_SMOKE)
+    # conservation: the same 1e6-per-purchase unit as q307 (same window)
+    q307_total = sum(r["credit_ppm"] for r in purchases.collect())
+    assert total == q307_total
+    roles = {(r["event_type"], r["role"]) for r in rows}
+    # first/last/middle/edge/none all live
+    assert {"first", "last", "middle", "edge"} <= {r for _, r in roles if r != "none"}
+    # the U: per-touch first credit ~2x per-touch middle credit
+    by_role = {}
+    for r in rows:
+        if r["role"] in ("first", "middle"):
+            t, c = by_role.get(r["role"], (0, 0))
+            by_role[r["role"]] = (t + r["touches"], c + r["credit_ppm"])
+    ft, fc = by_role["first"]
+    mt, mc = by_role["middle"]
+    assert fc * mt > mc * ft  # first touches out-earn middles per touch
+
+
+def test_q354_idempotent_everywhere(spark):
+    rows = QUERIES[NEW5[2]].builder(spark, SF_SMOKE).collect()
+    assert all(r["idempotent"] == 1 for r in rows)
+    # the insert branch is live: the fresh 'N' status exists with 10 rows
+    n = {r["o_orderstatus"]: r for r in rows}["N"]
+    assert n["n_rows"] == 10
