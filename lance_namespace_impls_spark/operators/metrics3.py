@@ -646,3 +646,95 @@ def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return attributed.unionByName(none_row).orderBy("event_type", "role")
+
+
+# ---------------------------------------------------------------------------
+# q355 — allowed-lateness accounting (round 9): the BATCH twin of the
+# streaming watermark contract — how many events land on time, late-but-
+# accepted, or dropped per event-time window under a lateness budget.
+
+_LT_WIN_US = 3_600_000_000  # 1 h tumbling event-time windows
+_LT_ALLOW_US = 1_800_000_000  # 30 min allowed lateness
+_LT_MAX_DELAY_S = 7_200  # synthetic network delay: 0..2 h (md5-derived)
+
+_LATE_ORACLE = f"""
+WITH e AS (SELECT event_id, epoch_us(ts) AS us,
+  epoch_us(ts) + ((('0x' || substr(md5('d|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT)
+    % {_LT_MAX_DELAY_S}) * 1000000 AS arr
+  FROM events),
+w AS (SELECT event_id, us, arr, (us // {_LT_WIN_US}) * {_LT_WIN_US} AS wstart FROM e),
+c AS (SELECT wstart,
+  CASE WHEN arr <= wstart + {_LT_WIN_US} THEN 'on_time'
+       WHEN arr <= wstart + {_LT_WIN_US} + {_LT_ALLOW_US} THEN 'late_accepted'
+       ELSE 'dropped' END AS lane FROM w)
+SELECT CAST(wstart AS BIGINT) AS window_start_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN lane = 'on_time' THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+  CAST(SUM(CASE WHEN lane = 'late_accepted' THEN 1 ELSE 0 END) AS BIGINT) AS late_accepted,
+  CAST(SUM(CASE WHEN lane = 'dropped' THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+FROM c GROUP BY wstart ORDER BY wstart
+"""
+
+
+@query(
+    "q355_allowed_lateness_accounting",
+    _LATE_ORACLE,
+    doc="Allowed-lateness accounting — the batch twin of the streaming "
+    "watermark contract (q61/q79's windows with withWatermark): each "
+    "event gets a deterministic md5-derived network delay (0..2 h), and "
+    "per 1-hour EVENT-time window the census counts arrivals inside the "
+    "window's close (on_time), within the 30-minute lateness budget "
+    "(late_accepted — the state a streaming agg must keep open for), "
+    "and beyond it (dropped — the rows a watermark would discard).  "
+    "Because the delay spreads over 2 h against a 30-min budget, all "
+    "three lanes are live in most windows at every SF — the sizing "
+    "evidence (state-retention time vs completeness) a production "
+    "watermark is chosen from.  Scale shape: lane assignment is pure "
+    "map-side integer arithmetic (window start by integer DIV, no join "
+    "anywhere); one map-side-combinable census keyed by window.",
+    tags=("streaming", "events", "aggregates"),
+)
+def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = ev.select(
+        us.alias("us"),
+        (
+            us
+            + (
+                F.expr(
+                    "CAST(conv(substring(md5(concat('d|', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                )
+                % _LT_MAX_DELAY_S
+            )
+            * 1_000_000
+        ).alias("arr"),
+    )
+    w = e.select(
+        F.expr(f"(us DIV {_LT_WIN_US}) * {_LT_WIN_US}").alias("window_start_us"),
+        "us",
+        "arr",
+    )
+    lane = F.when(
+        F.col("arr") <= F.col("window_start_us") + _LT_WIN_US, "on_time"
+    ).when(
+        F.col("arr") <= F.col("window_start_us") + _LT_WIN_US + _LT_ALLOW_US,
+        "late_accepted",
+    ).otherwise("dropped")
+    return (
+        w.select("window_start_us", lane.alias("lane"))
+        .groupBy("window_start_us")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("lane") == "on_time", 1).otherwise(0))
+            .cast("long")
+            .alias("on_time"),
+            F.sum(F.when(F.col("lane") == "late_accepted", 1).otherwise(0))
+            .cast("long")
+            .alias("late_accepted"),
+            F.sum(F.when(F.col("lane") == "dropped", 1).otherwise(0))
+            .cast("long")
+            .alias("dropped"),
+        )
+        .orderBy("window_start_us")
+    )

@@ -316,3 +316,111 @@ def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q356 — bucketed partial top-k device law (round 9): the two-stage top-k
+# several rows cite as their production path (q232/q340/q349 docstrings)
+# gets its own oracle-checked correctness row.
+
+_BTK_K = 3
+_BTK_BUCKETS = 8
+_BTK_SALT = 1_000_081
+
+_BTK_ORACLE = (
+    "WITH x AS (SELECT source, doc_id, "
+    "  CAST(length(trim(text)) AS BIGINT) AS len FROM documents), "
+    f"s1 AS (SELECT source, doc_id, len, doc_id % {_BTK_BUCKETS} AS b FROM x), "
+    "r1 AS (SELECT source, doc_id, len, ROW_NUMBER() OVER ("
+    "  PARTITION BY source, b ORDER BY len DESC, doc_id) AS rn FROM s1), "
+    f"surv AS (SELECT source, doc_id, len FROM r1 WHERE rn <= {_BTK_K}), "
+    "r2 AS (SELECT source, doc_id, len, ROW_NUMBER() OVER ("
+    "  PARTITION BY source ORDER BY len DESC, doc_id) AS rn FROM surv), "
+    f"dev AS (SELECT source, doc_id FROM r2 WHERE rn <= {_BTK_K}), "
+    "rt AS (SELECT source, doc_id, ROW_NUMBER() OVER ("
+    "  PARTITION BY source ORDER BY len DESC, doc_id) AS rn FROM x), "
+    f"tru AS (SELECT source, doc_id FROM rt WHERE rn <= {_BTK_K}), "
+    "a AS (SELECT source, COUNT(*) AS k_dev, "
+    f"  bit_xor(doc_id * {_BTK_SALT} + 1) AS dev_xor FROM dev GROUP BY source), "
+    "b2 AS (SELECT source, COUNT(*) AS k_tru, "
+    f"  bit_xor(doc_id * {_BTK_SALT} + 1) AS tru_xor FROM tru GROUP BY source) "
+    "SELECT a.source, CAST(a.k_dev AS BIGINT) AS k_emitted, "
+    "  CAST(a.dev_xor AS BIGINT) AS device_xor, "
+    "  CAST(b2.tru_xor AS BIGINT) AS truth_xor, "
+    "  CAST(CASE WHEN a.k_dev = b2.k_tru AND a.dev_xor = b2.tru_xor "
+    "    THEN 1 ELSE 0 END AS BIGINT) AS exact_match "
+    "FROM a JOIN b2 USING (source) ORDER BY a.source"
+)
+
+
+@query(
+    "q356_bucketed_topk_law",
+    _BTK_ORACLE,
+    doc="Bucketed partial top-k device law — the two-stage top-k that "
+    "q232/q340/q349 cite as their production path, given its own "
+    "oracle-checked row: stage one takes top-3 within each of 8 "
+    "md5-free doc_id buckets per group (every partition-local window is "
+    "bucket-bounded), stage two re-ranks only the <= 24 survivors per "
+    "group, and the law asserts the device's selection is EXACTLY the "
+    "single-window truth (count + order-free id signature per group) — "
+    "correct because a group's true top-k members are each top-k within "
+    "their own bucket, so stage one can never evict one (the safety "
+    "argument the device rests on, here falsifiable: shrink stage one "
+    "to top-(k-1) and the row diverges).  The truth side intentionally "
+    "runs the naive per-group window as the audit reference — the thing "
+    "the device replaces when a group no longer fits one task.  Scale "
+    "shape: stage-one windows partition by (group, bucket) — 8x more, "
+    "8x smaller partitions; stage two touches group-count x k rows.",
+    tags=("window", "aggregates", "scale"),
+)
+def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = load_table(spark, "documents", sf_dir).select(
+        "source", "doc_id", F.length(F.trim("text")).cast("long").alias("len")
+    )
+    x = x.localCheckpoint(eager=False)  # device path AND truth path
+    s1 = x.withColumn("b", F.col("doc_id") % _BTK_BUCKETS)
+    r1 = s1.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source", "b").orderBy(F.col("len").desc(), "doc_id")
+        ),
+    )
+    surv = r1.filter(F.col("rn") <= _BTK_K).drop("rn", "b")
+    dev = surv.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("len").desc(), "doc_id")
+        ),
+    ).filter(F.col("rn") <= _BTK_K)
+    tru = x.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("len").desc(), "doc_id")
+        ),
+    ).filter(F.col("rn") <= _BTK_K)
+    a = dev.groupBy("source").agg(
+        F.count(F.lit(1)).alias("k_dev"),
+        F.expr(f"bit_xor(doc_id * {_BTK_SALT} + 1)").alias("dev_xor"),
+    )
+    b2 = tru.groupBy("source").agg(
+        F.count(F.lit(1)).alias("k_tru"),
+        F.expr(f"bit_xor(doc_id * {_BTK_SALT} + 1)").alias("tru_xor"),
+    )
+    return (
+        a.join(b2, "source")
+        .select(
+            "source",
+            F.col("k_dev").cast("long").alias("k_emitted"),
+            F.col("dev_xor").cast("long").alias("device_xor"),
+            F.col("tru_xor").cast("long").alias("truth_xor"),
+            F.when(
+                (F.col("k_dev") == F.col("k_tru"))
+                & (F.col("dev_xor") == F.col("tru_xor")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("exact_match"),
+        )
+        .orderBy("source")
+    )

@@ -806,3 +806,90 @@ def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(census("stable", 1))
         .orderBy("tag", "version", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q357 — incremental changed-file scan (round 9): consume ONLY what a commit
+# added — the manifest-diff read incremental pipelines (and the lance
+# changed-rows API) are built on.
+
+_INC_ORACLE = (
+    "WITH src AS (SELECT o_orderkey, o_orderstatus, "
+    "  CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents "
+    "  FROM orders), "
+    "inc AS (SELECT * FROM src WHERE o_orderkey % 3 = 0), "
+    "v1 AS (SELECT * FROM src WHERE o_orderkey % 3 <> 0), "
+    "v2 AS (SELECT * FROM src), "
+    "a AS (SELECT o_orderstatus, COUNT(*) AS n_inc, SUM(cents) AS c_inc "
+    "  FROM inc GROUP BY o_orderstatus), "
+    "b AS (SELECT o_orderstatus, COUNT(*) AS n1, SUM(cents) AS c1 "
+    "  FROM v1 GROUP BY o_orderstatus), "
+    "c AS (SELECT o_orderstatus, COUNT(*) AS n2, SUM(cents) AS c2 "
+    "  FROM v2 GROUP BY o_orderstatus) "
+    "SELECT a.o_orderstatus, CAST(a.n_inc AS BIGINT) AS n_changed, "
+    "  CAST(a.c_inc AS BIGINT) AS cents_changed, "
+    "  CAST(CASE WHEN b.n1 + a.n_inc = c.n2 AND b.c1 + a.c_inc = c.c2 "
+    "    THEN 1 ELSE 0 END AS BIGINT) AS reconciles "
+    "FROM a JOIN b USING (o_orderstatus) JOIN c USING (o_orderstatus) "
+    "ORDER BY a.o_orderstatus"
+)
+
+
+@query(
+    "q357_incremental_changed_scan",
+    _INC_ORACLE,
+    doc="Incremental changed-file scan — the manifest-diff read: the files "
+    "version 2 lists MINUS the files version 1 lists are exactly the "
+    "commit's additions, and scanning ONLY those (here one directory "
+    "out of two, resolved from the on-disk manifests of q327's "
+    "fixture) yields the change set an incremental consumer feeds "
+    "downstream without re-reading the base — the batch counterpart of "
+    "the lance changed-rows API and the reason manifest file lists are "
+    "append-structured.  The row censuses the incremental read per "
+    "status AND reconciles it three-ways from disk: v1 census + "
+    "incremental census must equal the v2 census (all three scans go "
+    "through their own manifest resolution, so a manifest that "
+    "double-lists a file, drops one, or mis-diffs diverges "
+    "`reconciles`).  The oracle derives all three sets definitionally.  "
+    "Scale shape: the diff is a metadata set-difference; the "
+    "incremental scan reads only the added files (the whole point — "
+    "cost proportional to the change, not the table); censuses are "
+    "map-side-combinable by status.",
+    tags=("catalog", "scan", "versioning"),
+)
+def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = versioned_dataset_dir(spark, sf_dir)
+    with open(os.path.join(root, "_versions", "1.json")) as f:
+        f1 = set(json.load(f)["files"])
+    with open(os.path.join(root, "_versions", "2.json")) as f:
+        f2 = set(json.load(f)["files"])
+    added = sorted(f2 - f1)
+    inc = spark.read.parquet(*[os.path.join(root, p) for p in added])
+
+    def census(df: DataFrame, n: str, c: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias(n),
+            F.sum("cents").cast("long").alias(c),
+        )
+
+    a = census(inc, "n_inc", "c_inc")
+    b = census(read_version(spark, root, 1), "n1", "c1")
+    c = census(read_version(spark, root, 2), "n2", "c2")
+    return (
+        a.join(b, "o_orderstatus")
+        .join(c, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            F.col("n_inc").cast("long").alias("n_changed"),
+            F.col("c_inc").cast("long").alias("cents_changed"),
+            F.when(
+                (F.col("n1") + F.col("n_inc") == F.col("n2"))
+                & (F.col("c1") + F.col("c_inc") == F.col("c2")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("reconciles"),
+        )
+        .orderBy("o_orderstatus")
+    )

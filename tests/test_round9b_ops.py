@@ -316,3 +316,37 @@ def test_q354_idempotent_everywhere(spark):
     # the insert branch is live: the fresh 'N' status exists with 10 rows
     n = {r["o_orderstatus"]: r for r in rows}["N"]
     assert n["n_rows"] == 10
+
+
+NEW6 = [
+    "q355_allowed_lateness_accounting",
+    "q356_bucketed_topk_law",
+    "q357_incremental_changed_scan",
+]
+
+
+@pytest.mark.parametrize("name", NEW6)
+def test_oracle_match_batch6(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_q355_all_lanes_live_and_partition(spark):
+    rows = QUERIES[NEW6[0]].builder(spark, SF_SMOKE).collect()
+    assert sum(r["on_time"] for r in rows) > 0
+    assert sum(r["late_accepted"] for r in rows) > 0
+    assert sum(r["dropped"] for r in rows) > 0
+    for r in rows:
+        assert r["n_events"] == r["on_time"] + r["late_accepted"] + r["dropped"]
+
+
+def test_q356_device_exact_everywhere(spark):
+    rows = QUERIES[NEW6[1]].builder(spark, SF_SMOKE).collect()
+    assert all(r["exact_match"] == 1 for r in rows)
+    assert all(r["k_emitted"] == 3 for r in rows)
+
+
+def test_q357_reconciles_everywhere(spark):
+    rows = QUERIES[NEW6[2]].builder(spark, SF_SMOKE).collect()
+    assert all(r["reconciles"] == 1 for r in rows)
+    assert sum(r["n_changed"] for r in rows) > 0
