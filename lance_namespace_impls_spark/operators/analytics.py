@@ -1155,3 +1155,136 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# q359 — Fellegi–Sunter record-linkage scoring (round 9): the probabilistic
+# decision model on top of q160's blocked candidates and q225's
+# sorted-neighborhood blocking — agreement weights, not a single distance.
+
+# Fixed model parameters in integer milli-bits (log2(m/u) agreement /
+# log2((1-m)/(1-u)) disagreement weights for calibrated (m, u) pairs).
+_FS_W = {
+    "prefix": (6492, -3170),  # m=0.90, u=0.01
+    "toks": (2322, -1737),  # m=0.85, u=0.17
+    "lang": (1585, -2322),  # m=0.95, u=0.32
+}
+_FS_LINK = 6000  # milli-bits: accept as a link
+_FS_POSSIBLE = 0  # milli-bits: clerical-review band
+
+_FS_ORACLE = (
+    "WITH k0 AS (SELECT doc_id, source, lang, n_chars // 10 AS lb, "
+    "  substr(lower(trim(text)), 1, 32) AS pre, "
+    "  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')) AS toks "
+    "  FROM documents), "
+    "k AS (SELECT * FROM k0 UNION ALL "
+    "  SELECT doc_id + 1000000, source, lang, lb, 'x' || substr(pre, 2), toks "
+    "  FROM k0 WHERE doc_id % 100 = 0), "
+    "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    f"  CASE WHEN levenshtein(a.pre, b.pre) <= 4 THEN {_FS_W['prefix'][0]} ELSE {_FS_W['prefix'][1]} END + "
+    f"  CASE WHEN abs(a.toks - b.toks) <= 2 THEN {_FS_W['toks'][0]} ELSE {_FS_W['toks'][1]} END + "
+    f"  CASE WHEN a.lang = b.lang THEN {_FS_W['lang'][0]} ELSE {_FS_W['lang'][1]} END AS score, "
+    "  CASE WHEN b.doc_id = a.doc_id + 1000000 THEN 1 ELSE 0 END AS twin "
+    "  FROM k a JOIN k b ON a.source = b.source AND a.lb = b.lb "
+    "  AND a.doc_id < b.doc_id), "
+    "cl AS (SELECT id_a, id_b, twin, score, "
+    f"  CASE WHEN score >= {_FS_LINK} THEN 'link' "
+    f"       WHEN score >= {_FS_POSSIBLE} THEN 'possible' "
+    "       ELSE 'nonlink' END AS decision FROM pairs) "
+    "SELECT decision, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+    "  CAST(SUM(twin) AS BIGINT) AS n_twin_pairs, "
+    "  CAST(MIN(score) AS BIGINT) AS min_score, "
+    "  CAST(MAX(score) AS BIGINT) AS max_score, "
+    "  CAST(bit_xor(id_a * 4000037 + id_b) AS BIGINT) AS pair_xor "
+    "FROM cl GROUP BY decision ORDER BY decision"
+)
+
+
+@query(
+    "q359_fellegi_sunter_linkage",
+    _FS_ORACLE,
+    doc="Fellegi–Sunter record-linkage scoring — the probabilistic decision "
+    "model entity resolution actually ships (q160 thresholds one distance; "
+    "FS combines FIELD-level agreement evidence): over q160's blocked "
+    "candidate pairs (same source + length bucket, seeded edit twins "
+    "keep true matches live at every SF), three fields vote — 32-char "
+    "prefix within edit distance 4, token counts within 2, language "
+    "equality — each contributing its calibrated log-likelihood-ratio "
+    "weight in integer milli-bits (log2(m/u) on agree, log2((1-m)/(1-u)) "
+    "on disagree; fixed model constants, so the score is exact integer "
+    "arithmetic both engines replay), and the summed score lands in the "
+    "classic three-way decision: link / possible (clerical review) / "
+    "nonlink.  All three classes are live at every SF (probed "
+    "6/9/99 at sf0.001, 56/2304/10369 at sf0.1) and every seeded twin "
+    "scores as a link (n_twin_pairs, the recall column).  Scale shape: "
+    "the candidate join is q160's bounded blocking (never corpus-"
+    "quadratic); scoring is row-local arithmetic on the pair relation; "
+    "the census is 3 rows.",
+    tags=("llm", "dedup", "joins"),
+)
+def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    k0 = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr("n_chars DIV 10").alias("lb"),
+        F.expr("substr(lower(trim(text)), 1, 32)").alias("pre"),
+        F.expr(
+            r"size(filter(split(lower(trim(text)), '\\s+'), t -> t != ''))"
+        ).cast("long").alias("toks"),
+    )
+    k0 = k0.localCheckpoint(eager=False)  # base arm AND twin arm
+    k = k0.unionByName(
+        k0.filter(F.col("doc_id") % 100 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "source",
+            "lang",
+            "lb",
+            F.expr("concat('x', substr(pre, 2))").alias("pre"),
+            "toks",
+        )
+    )
+    a = k.alias("a")
+    b = k.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        (
+            F.when(
+                F.levenshtein(F.col("a.pre"), F.col("b.pre")) <= 4,
+                _FS_W["prefix"][0],
+            ).otherwise(_FS_W["prefix"][1])
+            + F.when(
+                F.abs(F.col("a.toks") - F.col("b.toks")) <= 2, _FS_W["toks"][0]
+            ).otherwise(_FS_W["toks"][1])
+            + F.when(
+                F.col("a.lang") == F.col("b.lang"), _FS_W["lang"][0]
+            ).otherwise(_FS_W["lang"][1])
+        ).alias("score"),
+        F.when(F.col("b.doc_id") == F.col("a.doc_id") + 1000000, 1)
+        .otherwise(0)
+        .alias("twin"),
+    )
+    cl = pairs.withColumn(
+        "decision",
+        F.when(F.col("score") >= _FS_LINK, "link")
+        .when(F.col("score") >= _FS_POSSIBLE, "possible")
+        .otherwise("nonlink"),
+    )
+    return (
+        cl.groupBy("decision")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("twin").cast("long").alias("n_twin_pairs"),
+            F.min("score").cast("long").alias("min_score"),
+            F.max("score").cast("long").alias("max_score"),
+            F.expr("bit_xor(id_a * 4000037 + id_b)").cast("long").alias("pair_xor"),
+        )
+        .orderBy("decision")
+    )

@@ -674,3 +674,113 @@ def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q358 — exact AUC of a quality signal (round 9): the Mann-Whitney rank
+# statistic in pure integers — the single-number companion to q211's
+# threshold sweep and q335's decile calibration.
+
+_AUC_ORACLE = (
+    "WITH t AS (SELECT doc_id, source, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), "
+    "st AS (SELECT doc_id, source, len(toks) AS n, "
+    "  CAST(SUM(length(x)) AS BIGINT) AS chars, "
+    "  SUM(CASE WHEN x IN ('the','a','and','of','to') THEN 1 ELSE 0 END) AS stop "
+    "  FROM t, unnest(toks) AS u(x) GROUP BY doc_id, source, len(toks)), "
+    "lab AS (SELECT source, n AS v, "
+    f"  CASE WHEN n >= {_G_MIN_TOKS} AND n <= {_G_MAX_TOKS} THEN 1 ELSE 0 END * "
+    f"  CASE WHEN 10 * chars >= {_G_MIN_LEN10} * n "
+    f"       AND 10 * chars <= {_G_MAX_LEN10} * n THEN 1 ELSE 0 END * "
+    "  CASE WHEN stop >= 1 THEN 1 ELSE 0 END AS y FROM st), "
+    "fq AS (SELECT source, v, SUM(y) AS p, SUM(1 - y) AS q "
+    "  FROM lab GROUP BY source, v), "
+    "cum AS (SELECT source, v, p, q, "
+    "  COALESCE(SUM(p + q) OVER (PARTITION BY source ORDER BY v "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM fq), "
+    "rs AS (SELECT source, SUM(p) AS n_pos, SUM(q) AS n_neg, "
+    "  SUM(p * (2 * cb + (p + q) + 1)) AS r2 FROM cum GROUP BY source) "
+    "SELECT source, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg, "
+    "  CAST((r2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg) AS BIGINT) "
+    "    AS auc_ppm "
+    "FROM rs ORDER BY source"
+)
+
+
+@query(
+    "q358_exact_auc",
+    _AUC_ORACLE,
+    doc="Exact AUC (Mann-Whitney U) of a quality signal — the "
+    "single-number ranking-power measurement beside q211's threshold "
+    "sweep and q335's decile calibration, in pure integers: per source "
+    "the token count scores every document and the q297 Gopher "
+    "conjunction labels it, the corpus reduces to a (source, score) "
+    "frequency table (bounded by distinct token counts), doubled "
+    "midranks handle ties exactly (2R = sum over values of "
+    "p_v*(2*cum_before + n_v + 1)), and AUC_ppm = (2R_pos - "
+    "n_pos(n_pos+1))*1e6 DIV (2*n_pos*n_neg) — no float anywhere, so "
+    "the statistic itself hash-checks.  The score is PART of the label "
+    "(the token-count rule) yet the rule is an INTERVAL, so the signal "
+    "is non-monotone and per-source AUC spreads on both sides of 0.5 "
+    "(probed 0.24-0.70 ppm-exact) — a live, non-degenerate census; "
+    "both classes exist per source at every SF (7-138 pos / 8-140 "
+    "neg).  Scale shape: one (source, score) count shuffle; the "
+    "midrank window runs on the bounded frequency table (the q223 "
+    "device), never the corpus.",
+    tags=("llm", "quality", "aggregates"),
+)
+def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, "documents", sf_dir))
+    t = docs.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    st = t.select(
+        "source",
+        F.size("toks").cast("long").alias("n"),
+        F.expr(
+            "aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+        ).alias("chars"),
+        F.expr(
+            "aggregate(toks, CAST(0 AS BIGINT), (a, x) -> a + "
+            "CASE WHEN x IN ('the','a','and','of','to') THEN 1 ELSE 0 END)"
+        ).alias("stop"),
+    )
+    y = (
+        F.when(
+            (F.col("n") >= _G_MIN_TOKS)
+            & (F.col("n") <= _G_MAX_TOKS)
+            & (10 * F.col("chars") >= _G_MIN_LEN10 * F.col("n"))
+            & (10 * F.col("chars") <= _G_MAX_LEN10 * F.col("n"))
+            & (F.col("stop") >= 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("y")
+    )
+    lab = st.select("source", F.col("n").alias("v"), y)
+    fq = lab.groupBy("source", "v").agg(
+        F.sum("y").alias("p"), F.sum(1 - F.col("y")).alias("q")
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = fq.withColumn(
+        "cb", F.coalesce(F.sum(F.col("p") + F.col("q")).over(wc), F.lit(0))
+    )
+    rs = cum.groupBy("source").agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("q").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("cb") + F.col("p") + F.col("q") + 1)).alias(
+            "r2"
+        ),
+    )
+    return rs.select(
+        "source",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.expr(
+            "CAST((r2 - n_pos * (n_pos + 1)) * 1000000 DIV (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+    ).orderBy("source")

@@ -350,3 +350,35 @@ def test_q357_reconciles_everywhere(spark):
     rows = QUERIES[NEW6[2]].builder(spark, SF_SMOKE).collect()
     assert all(r["reconciles"] == 1 for r in rows)
     assert sum(r["n_changed"] for r in rows) > 0
+
+
+NEW7 = ["q358_exact_auc", "q359_fellegi_sunter_linkage"]
+
+
+@pytest.mark.parametrize("name", NEW7)
+def test_oracle_match_batch7(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
+
+
+def test_q358_auc_bounds_and_classes(spark):
+    rows = QUERIES[NEW7[0]].builder(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 0 <= r["auc_ppm"] <= 1_000_000
+        assert r["n_pos"] > 0 and r["n_neg"] > 0
+    # the interval rule makes the signal non-monotone: AUC is not a
+    # constant across sources (live spread, probed 0.24-0.70)
+    assert len({r["auc_ppm"] for r in rows}) > 1
+
+
+def test_q359_three_decisions_and_twin_recall(spark):
+    rows = {r["decision"]: r for r in QUERIES[NEW7[1]].builder(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"link", "possible", "nonlink"}
+    # every seeded twin pair scores as a link; no twin leaks elsewhere
+    assert rows["link"]["n_twin_pairs"] > 0
+    assert rows["possible"]["n_twin_pairs"] == 0
+    assert rows["nonlink"]["n_twin_pairs"] == 0
+    # the decision bands are ordered and separated
+    assert rows["link"]["min_score"] >= 6000
+    assert 0 <= rows["possible"]["min_score"] < 6000
+    assert rows["nonlink"]["max_score"] < 0
