@@ -1,0 +1,124 @@
+"""Property tests for the round-9 integer devices, as pure-Python mirrors
+of the SQL closed forms — no Spark session needed.
+
+* the exact-isqrt two-sided correction (q341's Neyman weights),
+* the largest-remainder apportionment conservation law (q341),
+* the systematic-resampling multiplicity closed form (q347): the guarded
+  integer ceils must count exactly the grid points in [lo, hi) and conserve
+  the draw total for ANY positive weight vector,
+* the doubled-midrank AUC closed form (q358) against a direct O(n^2)
+  Mann-Whitney count.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _isqrt_device(v: int) -> int:
+    """The SQL device: float sqrt seed + two-sided integer correction."""
+    s1 = int(math.floor(math.sqrt(float(v))))
+    if (s1 + 1) * (s1 + 1) <= v:
+        return s1 + 1
+    if s1 * s1 > v:
+        return s1 - 1
+    return s1
+
+
+@given(st.integers(min_value=0, max_value=10**15))
+@settings(max_examples=300)
+def test_isqrt_correction_exact(v):
+    s = _isqrt_device(v)
+    assert s * s <= v < (s + 1) * (s + 1)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40))
+@settings(max_examples=200)
+def test_largest_remainder_conserves_budget(ws):
+    # conservation holds whenever the weight mass is positive (k <= len(ws)
+    # needs wt = sum(ws)); the all-zero-variance corpus is unreachable in
+    # q341 — every fixture stratum has length spread (asserted in
+    # test_round9b_ops.test_q341_allocation_sums_to_budget: w_sigma > 0)
+    if sum(ws) == 0:
+        return
+    n = 100
+    wt = max(sum(ws), 1)
+    base = [(n * w) // wt for w in ws]
+    rem = [(n * w) % wt for w in ws]
+    k = n - sum(base)
+    assert 0 <= k <= len(ws)  # deficit always coverable
+    order = sorted(range(len(ws)), key=lambda i: (-rem[i], i))
+    alloc = list(base)
+    for i in order[:k]:
+        alloc[i] += 1
+    assert sum(alloc) == n
+    # apportionment never exceeds the exact quota by more than 1
+    for w, a in zip(ws, alloc):
+        assert abs(a - n * w / wt) < 1 + 1e-9
+
+
+def _mult_closed_form(lo: int, hi: int, tot: int, n: int) -> int:
+    """q347's guarded-ceil device: grid points (2j+1)*tot/(2n) in [lo, hi)."""
+    n2 = 2 * n
+
+    def jmin(x: int) -> int:
+        if n2 * x <= tot:
+            return 0
+        return (n2 * x - tot + 2 * tot - 1) // (2 * tot)
+
+    return max(jmin(hi) - jmin(lo), 0)
+
+
+@given(st.lists(st.integers(min_value=1, max_value=10**4), min_size=1, max_size=50))
+@settings(max_examples=200)
+def test_systematic_multiplicities_exact_and_conserving(ws):
+    n = 64
+    tot = sum(ws)
+    # direct enumeration of the 64 grid points
+    pts = [(2 * j + 1) * tot / (2 * n) for j in range(n)]
+    cum = 0
+    total_m = 0
+    for w in ws:
+        lo, hi = cum, cum + w
+        direct = sum(1 for p in pts if lo <= p < hi)
+        closed = _mult_closed_form(lo, hi, tot, n)
+        assert closed == direct
+        total_m += closed
+        cum = hi
+    assert total_m == n  # exact conservation, the systematic-sampling law
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.booleans()),
+        min_size=2,
+        max_size=120,
+    )
+)
+@settings(max_examples=200)
+def test_midrank_auc_matches_direct_mann_whitney(pairs):
+    pos = [v for v, y in pairs if y]
+    neg = [v for v, y in pairs if not y]
+    if not pos or not neg:
+        return
+    # the q358 closed form over the value-frequency table
+    from collections import Counter
+
+    cp, cq = Counter(pos), Counter(neg)
+    vals = sorted(set(cp) | set(cq))
+    cb = 0
+    r2 = 0
+    for v in vals:
+        p, q = cp.get(v, 0), cq.get(v, 0)
+        r2 += p * (2 * cb + (p + q) + 1)
+        cb += p + q
+    npos, nneg = len(pos), len(neg)
+    auc2 = r2 - npos * (npos + 1)  # = 2 * U
+    # direct Mann-Whitney: wins + half-ties, doubled to stay integer
+    direct2 = sum(
+        2 if a > b else (1 if a == b else 0) for a in pos for b in neg
+    )
+    assert auc2 == direct2
