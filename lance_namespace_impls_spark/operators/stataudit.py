@@ -1,0 +1,639 @@
+"""Round-9 third batch: statistical audit censuses (SURVEY.md §2B rows
+q360-q365) — six devices the suite describes around its edges but never
+executes, each an exact-integer census a data platform runs before it
+trusts a table.
+
+* **Benford first-digit audit (q360)** — the classic fabricated-data
+  screen: the first significant digit of ``o_totalprice`` against the
+  Benford expectation ``log10(1 + 1/d)`` held as fixed ppm constants
+  (they sum to exactly 1,000,000), per order priority on a dense
+  priority x digit grid with per-priority L1 deviation.  The synthetic
+  fixture is NOT Benford-distributed — the audit's point is measuring
+  the deviation, not asserting the law.
+* **Lag-k autocorrelation census (q361)** — serial dependence of the
+  daily event-count series per event type, lags 1-5, in pure integers:
+  center by ``c_d = N*n_d - S`` (scaled by N so no fractional mean),
+  then ``r_ppm = 1e6 * sum(c_d * c_{d+k}) DIV sum(c_d^2)``.  Spark DIV
+  and DuckDB ``//`` both truncate toward zero, so negative correlations
+  hash-exactly too.
+* **k-anonymity / l-diversity census (q362)** — the privacy audit over
+  a three-step generalization lattice of quasi-identifiers on customer
+  (nation; nation + coarse balance band; nation + fine band):
+  equivalence-class histogram, k_min, rows below k=5, suppression ppm,
+  and l-diversity of the market segment per class.  Finer QI must be
+  monotonically worse (k never rises) — asserted in tests.
+* **CUSUM change-point (q363)** — per event type, the cumulative sum of
+  N-scaled centered daily counts; the change-point is the day of the
+  maximum |CUSUM| (earliest on ties, last day excluded — CUSUM
+  telescopes to zero there), with pre/post daily means in millis.
+* **Heaps'-law vocabulary growth (q364)** — type-token curve of the
+  corpus read in doc_id order with word-3-gram shingles as the types
+  (word types are degenerate on this corpus — ~31 distinct words):
+  cumulative-instance decile checkpoints located by the crossing rule
+  (``10*cum >= j*total`` and the previous prefix below — no global
+  sort, no min-agg), vocabulary at each checkpoint via
+  first-occurrence doc per shingle, TTR in ppm.
+* **Chi-square independence audit (q365)** — the mktsegment x
+  orderpriority contingency table over customer |><| orders on a dense
+  grid: expected counts ``R*C/N`` in millis and the scaled cell
+  statistic ``(1000*d DIV N) * (1000*d DIV (R*C))`` with
+  ``d = N*O - R*C`` — an exact-integer, deterministic approximation of
+  ``1e6 * d^2 / (N*R*C)`` that never squares d (d^2 would overflow
+  BIGINT at sf0.1's magnitudes), evaluated identically by both engines.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from lance_namespace_impls_spark.functions.text import tokens, word_shingles
+from lance_namespace_impls_spark.operators.scale_windows import (
+    distributed_running_sum,
+)
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# q360: Benford first-digit audit
+
+# log10(1 + 1/d) in ppm, d = 1..9.  Fixed rationals of the law, not data:
+# they sum to exactly 1,000,000 so the per-priority obs/exp L1 is well posed.
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+_BENFORD_EXP_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in enumerate(_BENFORD_PPM, start=1)
+) + " END"
+
+_BENFORD_ORACLE = (
+    "WITH fd AS (SELECT o_orderpriority AS priority, "
+    "  CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) "
+    "       AS INTEGER) AS digit FROM orders), "
+    "grid AS (SELECT priority, j AS digit FROM "
+    "  (SELECT DISTINCT priority FROM fd), unnest([1,2,3,4,5,6,7,8,9]) AS u(j)), "
+    "o AS (SELECT priority, digit, COUNT(*) AS n FROM fd GROUP BY 1, 2), "
+    "c AS (SELECT g.priority, g.digit, COALESCE(o.n, 0) AS n, "
+    "  SUM(COALESCE(o.n, 0)) OVER (PARTITION BY g.priority) AS tot "
+    "  FROM grid g LEFT JOIN o ON o.priority = g.priority AND o.digit = g.digit), "
+    "p AS (SELECT priority, digit, CAST(n AS BIGINT) AS n, "
+    "  CAST(1000000 * n // tot AS BIGINT) AS obs_ppm, "
+    f"  CAST({_BENFORD_EXP_SQL} AS BIGINT) AS exp_ppm FROM c) "
+    "SELECT priority, digit, n, obs_ppm, exp_ppm, "
+    "  CAST(abs(obs_ppm - exp_ppm) AS BIGINT) AS dev_ppm, "
+    "  CAST(SUM(abs(obs_ppm - exp_ppm)) OVER (PARTITION BY priority) AS BIGINT) "
+    "    AS priority_l1_ppm "
+    "FROM p ORDER BY priority, digit"
+)
+
+
+@query(
+    "q360_benford_audit",
+    _BENFORD_ORACLE,
+    doc="Benford first-digit audit of o_totalprice per order priority — "
+    "the fabricated-data screen run before trusting an ingested ledger. "
+    "First significant digit via floor->BIGINT->string (both engines "
+    "truncate floor identically on the shared double bits); dense "
+    "priority x digit grid so empty cells hash as zeros; the Benford "
+    "expectation log10(1+1/d) is held as nine fixed ppm constants "
+    "summing to exactly 1e6, and the per-priority L1 deviation "
+    "(sum |obs_ppm - exp_ppm|) is the audit verdict.  The synthetic "
+    "prices are nowhere near Benford (probed L1 ~0.5e6) — the row "
+    "measures the deviation rather than asserting the law, which keeps "
+    "every cell live.  Scale shape: one (priority, digit) count shuffle "
+    "off the scan; grid, window and L1 all run on the 45-row aggregate "
+    "relation.",
+    tags=("audit", "agg", "integrity"),
+)
+def q360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    fd = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) "
+            "AS INT)"
+        ).alias("digit"),
+    )
+    o = fd.groupBy("priority", "digit").agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        fd.select("priority")
+        .distinct()
+        .crossJoin(spark.range(1, 10).select(F.col("id").cast("int").alias("digit")))
+    )
+    c = grid.join(o, ["priority", "digit"], "left").select(
+        "priority", "digit", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    wp = Window.partitionBy("priority")
+    exp_arr = F.array(*[F.lit(p) for p in _BENFORD_PPM])
+    p = c.select(
+        "priority",
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "CAST(1000000 * n DIV (SUM(n) OVER (PARTITION BY priority)) AS BIGINT)"
+        ).alias("obs_ppm"),
+        F.element_at(exp_arr, F.col("digit")).cast("long").alias("exp_ppm"),
+    )
+    return p.select(
+        "priority",
+        "digit",
+        "n",
+        "obs_ppm",
+        "exp_ppm",
+        F.abs(F.col("obs_ppm") - F.col("exp_ppm")).cast("long").alias("dev_ppm"),
+        F.sum(F.abs(F.col("obs_ppm") - F.col("exp_ppm")))
+        .over(wp)
+        .cast("long")
+        .alias("priority_l1_ppm"),
+    ).orderBy("priority", "digit")
+
+
+# ---------------------------------------------------------------------------
+# q361: lag-k autocorrelation census of the daily event-count series
+
+_DAY_US = 86_400_000_000
+_ACF_MAX_LAG = 5
+
+_ACF_ORACLE = (
+    f"WITH e AS (SELECT epoch_us(ts) // {_DAY_US} AS day, event_type FROM events), "
+    "spine AS (SELECT d.day, t.event_type FROM "
+    "  (SELECT DISTINCT day FROM e) d, (SELECT DISTINCT event_type FROM e) t), "
+    "cnt AS (SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2), "
+    "g AS (SELECT s.day, s.event_type, COALESCE(c.n, 0) AS n "
+    "  FROM spine s LEFT JOIN cnt c ON c.day = s.day AND c.event_type = s.event_type), "
+    "st AS (SELECT event_type, COUNT(*) AS nd, SUM(n) AS s FROM g GROUP BY 1), "
+    "cg AS (SELECT g.day, g.event_type, st.nd * g.n - st.s AS c "
+    "  FROM g JOIN st USING (event_type)), "
+    "den AS (SELECT event_type, SUM(c * c) AS den FROM cg GROUP BY 1), "
+    "num AS (SELECT a.event_type, CAST(b.day - a.day AS INTEGER) AS lag, "
+    "  SUM(a.c * b.c) AS num FROM cg a JOIN cg b "
+    "  ON b.event_type = a.event_type AND b.day > a.day "
+    f"  AND b.day <= a.day + {_ACF_MAX_LAG} GROUP BY 1, 2) "
+    "SELECT n.event_type, CAST(n.lag AS INTEGER) AS lag, "
+    "  CAST(st.nd AS BIGINT) AS n_days, CAST(n.num AS BIGINT) AS num, "
+    "  CAST(d.den AS BIGINT) AS den, "
+    "  CAST(1000000 * n.num // d.den AS BIGINT) AS r_ppm "
+    "FROM num n JOIN den d USING (event_type) JOIN st USING (event_type) "
+    "ORDER BY event_type, lag"
+)
+
+
+@query(
+    "q361_autocorr_census",
+    _ACF_ORACLE,
+    doc="Lag-1..5 autocorrelation of the daily event-count series per "
+    "event type — the serial-dependence census behind q310's seasonal "
+    "anomaly row, in pure integers: the series is centered WITHOUT a "
+    "fractional mean by scaling (c_d = N*n_d - S, which sums to zero "
+    "per type), and r_ppm = 1e6 * sum(c_d * c_{d+k}) DIV sum(c_d^2). "
+    "Lags come from a self-join on day+k over the dense day x type "
+    "spine (missing days coalesce to zero counts), not a lead window — "
+    "no per-type single-task sort.  Negative correlations are exact: "
+    "Spark DIV and DuckDB // both truncate toward zero.  Scale shape: "
+    "events reduce map-side to the (day, type) count relation; the "
+    "spine, self-join and both reductions are calendar-sized (days x "
+    "types x lags), never event-sized.",
+    tags=("events", "agg", "metrics"),
+)
+def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    e = ev.select(F.expr(f"{us} DIV {_DAY_US}").alias("day"), "event_type")
+    spine = e.select("day").distinct().crossJoin(e.select("event_type").distinct())
+    cnt = e.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    g = spine.join(cnt, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    st = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n").alias("s")
+    )
+    cg = g.join(F.broadcast(st), "event_type").select(
+        "day", "event_type", (F.col("nd") * F.col("n") - F.col("s")).alias("c")
+    )
+    cg = cg.localCheckpoint(eager=False)  # feeds num (twice) and den
+    den = cg.groupBy("event_type").agg(F.sum(F.col("c") * F.col("c")).alias("den"))
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = cg.crossJoin(F.broadcast(lags))
+    num = (
+        a.join(
+            # calendar-sized (days x types): always broadcastable, and the
+            # hint turns the day+lag equi-join into a BroadcastHashJoin
+            # instead of a sort-merge over two tiny exchanges
+            F.broadcast(cg).select(
+                F.col("event_type").alias("event_type2"),
+                F.col("day").alias("day2"),
+                F.col("c").alias("c2"),
+            ),
+            (F.col("event_type2") == F.col("event_type"))
+            & (F.col("day2") == F.col("day") + F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("num"))
+    )
+    return (
+        num.join(F.broadcast(den), "event_type")
+        .join(F.broadcast(st.select("event_type", "nd")), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            F.col("nd").cast("long").alias("n_days"),
+            F.col("num").cast("long").alias("num"),
+            F.col("den").cast("long").alias("den"),
+            F.expr("CAST(1000000 * num DIV den AS BIGINT)").alias("r_ppm"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q362: k-anonymity / l-diversity census over a generalization lattice
+
+_K_ANON = 5
+
+_KANON_ORACLE = (
+    "WITH c AS (SELECT c_nationkey AS nat, c_mktsegment AS seg, "
+    "  CAST(floor(c_acctbal / 2000) AS BIGINT) AS b2000, "
+    "  CAST(floor(c_acctbal / 500) AS BIGINT) AS b500 FROM customer), "
+    "cl AS ("
+    "  SELECT 'a_nation' AS qi_set, COUNT(*) AS cnt, "
+    "    COUNT(DISTINCT seg) AS l FROM c GROUP BY nat "
+    "  UNION ALL "
+    "  SELECT 'b_nation_band2000', COUNT(*), COUNT(DISTINCT seg) "
+    "    FROM c GROUP BY nat, b2000 "
+    "  UNION ALL "
+    "  SELECT 'c_nation_band500', COUNT(*), COUNT(DISTINCT seg) "
+    "    FROM c GROUP BY nat, b500) "
+    "SELECT qi_set, CAST(SUM(cnt) AS BIGINT) AS n_rows, "
+    "  CAST(COUNT(*) AS BIGINT) AS n_classes, CAST(MIN(cnt) AS BIGINT) AS k_min, "
+    f"  CAST(SUM(CASE WHEN cnt < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT) "
+    "    AS classes_below_k, "
+    f"  CAST(SUM(CASE WHEN cnt < {_K_ANON} THEN cnt ELSE 0 END) AS BIGINT) "
+    "    AS rows_below_k, "
+    f"  CAST(1000000 * SUM(CASE WHEN cnt < {_K_ANON} THEN cnt ELSE 0 END) "
+    "    // SUM(cnt) AS BIGINT) AS suppressed_ppm, "
+    "  CAST(MIN(l) AS BIGINT) AS l_min, "
+    "  CAST(1000 * SUM(l) // COUNT(*) AS BIGINT) AS l_avg_milli "
+    "FROM cl GROUP BY qi_set ORDER BY qi_set"
+)
+
+
+@query(
+    "q362_k_anonymity_census",
+    _KANON_ORACLE,
+    doc="k-anonymity / l-diversity census over a three-step quasi-"
+    "identifier generalization lattice on customer — the privacy audit "
+    "a release pipeline runs beside q351's subject-access extract: QI = "
+    "nation alone, nation + coarse account-balance band (floor/2000), "
+    "nation + fine band (floor/500); per QI set the equivalence-class "
+    "census (class count, k_min, classes and rows below k=5, "
+    "suppression ppm under suppress-small-classes) and l-diversity of "
+    "the sensitive market segment (l_min, mean l in millis).  Finer QI "
+    "is monotonically worse — k_min never rises, suppression never "
+    "falls down the lattice (asserted in tests).  floor() on the shared "
+    "double bits is engine-identical (floor, not DIV: negative balances "
+    "must band downward).  Scale shape: three grouped counts over "
+    "customer, each census on its bounded class relation; no joins, no "
+    "windows.",
+    tags=("audit", "agg", "privacy"),
+)
+def q362(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr("CAST(floor(c_acctbal / 2000) AS BIGINT)").alias("b2000"),
+        F.expr("CAST(floor(c_acctbal / 500) AS BIGINT)").alias("b500"),
+    )
+    cust = cust.localCheckpoint(eager=False)  # feeds all three lattice steps
+
+    def classes(name: str, keys: list) -> DataFrame:
+        return (
+            cust.groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.countDistinct("seg").alias("l"),
+            )
+            .select(F.lit(name).alias("qi_set"), "cnt", "l")
+        )
+
+    cl = (
+        classes("a_nation", ["nat"])
+        .unionByName(classes("b_nation_band2000", ["nat", "b2000"]))
+        .unionByName(classes("c_nation_band500", ["nat", "b500"]))
+    )
+    below = F.when(F.col("cnt") < _K_ANON, F.col("cnt")).otherwise(0)
+    return (
+        cl.groupBy("qi_set")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("cnt").cast("long").alias("k_min"),
+            F.sum(F.when(F.col("cnt") < _K_ANON, 1).otherwise(0))
+            .cast("long")
+            .alias("classes_below_k"),
+            F.sum(below).cast("long").alias("rows_below_k"),
+            F.expr(
+                f"CAST(1000000 * SUM(CASE WHEN cnt < {_K_ANON} THEN cnt ELSE 0 END) "
+                "DIV SUM(cnt) AS BIGINT)"
+            ).alias("suppressed_ppm"),
+            F.min("l").cast("long").alias("l_min"),
+            F.expr("CAST(1000 * SUM(l) DIV COUNT(1) AS BIGINT)").alias(
+                "l_avg_milli"
+            ),
+        )
+        .orderBy("qi_set")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q363: CUSUM change-point over the daily event-count series
+
+_CUSUM_ORACLE = (
+    f"WITH e AS (SELECT epoch_us(ts) // {_DAY_US} AS day, event_type FROM events), "
+    "spine AS (SELECT d.day, t.event_type FROM "
+    "  (SELECT DISTINCT day FROM e) d, (SELECT DISTINCT event_type FROM e) t), "
+    "cnt AS (SELECT day, event_type, COUNT(*) AS n FROM e GROUP BY 1, 2), "
+    "g AS (SELECT s.day, s.event_type, COALESCE(c.n, 0) AS n "
+    "  FROM spine s LEFT JOIN cnt c ON c.day = s.day AND c.event_type = s.event_type), "
+    "st AS (SELECT event_type, COUNT(*) AS nd, SUM(n) AS s FROM g GROUP BY 1), "
+    "cu AS (SELECT g.day, g.event_type, g.n, st.nd, st.s, "
+    "  ROW_NUMBER() OVER (PARTITION BY g.event_type ORDER BY g.day) AS idx, "
+    "  SUM(st.nd * g.n - st.s) OVER (PARTITION BY g.event_type ORDER BY g.day) "
+    "    AS cusum, "
+    "  SUM(g.n) OVER (PARTITION BY g.event_type ORDER BY g.day) AS pre_sum "
+    "  FROM g JOIN st USING (event_type)), "
+    "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type "
+    "  ORDER BY abs(cusum) DESC, day ASC) AS rk FROM cu WHERE idx < nd) "
+    "SELECT event_type, CAST(day AS BIGINT) AS cp_day, "
+    "  CAST(idx AS BIGINT) AS cp_idx, CAST(abs(cusum) AS BIGINT) AS max_abs_cusum, "
+    "  CAST(1000 * pre_sum // idx AS BIGINT) AS pre_mean_milli, "
+    "  CAST(1000 * (s - pre_sum) // (nd - idx) AS BIGINT) AS post_mean_milli, "
+    "  CAST(1000 * (s - pre_sum) // (nd - idx) - 1000 * pre_sum // idx AS BIGINT) "
+    "    AS delta_milli "
+    "FROM r WHERE rk = 1 ORDER BY event_type"
+)
+
+
+@query(
+    "q363_cusum_changepoint",
+    _CUSUM_ORACLE,
+    doc="CUSUM change-point detection on the daily event-count series "
+    "per event type — the level-shift locator beside q310's seasonal "
+    "z-scores: cumulative sum of the N-scaled centered counts "
+    "(N*n_d - S, so the walk needs no fractional mean and telescopes "
+    "to exactly zero at day N), change-point = earliest day of maximum "
+    "|CUSUM| with the final day excluded (its CUSUM is identically 0), "
+    "reported with pre/post daily means in millis and their shift.  The "
+    "windows (running sum, row index, argmax rank) all run on the dense "
+    "calendar-sized day x type spine, never the event relation — the "
+    "q290 map-side-reduce shape.  Tie-break is deterministic (abs "
+    "DESC, day ASC).  Scale shape: one (day, type) count shuffle; "
+    "everything after is bounded by days x types.",
+    tags=("events", "window", "metrics"),
+)
+def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    us = "unix_micros(CAST(ts AS TIMESTAMP))"
+    e = ev.select(F.expr(f"{us} DIV {_DAY_US}").alias("day"), "event_type")
+    spine = e.select("day").distinct().crossJoin(e.select("event_type").distinct())
+    cnt = e.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    g = spine.join(cnt, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    st = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n").alias("s")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    cu = (
+        g.join(F.broadcast(st), "event_type")
+        .withColumn("idx", F.row_number().over(wo))
+        .withColumn(
+            "cusum", F.sum(F.col("nd") * F.col("n") - F.col("s")).over(wo)
+        )
+        .withColumn("pre_sum", F.sum("n").over(wo))
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day").asc()
+    )
+    r = cu.filter(F.col("idx") < F.col("nd")).withColumn(
+        "rk", F.row_number().over(wr)
+    )
+    return (
+        r.filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("long").alias("cp_day"),
+            F.col("idx").cast("long").alias("cp_idx"),
+            F.abs(F.col("cusum")).cast("long").alias("max_abs_cusum"),
+            F.expr("CAST(1000 * pre_sum DIV idx AS BIGINT)").alias(
+                "pre_mean_milli"
+            ),
+            F.expr("CAST(1000 * (s - pre_sum) DIV (nd - idx) AS BIGINT)").alias(
+                "post_mean_milli"
+            ),
+            F.expr(
+                "CAST(1000 * (s - pre_sum) DIV (nd - idx) "
+                "- 1000 * pre_sum DIV idx AS BIGINT)"
+            ).alias("delta_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q364: Heaps'-law vocabulary growth (type-token curve)
+
+_HEAPS_ORACLE = (
+    "WITH t AS (SELECT doc_id, "
+    "  regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents), "
+    "n AS (SELECT doc_id, GREATEST(len(tk) - 2, 0) AS nt FROM t), "
+    "p AS (SELECT doc_id, nt, SUM(nt) OVER (ORDER BY doc_id) AS cum, "
+    "  SUM(nt) OVER () AS total FROM n), "
+    "cp AS (SELECT u.j, p.doc_id AS cp_doc, p.cum AS cum_toks FROM p, "
+    "  unnest([1,2,3,4,5,6,7,8,9,10]) AS u(j) "
+    "  WHERE 10 * p.cum >= u.j * p.total AND 10 * (p.cum - p.nt) < u.j * p.total), "
+    "g AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS w "
+    "  FROM t, unnest(range(1, len(tk) - 1)) AS u(i)), "
+    "fd AS (SELECT w, MIN(doc_id) AS fdoc FROM g GROUP BY w), "
+    "v AS (SELECT cp.j, COUNT(*) AS vocab FROM cp JOIN fd ON fd.fdoc <= cp.cp_doc "
+    "  GROUP BY cp.j) "
+    "SELECT CAST(cp.j AS INTEGER) AS decile, CAST(cp.cp_doc AS BIGINT) AS cp_doc, "
+    "  CAST(cp.cum_toks AS BIGINT) AS cum_toks, CAST(v.vocab AS BIGINT) AS vocab, "
+    "  CAST(1000000 * v.vocab // cp.cum_toks AS BIGINT) AS ttr_ppm "
+    "FROM cp JOIN v ON v.j = cp.j ORDER BY decile"
+)
+
+
+@query(
+    "q364_heaps_law",
+    _HEAPS_ORACLE,
+    doc="Heaps'-law type-token growth curve of the corpus read in doc_id "
+    "order, with word-3-gram SHINGLES as the types — the vocabulary-"
+    "growth census behind tokenizer sizing (q334) and the q151 Zipf "
+    "fit.  Word types would be degenerate here (the synthetic corpus "
+    "has ~31 distinct words, all seen in the first decile); 3-gram "
+    "types grow for real, which is also what BPE merge tables and "
+    "shingle indexes actually size against.  Cumulative-instance "
+    "decile checkpoints are located by the crossing rule (a doc is "
+    "checkpoint j iff 10*cum >= j*total and its preceding prefix was "
+    "below — each decile claimed by exactly one doc, a wide doc may "
+    "claim several), the prefix sum runs through "
+    "distributed_running_sum (no single-task global window), the type "
+    "count at each checkpoint counts shingles whose first-occurrence "
+    "doc (min doc_id containing the shingle — boundary-equivalent to "
+    "true positional first occurrence) is <= the checkpoint doc, and "
+    "TTR lands in ppm.  Scale shape: the shingle explode reduces "
+    "map-side to a min-per-shingle census (vocabulary-sized); the "
+    "checkpoint relation is 10 rows broadcast into a nested-loop range "
+    "join against the vocabulary, so the curve costs vocab x 10, never "
+    "corpus x 10.",
+    tags=("llm", "corpus", "window"),
+)
+def q364(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    t = docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), 3).alias("toks")
+    )
+    t = t.localCheckpoint(eager=False)  # feeds the prefix AND the vocab census
+    n = t.select("doc_id", F.size("toks").cast("long").alias("nt")).withColumn(
+        "g", F.lit(1)
+    )
+    p = distributed_running_sum(
+        n, "g", ["doc_id"], "nt", cum_col="cum", total_col="total"
+    )
+    j = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    cp = (
+        p.crossJoin(F.broadcast(j))
+        .filter(
+            (10 * F.col("cum") >= F.col("decile") * F.col("total"))
+            & (10 * (F.col("cum") - F.col("nt")) < F.col("decile") * F.col("total"))
+        )
+        .select(
+            "decile", F.col("doc_id").alias("cp_doc"), F.col("cum").alias("cum_toks")
+        )
+    )
+    fd = (
+        t.select("doc_id", F.explode(F.array_distinct("toks")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("fdoc"))
+    )
+    v = (
+        fd.join(F.broadcast(cp), F.col("fdoc") <= F.col("cp_doc"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    return (
+        cp.join(v, "decile")
+        .select(
+            "decile",
+            F.col("cp_doc").cast("long").alias("cp_doc"),
+            F.col("cum_toks").cast("long").alias("cum_toks"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.expr("CAST(1000000 * vocab DIV cum_toks AS BIGINT)").alias("ttr_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q365: chi-square independence audit (mktsegment x orderpriority)
+
+_CHI2_ORACLE = (
+    "WITH j AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS priority "
+    "  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey), "
+    "o AS (SELECT seg, priority, COUNT(*) AS n FROM j GROUP BY 1, 2), "
+    "r AS (SELECT seg, SUM(n) AS r_tot FROM o GROUP BY 1), "
+    "c AS (SELECT priority, SUM(n) AS c_tot FROM o GROUP BY 1), "
+    "t AS (SELECT SUM(n) AS n_tot FROM o), "
+    "grid AS (SELECT r.seg, c.priority, r.r_tot, c.c_tot, t.n_tot, "
+    "  COALESCE(o.n, 0) AS n FROM r CROSS JOIN c CROSS JOIN t "
+    "  LEFT JOIN o ON o.seg = r.seg AND o.priority = c.priority), "
+    "d AS (SELECT seg, priority, CAST(n AS BIGINT) AS n, "
+    "  CAST(r_tot AS BIGINT) AS r_tot, CAST(c_tot AS BIGINT) AS c_tot, "
+    "  CAST(1000 * r_tot * c_tot // n_tot AS BIGINT) AS exp_milli, "
+    "  CAST((1000 * (n_tot * n - r_tot * c_tot) // n_tot) "
+    "     * (1000 * (n_tot * n - r_tot * c_tot) // (r_tot * c_tot)) AS BIGINT) "
+    "    AS cell_chi2_micro FROM grid) "
+    "SELECT seg, priority, n, r_tot, c_tot, exp_milli, cell_chi2_micro, "
+    "  CAST(SUM(cell_chi2_micro) OVER () AS BIGINT) AS total_chi2_micro "
+    "FROM d ORDER BY seg, priority"
+)
+
+
+@query(
+    "q365_chi2_independence",
+    _CHI2_ORACLE,
+    doc="Chi-square independence audit of the market-segment x order-"
+    "priority contingency table over customer |><| orders — the "
+    "categorical-association companion to q358's rank AUC and q314's "
+    "SRM check: a dense 5x5 grid (empty cells hash as zeros) with "
+    "expected counts R*C/N in millis and the scaled cell statistic "
+    "(1000*d DIV N) * (1000*d DIV (R*C)) where d = N*O - R*C — an "
+    "exact-integer, deterministic surrogate for 1e6*d^2/(N*R*C) that "
+    "never materializes d^2 (which would overflow BIGINT at sf0.1 "
+    "magnitudes when 1e6-scaled); both engines evaluate the identical "
+    "truncating expression, so negative d is exact too.  The fixture's "
+    "priorities are assigned independently of segment, so the statistic "
+    "correctly lands near zero — the audit's null path, kept live by "
+    "the per-cell deviations.  Scale shape: one broadcast hash join "
+    "(customer projected to two columns), one (seg, priority) count "
+    "shuffle; marginals, grid and window run on the 25-row aggregate "
+    "relation.  At N >> 1e12 the 1000-scaling must drop to ppb-of-N "
+    "units; documented, not silently wrong (BIGINT guard in tests).",
+    tags=("audit", "join", "agg"),
+)
+def q365(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).select("o_custkey", "o_orderpriority")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    o = j.groupBy("seg", "priority").agg(F.count(F.lit(1)).alias("n"))
+    o = o.localCheckpoint(eager=False)  # feeds both marginals and the grid
+    r = o.groupBy("seg").agg(F.sum("n").alias("r_tot"))
+    c = o.groupBy("priority").agg(F.sum("n").alias("c_tot"))
+    t = o.agg(F.sum("n").alias("n_tot"))
+    grid = (
+        r.crossJoin(c)
+        .crossJoin(F.broadcast(t))
+        # the contingency table is segments x priorities — broadcast it
+        # under the dense grid instead of sort-merging two tiny exchanges
+        .join(F.broadcast(o), ["seg", "priority"], "left")
+        .select(
+            "seg",
+            "priority",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.col("r_tot").cast("long").alias("r_tot"),
+            F.col("c_tot").cast("long").alias("c_tot"),
+            "n_tot",
+        )
+    )
+    d = grid.select(
+        "seg",
+        "priority",
+        "n",
+        "r_tot",
+        "c_tot",
+        F.expr("CAST(1000 * r_tot * c_tot DIV n_tot AS BIGINT)").alias("exp_milli"),
+        F.expr(
+            "CAST((1000 * (n_tot * n - r_tot * c_tot) DIV n_tot) "
+            "* (1000 * (n_tot * n - r_tot * c_tot) DIV (r_tot * c_tot)) AS BIGINT)"
+        ).alias("cell_chi2_micro"),
+    )
+    w = Window.partitionBy()
+    return d.select(
+        "seg",
+        "priority",
+        "n",
+        "r_tot",
+        "c_tot",
+        "exp_milli",
+        "cell_chi2_micro",
+        F.sum("cell_chi2_micro").over(w).cast("long").alias("total_chi2_micro"),
+    ).orderBy("seg", "priority")

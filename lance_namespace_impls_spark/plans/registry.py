@@ -268,7 +268,7 @@ RE_VERIFY: set[str] = {
 REGRESSION_PROPOSED: tuple[str, ...] = (
     # the five shared-scale-device rows lead: the driver's ~50-row cap falls
     # on the tail, and these five must not be the rows it drops (the round-9
-    # front is 39 rows — 2 RE_VERIFY + 37 never-checked q323–q359 — so ~11
+    # front is 45 rows — 2 RE_VERIFY + 43 never-checked q323–q365 — so ~5
     # regression slots remain; the q39–q46 tail waits one more round)
     "q92_ntile_distributed", "q223_median_mad", "q232_ann_recall_audit",
     "q256_token_budget_fill", "q270_knn_graph",
