@@ -1,0 +1,74 @@
+"""Oracle parity for every round-9 declared row (q323–q365) at smoke scale —
+the same check_query gate the external driver runs, kept in the suite so a
+regression to any builder or oracle fails locally before a driver round.
+
+Mirrors tests/test_round8_oracles.py (the round-8 model the judge verified):
+one check_query call per row against the DuckDB oracle at SF_SMOKE, asserting
+rows + schema + value-hash all match.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.oracle import check_query, duckdb_connection
+
+from tests.conftest import SF_SMOKE
+
+NEW = [
+    "q323_quantile_merge_law",
+    "q324_audio_window_census",
+    "q325_compaction_execution",
+    "q326_snm_second_pass",
+    "q327_snapshot_read",
+    "q328_hnsw_layered_search",
+    "q329_vacuum_execution",
+    "q330_kmv_set_ops",
+    "q331_matryoshka_truncation",
+    "q332_markov_backtest",
+    "q333_readability_census",
+    "q334_tokenizer_roundtrip",
+    "q335_quality_dup_calibration",
+    "q336_contrastive_margins",
+    "q337_cow_delete_execution",
+    "q338_schema_evolution_read",
+    "q339_zonemap_prune_execution",
+    "q340_sq_recall_audit",
+    "q341_neyman_allocation",
+    "q342_normalization_idempotence",
+    "q343_dup_ngram_coverage",
+    "q344_heavy_hitter_merge_law",
+    "q345_conjunctive_retrieval",
+    "q346_optimistic_commit",
+    "q347_systematic_resampling",
+    "q348_index_remap_after_compaction",
+    "q349_multiprobe_lsh_audit",
+    "q350_crossmodal_dedup_agreement",
+    "q351_subject_access_extract",
+    "q352_version_tags",
+    "q353_ushaped_attribution",
+    "q354_merge_idempotence",
+    "q355_allowed_lateness_accounting",
+    "q356_bucketed_topk_law",
+    "q357_incremental_changed_scan",
+    "q358_exact_auc",
+    "q359_fellegi_sunter_linkage",
+    "q360_benford_audit",
+    "q361_autocorr_census",
+    "q362_k_anonymity_census",
+    "q363_cusum_changepoint",
+    "q364_heaps_law",
+    "q365_chi2_independence",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb_connection(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", NEW)
+def test_oracle_match(spark, duck, name):
+    result = check_query(spark, duck, name, SF_SMOKE)
+    assert result["ok"], result
