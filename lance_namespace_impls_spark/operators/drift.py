@@ -1,0 +1,489 @@
+"""Round-9 fourth batch: drift gates and scale-device censuses (SURVEY.md
+§2B rows q366-q370) — the distribution-shift and skew instruments a 100 TB
+platform runs continuously, each exact-integer and hash-oracle-checked.
+
+* **KS two-sample A/B drift (q366)** — the Kolmogorov-Smirnov statistic
+  between the md5-derived experiment arms' purchase-value distributions,
+  per event type: the value-distribution complement of q314's SRM count
+  check (an experiment can pass SRM and still have a broken value
+  pipeline in one arm).  ECDFs are compared in ppm space
+  (``1e6*cum DIV n`` per arm) so the gap arithmetic never exceeds 1e6
+  regardless of sample size — the exact-cross-multiplied form
+  ``|n_b*cumA - n_a*cumB|`` would overflow BIGINT near ``n ~ 1e10``.
+* **Skew-salting census (q367)** — THE salting device, measured: the
+  heaviest user keys' event counts against the max per-(key, salt)
+  subgroup under a deterministic md5 salt (mod 8).  This is the number
+  that decides whether a user-keyed aggregation needs salting at all,
+  and what an 8-way salt actually buys on the real key distribution
+  (not the uniform-ideal 1/8).
+* **PSI drift census (q368)** — the population-stability index between
+  the early (< 1998) and late order eras over ten fixed price bands,
+  with the q308 bitlen device standing in for log2: ``contrib =
+  (p_ppm - q_ppm) * (bitlen(p_ppm) - bitlen(q_ppm))`` under Laplace
+  (+1 per cell) smoothing.  The ML-monitoring complement of q267's L1
+  token drift — PSI's log weight amplifies tail-band shifts that L1
+  underweights.
+* **Stratified k-fold census (q369)** — hash fold assignment
+  (md5 mod 5) audited per language stratum on a dense lang x fold grid:
+  per-stratum share and max-min spread in ppm.  At corpus scale fold
+  assignment MUST be a stateless hash (a per-stratum ROW_NUMBER mod k
+  would be a single-task sort per stratum — the q293 lesson); this row
+  measures the balance that hashing actually delivers, which is the
+  falsifiable quantity.
+* **Time-weighted average (q370)** — per event type, the TWAP of the
+  event value held until the user's next same-type event (interval
+  weight = gap seconds, last event excluded): the billing/state-duration
+  aggregate where a plain AVG over-weights rapid-fire updates.  Weights
+  in seconds, values in cents — the per-row product stays ~1e11 so the
+  corpus sum holds in BIGINT far past this fixture's scales.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+# Shared integer devices (same forms as quality3.py / metrics3.py).
+_BITLEN_DUCK = "length(bin({0}))"
+_BITLEN_SPARK = "length(conv(CAST({0} AS STRING), 10, 2))"
+_MD5_MOD_DUCK = "('0x' || substr(md5('{p}' || CAST({c} AS VARCHAR)), 1, 8))::BIGINT % {m}"
+_MD5_MOD_SPARK = (
+    "CAST(conv(substring(md5(concat('{p}', CAST({c} AS STRING))), 1, 8), 16, 10) "
+    "AS BIGINT) % {m}"
+)
+
+# ---------------------------------------------------------------------------
+# q366: KS two-sample A/B value-drift census
+
+_KS_ORACLE = f"""
+WITH e AS (SELECT event_type,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+    CASE WHEN {_MD5_MOD_DUCK.format(p='ab|', c='user_id', m=100)} < 50
+         THEN 1 ELSE 0 END AS in_a
+  FROM events WHERE value IS NOT NULL),
+f AS (SELECT event_type, v,
+    CAST(SUM(in_a) AS BIGINT) AS ca,
+    CAST(SUM(1 - in_a) AS BIGINT) AS cb
+  FROM e GROUP BY 1, 2),
+c AS (SELECT event_type, v,
+    SUM(ca) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+    SUM(cb) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+    SUM(ca) OVER (PARTITION BY event_type) AS na,
+    SUM(cb) OVER (PARTITION BY event_type) AS nb
+  FROM f),
+g AS (SELECT event_type, v, na, nb,
+    abs(1000000 * cum_a // na - 1000000 * cum_b // nb) AS gap_ppm
+  FROM c),
+m AS (SELECT event_type, v, na, nb, gap_ppm,
+    MAX(gap_ppm) OVER (PARTITION BY event_type) AS d_ppm
+  FROM g)
+SELECT event_type,
+  CAST(MAX(na) AS BIGINT) AS n_a,
+  CAST(MAX(nb) AS BIGINT) AS n_b,
+  CAST(MAX(d_ppm) AS BIGINT) AS ks_ppm,
+  CAST(MIN(v) FILTER (WHERE gap_ppm = d_ppm) AS BIGINT) AS ks_at_cents
+FROM m GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q366_ks_ab_drift",
+    _KS_ORACLE,
+    doc="Kolmogorov-Smirnov two-sample statistic between the md5-derived "
+    "A/B arms' value distributions per event type — the value-drift "
+    "complement of q314's SRM count gate (an experiment can pass SRM "
+    "while one arm's value pipeline is broken), completing the "
+    "nonparametric trio beside q358 (Mann-Whitney) and q365 "
+    "(chi-square).  Arms reuse q314's assignment device (md5 mod 100, "
+    "< 50 = A); values are exact cents.  Both ECDFs are reduced to ppm "
+    "(1e6*cum DIV n per arm) BEFORE the gap — the textbook "
+    "cross-multiplied |n_b*cumA - n_a*cumB| is exact but overflows "
+    "BIGINT near n ~ 1e10, while the ppm form is scale-unbounded and "
+    "identically truncated by Spark DIV and DuckDB //.  ks_at_cents is "
+    "the earliest value attaining the sup (deterministic tie-break).  "
+    "Scale shape: one (type, cents, arm) count shuffle off the scan; "
+    "ECDF, sup and argmax run on the value-frequency relation "
+    "(bounded by the distinct-cents range per type, q223's device), "
+    "windows partitioned by type — no global sort, no SinglePartition.",
+    tags=("audit", "agg", "drift"),
+)
+def q366(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.expr(
+            "CASE WHEN "
+            + _MD5_MOD_SPARK.format(p="ab|", c="user_id", m=100)
+            + " < 50 THEN 1 ELSE 0 END"
+        ).alias("in_a"),
+    )
+    f = e.groupBy("event_type", "v").agg(
+        F.sum("in_a").cast("long").alias("ca"),
+        F.sum(1 - F.col("in_a")).cast("long").alias("cb"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    c = f.select(
+        "event_type",
+        "v",
+        F.sum("ca").over(w_cum).alias("cum_a"),
+        F.sum("cb").over(w_cum).alias("cum_b"),
+        F.sum("ca").over(w_all).alias("na"),
+        F.sum("cb").over(w_all).alias("nb"),
+    )
+    g = c.select(
+        "event_type",
+        "v",
+        "na",
+        "nb",
+        F.abs(
+            F.expr("1000000 * cum_a DIV na") - F.expr("1000000 * cum_b DIV nb")
+        ).alias("gap_ppm"),
+    )
+    m = g.withColumn("d_ppm", F.max("gap_ppm").over(w_all))
+    return (
+        m.groupBy("event_type")
+        .agg(
+            F.max("na").cast("long").alias("n_a"),
+            F.max("nb").cast("long").alias("n_b"),
+            F.max("d_ppm").cast("long").alias("ks_ppm"),
+            F.min(F.when(F.col("gap_ppm") == F.col("d_ppm"), F.col("v")))
+            .cast("long")
+            .alias("ks_at_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q367: skew-salting census over the heaviest user keys
+
+_SALT_ORACLE = f"""
+WITH s AS (SELECT user_id,
+    {_MD5_MOD_DUCK.format(p='salt|', c='event_id', m=8)} AS salt
+  FROM events),
+sub AS (SELECT user_id, salt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM s GROUP BY 1, 2),
+u AS (SELECT user_id,
+    CAST(SUM(c) AS BIGINT) AS events,
+    CAST(MAX(c) AS BIGINT) AS max_salted,
+    CAST(COUNT(*) AS BIGINT) AS salts_used
+  FROM sub GROUP BY 1)
+SELECT user_id, events, max_salted, salts_used,
+  CAST(1000000 * max_salted // events AS BIGINT) AS reduction_ppm
+FROM u ORDER BY events DESC, user_id LIMIT 5
+"""
+
+
+@query(
+    "q367_salting_skew_census",
+    _SALT_ORACLE,
+    doc="Skew-salting census: the five heaviest user keys' event counts "
+    "against the max per-(key, salt) subgroup under a deterministic "
+    "8-way md5 salt — THE measurement behind the salting decision q143 "
+    "(join-key skew profile) and q293 (user concentration) motivate.  "
+    "reduction_ppm = 1e6 * max_salted DIV events is the straggler "
+    "shrink an 8-way salted two-level aggregation actually buys on the "
+    "real key distribution (the uniform ideal is 125000 ppm; the gap "
+    "above it is hash-collision unevenness, the falsifiable quantity — "
+    "conservation sum(sub)=events is an identity and deliberately NOT "
+    "reported as a result).  Scale shape: the (user, salt) pre-combine "
+    "is exactly the salted first stage such a pipeline would run; the "
+    "per-user re-fold touches at most 8 rows per key and the top-5 cut "
+    "is a TakeOrdered, never a global sort.",
+    tags=("audit", "agg", "skew", "topk"),
+)
+def q367(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    s = ev.select(
+        "user_id",
+        F.expr(_MD5_MOD_SPARK.format(p="salt|", c="event_id", m=8)).alias("salt"),
+    )
+    sub = s.groupBy("user_id", "salt").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    u = sub.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("events"),
+        F.max("c").cast("long").alias("max_salted"),
+        F.count(F.lit(1)).cast("long").alias("salts_used"),
+    )
+    return (
+        u.select(
+            "user_id",
+            "events",
+            "max_salted",
+            "salts_used",
+            F.expr("1000000 * max_salted DIV events").cast("long").alias(
+                "reduction_ppm"
+            ),
+        )
+        .orderBy(F.col("events").desc(), F.col("user_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q368: PSI (population stability index) drift census across order eras
+
+_PSI_BAND_CENTS = 5_000_000  # ten fixed $50k bands over o_totalprice
+_PSI_PIVOT = "1998-01-01"
+
+_PSI_ORACLE = f"""
+WITH o AS (SELECT
+    LEAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // {_PSI_BAND_CENTS}, 9)
+      AS bucket,
+    CASE WHEN o_orderdate < DATE '{_PSI_PIVOT}' THEN 1 ELSE 0 END AS early
+  FROM orders),
+n AS (SELECT bucket,
+    CAST(SUM(early) AS BIGINT) AS n_a,
+    CAST(SUM(1 - early) AS BIGINT) AS n_b
+  FROM o GROUP BY 1),
+grid AS (SELECT j AS bucket FROM unnest([0,1,2,3,4,5,6,7,8,9]) AS u(j)),
+d AS (SELECT g.bucket, COALESCE(n.n_a, 0) AS n_a, COALESCE(n.n_b, 0) AS n_b,
+    SUM(COALESCE(n.n_a, 0)) OVER () AS ta,
+    SUM(COALESCE(n.n_b, 0)) OVER () AS tb
+  FROM grid g LEFT JOIN n ON n.bucket = g.bucket),
+p AS (SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+    CAST(1000000 * (n_a + 1) // (ta + 10) AS BIGINT) AS p_ppm,
+    CAST(1000000 * (n_b + 1) // (tb + 10) AS BIGINT) AS q_ppm
+  FROM d),
+k AS (SELECT bucket, n_a, n_b, p_ppm, q_ppm,
+    CAST({_BITLEN_DUCK.format('p_ppm')} - {_BITLEN_DUCK.format('q_ppm')}
+      AS BIGINT) AS dlog2_bits
+  FROM p)
+SELECT bucket, n_a, n_b, p_ppm, q_ppm, dlog2_bits,
+  CAST((p_ppm - q_ppm) * dlog2_bits AS BIGINT) AS contrib_ppm_bits,
+  CAST(SUM((p_ppm - q_ppm) * dlog2_bits) OVER () AS BIGINT) AS psi_ppm_bits
+FROM k ORDER BY bucket
+"""
+
+
+@query(
+    "q368_psi_drift",
+    _PSI_ORACLE,
+    doc="Population-stability-index drift gate between the early "
+    "(< 1998) and late order eras over ten fixed $50k price bands — "
+    "the standard ML-monitoring drift metric beside q267's L1 token "
+    "drift; PSI's log weight amplifies tail-band shifts that L1 "
+    "underweights.  Integer device: Laplace-smoothed shares in ppm "
+    "(1e6*(n+1) DIV (tot+10)) and the q308 bitlen stand-in for log2 "
+    "(bitlen(p_ppm) - bitlen(q_ppm) = floor-log2 difference), so "
+    "contrib = (p - q) * dlog2 is exact BIGINT arithmetic both "
+    "engines evaluate identically; smoothing keeps every band's log "
+    "defined, and the dense 10-bucket grid keeps empty bands as live "
+    "zero rows.  Scale shape: one (bucket, era) count shuffle off the "
+    "scan; grid join, shares and the PSI total all run on the fixed "
+    "10-row band relation (the tiny-side window class, q263/q304).",
+    tags=("audit", "agg", "drift"),
+)
+def q368(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    o = orders.select(
+        F.least(
+            F.expr(
+                f"CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV {_PSI_BAND_CENTS}"
+            ),
+            F.lit(9).cast("long"),
+        ).alias("bucket"),
+        F.when(F.col("o_orderdate") < F.lit(_PSI_PIVOT).cast("date"), 1)
+        .otherwise(0)
+        .alias("early"),
+    )
+    n = o.groupBy("bucket").agg(
+        F.sum("early").cast("long").alias("n_a"),
+        F.sum(1 - F.col("early")).cast("long").alias("n_b"),
+    )
+    grid = spark.range(10).select(F.col("id").alias("bucket"))
+    w = Window.partitionBy()
+    d = (
+        grid.join(n, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .withColumn("ta", F.sum("n_a").over(w))
+        .withColumn("tb", F.sum("n_b").over(w))
+    )
+    p = d.select(
+        "bucket",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr("1000000 * (n_a + 1) DIV (ta + 10)").cast("long").alias("p_ppm"),
+        F.expr("1000000 * (n_b + 1) DIV (tb + 10)").cast("long").alias("q_ppm"),
+    )
+    k = p.withColumn(
+        "dlog2_bits",
+        F.expr(
+            _BITLEN_SPARK.format("p_ppm") + " - " + _BITLEN_SPARK.format("q_ppm")
+        ).cast("long"),
+    )
+    return k.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        "p_ppm",
+        "q_ppm",
+        "dlog2_bits",
+        F.expr("(p_ppm - q_ppm) * dlog2_bits").cast("long").alias("contrib_ppm_bits"),
+        F.sum(F.expr("(p_ppm - q_ppm) * dlog2_bits")).over(w).cast("long").alias(
+            "psi_ppm_bits"
+        ),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# q369: stratified k-fold hash-balance census
+
+_FOLD_K = 5
+
+_FOLD_ORACLE = f"""
+WITH a AS (SELECT lang,
+    {_MD5_MOD_DUCK.format(p='fold|', c='doc_id', m=_FOLD_K)} AS fold
+  FROM documents),
+n AS (SELECT lang, fold, CAST(COUNT(*) AS BIGINT) AS docs FROM a GROUP BY 1, 2),
+grid AS (SELECT lang, j AS fold
+  FROM (SELECT DISTINCT lang FROM a), unnest([0,1,2,3,4]) AS u(j)),
+c AS (SELECT g.lang, g.fold, COALESCE(n.docs, 0) AS docs,
+    SUM(COALESCE(n.docs, 0)) OVER (PARTITION BY g.lang) AS tot,
+    MAX(COALESCE(n.docs, 0)) OVER (PARTITION BY g.lang) AS mx,
+    MIN(COALESCE(n.docs, 0)) OVER (PARTITION BY g.lang) AS mn
+  FROM grid g LEFT JOIN n ON n.lang = g.lang AND n.fold = g.fold)
+SELECT lang, fold, CAST(docs AS BIGINT) AS docs,
+  CAST(1000000 * docs // tot AS BIGINT) AS share_ppm,
+  CAST(1000000 * (mx - mn) // tot AS BIGINT) AS stratum_spread_ppm
+FROM c ORDER BY lang, fold
+"""
+
+
+@query(
+    "q369_stratified_kfold_census",
+    _FOLD_ORACLE,
+    doc="Stratified k-fold assignment census: documents are dealt into "
+    "5 cross-validation folds by a stateless hash (md5 mod 5) and the "
+    "balance is audited per language stratum on a dense lang x fold "
+    "grid — share and max-min spread in ppm.  At corpus scale fold "
+    "assignment MUST be a stateless per-row hash: the exact-balance "
+    "alternative (per-stratum ROW_NUMBER mod k) is a single-task sort "
+    "per stratum, the q293 regression class.  The spread hashing "
+    "actually delivers is therefore the falsifiable quantity this row "
+    "measures (the fixture's strata land 1-6% off uniform).  Scale "
+    "shape: fold is map-side arithmetic; one (lang, fold) count "
+    "shuffle; grid join and spread windows run on the "
+    "strata-x-5-row aggregate relation.",
+    tags=("audit", "agg", "traindata"),
+)
+def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    a = docs.select(
+        "lang",
+        F.expr(_MD5_MOD_SPARK.format(p="fold|", c="doc_id", m=_FOLD_K)).alias("fold"),
+    )
+    n = a.groupBy("lang", "fold").agg(F.count(F.lit(1)).cast("long").alias("docs"))
+    grid = (
+        a.select("lang")
+        .distinct()
+        .crossJoin(
+            spark.range(_FOLD_K).select(F.col("id").alias("fold"))
+        )
+    )
+    w = Window.partitionBy("lang")
+    c = (
+        grid.join(n, ["lang", "fold"], "left")
+        .select("lang", "fold", F.coalesce("docs", F.lit(0)).alias("docs"))
+        .withColumn("tot", F.sum("docs").over(w))
+        .withColumn("mx", F.max("docs").over(w))
+        .withColumn("mn", F.min("docs").over(w))
+    )
+    return c.select(
+        "lang",
+        "fold",
+        F.col("docs").cast("long").alias("docs"),
+        F.expr("1000000 * docs DIV tot").cast("long").alias("share_ppm"),
+        F.expr("1000000 * (mx - mn) DIV tot").cast("long").alias(
+            "stratum_spread_ppm"
+        ),
+    ).orderBy("lang", "fold")
+
+
+# ---------------------------------------------------------------------------
+# q370: time-weighted average value per event type
+
+_TWAP_ORACLE = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+g AS (SELECT event_type, v,
+    (LEAD(us) OVER (PARTITION BY user_id, event_type ORDER BY us) - us)
+      // 1000000 AS gap_s
+  FROM e)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS held_events,
+  CAST(SUM(gap_s) AS BIGINT) AS held_s,
+  CAST(SUM(v * gap_s) AS BIGINT) AS weighted_cents_s,
+  CAST(SUM(v * gap_s) // GREATEST(SUM(gap_s), 1) AS BIGINT) AS twap_cents
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q370_time_weighted_average",
+    _TWAP_ORACLE,
+    doc="Time-weighted average value per event type: each event's value "
+    "is held until the same user's next event of the same type (weight "
+    "= gap in whole seconds, the open-ended last event excluded), so "
+    "twap_cents = SUM(v * gap) DIV SUM(gap) — the billing / "
+    "state-duration aggregate where a plain AVG over-weights rapid-fire "
+    "updates; the interval-weighted complement of q127's SCD2 validity "
+    "build and q299's gap percentiles.  Integer device: cents x "
+    "seconds keeps the per-row product ~1e11, so corpus sums hold in "
+    "BIGINT far past fixture scales; both engines truncate the "
+    "us -> s and the final DIV identically.  Scale shape: one "
+    "per-(user, type) LEAD window (key-bounded partitions off a single "
+    "shuffle), then a map-side-combinable per-type aggregate.",
+    tags=("agg", "window", "temporal"),
+)
+def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("us")
+    g = e.select(
+        "event_type",
+        "v",
+        (F.lead("us").over(w) - F.col("us")).alias("_gap_us"),
+    ).select(
+        "event_type",
+        "v",
+        F.expr("_gap_us DIV 1000000").alias("gap_s"),
+    )
+    return (
+        g.filter(F.col("gap_s").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("held_events"),
+            F.sum("gap_s").cast("long").alias("held_s"),
+            F.sum(F.expr("v * gap_s")).cast("long").alias("weighted_cents_s"),
+            F.expr(
+                "CAST(SUM(v * gap_s) DIV GREATEST(SUM(gap_s), 1) AS BIGINT)"
+            ).alias("twap_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,617 @@
+"""Round-9 fifth batch: mining and experimentation devices (SURVEY.md §2B
+rows q371-q375) — the association-mining, variance-reduction, retrieval and
+robust-location operators that round out the analytics plane.
+
+* **Frequent brand triples (q371)** — the Apriori step beyond q303's
+  pairs: brand baskets (order x distinct part brand), RELATIVE minimum
+  support (``400*s >= N_orders`` — the support-fraction formulation; an
+  absolute floor dies as baskets sparsify with SF, and the fraction is
+  set below the concentrating triple-ratio mean so the output is never
+  empty at any SF), and the Spark side generates candidates ONLY by
+  extending frequent pairs with full sub-pair pruning.  A seeded twin
+  basket keeps all three prune joins live at every SF (see _TRI_SEED).
+  The DuckDB oracle counts triples DIRECTLY with no pruning — the hash
+  match IS the Apriori theorem (every frequent triple's sub-pairs are
+  frequent) proven by execution, not assumed (the q313 falsifiability
+  lesson).
+* **CUPED adjusted experiment readout (q372)** — the variance-reduction
+  estimator every mature A/B platform applies: per-user pre-period
+  value is the covariate, theta = Cov(x,y)/Var(x) in ppm over
+  dollar-centered integers, per-arm post-period means adjusted in
+  mean-space (``adj = y_mean - theta*(x_mean - x_grand_mean) DIV 1e6``)
+  so no intermediate ever exceeds per-user magnitudes — scale-safe at
+  any user count.  Completes the experimentation family: q314 (SRM
+  counts), q366 (KS value drift), this (the decision readout).
+* **Positional phrase retrieval (q373)** — the phrase-query completion
+  of q345's conjunctive retrieval: a positional postings list
+  (term, doc, pos) answers "w1 w2" adjacency queries with a
+  pos+1 self-join; the three most frequent corpus bigrams are the
+  query set (deterministic TakeOrdered spine).
+* **Funnel step-latency percentiles (q374)** — the time-to-convert
+  distribution for each adjacent step pair of q298's ordered funnel
+  (signup->view->click->purchase anchors), exact p50/p95/max in whole
+  seconds via the q223 cumulative-crossing device per step.
+* **Winsorized mean census (q375)** — the robust-location member beside
+  q223's median/MAD: per source, P5/P95 cut points located by the
+  crossing rule on the (source, n_chars) frequency relation, values
+  clamped (not dropped — winsorizing, not trimming), raw vs winsorized
+  mean in milli-units; the outlier-robust length profile curation
+  thresholds are tuned against.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.functions.text import tokens
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+_MD5_MOD_DUCK = "('0x' || substr(md5('{p}' || CAST({c} AS VARCHAR)), 1, 8))::BIGINT % {m}"
+_MD5_MOD_SPARK = (
+    "CAST(conv(substring(md5(concat('{p}', CAST({c} AS STRING))), 1, 8), 16, 10) "
+    "AS BIGINT) % {m}"
+)
+
+# ---------------------------------------------------------------------------
+# q371: frequent brand triples (the Apriori step)
+
+_TRI_DENOM = 400  # relative min support: 400*s >= N_orders (0.25%)
+_TRI_TOP_K = 20
+# Seeded twin basket: on the uniform fixture every REAL brand pair is
+# frequent at any workable threshold, so the Apriori sub-pair prune joins
+# would never drop a candidate (the q313 vacuity lesson).  One synthetic
+# basket holding a frequent real pair plus an out-of-domain brand
+# ('Brand#zz' > every real 'Brand#NN') creates (a) infrequent pairs the
+# stage-1 semi-join must drop and (b) a candidate triple extending a
+# frequent pair whose (a,c)/(b,c) sub-pairs are infrequent — so all three
+# prune joins provably fire at every SF.
+_TRI_SEED = (("Brand#11",), ("Brand#12",), ("Brand#zz",))
+
+_TRI_ORACLE = f"""
+WITH li AS (SELECT l.l_orderkey, p.p_brand
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+b AS (SELECT DISTINCT l_orderkey, p_brand FROM li
+      UNION ALL
+      SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'Brand#11'),
+                            (CAST(-1 AS BIGINT), 'Brand#12'),
+                            (CAST(-1 AS BIGINT), 'Brand#zz'))
+                    v(l_orderkey, p_brand)),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+ab AS (SELECT x.p_brand pa, y.p_brand pb, CAST(COUNT(*) AS BIGINT) AS s
+       FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+       GROUP BY 1, 2),
+tri AS (SELECT x.p_brand pa, y.p_brand pb, z.p_brand pc, CAST(COUNT(*) AS BIGINT) AS s
+        FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey AND x.p_brand < y.p_brand
+                 JOIN b z ON x.l_orderkey = z.l_orderkey AND y.p_brand < z.p_brand
+        GROUP BY 1, 2, 3),
+ft AS (SELECT tri.* FROM tri, n WHERE {_TRI_DENOM} * tri.s >= n.n)
+SELECT ft.pa AS brand_a, ft.pb AS brand_b, ft.pc AS brand_c,
+  ft.s AS support, ab.s AS pair_support,
+  CAST(1000000 * ft.s // ab.s AS BIGINT) AS conf_ppm
+FROM ft JOIN ab ON ab.pa = ft.pa AND ab.pb = ft.pb
+ORDER BY support DESC, brand_a, brand_b, brand_c LIMIT {_TRI_TOP_K}
+"""
+
+
+@query(
+    "q371_frequent_triples",
+    _TRI_ORACLE,
+    doc="Frequent-itemset mining one Apriori step beyond q303's pairs: "
+    "brand triples co-occurring in >= N_orders/400 baskets (RELATIVE "
+    "support — an absolute floor dies as baskets sparsify with SF, and "
+    "the fraction sits below the concentrating triple-ratio mean so "
+    "the result is never empty), scored with rule confidence (a,b)->c "
+    "in ppm (1e6*s3 DIV s_ab, bounded by 1e6 at any scale — triple "
+    "lift needs N^2 factors that overflow BIGINT).  The Spark plan is "
+    "the REAL Apriori candidate path: frequent-pair occurrences "
+    "extended per basket, pruned by left-semi joins on all three "
+    "sub-pairs BEFORE counting; the oracle counts triples directly "
+    "with no pruning — the hash match proves the Apriori closure "
+    "property by execution rather than assuming it (the q313 lesson).  "
+    "On the uniform fixture every real pair is frequent, so a seeded "
+    "twin basket (frequent real pair + out-of-domain 'Brand#zz') "
+    "keeps all three prune joins provably live at every SF — its "
+    "infrequent pairs are dropped at stage 1 and its candidate triple "
+    "at stages 2/3, and the oracle's direct count excludes it by "
+    "support, so the twin never reaches the output.  Scale shape: "
+    "basket joins are per-order bounded (never corpus-quadratic), the "
+    "frequent-pair relation is dim-bounded (brands^2), support counts "
+    "combine map-side, top-k is TakeOrdered, and the 1-row basket "
+    "count rides a broadcast.  The sf0.1 oracle is the q99/q311 "
+    "quadratic-truth DuckDB class (direct triple expansion); its gate "
+    "remains sf0.01 like the rest of that class.",
+    tags=("relational", "agg", "joins", "mining"),
+)
+def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    part = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    seed = spark.createDataFrame(
+        [(-1, br[0]) for br in _TRI_SEED], "l_orderkey long, p_brand string"
+    )
+    b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .unionByName(seed)
+    )
+    b = b.localCheckpoint(eager=False)  # feeds n, pairs, and the c-extension
+    n = b.agg(F.count_distinct("l_orderkey").cast("long").alias("n"))
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), "l_orderkey")
+        .filter(F.col("x.p_brand") < F.col("y.p_brand"))
+        .select(
+            "l_orderkey",
+            F.col("x.p_brand").alias("pa"),
+            F.col("y.p_brand").alias("pb"),
+        )
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # feeds ab, the frequent set, cand
+    ab = pairs.groupBy("pa", "pb").agg(F.count(F.lit(1)).cast("long").alias("s"))
+    l2 = (
+        ab.crossJoin(F.broadcast(n))
+        .filter(_TRI_DENOM * F.col("s") >= F.col("n"))
+        .select("pa", "pb", "s")
+    )
+    l2 = l2.localCheckpoint(eager=False)  # feeds three prune semi-joins + conf
+    cand = (
+        pairs.join(l2.select("pa", "pb"), ["pa", "pb"], "left_semi")
+        .join(b.alias("z"), "l_orderkey")
+        .filter(F.col("z.p_brand") > F.col("pb"))
+        .select("l_orderkey", "pa", "pb", F.col("z.p_brand").alias("pc"))
+        .join(
+            l2.select(F.col("pa").alias("x1"), F.col("pb").alias("x2")),
+            [F.col("pa") == F.col("x1"), F.col("pc") == F.col("x2")],
+            "left_semi",
+        )
+        .join(
+            l2.select(F.col("pa").alias("y1"), F.col("pb").alias("y2")),
+            [F.col("pb") == F.col("y1"), F.col("pc") == F.col("y2")],
+            "left_semi",
+        )
+    )
+    tri = cand.groupBy("pa", "pb", "pc").agg(
+        F.count(F.lit(1)).cast("long").alias("s3")
+    )
+    ft = tri.crossJoin(F.broadcast(n)).filter(
+        _TRI_DENOM * F.col("s3") >= F.col("n")
+    )
+    return (
+        ft.join(l2.withColumnRenamed("s", "s_ab"), ["pa", "pb"])
+        .select(
+            F.col("pa").alias("brand_a"),
+            F.col("pb").alias("brand_b"),
+            F.col("pc").alias("brand_c"),
+            F.col("s3").alias("support"),
+            F.col("s_ab").alias("pair_support"),
+            F.expr("1000000 * s3 DIV s_ab").cast("long").alias("conf_ppm"),
+        )
+        .orderBy(
+            F.col("support").desc(), "brand_a", "brand_b", "brand_c"
+        )
+        .limit(_TRI_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q372: CUPED covariate-adjusted experiment readout
+
+_CUPED_PIVOT = "2024-01-16 00:00:00"
+
+_CUPED_ORACLE = f"""
+WITH e AS (SELECT user_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+    CASE WHEN ts < TIMESTAMP '{_CUPED_PIVOT}' THEN 1 ELSE 0 END AS pre
+  FROM events WHERE value IS NOT NULL),
+u AS (SELECT user_id,
+    CAST(SUM(v * pre) AS BIGINT) AS x,
+    CAST(SUM(v * (1 - pre)) AS BIGINT) AS y,
+    CASE WHEN {_MD5_MOD_DUCK.format(p='ab|', c='user_id', m=100)} < 50
+         THEN 'A' ELSE 'B' END AS arm
+  FROM e GROUP BY user_id),
+gm AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy FROM u),
+ctr AS (SELECT u.x // 100 - (gm.sx // 100) // gm.nu AS cxd,
+               u.y // 100 - (gm.sy // 100) // gm.nu AS cyd
+        FROM u, gm),
+th AS (SELECT CAST(1000000 * SUM(cxd * cyd)
+         // GREATEST(SUM(cxd * cxd), 1) AS BIGINT) AS theta_ppm FROM ctr),
+arm AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS users,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+  FROM u GROUP BY arm)
+SELECT a.arm, a.users,
+  CAST(10 * a.sx // a.users AS BIGINT) AS x_mean_milli,
+  CAST(10 * a.sy // a.users AS BIGINT) AS y_mean_milli,
+  CAST(10 * a.sy // a.users
+    - th.theta_ppm * (10 * a.sx // a.users - 10 * gm.sx // gm.nu) // 1000000
+    AS BIGINT) AS adj_mean_milli,
+  th.theta_ppm
+FROM arm a, th, gm ORDER BY a.arm
+"""
+
+
+@query(
+    "q372_cuped_adjusted_readout",
+    _CUPED_ORACLE,
+    doc="CUPED covariate-adjusted experiment readout — the variance "
+    "-reduction estimator mature A/B platforms apply before calling a "
+    "result: per-user PRE-period value (before Jan 16) is the "
+    "covariate x, POST-period value the metric y, theta = "
+    "Cov(x,y)/Var(x) in ppm over dollar-centered integers (cents DIV "
+    "100, grand means by truncating DIV — per-user centered products "
+    "stay ~1e6 so the sums hold in BIGINT at any user count), and "
+    "each arm's adjusted mean is computed in MEAN-space (adj = "
+    "y_mean - theta*(x_mean - grand_x_mean) DIV 1e6, all quantities "
+    "per-user-bounded — the sum-space form overflows at ~1e9 users).  "
+    "Arms reuse q314's md5 assignment so SRM (q314), value drift "
+    "(q366) and this decision readout audit the SAME experiment.  "
+    "Scale shape: one per-user aggregate off the scan; grand moments, "
+    "theta and the arm censuses are 1-row/2-row keyless aggregates "
+    "riding broadcasts (the AGG_ONLY class).",
+    tags=("events", "agg", "metrics"),
+)
+def q372(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).filter(F.col("value").isNotNull())
+    e = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.when(F.col("ts") < F.lit(_CUPED_PIVOT).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("pre"),
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(F.expr("v * pre")).cast("long").alias("x"),
+        F.sum(F.expr("v * (1 - pre)")).cast("long").alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(
+            F.expr(_MD5_MOD_SPARK.format(p="ab|", c="user_id", m=100)) < 50, "A"
+        ).otherwise("B"),
+    )
+    u = u.localCheckpoint(eager=False)  # feeds grand moments, theta, arm census
+    gm = u.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    ctr = u.crossJoin(F.broadcast(gm)).select(
+        F.expr("x DIV 100 - (sx DIV 100) DIV nu").alias("cxd"),
+        F.expr("y DIV 100 - (sy DIV 100) DIV nu").alias("cyd"),
+    )
+    th = ctr.agg(
+        F.expr(
+            "CAST(1000000 * SUM(cxd * cyd) DIV GREATEST(SUM(cxd * cxd), 1) AS BIGINT)"
+        ).alias("theta_ppm")
+    )
+    arm = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("users"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    return (
+        arm.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(gm.select("nu", F.col("sx").alias("gsx"))))
+        .select(
+            "arm",
+            "users",
+            F.expr("10 * sx DIV users").cast("long").alias("x_mean_milli"),
+            F.expr("10 * sy DIV users").cast("long").alias("y_mean_milli"),
+            F.expr(
+                "10 * sy DIV users - theta_ppm * "
+                "(10 * sx DIV users - 10 * gsx DIV nu) DIV 1000000"
+            )
+            .cast("long")
+            .alias("adj_mean_milli"),
+            "theta_ppm",
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q373: positional phrase retrieval
+
+_PHRASE_TOP_Q = 3
+
+_PHRASE_ORACLE = f"""
+WITH t AS (SELECT doc_id,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents),
+post AS (SELECT doc_id, i AS pos, toks[i] AS w
+         FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+       FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+       GROUP BY 1, 2),
+q AS (SELECT w1, w2, c FROM bg
+      ORDER BY c DESC, w1, w2 LIMIT {_PHRASE_TOP_Q}),
+hit AS (SELECT q.w1, q.w2, p1.doc_id, p1.pos
+        FROM q JOIN post p1 ON p1.w = q.w1
+               JOIN post p2 ON p2.doc_id = p1.doc_id
+                           AND p2.pos = p1.pos + 1 AND p2.w = q.w2)
+SELECT q.w1 || ' ' || q.w2 AS phrase, q.c AS corpus_count,
+  CAST(COUNT(DISTINCT h.doc_id) AS BIGINT) AS docs,
+  CAST(COUNT(*) AS BIGINT) AS occurrences,
+  CAST(MIN(h.doc_id) AS BIGINT) AS first_doc
+FROM q JOIN hit h ON h.w1 = q.w1 AND h.w2 = q.w2
+GROUP BY q.w1, q.w2, q.c ORDER BY phrase
+"""
+
+
+@query(
+    "q373_phrase_retrieval",
+    _PHRASE_ORACLE,
+    doc="Positional phrase retrieval — the adjacency-query completion of "
+    "q345's conjunctive boolean retrieval: a positional postings list "
+    "(term, doc, pos) answers \"w1 w2\" phrase queries with a pos+1 "
+    "self-join restricted to the query terms; the query set is the "
+    "three most frequent corpus bigrams (deterministic TakeOrdered "
+    "spine, ties by the pair).  occurrences counts every adjacency "
+    "site, docs the distinct containing documents (= corpus_count "
+    "consistency is NOT an identity: occurrences == corpus_count "
+    "because both count the same positional sites — asserted in-test "
+    "as the postings-index correctness law).  Scale shape: postings "
+    "and bigram counts are one exploded pass each (map-side "
+    "combined); the 3-row query spine broadcasts into both postings "
+    "probes, so the self-join only ever touches the query terms' "
+    "postings; the census is query-sized.",
+    tags=("text", "retrieval", "joins"),
+)
+def q373(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, "documents", sf_dir))
+    t = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    t = t.localCheckpoint(eager=False)  # feeds postings AND bigram counts
+    post = t.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    bg = (
+        t.select(
+            F.posexplode(F.expr("slice(toks, 1, size(toks) - 1)")).alias("i", "w1"),
+            F.col("toks"),
+        )
+        .select("w1", F.expr("toks[i + 1]").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    q = bg.orderBy(F.col("c").desc(), "w1", "w2").limit(_PHRASE_TOP_Q)
+    hit = (
+        F.broadcast(q)
+        .join(post.alias("p1"), F.col("p1.w") == F.col("w1"))
+        .join(
+            post.alias("p2"),
+            (F.col("p2.doc_id") == F.col("p1.doc_id"))
+            & (F.col("p2.pos") == F.col("p1.pos") + 1)
+            & (F.col("p2.w") == F.col("w2")),
+        )
+        .select("w1", "w2", "c", F.col("p1.doc_id").alias("doc_id"))
+    )
+    return (
+        hit.groupBy("w1", "w2", "c")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("docs"),
+            F.count(F.lit(1)).cast("long").alias("occurrences"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            F.col("c").alias("corpus_count"),
+            "docs",
+            "occurrences",
+            "first_doc",
+        )
+        .orderBy("phrase")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q374: funnel step-latency percentiles
+
+_FSL_W_US = 86_400_000_000  # q298's 24 h per-step completion window
+_FSL_STEPS = ("signup", "view", "click", "purchase")
+
+_FSL_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s1 AS (SELECT user_id, MIN(us) AS t FROM e WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.us) AS t FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'view' AND e.us > s1.t AND e.us <= s1.t + {_FSL_W_US}
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.us) AS t FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'click' AND e.us > s2.t AND e.us <= s2.t + {_FSL_W_US}
+       GROUP BY e.user_id),
+s4 AS (SELECT e.user_id, MIN(e.us) AS t FROM e JOIN s3 USING (user_id)
+       WHERE event_type = 'purchase' AND e.us > s3.t AND e.us <= s3.t + {_FSL_W_US}
+       GROUP BY e.user_id),
+lat AS (
+  SELECT '1_signup_to_view' AS step, (s2.t - s1.t) // 1000000 AS gap_s
+    FROM s2 JOIN s1 USING (user_id)
+  UNION ALL
+  SELECT '2_view_to_click', (s3.t - s2.t) // 1000000 FROM s3 JOIN s2 USING (user_id)
+  UNION ALL
+  SELECT '3_click_to_purchase', (s4.t - s3.t) // 1000000 FROM s4 JOIN s3 USING (user_id)),
+f AS (SELECT step, gap_s, CAST(COUNT(*) AS BIGINT) AS c FROM lat GROUP BY 1, 2),
+tt AS (SELECT step, CAST(SUM(c) AS BIGINT) AS n FROM f GROUP BY step),
+cum AS (SELECT step, gap_s, SUM(c) OVER (PARTITION BY step ORDER BY gap_s
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc FROM f),
+p50 AS (SELECT c.step, CAST(MIN(c.gap_s) AS BIGINT) AS p50_s
+        FROM cum c JOIN tt USING (step) WHERE c.cc >= (tt.n + 1) // 2 GROUP BY c.step),
+p95 AS (SELECT c.step, CAST(MIN(c.gap_s) AS BIGINT) AS p95_s
+        FROM cum c JOIN tt USING (step) WHERE 20 * c.cc >= 19 * tt.n GROUP BY c.step),
+mx AS (SELECT step, CAST(MAX(gap_s) AS BIGINT) AS max_s FROM f GROUP BY step)
+SELECT tt.step, tt.n AS users, p50.p50_s, p95.p95_s, mx.max_s
+FROM tt JOIN p50 USING (step) JOIN p95 USING (step) JOIN mx USING (step)
+ORDER BY tt.step
+"""
+
+
+@query(
+    "q374_funnel_latency_percentiles",
+    _FSL_ORACLE,
+    doc="Time-to-convert distribution for each adjacent step pair of "
+    "q298's ordered funnel: per converting user the anchor-to-anchor "
+    "latency in whole seconds, then exact p50/p95/max per step via the "
+    "q223 cumulative-crossing device on the (step, gap)-frequency "
+    "relation — the metric that locates WHERE a funnel stalls, not "
+    "just how much it leaks (q298 reports conversion, this reports "
+    "speed).  Scale shape: the anchor cascade is q298's user-keyed "
+    "MIN-aggregate chain (no windows over raw events); latencies are "
+    "row-local joins of adjacent anchors on user_id; the crossing "
+    "windows run on the bounded frequency relation partitioned by "
+    "step.",
+    tags=("events", "agg", "metrics"),
+)
+def q374(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    ev = ev.localCheckpoint(eager=False)  # feeds all four step filters
+    anchors = []
+    prev = None
+    for etype in _FSL_STEPS:
+        cur = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(
+                (F.col("us") > F.col("t"))
+                & (F.col("us") <= F.col("t") + _FSL_W_US)
+            )
+        stage = cur.groupBy("user_id").agg(F.min("us").alias("t"))
+        anchors.append(stage)
+        prev = stage
+    names = ("1_signup_to_view", "2_view_to_click", "3_click_to_purchase")
+    lats = []
+    for i, name in enumerate(names):
+        a = anchors[i].withColumnRenamed("t", "t0")
+        z = anchors[i + 1].withColumnRenamed("t", "t1")
+        lats.append(
+            z.join(a, "user_id").select(
+                F.lit(name).alias("step"),
+                F.expr("(t1 - t0) DIV 1000000").alias("gap_s"),
+            )
+        )
+    lat = lats[0].unionByName(lats[1]).unionByName(lats[2])
+    f = lat.groupBy("step", "gap_s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_cum = (
+        Window.partitionBy("step")
+        .orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("step")
+    cum = f.select(
+        "step",
+        "gap_s",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return (
+        cum.groupBy("step")
+        .agg(
+            F.max("n").cast("long").alias("users"),
+            F.min(F.when(F.expr("cc >= (n + 1) DIV 2"), F.col("gap_s")))
+            .cast("long")
+            .alias("p50_s"),
+            F.min(F.when(20 * F.col("cc") >= 19 * F.col("n"), F.col("gap_s")))
+            .cast("long")
+            .alias("p95_s"),
+            F.max("gap_s").cast("long").alias("max_s"),
+        )
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q375: winsorized mean census
+
+_WIN_ORACLE = """
+WITH f AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM f GROUP BY source),
+cum AS (SELECT source, n_chars, c, SUM(c) OVER (PARTITION BY source
+        ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        FROM f),
+lo AS (SELECT c.source, CAST(MIN(c.n_chars) AS BIGINT) AS lo_cut
+       FROM cum c JOIN t USING (source) WHERE 20 * c.cc >= t.n GROUP BY c.source),
+hi AS (SELECT c.source, CAST(MIN(c.n_chars) AS BIGINT) AS hi_cut
+       FROM cum c JOIN t USING (source) WHERE 20 * c.cc >= 19 * t.n GROUP BY c.source),
+w AS (SELECT f.source, f.c,
+        GREATEST(LEAST(f.n_chars, hi.hi_cut), lo.lo_cut) AS wv, f.n_chars
+      FROM f JOIN lo ON lo.source = f.source JOIN hi ON hi.source = f.source)
+SELECT w.source, t.n AS n_docs, lo.lo_cut, hi.hi_cut,
+  CAST(1000 * SUM(w.n_chars * w.c) // t.n AS BIGINT) AS raw_mean_milli,
+  CAST(1000 * SUM(w.wv * w.c) // t.n AS BIGINT) AS win_mean_milli
+FROM w JOIN t USING (source) JOIN lo ON lo.source = w.source
+       JOIN hi ON hi.source = w.source
+GROUP BY w.source, t.n, lo.lo_cut, hi.hi_cut ORDER BY w.source
+"""
+
+
+@query(
+    "q375_winsorized_mean",
+    _WIN_ORACLE,
+    doc="Winsorized mean census per source: P5/P95 cut points located by "
+    "the q223 cumulative-crossing rule on the (source, n_chars) "
+    "frequency relation (20*cc >= n and 20*cc >= 19*n), every length "
+    "CLAMPED into [lo, hi] (winsorizing — clamping, not dropping, so "
+    "n is unchanged), raw vs winsorized mean in milli-chars — the "
+    "robust-location member beside q223's median/MAD that length "
+    "-filter thresholds are tuned against; the winsorized-vs-raw gap "
+    "is the tail-mass diagnostic.  Scale shape: one (source, n_chars) "
+    "frequency aggregate off the scan; crossing windows, clamps and "
+    "both means all run on the bounded frequency relation partitioned "
+    "by source — the corpus is never re-touched.",
+    tags=("text", "agg", "quality"),
+)
+def q375(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    f = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    cum = f.select(
+        "source",
+        "n_chars",
+        "c",
+        F.sum("c").over(w_cum).alias("cc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    cuts = cum.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.min(F.when(20 * F.col("cc") >= F.col("n"), F.col("n_chars")))
+        .cast("long")
+        .alias("lo_cut"),
+        F.min(F.when(20 * F.col("cc") >= 19 * F.col("n"), F.col("n_chars")))
+        .cast("long")
+        .alias("hi_cut"),
+    )
+    w = f.join(cuts, "source").select(
+        "source",
+        "n_docs",
+        "lo_cut",
+        "hi_cut",
+        "c",
+        "n_chars",
+        F.greatest(F.least(F.col("n_chars"), F.col("hi_cut")), F.col("lo_cut")).alias(
+            "wv"
+        ),
+    )
+    return (
+        w.groupBy("source", "n_docs", "lo_cut", "hi_cut")
+        .agg(
+            F.expr("CAST(1000 * SUM(n_chars * c) DIV MAX(n_docs) AS BIGINT)").alias(
+                "raw_mean_milli"
+            ),
+            F.expr("CAST(1000 * SUM(wv * c) DIV MAX(n_docs) AS BIGINT)").alias(
+                "win_mean_milli"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -94,6 +94,17 @@ CARTESIAN_ALLOWED = {
     "q347_systematic_resampling": "1-row corpus-mass broadcast calibrates the stress weight (map-side arithmetic)",
     "q349_multiprobe_lsh_audit": "5-row sign-matrix + 8-row query + 3-row depth-spine broadcasts (the q232 audit sample)",
     "q353_ushaped_attribution": "two 1-row purchase/attributed censuses cross-joined into the none row (q307's shape)",
+    "q369_stratified_kfold_census": "5-row fold spine crossed with the distinct-lang relation (bounded dense grid)",
+    # round-9 third batch (statistical audit censuses): every cross is a
+    # fixed dim spine or a 1-row bound against an aggregate relation
+    "q360_benford_audit": "9-digit spine crossed with the distinct-priority relation (45-cell dense grid)",
+    "q361_autocorr_census": "5-row lag spine crossed with the day-count aggregate relation (calendar-bounded)",
+    "q363_cusum_changepoint": "1-row (N, S) centering bounds broadcast into the day-walk arithmetic",
+    "q364_heaps_law": "10-row decile spine + 1-row total bound against the crossing relation",
+    "q365_chi2_independence": "1-row N bound + 5x5 dense contingency grid (marginal relations are dim-sized)",
+    # round-9 fifth batch
+    "q371_frequent_triples": "two 1-row basket-count bounds broadcast into the relative-support filters",
+    "q372_cuped_adjusted_readout": "1-row grand-moment/theta bounds broadcast into the 2-row arm census",
 }
 
 # streaming builders start real runs; their plans are covered by the

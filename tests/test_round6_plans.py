@@ -87,6 +87,17 @@ NO_SINGLE_PARTITION = [
     "q310_seasonal_anomaly",  # grid-partitioned median/MAD crossing windows
     "q311_component_purity",  # contraction checkpoints; component argmax
     "q315_sketch_accuracy_census",  # per-source sketch states, no collapse
+    # round-9 fourth batch (q368 is excluded on purpose: its grid windows
+    # run keyless on the fixed 10-row band relation — the legitimate
+    # tiny-side case, same as q263/q304)
+    "q366_ks_ab_drift",  # type-partitioned ECDF windows on the value-frequency relation
+    "q367_salting_skew_census",  # (user, salt) pre-combine + TakeOrdered top-5
+    "q369_stratified_kfold_census",  # lang-partitioned windows on the lang x 5 grid
+    "q370_time_weighted_average",  # per-(user, type) LEAD window + per-type agg
+    # round-9 fifth batch
+    "q373_phrase_retrieval",  # exploded postings aggs + 3-row query-spine broadcasts
+    "q374_funnel_latency_percentiles",  # user-keyed MIN cascade + step-partitioned crossing windows
+    "q375_winsorized_mean",  # source-partitioned crossing windows on the frequency relation
 ]
 
 # Queries whose output is (or depends on) a global 1-row bound: a keyless
@@ -116,6 +127,8 @@ AGG_ONLY_SINGLE_PARTITION = [
     # round-9 rows
     "q326_snm_second_pass",  # six 1-row pair-set censuses
     "q331_matryoshka_truncation",  # AQE-injected 8-row bloom_filter_agg builds
+    "q371_frequent_triples",  # 1-row basket-count bounds (relative support)
+    "q372_cuped_adjusted_readout",  # grand-moment/theta 1-row censuses
 ]
 
 # (q334 is excluded on purpose: its vocabulary-ranking window runs on the
@@ -170,6 +183,9 @@ TAKE_ORDERED = [
     "q235_postings_compression",  # top-100 heaviest postings lists
     "q251_tpch_q2_shape",  # top-100 min-cost suppliers
     "q303_copurchase_pairs",  # top-50 support pairs
+    "q367_salting_skew_census",  # top-5 heaviest keys
+    "q371_frequent_triples",  # top-20 frequent triples
+    "q373_phrase_retrieval",  # top-3 bigram query spine
 ]
 
 
