@@ -1,0 +1,608 @@
+"""Round-9 seventh batch: survival, sequence, significance and
+decision-tree primitives (SURVEY.md §2B rows q381-q385).
+
+* **Time-to-purchase hazard census (q381)** — the Kaplan-Meier
+  INGREDIENTS with right censoring: per user the first signup anchors
+  the clock, the first later purchase is the event, and users without
+  one inside min(3-day horizon, end-of-data) are CENSORED at that
+  boundary — the survival-analysis core (at-risk set, events, censor
+  counts, discrete hazard in ppm per day) computed fully distributed;
+  the cumulative-product survival curve is deliberately NOT emitted (a
+  sequential recursion — the hazard table is the distributable object
+  and determines it).
+* **Event-path trigrams (q382)** — top-20 ordered event-type triples
+  over per-user sequences (two LEAD windows) with corpus share in ppm:
+  the path-analysis discovery op behind funnel DESIGN (q298 checks a
+  known funnel; this finds candidate funnels), one step beyond q237's
+  pair transitions.
+* **Mann-Kendall trend test (q383)** — the significance companion to
+  q380's Theil-Sen slope: S = sum of pairwise day-count signs, the
+  tie-corrected variance held EXACTLY as 18*Var (integer), and the
+  z >= 1.96 verdict evaluated by cross-multiplication
+  (90000*(|S|-1)^2 >= 19208*var18 <=> z^2 >= 1.96^2) — no float, no
+  sqrt.
+* **Weighted median (q384)** — the weighted member of the location
+  family: per return flag, the quantity-weighted median of the line
+  price via the crossing rule over WEIGHT cumulative sums (2*cumw >=
+  totw) — the device q223 uses for counts, generalized to weights.
+* **Decision-stump split gain (q385)** — the CART primitive: for the
+  binary label lang='en' and feature n_chars, every global decile
+  boundary is a split candidate scored by Gini impurity reduction in
+  ppm — impurities from ppm-share squares (bounded at any corpus
+  size; the n^2 form overflows BIGINT past ~3e9 rows), candidates from
+  the crossing rule, the argmax flagged on the 9-row candidate
+  relation.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+_DAY_US = 86_400_000_000
+
+# ---------------------------------------------------------------------------
+# q381: time-to-purchase hazard census with right censoring
+
+_KM_HORIZON_D = 3
+_KM_END = "2024-01-31 00:00:00"  # administrative end of the fixture window
+
+_KM_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+s AS (SELECT user_id, MIN(us) AS sus FROM e WHERE event_type = 'signup'
+      GROUP BY user_id),
+p AS (SELECT e.user_id, MIN(e.us) AS pus FROM e JOIN s USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.us > s.sus GROUP BY e.user_id),
+u AS (SELECT s.user_id, s.sus, p.pus,
+    LEAST({_KM_HORIZON_D},
+          (epoch_us(TIMESTAMP '{_KM_END}') - s.sus) // {_DAY_US}) AS climit
+  FROM s LEFT JOIN p USING (user_id)),
+x AS (SELECT user_id,
+    CASE WHEN pus IS NOT NULL AND (pus - sus) // {_DAY_US} <= climit
+         THEN (pus - sus) // {_DAY_US} ELSE climit END AS t,
+    CASE WHEN pus IS NOT NULL AND (pus - sus) // {_DAY_US} <= climit
+         THEN 1 ELSE 0 END AS ev
+  FROM u),
+c AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS events,
+      CAST(SUM(1 - ev) AS BIGINT) AS censored FROM x GROUP BY t),
+grid AS (SELECT j AS t FROM unnest(generate_series(0, {_KM_HORIZON_D})) AS g(j)),
+d AS (SELECT g.t, COALESCE(c.events, 0) AS events,
+      COALESCE(c.censored, 0) AS censored FROM grid g
+      LEFT JOIN c ON c.t = g.t),
+r AS (SELECT t, events, censored,
+    (SELECT COUNT(*) FROM x) - COALESCE(SUM(events + censored) OVER (
+      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS at_risk
+  FROM d)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(at_risk AS BIGINT) AS at_risk,
+  CAST(events AS BIGINT) AS events, CAST(censored AS BIGINT) AS censored,
+  CAST(1000000 * events // GREATEST(at_risk, 1) AS BIGINT) AS hazard_ppm
+FROM r ORDER BY t_days
+"""
+
+
+@query(
+    "q381_purchase_hazard_census",
+    _KM_ORACLE,
+    doc="Kaplan-Meier ingredients for time-to-first-purchase with right "
+    "censoring: per user the first signup starts the clock, the first "
+    "later purchase is the event, and users without one inside "
+    "min(3-day horizon, end-of-data) are censored at that boundary — "
+    "so both exits are live at every SF (late signups censor early by "
+    "the administrative end).  Output per whole day: at-risk set, "
+    "events, censored, discrete hazard in ppm — the survival-analysis "
+    "object that is actually distributable (the cumulative-product "
+    "survival curve is a sequential recursion; the hazard table "
+    "determines it and is what a platform materializes).  Scale "
+    "shape: two user-keyed MIN aggregates and one left join; exits "
+    "reduce to the 4-row day grid, where the at-risk backsum runs.",
+    tags=("events", "agg", "metrics"),
+)
+def q381(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    ev = ev.localCheckpoint(eager=False)  # feeds the signup AND purchase scans
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("sus"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("us") > F.col("sus"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("pus"))
+    )
+    end_us = F.unix_micros(F.lit(_KM_END).cast("timestamp"))
+    u = s.join(p, "user_id", "left").select(
+        "user_id",
+        "sus",
+        "pus",
+        F.least(
+            F.lit(_KM_HORIZON_D).cast("long"),
+            F.expr(
+                f"(unix_micros(CAST('{_KM_END}' AS TIMESTAMP)) - sus) DIV {_DAY_US}"
+            ),
+        ).alias("climit"),
+    )
+    x = u.select(
+        F.when(
+            F.col("pus").isNotNull()
+            & (F.expr(f"(pus - sus) DIV {_DAY_US}") <= F.col("climit")),
+            F.expr(f"(pus - sus) DIV {_DAY_US}"),
+        )
+        .otherwise(F.col("climit"))
+        .alias("t"),
+        F.when(
+            F.col("pus").isNotNull()
+            & (F.expr(f"(pus - sus) DIV {_DAY_US}") <= F.col("climit")),
+            1,
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    c = x.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("events"),
+        F.sum(1 - F.col("ev")).cast("long").alias("censored"),
+    )
+    grid = spark.range(_KM_HORIZON_D + 1).select(F.col("id").alias("t"))
+    total = c.agg(F.sum(F.col("events") + F.col("censored")).alias("tot"))
+    d = (
+        grid.join(c, "t", "left")
+        .select(
+            "t",
+            F.coalesce("events", F.lit(0)).alias("events"),
+            F.coalesce("censored", F.lit(0)).alias("censored"),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    w_prev = (
+        Window.partitionBy()
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = d.withColumn(
+        "at_risk",
+        F.col("tot")
+        - F.coalesce(F.sum(F.col("events") + F.col("censored")).over(w_prev), F.lit(0)),
+    )
+    return r.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("at_risk").cast("long").alias("at_risk"),
+        F.col("events").cast("long").alias("events"),
+        F.col("censored").cast("long").alias("censored"),
+        F.expr("CAST(1000000 * events DIV GREATEST(at_risk, 1) AS BIGINT)").alias(
+            "hazard_ppm"
+        ),
+    ).orderBy("t_days")
+
+
+# ---------------------------------------------------------------------------
+# q382: event-path trigram mining
+
+_PATH_TOP_K = 20
+
+_PATH_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+           event_id FROM events),
+s AS (SELECT user_id, event_type AS e1,
+    LEAD(event_type) OVER w AS e2,
+    LEAD(event_type, 2) OVER w AS e3
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+tri AS (SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS paths FROM s
+        WHERE e3 IS NOT NULL GROUP BY 1, 2, 3),
+t AS (SELECT CAST(SUM(paths) AS BIGINT) AS total FROM tri)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, paths,
+  CAST(1000000 * paths // t.total AS BIGINT) AS share_ppm
+FROM tri, t ORDER BY paths DESC, path LIMIT {_PATH_TOP_K}
+"""
+
+
+@query(
+    "q382_event_path_trigrams",
+    _PATH_ORACLE,
+    doc="Path-analysis discovery: the top-20 ordered event-type TRIPLES "
+    "over per-user timelines (two LEAD windows, event_id tiebreak for "
+    "determinism under equal timestamps) with corpus share in ppm — "
+    "one step beyond q237's pair-transition matrix, and the op that "
+    "DISCOVERS candidate funnels where q298 audits a known one.  "
+    "Scale shape: one per-user sequence window off a single shuffle "
+    "(keys spread with users), trigram counts combine map-side, the "
+    "census relation is type^3-bounded, top-k is TakeOrdered, and the "
+    "1-row total rides a broadcast.",
+    tags=("events", "window", "mining"),
+)
+def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type").over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    tri = (
+        s.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("long").alias("paths"))
+    )
+    tri = tri.localCheckpoint(eager=False)  # feeds the total AND the top-k
+    t = tri.agg(F.sum("paths").cast("long").alias("total"))
+    return (
+        tri.crossJoin(F.broadcast(t))
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path"),
+            "paths",
+            F.expr("CAST(1000000 * paths DIV total AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy(F.col("paths").desc(), "path")
+        .limit(_PATH_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q383: Mann-Kendall trend test
+
+_MK_ORACLE = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) // {_DAY_US} AS day FROM events),
+d AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+p AS (SELECT a.event_type,
+    CASE WHEN b.n > a.n THEN 1 WHEN b.n < a.n THEN -1 ELSE 0 END AS sg
+  FROM d a JOIN d b ON a.event_type = b.event_type AND b.day > a.day),
+s AS (SELECT event_type, CAST(SUM(sg) AS BIGINT) AS s_stat FROM p GROUP BY 1),
+meta AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+ties AS (SELECT event_type,
+    CAST(COALESCE(SUM(tc * (tc - 1) * (2 * tc + 5)), 0) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, n, COUNT(*) AS tc FROM d GROUP BY event_type, n)
+  WHERE tc > 1 GROUP BY event_type),
+v AS (SELECT m.event_type, m.nd,
+    CAST(m.nd * (m.nd - 1) * (2 * m.nd + 5) - COALESCE(t.tie_term, 0) AS BIGINT)
+      AS var18
+  FROM meta m LEFT JOIN ties t USING (event_type))
+SELECT s.event_type, v.nd AS days, s.s_stat, v.var18,
+  CAST(CASE WHEN s.s_stat > 0 THEN 1 WHEN s.s_stat < 0 THEN -1 ELSE 0 END
+    AS BIGINT) AS direction,
+  CAST(CASE WHEN s.s_stat <> 0 AND
+    90000 * (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1) >= 19208 * v.var18
+    THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM s JOIN v USING (event_type) ORDER BY s.event_type
+"""
+
+
+@query(
+    "q383_mann_kendall_test",
+    _MK_ORACLE,
+    doc="Mann-Kendall trend test per event type — the significance "
+    "companion to q380's Theil-Sen slope over the same daily series: "
+    "S = sum of pairwise sign(n_j - n_i) (j later), the tie-corrected "
+    "variance held EXACTLY as var18 = 18*Var = n(n-1)(2n+5) - "
+    "sum_ties t(t-1)(2t+5), and the two-sided z >= 1.96 verdict by "
+    "cross-multiplication: 90000*(|S|-1)^2 >= 19208*var18  <=>  "
+    "((|S|-1)/sqrt(Var))^2 >= 1.96^2 — no float, no sqrt, both "
+    "engines bit-identical.  Scale shape: the corpus reduces to the "
+    "(type, day) count relation map-side; the pair join is "
+    "day-spine-bounded; ties and variance come from the same bounded "
+    "relation.",
+    tags=("events", "agg", "metrics"),
+)
+def q383(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}").alias("day"),
+    )
+    d = e.groupBy("event_type", "day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d = d.localCheckpoint(eager=False)  # feeds pairs, meta, and ties
+    a = d.alias("a")
+    b = d.alias("b")
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("b.day") > F.col("a.day"))
+        .select(
+            "event_type",
+            F.when(F.col("b.n") > F.col("a.n"), 1)
+            .when(F.col("b.n") < F.col("a.n"), -1)
+            .otherwise(0)
+            .alias("sg"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("sg").cast("long").alias("s_stat"))
+    )
+    meta = d.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    ties = (
+        d.groupBy("event_type", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("tc"))
+        .filter(F.col("tc") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("tc * (tc - 1) * (2 * tc + 5)"))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    v = meta.join(ties, "event_type", "left").select(
+        "event_type",
+        "nd",
+        F.expr(
+            "CAST(nd * (nd - 1) * (2 * nd + 5) - COALESCE(tie_term, 0) AS BIGINT)"
+        ).alias("var18"),
+    )
+    return (
+        s.join(v, "event_type")
+        .select(
+            "event_type",
+            F.col("nd").alias("days"),
+            "s_stat",
+            "var18",
+            F.when(F.col("s_stat") > 0, 1)
+            .when(F.col("s_stat") < 0, -1)
+            .otherwise(0)
+            .cast("long")
+            .alias("direction"),
+            F.when(
+                (F.col("s_stat") != 0)
+                & (
+                    90000 * (F.abs("s_stat") - 1) * (F.abs("s_stat") - 1)
+                    >= 19208 * F.col("var18")
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("significant"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q384: weighted median
+
+_WM_ORACLE = """
+WITH li AS (SELECT l_returnflag AS flag,
+    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+    CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+f AS (SELECT flag, cents, CAST(SUM(w) AS BIGINT) AS wsum
+      FROM li GROUP BY 1, 2),
+cum AS (SELECT flag, cents,
+    SUM(wsum) OVER (PARTITION BY flag ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+    SUM(wsum) OVER (PARTITION BY flag) AS tw FROM f)
+SELECT c.flag, CAST(MAX(c.tw) AS BIGINT) AS total_weight,
+  CAST(MIN(c.cents) FILTER (WHERE 2 * c.cw >= c.tw) AS BIGINT)
+    AS wmedian_cents
+FROM cum c GROUP BY c.flag ORDER BY c.flag
+"""
+
+
+@query(
+    "q384_weighted_median",
+    _WM_ORACLE,
+    doc="Quantity-weighted median line price per return flag: the "
+    "weighted member of the exact location family — the q223 crossing "
+    "device generalized from counts to WEIGHTS (smallest value whose "
+    "cumulative weight reaches half the total, 2*cumw >= totw), the "
+    "estimator behind volume-weighted reference prices.  Scale shape: "
+    "one (flag, cents) weight-sum shuffle off the scan; crossing "
+    "windows run on the bounded frequency relation partitioned by "
+    "flag.",
+    tags=("relational", "agg", "metrics"),
+)
+def q384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("w"),
+    )
+    f = li.groupBy("flag", "cents").agg(F.sum("w").cast("long").alias("wsum"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = f.select(
+        "flag",
+        "cents",
+        F.sum("wsum").over(w_cum).alias("cw"),
+        F.sum("wsum").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return (
+        cum.groupBy("flag")
+        .agg(
+            F.max("tw").cast("long").alias("total_weight"),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+            .cast("long")
+            .alias("wmedian_cents"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q385: decision-stump split gain
+
+_STUMP_ORACLE = """
+WITH d AS (SELECT n_chars,
+    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM documents),
+f AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c,
+      CAST(SUM(pos) AS BIGINT) AS p FROM d GROUP BY n_chars),
+cum AS (SELECT n_chars, c, p,
+    SUM(c) OVER w AS cc, SUM(p) OVER w AS cp,
+    SUM(c) OVER () AS n, SUM(p) OVER () AS np
+  FROM f WINDOW w AS (ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+cand AS (SELECT j AS decile,
+    (SELECT MIN(n_chars) FROM cum WHERE 10 * cc >= j * n) AS thr
+  FROM unnest(generate_series(1, 9)) AS u(j)),
+split AS (SELECT cand.decile, cand.thr,
+    (SELECT MAX(cc) FROM cum WHERE n_chars <= cand.thr) AS nl,
+    (SELECT MAX(cp) FROM cum WHERE n_chars <= cand.thr) AS pl,
+    (SELECT MAX(n) FROM cum) AS n, (SELECT MAX(np) FROM cum) AS np
+  FROM cand),
+gini AS (SELECT decile, CAST(thr AS BIGINT) AS thr,
+    CAST(nl AS BIGINT) AS n_left, CAST(n - nl AS BIGINT) AS n_right,
+    1000000
+      - ((1000000 * np // n) * (1000000 * np // n)
+         + (1000000 * (n - np) // n) * (1000000 * (n - np) // n)) // 1000000
+      AS parent,
+    1000000
+      - ((1000000 * pl // GREATEST(nl, 1)) * (1000000 * pl // GREATEST(nl, 1))
+         + (1000000 * (nl - pl) // GREATEST(nl, 1))
+           * (1000000 * (nl - pl) // GREATEST(nl, 1))) // 1000000 AS gl,
+    1000000
+      - ((1000000 * (np - pl) // GREATEST(n - nl, 1))
+           * (1000000 * (np - pl) // GREATEST(n - nl, 1))
+         + (1000000 * ((n - np) - (nl - pl)) // GREATEST(n - nl, 1))
+           * (1000000 * ((n - np) - (nl - pl)) // GREATEST(n - nl, 1)))
+        // 1000000 AS gr,
+    n, nl FROM split),
+sc AS (SELECT decile, thr, n_left, n_right,
+    CAST(parent AS BIGINT) AS parent_gini_ppm,
+    CAST(gl AS BIGINT) AS gini_left_ppm, CAST(gr AS BIGINT) AS gini_right_ppm,
+    CAST(parent - (nl * gl + (n - nl) * gr) // n AS BIGINT) AS gain_ppm
+  FROM gini)
+SELECT CAST(decile AS BIGINT) AS decile, thr, n_left, n_right,
+  parent_gini_ppm, gini_left_ppm, gini_right_ppm, gain_ppm,
+  CAST(CASE WHEN gain_ppm = (SELECT MAX(gain_ppm) FROM sc)
+    AND decile = (SELECT MIN(decile) FROM sc
+                  WHERE gain_ppm = (SELECT MAX(gain_ppm) FROM sc))
+    THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM sc ORDER BY decile
+"""
+
+
+@query(
+    "q385_decision_stump_gain",
+    _STUMP_ORACLE,
+    doc="Decision-stump training — the CART split primitive: for the "
+    "binary label lang='en' and the feature n_chars, every global "
+    "decile boundary (the crossing rule) is a split candidate scored "
+    "by Gini impurity reduction in ppm.  Impurities come from "
+    "ppm-share squares (1e6 - (p_ppm^2 + q_ppm^2) DIV 1e6) so every "
+    "intermediate is bounded at ANY corpus size — the direct n^2 form "
+    "overflows BIGINT past ~3e9 rows; the weighted child impurity and "
+    "gain use the same truncating DIV in both engines, and the argmax "
+    "is flagged on the 9-row candidate relation (earliest decile on "
+    "ties).  Scale shape: one (n_chars, label) count shuffle; "
+    "cumulatives, candidates, splits and gains all run on the "
+    "bounded frequency relation.",
+    tags=("traindata", "agg", "quality"),
+)
+def q385(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    f = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    from lance_namespace_impls_spark.operators.scale_windows import (
+        distributed_running_sum,
+    )
+
+    cum = distributed_running_sum(
+        f.withColumn("__g", F.lit(1)), "__g", ["n_chars"], "c", cum_col="cc",
+        total_col="__t1",
+    )
+    cump = distributed_running_sum(
+        f.withColumn("__g", F.lit(1)), "__g", ["n_chars"], "p", cum_col="cp",
+        total_col="__t2",
+    )
+    cc = cum.select("n_chars", "cc").join(cump.select("n_chars", "cp"), "n_chars")
+    tot = f.agg(
+        F.sum("c").cast("long").alias("n"), F.sum("p").cast("long").alias("np")
+    )
+    cc = cc.crossJoin(F.broadcast(tot))
+    cc = cc.localCheckpoint(eager=False)  # feeds candidates AND split sums
+    cand = (
+        spark.range(1, 10)
+        .select(F.col("id").alias("decile"))
+        .join(
+            cc.select("n_chars", "cc", "n"),
+            F.expr("10 * cc >= decile * n"),
+        )
+        .groupBy("decile")
+        .agg(F.min("n_chars").cast("long").alias("thr"))
+    )
+    split = (
+        F.broadcast(cand)
+        .join(cc, F.col("n_chars") <= F.col("thr"))
+        .groupBy("decile", "thr")
+        .agg(
+            F.max("cc").cast("long").alias("nl"),
+            F.max("cp").cast("long").alias("pl"),
+            F.max("n").cast("long").alias("n"),
+            F.max("np").cast("long").alias("np"),
+        )
+    )
+    gini = split.select(
+        "decile",
+        "thr",
+        F.col("nl").alias("n_left"),
+        (F.col("n") - F.col("nl")).cast("long").alias("n_right"),
+        F.expr(
+            "1000000 - ((1000000 * np DIV n) * (1000000 * np DIV n) "
+            "+ (1000000 * (n - np) DIV n) * (1000000 * (n - np) DIV n)) DIV 1000000"
+        ).alias("parent"),
+        F.expr(
+            "1000000 - ((1000000 * pl DIV GREATEST(nl, 1)) * (1000000 * pl DIV GREATEST(nl, 1)) "
+            "+ (1000000 * (nl - pl) DIV GREATEST(nl, 1)) * (1000000 * (nl - pl) DIV GREATEST(nl, 1))) DIV 1000000"
+        ).alias("gl"),
+        F.expr(
+            "1000000 - ((1000000 * (np - pl) DIV GREATEST(n - nl, 1)) * (1000000 * (np - pl) DIV GREATEST(n - nl, 1)) "
+            "+ (1000000 * ((n - np) - (nl - pl)) DIV GREATEST(n - nl, 1)) * (1000000 * ((n - np) - (nl - pl)) DIV GREATEST(n - nl, 1))) DIV 1000000"
+        ).alias("gr"),
+        "n",
+        "nl",
+    )
+    sc = gini.select(
+        "decile",
+        "thr",
+        "n_left",
+        "n_right",
+        F.col("parent").cast("long").alias("parent_gini_ppm"),
+        F.col("gl").cast("long").alias("gini_left_ppm"),
+        F.col("gr").cast("long").alias("gini_right_ppm"),
+        F.expr("CAST(parent - (nl * gl + (n - nl) * gr) DIV n AS BIGINT)").alias(
+            "gain_ppm"
+        ),
+    )
+    w_all = Window.partitionBy()
+    best = sc.withColumn("mx", F.max("gain_ppm").over(w_all)).withColumn(
+        "mind",
+        F.min(F.when(F.col("gain_ppm") == F.col("mx"), F.col("decile"))).over(w_all),
+    )
+    return best.select(
+        F.col("decile").cast("long").alias("decile"),
+        "thr",
+        "n_left",
+        "n_right",
+        "parent_gini_ppm",
+        "gini_left_ppm",
+        "gini_right_ppm",
+        "gain_ppm",
+        F.when(F.col("decile") == F.col("mind"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_best"),
+    ).orderBy("decile")

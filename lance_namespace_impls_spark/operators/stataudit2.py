@@ -1,0 +1,711 @@
+"""Round-9 sixth batch: linear-algebra, normalization, graded-eval and
+robust-trend devices (SURVEY.md §2B rows q376-q380).
+
+* **Integer gram-matrix census (q376)** — X^T X over the milli-integer
+  embeddings, THE linear-algebra primitive under PCA/whitening/covariance
+  drift: a per-batch NumPy int64 kernel (mapInPandas, the q52/q53 Arrow
+  surface) emits dim*(dim+1)/2 upper-triangle partials per batch, so
+  executor state is dim^2-bounded no matter the row count — never a
+  per-row explode (64 x 64 rows per vector would be corpus x 4096 at
+  scale).  Dimension-pair cosine in ppm via the two-step DIV device
+  (1000*g DIV isqrt(gii), then *1000 DIV isqrt(gjj)) so nothing
+  overflows BIGINT at any corpus size.
+* **Quantile normalization (q377)** — each source's n_chars distribution
+  mapped onto the GLOBAL decile anchors (the batch-effect correction
+  applied before cross-source length features are comparable): source
+  deciles and global anchors both located by crossing rules on
+  frequency relations; the mapped per-source means collapse toward the
+  global profile and the residual gap is the measured quantity.
+* **NDCG@5 graded retrieval eval (q378)** — the graded-relevance member
+  beside q232's recall and top-1: approximate (IVF-PQ) positions scored
+  with gains 2^grade - 1 from the exact-rank grade and the fixed
+  milli-discount table floor(1000/log2(pos+1)); IDCG from the ideal
+  reordering of the same gains; ndcg_ppm exact integers end-to-end.
+* **Median-of-medians accuracy law (q379)** — 16 md5 shards' exact
+  medians (crossing device per shard), their median compared against
+  the exact global p25/p50/p75: the classic two-pass approximate-median
+  a platform uses when one crossing pass over the full frequency
+  relation is unaffordable, its error priced in ppm of the IQR (the
+  q315 accuracy-census pattern).
+* **Theil-Sen robust trend (q380)** — per event type the median of all
+  pairwise day-slopes of the daily count series (slopes in micro-units
+  via truncating DIV, median by the crossing rule on the (type, slope)
+  frequency relation) — the outlier-robust alternative to OLS trend,
+  completing the robust family: location (q223), spread (MAD), tails
+  (q375 winsorize), aggregation (q379 MoM), now trend.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+_DIM = 64
+
+# Portable integer sqrt (q176/q341 device): FLOOR(SQRT(v)) corrected one
+# exact integer step each way so a last-ulp double difference between
+# engines can never flip the result.
+_ISQRT_DUCK = (
+    "(SELECT CASE WHEN (s1 + 1) * (s1 + 1) <= {v} THEN s1 + 1 "
+    "  WHEN s1 * s1 > {v} THEN s1 - 1 ELSE s1 END "
+    " FROM (SELECT CAST(FLOOR(SQRT(CAST({v} AS DOUBLE))) AS BIGINT) AS s1))"
+)
+
+# ---------------------------------------------------------------------------
+# q376: integer gram-matrix census via a dim^2-bounded Arrow kernel
+
+_GRAM_ORACLE = f"""
+WITH proj AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings),
+cell AS (SELECT i.i, j.j,
+    CAST(SUM(v[i.i] * v[j.j]) AS BIGINT) AS g
+  FROM proj, unnest(generate_series(1, {_DIM})) AS i(i),
+             unnest(generate_series(1, {_DIM})) AS j(j)
+  WHERE i.i <= j.j GROUP BY i.i, j.j),
+diag AS (SELECT i AS d, g AS gd,
+    {_ISQRT_DUCK.format(v='g')} AS sd
+  FROM cell WHERE i = j)
+SELECT c.i, c.j, c.g,
+  CASE WHEN c.i = c.j THEN 1 ELSE 0 END AS is_diag,
+  CAST((1000 * c.g // GREATEST(a.sd, 1)) * 1000 // GREATEST(b.sd, 1) AS BIGINT)
+    AS cos_ppm
+FROM cell c JOIN diag a ON a.d = c.i JOIN diag b ON b.d = c.j
+ORDER BY c.i, c.j
+"""
+
+
+def _gram_kernel(batches):
+    """Per-batch int64 X^T X: emits the dim*(dim+1)/2 upper triangle.
+
+    Executor state is one 64x64 int64 matrix per batch regardless of row
+    count — the scale-right gram device (a per-row dimension-pair explode
+    would be corpus x 4096).  Milli-rounding replicates SQL round()'s
+    half-away-from-zero on the exact double: floor(|v|) + (frac >= 0.5),
+    signed — no +0.5 addition whose low-bit rounding could diverge.
+    """
+    iu = np.triu_indices(_DIM)
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64") * 1000.0
+        a = np.abs(m)
+        fl = np.floor(a)
+        r = (np.sign(m) * (fl + (a - fl >= 0.5))).astype("int64")
+        g = r.T @ r
+        yield pd.DataFrame(
+            {
+                "i": (iu[0] + 1).astype("int64"),
+                "j": (iu[1] + 1).astype("int64"),
+                "g": g[iu],
+            }
+        )
+
+
+@query(
+    "q376_gram_matrix_census",
+    _GRAM_ORACLE,
+    doc="Integer gram-matrix census X^T X over the milli-int embeddings — "
+    "the linear-algebra primitive under PCA, whitening and covariance "
+    "drift monitoring.  The Spark path is a mapInPandas NumPy int64 "
+    "kernel producing per-batch upper-triangle partials (2080 rows per "
+    "batch, one 64x64 accumulator of state) reduced by a (i, j) sum — "
+    "dim^2-bounded at any corpus size, where the explode alternative "
+    "ships corpus x 4096 rows; the oracle replays the same cells via a "
+    "bounded double-unnest.  Kernel rounding replicates SQL round()'s "
+    "half-away-from-zero exactly (floor + frac>=0.5 on the double, no "
+    "+0.5 addition).  Dimension-pair cosine in ppm via the two-step "
+    "DIV against isqrt(diag) values (q365's overflow-free device: "
+    "gii*gjj overflows BIGINT near 1e9 rows, the stepped form never "
+    "exceeds 1e14).  Scale shape: one Arrow-batched map pass, a "
+    "2080-key aggregate, and diag joins on the 64-row relation.",
+    tags=("embeddings", "python", "agg"),
+)
+def q376(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, "embeddings", sf_dir)).select("embedding")
+    partials = emb.mapInPandas(_gram_kernel, "i long, j long, g long")
+    cell = partials.groupBy("i", "j").agg(F.sum("g").cast("long").alias("g"))
+    cell = cell.localCheckpoint(eager=False)  # feeds diag AND the final join
+    diag = (
+        cell.filter(F.col("i") == F.col("j"))
+        .select(F.col("i").alias("d"), F.col("g").alias("gd"))
+        .withColumn("f", F.expr("CAST(FLOOR(SQRT(CAST(gd AS DOUBLE))) AS BIGINT)"))
+        .select(
+            "d",
+            F.expr(
+                "CASE WHEN (f + 1) * (f + 1) <= gd THEN f + 1 "
+                "WHEN f * f > gd THEN f - 1 ELSE f END"
+            ).alias("sd"),
+        )
+    )
+    return (
+        cell.join(F.broadcast(diag.withColumnRenamed("sd", "sa")), F.col("i") == F.col("d"))
+        .drop("d")
+        .join(F.broadcast(diag.withColumnRenamed("sd", "sb")), F.col("j") == F.col("d"))
+        .drop("d")
+        .select(
+            "i",
+            "j",
+            "g",
+            F.when(F.col("i") == F.col("j"), 1).otherwise(0).alias("is_diag"),
+            F.expr(
+                "CAST((1000 * g DIV GREATEST(sa, 1)) * 1000 DIV GREATEST(sb, 1) "
+                "AS BIGINT)"
+            ).alias("cos_ppm"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q377: quantile normalization of per-source length distributions
+
+_QN_ORACLE = """
+WITH f AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+sc AS (SELECT source, n_chars, c,
+    SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+    SUM(c) OVER (PARTITION BY source) AS tot FROM f),
+sd AS (SELECT source, n_chars, c,
+    LEAST((10 * cc + tot - 1) // tot, 10) AS dec, tot FROM sc),
+gf AS (SELECT n_chars, CAST(SUM(c) AS BIGINT) AS c FROM f GROUP BY n_chars),
+gc AS (SELECT n_chars, c,
+    SUM(c) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+    SUM(c) OVER () AS tot FROM gf),
+gd AS (SELECT n_chars, c,
+    LEAST((10 * cc + tot - 1) // tot, 10) AS dec FROM gc),
+gdc AS (SELECT dec, n_chars, c,
+    SUM(c) OVER (PARTITION BY dec ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcc,
+    SUM(c) OVER (PARTITION BY dec) AS dn FROM gd),
+anchor AS (SELECT dec, CAST(MIN(n_chars) AS BIGINT) AS anchor
+           FROM gdc WHERE 2 * dcc >= dn GROUP BY dec),
+m AS (SELECT sd.source, sd.dec, sd.c, sd.n_chars, sd.tot, a.anchor
+      FROM sd JOIN anchor a ON a.dec = sd.dec),
+cell AS (SELECT source, dec,
+    CAST(SUM(c) AS BIGINT) AS docs,
+    CAST(MAX(n_chars) AS BIGINT) AS src_hi_chars,
+    CAST(MAX(anchor) AS BIGINT) AS anchor_chars,
+    CAST(SUM(n_chars * c) AS BIGINT) AS raw_sum,
+    CAST(SUM(anchor * c) AS BIGINT) AS map_sum,
+    MAX(tot) AS tot
+  FROM m GROUP BY source, dec)
+SELECT source, CAST(dec AS BIGINT) AS decile, docs, src_hi_chars, anchor_chars,
+  CAST(1000 * SUM(raw_sum) OVER (PARTITION BY source) // MAX(tot) OVER (PARTITION BY source)
+    AS BIGINT) AS raw_mean_milli,
+  CAST(1000 * SUM(map_sum) OVER (PARTITION BY source) // MAX(tot) OVER (PARTITION BY source)
+    AS BIGINT) AS mapped_mean_milli
+FROM cell ORDER BY source, decile
+"""
+
+
+@query(
+    "q377_quantile_normalization",
+    _QN_ORACLE,
+    doc="Quantile normalization of per-source length distributions onto "
+    "the GLOBAL decile anchors — the batch-effect correction applied "
+    "before cross-source features are comparable (and the tabular twin "
+    "of the per-gene normalization classic).  Source deciles via the "
+    "ceil-crossing rule on the per-source frequency relation; global "
+    "anchors = within-decile medians by a second crossing on the "
+    "global frequency relation; every doc maps to its source-decile's "
+    "global anchor, and the per-source raw vs mapped means (milli) "
+    "show the collapse toward the global profile — the residual gap "
+    "after mapping is the measured quantity (decile-population "
+    "rounding), not an asserted identity.  Scale shape: everything "
+    "after the one (source, n_chars) count shuffle runs on frequency "
+    "relations (source-partitioned and global-decile windows on "
+    "distinct-value rows); the corpus is never re-touched.",
+    tags=("text", "agg", "quality"),
+)
+def q377(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    f = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    f = f.localCheckpoint(eager=False)  # feeds the source AND global paths
+    w_sc = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sd = f.select(
+        "source",
+        "n_chars",
+        "c",
+        F.sum("c").over(w_sc).alias("cc"),
+        F.sum("c").over(Window.partitionBy("source")).alias("tot"),
+    ).select(
+        "source",
+        "n_chars",
+        "c",
+        "tot",
+        F.least(F.expr("(10 * cc + tot - 1) DIV tot"), F.lit(10)).alias("dec"),
+    )
+    gf = f.groupBy("n_chars").agg(F.sum("c").cast("long").alias("c"))
+    # global cumulative via the two-pass distributed device (q293's lesson:
+    # never a keyless ordered window, even over a domain-bounded relation)
+    from lance_namespace_impls_spark.operators.scale_windows import (
+        distributed_running_sum,
+    )
+
+    gtot = gf.agg(F.sum("c").cast("long").alias("tot"))
+    gd = (
+        distributed_running_sum(
+            gf.withColumn("__g", F.lit(1)), "__g", ["n_chars"], "c",
+            cum_col="cc", total_col="__t",
+        )
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "n_chars",
+            "c",
+            F.least(F.expr("(10 * cc + tot - 1) DIV tot"), F.lit(10)).alias("dec"),
+        )
+    )
+    w_d = (
+        Window.partitionBy("dec")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    anchor = (
+        gd.select(
+            "dec",
+            "n_chars",
+            F.sum("c").over(w_d).alias("dcc"),
+            F.sum("c").over(Window.partitionBy("dec")).alias("dn"),
+        )
+        .filter(2 * F.col("dcc") >= F.col("dn"))
+        .groupBy("dec")
+        .agg(F.min("n_chars").cast("long").alias("anchor"))
+    )
+    m = sd.join(F.broadcast(anchor), "dec")
+    cell = m.groupBy("source", "dec").agg(
+        F.sum("c").cast("long").alias("docs"),
+        F.max("n_chars").cast("long").alias("src_hi_chars"),
+        F.max("anchor").cast("long").alias("anchor_chars"),
+        F.sum(F.expr("n_chars * c")).cast("long").alias("raw_sum"),
+        F.sum(F.expr("anchor * c")).cast("long").alias("map_sum"),
+        F.max("tot").alias("tot"),
+    )
+    w_src = Window.partitionBy("source")
+    return cell.select(
+        "source",
+        F.col("dec").cast("long").alias("decile"),
+        "docs",
+        "src_hi_chars",
+        "anchor_chars",
+        (1000 * F.sum("raw_sum").over(w_src))
+        .cast("long")
+        .alias("_rs"),
+        (F.max("tot").over(w_src)).alias("_t"),
+        (1000 * F.sum("map_sum").over(w_src)).cast("long").alias("_ms"),
+    ).select(
+        "source",
+        "decile",
+        "docs",
+        "src_hi_chars",
+        "anchor_chars",
+        F.expr("_rs DIV _t").cast("long").alias("raw_mean_milli"),
+        F.expr("_ms DIV _t").cast("long").alias("mapped_mean_milli"),
+    ).orderBy("source", "decile")
+
+
+# ---------------------------------------------------------------------------
+# q378: NDCG@5 graded retrieval eval over the IVF-PQ index
+
+# floor(1000 / log2(pos + 1)) for pos = 1..5 — fixed milli-discount table
+_NDCG_DISC = (1000, 630, 500, 430, 386)
+_NDCG_GAIN = (31, 15, 7, 3, 1)  # 2^(k - rank + 1) - 1 for exact rank 1..5
+
+_NDCG_DISC_SQL = "CASE pos " + " ".join(
+    f"WHEN {p} THEN {d}" for p, d in enumerate(_NDCG_DISC, start=1)
+) + " END"
+_NDCG_GAIN_SQL = "CASE exact_rank " + " ".join(
+    f"WHEN {r} THEN {g}" for r, g in enumerate(_NDCG_GAIN, start=1)
+) + " ELSE 0 END"
+
+
+from lance_namespace_impls_spark.operators.embedding_ops import (  # noqa: E402
+    _GT_BUCKETS,
+    _IVFPQ_CODES,
+    _IVFPQ_K,
+    _IVFPQ_ORACLE,
+    int_dot,
+    int_projected,
+    ivfpq_search,
+)
+
+_NDCG_ORACLE = f"""
+WITH approx AS (SELECT query_id, vec_id, rank AS pos FROM ({_IVFPQ_ORACLE})),
+proj3 AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings),
+qs3 AS (SELECT vec_id AS query_id, v AS qv FROM proj3 WHERE vec_id < {_IVFPQ_CODES}),
+d AS (SELECT q.query_id, p.vec_id,
+    CAST(list_dot_product(q.qv, q.qv) AS BIGINT)
+      + CAST(list_dot_product(p.v, p.v) AS BIGINT)
+      - 2 * CAST(list_dot_product(q.qv, p.v) AS BIGINT) AS d2
+  FROM qs3 q CROSS JOIN proj3 p WHERE p.vec_id <> q.query_id),
+ex AS (SELECT query_id, vec_id, exact_rank FROM (
+    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY d2, vec_id) AS exact_rank FROM d)
+  WHERE exact_rank <= {_IVFPQ_K}),
+gains AS (SELECT a.query_id, a.pos,
+    {_NDCG_GAIN_SQL} AS gain
+  FROM approx a LEFT JOIN ex e
+    ON e.query_id = a.query_id AND e.vec_id = a.vec_id),
+dcg AS (SELECT query_id, CAST(SUM(gain * ({_NDCG_DISC_SQL})) AS BIGINT) AS dcg
+        FROM gains GROUP BY query_id),
+ideal AS (SELECT query_id, gain,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY gain DESC) AS pos
+  FROM gains),
+idcg AS (SELECT query_id, CAST(SUM(gain * ({_NDCG_DISC_SQL})) AS BIGINT) AS idcg
+         FROM ideal GROUP BY query_id)
+SELECT d.query_id, d.dcg, i.idcg,
+  CAST(1000000 * d.dcg // GREATEST(i.idcg, 1) AS BIGINT) AS ndcg_ppm
+FROM dcg d JOIN idcg i USING (query_id) ORDER BY d.query_id
+"""
+
+
+@query(
+    "q378_ndcg_graded_eval",
+    _NDCG_ORACLE,
+    doc="NDCG@5 graded retrieval eval of the IVF-PQ index (q218/q232's "
+    "approximate lists) against the exact L2 truth: each approximate "
+    "position earns gain 2^(k - exact_rank + 1) - 1 (31/15/7/3/1, 0 if "
+    "outside the exact top-k) discounted by the FIXED milli table "
+    "floor(1000/log2(pos+1)) — the q360 fixed-constant device, so DCG, "
+    "ideal DCG and ndcg_ppm are exact integers end-to-end.  The graded "
+    "member of the eval family: q232 says WHETHER the truth was found, "
+    "this says how well it is ORDERED (a list with the right members "
+    "in the wrong order loses ppm here and not there).  Scale shape: "
+    "q232's bucketed exact top-k (no window ever sees the corpus), "
+    "gains/discounts on k-row-per-query relations, censuses are "
+    "query-sized.",
+    tags=("embeddings", "retrieval", "agg"),
+)
+def q378(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    approx = ivfpq_search(emb).select(
+        "query_id", "vec_id", F.col("rank").alias("pos")
+    )
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    proj = proj.withColumn("nn", int_dot(F.col("v"), F.col("v")).cast("long"))
+    qs = proj.filter(F.col("vec_id") < _IVFPQ_CODES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nn").alias("qnn"),
+    )
+    d2 = F.col("qnn") + F.col("nn") - F.lit(2) * int_dot(F.col("qv"), F.col("v"))
+    pre = (
+        proj.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            d2.alias("d2"),
+            (F.col("vec_id") % _GT_BUCKETS).alias("b"),
+        )
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("query_id", "b").orderBy("d2", "vec_id")
+            ),
+        )
+        .filter(F.col("prank") <= _IVFPQ_K)
+    )
+    ex = (
+        pre.select(
+            "query_id",
+            "vec_id",
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy("d2", "vec_id"))
+            .alias("exact_rank"),
+        )
+        .filter(F.col("exact_rank") <= _IVFPQ_K)
+    )
+    # NULL exact_rank (miss) matches no WHEN arm -> ELSE 0 in both engines
+    gains = approx.join(ex, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "pos",
+        F.expr(_NDCG_GAIN_SQL).alias("gain"),
+    )
+    gains = gains.localCheckpoint(eager=False)  # feeds dcg AND the ideal resort
+    dcg = gains.groupBy("query_id").agg(
+        F.sum(F.expr(f"gain * ({_NDCG_DISC_SQL})")).cast("long").alias("dcg")
+    )
+    ideal = gains.select(
+        "query_id",
+        "gain",
+        F.row_number()
+        .over(Window.partitionBy("query_id").orderBy(F.col("gain").desc()))
+        .alias("pos"),
+    )
+    idcg = ideal.groupBy("query_id").agg(
+        F.sum(F.expr(f"gain * ({_NDCG_DISC_SQL})")).cast("long").alias("idcg")
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "dcg",
+            "idcg",
+            F.expr("CAST(1000000 * dcg DIV GREATEST(idcg, 1) AS BIGINT)").alias(
+                "ndcg_ppm"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q379: median-of-medians accuracy law
+
+_MOM_SHARDS = 16
+
+_MOM_ORACLE = f"""
+WITH o AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+    ('0x' || substr(md5('mom|' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+      % {_MOM_SHARDS} AS shard
+  FROM orders),
+sf AS (SELECT shard, v, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY 1, 2),
+scum AS (SELECT shard, v,
+    SUM(c) OVER (PARTITION BY shard ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+    SUM(c) OVER (PARTITION BY shard) AS n FROM sf),
+smed AS (SELECT shard, CAST(MIN(v) AS BIGINT) AS med
+         FROM scum WHERE 2 * cc >= n GROUP BY shard),
+mr AS (SELECT med, ROW_NUMBER() OVER (ORDER BY med, shard) AS r,
+       COUNT(*) OVER () AS k FROM smed),
+mom AS (SELECT CAST(MIN(med) AS BIGINT) AS mom FROM mr WHERE 2 * r >= k),
+gf AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM o GROUP BY v),
+gcum AS (SELECT v,
+    SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+    SUM(c) OVER () AS n FROM gf),
+q AS (SELECT
+    (SELECT MIN(v) FROM gcum WHERE 4 * cc >= n)      AS p25,
+    (SELECT MIN(v) FROM gcum WHERE 2 * cc >= n)      AS p50,
+    (SELECT MIN(v) FROM gcum WHERE 4 * cc >= 3 * n)  AS p75,
+    (SELECT MAX(n) FROM gcum)                        AS n)
+SELECT CAST(q.n AS BIGINT) AS n, CAST({_MOM_SHARDS} AS BIGINT) AS shards,
+  mom.mom AS mom_cents,
+  CAST(q.p25 AS BIGINT) AS p25_cents, CAST(q.p50 AS BIGINT) AS p50_cents,
+  CAST(q.p75 AS BIGINT) AS p75_cents,
+  CAST(CASE WHEN mom.mom BETWEEN q.p25 AND q.p75 THEN 1 ELSE 0 END AS BIGINT)
+    AS within_iqr,
+  CAST(1000000 * abs(mom.mom - q.p50) // GREATEST(q.p75 - q.p25, 1) AS BIGINT)
+    AS err_ppm_of_iqr
+FROM mom, q
+"""
+
+
+@query(
+    "q379_median_of_medians_law",
+    _MOM_ORACLE,
+    doc="Median-of-medians accuracy census: 16 md5 shards' exact medians "
+    "(crossing device per shard — the map-side pass a platform runs "
+    "when one global crossing is unaffordable), their median (a 16-row "
+    "relation) priced against the exact global p25/p50/p75: "
+    "within-IQR containment (the classical guarantee for equal shards, "
+    "here a MEASURED property since md5 shards are only approximately "
+    "equal) and the error in ppm of the IQR — the q315 "
+    "accuracy-census pattern applied to the quantile shortcut, "
+    "complementing q323's mergeable-summary error law.  Scale shape: "
+    "one (shard, cents) count shuffle; shard crossings partitioned by "
+    "shard on frequency relations; the shard-median relation is "
+    "16 rows; the global truth reuses the same frequency relation "
+    "grouped globally.",
+    tags=("agg", "audit", "sketches"),
+)
+def q379(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    o = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.expr(
+            "CAST(conv(substring(md5(concat('mom|', CAST(o_orderkey AS STRING))), 1, 8), 16, 10) "
+            f"AS BIGINT) % {_MOM_SHARDS}"
+        ).alias("shard"),
+    )
+    o = o.localCheckpoint(eager=False)  # feeds the shard AND global paths
+    sf = o.groupBy("shard", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w_s = (
+        Window.partitionBy("shard")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    smed = (
+        sf.select(
+            "shard",
+            "v",
+            F.sum("c").over(w_s).alias("cc"),
+            F.sum("c").over(Window.partitionBy("shard")).alias("n"),
+        )
+        .filter(2 * F.col("cc") >= F.col("n"))
+        .groupBy("shard")
+        .agg(F.min("v").cast("long").alias("med"))
+    )
+    mr = smed.select(
+        "med",
+        F.row_number().over(Window.partitionBy().orderBy("med", "shard")).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+    )
+    mom = (
+        mr.filter(2 * F.col("r") >= F.col("k"))
+        .agg(F.min("med").cast("long").alias("mom_cents"))
+    )
+    gf = o.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # the GLOBAL cumulative runs through the two-pass distributed device
+    # (q293's lesson): the cents domain is value-bounded, not corpus-
+    # bounded, but a keyless window would still collapse it onto one task
+    from lance_namespace_impls_spark.operators.scale_windows import (
+        distributed_running_sum,
+    )
+
+    gcum = distributed_running_sum(
+        gf.withColumn("__g", F.lit(1)), "__g", ["v"], "c", cum_col="cc",
+        total_col="__nt",
+    )
+    gcum = gcum.localCheckpoint(eager=False)  # feeds four crossing cuts
+    nn = gf.agg(F.sum("c").cast("long").alias("n"))
+    gcum = gcum.crossJoin(F.broadcast(nn))
+    p25 = gcum.filter(4 * F.col("cc") >= F.col("n")).agg(
+        F.min("v").cast("long").alias("p25_cents")
+    )
+    p50 = gcum.filter(2 * F.col("cc") >= F.col("n")).agg(
+        F.min("v").cast("long").alias("p50_cents")
+    )
+    p75 = gcum.filter(4 * F.col("cc") >= 3 * F.col("n")).agg(
+        F.min("v").cast("long").alias("p75_cents")
+    )
+    nn = nn.select(F.col("n").cast("long").alias("n"))
+    return (
+        nn.crossJoin(F.broadcast(mom))
+        .crossJoin(F.broadcast(p25))
+        .crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p75))
+        .select(
+            "n",
+            F.lit(_MOM_SHARDS).cast("long").alias("shards"),
+            "mom_cents",
+            "p25_cents",
+            "p50_cents",
+            "p75_cents",
+            F.when(
+                (F.col("mom_cents") >= F.col("p25_cents"))
+                & (F.col("mom_cents") <= F.col("p75_cents")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("within_iqr"),
+            F.expr(
+                "CAST(1000000 * abs(mom_cents - p50_cents) "
+                "DIV GREATEST(p75_cents - p25_cents, 1) AS BIGINT)"
+            ).alias("err_ppm_of_iqr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q380: Theil-Sen robust trend of the daily event series
+
+_DAY_US = 86_400_000_000
+
+_TS_ORACLE = f"""
+WITH e AS (SELECT event_type, epoch_us(ts) // {_DAY_US} AS day FROM events),
+d AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e GROUP BY 1, 2),
+p AS (SELECT a.event_type,
+    CAST(1000000 * (b.n - a.n) // (b.day - a.day) AS BIGINT) AS slope
+  FROM d a JOIN d b ON a.event_type = b.event_type AND b.day > a.day),
+f AS (SELECT event_type, slope, CAST(COUNT(*) AS BIGINT) AS c
+      FROM p GROUP BY 1, 2),
+cum AS (SELECT event_type, slope,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY slope
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+    SUM(c) OVER (PARTITION BY event_type) AS np FROM f),
+med AS (SELECT event_type, CAST(MIN(slope) AS BIGINT) AS ts_slope_micro
+        FROM cum WHERE 2 * cc >= np GROUP BY event_type),
+meta AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS days,
+         CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS pairs
+         FROM d GROUP BY event_type)
+SELECT m.event_type, meta.days, meta.pairs, m.ts_slope_micro
+FROM med m JOIN meta USING (event_type) ORDER BY m.event_type
+"""
+
+
+@query(
+    "q380_theil_sen_trend",
+    _TS_ORACLE,
+    doc="Theil-Sen robust trend per event type: the median of ALL "
+    "pairwise day-slopes of the daily count series (slopes in "
+    "micro-units via truncating DIV, both engines identical; median by "
+    "the crossing rule on the (type, slope) frequency relation) — the "
+    "outlier-robust alternative to OLS trend whose breakdown point is "
+    "~29%, completing the robust family: location (q223), spread "
+    "(MAD), tails (q375), two-pass aggregation (q379), now trend.  "
+    "Scale shape: the corpus reduces to the (type, day) count relation "
+    "inside the map-side combine; the pair join is day-spine-bounded "
+    "(30 days -> 435 pairs per type, never event-sized); crossing "
+    "windows run on the pair-frequency relation partitioned by type.",
+    tags=("events", "agg", "metrics"),
+)
+def q380(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {_DAY_US}").alias("day"),
+    )
+    d = e.groupBy("event_type", "day").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    d = d.localCheckpoint(eager=False)  # feeds the pair join twice + meta
+    a = d.alias("a")
+    b = d.alias("b")
+    p = (
+        a.join(b, "event_type")
+        .filter(F.col("b.day") > F.col("a.day"))
+        .select(
+            "event_type",
+            F.expr("CAST(1000000 * (b.n - a.n) DIV (b.day - a.day) AS BIGINT)").alias(
+                "slope"
+            ),
+        )
+    )
+    f = p.groupBy("event_type", "slope").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("slope")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    med = (
+        f.select(
+            "event_type",
+            "slope",
+            F.sum("c").over(w_cum).alias("cc"),
+            F.sum("c").over(Window.partitionBy("event_type")).alias("np"),
+        )
+        .filter(2 * F.col("cc") >= F.col("np"))
+        .groupBy("event_type")
+        .agg(F.min("slope").cast("long").alias("ts_slope_micro"))
+    )
+    meta = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("days"),
+        F.expr("CAST(COUNT(*) * (COUNT(*) - 1) DIV 2 AS BIGINT)").alias("pairs"),
+    )
+    return (
+        med.join(meta, "event_type")
+        .select("event_type", "days", "pairs", "ts_slope_micro")
+        .orderBy("event_type")
+    )

@@ -105,6 +105,13 @@ CARTESIAN_ALLOWED = {
     # round-9 fifth batch
     "q371_frequent_triples": "two 1-row basket-count bounds broadcast into the relative-support filters",
     "q372_cuped_adjusted_readout": "1-row grand-moment/theta bounds broadcast into the 2-row arm census",
+    # round-9 sixth batch
+    "q377_quantile_normalization": "1-row global-total bound broadcast into the decile arithmetic",
+    "q379_median_of_medians_law": "1-row N bound + four 1-row quantile censuses cross-joined into the audit row",
+    # round-9 seventh batch
+    "q381_purchase_hazard_census": "1-row exit-total bound broadcast into the 4-row at-risk backsum",
+    "q382_event_path_trigrams": "1-row trigram-total bound broadcast into the share arithmetic",
+    "q385_decision_stump_gain": "9-row decile spine + threshold non-equi crossing joins against the frequency relation (q323's class) + 1-row label totals",
 }
 
 # streaming builders start real runs; their plans are covered by the
@@ -163,6 +170,7 @@ PYTHON_ALLOWED = {
     "q178_map_in_arrow_census": "declared mapInArrow surface (Arrow-native census kernel)",
     "q179_apply_in_arrow_profile": "declared applyInArrow surface (grouped Arrow kernel)",
     "q324_audio_window_census": "real RIFF/WAV chunk-walk decode + windowing via mapInPandas (multimodal surface)",
+    "q376_gram_matrix_census": "dim^2-bounded NumPy int64 X^T X kernel via mapInPandas (declared Arrow surface; sits behind the cell checkpoint boundary)",
 }
 
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonMapInArrow")

@@ -98,6 +98,18 @@ NO_SINGLE_PARTITION = [
     "q373_phrase_retrieval",  # exploded postings aggs + 3-row query-spine broadcasts
     "q374_funnel_latency_percentiles",  # user-keyed MIN cascade + step-partitioned crossing windows
     "q375_winsorized_mean",  # source-partitioned crossing windows on the frequency relation
+    # round-9 sixth batch (q377/q379 are excluded on purpose: their global
+    # crossings run through distributed_running_sum, whose offsets window is
+    # the P-row tiny-side case like q304/q335; q379's shard-median rank runs
+    # on the 16-row relation, the q263 class)
+    "q376_gram_matrix_census",  # dim^2-bounded kernel partials + (i, j) agg
+    "q378_ndcg_graded_eval",  # query/bucket-partitioned rank windows, k-row censuses
+    "q380_theil_sen_trend",  # day-spine pair join + type-partitioned crossing windows
+    # round-9 seventh batch (q381 excluded on purpose: the at-risk backsum is
+    # a keyless window on the fixed 8-row day grid, the q263/q304 tiny-side
+    # class; q385 excluded: distributed_running_sum offsets windows)
+    "q383_mann_kendall_test",  # (type, day) relation pairs + per-type aggs
+    "q384_weighted_median",  # flag-partitioned weight-crossing windows
 ]
 
 # Queries whose output is (or depends on) a global 1-row bound: a keyless
@@ -129,6 +141,7 @@ AGG_ONLY_SINGLE_PARTITION = [
     "q331_matryoshka_truncation",  # AQE-injected 8-row bloom_filter_agg builds
     "q371_frequent_triples",  # 1-row basket-count bounds (relative support)
     "q372_cuped_adjusted_readout",  # grand-moment/theta 1-row censuses
+    "q382_event_path_trigrams",  # 1-row trigram-total bound
 ]
 
 # (q334 is excluded on purpose: its vocabulary-ranking window runs on the
@@ -186,6 +199,7 @@ TAKE_ORDERED = [
     "q367_salting_skew_census",  # top-5 heaviest keys
     "q371_frequent_triples",  # top-20 frequent triples
     "q373_phrase_retrieval",  # top-3 bigram query spine
+    "q382_event_path_trigrams",  # top-20 event paths
 ]
 
 
