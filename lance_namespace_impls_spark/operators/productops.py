@@ -1,0 +1,631 @@
+"""Round-9 eighth batch: product-analytics and retrieval-eval completions
+(SURVEY.md §2B rows q386-q390).
+
+* **MRR retrieval eval (q386)** — the rank-position member of the eval
+  family: for each query, the reciprocal rank (ppm) of the TRUE nearest
+  neighbor inside the approximate IVF-PQ list — q232 asks whether the
+  top-k was found, q378 how well it is ordered, this where the single
+  truth landed.
+* **ABC / Pareto revenue classes (q387)** — parts classified A/B/C by
+  cumulative revenue share (80/95 cut points via the crossing rule over
+  the revenue-ranked part relation through ``distributed_running_sum``)
+  — the inventory-policy classic, and the skew census behind "the top
+  20% of parts carry 80% of revenue" decisions.
+* **RFM segmentation (q388)** — per-customer Recency / Frequency /
+  Monetary tercile codes (crossing rules on the three frequency
+  relations), censused on the dense 27-cell (r, f, m) grid — the
+  canonical CRM segmentation, every cut exact-integer.
+* **Funnel by experiment arm (q389)** — q298's ordered funnel computed
+  per q314 md5 arm with per-step conversion ppm and the A-B delta: the
+  decision view "did the experiment move the funnel", joining the SRM
+  (q314) / value-drift (q366) / CUPED (q372) family over the SAME arm
+  assignment.
+* **Session-stats census (q390)** — q75's gap sessionization reduced to
+  the per-type session profile: sessions, exact p50 duration (crossing
+  device) and events-per-session in milli — the engagement summary a
+  product team reads daily.
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.operators.embedding_ops import (
+    _GT_BUCKETS,
+    _IVFPQ_CODES,
+    _IVFPQ_K,
+    _IVFPQ_ORACLE,
+    int_dot,
+    int_projected,
+    ivfpq_search,
+)
+from lance_namespace_impls_spark.operators.scale_windows import (
+    distributed_running_sum,
+)
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table, spread
+
+_MD5_MOD_DUCK = "('0x' || substr(md5('{p}' || CAST({c} AS VARCHAR)), 1, 8))::BIGINT % {m}"
+_MD5_MOD_SPARK = (
+    "CAST(conv(substring(md5(concat('{p}', CAST({c} AS STRING))), 1, 8), 16, 10) "
+    "AS BIGINT) % {m}"
+)
+
+# ---------------------------------------------------------------------------
+# q386: MRR retrieval eval
+
+_MRR_ORACLE = f"""
+WITH approx AS (SELECT query_id, vec_id, rank AS pos FROM ({_IVFPQ_ORACLE})),
+proj4 AS (SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+  FROM embeddings),
+qs4 AS (SELECT vec_id AS query_id, v AS qv FROM proj4 WHERE vec_id < {_IVFPQ_CODES}),
+d AS (SELECT q.query_id, p.vec_id,
+    CAST(list_dot_product(q.qv, q.qv) AS BIGINT)
+      + CAST(list_dot_product(p.v, p.v) AS BIGINT)
+      - 2 * CAST(list_dot_product(q.qv, p.v) AS BIGINT) AS d2
+  FROM qs4 q CROSS JOIN proj4 p WHERE p.vec_id <> q.query_id),
+ex AS (SELECT query_id, vec_id AS nn FROM (
+    SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY d2, vec_id) AS r FROM d) WHERE r = 1)
+SELECT e.query_id, CAST(e.nn AS BIGINT) AS exact_nn,
+  CAST(COALESCE(a.pos, 0) AS BIGINT) AS found_at_pos,
+  CAST(CASE WHEN a.pos IS NULL THEN 0 ELSE 1000000 // a.pos END AS BIGINT)
+    AS rr_ppm
+FROM ex e LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.nn
+ORDER BY e.query_id
+"""
+
+
+@query(
+    "q386_mrr_retrieval_eval",
+    _MRR_ORACLE,
+    doc="Mean-reciprocal-rank ingredients for the IVF-PQ index: per query "
+    "the position of the TRUE nearest neighbor inside the approximate "
+    "list and its reciprocal rank in ppm (0 when absent) — the "
+    "rank-position member of the eval family (q232 recall: was the "
+    "top-k found; q378 NDCG: is the list well ordered; this: where did "
+    "the single truth land).  Scale shape: q232's bucketed exact "
+    "top-1 (no window ever sees the corpus) left-joined to the "
+    "approximate list on (query, vec); censuses are query-sized.",
+    tags=("embeddings", "retrieval", "agg"),
+)
+def q386(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    approx = ivfpq_search(emb).select(
+        "query_id", "vec_id", F.col("rank").alias("pos")
+    )
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    proj = proj.withColumn("nn", int_dot(F.col("v"), F.col("v")).cast("long"))
+    qs = proj.filter(F.col("vec_id") < _IVFPQ_CODES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nn").alias("qnn"),
+    )
+    d2 = F.col("qnn") + F.col("nn") - F.lit(2) * int_dot(F.col("qv"), F.col("v"))
+    ex = (
+        proj.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            d2.alias("d2"),
+            (F.col("vec_id") % _GT_BUCKETS).alias("b"),
+        )
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("query_id", "b").orderBy("d2", "vec_id")
+            ),
+        )
+        .filter(F.col("prank") <= 1)
+        .withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("query_id").orderBy("d2", "vec_id")),
+        )
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("vec_id").alias("nn"))
+    )
+    return (
+        ex.join(
+            approx,
+            (approx.query_id == ex.query_id) & (approx.vec_id == ex.nn),
+            "left",
+        )
+        .select(
+            ex.query_id.cast("long").alias("query_id"),
+            F.col("nn").cast("long").alias("exact_nn"),
+            F.coalesce("pos", F.lit(0)).cast("long").alias("found_at_pos"),
+            F.when(F.col("pos").isNull(), 0)
+            .otherwise(F.expr("1000000 DIV pos"))
+            .cast("long")
+            .alias("rr_ppm"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q387: ABC / Pareto revenue classes
+
+_ABC_ORACLE = """
+WITH r AS (SELECT l_partkey AS part,
+    CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS rev FROM lineitem GROUP BY l_partkey),
+cum AS (SELECT part, rev,
+    SUM(rev) OVER (ORDER BY rev DESC, part
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+    SUM(rev) OVER () AS tr FROM r),
+cl AS (SELECT part, rev,
+    CASE WHEN 100 * (cr - rev) < 80 * tr THEN 'A'
+         WHEN 100 * (cr - rev) < 95 * tr THEN 'B' ELSE 'C' END AS cls
+  FROM cum)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS parts,
+  CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+  CAST(1000000 * SUM(rev) // (SELECT MAX(tr) FROM cum) AS BIGINT)
+    AS revenue_share_ppm,
+  CAST(1000000 * COUNT(*) // (SELECT COUNT(*) FROM r) AS BIGINT)
+    AS part_share_ppm
+FROM cl GROUP BY cls ORDER BY cls
+"""
+
+
+@query(
+    "q387_abc_pareto_classes",
+    _ABC_ORACLE,
+    doc="ABC / Pareto inventory classes: parts ranked by revenue, class A "
+    "= parts whose PRECEDING cumulative share is under 80% (so the "
+    "crossing part itself closes the band — every part gets exactly "
+    "one class with no gap), B to 95%, C the tail; per-class part and "
+    "revenue shares in ppm — the skew census behind 'top 20% of parts "
+    "carry 80% of revenue' stocking policy, and the merchandising twin "
+    "of q293's user concentration.  Scale shape: one part-keyed "
+    "revenue aggregate; the ranked cumulative runs through "
+    "distributed_running_sum on (rev DESC, part) — no single-task "
+    "sort; class censuses are 3 rows.",
+    tags=("relational", "agg", "metrics"),
+)
+def q387(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    r = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("rev")
+    )
+    r = r.localCheckpoint(eager=False)  # feeds the cumulative AND the totals
+    cum = distributed_running_sum(
+        r.withColumn("__g", F.lit(1)).withColumn("negrev", -F.col("rev")),
+        "__g",
+        ["negrev", "part"],
+        "rev",
+        cum_col="cr",
+        total_col="__t",
+    )
+    tot = r.agg(
+        F.sum("rev").cast("long").alias("tr"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    cl = cum.crossJoin(F.broadcast(tot)).select(
+        "part",
+        "rev",
+        "tr",
+        "np",
+        F.when(100 * (F.col("cr") - F.col("rev")) < 80 * F.col("tr"), "A")
+        .when(100 * (F.col("cr") - F.col("rev")) < 95 * F.col("tr"), "B")
+        .otherwise("C")
+        .alias("cls"),
+    )
+    return (
+        cl.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("parts"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+            F.expr("CAST(1000000 * SUM(rev) DIV MAX(tr) AS BIGINT)").alias(
+                "revenue_share_ppm"
+            ),
+            F.expr("CAST(1000000 * COUNT(*) DIV MAX(np) AS BIGINT)").alias(
+                "part_share_ppm"
+            ),
+        )
+        .orderBy("cls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q388: RFM segmentation
+
+_RFM_ORACLE = """
+WITH o AS (SELECT o_custkey AS cust,
+    CAST(date_diff('day', o_orderdate, DATE '2001-08-02') AS BIGINT) AS age_d,
+    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders),
+c AS (SELECT cust, CAST(MIN(age_d) AS BIGINT) AS recency,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(cents) AS BIGINT) AS monetary FROM o GROUP BY cust),
+rf AS (SELECT dim, v, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT 'r' AS dim, recency AS v FROM c
+    UNION ALL SELECT 'f', frequency FROM c
+    UNION ALL SELECT 'm', monetary FROM c) GROUP BY dim, v),
+cum AS (SELECT dim, v,
+    SUM(n) OVER (PARTITION BY dim ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+    SUM(n) OVER (PARTITION BY dim) AS t FROM rf),
+cut AS (SELECT dim,
+    MIN(v) FILTER (WHERE 3 * cc >= t) AS t1,
+    MIN(v) FILTER (WHERE 3 * cc >= 2 * t) AS t2 FROM cum GROUP BY dim),
+coded AS (SELECT c.cust,
+    CASE WHEN c.recency <= r.t1 THEN 1 WHEN c.recency <= r.t2 THEN 2 ELSE 3 END AS r,
+    CASE WHEN c.frequency <= f.t1 THEN 1 WHEN c.frequency <= f.t2 THEN 2 ELSE 3 END AS f,
+    CASE WHEN c.monetary <= m.t1 THEN 1 WHEN c.monetary <= m.t2 THEN 2 ELSE 3 END AS m
+  FROM c, (SELECT t1, t2 FROM cut WHERE dim = 'r') r,
+       (SELECT t1, t2 FROM cut WHERE dim = 'f') f,
+       (SELECT t1, t2 FROM cut WHERE dim = 'm') m),
+grid AS (SELECT r.r, f.f, m.m FROM unnest([1,2,3]) r(r),
+         unnest([1,2,3]) f(f), unnest([1,2,3]) m(m))
+SELECT g.r AS r_code, g.f AS f_code, g.m AS m_code,
+  CAST(COALESCE(x.n, 0) AS BIGINT) AS customers
+FROM grid g LEFT JOIN (SELECT r, f, m, COUNT(*) AS n FROM coded
+                       GROUP BY r, f, m) x
+  ON x.r = g.r AND x.f = g.f AND x.m = g.m
+ORDER BY r_code, f_code, m_code
+"""
+
+
+@query(
+    "q388_rfm_segmentation",
+    _RFM_ORACLE,
+    doc="RFM segmentation — the canonical CRM cube: per customer the "
+    "Recency (days since last order against the fixed day after the "
+    "fixture's max order date), Frequency (orders) and Monetary (total "
+    "cents) values are each cut into terciles by the crossing rule on "
+    "their frequency relations, and the census fills the dense 27-cell "
+    "(r, f, m) grid (empty segments hash as zeros).  Lower code = "
+    "better on every axis (recency tercile 1 = most recent).  Scale "
+    "shape: one customer-keyed aggregate; the three tercile cuts run "
+    "on stacked frequency relations partitioned by dimension; the "
+    "coding join is three broadcast 1-row cut relations; the grid is "
+    "fixed.",
+    tags=("relational", "agg", "metrics"),
+)
+def q388(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    o = orders.select(
+        F.col("o_custkey").alias("cust"),
+        F.datediff(F.lit("2001-08-02").cast("date"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("age_d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    c = o.groupBy("cust").agg(
+        F.min("age_d").cast("long").alias("recency"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum("cents").cast("long").alias("monetary"),
+    )
+    c = c.localCheckpoint(eager=False)  # feeds three cut relations + coding
+    rf = (
+        c.select(F.lit("r").alias("dim"), F.col("recency").alias("v"))
+        .unionByName(c.select(F.lit("f").alias("dim"), F.col("frequency").alias("v")))
+        .unionByName(c.select(F.lit("m").alias("dim"), F.col("monetary").alias("v")))
+        .groupBy("dim", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("dim")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rf.select(
+        "dim",
+        "v",
+        F.sum("n").over(w_cum).alias("cc"),
+        F.sum("n").over(Window.partitionBy("dim")).alias("t"),
+    )
+    cut = cum.groupBy("dim").agg(
+        F.min(F.when(3 * F.col("cc") >= F.col("t"), F.col("v"))).alias("t1"),
+        F.min(F.when(3 * F.col("cc") >= 2 * F.col("t"), F.col("v"))).alias("t2"),
+    )
+    rcut = cut.filter(F.col("dim") == "r").select(
+        F.col("t1").alias("rt1"), F.col("t2").alias("rt2")
+    )
+    fcut = cut.filter(F.col("dim") == "f").select(
+        F.col("t1").alias("ft1"), F.col("t2").alias("ft2")
+    )
+    mcut = cut.filter(F.col("dim") == "m").select(
+        F.col("t1").alias("mt1"), F.col("t2").alias("mt2")
+    )
+    coded = (
+        c.crossJoin(F.broadcast(rcut))
+        .crossJoin(F.broadcast(fcut))
+        .crossJoin(F.broadcast(mcut))
+        .select(
+            F.when(F.col("recency") <= F.col("rt1"), 1)
+            .when(F.col("recency") <= F.col("rt2"), 2)
+            .otherwise(3)
+            .alias("r"),
+            F.when(F.col("frequency") <= F.col("ft1"), 1)
+            .when(F.col("frequency") <= F.col("ft2"), 2)
+            .otherwise(3)
+            .alias("f"),
+            F.when(F.col("monetary") <= F.col("mt1"), 1)
+            .when(F.col("monetary") <= F.col("mt2"), 2)
+            .otherwise(3)
+            .alias("m"),
+        )
+        .groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    grid = (
+        spark.range(1, 4)
+        .select(F.col("id").alias("r"))
+        .crossJoin(spark.range(1, 4).select(F.col("id").alias("f")))
+        .crossJoin(spark.range(1, 4).select(F.col("id").alias("m")))
+    )
+    return (
+        grid.join(coded, ["r", "f", "m"], "left")
+        .select(
+            F.col("r").cast("long").alias("r_code"),
+            F.col("f").cast("long").alias("f_code"),
+            F.col("m").cast("long").alias("m_code"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("customers"),
+        )
+        .orderBy("r_code", "f_code", "m_code")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q389: ordered funnel by experiment arm
+
+_FBA_W_US = 86_400_000_000
+_FBA_STEPS = ("signup", "view", "click", "purchase")
+
+_FBA_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+    CASE WHEN {_MD5_MOD_DUCK.format(p='ab|', c='user_id', m=100)} < 50
+         THEN 'A' ELSE 'B' END AS arm FROM events),
+s1 AS (SELECT arm, user_id, MIN(us) AS t FROM e WHERE event_type = 'signup'
+       GROUP BY arm, user_id),
+s2 AS (SELECT s1.arm, e.user_id, MIN(e.us) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.us > s1.t AND e.us <= s1.t + {_FBA_W_US}
+       GROUP BY s1.arm, e.user_id),
+s3 AS (SELECT s2.arm, e.user_id, MIN(e.us) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.us > s2.t AND e.us <= s2.t + {_FBA_W_US}
+       GROUP BY s2.arm, e.user_id),
+s4 AS (SELECT s3.arm, e.user_id, MIN(e.us) AS t FROM e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.us > s3.t AND e.us <= s3.t + {_FBA_W_US}
+       GROUP BY s3.arm, e.user_id),
+raw_census AS (
+  SELECT arm, 1 AS step, CAST(COUNT(*) AS BIGINT) AS users FROM s1 GROUP BY arm
+  UNION ALL SELECT arm, 2, CAST(COUNT(*) AS BIGINT) FROM s2 GROUP BY arm
+  UNION ALL SELECT arm, 3, CAST(COUNT(*) AS BIGINT) FROM s3 GROUP BY arm
+  UNION ALL SELECT arm, 4, CAST(COUNT(*) AS BIGINT) FROM s4 GROUP BY arm),
+spine AS (SELECT a.arm, s.step, s.name FROM
+  (SELECT 'A' AS arm UNION ALL SELECT 'B') a,
+  (VALUES (1, '1_signup'), (2, '2_view'), (3, '3_click'), (4, '4_purchase'))
+    s(step, name)),
+census AS (SELECT sp.arm, sp.step, sp.name, COALESCE(rc.users, 0) AS users
+  FROM spine sp LEFT JOIN raw_census rc
+    ON rc.arm = sp.arm AND rc.step = sp.step),
+conv AS (SELECT c.arm, c.step, c.name, c.users,
+    CAST(1000000 * c.users // GREATEST(p.users, 1) AS BIGINT) AS conv_ppm
+  FROM census c JOIN census p
+    ON p.arm = c.arm AND p.step = GREATEST(c.step - 1, 1))
+SELECT a.name AS step, a.users AS users_a, b.users AS users_b,
+  a.conv_ppm AS conv_a_ppm, b.conv_ppm AS conv_b_ppm,
+  CAST(a.conv_ppm - b.conv_ppm AS BIGINT) AS delta_ppm
+FROM conv a JOIN conv b ON b.name = a.name AND a.arm = 'A' AND b.arm = 'B'
+ORDER BY step
+"""
+
+
+@query(
+    "q389_funnel_by_arm",
+    _FBA_ORACLE,
+    doc="q298's ordered 24h funnel computed per q314 md5 experiment arm "
+    "with the per-step A-B conversion delta in ppm — the decision view "
+    "'did the experiment move the funnel', completing the "
+    "one-experiment family that shares the SAME arm assignment: q314 "
+    "(SRM counts), q366 (value drift), q372 (CUPED readout), this "
+    "(behavioral funnel).  Step 1 self-converts at 1e6 in both arms "
+    "(the anchor row that also exposes the arm split).  Scale shape: "
+    "q298's user-keyed MIN cascade with the arm carried through the "
+    "chain (no extra shuffles); the census is 4 steps x 2 arms.",
+    tags=("events", "agg", "metrics"),
+)
+def q389(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.when(
+            F.expr(_MD5_MOD_SPARK.format(p="ab|", c="user_id", m=100)) < 50, "A"
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    ev = ev.localCheckpoint(eager=False)  # feeds all four step filters
+    prev = None
+    censuses = []
+    for i, etype in enumerate(_FBA_STEPS, start=1):
+        cur = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            cur = cur.drop("arm").join(prev, "user_id").filter(
+                (F.col("us") > F.col("t"))
+                & (F.col("us") <= F.col("t") + _FBA_W_US)
+            )
+        stage = cur.groupBy("arm", "user_id").agg(F.min("us").alias("t"))
+        censuses.append(
+            stage.groupBy("arm").agg(
+                F.lit(i).alias("step"),
+                F.lit(f"{i}_{etype}").alias("name"),
+                F.count(F.lit(1)).cast("long").alias("users"),
+            )
+        )
+        prev = stage.select("user_id", "arm", "t")
+    raw_census = censuses[0]
+    for x in censuses[1:]:
+        raw_census = raw_census.unionByName(x)
+    # dense (arm x step) spine: an arm with zero completers at a step must
+    # still produce a zero row (one-arm step-4 dropout at smoke scale)
+    spine = spark.createDataFrame(
+        [
+            (arm, i, f"{i}_{etype}")
+            for arm in ("A", "B")
+            for i, etype in enumerate(_FBA_STEPS, start=1)
+        ],
+        "arm string, step int, name string",
+    )
+    census = (
+        spine.join(raw_census.drop("name"), ["arm", "step"], "left")
+        .select("arm", "step", "name", F.coalesce("users", F.lit(0)).alias("users"))
+    )
+    census = census.localCheckpoint(eager=False)  # self-join for conversion
+    p = census.select(
+        F.col("arm").alias("p_arm"),
+        F.col("step").alias("p_step"),
+        F.col("users").alias("p_users"),
+    )
+    conv = census.join(
+        p,
+        (F.col("p_arm") == F.col("arm"))
+        & (F.col("p_step") == F.greatest(F.col("step") - 1, F.lit(1))),
+    ).select(
+        "arm",
+        "name",
+        "users",
+        F.expr("CAST(1000000 * users DIV GREATEST(p_users, 1) AS BIGINT)").alias(
+            "conv_ppm"
+        ),
+    )
+    a = conv.filter(F.col("arm") == "A").select(
+        F.col("name").alias("step"),
+        F.col("users").alias("users_a"),
+        F.col("conv_ppm").alias("conv_a_ppm"),
+    )
+    b = conv.filter(F.col("arm") == "B").select(
+        F.col("name").alias("step"),
+        F.col("users").alias("users_b"),
+        F.col("conv_ppm").alias("conv_b_ppm"),
+    )
+    return (
+        a.join(b, "step")
+        .select(
+            "step",
+            "users_a",
+            "users_b",
+            "conv_a_ppm",
+            "conv_b_ppm",
+            (F.col("conv_a_ppm") - F.col("conv_b_ppm"))
+            .cast("long")
+            .alias("delta_ppm"),
+        )
+        .orderBy("step")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q390: session-stats census
+
+_SS_GAP_US = 1_800_000_000  # q75's 30-min inactivity gap
+
+_SS_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+l AS (SELECT user_id, us,
+    CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+         > {_SS_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM e),
+s AS (SELECT user_id, us,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM l),
+g AS (SELECT user_id, sess, CAST(COUNT(*) AS BIGINT) AS n_events,
+    (MAX(us) - MIN(us)) // 1000000 AS dur_s
+  FROM s GROUP BY user_id, sess),
+f AS (SELECT dur_s, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY dur_s),
+cum AS (SELECT dur_s,
+    SUM(c) OVER (ORDER BY dur_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+    SUM(c) OVER () AS n FROM f),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS sessions,
+    CAST(SUM(n_events) AS BIGINT) AS events,
+    CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users FROM g)
+SELECT t.sessions, t.users, t.events,
+  CAST(1000 * t.events // t.sessions AS BIGINT) AS events_per_session_milli,
+  CAST(t.total_dur_s // t.sessions AS BIGINT) AS mean_dur_s,
+  CAST((SELECT MIN(dur_s) FROM cum WHERE 2 * cc >= n) AS BIGINT) AS p50_dur_s
+FROM tot t
+"""
+
+
+@query(
+    "q390_session_stats_census",
+    _SS_ORACLE,
+    doc="Session-stats census over q75's 30-min gap sessionization: "
+    "sessions, users, events, events-per-session in milli, mean and "
+    "exact p50 session duration (crossing device on the duration "
+    "frequency relation) — the daily engagement summary, reducing the "
+    "sessionization OP (q75 emits per-session rows) to the numbers a "
+    "product team reads.  Scale shape: the lag + running-sum session "
+    "ids are per-user windows off one shuffle; sessions collapse to a "
+    "per-(user, sess) aggregate; the p50 crossing runs on the "
+    "duration-frequency relation and the totals are one keyless "
+    "1-row aggregate.",
+    tags=("events", "window", "metrics"),
+)
+def q390(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w_u = Window.partitionBy("user_id").orderBy("us")
+    l = ev.select(
+        "user_id",
+        "us",
+        F.when(
+            F.col("us") - F.lag("us").over(w_u) > _SS_GAP_US, 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    s = l.select(
+        "user_id",
+        "us",
+        F.sum("brk")
+        .over(w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess"),
+    )
+    g = s.groupBy("user_id", "sess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("(MAX(us) - MIN(us)) DIV 1000000").alias("dur_s"),
+    )
+    g = g.localCheckpoint(eager=False)  # feeds totals AND the p50 crossing
+    f = g.groupBy("dur_s").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = distributed_running_sum(
+        f.withColumn("__g", F.lit(1)), "__g", ["dur_s"], "c", cum_col="cc",
+        total_col="__n",
+    )
+    nn = f.agg(F.sum("c").alias("n"))
+    p50 = (
+        cum.crossJoin(F.broadcast(nn))
+        .filter(2 * F.col("cc") >= F.col("n"))
+        .agg(F.min("dur_s").cast("long").alias("p50_dur_s"))
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("sessions"),
+        F.count_distinct("user_id").cast("long").alias("users"),
+        F.sum("n_events").cast("long").alias("events"),
+        F.sum("dur_s").cast("long").alias("total_dur_s"),
+    )
+    return tot.crossJoin(F.broadcast(p50)).select(
+        "sessions",
+        "users",
+        "events",
+        F.expr("CAST(1000 * events DIV sessions AS BIGINT)").alias(
+            "events_per_session_milli"
+        ),
+        F.expr("CAST(total_dur_s DIV sessions AS BIGINT)").alias("mean_dur_s"),
+        "p50_dur_s",
+    )

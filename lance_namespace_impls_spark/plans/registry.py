@@ -268,10 +268,10 @@ RE_VERIFY: set[str] = {
 REGRESSION_PROPOSED: tuple[str, ...] = (
     # the five shared-scale-device rows lead: the driver's ~50-row cap falls
     # on the tail, and these five must not be the rows it drops (the round-9
-    # front is 65 rows — 2 RE_VERIFY + 63 never-checked q323–q385 — so the
-    # regression slots wait one more round; all 63 new rows are locally
+    # front is 70 rows — 2 RE_VERIFY + 68 never-checked q323–q390 — so the
+    # regression slots wait one more round; all 68 new rows are locally
     # oracle-green at sf0.001 + sf0.01, q366–q370 and q376–q380 also at
-    # sf0.1, as are q381–q385; q371's sf0.1 oracle is the documented q99/q311
+    # sf0.1, as are q381–q390; q371's sf0.1 oracle is the documented q99/q311
     # quadratic-truth class)
     "q92_ntile_distributed", "q223_median_mad", "q232_ann_recall_audit",
     "q256_token_budget_fill", "q270_knn_graph",

@@ -112,6 +112,11 @@ CARTESIAN_ALLOWED = {
     "q381_purchase_hazard_census": "1-row exit-total bound broadcast into the 4-row at-risk backsum",
     "q382_event_path_trigrams": "1-row trigram-total bound broadcast into the share arithmetic",
     "q385_decision_stump_gain": "9-row decile spine + threshold non-equi crossing joins against the frequency relation (q323's class) + 1-row label totals",
+    # round-9 eighth batch
+    "q386_mrr_retrieval_eval": "8-row query broadcast against the corpus (the q232 brute-force audit sample)",
+    "q387_abc_pareto_classes": "1-row (revenue, part-count) totals broadcast into the class arithmetic",
+    "q388_rfm_segmentation": "three 1-row tercile-cut broadcasts + the fixed 27-cell grid spine",
+    "q390_session_stats_census": "1-row p50/total censuses cross-joined into the summary row",
 }
 
 # streaming builders start real runs; their plans are covered by the

@@ -110,6 +110,10 @@ NO_SINGLE_PARTITION = [
     # class; q385 excluded: distributed_running_sum offsets windows)
     "q383_mann_kendall_test",  # (type, day) relation pairs + per-type aggs
     "q384_weighted_median",  # flag-partitioned weight-crossing windows
+    # round-9 eighth batch (q387/q390 excluded on purpose: the
+    # distributed_running_sum offsets window + keyless 1-row censuses)
+    "q388_rfm_segmentation",  # dim-partitioned tercile crossings, grid census
+    "q389_funnel_by_arm",  # (arm, user)-keyed MIN cascade, 8-row census join
 ]
 
 # Queries whose output is (or depends on) a global 1-row bound: a keyless
