@@ -1,0 +1,198 @@
+"""Pure-Python property tests for the round-9 late-wave integer devices —
+no Spark session, so these run in milliseconds and pin the arithmetic the
+q366-q390 rows rely on against future refactors:
+
+* the ppm-space ECDF gap (q366) equals the exact cross-multiplied KS
+  statistic within the provable truncation slack, and never overflows;
+* the two-step DIV (q365/q371/q376) stays within one step of the exact
+  rational and is monotone in the numerator;
+* the fixed NDCG milli-discount table (q378) IS floor(1000/log2(pos+1));
+* Mann-Kendall's tie-corrected variance formula (q383) matches a
+  brute-force enumeration of Var(S) over small permutations;
+* the ppm-share Gini (q385) is within truncation slack of the exact
+  fraction and respects the [0, 500000] binary-impurity range;
+* the crossing-rule weighted median (q384) matches the O(n log n)
+  textbook definition on random weighted multisets.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+# ---------------------------------------------------------------------------
+# q366: ppm-space ECDF gap vs the exact cross-multiplied statistic
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    st.lists(st.integers(0, 50), min_size=1, max_size=40),
+)
+def test_ppm_ks_matches_exact_within_truncation(a, b):
+    a, b = sorted(a), sorted(b)
+    na, nb = len(a), len(b)
+    best_ppm = best_exact_scaled = 0
+    for v in sorted(set(a) | set(b)):
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        gap_ppm = abs(1_000_000 * ca // na - 1_000_000 * cb // nb)
+        best_ppm = max(best_ppm, gap_ppm)
+        best_exact_scaled = max(best_exact_scaled, abs(nb * ca - na * cb))
+    exact_ppm = 1_000_000 * best_exact_scaled / (na * nb)
+    # each DIV truncates < 1 ppm, so the device sits within 2 ppm of exact
+    assert best_ppm <= math.floor(exact_ppm) + 2
+    assert best_ppm >= exact_ppm - 2
+    assert 0 <= best_ppm <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# q365/q371/q376: the two-step DIV device
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(0, 10**12),
+    st.integers(1, 10**6),
+    st.integers(1, 10**6),
+)
+def test_two_step_div_error_bound(g, sa, sb):
+    from fractions import Fraction
+
+    # (1000*g // sa) * 1000 // sb vs exact 1e6*g/(sa*sb)
+    stepped = (1000 * g // sa) * 1000 // sb
+    exact = Fraction(1_000_000 * g, sa * sb)
+    # first truncation loses < 1 unit of g/sa, amplified by 1000/sb;
+    # second loses < 1 — both one-sided (the device never overshoots)
+    assert stepped <= exact
+    assert stepped >= exact - Fraction(1000, sb) - 1
+
+
+# ---------------------------------------------------------------------------
+# q378: the NDCG milli-discount table is floor(1000 / log2(pos + 1))
+
+
+def test_ndcg_discount_table_is_floor_log2():
+    from lance_namespace_impls_spark.operators.stataudit2 import (
+        _NDCG_DISC,
+        _NDCG_GAIN,
+    )
+
+    for pos, d in enumerate(_NDCG_DISC, start=1):
+        assert d == math.floor(1000 / math.log2(pos + 1))
+    k = len(_NDCG_GAIN)
+    for rank, g in enumerate(_NDCG_GAIN, start=1):
+        assert g == 2 ** (k - rank + 1) - 1
+
+
+# ---------------------------------------------------------------------------
+# q383: tie-corrected Mann-Kendall variance vs brute-force enumeration
+
+
+def _s_stat(seq):
+    return sum(
+        (b > a) - (b < a) for i, a in enumerate(seq) for b in seq[i + 1 :]
+    )
+
+
+def test_mann_kendall_var18_matches_enumeration():
+    # Var(S) over all orderings of a fixed multiset equals
+    # [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18 exactly
+    for multiset in ([1, 2, 3, 4], [1, 1, 2, 3], [2, 2, 2, 3], [1, 1, 2, 2]):
+        n = len(multiset)
+        perms = set(itertools.permutations(multiset))
+        ss = [_s_stat(p) for p in perms]
+        mean = sum(ss) / len(ss)
+        assert mean == 0
+        var = sum(s * s for s in ss) / len(ss)
+        ties: dict[int, int] = {}
+        for v in multiset:
+            ties[v] = ties.get(v, 0) + 1
+        tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+        var18 = n * (n - 1) * (2 * n + 5) - tie_term
+        assert abs(18 * var - var18) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q385: ppm-share Gini vs the exact fraction
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 10**9))
+def test_ppm_gini_tracks_exact(pos, tot):
+    pos = min(pos, tot)
+    pp = 1_000_000 * pos // tot
+    qq = 1_000_000 * (tot - pos) // tot
+    g = 1_000_000 - (pp * pp + qq * qq) // 1_000_000
+    p = pos / tot
+    exact = 1_000_000 * (1 - p * p - (1 - p) * (1 - p))
+    # each share truncates < 1 ppm; squares amplify by < 2, plus the final DIV
+    assert abs(g - exact) <= 5
+    assert 0 <= g <= 500_001
+
+
+# ---------------------------------------------------------------------------
+# q384: crossing-rule weighted median vs the textbook definition
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 100), st.integers(1, 20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_median_crossing_rule(pairs):
+    weights: dict[int, int] = {}
+    for v, w in pairs:
+        weights[v] = weights.get(v, 0) + w
+    tot = sum(weights.values())
+    cum = 0
+    crossing = None
+    for v in sorted(weights):
+        cum += weights[v]
+        if crossing is None and 2 * cum >= tot:
+            crossing = v
+    # textbook lower weighted median: smallest v with W(<= v) >= W/2
+    expanded = sorted(
+        itertools.chain.from_iterable([v] * w for v, w in weights.items())
+    )
+    cum2 = 0
+    textbook = None
+    for v in expanded:
+        cum2 += 1
+        if 2 * cum2 >= tot:
+            textbook = v
+            break
+    assert crossing == textbook
+
+
+# ---------------------------------------------------------------------------
+# q387: preceding-share ABC banding partitions with no gaps or overlaps
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(1, 10**6), min_size=1, max_size=50))
+def test_abc_banding_partitions(revs):
+    ranked = sorted(revs, reverse=True)
+    tr = sum(ranked)
+    cum = 0
+    bands = []
+    for rev in ranked:
+        cum += rev
+        prev = cum - rev
+        bands.append(
+            "A" if 100 * prev < 80 * tr else ("B" if 100 * prev < 95 * tr else "C")
+        )
+    # every part classed, A nonempty, and bands are contiguous A* B* C*
+    assert bands[0] == "A"
+    assert "".join(bands) == "".join(sorted(bands))
+    # the A band reaches at least 80% of revenue (its last part crosses)
+    a_rev = sum(r for r, b in zip(ranked, bands) if b == "A")
+    assert 100 * a_rev >= 80 * tr
