@@ -422,11 +422,12 @@ def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q370: time-weighted average value per event type
 
 _TWAP_ORACLE = """
-WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us,
     CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
   FROM events WHERE value IS NOT NULL),
 g AS (SELECT event_type, v,
-    (LEAD(us) OVER (PARTITION BY user_id, event_type ORDER BY us) - us)
+    (LEAD(us) OVER (PARTITION BY user_id, event_type
+                    ORDER BY us, event_id) - us)
       // 1000000 AS gap_s
   FROM e)
 SELECT event_type,
@@ -448,7 +449,10 @@ GROUP BY event_type ORDER BY event_type
     "twap_cents = SUM(v * gap) DIV SUM(gap) — the billing / "
     "state-duration aggregate where a plain AVG over-weights rapid-fire "
     "updates; the interval-weighted complement of q127's SCD2 validity "
-    "build and q299's gap percentiles.  Integer device: cents x "
+    "build and q299's gap percentiles.  The LEAD window orders by "
+    "(us, event_id) — the q382 tiebreak — so the gap-to-value pairing "
+    "is deterministic even when one user logs two same-type events at "
+    "an identical timestamp (ADVICE r9 #1).  Integer device: cents x "
     "seconds keeps the per-row product ~1e11, so corpus sums hold in "
     "BIGINT far past fixture scales; both engines truncate the "
     "us -> s and the final DIV identically.  Scale shape: one "
@@ -461,10 +465,11 @@ def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = ev.select(
         "user_id",
         "event_type",
+        "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
     )
-    w = Window.partitionBy("user_id", "event_type").orderBy("us")
+    w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
     g = e.select(
         "event_type",
         "v",

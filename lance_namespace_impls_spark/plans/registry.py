@@ -205,6 +205,34 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "q318_clustering_effectiveness", "q319_dedup_robustness_matrix",
         "q320_asof_nearest_join", "q321_ship_delay_sla",
         "q322_image_phash_neardup",
+        # round 9 greens (hash_match=true in CORRECTNESS_r09.json, 50 rows:
+        # the two RE_VERIFY recoveries — q272's single-relation S-curve
+        # rewrite and q313's real incremental delta path — plus the entire
+        # q323–q370 band on its first driver row, all green, zero errs).
+        "q323_quantile_merge_law", "q324_audio_window_census",
+        "q325_compaction_execution", "q326_snm_second_pass",
+        "q327_snapshot_read", "q328_hnsw_layered_search",
+        "q329_vacuum_execution", "q330_kmv_set_ops",
+        "q331_matryoshka_truncation", "q332_markov_backtest",
+        "q333_readability_census", "q334_tokenizer_roundtrip",
+        "q335_quality_dup_calibration", "q336_contrastive_margins",
+        "q337_cow_delete_execution", "q338_schema_evolution_read",
+        "q339_zonemap_prune_execution", "q340_sq_recall_audit",
+        "q341_neyman_allocation", "q342_normalization_idempotence",
+        "q343_dup_ngram_coverage", "q344_heavy_hitter_merge_law",
+        "q345_conjunctive_retrieval", "q346_optimistic_commit",
+        "q347_systematic_resampling", "q348_index_remap_after_compaction",
+        "q349_multiprobe_lsh_audit", "q350_crossmodal_dedup_agreement",
+        "q351_subject_access_extract", "q352_version_tags",
+        "q353_ushaped_attribution", "q354_merge_idempotence",
+        "q355_allowed_lateness_accounting", "q356_bucketed_topk_law",
+        "q357_incremental_changed_scan", "q358_exact_auc",
+        "q359_fellegi_sunter_linkage", "q360_benford_audit",
+        "q361_autocorr_census", "q362_k_anonymity_census",
+        "q363_cusum_changepoint", "q364_heaps_law",
+        "q365_chi2_independence", "q366_ks_ab_drift",
+        "q367_salting_skew_census", "q368_psi_drift",
+        "q369_stratified_kfold_census", "q370_time_weighted_average",
     }
 )
 # Changed-since-green set.  The round-4 RE_VERIFY names all cleared in
@@ -242,37 +270,53 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 # CORRECTNESS_r08.json and are folded into DRIVER_VERIFIED above — the debt
 # ledger is EMPTY for the first time since round 5.
 #
-# Round 9 (VERDICT-r8 #3 + ADVICE-r8 #1): two engines changed after their r8
-# greens and re-enter: q272 (the four banding configs' 8 driver-side .count()
-# actions folded into one grouped aggregate relation) and q313 (delta_pairs
-# now computed via the actual incremental probe path — batch-touched buckets
-# against the base band relation — so the merge law is falsifiable).  Both
-# re-verified locally at sf0.001 + sf0.01 before declaring; q313 also at
-# sf0.1 (q272's sf0.1 oracle is the documented quadratic-truth DuckDB class
-# whose gate is sf0.01 — see BASELINE.md).
+# Round 10: both round-9 RE_VERIFY rows (q272/q313) came back green in
+# CORRECTNESS_r09.json and are folded into DRIVER_VERIFIED above.  The set
+# below holds the rows whose engines change THIS round after a prior green
+# (VERDICT-r9 #2's shared-subtree reuse + ADVICE-r9 #1's q370 tiebreak);
+# each is re-verified locally at sf0.001 + sf0.01 before declaring.
 RE_VERIFY: set[str] = {
-    "q272_lsh_tuning_curve",
-    "q313_incremental_lsh_maintenance",
+    # ADVICE-r9 #1: LEAD window (and oracle OVER clause) now orders by
+    # (us, event_id) so the gap-to-value pairing is deterministic under
+    # same-timestamp same-type events — identical results on current
+    # fixtures (zero such duplicates), but builder + oracle both changed.
+    "q370_time_weighted_average",
+    # VERDICT-r9 #2a/#2b: the retrieval-eval and kNN families now read
+    # shared memoized substrates (embedding_ops.ivfpq_eval_relations,
+    # knn_graph.ranked_cell_pairs) instead of each rebuilding the same
+    # subtree — identical relations (exact integers, same plans), but the
+    # builders changed after their greens.  All re-verified locally at
+    # sf0.001 + sf0.01, consumers-first (the driver's order) to exercise
+    # the build-if-absent path.  q378/q386 (the other consumers) are in
+    # the unverified front already.
+    "q232_ann_recall_audit",
+    "q270_knn_graph",
+    "q295_graph_dedup",
+    "q336_contrastive_margins",
+    # VERDICT-r9 #4 (streaming/PyDS fixed-cost diet): q296's fixture prep
+    # is now ONE partitioned write on tmpfs (was four filtered scan+write
+    # jobs) with footer-derived source counts — same four quarter files,
+    # same censuses, rows-only check as before.  q113's reader now splits
+    # multi-row-group files into row-group-range tasks (scan parallelism
+    # tracks row groups, not files — no behavior change on the single-row-
+    # group fixtures, but the planner changed).
+    "q296_pyds_stream_replay",
+    "q113_python_datasource",
 }
 
-# Deliberate regression window (VERDICT-r8 #2).  With zero verification debt
-# and every oracle row driver-green, round 9's ~50-row window is free for the
-# first time — spend it re-validating the OLDEST greens against four rounds
-# of shared-helper drift.  _priority_order emits these right after the
-# unverified/RE_VERIFY front so the driver's cap lands on them: the q10–q46
-# band (last checked round 1, the oldest rows in the ledger) plus one row per
-# shared scale device whose helper code has since evolved —
-# q92 (distributed_ntile), q223 (crossing-rule percentiles), q232 (bucketed
-# partial top-k), q256 (routed token-budget running sums), q270 (kNN graph,
-# now also feeding q295).
+# Deliberate regression window (VERDICT-r8 #2, deferred twice; VERDICT-r9
+# #3).  _priority_order emits these right after the unverified/RE_VERIFY
+# front so the driver's ~50-row cap lands on them once the front is served.
+# Round-10 window math: the front is 20 verification-debt rows (q371–q390,
+# declared past round 9's window; all locally oracle-green, judge
+# spot-checked 6/6) + this round's RE_VERIFY + new rows — comfortably under
+# 50, so the debt is guaranteed to land and the remaining slots fall here:
+# the five shared-scale-device rows first (q92 distributed_ntile, q223
+# crossing-rule percentiles, q232 bucketed partial top-k, q256 routed
+# token-budget running sums, q270 kNN graph — their helpers evolved again in
+# rounds 9–10), then the q10–q46 antique band (last driver-checked in
+# rounds 1–2).
 REGRESSION_PROPOSED: tuple[str, ...] = (
-    # the five shared-scale-device rows lead: the driver's ~50-row cap falls
-    # on the tail, and these five must not be the rows it drops (the round-9
-    # front is 70 rows — 2 RE_VERIFY + 68 never-checked q323–q390 — so the
-    # regression slots wait one more round; all 68 new rows are locally
-    # oracle-green at sf0.001 + sf0.01, q366–q370 and q376–q380 also at
-    # sf0.1, as are q381–q390; q371's sf0.1 oracle is the documented q99/q311
-    # quadratic-truth class)
     "q92_ntile_distributed", "q223_median_mad", "q232_ann_recall_audit",
     "q256_token_budget_fill", "q270_knn_graph",
     "q10_broadcast_join", "q11_multiway_join_revenue", "q12_left_outer_join",

@@ -106,7 +106,8 @@ NO_SINGLE_PARTITION = [
     "q378_ndcg_graded_eval",  # query/bucket-partitioned rank windows, k-row censuses
     "q380_theil_sen_trend",  # day-spine pair join + type-partitioned crossing windows
     # round-9 seventh batch (q381 excluded on purpose: the at-risk backsum is
-    # a keyless window on the fixed 8-row day grid, the q263/q304 tiny-side
+    # a keyless window on the fixed 4-row day grid (days 0..3,
+    # spark.range(_KM_HORIZON_D + 1) with horizon 3), the q263/q304 tiny-side
     # class; q385 excluded: distributed_running_sum offsets windows)
     "q383_mann_kendall_test",  # (type, day) relation pairs + per-type aggs
     "q384_weighted_median",  # flag-partitioned weight-crossing windows
