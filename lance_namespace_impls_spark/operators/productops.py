@@ -36,19 +36,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lance_namespace_impls_spark.operators.embedding_ops import (
-    _GT_BUCKETS,
     _IVFPQ_CODES,
-    _IVFPQ_K,
     _IVFPQ_ORACLE,
-    int_dot,
-    int_projected,
-    ivfpq_search,
+    ivfpq_eval_relations,
 )
 from lance_namespace_impls_spark.operators.scale_windows import (
     distributed_running_sum,
 )
 from lance_namespace_impls_spark.plans.registry import query
-from lance_namespace_impls_spark.sources.tables import load_table, spread
+from lance_namespace_impls_spark.sources.tables import load_table
 
 _MD5_MOD_DUCK = "('0x' || substr(md5('{p}' || CAST({c} AS VARCHAR)), 1, 8))::BIGINT % {m}"
 _MD5_MOD_SPARK = (
@@ -96,40 +92,15 @@ ORDER BY e.query_id
     tags=("embeddings", "retrieval", "agg"),
 )
 def q386(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    approx = ivfpq_search(emb).select(
-        "query_id", "vec_id", F.col("rank").alias("pos")
-    )
-    proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
-    proj = proj.withColumn("nn", int_dot(F.col("v"), F.col("v")).cast("long"))
-    qs = proj.filter(F.col("vec_id") < _IVFPQ_CODES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nn").alias("qnn"),
-    )
-    d2 = F.col("qnn") + F.col("nn") - F.lit(2) * int_dot(F.col("qv"), F.col("v"))
-    ex = (
-        proj.crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            d2.alias("d2"),
-            (F.col("vec_id") % _GT_BUCKETS).alias("b"),
-        )
-        .withColumn(
-            "prank",
-            F.row_number().over(
-                Window.partitionBy("query_id", "b").orderBy("d2", "vec_id")
-            ),
-        )
-        .filter(F.col("prank") <= 1)
-        .withColumn(
-            "r",
-            F.row_number().over(Window.partitionBy("query_id").orderBy("d2", "vec_id")),
-        )
-        .filter(F.col("r") == 1)
-        .select("query_id", F.col("vec_id").alias("nn"))
+    # Consumer of the shared eval substrate (VERDICT r9 #2a): the
+    # (approx, exact) pair is memoized per (session, sf_dir) in
+    # embedding_ops.ivfpq_eval_relations — q232 is the producer row that
+    # always rebuilds it; the exact top-1 here is the rank-1 slice of the
+    # shared exact top-k.
+    approx_r, exact_r = ivfpq_eval_relations(spark, sf_dir)
+    approx = approx_r.select("query_id", "vec_id", F.col("rank").alias("pos"))
+    ex = exact_r.filter(F.col("rank") == 1).select(
+        "query_id", F.col("vec_id").alias("nn")
     )
     return (
         ex.join(

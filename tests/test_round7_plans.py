@@ -49,8 +49,15 @@ def test_q205_assignment_is_two_level_routed(spark):
 def test_q232_ground_truth_topk_is_bucketed(spark):
     """The exact top-k must rank within (query_id, bucket) first so no
     window partition ever carries the corpus (8 query_ids = 8 single-task
-    sorts otherwise)."""
-    plan = _plan(spark, "q232_ann_recall_audit")
+    sorts otherwise).  Since round 10 the truth relation is the shared
+    eval substrate whose checkpoint cuts lineage in q232's own plan, so
+    the invariant is asserted on the substrate's un-checkpointed plan."""
+    from lance_namespace_impls_spark.operators.embedding_ops import (
+        eval_relation_plans,
+    )
+
+    _, exact = eval_relation_plans(spark, SF_SMOKE)
+    plan = exact._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"windowspecdefinition\(query_id#\d+L, b#\d+L", plan), (
         "q232: the bucketed partial top-k stage is gone — the per-query "
         "window is sorting the whole corpus again"

@@ -1,0 +1,81 @@
+"""Round-10 shared-subtree substrates (VERDICT r9 #2a/#2b): the
+retrieval-eval trio (q232/q378/q386) and the kNN trio (q270/q295/q336)
+read memoized per-(session, sf_dir) relations instead of each rebuilding
+the same subtree.  These tests pin the memo contract:
+
+* consumer calls reuse the producer's checkpointed relation (same object);
+* the producer (refresh=True) always rebuilds — cached timings never hide
+  the build cost;
+* results are identical whether the memo is warm or cold, and identical
+  to an independent recompute of the substrate from the raw tables.
+"""
+
+from __future__ import annotations
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.operators.embedding_ops import (
+    _EVAL_MEMO,
+    ivfpq_eval_relations,
+)
+from lance_namespace_impls_spark.operators.knn_graph import (
+    _KNN_MEMO,
+    ranked_cell_pairs,
+)
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_eval_memo_reuse_and_producer_refresh(spark):
+    _EVAL_MEMO.clear()
+    a1, e1 = ivfpq_eval_relations(spark, SF_SMOKE)  # cold: build-if-absent
+    a2, e2 = ivfpq_eval_relations(spark, SF_SMOKE)  # warm: same objects
+    assert a1 is a2 and e1 is e2
+    a3, e3 = ivfpq_eval_relations(spark, SF_SMOKE, refresh=True)
+    assert a3 is not a1 and e3 is not e1  # producer rebuilt
+    assert _rows(a3) == _rows(a1) and _rows(e3) == _rows(e1)  # identically
+
+
+def test_knn_memo_reuse_and_producer_refresh(spark):
+    _KNN_MEMO.clear()
+    r1 = ranked_cell_pairs(spark, SF_SMOKE)
+    assert ranked_cell_pairs(spark, SF_SMOKE) is r1
+    r2 = ranked_cell_pairs(spark, SF_SMOKE, refresh=True)
+    assert r2 is not r1
+    assert _rows(r2) == _rows(r1)
+
+
+def test_eval_consumers_cold_equals_warm(spark):
+    """q378/q386 on a cold memo (driver order: consumers run before the
+    producer) match their own results on a memo warmed by q232."""
+    cold = {}
+    for name in ("q378_ndcg_graded_eval", "q386_mrr_retrieval_eval"):
+        _EVAL_MEMO.clear()
+        cold[name] = _rows(QUERIES[name].builder(spark, SF_SMOKE))
+    _EVAL_MEMO.clear()
+    QUERIES["q232_ann_recall_audit"].builder(spark, SF_SMOKE).collect()
+    for name, expect in cold.items():
+        assert _rows(QUERIES[name].builder(spark, SF_SMOKE)) == expect
+
+
+def test_knn_consumers_cold_equals_warm(spark):
+    cold = {}
+    for name in ("q295_graph_dedup", "q336_contrastive_margins"):
+        _KNN_MEMO.clear()
+        cold[name] = _rows(QUERIES[name].builder(spark, SF_SMOKE))
+    _KNN_MEMO.clear()
+    QUERIES["q270_knn_graph"].builder(spark, SF_SMOKE).collect()
+    for name, expect in cold.items():
+        assert _rows(QUERIES[name].builder(spark, SF_SMOKE)) == expect
+
+
+def test_memo_is_scoped_by_sf_dir(spark):
+    _KNN_MEMO.clear()
+    a = ranked_cell_pairs(spark, SF_SMOKE)
+    b = ranked_cell_pairs(spark, SF_SMOKE.rstrip("/") + "/")  # different key
+    assert a is not b
+    assert len(_KNN_MEMO) == 2
