@@ -57,8 +57,19 @@ if TYPE_CHECKING:  # pragma: no cover
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
+    """One scan task: a file, or a row-group range within it.
+
+    ``row_groups`` is None for whole-file scans (the writer just produced
+    the file and its footer was not consulted) and a list of row-group ids
+    when the planner split a multi-row-group file — read parallelism then
+    tracks row groups, not files, so ONE huge file cannot serialize a
+    scan (the 100 TB posture: a compacted table is few files x many row
+    groups).
+    """
+
+    def __init__(self, path: str, row_groups: list[int] | None = None):
         self.path = path
+        self.row_groups = row_groups
 
 
 def _list_data_files(location: str) -> list[str]:
@@ -94,8 +105,37 @@ class LanceNamespaceReader(DataSourceReader):
             else:
                 yield f  # unsupported: Spark keeps evaluating it
 
+    # Target row groups per scan task when splitting a multi-row-group
+    # file.  Written files here carry 1-4 row groups; a compacted 100 TB
+    # table carries hundreds per file — grouping a few per task amortizes
+    # the per-task footer read without serializing the scan.
+    _ROW_GROUPS_PER_TASK = 4
+
     def partitions(self) -> Sequence[InputPartition]:
-        return [_FilePartition(p) for p in self._files]
+        """One task per file, split to row-group ranges for big files.
+
+        Planning reads only footers (driver-side metadata, the same cost
+        class as Spark's own parquet file index).  Files with a single
+        row group — and files whose footer cannot be read — stay
+        whole-file tasks.
+        """
+        import pyarrow.parquet as pq
+
+        out: list[_FilePartition] = []
+        step = self._ROW_GROUPS_PER_TASK
+        for path in self._files:
+            try:
+                n_rg = pq.ParquetFile(path).metadata.num_row_groups
+            except Exception:
+                n_rg = 1
+            if n_rg <= step:
+                out.append(_FilePartition(path))
+            else:
+                for lo in range(0, n_rg, step):
+                    out.append(
+                        _FilePartition(path, list(range(lo, min(lo + step, n_rg))))
+                    )
+        return out
 
     def _arrow_filter(self):
         import pyarrow.compute as pc
@@ -124,10 +164,22 @@ class LanceNamespaceReader(DataSourceReader):
         from lance_namespace_impls_spark.catalog.schema import spark_schema_to_arrow
 
         ds = pads.dataset(partition.path, format="parquet")
-        scanner = ds.scanner(
-            columns=[f.name for f in self._schema.fields],
-            filter=self._arrow_filter(),
-        )
+        columns = [f.name for f in self._schema.fields]
+        if partition.row_groups is not None:
+            # Row-group-range task: scan only this task's slice of the
+            # file.  Pushed filters still skip row groups on statistics
+            # within the slice (the fragment scanner applies them the
+            # same way the dataset scanner does).
+            frag = next(iter(ds.get_fragments())).subset(
+                row_group_ids=partition.row_groups
+            )
+            scanner = frag.scanner(
+                schema=ds.schema,
+                columns=columns,
+                filter=self._arrow_filter(),
+            )
+        else:
+            scanner = ds.scanner(columns=columns, filter=self._arrow_filter())
         # Spark's Arrow ingest expects batches matching the declared Spark
         # schema exactly (e.g. timestamps in MICROS); cast per batch — cheap,
         # columnar, and schema-driven by the same conversion matrix the
@@ -431,7 +483,14 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicate count (0 iff the replay was idempotent) and the batch "
     "census read back from the batch-id file prefixes.  Scale shape: the "
     "sink is file-granular and commit work is per-batch metadata only; "
-    "the census is one aggregate over the sink scan.",
+    "the census is one aggregate over the sink scan.  Fixed-cost diet "
+    "(VERDICT r9 #4): the whole working set (source files, namespace, "
+    "sink, checkpoint) lives on tmpfs when available — checkpoint WAL "
+    "fsyncs are the dominant per-batch cost on local disk and pure "
+    "overhead for a scratch fixture — and the four quarter files come "
+    "from ONE partitioned write (repartition on the quarter key, "
+    "partitionBy, rename flat) instead of four filtered scan+write "
+    "jobs.",
     tags=("streaming", "pyds", "catalog"),
 )
 def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,7 +505,10 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_runtime_conf(spark)
     spark.dataSource.register(LanceNamespaceDataSource)
-    work = tempfile.mkdtemp(prefix="lni_pyds_replay_")
+    # Scratch on tmpfs when the host has one: every byte here is
+    # throwaway fixture state, so checkpoint/sink durability buys nothing.
+    scratch_root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    work = tempfile.mkdtemp(prefix="lni_pyds_replay_", dir=scratch_root)
     try:
         root = os.path.join(work, "ns")
         ns = DirectoryNamespace({"root": root})
@@ -459,12 +521,41 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
             "event_id", "user_id"
         )
-        n_src = ev.count()
-        # four deterministic quarter files (event_id % 4) -> four batches
+        # four deterministic quarter files (event_id % 4) -> four batches,
+        # written by ONE job: repartition on the quarter key so each key
+        # lands in exactly one task (one file per partition directory),
+        # then flatten the partition layout by rename.  partitionBy drops
+        # the quarter column from the data files, so the flat files carry
+        # exactly ev's schema — batch composition is identical to the old
+        # four filtered writes, and which file becomes which micro-batch
+        # is irrelevant to the census (it counts distinct batch ids).
+        staged = os.path.join(work, "src_parts")
+        (
+            ev.withColumn("b", F.pmod("event_id", F.lit(4)))
+            .repartition("b")
+            .write.partitionBy("b")
+            .parquet(staged)
+        )
+        os.makedirs(src, exist_ok=True)
+        # Source row count from the quarter files' parquet footers —
+        # driver-side metadata on tmpfs, replacing a whole count() job on
+        # the events scan (the files were just written by this builder, so
+        # footer counts ARE the source counts).
+        import pyarrow.parquet as pq
+
+        n_src = 0
         for k in range(4):
-            ev.filter(F.pmod("event_id", F.lit(4)) == k).coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
+            part_dir = os.path.join(staged, f"b={k}")
+            files = [
+                f
+                for f in os.listdir(part_dir)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+            assert len(files) == 1, files  # one task per quarter key
+            dest = os.path.join(src, f"quarter-{k}.parquet")
+            os.replace(os.path.join(part_dir, files[0]), dest)
+            n_src += pq.ParquetFile(dest).metadata.num_rows
+        shutil.rmtree(staged, ignore_errors=True)
 
         def run_stream() -> None:
             import time

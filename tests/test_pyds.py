@@ -76,6 +76,48 @@ def test_one_partition_per_file(tmp_path, spark):
     assert len(reader.partitions()) == 3
 
 
+def test_row_group_split_partitions_and_matches_whole_file(tmp_path, spark):
+    """A multi-row-group file splits into row-group-range tasks (read
+    parallelism tracks row groups, not files — the 100 TB posture for
+    compacted tables), and the split scan returns exactly the whole-file
+    rows, with pushed filters still applied per slice."""
+    import pyarrow.parquet as pq
+
+    src = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    out = str(tmp_path / "rg.parquet")
+    pdf = src.toPandas()
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(pdf), out, row_group_size=500)
+    n_rg = pq.ParquetFile(out).metadata.num_row_groups
+    assert n_rg > LanceNamespaceReader._ROW_GROUPS_PER_TASK  # split applies
+
+    reader = LanceNamespaceReader(out, src.schema)
+    parts = reader.partitions()
+    assert len(parts) > 1
+    covered = sorted(rg for p in parts for rg in p.row_groups)
+    assert covered == list(range(n_rg))  # disjoint, complete
+
+    got = [b.to_pydict() for p in parts for b in reader.read(p)]
+    n = sum(len(d["l_orderkey"]) for d in got)
+    assert n == len(pdf)
+
+    # pushed filter applies inside each slice
+    from pyspark.sql.datasource import GreaterThan
+
+    fr = LanceNamespaceReader(out, src.schema)
+    rest = list(fr.pushFilters([GreaterThan(("l_quantity",), 25.0)]))
+    assert rest == []
+    kept = sum(
+        len(b.column("l_quantity"))
+        for p in fr.partitions()
+        for b in fr.read(p)
+    )
+    assert kept == int((pdf["l_quantity"] > 25.0).sum())
+
+
 def test_write_roundtrip_and_overwrite(spark, tmp_path):
     spark.dataSource.register(LanceNamespaceDataSource)
     root = str(tmp_path / "wroot")
