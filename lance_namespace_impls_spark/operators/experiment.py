@@ -1,0 +1,370 @@
+"""Round-10: the one-pass experiment readout (SURVEY.md §2B row q391).
+
+The shared-arm experiment family — q314 (SRM counts), q366 (KS value
+drift), q372 (CUPED readout), q389 (funnel by arm) — audits the SAME md5
+arm assignment over four independent scans of ``events``.  An experiment
+dashboard runs exactly these censuses together off one scan; this row IS
+that composite: a single checkpointed base relation (user, type, epoch-us,
+cents, arm) feeds all four censuses, and the output is the 7-row decision
+readout (VERDICT r9 #5).
+
+Devices are the family's own, unchanged: md5('ab|'||user) % 100 < 50 ⇒ arm
+A (q314); pooled ECDF gaps in ppm-before-gap form (q366's overflow
+discipline), with the global value-domain cumulative routed through
+``distributed_running_sum`` (a keyless ordered window over ~5e7 distinct
+cents would still collapse onto one task — the q377/q385 rule); CUPED in
+MEAN-space with dollar-centered integer moments (q372 — sum-space dies at
+~1e9 users); the user-keyed MIN cascade for the ordered funnel (q389).
+
+Reference parity note: the reference repo (lance-format/lance-namespace-impls)
+contains no query-processing code; these extend the data plane per
+SURVEY.md §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.operators.scale_windows import (
+    distributed_running_sum,
+)
+from lance_namespace_impls_spark.plans.registry import query
+from lance_namespace_impls_spark.sources.tables import load_table
+
+_MD5_MOD_DUCK = "('0x' || substr(md5('{p}' || CAST({c} AS VARCHAR)), 1, 8))::BIGINT % {m}"
+_MD5_MOD_SPARK = (
+    "CAST(conv(substring(md5(concat('{p}', CAST({c} AS STRING))), 1, 8), 16, 10) "
+    "AS BIGINT) % {m}"
+)
+
+# q372's pre/post pivot, as epoch-us under the UTC session timezone.
+_PIVOT_US = 1_705_363_200_000_000  # 2024-01-16 00:00:00 UTC
+_FUNNEL_W_US = 86_400_000_000
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+_EXPT_ORACLE = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+    CASE WHEN value IS NULL THEN NULL
+         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS v,
+    CASE WHEN {_MD5_MOD_DUCK.format(p='ab|', c='user_id', m=100)} < 50
+         THEN 'A' ELSE 'B' END AS arm
+  FROM events),
+uarm AS (SELECT arm, user_id FROM e GROUP BY arm, user_id),
+srm AS (SELECT
+    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ua,
+    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS ub
+  FROM uarm),
+f AS (SELECT v,
+    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM e WHERE v IS NOT NULL GROUP BY v),
+c AS (SELECT v,
+    SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_a,
+    SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_b,
+    SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb FROM f),
+ks AS (SELECT CAST(MAX(na) AS BIGINT) AS na, CAST(MAX(nb) AS BIGINT) AS nb,
+    CAST(MAX(abs(1000000 * cum_a // na - 1000000 * cum_b // nb)) AS BIGINT)
+      AS ks_ppm
+  FROM c),
+uv AS (SELECT user_id, arm,
+    CAST(SUM(CASE WHEN us < {_PIVOT_US} THEN v ELSE 0 END) AS BIGINT) AS x,
+    CAST(SUM(CASE WHEN us >= {_PIVOT_US} THEN v ELSE 0 END) AS BIGINT) AS y
+  FROM e WHERE v IS NOT NULL GROUP BY user_id, arm),
+gm AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy FROM uv),
+ctr AS (SELECT uv.x // 100 - (gm.sx // 100) // gm.nu AS cxd,
+               uv.y // 100 - (gm.sy // 100) // gm.nu AS cyd
+        FROM uv, gm),
+th AS (SELECT CAST(1000000 * SUM(cxd * cyd)
+         // GREATEST(SUM(cxd * cxd), 1) AS BIGINT) AS theta_ppm FROM ctr),
+armc AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS users,
+    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+  FROM uv GROUP BY arm),
+adj AS (SELECT a.arm,
+    CAST(10 * a.sy // a.users
+      - th.theta_ppm * (10 * a.sx // a.users - 10 * gm.sx // gm.nu) // 1000000
+      AS BIGINT) AS adj_milli, th.theta_ppm
+  FROM armc a, th, gm),
+cupedw AS (SELECT
+    CAST(MAX(CASE WHEN arm = 'A' THEN adj_milli END) AS BIGINT) AS adj_a,
+    CAST(MAX(CASE WHEN arm = 'B' THEN adj_milli END) AS BIGINT) AS adj_b,
+    CAST(MAX(theta_ppm) AS BIGINT) AS theta FROM adj),
+s1 AS (SELECT arm, user_id, MIN(us) AS t FROM e WHERE event_type = 'signup'
+       GROUP BY arm, user_id),
+s2 AS (SELECT s1.arm, e.user_id, MIN(e.us) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.us > s1.t
+         AND e.us <= s1.t + {_FUNNEL_W_US}
+       GROUP BY s1.arm, e.user_id),
+s3 AS (SELECT s2.arm, e.user_id, MIN(e.us) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'click' AND e.us > s2.t
+         AND e.us <= s2.t + {_FUNNEL_W_US}
+       GROUP BY s2.arm, e.user_id),
+s4 AS (SELECT s3.arm, e.user_id, MIN(e.us) AS t FROM e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.us > s3.t
+         AND e.us <= s3.t + {_FUNNEL_W_US}
+       GROUP BY s3.arm, e.user_id),
+raw_census AS (
+  SELECT arm, 1 AS step, CAST(COUNT(*) AS BIGINT) AS users FROM s1 GROUP BY arm
+  UNION ALL SELECT arm, 2, CAST(COUNT(*) AS BIGINT) FROM s2 GROUP BY arm
+  UNION ALL SELECT arm, 3, CAST(COUNT(*) AS BIGINT) FROM s3 GROUP BY arm
+  UNION ALL SELECT arm, 4, CAST(COUNT(*) AS BIGINT) FROM s4 GROUP BY arm),
+spine AS (SELECT a.arm, s.step, s.name FROM
+  (SELECT 'A' AS arm UNION ALL SELECT 'B') a,
+  (VALUES (1, '1_signup'), (2, '2_view'), (3, '3_click'), (4, '4_purchase'))
+    s(step, name)),
+census AS (SELECT sp.arm, sp.step, sp.name, COALESCE(rc.users, 0) AS users
+  FROM spine sp LEFT JOIN raw_census rc
+    ON rc.arm = sp.arm AND rc.step = sp.step),
+conv AS (SELECT c.arm, c.step, c.name, c.users,
+    CAST(1000000 * c.users // GREATEST(p.users, 1) AS BIGINT) AS conv_ppm
+  FROM census c JOIN census p
+    ON p.arm = c.arm AND p.step = GREATEST(c.step - 1, 1)),
+funnelw AS (SELECT a.name, CAST(a.users AS BIGINT) AS ua,
+    CAST(b.users AS BIGINT) AS ub,
+    CAST(a.conv_ppm - b.conv_ppm AS BIGINT) AS delta
+  FROM conv a JOIN conv b ON b.name = a.name AND a.arm = 'A' AND b.arm = 'B')
+SELECT metric, a_value, b_value, stat_ppm FROM (
+  SELECT '1_srm_users' AS metric, ua AS a_value, ub AS b_value,
+    CAST(1000000 * ABS(ua - ub) // (ua + ub) AS BIGINT) AS stat_ppm FROM srm
+  UNION ALL
+  SELECT '2_ks_value_cents', na, nb, ks_ppm FROM ks
+  UNION ALL
+  SELECT '3_cuped_adj_milli', adj_a, adj_b, theta FROM cupedw
+  UNION ALL
+  SELECT '4_funnel_' || name, ua, ub, delta FROM funnelw
+) ORDER BY metric
+"""
+
+
+@query(
+    "q391_experiment_readout",
+    _EXPT_ORACLE,
+    doc="One-pass experiment readout — the dashboard composite of the "
+    "shared-arm family (VERDICT r9 #5): SRM user counts (q314's gate), "
+    "pooled value-distribution KS (q366's drift device), CUPED-adjusted "
+    "per-arm means with theta (q372's estimator) and the four ordered "
+    "funnel steps with per-step A-B conversion deltas (q389's cascade), "
+    "all derived from ONE checkpointed scan of events carrying the md5 "
+    "arm assignment — where the four standalone rows scan events four "
+    "times, the dashboard a platform actually serves runs exactly this "
+    "single-scan shape.  Every number is the family's own exact-integer "
+    "device (ppm-before-gap ECDFs, mean-space CUPED, dense funnel "
+    "spine), so the 7-row readout is hash-exact.  Scale shape: one "
+    "events scan into a checkpoint; per-user and per-value aggregates "
+    "off it; the pooled ECDF cumulative runs through "
+    "distributed_running_sum (value-domain cumulatives never ride a "
+    "keyless ordered window — the q377/q385 rule); funnel joins are "
+    "user-keyed MIN cascades; every census is schema-bounded (2 arms x "
+    "4 steps, 7 output rows).",
+    tags=("events", "agg", "metrics", "composite"),
+)
+def q391(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.when(
+            F.col("value").isNotNull(),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+        ).alias("v"),
+        F.when(
+            F.expr(_MD5_MOD_SPARK.format(p="ab|", c="user_id", m=100)) < 50, "A"
+        )
+        .otherwise("B")
+        .alias("arm"),
+    )
+    # ONE events scan: every census below reads this materialization.
+    base = base.localCheckpoint(eager=False)
+
+    # --- 1: SRM user census -------------------------------------------------
+    srm = (
+        base.select("arm", "user_id")
+        .distinct()
+        .agg(
+            F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+            .cast("long")
+            .alias("ua"),
+            F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+            .cast("long")
+            .alias("ub"),
+        )
+        .select(
+            F.lit("1_srm_users").alias("metric"),
+            F.col("ua").alias("a_value"),
+            F.col("ub").alias("b_value"),
+            F.expr("CAST(1000000 * ABS(ua - ub) DIV (ua + ub) AS BIGINT)").alias(
+                "stat_ppm"
+            ),
+        )
+    )
+
+    # --- 2: pooled two-sample KS over value cents ----------------------------
+    vals = base.filter(F.col("v").isNotNull())
+    freq = vals.groupBy("v").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).cast("long").alias("ca"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).cast("long").alias("cb"),
+    )
+    # Melt to (lane, v, c) — zero-filled, so both lanes carry a row at every
+    # v — and cumulate per lane through the distributed two-pass device.
+    lanes = freq.selectExpr("'A' AS lane", "v", "ca AS c").unionByName(
+        freq.selectExpr("'B' AS lane", "v", "cb AS c")
+    )
+    rs = distributed_running_sum(lanes, "lane", ["v"], "c")
+    ecdf = rs.groupBy("v").agg(
+        F.max(F.when(F.col("lane") == "A", F.col("cum"))).alias("cum_a"),
+        F.max(F.when(F.col("lane") == "B", F.col("cum"))).alias("cum_b"),
+        F.max(F.when(F.col("lane") == "A", F.col("total"))).alias("na"),
+        F.max(F.when(F.col("lane") == "B", F.col("total"))).alias("nb"),
+    )
+    ks = ecdf.agg(
+        F.max("na").cast("long").alias("na"),
+        F.max("nb").cast("long").alias("nb"),
+        F.max(
+            F.abs(
+                F.expr("1000000 * cum_a DIV na") - F.expr("1000000 * cum_b DIV nb")
+            )
+        )
+        .cast("long")
+        .alias("ks_ppm"),
+    ).select(
+        F.lit("2_ks_value_cents").alias("metric"),
+        F.col("na").alias("a_value"),
+        F.col("nb").alias("b_value"),
+        F.col("ks_ppm").alias("stat_ppm"),
+    )
+
+    # --- 3: CUPED adjusted means (q372's mean-space integer estimator) -------
+    uv = vals.groupBy("user_id", "arm").agg(
+        F.sum(F.when(F.col("us") < _PIVOT_US, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("us") >= _PIVOT_US, F.col("v")).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    uv = uv.localCheckpoint(eager=False)  # feeds grand moments, theta, arms
+    gm = uv.agg(
+        F.count(F.lit(1)).cast("long").alias("nu"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    ctr = uv.crossJoin(F.broadcast(gm)).select(
+        F.expr("x DIV 100 - (sx DIV 100) DIV nu").alias("cxd"),
+        F.expr("y DIV 100 - (sy DIV 100) DIV nu").alias("cyd"),
+    )
+    th = ctr.agg(
+        F.expr(
+            "CAST(1000000 * SUM(cxd * cyd) DIV GREATEST(SUM(cxd * cxd), 1) "
+            "AS BIGINT)"
+        ).alias("theta_ppm")
+    )
+    armc = uv.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("users"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    adj = (
+        armc.crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(gm.select("nu", F.col("sx").alias("gsx"))))
+        .select(
+            "arm",
+            F.expr(
+                "CAST(10 * sy DIV users - theta_ppm * "
+                "(10 * sx DIV users - 10 * gsx DIV nu) DIV 1000000 AS BIGINT)"
+            ).alias("adj_milli"),
+            "theta_ppm",
+        )
+    )
+    cuped = adj.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("adj_milli")))
+        .cast("long")
+        .alias("adj_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("adj_milli")))
+        .cast("long")
+        .alias("adj_b"),
+        F.max("theta_ppm").cast("long").alias("theta"),
+    ).select(
+        F.lit("3_cuped_adj_milli").alias("metric"),
+        F.col("adj_a").alias("a_value"),
+        F.col("adj_b").alias("b_value"),
+        F.col("theta").alias("stat_ppm"),
+    )
+
+    # --- 4: ordered funnel per arm (q389's user-keyed MIN cascade) -----------
+    prev = None
+    censuses = []
+    for i, etype in enumerate(_FUNNEL_STEPS, start=1):
+        cur = base.filter(F.col("event_type") == etype)
+        if prev is not None:
+            cur = cur.drop("arm").join(prev, "user_id").filter(
+                (F.col("us") > F.col("t"))
+                & (F.col("us") <= F.col("t") + _FUNNEL_W_US)
+            )
+        stage = cur.groupBy("arm", "user_id").agg(F.min("us").alias("t"))
+        censuses.append(
+            stage.groupBy("arm").agg(
+                F.lit(i).alias("step"),
+                F.lit(f"{i}_{etype}").alias("name"),
+                F.count(F.lit(1)).cast("long").alias("users"),
+            )
+        )
+        prev = stage.select("user_id", "arm", "t")
+    raw_census = censuses[0]
+    for x in censuses[1:]:
+        raw_census = raw_census.unionByName(x)
+    spine = spark.createDataFrame(
+        [
+            (arm, i, f"{i}_{etype}")
+            for arm in ("A", "B")
+            for i, etype in enumerate(_FUNNEL_STEPS, start=1)
+        ],
+        "arm string, step int, name string",
+    )
+    census = spine.join(raw_census.drop("name"), ["arm", "step"], "left").select(
+        "arm", "step", "name", F.coalesce("users", F.lit(0)).alias("users")
+    )
+    census = census.localCheckpoint(eager=False)  # self-join for conversion
+    p = census.select(
+        F.col("arm").alias("p_arm"),
+        F.col("step").alias("p_step"),
+        F.col("users").alias("p_users"),
+    )
+    conv = census.join(
+        p,
+        (F.col("p_arm") == F.col("arm"))
+        & (F.col("p_step") == F.greatest(F.col("step") - 1, F.lit(1))),
+    ).select(
+        "arm",
+        "name",
+        "users",
+        F.expr("CAST(1000000 * users DIV GREATEST(p_users, 1) AS BIGINT)").alias(
+            "conv_ppm"
+        ),
+    )
+    ca = conv.filter(F.col("arm") == "A").select(
+        "name",
+        F.col("users").alias("ua"),
+        F.col("conv_ppm").alias("conv_a"),
+    )
+    cb = conv.filter(F.col("arm") == "B").select(
+        "name",
+        F.col("users").alias("ub"),
+        F.col("conv_ppm").alias("conv_b"),
+    )
+    funnel = ca.join(cb, "name").select(
+        F.concat(F.lit("4_funnel_"), F.col("name")).alias("metric"),
+        F.col("ua").cast("long").alias("a_value"),
+        F.col("ub").cast("long").alias("b_value"),
+        (F.col("conv_a") - F.col("conv_b")).cast("long").alias("stat_ppm"),
+    )
+
+    return (
+        srm.unionByName(ks)
+        .unionByName(cuped)
+        .unionByName(funnel)
+        .orderBy("metric")
+    )

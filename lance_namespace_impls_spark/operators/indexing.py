@@ -287,3 +287,205 @@ def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pair_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q392 — incremental IVF index maintenance law (round 10, VERDICT r9 #6):
+# the APPEND path of the ANN index family.  Build (q218/q328/q340), audits
+# (q264/q265/q300/q349) and remap-after-compaction (q348) exist; this row
+# proves the posting update an append performs — ONLY the batch routes
+# against the FROZEN base-derived router, and per-cell (count, XOR
+# signature) states merge additively — equals the from-scratch rebuild
+# against the same router, both paths emitted side by side so the oracle
+# hash-checks the law itself.  Falsifiable: if the incremental path ever
+# derives its router from batch-polluted seeds (the drift bug this law
+# exists to catch; centroid RETRAIN is q271's separate decision), cells
+# diverge and law_ok drops to 0.  Reference tie-in: the lance index
+# lifecycle the catalog family delegates (indices are maintained per
+# fragment append, not rebuilt).
+
+_IVFAPP_MOD = 10  # every 10th vector (md5) is the append batch
+
+from lance_namespace_impls_spark.functions.hashing import (  # noqa: E402
+    MD5_H32_DUCK as _APP_H32_DUCK,
+)
+from lance_namespace_impls_spark.functions.vectors import (  # noqa: E402
+    int_projected,
+)
+from lance_namespace_impls_spark.operators.traindata import (  # noqa: E402
+    cluster_bounds,
+    routed_assignment,
+)
+
+_APP_SIG_DUCK = _APP_H32_DUCK.format(x="'sig|' || CAST(vec_id AS VARCHAR)")
+_APP_SIG_SPARK = (
+    "CAST(conv(substring(md5(concat('sig|', CAST(vec_id AS STRING))), 1, 8), "
+    "16, 10) AS BIGINT)"
+)
+_APP_SPLIT_DUCK = _APP_H32_DUCK.format(x="'ivfapp|' || CAST(vec_id AS VARCHAR)")
+_APP_SPLIT_SPARK = (
+    "CAST(conv(substring(md5(concat('ivfapp|', CAST(vec_id AS STRING))), 1, 8), "
+    "16, 10) AS BIGINT)"
+)
+
+
+def _app_route_sql(src: str, out: str) -> str:
+    """Routing CTE chain for ``src`` against the frozen base router
+    (cc/sup CTEs) — the DuckDB twin of routed_assignment(...,
+    router_proj=base)."""
+    return (
+        f"vr_{out} AS (SELECT vec_id, v, cell FROM ("
+        "  SELECT p.vec_id, p.v, s.s AS cell, ROW_NUMBER() OVER ("
+        "    PARTITION BY p.vec_id ORDER BY "
+        "    CAST(list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, s.sv) "
+        "         + list_dot_product(s.sv, s.sv) AS BIGINT), s.s) AS rn "
+        f"  FROM {src} p CROSS JOIN sup s) WHERE rn = 1), "
+        f"d_{out} AS (SELECT vr.vec_id, cc.c, "
+        "  CAST(list_dot_product(vr.v, vr.v) - 2 * list_dot_product(vr.v, cc.cv) "
+        f"       + list_dot_product(cc.cv, cc.cv) AS BIGINT) AS dist "
+        f"  FROM vr_{out} vr JOIN cc USING (cell)), "
+        f"asg_{out} AS (SELECT vec_id, c AS cluster FROM ("
+        f"  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn "
+        f"  FROM d_{out}) WHERE rn = 1), "
+        f"p_{out} AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        f"  CAST(bit_xor({_APP_SIG_DUCK}) AS BIGINT) AS x "
+        f"  FROM asg_{out} GROUP BY cluster), "
+    )
+
+
+_IVFAPP_ORACLE = (
+    "WITH proj AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    f"base AS (SELECT vec_id, v FROM proj WHERE {_APP_SPLIT_DUCK} % {_IVFAPP_MOD} <> 0), "
+    f"batch AS (SELECT vec_id, v FROM proj WHERE {_APP_SPLIT_DUCK} % {_IVFAPP_MOD} = 0), "
+    "fullset AS (SELECT * FROM base UNION ALL SELECT * FROM batch), "
+    # frozen router: bounds AND seeds from the BASE relation only
+    "bounds AS (SELECT kk, "
+    "  GREATEST(CAST(floor(sqrt(CAST(kk AS DOUBLE))) AS BIGINT), 1) AS mm "
+    "  FROM (SELECT GREATEST((SELECT COUNT(*) // 64 FROM base), 1) AS kk)), "
+    "cent AS (SELECT vec_id AS c, v AS cv FROM base, bounds WHERE vec_id < kk), "
+    "sup AS (SELECT vec_id AS s, v AS sv FROM base, bounds WHERE vec_id < mm), "
+    "cc AS (SELECT c, cv, s AS cell FROM ("
+    "  SELECT c.c, c.cv, s.s, ROW_NUMBER() OVER (PARTITION BY c.c ORDER BY "
+    "    CAST(list_dot_product(c.cv, c.cv) - 2 * list_dot_product(c.cv, s.sv) "
+    "         + list_dot_product(s.sv, s.sv) AS BIGINT), s.s) AS rn "
+    "  FROM cent c CROSS JOIN sup s) WHERE rn = 1), "
+    + _app_route_sql("base", "base")
+    + _app_route_sql("batch", "batch")
+    + _app_route_sql("fullset", "full")
+    + "cells AS (SELECT cluster FROM p_base UNION SELECT cluster FROM p_batch "
+    "  UNION SELECT cluster FROM p_full) "
+    "SELECT CAST(cells.cluster AS BIGINT) AS cell, "
+    "  CAST(COALESCE(b.cnt, 0) AS BIGINT) AS base_cnt, "
+    "  CAST(COALESCE(d.cnt, 0) AS BIGINT) AS delta_cnt, "
+    "  CAST(COALESCE(b.cnt, 0) + COALESCE(d.cnt, 0) AS BIGINT) AS merged_cnt, "
+    "  CAST(COALESCE(r.cnt, 0) AS BIGINT) AS rebuilt_cnt, "
+    "  CAST(xor(COALESCE(b.x, 0), COALESCE(d.x, 0)) AS BIGINT) AS merged_xor, "
+    "  CAST(COALESCE(r.x, 0) AS BIGINT) AS rebuilt_xor, "
+    "  CAST(CASE WHEN COALESCE(b.cnt, 0) + COALESCE(d.cnt, 0) = COALESCE(r.cnt, 0) "
+    "       AND xor(COALESCE(b.x, 0), COALESCE(d.x, 0)) = COALESCE(r.x, 0) "
+    "       THEN 1 ELSE 0 END AS BIGINT) AS law_ok "
+    "FROM cells LEFT JOIN p_base b USING (cluster) "
+    "LEFT JOIN p_batch d USING (cluster) LEFT JOIN p_full r USING (cluster) "
+    "ORDER BY cell"
+)
+
+
+@query(
+    "q392_ivf_append_maintenance",
+    _IVFAPP_ORACLE,
+    doc="Incremental IVF maintenance law — the append path the ANN index "
+    "family was missing (build q218/q328, audits q264/q265/q300/q349, "
+    "remap q348, retrain decision q271): an md5-selected ~10% append "
+    "batch routes against the FROZEN base-derived router (only the "
+    "batch touches the router — routed_assignment's router_proj "
+    "parameter pins the seeds to the base relation), its per-cell "
+    "(count, bit_xor content signature) postings merge additively into "
+    "the stored base postings, and the merged state is emitted beside "
+    "an independent from-scratch rebuild of base+batch under the same "
+    "router — law_ok certifies count AND signature equality per cell, "
+    "hash-checked end to end.  Falsifiable: router drift (seeding from "
+    "batch-polluted rows) breaks cell assignments and the XOR "
+    "signatures diverge.  Scale shape: the q205/q270 two-level routing "
+    "(sqrt(k) supers broadcast, exact argmin within the routed cell), "
+    "the incremental side touching ONLY the batch rows; postings are "
+    "k-row cell aggregates with map-side-combinable count/XOR states — "
+    "exactly why a 100 TB index appends instead of rebuilding.",
+    tags=("llm", "similarity", "vectors", "maintenance"),
+)
+def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = spread(emb).select(
+        "vec_id", int_projected(F.col("embedding")).alias("v")
+    )
+    split = proj.withColumn(
+        "is_batch",
+        F.expr(f"{_APP_SPLIT_SPARK} % {_IVFAPP_MOD} = 0"),
+    )
+    # Checkpointed: the base feeds the router seeds, its own postings AND
+    # the rebuild side.
+    base = (
+        split.filter(~F.col("is_batch"))
+        .select("vec_id", "v")
+        .localCheckpoint(eager=False)
+    )
+    batch = split.filter(F.col("is_batch")).select("vec_id", "v")
+    kb = cluster_bounds(base)
+
+    sig = F.expr(_APP_SIG_SPARK)
+
+    def postings(asg: DataFrame) -> DataFrame:
+        return asg.groupBy("cluster").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.expr(f"CAST(bit_xor({_APP_SIG_SPARK}) AS BIGINT)").alias("x"),
+        )
+
+    p_base = postings(routed_assignment(base, kb))
+    # The INCREMENTAL path: only the batch routes; the router is frozen to
+    # the base-derived seeds.
+    p_delta = postings(routed_assignment(batch, kb, router_proj=base))
+    # The REBUILD path: everything re-routes under the same frozen router.
+    p_full = postings(
+        routed_assignment(base.unionByName(batch), kb, router_proj=base)
+    )
+
+    cells = (
+        p_base.select("cluster")
+        .unionByName(p_delta.select("cluster"))
+        .unionByName(p_full.select("cluster"))
+        .distinct()
+    )
+    b = p_base.withColumnRenamed("cnt", "b_cnt").withColumnRenamed("x", "b_x")
+    d = p_delta.withColumnRenamed("cnt", "d_cnt").withColumnRenamed("x", "d_x")
+    r = p_full.withColumnRenamed("cnt", "r_cnt").withColumnRenamed("x", "r_x")
+    out = (
+        cells.join(b, "cluster", "left")
+        .join(d, "cluster", "left")
+        .join(r, "cluster", "left")
+        .select(
+            F.col("cluster").cast("long").alias("cell"),
+            F.coalesce("b_cnt", F.lit(0)).cast("long").alias("base_cnt"),
+            F.coalesce("d_cnt", F.lit(0)).cast("long").alias("delta_cnt"),
+            (F.coalesce("b_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0)))
+            .cast("long")
+            .alias("merged_cnt"),
+            F.coalesce("r_cnt", F.lit(0)).cast("long").alias("rebuilt_cnt"),
+            F.expr(
+                "CAST(COALESCE(b_x, 0) ^ COALESCE(d_x, 0) AS BIGINT)"
+            ).alias("merged_xor"),
+            F.coalesce("r_x", F.lit(0)).cast("long").alias("rebuilt_xor"),
+        )
+        .withColumn(
+            "law_ok",
+            F.when(
+                (F.col("merged_cnt") == F.col("rebuilt_cnt"))
+                & (F.col("merged_xor") == F.col("rebuilt_xor")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+        .orderBy("cell")
+    )
+    return out

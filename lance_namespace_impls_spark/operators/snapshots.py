@@ -893,3 +893,118 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q393 — declared-vs-materialized read contract (round 10, VERDICT r9 #8):
+# the data-plane row for the one reference semantic the catalog family
+# tests but no declared query exercised — a table can EXIST in the catalog
+# (declare_table: entry + location, reference table_utils.py:22-45) before
+# any data file is committed at its location, and readers must DEGRADE
+# (probe first, read only what is materialized) rather than fail the whole
+# plan.  §2A rows 6/8/19 cover the catalog half (include_declared listing
+# default, check_declared probe, storage components); this row drives the
+# probe → read decision end to end and censuses the result.
+
+_DVM_ORACLE = """
+WITH d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+SELECT tbl, listed_default, listed_materialized_only, is_only_declared,
+       rows_read FROM (
+  SELECT 'a_materialized' AS tbl, CAST(1 AS BIGINT) AS listed_default,
+    CAST(1 AS BIGINT) AS listed_materialized_only,
+    CAST(0 AS BIGINT) AS is_only_declared,
+    CAST(n AS BIGINT) AS rows_read FROM d
+  UNION ALL
+  SELECT 'b_declared_only', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+    CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+) ORDER BY tbl
+"""
+
+
+@query(
+    "q393_declared_read_degrade",
+    _DVM_ORACLE,
+    doc="Declared-vs-materialized read degrade path: a scratch namespace "
+    "holds one table MATERIALIZED at documents.parquet and one DECLARED "
+    "only (catalog entry + empty location, the reference's "
+    "declare-before-commit state, table_utils.py:22-45) — the row "
+    "censuses, per table: list_tables membership under the "
+    "include_declared default (True -> both) and under "
+    "include_declared=False (storage probe filters the declared-only "
+    "entry, polaris.py:493-494), describe_table(check_declared=True)'s "
+    "is_only_declared verdict, and rows actually read — the reader "
+    "consults the probe FIRST and reads only materialized tables "
+    "(rows_read 0 for the declared-only entry instead of a failed "
+    "plan), with the materialized count tying the oracle to the real "
+    "documents relation.  Scale shape: catalog ops are metadata-sized; "
+    "the one data read is a catalog-resolved scan (q113's source); the "
+    "census is 2 rows.",
+    tags=("catalog", "scan", "maintenance"),
+)
+def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+
+    from lance_namespace_impls_spark.catalog import DirectoryNamespace
+    from lance_namespace_impls_spark.catalog import models as cm
+    from lance_namespace_impls_spark.catalog.errors import TableAlreadyExists
+    from lance_namespace_impls_spark.sources.pyds import LanceNamespaceDataSource
+
+    spark.dataSource.register(LanceNamespaceDataSource)
+    # Deterministic scratch root per sf_dir (q113's idiom): re-running the
+    # builder reuses the same namespace state idempotently.
+    tag = _hl.md5(("dvm|" + sf_dir).encode()).hexdigest()[:8]
+    scratch = "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+    root = os.path.join(scratch, f"lni_dvm_{tag}")
+    ns = DirectoryNamespace({"root": root})
+    ns.create_namespace(cm.CreateNamespaceRequest(id=["main"], mode=cm.MODE_EXIST_OK))
+    for tid, loc in (
+        ("a_materialized", f"{sf_dir}/documents.parquet"),
+        ("b_declared_only", None),  # default location: exists, holds no data
+    ):
+        try:
+            ns.declare_table(cm.DeclareTableRequest(id=["main", tid], location=loc))
+        except TableAlreadyExists:
+            pass
+    listed_all = set(
+        ns.list_tables(cm.ListTablesRequest(id=["main"])).tables
+    )  # include_declared defaults True
+    listed_mat = set(
+        ns.list_tables(
+            cm.ListTablesRequest(id=["main"], include_declared=False)
+        ).tables
+    )
+    rows = []
+    for tid in ("a_materialized", "b_declared_only"):
+        desc = ns.describe_table(
+            cm.DescribeTableRequest(id=["main", tid], check_declared=True)
+        )
+        if desc.is_only_declared:
+            # The degrade path: the probe gates the read — no data files
+            # were ever committed at the declared location, so the reader
+            # contributes zero rows instead of failing the plan.
+            n = 0
+        else:
+            n = (
+                spark.read.format("lance_namespace")
+                .option("root", root)
+                .option("table", f"main.{tid}")
+                .load()
+                .count()
+            )
+        rows.append(
+            (
+                tid,
+                1 if tid in listed_all else 0,
+                1 if tid in listed_mat else 0,
+                1 if desc.is_only_declared else 0,
+                n,
+            )
+        )
+    return (
+        spark.createDataFrame(
+            rows,
+            "tbl string, listed_default long, listed_materialized_only long, "
+            "is_only_declared long, rows_read long",
+        )
+        .orderBy("tbl")
+    )

@@ -140,7 +140,9 @@ def cluster_bounds(emb: DataFrame, cluster_target: int = 64) -> DataFrame:
     )
 
 
-def routed_assignment(proj: DataFrame, kb: DataFrame) -> DataFrame:
+def routed_assignment(
+    proj: DataFrame, kb: DataFrame, router_proj: DataFrame | None = None
+) -> DataFrame:
     """Two-level routed cluster assignment: (vec_id, v) -> (vec_id, v,
     cluster).
 
@@ -151,14 +153,21 @@ def routed_assignment(proj: DataFrame, kb: DataFrame) -> DataFrame:
     corpus-proportional broadcast anywhere (VERDICT r6 #2; the DuckDB twin
     is ``routed_assignment_sql``).  Shared by q205 (SemDeDup blocking) and
     q270 (kNN-graph blocking).
+
+    ``router_proj`` (default: ``proj`` itself) is the relation the
+    centroid/super seeds derive from.  An index APPEND routes the batch
+    against the FROZEN router its base index was built with (q392) — the
+    router must not drift just because new rows arrived; retraining is a
+    separate decision (q271).
     """
+    seeds = proj if router_proj is None else router_proj
     cent = (
-        proj.crossJoin(F.broadcast(kb))
+        seeds.crossJoin(F.broadcast(kb))
         .filter(F.col("vec_id") < F.col("kk"))
         .select(F.col("vec_id").alias("c"), F.col("v").alias("cv"))
     )
     supers = (
-        proj.crossJoin(F.broadcast(kb))
+        seeds.crossJoin(F.broadcast(kb))
         .filter(F.col("vec_id") < F.col("mm"))
         .select(F.col("vec_id").alias("s"), F.col("v").alias("sv"))
     )

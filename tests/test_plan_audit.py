@@ -117,6 +117,9 @@ CARTESIAN_ALLOWED = {
     "q387_abc_pareto_classes": "1-row (revenue, part-count) totals broadcast into the class arithmetic",
     "q388_rfm_segmentation": "three 1-row tercile-cut broadcasts + the fixed 27-cell grid spine",
     "q390_session_stats_census": "1-row p50/total censuses cross-joined into the summary row",
+    # round 10
+    "q391_experiment_readout": "1-row grand-moment/theta/total bounds broadcast into the 2-arm censuses (q372's shape) + the fixed arm x step spine",
+    "q392_ivf_append_maintenance": "1-row (k, m) routed bounds + sqrt(k) super broadcasts, three times (base postings, batch-only increment, rebuild) under the frozen router",
 }
 
 # streaming builders start real runs; their plans are covered by the
