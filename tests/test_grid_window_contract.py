@@ -1,0 +1,97 @@
+"""Grid-only window contract (VERDICT r9 #7): the round-9 statistical
+censuses carry keyless or tiny-partitioned windows that are legitimate
+ONLY because the relation under them is bounded by schema constants (5x5
+contingency grid, 10 price bands, 16 shard medians, 4-day hazard grid,
+9 decile candidates).  This pins each row's exact window-spec set
+(expression ids normalized) so a future edit cannot silently widen a
+grid window onto a corpus-sized relation without failing here."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+from tests.conftest import SF_SMOKE
+
+
+def _window_specs(spark, name: str) -> set[str]:
+    plan = (
+        QUERIES[name]
+        .builder(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    out: set[str] = set()
+    key = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(key, i)
+        if j < 0:
+            break
+        depth = 0
+        k = j + len(key) - 1
+        while k < len(plan):
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        out.add(re.sub(r"#\d+L?", "#", plan[j : k + 1]))
+        i = k
+    return out
+
+
+_FULL = "specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$())"
+_CUM = "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())"
+
+# name -> (expected spec set, why each keyless window is grid-bounded)
+GRID_WINDOW_CONTRACT = {
+    "q365_chi2_independence": (
+        {f"windowspecdefinition({_FULL})"},
+        "one keyless full-frame window over the 5x5 dense contingency grid",
+    ),
+    "q368_psi_drift": (
+        {f"windowspecdefinition({_FULL})"},
+        "keyless full-frame windows over the fixed 10-row price-band relation",
+    ),
+    "q379_median_of_medians_law": (
+        {
+            f"windowspecdefinition(med# ASC NULLS FIRST, shard# ASC NULLS FIRST, {_CUM})",
+            f"windowspecdefinition(shard#, {_FULL})",
+            f"windowspecdefinition(shard#, v# ASC NULLS FIRST, {_CUM})",
+            f"windowspecdefinition({_FULL})",
+        },
+        "shard-partitioned crossings (16 md5 shards) + the 16-row shard-"
+        "median rank; the keyless pair runs on the 16-row median relation",
+    ),
+    "q381_purchase_hazard_census": (
+        {
+            "windowspecdefinition(t# ASC NULLS FIRST, "
+            "specifiedwindowframe(RowFrame, unboundedpreceding$(), -1))"
+        },
+        "one keyless backsum over the 4-row day grid (days 0..3)",
+    ),
+    "q385_decision_stump_gain": (
+        {f"windowspecdefinition({_FULL})"},
+        "keyless full-frame window over the 9-row decile-candidate relation",
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRID_WINDOW_CONTRACT))
+def test_grid_window_specs_are_pinned(spark, name):
+    expected, why = GRID_WINDOW_CONTRACT[name]
+    got = _window_specs(spark, name)
+    assert got == expected, (
+        f"{name}: window-spec set drifted from the pinned grid-only "
+        f"contract ({why}).\n  expected: {sorted(expected)}\n  got: "
+        f"{sorted(got)} — if the new spec is a deliberate, still-bounded "
+        "change, update the pin WITH its boundedness rationale"
+    )
