@@ -559,6 +559,73 @@ _COMPONENTS_ORACLE = (
 )
 
 
+# Shared near-dup graph substrate (round 10, the VERDICT r9 #2 pattern
+# applied to the components family): q99 (min-label), q204 (contraction),
+# q171 (keep-best) and q311 (purity, pipeline2) all build the SAME
+# Jaccard>=0.5 edge relation, and q171/q311 re-run a whole component
+# fixpoint their algorithm twins already computed.  The edge relation and
+# each algorithm's labels are memoized per (session, sf_dir) — at cluster
+# scale this is the real shape (the dedup graph and its labeling are
+# materialized tables every curation consumer reads).  Bench-attribution
+# honesty (the ivfpq_eval_relations contract): each producer refreshes
+# exactly the piece it owns — q99 the edges AND the min-label run, q204
+# the contraction run (edges build-if-absent) — so min-of-N timings never
+# hide a build inside a cache hit; q171/q311 consume.  Pinned state is the
+# edge pair list and one (node, lab) row per edge-touched doc.
+_NEARDUP_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _neardup_memo_get(spark: SparkSession, sf_dir: str, kind: str):
+    hit = _NEARDUP_MEMO.get((id(spark), sf_dir, kind))
+    return hit[1] if hit is not None and hit[0] is spark else None
+
+
+def neardup_edge_relation(
+    spark: SparkSession, sf_dir: str, *, refresh: bool = False
+) -> DataFrame:
+    """The checkpointed (src, dst) Jaccard>=0.5 edge relation over
+    documents — the substrate every components row consumes."""
+    if not refresh:
+        hit = _neardup_memo_get(spark, sf_dir, "edges")
+        if hit is not None:
+            return hit
+    docs = load_table(spark, "documents", sf_dir)
+    raw = neardup_edges(docs, 0.5)
+    # Eager checkpoint: materializing here lets the shingle-posting cache
+    # release immediately (the edge rows, never the text, stay pinned).
+    edges = raw.selectExpr("id_a AS src", "id_b AS dst").localCheckpoint()
+    raw._lni_cached.unpersist()
+    _NEARDUP_MEMO[(id(spark), sf_dir, "edges")] = (spark, edges)
+    return edges
+
+
+def neardup_labels(
+    spark: SparkSession, sf_dir: str, algo: str, *, refresh: bool = False
+) -> DataFrame:
+    """Memoized (node, lab) component labels over the shared edge relation.
+
+    ``algo``: 'minlabel' (q99's propagation; producer q99) or
+    'contraction' (q204's large-star/small-star; producer q204).  Both
+    fixpoints run driver-coordinated rounds, so sharing the labels saves
+    a whole iterative run per consumer row (q171, q311)."""
+    if not refresh:
+        hit = _neardup_memo_get(spark, sf_dir, algo)
+        if hit is not None:
+            return hit
+    edges = neardup_edge_relation(spark, sf_dir)
+    nodes = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("node")
+    )
+    fix = (
+        connected_components
+        if algo == "minlabel"
+        else connected_components_contraction
+    )
+    comp = fix(nodes, edges).localCheckpoint(eager=False)
+    _NEARDUP_MEMO[(id(spark), sf_dir, algo)] = (spark, comp)
+    return comp
+
+
 @query(
     "q99_neardup_components",
     _COMPONENTS_ORACLE,
@@ -572,14 +639,11 @@ _COMPONENTS_ORACLE = (
     tags=("llm", "dedup", "graph"),
 )
 def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    raw_edges = neardup_edges(docs, 0.5)
-    edges = raw_edges.selectExpr("id_a AS src", "id_b AS dst")
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    comp = connected_components(nodes, edges)
-    # connected_components eagerly checkpointed the symmetrized edges, so
-    # the shingle-posting cache is no longer referenced by the final plan.
-    raw_edges._lni_cached.unpersist()
+    # Producer of the shared near-dup substrate: rebuilds the edge
+    # relation AND the min-label fixpoint, refreshing the memos q171
+    # consumes (q204/q311 own the contraction labels).
+    neardup_edge_relation(spark, sf_dir, refresh=True)
+    comp = neardup_labels(spark, sf_dir, "minlabel", refresh=True)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("lab").cast("bigint").alias("component")
     ).orderBy("doc_id")
@@ -601,12 +665,10 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "graph"),
 )
 def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    raw_edges = neardup_edges(docs, 0.5)
-    edges = raw_edges.selectExpr("id_a AS src", "id_b AS dst")
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    comp = connected_components_contraction(nodes, edges)
-    raw_edges._lni_cached.unpersist()
+    # Producer of the contraction labels (q311 consumes); the edge
+    # relation is shared build-if-absent — its build cost is attributed
+    # to whichever components row runs first.
+    comp = neardup_labels(spark, sf_dir, "contraction", refresh=True)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("lab").cast("bigint").alias("component")
     ).orderBy("doc_id")
@@ -833,11 +895,9 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
-    raw_edges = neardup_edges(docs, 0.5)
-    edges = raw_edges.selectExpr("id_a AS src", "id_b AS dst")
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    comp = connected_components(nodes, edges)
-    raw_edges._lni_cached.unpersist()
+    # Consumer of the shared near-dup substrate: q99's min-label fixpoint
+    # (build-if-absent when this row runs first).
+    comp = neardup_labels(spark, sf_dir, "minlabel")
     q10k = F.expr(
         "(10000 * (LEAST(n_chars, 400) * GREATEST(n_chars, 1)"
         " + 400 * SIZE(SPLIT(text, ' ')))"

@@ -416,17 +416,12 @@ _PURITY_ORACLE = (
 def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from lance_namespace_impls_spark.operators.pipeline import (
-        connected_components_contraction,
-        neardup_edges,
-    )
+    from lance_namespace_impls_spark.operators.pipeline import neardup_labels
 
     docs = load_table(spark, "documents", sf_dir)
-    raw_edges = neardup_edges(docs, 0.5)
-    edges = raw_edges.selectExpr("id_a AS src", "id_b AS dst")
-    nodes = docs.select(F.col("doc_id").alias("node"))
-    comp = connected_components_contraction(nodes, edges)
-    raw_edges._lni_cached.unpersist()
+    # Consumer of the shared near-dup substrate: q204's contraction
+    # labels (build-if-absent when this row runs first).
+    comp = neardup_labels(spark, sf_dir, "contraction")
     cs = (
         comp.selectExpr("node AS doc_id", "lab AS component")
         .join(docs.select("doc_id", "source"), "doc_id")

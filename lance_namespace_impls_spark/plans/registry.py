@@ -302,6 +302,17 @@ RE_VERIFY: set[str] = {
     # group fixtures, but the planner changed).
     "q296_pyds_stream_replay",
     "q113_python_datasource",
+    # VERDICT-r9 #2 pattern applied to the components family: q99/q204/
+    # q171/q311 now share the memoized near-dup edge relation and each
+    # algorithm's labels (pipeline.neardup_edge_relation/neardup_labels)
+    # instead of each re-running candidate generation + a component
+    # fixpoint — identical relations, but the builders changed after
+    # their greens.  Re-verified locally at sf0.001 + sf0.01,
+    # consumers-first.
+    "q99_neardup_components",
+    "q171_neardup_keep_best",
+    "q204_components_contraction",
+    "q311_component_purity",
 }
 
 # Deliberate regression window (VERDICT-r8 #2, deferred twice; VERDICT-r9

@@ -73,6 +73,41 @@ def test_knn_consumers_cold_equals_warm(spark):
         assert _rows(QUERIES[name].builder(spark, SF_SMOKE)) == expect
 
 
+def test_neardup_memo_reuse_and_algorithm_scoping(spark):
+    from lance_namespace_impls_spark.operators.pipeline import (
+        _NEARDUP_MEMO,
+        neardup_edge_relation,
+        neardup_labels,
+    )
+
+    _NEARDUP_MEMO.clear()
+    e1 = neardup_edge_relation(spark, SF_SMOKE)
+    assert neardup_edge_relation(spark, SF_SMOKE) is e1
+    ml = neardup_labels(spark, SF_SMOKE, "minlabel")
+    ct = neardup_labels(spark, SF_SMOKE, "contraction")
+    assert ml is not ct  # per-algorithm entries
+    assert neardup_labels(spark, SF_SMOKE, "minlabel") is ml
+    # both algorithms land on the same component minima (the q99/q204 law)
+    assert _rows(ml) == _rows(ct)
+    # producer refresh rebuilds identically
+    ml2 = neardup_labels(spark, SF_SMOKE, "minlabel", refresh=True)
+    assert ml2 is not ml and _rows(ml2) == _rows(ml)
+
+
+def test_neardup_consumers_cold_equals_warm(spark):
+    from lance_namespace_impls_spark.operators.pipeline import _NEARDUP_MEMO
+
+    cold = {}
+    for name in ("q171_neardup_keep_best", "q311_component_purity"):
+        _NEARDUP_MEMO.clear()
+        cold[name] = _rows(QUERIES[name].builder(spark, SF_SMOKE))
+    _NEARDUP_MEMO.clear()
+    QUERIES["q99_neardup_components"].builder(spark, SF_SMOKE).collect()
+    QUERIES["q204_components_contraction"].builder(spark, SF_SMOKE).collect()
+    for name, expect in cold.items():
+        assert _rows(QUERIES[name].builder(spark, SF_SMOKE)) == expect
+
+
 def test_memo_is_scoped_by_sf_dir(spark):
     _KNN_MEMO.clear()
     a = ranked_cell_pairs(spark, SF_SMOKE)
