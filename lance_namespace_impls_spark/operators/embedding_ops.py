@@ -566,7 +566,10 @@ _MRL_ORACLE = (
     "brute-force audit confined to the 8-query sample; the Spark side "
     "runs the two-stage bucketed top-k (rank within (query, vec%32) "
     "buckets, then a bounded pool) so no window partition ever sees the "
-    "corpus; truncation itself is a zero-shuffle slice projection.",
+    "corpus; truncation itself is a zero-shuffle slice projection.  The "
+    "full-dimension side IS the shared eval substrate's exact relation "
+    "(same sample, k and tie-break — ivfpq_eval_relations, q232 the "
+    "producer), so only the truncated metric runs a fresh pass.",
     tags=("llm", "similarity", "vectors"),
 )
 def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,7 +611,12 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= _MRL_K)
         )
 
-    fx = brute_topk("v", "qv").localCheckpoint(eager=False)  # hits + t1 + drift
+    # Full-dimension truth: EXACTLY the shared eval substrate's exact
+    # relation (same 8-query sample, same k, same (d2, vec_id) tie-break,
+    # same bucketed two-stage device) — consume it instead of re-running
+    # the brute pass (VERDICT r9 #2a; q232 is the producer row).
+    _, exact = ivfpq_eval_relations(spark, sf_dir)
+    fx = exact.select("query_id", "vec_id", "rank")
     tx = brute_topk("vt", "qvt").localCheckpoint(eager=False)
     hits = (
         tx.join(fx.select("query_id", "vec_id"), ["query_id", "vec_id"])

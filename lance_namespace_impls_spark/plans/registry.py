@@ -313,6 +313,10 @@ RE_VERIFY: set[str] = {
     "q171_neardup_keep_best",
     "q204_components_contraction",
     "q311_component_purity",
+    # q331's full-dimension truth side now consumes the shared eval
+    # substrate (identical sample/k/tie-break); only the truncated metric
+    # runs a fresh pass.  Re-verified locally at sf0.001 + sf0.01.
+    "q331_matryoshka_truncation",
 }
 
 # Deliberate regression window (VERDICT-r8 #2, deferred twice; VERDICT-r9
