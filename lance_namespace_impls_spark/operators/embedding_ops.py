@@ -183,7 +183,30 @@ def _slice_d2(a, b, s: int, subdim: int):
     tags=("llm", "similarity", "vectors"),
 )
 def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ivfpq_search(load_table(spark, "embeddings", sf_dir))
+    # Producer of the memoized IVF-PQ result (the candidate lists the eval
+    # family scores): always rebuilds and refreshes the memo.
+    return ivfpq_result(spark, sf_dir, refresh=True)
+
+
+# Memoized full q218 output — (query_id, rank, vec_id, exact_d2, adc_d2),
+# k rows per audit query.  q218 is the producer; the eval substrate's
+# approx side consumes it build-if-absent, so a suite pass builds the
+# index search ONCE instead of twice (q218 + the substrate).
+_IVFPQ_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def ivfpq_result(
+    spark: SparkSession, sf_dir: str, *, refresh: bool = False
+) -> DataFrame:
+    key = (id(spark), sf_dir)
+    hit = _IVFPQ_MEMO.get(key)
+    if not refresh and hit is not None and hit[0] is spark:
+        return hit[1]
+    res = ivfpq_search(load_table(spark, "embeddings", sf_dir)).localCheckpoint(
+        eager=False
+    )
+    _IVFPQ_MEMO[key] = (spark, res)
+    return res
 
 
 def ivfpq_search(emb: DataFrame) -> DataFrame:
@@ -320,23 +343,22 @@ _GT_BUCKETS = 32
 # shape: a platform materializes the candidate lists and the audit ground
 # truth once, and every eval metric reads those tables.
 #
-# Bench-attribution honesty: the PRODUCER row (q232, first of the trio in
-# registration order) always rebuilds and refreshes the memo, so a
-# --repeat min-of-N never hides the build cost inside a cache hit;
-# consumers build-if-absent.  Both relations are k-rows-per-query sized
-# (40 rows at the fixture's 8-query sample), so the pinned localCheckpoint
-# is metadata-scale and is deliberately left to die with the session.
-_EVAL_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame, DataFrame]] = {}
+# Bench-attribution honesty: each producer refreshes exactly the piece it
+# owns — q218 the IVF-PQ result (_IVFPQ_MEMO, below), q232 the exact truth
+# (_EXACT_MEMO) — so a --repeat min-of-N never hides a build inside a
+# cache hit; consumers build-if-absent.  Both relations are
+# k-rows-per-query sized (40 rows at the fixture's 8-query sample), so
+# the pinned localCheckpoints are metadata-scale and deliberately left to
+# die with the session.  The memos are SPLIT so a truth-only consumer
+# (q328, q331) never pays the index build it does not read.
+_EXACT_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 
 
-def eval_relation_plans(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """The (approx, exact) pair WITHOUT the checkpoint lineage cut —
+def exact_truth_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-truth relation WITHOUT the checkpoint lineage cut —
     plan-shape tests assert the bucketed-top-k window here, since the
-    memoized relations surface as ``Scan ExistingRDD`` to consumers."""
+    memoized relation surfaces as ``Scan ExistingRDD`` to consumers."""
     emb = load_table(spark, "embeddings", sf_dir)
-    approx = ivfpq_search(emb).select("query_id", "vec_id", "rank")
     proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
     proj = proj.withColumn("nn", int_dot(F.col("v"), F.col("v")).cast("long"))
     qs = proj.filter(F.col("vec_id") < _IVFPQ_CODES).select(
@@ -379,17 +401,23 @@ def eval_relation_plans(
         )
         .filter(F.col("rank") <= _IVFPQ_K)
     )
-    return approx, exact
+    return exact
 
 
-def _build_eval_relations(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    approx, exact = eval_relation_plans(spark, sf_dir)
-    return (
-        approx.localCheckpoint(eager=False),
-        exact.localCheckpoint(eager=False),
-    )
+def ivfpq_exact_truth(
+    spark: SparkSession, sf_dir: str, *, refresh: bool = False
+) -> DataFrame:
+    """Memoized exact ground truth — (query_id, vec_id, d2, rank),
+    rank <= k by exact integer squared L2 on the 8-query audit sample,
+    via the bucketed two-stage top-k (no window ever sees the corpus).
+    q232 is the producer (refresh=True); q328/q331/q378/q386 consume."""
+    key = (id(spark), sf_dir)
+    hit = _EXACT_MEMO.get(key)
+    if not refresh and hit is not None and hit[0] is spark:
+        return hit[1]
+    exact = exact_truth_plan(spark, sf_dir).localCheckpoint(eager=False)
+    _EXACT_MEMO[key] = (spark, exact)
+    return exact
 
 
 def ivfpq_eval_relations(
@@ -397,20 +425,13 @@ def ivfpq_eval_relations(
 ) -> tuple[DataFrame, DataFrame]:
     """The (approx, exact) pair the retrieval-eval family scores.
 
-    ``approx``: q218's IVF-PQ result — (query_id, vec_id, rank), k rows per
-    audit query.  ``exact``: the brute-force ground truth — (query_id,
-    vec_id, d2, rank), rank <= k by exact integer squared L2 with the
-    bucketed two-stage top-k (no window ever sees the corpus).  Memoized
-    per (session, sf_dir); ``refresh=True`` (the producer row) always
-    rebuilds so cached timings never hide the build cost.
+    ``approx``: q218's memoized IVF-PQ result projected to (query_id,
+    vec_id, rank) — q218 owns its refresh, so this composition never
+    rebuilds the index search.  ``exact``: :func:`ivfpq_exact_truth`
+    (q232 owns the refresh, forwarded here).
     """
-    key = (id(spark), sf_dir)
-    hit = _EVAL_MEMO.get(key)
-    if not refresh and hit is not None and hit[0] is spark:
-        return hit[1], hit[2]
-    approx, exact = _build_eval_relations(spark, sf_dir)
-    _EVAL_MEMO[key] = (spark, approx, exact)
-    return approx, exact
+    approx = ivfpq_result(spark, sf_dir).select("query_id", "vec_id", "rank")
+    return approx, ivfpq_exact_truth(spark, sf_dir, refresh=refresh)
 
 _RECALL_ORACLE = (
     f"WITH approx AS (SELECT query_id, vec_id, rank FROM ({_IVFPQ_ORACLE})), "
@@ -615,8 +636,7 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
     # relation (same 8-query sample, same k, same (d2, vec_id) tie-break,
     # same bucketed two-stage device) — consume it instead of re-running
     # the brute pass (VERDICT r9 #2a; q232 is the producer row).
-    _, exact = ivfpq_eval_relations(spark, sf_dir)
-    fx = exact.select("query_id", "vec_id", "rank")
+    fx = ivfpq_exact_truth(spark, sf_dir).select("query_id", "vec_id", "rank")
     tx = brute_topk("vt", "qvt").localCheckpoint(eager=False)
     hits = (
         tx.join(fx.select("query_id", "vec_id"), ["query_id", "vec_id"])

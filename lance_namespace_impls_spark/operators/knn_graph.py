@@ -663,7 +663,10 @@ _HNSW_ORACLE = (
     "shared q205/q270 routed_assignment stands in for explicit neighbor "
     "edges, keeping every stage oracle-replayable) and re-beam; the "
     "final layer returns top-5.  Recall is audited against the exact "
-    "brute-force top-5 (q232's harness) and the per-layer scanned-"
+    "brute-force top-5 — the shared eval substrate's exact relation "
+    "(ivfpq_eval_relations: same sample, k, tie-break; q232 the "
+    "producer; the oracle still recomputes the truth independently, so "
+    "the reuse stays falsifiable) — and the per-layer scanned-"
     "candidate censuses measure the sub-linear scan property that is "
     "HNSW's point — all integer, hash-exact.  Scale shape: the L2 scan "
     "is md5-thinned N/64; lower-layer candidate sets are cell-bounded "
@@ -753,15 +756,16 @@ def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
 
-    # exact ground truth: q232's two-stage brute-force device
-    truth = topk(
-        score(
-            proj.crossJoin(F.broadcast(qs.select("query_id"))).select(
-                "query_id", "vec_id", F.lit(0).alias("cluster"), "v"
-            )
-        ),
-        _HNSW_K,
+    # exact ground truth: the shared eval substrate's exact relation —
+    # same 8-query sample (_HNSW_Q == _IVFPQ_CODES), same k (_HNSW_K ==
+    # _IVFPQ_K), same (d2, vec_id) tie-break and self-exclusion, so
+    # consuming it instead of re-running the brute pass changes nothing
+    # (VERDICT r9 #2a; q232 is the producer row).
+    from lance_namespace_impls_spark.operators.embedding_ops import (
+        ivfpq_exact_truth,
     )
+
+    truth = ivfpq_exact_truth(spark, sf_dir)
     hits = (
         found.join(truth.select("query_id", "vec_id"), ["query_id", "vec_id"])
         .groupBy("query_id")
@@ -773,10 +777,8 @@ def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("vec_id").alias("fv"))
     )
-    e1 = (
-        truth.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("query_id", F.col("vec_id").alias("ev"))
+    e1 = truth.filter(F.col("rank") == 1).select(
+        "query_id", F.col("vec_id").alias("ev")
     )
     t1 = f1.join(e1, "query_id").select(
         "query_id", F.when(F.col("fv") == F.col("ev"), 1).otherwise(0).alias("top1")

@@ -317,6 +317,14 @@ RE_VERIFY: set[str] = {
     # substrate (identical sample/k/tie-break); only the truncated metric
     # runs a fresh pass.  Re-verified locally at sf0.001 + sf0.01.
     "q331_matryoshka_truncation",
+    # q218's IVF-PQ result is now the memoized relation the eval
+    # substrate's approx side consumes (q218 the producer — the index
+    # search runs once per pass), and q328's exact truth is the
+    # substrate's exact relation (same sample/k/tie-break; its oracle
+    # still recomputes the truth independently).  Re-verified locally at
+    # sf0.001 + sf0.01, cold and warm.
+    "q218_ivfpq_search",
+    "q328_hnsw_layered_search",
 }
 
 # Deliberate regression window (VERDICT-r8 #2, deferred twice; VERDICT-r9

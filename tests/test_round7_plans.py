@@ -53,10 +53,10 @@ def test_q232_ground_truth_topk_is_bucketed(spark):
     eval substrate whose checkpoint cuts lineage in q232's own plan, so
     the invariant is asserted on the substrate's un-checkpointed plan."""
     from lance_namespace_impls_spark.operators.embedding_ops import (
-        eval_relation_plans,
+        exact_truth_plan,
     )
 
-    _, exact = eval_relation_plans(spark, SF_SMOKE)
+    exact = exact_truth_plan(spark, SF_SMOKE)
     plan = exact._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"windowspecdefinition\(query_id#\d+L, b#\d+L", plan), (
         "q232: the bucketed partial top-k stage is gone — the per-query "

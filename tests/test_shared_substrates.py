@@ -14,8 +14,11 @@ from __future__ import annotations
 
 import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
 from lance_namespace_impls_spark.operators.embedding_ops import (
-    _EVAL_MEMO,
+    _EXACT_MEMO,
+    _IVFPQ_MEMO,
     ivfpq_eval_relations,
+    ivfpq_exact_truth,
+    ivfpq_result,
 )
 from lance_namespace_impls_spark.operators.knn_graph import (
     _KNN_MEMO,
@@ -26,18 +29,30 @@ from lance_namespace_impls_spark.plans.registry import QUERIES
 from tests.conftest import SF_SMOKE
 
 
+def _clear_eval_memos():
+    _EXACT_MEMO.clear()
+    _IVFPQ_MEMO.clear()
+
+
 def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
 def test_eval_memo_reuse_and_producer_refresh(spark):
-    _EVAL_MEMO.clear()
-    a1, e1 = ivfpq_eval_relations(spark, SF_SMOKE)  # cold: build-if-absent
-    a2, e2 = ivfpq_eval_relations(spark, SF_SMOKE)  # warm: same objects
-    assert a1 is a2 and e1 is e2
-    a3, e3 = ivfpq_eval_relations(spark, SF_SMOKE, refresh=True)
-    assert a3 is not a1 and e3 is not e1  # producer rebuilt
-    assert _rows(a3) == _rows(a1) and _rows(e3) == _rows(e1)  # identically
+    _clear_eval_memos()
+    r1 = ivfpq_result(spark, SF_SMOKE)  # cold: build-if-absent
+    assert ivfpq_result(spark, SF_SMOKE) is r1  # warm: same object
+    e1 = ivfpq_exact_truth(spark, SF_SMOKE)
+    assert ivfpq_exact_truth(spark, SF_SMOKE) is e1
+    # each producer rebuilds exactly its own piece, identically
+    r2 = ivfpq_result(spark, SF_SMOKE, refresh=True)
+    assert r2 is not r1 and _rows(r2) == _rows(r1)
+    e2 = ivfpq_exact_truth(spark, SF_SMOKE, refresh=True)
+    assert e2 is not e1 and _rows(e2) == _rows(e1)
+    # the composed pair reads the memoized pieces
+    a3, e3 = ivfpq_eval_relations(spark, SF_SMOKE)
+    assert e3 is e2
+    assert _rows(a3) == _rows(r2.select("query_id", "vec_id", "rank"))
 
 
 def test_knn_memo_reuse_and_producer_refresh(spark):
@@ -53,10 +68,16 @@ def test_eval_consumers_cold_equals_warm(spark):
     """q378/q386 on a cold memo (driver order: consumers run before the
     producer) match their own results on a memo warmed by q232."""
     cold = {}
-    for name in ("q378_ndcg_graded_eval", "q386_mrr_retrieval_eval"):
-        _EVAL_MEMO.clear()
+    for name in (
+        "q378_ndcg_graded_eval",
+        "q386_mrr_retrieval_eval",
+        "q328_hnsw_layered_search",
+        "q331_matryoshka_truncation",
+    ):
+        _clear_eval_memos()
         cold[name] = _rows(QUERIES[name].builder(spark, SF_SMOKE))
-    _EVAL_MEMO.clear()
+    _clear_eval_memos()
+    QUERIES["q218_ivfpq_search"].builder(spark, SF_SMOKE).collect()
     QUERIES["q232_ann_recall_audit"].builder(spark, SF_SMOKE).collect()
     for name, expect in cold.items():
         assert _rows(QUERIES[name].builder(spark, SF_SMOKE)) == expect
