@@ -223,7 +223,9 @@ BROADCAST_SIDE = [
     "q212_domain_mixture",
     "q214_heaps_growth",
     "q216_vocab_coverage",
-    "q218_ivfpq_search",
+    # q218 is asserted separately on the un-checkpointed ivfpq_search plan
+    # (the declared row returns the memoized relation, which surfaces as
+    # Scan ExistingRDD — round 10 shared-substrate lineage cut)
     "q223_median_mad",
     "q233_positional_deletes",  # explicit broadcast of the delete relation
     "q252_tpch_q9_shape",  # nation dim rides an explicit broadcast
@@ -236,3 +238,19 @@ def test_model_side_is_broadcast(spark, name):
     assert "BroadcastExchange" in _plan(spark, name), (
         f"{name}: the bounded side table is not broadcast"
     )
+
+
+def test_q218_index_build_sides_are_broadcast(spark):
+    """q218's declared row returns the memoized (checkpointed) relation, so
+    the broadcast assertion runs on the un-checkpointed index-search plan —
+    the coarse/codebook/LUT sides must reach the corpus via broadcasts."""
+    from lance_namespace_impls_spark.operators.embedding_ops import ivfpq_search
+    from lance_namespace_impls_spark.sources.tables import load_table
+
+    plan = (
+        ivfpq_search(load_table(spark, "embeddings", SF_SMOKE))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan, "q218: index sides are not broadcast"
