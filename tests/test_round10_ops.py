@@ -67,6 +67,31 @@ def test_q391_matches_the_standalone_family_rows(spark):
     assert srm["stat_ppm"] == 1_000_000 * abs(srm["a_value"] - srm["b_value"]) // total
 
 
+def test_q391_plan_reads_one_events_scan(spark):
+    """The composite's headline claim: ONE events scan.  Every census in
+    the returned plan reads the checkpointed base relation (Scan
+    ExistingRDD) — the events parquet appears in NO branch of the final
+    plan (it is scanned exactly once, when the checkpoint materializes) —
+    while each standalone family row plans its own parquet scan."""
+
+    def plan(name):
+        return (
+            QUERIES[name]
+            .builder(spark, SF_SMOKE)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    composite = plan(NEW[0])
+    assert composite.count("events.parquet") == 0
+    assert "Scan ExistingRDD" in composite
+    # q314 carries no checkpoint, so its plan shows the parquet scan the
+    # composite's checkpoint replaces (q366/q372/q389 checkpoint their own
+    # bases, so their plans also read ExistingRDD and prove nothing here).
+    assert plan("q314_ab_srm_census").count("events.parquet") >= 1
+
+
 def test_q392_law_holds_and_batch_is_live(spark):
     rows = QUERIES[NEW[1]].builder(spark, SF_SMOKE).collect()
     assert rows, "no cells"
