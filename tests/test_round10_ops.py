@@ -93,13 +93,30 @@ def test_q391_plan_reads_one_events_scan(spark):
 
 
 def test_q392_law_holds_and_batch_is_live(spark):
+    from pyspark.sql import functions as F
+
+    from lance_namespace_impls_spark.operators.indexing import (
+        _APP_SPLIT_SPARK,
+        _IVFAPP_MOD,
+    )
+    from lance_namespace_impls_spark.sources.tables import load_table
+
     rows = QUERIES[NEW[1]].builder(spark, SF_SMOKE).collect()
     assert rows, "no cells"
     assert all(r["law_ok"] == 1 for r in rows)
     assert all(r["merged_cnt"] == r["rebuilt_cnt"] for r in rows)
     assert all(r["merged_xor"] == r["rebuilt_xor"] for r in rows)
-    assert sum(r["delta_cnt"] for r in rows) > 0  # the append batch is live
-    assert sum(r["base_cnt"] for r in rows) > 0
+    # conservation: the incremental side routes EXACTLY the batch, the
+    # stored side exactly the base, and merged postings cover the corpus
+    emb = load_table(spark, "embeddings", SF_SMOKE)
+    n = emb.count()
+    n_batch = emb.filter(
+        F.expr(f"{_APP_SPLIT_SPARK.replace('vec_id', 'vec_id')} % {_IVFAPP_MOD} = 0")
+    ).count()
+    assert 0 < n_batch < n  # both sides live
+    assert sum(r["delta_cnt"] for r in rows) == n_batch
+    assert sum(r["base_cnt"] for r in rows) == n - n_batch
+    assert sum(r["merged_cnt"] for r in rows) == n
 
 
 def test_q392_router_drift_is_detectable(spark):
