@@ -129,6 +129,40 @@ def test_neardup_consumers_cold_equals_warm(spark):
         assert _rows(QUERIES[name].builder(spark, SF_SMOKE)) == expect
 
 
+def test_pinned_substrates_stay_k_bounded(spark):
+    """The memoized checkpoints live for the whole session, so their size
+    contract matters: the eval relations are k-rows-per-audit-query, the
+    kNN relation at most max_rank rows per vector, the near-dup labels one
+    row per edge-touched doc.  A future edit that silently widens one of
+    these (e.g. emitting all ranks, or labeling the full corpus) would pin
+    a corpus-multiple in memory — fail here first."""
+    from lance_namespace_impls_spark.operators.embedding_ops import (
+        _IVFPQ_CODES,
+        _IVFPQ_K,
+    )
+    from lance_namespace_impls_spark.operators.knn_graph import (
+        _KNN_MAX_RANK,
+    )
+    from lance_namespace_impls_spark.operators.pipeline import (
+        neardup_edge_relation,
+        neardup_labels,
+    )
+    from lance_namespace_impls_spark.sources.tables import load_table
+
+    n_vec = load_table(spark, "embeddings", SF_SMOKE).count()
+    n_doc = load_table(spark, "documents", SF_SMOKE).count()
+
+    assert ivfpq_result(spark, SF_SMOKE).count() <= _IVFPQ_CODES * _IVFPQ_K
+    assert ivfpq_exact_truth(spark, SF_SMOKE).count() == _IVFPQ_CODES * _IVFPQ_K
+    assert ranked_cell_pairs(spark, SF_SMOKE).count() <= _KNN_MAX_RANK * n_vec
+
+    edges = neardup_edge_relation(spark, SF_SMOKE)
+    labels = neardup_labels(spark, SF_SMOKE, "contraction")
+    assert labels.count() <= n_doc
+    # labels cover exactly the edge-touched docs plus singletons' fold-in
+    assert edges.count() < n_doc * n_doc  # pair list, not a dense matrix
+
+
 def test_memo_is_scoped_by_sf_dir(spark):
     _KNN_MEMO.clear()
     a = ranked_cell_pairs(spark, SF_SMOKE)
