@@ -13,7 +13,7 @@ Subset mode (VERDICT r3 #4): ``bench.py --queries q149,q99`` (or prefixes,
 ``--queries q14`` matches q140-q149) times only the named queries so a
 reviewer can re-time the expensive tail without a 4-minute full run; also
 ``--repeat N`` reports the min of N runs per query (the robust statistic
-under host throttling).  Subset runs never overwrite BENCH_full.json.
+under host throttling).  Subset runs never write the on-disk record.
 """
 
 from __future__ import annotations
@@ -120,9 +120,15 @@ def main() -> None:
     print(json.dumps(payload))
     # Also persist the full per-query map: the driver's stdout capture
     # truncates long lines (BENCH_r01 lost q01-q22), and round-over-round
-    # per-query regression tracking needs every timing on disk.
+    # per-query regression tracking needs every timing on disk.  The
+    # default target is the UNCOMMITTED BENCH_driver.json (gitignored) so
+    # a driver pass never clobbers the committed clean-machine record
+    # BENCH_full.json (VERDICT r10 #1) — that file is updated only
+    # deliberately, by min-merging 2+ quiet-box passes (method in
+    # BASELINE.md).  Override the target with SPARK_GRAFT_BENCH_OUT.
     out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT", str(Path(__file__).resolve().parent / "BENCH_full.json")
+        "SPARK_GRAFT_BENCH_OUT",
+        str(Path(__file__).resolve().parent / "BENCH_driver.json"),
     )
     if selected is None:  # subset runs must not clobber the full-suite record
         try:

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from lance_namespace_impls_spark.functions.vectors import int_dot, int_projected
+from lance_namespace_impls_spark.operators.substrate import SubstrateMemo
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.sources.tables import load_table, spread
 
@@ -191,22 +192,23 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Memoized full q218 output — (query_id, rank, vec_id, exact_d2, adc_d2),
 # k rows per audit query.  q218 is the producer; the eval substrate's
 # approx side consumes it build-if-absent, so a suite pass builds the
-# index search ONCE instead of twice (q218 + the substrate).
-_IVFPQ_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+# index search ONCE instead of twice (q218 + the substrate).  SubstrateMemo
+# (ADVICE r10 #1) normalizes the sf_dir spelling, weakrefs the session and
+# unpersists superseded entries on producer refresh.
+_IVFPQ_MEMO = SubstrateMemo("ivfpq_result")
 
 
 def ivfpq_result(
     spark: SparkSession, sf_dir: str, *, refresh: bool = False
 ) -> DataFrame:
-    key = (id(spark), sf_dir)
-    hit = _IVFPQ_MEMO.get(key)
-    if not refresh and hit is not None and hit[0] is spark:
-        return hit[1]
+    if not refresh:
+        hit = _IVFPQ_MEMO.get(spark, sf_dir)
+        if hit is not None:
+            return hit
     res = ivfpq_search(load_table(spark, "embeddings", sf_dir)).localCheckpoint(
         eager=False
     )
-    _IVFPQ_MEMO[key] = (spark, res)
-    return res
+    return _IVFPQ_MEMO.put(spark, sf_dir, res)
 
 
 def ivfpq_search(emb: DataFrame) -> DataFrame:
@@ -351,7 +353,7 @@ _GT_BUCKETS = 32
 # the pinned localCheckpoints are metadata-scale and deliberately left to
 # die with the session.  The memos are SPLIT so a truth-only consumer
 # (q328, q331) never pays the index build it does not read.
-_EXACT_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+_EXACT_MEMO = SubstrateMemo("ivfpq_exact_truth")
 
 
 def exact_truth_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,13 +413,12 @@ def ivfpq_exact_truth(
     rank <= k by exact integer squared L2 on the 8-query audit sample,
     via the bucketed two-stage top-k (no window ever sees the corpus).
     q232 is the producer (refresh=True); q328/q331/q378/q386 consume."""
-    key = (id(spark), sf_dir)
-    hit = _EXACT_MEMO.get(key)
-    if not refresh and hit is not None and hit[0] is spark:
-        return hit[1]
+    if not refresh:
+        hit = _EXACT_MEMO.get(spark, sf_dir)
+        if hit is not None:
+            return hit
     exact = exact_truth_plan(spark, sf_dir).localCheckpoint(eager=False)
-    _EXACT_MEMO[key] = (spark, exact)
-    return exact
+    return _EXACT_MEMO.put(spark, sf_dir, exact)
 
 
 def ivfpq_eval_relations(

@@ -433,8 +433,6 @@ def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = split.filter(F.col("is_batch")).select("vec_id", "v")
     kb = cluster_bounds(base)
 
-    sig = F.expr(_APP_SIG_SPARK)
-
     def postings(asg: DataFrame) -> DataFrame:
         return asg.groupBy("cluster").agg(
             F.count(F.lit(1)).cast("long").alias("cnt"),

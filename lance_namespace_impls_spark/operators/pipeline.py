@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lance_namespace_impls_spark.operators.substrate import SubstrateMemo
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.sources.tables import load_table, spread
 
@@ -570,14 +571,19 @@ _COMPONENTS_ORACLE = (
 # honesty (the ivfpq_eval_relations contract): each producer refreshes
 # exactly the piece it owns — q99 the edges AND the min-label run, q204
 # the contraction run (edges build-if-absent) — so min-of-N timings never
-# hide a build inside a cache hit; q171/q311 consume.  Pinned state is the
-# edge pair list and one (node, lab) row per edge-touched doc.
-_NEARDUP_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+# hide a build inside a cache hit; q171/q311 consume.  Pinned state is
+# CORPUS-PROPORTIONAL (ADVICE r10 #2): the edge pair list plus one
+# (node, lab) row for EVERY document per algorithm — the fixpoints label
+# the full node set so singletons carry their own id — i.e. ~2 longs per
+# doc per label run and 2 longs per edge, session-lifetime by design
+# (the dedup graph is the table every curation consumer reads), bounded
+# by tests/test_shared_substrates.py and evictable via
+# substrate.release_substrates().
+_NEARDUP_MEMO = SubstrateMemo("neardup")
 
 
 def _neardup_memo_get(spark: SparkSession, sf_dir: str, kind: str):
-    hit = _NEARDUP_MEMO.get((id(spark), sf_dir, kind))
-    return hit[1] if hit is not None and hit[0] is spark else None
+    return _NEARDUP_MEMO.get(spark, sf_dir, kind)
 
 
 def neardup_edge_relation(
@@ -595,8 +601,7 @@ def neardup_edge_relation(
     # release immediately (the edge rows, never the text, stay pinned).
     edges = raw.selectExpr("id_a AS src", "id_b AS dst").localCheckpoint()
     raw._lni_cached.unpersist()
-    _NEARDUP_MEMO[(id(spark), sf_dir, "edges")] = (spark, edges)
-    return edges
+    return _NEARDUP_MEMO.put(spark, sf_dir, edges, "edges")
 
 
 def neardup_labels(
@@ -622,8 +627,7 @@ def neardup_labels(
         else connected_components_contraction
     )
     comp = fix(nodes, edges).localCheckpoint(eager=False)
-    _NEARDUP_MEMO[(id(spark), sf_dir, algo)] = (spark, comp)
-    return comp
+    return _NEARDUP_MEMO.put(spark, sf_dir, comp, algo)
 
 
 @query(

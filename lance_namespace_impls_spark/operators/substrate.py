@@ -1,0 +1,122 @@
+"""Session-scoped substrate memos (ADVICE r10 #1/#2).
+
+The shared-subtree substrates (embedding_ops' IVF-PQ result + exact truth,
+knn_graph's ranked cell pairs, pipeline's near-dup edges/labels) are
+checkpointed once per (session, sf_dir) and read by every consumer row —
+the shape a platform runs at 100 TB, where the audit ground truth and the
+dedup graph are materialized tables, not per-query recomputations.
+
+Round 10 kept those memos as bare module dicts keyed on ``(id(spark),
+sf_dir)``; that leaked two ways the round-10 advice called out:
+
+* the dict held a STRONG reference to the SparkSession and the
+  checkpointed DataFrame forever, so in a long-lived process with several
+  sessions, dead sessions' executor blocks stayed pinned;
+* the raw ``sf_dir`` string keyed the entry, so a trailing slash (or any
+  other spelling of the same path) silently built and pinned a SECOND
+  corpus-scale substrate.
+
+``SubstrateMemo`` fixes both: keys normalize the directory with
+``os.path.normpath``, the session is held through a ``weakref`` (a dead
+session's entries are pruned on the next access instead of pinning the
+JVM-side blocks for the process lifetime), and replacing an entry
+(producer ``refresh=True``) explicitly ``unpersist``-s the superseded
+DataFrame so its checkpoint blocks are released as soon as the new one
+lands rather than waiting for the GC/ContextCleaner cycle.
+
+``release_substrates()`` is the clear hook the advice asked for: a bench
+or notebook driver can drop every pinned substrate (optionally for one
+session) between query families without restarting the session.
+"""
+
+from __future__ import annotations
+
+import os
+import weakref
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Every memo registers itself here so release_substrates() can sweep them
+# without each module exporting its own clear hook.
+_ALL_MEMOS: list["SubstrateMemo"] = []
+
+
+def _release(df: DataFrame) -> None:
+    """Best-effort release of a superseded checkpointed relation.
+
+    ``unpersist`` drops cache/localCheckpoint blocks when present and is a
+    harmless no-op otherwise; dropping our strong reference afterwards
+    lets Spark's ContextCleaner reclaim the checkpoint RDD itself.
+    """
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass  # a stopped session raises — the blocks died with the JVM
+
+
+class SubstrateMemo:
+    """(session, normalized sf_dir, *parts) -> checkpointed DataFrame."""
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+        self._entries: dict[tuple, tuple[weakref.ref, DataFrame]] = {}
+        _ALL_MEMOS.append(self)
+
+    @staticmethod
+    def _key(spark: SparkSession, sf_dir: str, parts: tuple) -> tuple:
+        # normpath folds trailing slashes / redundant separators so every
+        # spelling of the same directory shares one pinned substrate.
+        return (id(spark), os.path.normpath(sf_dir), *parts)
+
+    def _prune_dead(self) -> None:
+        dead = [k for k, (ref, _) in self._entries.items() if ref() is None]
+        for k in dead:
+            del self._entries[k]
+
+    def get(self, spark: SparkSession, sf_dir: str, *parts) -> DataFrame | None:
+        ent = self._entries.get(self._key(spark, sf_dir, parts))
+        if ent is None:
+            return None
+        ref, df = ent
+        # id() can be reused after a session is GC'd: the weakref proves
+        # the entry belongs to THIS session, not a dead one at its address.
+        return df if ref() is spark else None
+
+    def put(
+        self, spark: SparkSession, sf_dir: str, df: DataFrame, *parts
+    ) -> DataFrame:
+        self._prune_dead()
+        key = self._key(spark, sf_dir, parts)
+        old = self._entries.get(key)
+        if old is not None and old[0]() is spark:
+            _release(old[1])  # producer refresh: free the superseded blocks
+        self._entries[key] = (weakref.ref(spark), df)
+        return df
+
+    def clear(self, spark: SparkSession | None = None) -> int:
+        """Unpersist and drop entries (all, or one session's). Returns count."""
+        keys = [
+            k
+            for k, (ref, _) in self._entries.items()
+            if spark is None or ref() is spark
+        ]
+        for k in keys:
+            ref, df = self._entries.pop(k)
+            if ref() is not None:
+                _release(df)
+        return len(keys)
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+
+def release_substrates(spark: SparkSession | None = None) -> int:
+    """Drop every memoized substrate (optionally one session's only).
+
+    The explicit eviction hook for long-lived drivers: the pinned
+    checkpoints are k-bounded for the eval family but corpus-proportional
+    for the kNN edge relation and the near-dup edges/labels (documented at
+    their memo sites), so a process that walks many sf_dirs or runs for
+    days can bound its footprint by releasing between families.
+    """
+    return sum(m.clear(spark) for m in _ALL_MEMOS)

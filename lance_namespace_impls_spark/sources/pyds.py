@@ -30,6 +30,7 @@ exactly the niche the Python DataSource API was built for.
 
 from __future__ import annotations
 
+import logging
 import os
 from dataclasses import dataclass
 from typing import TYPE_CHECKING, Iterator, Sequence
@@ -54,6 +55,13 @@ from pyspark.sql.types import StructType
 
 if TYPE_CHECKING:  # pragma: no cover
     import pyarrow as pa
+
+_log = logging.getLogger(__name__)
+
+# Per-process footer row-group counts (driver-side planning metadata).
+# Data files are immutable once committed, so successful reads never go
+# stale; failures are NOT cached so a repaired file replans correctly.
+_FOOTER_RG_CACHE: dict[str, int] = {}
 
 
 class _FilePartition(InputPartition):
@@ -115,19 +123,29 @@ class LanceNamespaceReader(DataSourceReader):
         """One task per file, split to row-group ranges for big files.
 
         Planning reads only footers (driver-side metadata, the same cost
-        class as Spark's own parquet file index).  Files with a single
-        row group — and files whose footer cannot be read — stay
-        whole-file tasks.
+        class as Spark's own parquet file index), and caches the per-file
+        row-group count — data files are immutable once committed, so a
+        table with many files pays the footer walk once per process, not
+        once per planning pass (ADVICE r10 #4).  Files with a single row
+        group — and files whose footer is unreadable (missing or corrupt,
+        logged at debug; the executor read surfaces the real error) —
+        stay whole-file tasks.
         """
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         out: list[_FilePartition] = []
         step = self._ROW_GROUPS_PER_TASK
         for path in self._files:
-            try:
-                n_rg = pq.ParquetFile(path).metadata.num_row_groups
-            except Exception:
-                n_rg = 1
+            n_rg = _FOOTER_RG_CACHE.get(path)
+            if n_rg is None:
+                try:
+                    n_rg = pq.ParquetFile(path).metadata.num_row_groups
+                except (OSError, pa.ArrowInvalid) as exc:
+                    _log.debug("footer read failed for %s: %s", path, exc)
+                    n_rg = 1  # not cached: a repaired file replans correctly
+                else:
+                    _FOOTER_RG_CACHE[path] = n_rg
             if n_rg <= step:
                 out.append(_FilePartition(path))
             else:
@@ -472,7 +490,7 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Python DataSource STREAMING-write idempotence under checkpoint "
     "replay, at the declared-query level (VERDICT r7 #10 — the surface "
     "tests/test_pyds.py covers but no row exercised through the driver): "
-    "events split into four deterministic files stream through "
+    "events split into two deterministic files stream through "
     "writeStream.format('lance_namespace') (one file per micro-batch, "
     "availableNow), then the LAST batch's checkpoint commit record is "
     "deleted and the stream restarted — Structured Streaming's recovery "
@@ -487,10 +505,10 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(VERDICT r9 #4): the whole working set (source files, namespace, "
     "sink, checkpoint) lives on tmpfs when available — checkpoint WAL "
     "fsyncs are the dominant per-batch cost on local disk and pure "
-    "overhead for a scratch fixture — and the four quarter files come "
-    "from ONE partitioned write (repartition on the quarter key, "
-    "partitionBy, rename flat) instead of four filtered scan+write "
-    "jobs.",
+    "overhead for a scratch fixture — and the two half files come "
+    "from ONE partitioned write (repartition on the half key, "
+    "partitionBy, rename flat); two batches carry the whole proof (one "
+    "replayed, one that must not be re-applied — r10 ran four).",
     tags=("streaming", "pyds", "catalog"),
 )
 def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,39 +539,65 @@ def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
             "event_id", "user_id"
         )
-        # four deterministic quarter files (event_id % 4) -> four batches,
-        # written by ONE job: repartition on the quarter key so each key
+        # two deterministic half files (event_id % 2) -> two batches,
+        # written by ONE job: repartition on the half key so each key
         # lands in exactly one task (one file per partition directory),
         # then flatten the partition layout by rename.  partitionBy drops
-        # the quarter column from the data files, so the flat files carry
-        # exactly ev's schema — batch composition is identical to the old
-        # four filtered writes, and which file becomes which micro-batch
-        # is irrelevant to the census (it counts distinct batch ids).
+        # the half column from the data files, so the flat files carry
+        # exactly ev's schema.  TWO batches suffice for the proof
+        # (VERDICT r10 #3's fixed-cost diet): idempotence needs a forced
+        # replay of the last batch plus at least one batch that must NOT
+        # be re-applied — batches 3 and 4 only re-proved the same thing
+        # at ~1 s of state-store commits each under load.
         staged = os.path.join(work, "src_parts")
         (
-            ev.withColumn("b", F.pmod("event_id", F.lit(4)))
+            ev.withColumn("b", F.pmod("event_id", F.lit(2)))
             .repartition("b")
             .write.partitionBy("b")
             .parquet(staged)
         )
         os.makedirs(src, exist_ok=True)
-        # Source row count from the quarter files' parquet footers —
+        # Source row count from the half files' parquet footers —
         # driver-side metadata on tmpfs, replacing a whole count() job on
         # the events scan (the files were just written by this builder, so
         # footer counts ARE the source counts).
         import pyarrow.parquet as pq
 
         n_src = 0
-        for k in range(4):
+        for k in range(2):
             part_dir = os.path.join(staged, f"b={k}")
-            files = [
+            if not os.path.isdir(part_dir):
+                raise RuntimeError(
+                    f"q296 fixture: half b={k} is empty — the events "
+                    f"fixture at {sf_dir} has no event_id%2=={k} rows, so "
+                    "the two-micro-batch replay cannot be staged"
+                )
+            files = sorted(
                 f
                 for f in os.listdir(part_dir)
                 if f.endswith(".parquet") and not f.startswith(("_", "."))
-            ]
-            assert len(files) == 1, files  # one task per quarter key
-            dest = os.path.join(src, f"quarter-{k}.parquet")
-            os.replace(os.path.join(part_dir, files[0]), dest)
+            )
+            if not files:
+                raise RuntimeError(
+                    f"q296 fixture: half b={k} produced no data file "
+                    f"under {part_dir}"
+                )
+            dest = os.path.join(src, f"half-{k}.parquet")
+            if len(files) == 1:
+                os.replace(os.path.join(part_dir, files[0]), dest)
+            else:
+                # A session conf like spark.sql.files.maxRecordsPerFile
+                # splits one task's output into several parts; coalesce
+                # them driver-side (tmpfs-local metadata-scale fixture
+                # files) so each half stays exactly one micro-batch.
+                import pyarrow as pa
+
+                pq.write_table(
+                    pa.concat_tables(
+                        [pq.read_table(os.path.join(part_dir, f)) for f in files]
+                    ),
+                    dest,
+                )
             n_src += pq.ParquetFile(dest).metadata.num_rows
         shutil.rmtree(staged, ignore_errors=True)
 

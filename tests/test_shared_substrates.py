@@ -164,8 +164,51 @@ def test_pinned_substrates_stay_k_bounded(spark):
 
 
 def test_memo_is_scoped_by_sf_dir(spark):
+    """Normalized scoping (ADVICE r10 #1): different directories get
+    different entries, but every SPELLING of the same directory shares
+    one pinned substrate — round 10's raw-string key built and pinned a
+    second corpus-scale checkpoint for a trailing slash."""
     _KNN_MEMO.clear()
     a = ranked_cell_pairs(spark, SF_SMOKE)
-    b = ranked_cell_pairs(spark, SF_SMOKE.rstrip("/") + "/")  # different key
-    assert a is not b
-    assert len(_KNN_MEMO) == 2
+    b = ranked_cell_pairs(spark, SF_SMOKE.rstrip("/") + "/")  # same dir
+    assert b is a
+    c = ranked_cell_pairs(spark, SF_SMOKE.rstrip("/") + "//.")  # still same
+    assert c is a
+    assert len(_KNN_MEMO) == 1
+
+
+def test_memo_refresh_releases_superseded_entry(spark, monkeypatch):
+    """Producer refresh releases the replaced checkpoint: the superseded
+    DataFrame goes through the release hook (unpersist + reference drop,
+    so the ContextCleaner can reclaim its blocks) instead of staying
+    pinned behind a dropped dict value for the session lifetime."""
+    import lance_namespace_impls_spark.operators.substrate as sub
+
+    _KNN_MEMO.clear()  # before patching: clear() releases prior entries too
+    released = []
+    monkeypatch.setattr(sub, "_release", released.append)
+    a = ranked_cell_pairs(spark, SF_SMOKE)
+    a.count()  # materialize the lazy localCheckpoint so blocks exist
+    b = ranked_cell_pairs(spark, SF_SMOKE, refresh=True)
+    assert b is not a
+    assert released == [a]  # exactly the superseded relation was released
+
+
+def test_release_substrates_clears_every_memo(spark):
+    from lance_namespace_impls_spark.operators.pipeline import (
+        _NEARDUP_MEMO,
+        neardup_edge_relation,
+    )
+    from lance_namespace_impls_spark.operators.substrate import (
+        release_substrates,
+    )
+
+    ranked_cell_pairs(spark, SF_SMOKE)
+    ivfpq_result(spark, SF_SMOKE)
+    neardup_edge_relation(spark, SF_SMOKE)
+    assert len(_KNN_MEMO) >= 1 and len(_NEARDUP_MEMO) >= 1
+    n = release_substrates(spark)
+    assert n >= 3
+    assert len(_KNN_MEMO) == 0 and len(_NEARDUP_MEMO) == 0
+    # and the build-if-absent path still works after a release
+    assert ranked_cell_pairs(spark, SF_SMOKE).count() > 0
