@@ -59,6 +59,8 @@ from lance_namespace_impls_spark.operators import stataudit2  # noqa: F401
 from lance_namespace_impls_spark.operators import mlstats  # noqa: F401
 from lance_namespace_impls_spark.operators import productops  # noqa: F401
 from lance_namespace_impls_spark.operators import experiment  # noqa: F401
+from lance_namespace_impls_spark.operators import hnsw_graph  # noqa: F401
+from lance_namespace_impls_spark.operators import fragprune  # noqa: F401
 from lance_namespace_impls_spark.sources import pyds  # noqa: F401
 from lance_namespace_impls_spark.streaming import windows  # noqa: F401
 from lance_namespace_impls_spark.streaming import joins  # noqa: F401

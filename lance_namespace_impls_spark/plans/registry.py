@@ -291,19 +291,44 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 # Round 11: all 14 round-10 RE_VERIFY rows came back green in
 # CORRECTNESS_r10.json (q296 rows-only by design) and the q371–q393 debt
 # plus the 13 regression slots all landed green — the ledger opened round
-# 11 fully closed.  The set below holds rows whose engines change THIS
-# round after a prior green; each is re-verified locally at sf0.001 +
-# sf0.01 before declaring.
-RE_VERIFY: set[str] = set()
+# 11 fully closed.  The set below holds rows whose engines changed THIS
+# round after a prior green; each re-verified locally at sf0.001 + sf0.01
+# (q296 via its pinned value test — rows-only by design).
+RE_VERIFY: set[str] = {
+    # ADVICE-r10 #1/#2: the substrate memos moved to SubstrateMemo
+    # (normalized sf_dir keys, session weakrefs, unpersist-on-refresh) —
+    # relations identical, but every producer/consumer builder now runs
+    # through the new memo path.
+    "q218_ivfpq_search", "q232_ann_recall_audit", "q328_hnsw_layered_search",
+    "q331_matryoshka_truncation", "q378_ndcg_graded_eval",
+    "q386_mrr_retrieval_eval", "q99_neardup_components",
+    "q171_neardup_keep_best", "q204_components_contraction",
+    "q311_component_purity",
+    # VERDICT-r10 #5: the shared kNN substrate widened to rank<=8 (q394's
+    # layer-0 neighbor lists); q270/q295/q336 slice ranks 1..3/1,4 —
+    # results unchanged, plans identical except the kept-rank filter.
+    "q270_knn_graph", "q295_graph_dedup", "q336_contrastive_margins",
+    # ADVICE-r10 #3: dead `sig` assignment removed from the q392 builder.
+    "q392_ivf_append_maintenance",
+    # ADVICE-r10 #4/#5 + VERDICT-r10 #3: pyds planning now caches footer
+    # row-group counts (q113's reader file), and q296's replay fixture is
+    # two half files instead of four quarters (idempotence needs one
+    # replayed batch + one that must not re-apply) with graceful
+    # multi/zero-part handling.
+    "q113_python_datasource", "q296_pyds_stream_replay",
+    # VERDICT-r10 #3: q170 drains its outer-join state with ONE sentinel
+    # micro-batch (the no-data batch covers the rest) instead of two.
+    "q170_stream_stream_outer_join",
+}
 
 # Deliberate regression window (VERDICT-r8 #2; VERDICT-r10 #2).
 # _priority_order emits these right after the unverified/RE_VERIFY front so
 # the driver's ~50-row cap lands on them once the front is served.
-# Round-11 window math: the front is this round's RE_VERIFY + new rows
-# (small), so the remaining slots fall here: the q20–q46 antique band — the
-# last 27 rows whose only driver records date to rounds 1–2 (r10 re-drove
-# q10–q19; the judge's r10 spot-checks q20/q23/q33/q41/q42/q46 were green,
-# but the ledger policy wants driver rows).  Front + 27 stays under 50.
+# Round-11 window math: the front is 2 new rows (q394/q395) + 17 RE_VERIFY
+# rows = 19, so the remaining ~31 slots fall here: the q20–q46 antique band
+# — the last 27 rows whose only driver records date to rounds 1–2 (r10
+# re-drove q10–q19; the judge's r10 spot-checks q20/q23/q33/q41/q42/q46
+# were green, but the ledger policy wants driver rows).  19 + 27 = 46 < 50.
 REGRESSION_PROPOSED: tuple[str, ...] = (
     "q20_count_distinct", "q21_multi_count_distinct",
     "q22_having", "q23_grouping_sets", "q24_rollup",

@@ -120,6 +120,9 @@ CARTESIAN_ALLOWED = {
     # round 10
     "q391_experiment_readout": "1-row grand-moment/theta/total bounds broadcast into the 2-arm censuses (q372's shape) + the fixed arm x step spine",
     "q392_ivf_append_maintenance": "1-row (k, m) routed bounds + sqrt(k) super broadcasts, three times (base postings, batch-only increment, rebuild) under the frozen router",
+    # round 11
+    "q394_hnsw_neighbor_search": "8-row query broadcasts against the md5-thinned N/64 entry layer and into the per-hop pool scoring (pool x fan-out rows); routed 1-row (k, m) bounds (q328's class)",
+    "q395_lsh_fragment_pruning": "1-row fragment-width bound broadcast into the range assignment and the batch slice",
 }
 
 # streaming builders start real runs; their plans are covered by the
@@ -179,6 +182,7 @@ PYTHON_ALLOWED = {
     "q179_apply_in_arrow_profile": "declared applyInArrow surface (grouped Arrow kernel)",
     "q324_audio_window_census": "real RIFF/WAV chunk-walk decode + windowing via mapInPandas (multimodal surface)",
     "q376_gram_matrix_census": "dim^2-bounded NumPy int64 X^T X kernel via mapInPandas (declared Arrow surface; sits behind the cell checkpoint boundary)",
+    "q394_hnsw_neighbor_search": "per-query greedy-walk kernel via applyInPandas over the bounded cell-subgraph (route relationally, walk locally — 16 hop-joins as separate jobs cost 24 s in scheduling alone)",
 }
 
 _PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas", "PythonMapInArrow")

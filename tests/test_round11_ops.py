@@ -1,0 +1,102 @@
+"""Round-11 operators: q394 neighbor-list HNSW and q395 LSH fragment pruning.
+
+The oracle hash checks prove cross-engine exactness; these tests pin the
+SEMANTIC claims the rows make — q394's recall dominance over q328's
+cell-scan stand-in and its sub-linear scan census, q395's prune soundness
+and branch liveness (the vacuity rule: both scanned AND pruned fragments
+must exist at the gate scale).
+"""
+
+from __future__ import annotations
+
+import lance_namespace_impls_spark.operators  # noqa: F401  (registers queries)
+from lance_namespace_impls_spark.plans.registry import QUERIES
+from lance_namespace_impls_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+def test_q394_recall_dominates_q328_cell_scan(spark):
+    """VERDICT r10 #5's done-bar: the explicit neighbor-list walk must be
+    at least as accurate as the cell-adjacency stand-in it upgrades."""
+    nl = {r["query_id"]: r for r in QUERIES["q394_hnsw_neighbor_search"]
+          .builder(spark, SF_SMOKE).collect()}
+    cs = {r["query_id"]: r for r in QUERIES["q328_hnsw_layered_search"]
+          .builder(spark, SF_SMOKE).collect()}
+    assert set(nl) == set(cs) == set(range(8))
+    assert sum(r["hits"] for r in nl.values()) >= sum(r["hits"] for r in cs.values())
+    assert sum(r["top1_match"] for r in nl.values()) >= sum(
+        r["top1_match"] for r in cs.values()
+    )
+
+
+def test_q394_scan_census_is_sublinear(spark):
+    """The point of the neighbor lists: per-layer scanned work is pool x
+    fan-out x hops, never the corpus.  Upper bounds from the constants:
+    l2 <= |lvl2 members|, l1 <= pool*2M*hops, l0 <= ef*2M*hops."""
+    from lance_namespace_impls_spark.operators.hnsw_graph import (
+        _B,
+        _EF,
+        _H0,
+        _H1,
+        _M,
+    )
+
+    n = load_table(spark, "embeddings", SF_SMOKE).count()
+    rows = QUERIES["q394_hnsw_neighbor_search"].builder(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert r["l1_scanned"] <= _B * 2 * _M * _H1
+        assert r["l0_scanned"] <= _EF * 2 * _M * _H0
+        # and strictly below a full-corpus scan per layer
+        assert r["l0_scanned"] < n
+
+
+def test_q394_layer0_edges_are_the_shared_knn_substrate(spark):
+    """Layer 0's directed neighbor lists ARE ranked_cell_pairs (M ==
+    _KNN_MAX_RANK == 8 since round 11) — the kNN graph consumed as the
+    HNSW bottom layer."""
+    from lance_namespace_impls_spark.operators.hnsw_graph import _M
+    from lance_namespace_impls_spark.operators.knn_graph import (
+        _KNN_MAX_RANK,
+        ranked_cell_pairs,
+    )
+
+    assert _M == _KNN_MAX_RANK == 8
+    pairs = ranked_cell_pairs(spark, SF_SMOKE)
+    n = load_table(spark, "embeddings", SF_SMOKE).count()
+    cnt = pairs.count()
+    assert cnt <= _KNN_MAX_RANK * n
+    # every vector still carries its rank-1 edge (the q270 slice is intact)
+    assert pairs.filter("rank = 1").count() == n
+
+
+def test_q395_prune_soundness_and_branch_liveness(spark):
+    rows = QUERIES["q395_lsh_fragment_pruning"].builder(spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    assert all(r["law_ok"] == 1 for r in rows)
+    scanned = [r for r in rows if r["scanned"] == 1]
+    pruned = [r for r in rows if r["scanned"] == 0]
+    # vacuity rule: both branches live at the gate scale
+    assert scanned and pruned
+    # soundness: a pruned fragment found zero candidates
+    assert all(r["cand_pairs"] == 0 and r["hit_buckets"] == 0 for r in pruned)
+    # the batch's home fragment (0: the re-crawl slice's twins) is scanned
+    # with real candidates
+    frag0 = next(r for r in rows if r["fragment"] == 0)
+    assert frag0["scanned"] == 1 and frag0["cand_pairs"] > 0
+    # fragment ranges cover the corpus exactly
+    n_docs = load_table(spark, "documents", SF_SMOKE).count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_q395_index_is_metadata_scale(spark):
+    """The probed posting relation is DISTINCT(fragment, band, bucket) —
+    bounded by docs x bands, and in practice far below it (bucket reuse);
+    the scan-side pruning must touch only scanned fragments' band rows."""
+    from lance_namespace_impls_spark.operators.fragprune import (
+        _PR_BANDS,
+    )
+
+    rows = QUERIES["q395_lsh_fragment_pruning"].builder(spark, SF_SMOKE).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    assert sum(r["n_buckets"] for r in rows) <= n_docs * _PR_BANDS
