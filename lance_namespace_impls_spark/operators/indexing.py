@@ -487,3 +487,169 @@ def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cell")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# q397 — IVF DELETE maintenance law (round 11): the tombstone path that
+# completes the index lifecycle (build q218/q328, audits q264/q265/q300/
+# q349, remap q348, retrain decision q271, APPEND q392).  The stored
+# postings were built over the full corpus; a delete batch must NOT trigger
+# a rebuild — the tombstoned ids route against the SAME frozen router the
+# index was built with, and their per-cell (count, bit_xor signature)
+# postings SUBTRACT: counts by arithmetic, signatures by XOR, whose every
+# element is its own inverse — in the (int64, xor) group a delete is an
+# append.  The kept state is emitted beside an independent from-scratch
+# rebuild over the remaining rows under the same router; law_ok certifies
+# count AND signature equality per cell.  Falsifiable: if the delete path
+# re-derives its router from the REMAINING rows (the drift bug — deleting
+# low-vec_id seed rows changes both k and the seed set), tombstones land in
+# the wrong cells and the XOR subtraction leaves residue (the poisoned-
+# router regression test exercises exactly that path).  Reference tie-in:
+# lance tables delete via deletion vectors against immutable fragments
+# (reference table_utils.py:22-45 delegates the data plane to lance core);
+# the index-side twin is posting subtraction, not rebuild.
+
+_IVFDEL_MOD = 10  # every 10th vector (md5, 'ivfdel|' salt) is tombstoned
+
+from lance_namespace_impls_spark.operators.traindata import (  # noqa: E402
+    routed_assignment_sql,
+)
+
+_DEL_SPLIT_DUCK = _APP_H32_DUCK.format(x="'ivfdel|' || CAST(vec_id AS VARCHAR)")
+_DEL_SPLIT_SPARK = (
+    "CAST(conv(substring(md5(concat('ivfdel|', CAST(vec_id AS STRING))), 1, 8), "
+    "16, 10) AS BIGINT)"
+)
+
+_IVFDEL_ORACLE = (
+    "WITH proj AS (SELECT vec_id, "
+    "  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v "
+    "  FROM embeddings), "
+    # the frozen router == the one the stored index was built with: the
+    # full-corpus two-level routing (shared verbatim with q205/q270)
+    + routed_assignment_sql()
+    + f"p_full AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cnt, "
+    f"  CAST(bit_xor({_APP_SIG_DUCK}) AS BIGINT) AS x FROM asg GROUP BY cluster), "
+    f"delb AS (SELECT vec_id, v FROM proj WHERE {_DEL_SPLIT_DUCK} % {_IVFDEL_MOD} = 0), "
+    f"remb AS (SELECT vec_id, v FROM proj WHERE {_DEL_SPLIT_DUCK} % {_IVFDEL_MOD} <> 0), "
+    + _app_route_sql("delb", "del")
+    + _app_route_sql("remb", "rem")
+    + "cells AS (SELECT cluster FROM p_full UNION SELECT cluster FROM p_del "
+    "  UNION SELECT cluster FROM p_rem) "
+    "SELECT CAST(cells.cluster AS BIGINT) AS cell, "
+    "  CAST(COALESCE(f.cnt, 0) AS BIGINT) AS full_cnt, "
+    "  CAST(COALESCE(d.cnt, 0) AS BIGINT) AS del_cnt, "
+    "  CAST(COALESCE(f.cnt, 0) - COALESCE(d.cnt, 0) AS BIGINT) AS kept_cnt, "
+    "  CAST(COALESCE(r.cnt, 0) AS BIGINT) AS rebuilt_cnt, "
+    "  CAST(xor(COALESCE(f.x, 0), COALESCE(d.x, 0)) AS BIGINT) AS kept_xor, "
+    "  CAST(COALESCE(r.x, 0) AS BIGINT) AS rebuilt_xor, "
+    "  CAST(CASE WHEN COALESCE(f.cnt, 0) - COALESCE(d.cnt, 0) = COALESCE(r.cnt, 0) "
+    "       AND xor(COALESCE(f.x, 0), COALESCE(d.x, 0)) = COALESCE(r.x, 0) "
+    "       THEN 1 ELSE 0 END AS BIGINT) AS law_ok "
+    "FROM cells LEFT JOIN p_full f USING (cluster) "
+    "LEFT JOIN p_del d USING (cluster) LEFT JOIN p_rem r USING (cluster) "
+    "ORDER BY cell"
+)
+
+
+def _sig_postings(asg: DataFrame) -> DataFrame:
+    """Per-cell (count, bit_xor content signature) posting state — the
+    map-side-combinable aggregate both maintenance laws merge/subtract."""
+    return asg.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.expr(f"CAST(bit_xor({_APP_SIG_SPARK}) AS BIGINT)").alias("x"),
+    )
+
+
+def _ivfdel_frame(spark: SparkSession, sf_dir: str, drift: bool = False) -> DataFrame:
+    """q397's frame.  ``drift=True`` is the poisoned-router variant the
+    regression test exercises: the delete batch routes against a router
+    re-derived from the REMAINING rows (wrong k, wrong seeds) while the
+    stored postings and the rebuild keep the true frozen router — the law
+    must then fail on some cell."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = (
+        spread(emb)
+        .select("vec_id", int_projected(F.col("embedding")).alias("v"))
+        .localCheckpoint(eager=False)  # feeds router seeds + all three routings
+    )
+    is_del = F.expr(f"{_DEL_SPLIT_SPARK} % {_IVFDEL_MOD} = 0")
+    delb = proj.filter(is_del)
+    remb = proj.filter(~is_del).localCheckpoint(eager=False)  # rebuild + drift router
+    kb = cluster_bounds(emb)
+    # stored index state: everything routed under the full-corpus router
+    p_full = _sig_postings(routed_assignment(proj, kb))
+    # the INCREMENTAL delete path: ONLY the tombstones route; frozen router
+    if drift:
+        kb_rem = cluster_bounds(remb.select(F.col("vec_id").alias("e")))
+        p_del = _sig_postings(routed_assignment(delb, kb_rem, router_proj=remb))
+    else:
+        p_del = _sig_postings(routed_assignment(delb, kb, router_proj=proj))
+    # the REBUILD path: remaining rows re-route under the same frozen router
+    p_rem = _sig_postings(routed_assignment(remb, kb, router_proj=proj))
+
+    cells = (
+        p_full.select("cluster")
+        .unionByName(p_del.select("cluster"))
+        .unionByName(p_rem.select("cluster"))
+        .distinct()
+    )
+    f_ = p_full.withColumnRenamed("cnt", "f_cnt").withColumnRenamed("x", "f_x")
+    d_ = p_del.withColumnRenamed("cnt", "d_cnt").withColumnRenamed("x", "d_x")
+    r_ = p_rem.withColumnRenamed("cnt", "r_cnt").withColumnRenamed("x", "r_x")
+    return (
+        cells.join(f_, "cluster", "left")
+        .join(d_, "cluster", "left")
+        .join(r_, "cluster", "left")
+        .select(
+            F.col("cluster").cast("long").alias("cell"),
+            F.coalesce("f_cnt", F.lit(0)).cast("long").alias("full_cnt"),
+            F.coalesce("d_cnt", F.lit(0)).cast("long").alias("del_cnt"),
+            (F.coalesce("f_cnt", F.lit(0)) - F.coalesce("d_cnt", F.lit(0)))
+            .cast("long")
+            .alias("kept_cnt"),
+            F.coalesce("r_cnt", F.lit(0)).cast("long").alias("rebuilt_cnt"),
+            F.expr("CAST(COALESCE(f_x, 0) ^ COALESCE(d_x, 0) AS BIGINT)").alias(
+                "kept_xor"
+            ),
+            F.coalesce("r_x", F.lit(0)).cast("long").alias("rebuilt_xor"),
+        )
+        .withColumn(
+            "law_ok",
+            F.when(
+                (F.col("kept_cnt") == F.col("rebuilt_cnt"))
+                & (F.col("kept_xor") == F.col("rebuilt_xor")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+        .orderBy("cell")
+    )
+
+
+@query(
+    "q397_ivf_delete_maintenance",
+    _IVFDEL_ORACLE,
+    doc="IVF DELETE maintenance law — the tombstone path completing the "
+    "index lifecycle beside append q392 (build q218/q328, audits, remap "
+    "q348, retrain q271): an md5-selected ~10% delete batch routes "
+    "against the SAME frozen full-corpus router the stored index was "
+    "built with, and its per-cell (count, bit_xor content signature) "
+    "postings SUBTRACT from the stored state — counts arithmetically, "
+    "signatures by XOR (every element its own inverse: in the signature "
+    "group a delete IS an append) — emitted beside an independent "
+    "rebuild over the remaining rows under the same router, law_ok "
+    "certifying count AND signature equality per cell, hash-checked end "
+    "to end.  Falsifiable: re-deriving the delete router from the "
+    "remaining rows (drift) changes k and the low-vec_id seed set, "
+    "tombstones route to wrong cells and XOR residue flips law_ok to 0 "
+    "(the poisoned-router test runs that exact path).  Scale shape: the "
+    "delete side touches ONLY the tombstoned rows (two-level sqrt(k) "
+    "routing, no corpus re-scan); posting subtraction is a k-row merge "
+    "of map-side-combinable states — a 100 TB index absorbs deletes as "
+    "deletion-vector metadata plus posting decrements, never a rebuild.",
+    tags=("llm", "similarity", "vectors", "maintenance"),
+)
+def q397(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivfdel_frame(spark, sf_dir)

@@ -118,6 +118,35 @@ def _build_ranked_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked_cell_pairs_plan(spark, sf_dir).localCheckpoint(eager=False)
 
 
+def routed_corpus(
+    spark: SparkSession, sf_dir: str, *, refresh: bool = False
+) -> DataFrame:
+    """(vec_id, v, cluster) — the full-corpus two-level routed assignment
+    under the standard router (the same routing ranked_cell_pairs blocks
+    on), checkpointed once per (session, sf_dir).
+
+    Round 11: q394 (the HNSW search row, the producer — refresh=True) and
+    q396 (the append law's stored-index node set) both need the corpus
+    node->cell map; at platform scale this IS a materialized table beside
+    the index, not a per-query recomputation.  Corpus-proportional pin
+    (one row per vector: id + projected ints + cell), bounded by
+    tests/test_shared_substrates.py's size contract and evictable via
+    substrate.release_substrates().
+    """
+    if not refresh:
+        hit = _KNN_MEMO.get(spark, sf_dir, "routed")
+        if hit is not None:
+            return hit
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = spread(emb).select(
+        "vec_id", int_projected(F.col("embedding")).alias("v")
+    ).localCheckpoint(eager=False)
+    asg = routed_assignment(proj, cluster_bounds(emb)).localCheckpoint(
+        eager=False
+    )
+    return _KNN_MEMO.put(spark, sf_dir, asg, "routed")
+
+
 def ranked_cell_pairs(
     spark: SparkSession, sf_dir: str, *, refresh: bool = False
 ) -> DataFrame:

@@ -324,11 +324,12 @@ RE_VERIFY: set[str] = {
 # Deliberate regression window (VERDICT-r8 #2; VERDICT-r10 #2).
 # _priority_order emits these right after the unverified/RE_VERIFY front so
 # the driver's ~50-row cap lands on them once the front is served.
-# Round-11 window math: the front is 2 new rows (q394/q395) + 17 RE_VERIFY
-# rows = 19, so the remaining ~31 slots fall here: the q20–q46 antique band
-# — the last 27 rows whose only driver records date to rounds 1–2 (r10
-# re-drove q10–q19; the judge's r10 spot-checks q20/q23/q33/q41/q42/q46
-# were green, but the ledger policy wants driver rows).  19 + 27 = 46 < 50.
+# Round-11 window math: the front is 4 new rows (q394/q395 + the two
+# maintenance laws q396/q397) + 17 RE_VERIFY rows = 21, so the remaining
+# ~29 slots fall here: the q20–q46 antique band — the last 27 rows whose
+# only driver records date to rounds 1–2 (r10 re-drove q10–q19; the
+# judge's r10 spot-checks q20/q23/q33/q41/q42/q46 were green, but the
+# ledger policy wants driver rows).  21 + 27 = 48 < 50.
 REGRESSION_PROPOSED: tuple[str, ...] = (
     "q20_count_distinct", "q21_multi_count_distinct",
     "q22_having", "q23_grouping_sets", "q24_rollup",

@@ -123,6 +123,8 @@ CARTESIAN_ALLOWED = {
     # round 11
     "q394_hnsw_neighbor_search": "8-row query broadcasts against the md5-thinned N/64 entry layer and into the per-hop pool scoring (pool x fan-out rows); routed 1-row (k, m) bounds (q328's class)",
     "q395_lsh_fragment_pruning": "1-row fragment-width bound broadcast into the range assignment and the batch slice",
+    "q396_hnsw_append_maintenance": "1-row (k, m) routed bounds + sqrt(k) super broadcasts under the frozen full-corpus router (substrate node set, rebuild, touched-cell recompute — q392's class)",
+    "q397_ivf_delete_maintenance": "1-row (k, m) routed bounds + sqrt(k) super broadcasts, three times (stored postings, tombstone routing, rebuild) under the frozen full-corpus router (q392's class)",
 }
 
 # streaming builders start real runs; their plans are covered by the

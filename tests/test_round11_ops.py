@@ -100,3 +100,57 @@ def test_q395_index_is_metadata_scale(spark):
     rows = QUERIES["q395_lsh_fragment_pruning"].builder(spark, SF_SMOKE).collect()
     n_docs = sum(r["n_docs"] for r in rows)
     assert sum(r["n_buckets"] for r in rows) <= n_docs * _PR_BANDS
+
+
+# --- q396 / q397: the two maintenance laws added in round 11 -------------
+
+
+def test_q397_delete_law_holds_and_conserves(spark):
+    rows = QUERIES["q397_ivf_delete_maintenance"].builder(spark, SF_SMOKE).collect()
+    assert rows and all(r["law_ok"] == 1 for r in rows)
+    n = load_table(spark, "embeddings", SF_SMOKE).count()
+    assert sum(r["full_cnt"] for r in rows) == n
+    # conservation: kept + deleted == stored, and the rebuild agrees
+    for r in rows:
+        assert r["kept_cnt"] + r["del_cnt"] == r["full_cnt"]
+        assert r["kept_cnt"] == r["rebuilt_cnt"]
+    # the delete branch is live (some cell actually loses rows)
+    assert any(r["del_cnt"] > 0 for r in rows)
+
+
+def test_q397_drifted_router_breaks_law(spark):
+    """Falsifiability: routing the tombstones against a router re-derived
+    from the REMAINING rows (wrong k, wrong seeds) must leave XOR residue."""
+    from lance_namespace_impls_spark.operators.indexing import _ivfdel_frame
+
+    rows = _ivfdel_frame(spark, SF_SMOKE, drift=True).collect()
+    assert any(r["law_ok"] == 0 for r in rows)
+
+
+def test_q396_append_law_holds_with_live_branches(spark):
+    rows = QUERIES["q396_hnsw_append_maintenance"].builder(spark, SF_SMOKE).collect()
+    assert rows and all(r["law_ok"] == 1 for r in rows)
+    touched = [r for r in rows if r["touched"] == 1]
+    untouched = [r for r in rows if r["touched"] == 0]
+    # vacuity rule: both branches live at the gate scale
+    assert touched and untouched
+    # the phenomenon the law guards: existing nodes' lists DO change in
+    # touched cells (a new arrival enters their top-M)
+    assert any(r["changed_src"] > 0 for r in touched)
+    # untouched cells' stored lists survive verbatim
+    assert all(r["changed_src"] == 0 and r["base_cnt"] == r["reb_cnt"]
+               for r in untouched)
+    # appends never shrink a cell's edge relation (list sizes are
+    # min(M, members-1), non-decreasing in members)
+    assert all(r["reb_cnt"] >= r["base_cnt"] for r in rows)
+
+
+def test_q396_naive_append_breaks_law(spark):
+    """The bug the law catches: adding only the NEW nodes' lists (never
+    revisiting existing nodes') must fail — and only in touched cells."""
+    from lance_namespace_impls_spark.operators.hnsw_graph import _hnswapp_frame
+
+    rows = _hnswapp_frame(spark, SF_SMOKE, naive=True).collect()
+    fails = [r for r in rows if r["law_ok"] == 0]
+    assert fails
+    assert all(r["touched"] == 1 for r in fails)

@@ -155,6 +155,10 @@ def test_pinned_substrates_stay_k_bounded(spark):
     assert ivfpq_result(spark, SF_SMOKE).count() <= _IVFPQ_CODES * _IVFPQ_K
     assert ivfpq_exact_truth(spark, SF_SMOKE).count() == _IVFPQ_CODES * _IVFPQ_K
     assert ranked_cell_pairs(spark, SF_SMOKE).count() <= _KNN_MAX_RANK * n_vec
+    # the routed-corpus substrate (round 11): exactly one row per vector
+    from lance_namespace_impls_spark.operators.knn_graph import routed_corpus
+
+    assert routed_corpus(spark, SF_SMOKE).count() == n_vec
 
     edges = neardup_edge_relation(spark, SF_SMOKE)
     labels = neardup_labels(spark, SF_SMOKE, "contraction")
