@@ -567,18 +567,19 @@ def _ivfdel_frame(spark: SparkSession, sf_dir: str, drift: bool = False) -> Data
     re-derived from the REMAINING rows (wrong k, wrong seeds) while the
     stored postings and the rebuild keep the true frozen router — the law
     must then fail on some cell."""
-    emb = load_table(spark, "embeddings", sf_dir)
-    proj = (
-        spread(emb)
-        .select("vec_id", int_projected(F.col("embedding")).alias("v"))
-        .localCheckpoint(eager=False)  # feeds router seeds + all three routings
-    )
+    from lance_namespace_impls_spark.operators.knn_graph import routed_corpus
+
+    # The stored index state IS the shared routed-corpus substrate (the
+    # materialized node->cell table the whole ANN/kNN family reads;
+    # build-if-absent, q394 owns the refresh) — its per-cell postings are
+    # the index the delete batch subtracts from.
+    rc = routed_corpus(spark, sf_dir)
+    proj = rc.select("vec_id", "v")
     is_del = F.expr(f"{_DEL_SPLIT_SPARK} % {_IVFDEL_MOD} = 0")
     delb = proj.filter(is_del)
     remb = proj.filter(~is_del).localCheckpoint(eager=False)  # rebuild + drift router
-    kb = cluster_bounds(emb)
-    # stored index state: everything routed under the full-corpus router
-    p_full = _sig_postings(routed_assignment(proj, kb))
+    kb = cluster_bounds(rc)
+    p_full = _sig_postings(rc)
     # the INCREMENTAL delete path: ONLY the tombstones route; frozen router
     if drift:
         kb_rem = cluster_bounds(remb.select(F.col("vec_id").alias("e")))
@@ -635,7 +636,9 @@ def _ivfdel_frame(spark: SparkSession, sf_dir: str, drift: bool = False) -> Data
     "index lifecycle beside append q392 (build q218/q328, audits, remap "
     "q348, retrain q271): an md5-selected ~10% delete batch routes "
     "against the SAME frozen full-corpus router the stored index was "
-    "built with, and its per-cell (count, bit_xor content signature) "
+    "built with — the stored postings aggregate the shared routed-corpus "
+    "substrate, the materialized node->cell table the ANN/kNN family "
+    "reads — and its per-cell (count, bit_xor content signature) "
     "postings SUBTRACT from the stored state — counts arithmetically, "
     "signatures by XOR (every element its own inverse: in the signature "
     "group a delete IS an append) — emitted beside an independent "
