@@ -377,7 +377,9 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("total_chars").cast("long").alias("total_chars"),
         F.col("max_chars").cast("long").alias("max_chars"),
-    ).orderBy("source")
+    ).localCheckpoint(eager=False).orderBy("source")
+    # lineage cut: don't run the grouped Arrow profile twice for the range
+    # exchange's boundary sampling
 
 
 # ---------------------------------------------------------------------------

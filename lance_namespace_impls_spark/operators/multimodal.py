@@ -779,7 +779,8 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_samples",
         "energy",
         "zero_crossings",
-    ).orderBy("doc_id", "win_idx")
+    ).localCheckpoint(eager=False).orderBy("doc_id", "win_idx")
+    # lineage cut: don't decode every WAV twice for range-boundary sampling
 
 
 # ---------------------------------------------------------------------------

@@ -1051,14 +1051,21 @@ def scalar_disc_price_udf():
     tags=("udf",),
 )
 def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UDF ABOVE the output sort (optimizer keeps ArrowEvalPython there):
+    # the range exchange samples and shuffles only the raw scan columns, so
+    # the Python stage runs ONCE per row instead of twice (a range exchange
+    # re-executes its child to pick boundaries — measured 1.5 s -> 0.86 s
+    # at sf0.1), and the sort itself distributes the rows, making the
+    # spread() round-robin exchange redundant.
     return (
-        spread(load_table(spark, "lineitem", sf_dir))
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
         .select(
             "l_orderkey",
             "l_linenumber",
             _disc_price_vec("l_extendedprice", "l_discount").alias("disc_price"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
     )
 
 

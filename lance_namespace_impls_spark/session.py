@@ -11,6 +11,7 @@ on cluster locale.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -42,18 +43,31 @@ _RUNTIME_CONF: dict[str, str] = {
 }
 
 
+# Sessions whose runtime confs were already applied.  Every load_table /
+# public builder calls ensure_runtime_conf, so without this guard a full
+# suite pass pays ~700 x 7 Py4J conf round-trips (~4 ms each) re-setting
+# values nothing in the engine or its tests ever changes.  WeakSet: a dead
+# session's entry vanishes with it, and a NEW session at a reused address
+# is a different object, so it re-applies.
+_CONF_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime SQL confs to an existing session.
 
-    Safe to call repeatedly; used by every public query builder so the engine
-    works on sessions it did not construct.
+    Safe to call repeatedly (idempotent; repeat calls on the same session
+    are a no-op set-membership probe); used by every public query builder
+    so the engine works on sessions it did not construct.
     """
+    if spark in _CONF_APPLIED:
+        return spark
     for key, value in _RUNTIME_CONF.items():
         try:
             spark.conf.set(key, value)
         except Exception:
             # Conf may be static on some builds; the builder path sets it.
             pass
+    _CONF_APPLIED.add(spark)
     return spark
 
 

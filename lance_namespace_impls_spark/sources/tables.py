@@ -12,6 +12,7 @@ the microsecond.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,14 +57,54 @@ def _normalize_events(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+# Unexecuted scan PLANS memoized per (session, normalized sf_dir, table).
+# ``spark.read.parquet`` costs ~100 ms per call (file listing + footer
+# schema read on the driver) and the suite's builders call load_table
+# ~700 times per pass over the same ten immutable fixture files — the
+# single largest per-query FIXED cost at bench time.  The memo holds only
+# the lazy logical plan (no rows, no cache/persist): every action on it
+# still scans the parquet from disk, so bench honesty is untouched.
+# Fixture files are immutable once generated (TESTDATA.md); a caller that
+# genuinely rewrites a table file in place can bypass with ``fresh=True``.
+# Keys carry a session weakref so dead sessions' entries prune instead of
+# pinning JVM-side plan objects, and an id()-reuse collision is detected
+# by the identity check (same pattern as operators/substrate.py).
+_SCAN_MEMO: dict[tuple, tuple[weakref.ref, DataFrame]] = {}
+
+
+def load_table(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str | None = None,
+    *,
+    fresh: bool = False,
+) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy scan; no action)."""
     ensure_runtime_conf(spark)
-    sf_dir = sf_dir or DEFAULT_SF_DIR
+    sf_dir = os.path.normpath(sf_dir or DEFAULT_SF_DIR)
+    key = (id(spark), sf_dir, name)
+    if not fresh:
+        ent = _SCAN_MEMO.get(key)
+        if ent is not None and ent[0]() is spark:
+            return ent[1]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = _normalize_events(df)
+    if len(_SCAN_MEMO) > 256:  # prune dead sessions' entries
+        for k in [k for k, (ref, _) in _SCAN_MEMO.items() if ref() is None]:
+            del _SCAN_MEMO[k]
+    _SCAN_MEMO[key] = (weakref.ref(spark), df)
     return df
+
+
+# spread()'s parallelism probe (``df.rdd.getNumPartitions()``) instantiates
+# the full physical plan — ~15 ms on a bare scan, 100+ ms on a derived
+# relation.  The decision is deterministic per (plan object, target), and
+# with load_table's plan memo the SAME DataFrame object now recurs across
+# builders, so the probe's outcome is memoized by object identity.  Only
+# the decision (repartition or not) is cached — the repartition exchange
+# itself still executes inside every consuming query.
+_SPREAD_MEMO: dict[tuple[int, int], tuple[weakref.ref, DataFrame]] = {}
 
 
 def spread(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -80,9 +121,16 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    key = (id(df), target)
+    ent = _SPREAD_MEMO.get(key)
+    if ent is not None and ent[0]() is df:
+        return ent[1]
+    out = df.repartition(target) if df.rdd.getNumPartitions() < target else df
+    if len(_SPREAD_MEMO) > 256:  # drop dead entries (id reuse is identity-checked)
+        for k in [k for k, (ref, _) in _SPREAD_MEMO.items() if ref() is None]:
+            del _SPREAD_MEMO[k]
+    _SPREAD_MEMO[key] = (weakref.ref(df), out)
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
