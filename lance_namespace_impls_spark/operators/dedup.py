@@ -611,11 +611,14 @@ FROM caught ORDER BY cls, method
     "MinHash catches light edits totally (3-gram shingles absorb one "
     "token), SimHash most of them, and heavy edits escape everything — "
     "the honest boundary that motivates the q229/q294 span-level family. "
-    " Scale shape: one tokenize pass feeds all three detectors; each "
-    "detector is its declared row's plan (banded joins, segment tables, "
-    "md5 equality) over the corpus+twins union; the scoring is a "
-    "9-cell census via semi-join membership of the seeded (orig, twin) "
-    "pairs.",
+    " Scale shape: every detector decision is a per-doc signature "
+    "comparison, so the matrix evaluates PAIRWISE on the seeded ids — "
+    "one tokenize pass over the seeded subset feeds the three signature "
+    "kernels (the q161 MinHash banding, q306 SimHash segments, md5 "
+    "equality — unchanged), and each seed pair is caught iff its two "
+    "signatures collide: exactly the semi-join membership the corpus-wide "
+    "candidate relations produced, without computing the non-seeded "
+    "candidates the 9-cell census never reads (guide §1.2).",
     tags=("llm", "dedup", "quality"),
 )
 def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -661,13 +664,24 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tw = tw.localCheckpoint(eager=False)  # feeds the union AND the scoring
+
+    # The census only ever inspects the seeded (orig, twin) pairs — every
+    # detector decision is a per-doc signature comparison, independent of
+    # the rest of the corpus — so the detectors evaluate PAIRWISE on the
+    # seeded ids (guide §1.2: don't compute candidate sets you throw away).
+    # The signature kernels are unchanged (q161 MinHash banding, q306
+    # SimHash segments, md5 text equality); what is gone is the corpus-wide
+    # tokenize + three bucket self-joins whose non-seeded pairs the 9-cell
+    # matrix never read.  Results are bit-identical: a seed pair is caught
+    # iff its two signatures collide, exactly the semi-join membership the
+    # full candidate relation produced.
     allt = (
-        docs.select(F.col("doc_id").alias("id"), tokens(F.col("text")).alias("tk"))
+        raw.select(F.col("doc_id").alias("id"), "tk")
         .unionByName(tw.select(F.col("tid").alias("id"), F.col("ttk").alias("tk")))
     )
     allt = allt.localCheckpoint(eager=False)  # feeds all three detectors
 
-    # m2: portable MinHash 4x2 banding (q161 geometry) over the union
+    # m2: portable MinHash 4x2 banding (q161 geometry), seeded ids only
     from lance_namespace_impls_spark.operators.corpus import (
         _portable_minhash_sig,
     )
@@ -691,19 +705,24 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     )
     bands = bands.localCheckpoint(eager=False)  # both join sides
+    seeds0 = tw.select(F.col("doc_id").alias("ia"), F.col("tid").alias("ib")).distinct()
     mh_pairs = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.id") < F.col("b.id")),
+        seeds0.join(
+            bands.select(F.col("id").alias("ia"), "b", "bk"), "ia"
         )
-        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
-        .distinct()
+        .join(
+            bands.select(
+                F.col("id").alias("ib"),
+                F.col("b").alias("b2"),
+                F.col("bk").alias("bk2"),
+            ),
+            ["ib"],
+        )
+        .filter((F.col("b") == F.col("b2")) & (F.col("bk") == F.col("bk2")))
+        .select("ia", "ib")
     )
 
-    # m3: 4-segment SimHash at Hamming <= 3 (q306 geometry)
+    # m3: 4-segment SimHash at Hamming <= 3 (q306 geometry), per seed pair
     hh = allt.select("id", F.explode("tk").alias("t")).select(
         "id", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h")
     )
@@ -713,46 +732,27 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", simhash_from_votes(_SH_BITS).alias("sg"))
         .localCheckpoint(eager=False)
     )
-    seg = ss.select(
-        "id",
-        "sg",
-        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"),
-    ).select(
-        "id",
-        "sg",
-        "k",
-        F.expr(
-            "CASE "
-            + " ".join(
-                f"WHEN k = {k} THEN shiftright(sg, {15 * k}) & 32767"
-                for k in range(4)
-            )
-            + " END"
-        ).alias("s"),
-    )
-    sh_pairs = (
-        seg.alias("a")
-        .join(
-            seg.alias("b"),
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.id") < F.col("b.id")),
+    seg_match = F.lit(False)
+    for k in range(4):
+        seg_match = seg_match | (
+            (F.shiftright(F.col("sga"), 15 * k).bitwiseAND(F.lit(32767)))
+            == (F.shiftright(F.col("sgb"), 15 * k).bitwiseAND(F.lit(32767)))
         )
-        .filter(hamming64(F.col("a.sg"), F.col("b.sg")) <= 3)
-        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
-        .distinct()
+    sh_pairs = (
+        seeds0.join(ss.select(F.col("id").alias("ia"), F.col("sg").alias("sga")), "ia")
+        .join(ss.select(F.col("id").alias("ib"), F.col("sg").alias("sgb")), "ib")
+        .filter(seg_match & (hamming64(F.col("sga"), F.col("sgb")) <= 3))
+        .select("ia", "ib")
     )
 
-    # m1: exact normalized-text equality (joined on the md5 digest so the
-    # shuffle carries 32-byte keys, not document bodies — the q45 convention)
+    # m1: exact normalized-text equality (compared on the md5 digest so the
+    # join carries 32-byte keys, not document bodies — the q45 convention)
     txt = allt.select("id", F.md5(F.concat_ws(" ", F.col("tk"))).alias("t2"))
     ex_pairs = (
-        txt.alias("a")
-        .join(
-            txt.alias("b"),
-            (F.col("a.t2") == F.col("b.t2")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"))
+        seeds0.join(txt.select(F.col("id").alias("ia"), F.col("t2").alias("ta")), "ia")
+        .join(txt.select(F.col("id").alias("ib"), F.col("t2").alias("tb")), "ib")
+        .filter(F.col("ta") == F.col("tb"))
+        .select("ia", "ib")
     )
 
     seeds = tw.select("cls", F.col("doc_id").alias("ia"), F.col("tid").alias("ib"))

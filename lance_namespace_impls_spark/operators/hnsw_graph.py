@@ -685,7 +685,9 @@ def _hnswapp_frame(
             pd2.alias("d2"),
         )
 
-    pairs_f = pair_rel(nf).localCheckpoint(eager=False)  # both layers' rebuilt lists
+    # Single consumer (ranked_all) since the src-level aggregation refactor:
+    # the pair relation streams straight into the window, no materialization.
+    pairs_f = pair_rel(nf)
     base_ids = proj.select("vec_id")
 
     # The layer axis is a COLUMN, not a loop: every relation below carries
@@ -795,8 +797,6 @@ def _hnswapp_frame(
             .filter(F.col("rn") <= _M)
             .select("lvl", "cell", "src", "dst")
         )
-        ei = eb.join(touched, ["lvl", "cell"], "left_anti").unionByName(recompute)
-
     sig = (
         "CAST(conv(substring(md5(concat('he|', CAST(lvl AS STRING), '|', "
         "CAST(src AS STRING), '|', CAST(dst AS STRING))), 1, 8), 16, 10) AS BIGINT)"
@@ -808,17 +808,34 @@ def _hnswapp_frame(
             F.expr(f"CAST(bit_xor({sig}) AS BIGINT)").alias("x"),
         )
 
-    pi = postings(ei)
-    pf = postings(ef)
-    pb = eb.groupBy("lvl", "cell").agg(F.count(F.lit(1)).cast("long").alias("b_cnt"))
+    # ONE src-level pass over each edge relation; every cell-level posting
+    # below is a second-stage aggregate of it (counts add, XOR composes —
+    # both associative), so eb/ef each feed a single aggregation subtree
+    # instead of three/two independent re-executions of their build joins.
     sb = eb.groupBy("lvl", "cell", "src").agg(
         F.count(F.lit(1)).alias("bc"), F.expr(f"bit_xor({sig})").alias("bx")
     )
-    sfr = (
-        ef.join(base_ids.withColumnRenamed("vec_id", "src"), "src")
-        .groupBy("lvl", "cell", "src")
-        .agg(F.count(F.lit(1)).alias("fc"), F.expr(f"bit_xor({sig})").alias("fx"))
+    sf_all = ef.groupBy("lvl", "cell", "src").agg(
+        F.count(F.lit(1)).alias("fc"), F.expr(f"bit_xor({sig})").alias("fx")
     )
+    sfr = sf_all.join(base_ids.withColumnRenamed("vec_id", "src"), "src")
+    pf = sf_all.groupBy("lvl", "cell").agg(
+        F.sum("fc").cast("long").alias("cnt"),
+        F.expr("CAST(bit_xor(fx) AS BIGINT)").alias("x"),
+    )
+    pb = sb.groupBy("lvl", "cell").agg(F.sum("bc").cast("long").alias("b_cnt"))
+    if naive:
+        pi = postings(ei)
+    else:
+        pi = (
+            sb.groupBy("lvl", "cell")
+            .agg(
+                F.sum("bc").cast("long").alias("cnt"),
+                F.expr("CAST(bit_xor(bx) AS BIGINT)").alias("x"),
+            )
+            .join(touched, ["lvl", "cell"], "left_anti")
+            .unionByName(postings(recompute))
+        )
     ch = (
         sb.join(sfr, ["lvl", "cell", "src"], "full")
         .filter(

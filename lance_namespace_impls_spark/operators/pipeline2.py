@@ -93,11 +93,19 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     base = docs.unionByName(twins)
-    keep = base.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
-    n0 = base.count()
+    # One digest groupBy carries BOTH funnel counts: n0 = Σ group sizes
+    # (rows in), n1 = #groups (distinct texts == survivors, since the
+    # keeper semi-join keeps exactly one doc per digest group) — one tiny
+    # job instead of two corpus counts (guide §1.2: don't re-scan for a
+    # number the aggregate already holds).
+    keep = base.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=False)  # feeds the funnel counts AND the keeper semi-join
+    tot = keep.agg(
+        F.sum("c").cast("long").alias("n0"), F.count(F.lit(1)).cast("long").alias("n1")
+    ).collect()[0]
+    n0, n1 = tot["n0"], tot["n1"]
     survivors = base.join(keep.select("doc_id"), "doc_id", "left_semi")
-    survivors = survivors.localCheckpoint(eager=False)  # feeds count + edges
-    n1 = survivors.count()
     raw_edges = neardup_edges(survivors, 0.5)
     n2 = raw_edges.select("id_b").distinct().count()
     raw_edges._lni_cached.unpersist()

@@ -557,14 +557,16 @@ def kcenter_select(emb: DataFrame, k: int = 8) -> DataFrame:
     LARGEST (ties to the lowest id).
 
     Spark shape: the selected set stays a DataFrame the whole way — no
-    driver-side collect.  Each round broadcast-joins the (≤k)-row selected
-    set against the corpus, takes min-distance per vector (map-side
-    combinable), and argmaxes with one max(struct) aggregate; the round's
+    driver-side collect.  Each round broadcasts the (≤k)-row selected set
+    collected into ONE struct-array row; the per-vector min distance is a
+    map-side array fold over that broadcast (no per-round corpus shuffle —
+    the groupBy form shuffled corpus x |sel| rows carrying the vectors),
+    and the round argmaxes with one max(struct) aggregate; the round's
     1-row winner unions into the selected set and the loop lineage is cut
     with a localCheckpoint.  The k−1 sequential corpus passes are inherent
     to the greedy dependency (each pick conditions the next) — at 100 TB
-    each pass is a broadcast join + aggregate with nothing shuffled but the
-    1-row argmax.
+    each pass is a broadcast + map-side fold + aggregate with nothing
+    shuffled but the 1-struct argmax partials.
     """
     proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
     nn = proj.select(
@@ -582,24 +584,30 @@ def kcenter_select(emb: DataFrame, k: int = 8) -> DataFrame:
         )
     )
     for r in range(2, k + 1):
-        s = sel.select(
-            F.col("vec_id").alias("sid"),
-            F.col("v").alias("sv"),
-            F.col("n2").alias("sn2"),
+        # The selected set rides as ONE collected row (<= k structs) so the
+        # per-vector min-distance is a map-side array fold over the
+        # broadcast — no per-round corpus shuffle: the old form exploded
+        # corpus x (r-1) rows through a groupBy(vec_id) carrying the
+        # vectors; this computes the same min in place and shuffles only
+        # the 1-struct argmax partials (guide §2.3/§2.4).
+        s1 = sel.agg(
+            F.collect_list(
+                F.struct(F.col("v").alias("sv"), F.col("n2").alias("sn2"))
+            ).alias("cs"),
+            F.collect_list("vec_id").alias("ids"),
         )
-        d = F.col("n2") - 2 * int_dot(F.col("v"), F.col("sv")) + F.col("sn2")
+        md = F.aggregate(
+            F.col("cs"),
+            F.lit(9223372036854775807).cast("long"),
+            lambda acc, x: F.least(
+                acc,
+                F.col("n2") - 2 * int_dot(F.col("v"), x["sv"]) + x["sn2"],
+            ),
+        )
         cand = (
-            nn.join(F.broadcast(s), F.col("vec_id") != F.col("sid"))
-            .groupBy("vec_id")
-            .agg(
-                F.min(d).alias("md"),
-                F.count(F.lit(1)).alias("n_sel"),
-                F.first("v").alias("v"),
-                F.first("n2").alias("n2"),
-            )
-            # a selected vector joins only |sel|-1 of the |sel| rows — the
-            # count distinguishes "already selected" from "candidate"
-            .filter(F.col("n_sel") == r - 1)
+            nn.crossJoin(F.broadcast(s1))
+            .filter(~F.array_contains(F.col("ids"), F.col("vec_id")))
+            .select("vec_id", "v", "n2", md.alias("md"))
         )
         best = cand.agg(
             F.max(

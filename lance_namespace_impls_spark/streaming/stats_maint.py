@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from lance_namespace_impls_spark.operators.maintenance import _ZM_FRAG, _ZM_HI, _ZM_LO
 from lance_namespace_impls_spark.plans.registry import query
 from lance_namespace_impls_spark.session import ensure_runtime_conf
-from lance_namespace_impls_spark.streaming.windows import EVENTS_RAW_SCHEMA
+from lance_namespace_impls_spark.streaming.windows import EVENTS_RAW_SCHEMA, scratch_root
 
 
 def _batch_zones(batch: DataFrame) -> DataFrame:
@@ -121,7 +121,7 @@ def run_stats_maintenance(spark: SparkSession, sf_dir: str, n_files: int = 4) ->
     is deleted before returning (ADVICE r6: q245 used to leave its state
     dir behind on every invocation)."""
     ensure_runtime_conf(spark)
-    work = os.path.join(tempfile.gettempdir(), f"lni_zones_{uuid.uuid4().hex}")
+    work = os.path.join(scratch_root(), f"lni_zones_{uuid.uuid4().hex}")
     staging = os.path.join(work, "in")
     state_root = os.path.join(work, "state")
     os.makedirs(state_root)

@@ -31,6 +31,7 @@ from lance_namespace_impls_spark.session import ensure_runtime_conf
 from lance_namespace_impls_spark.streaming.windows import (
     EVENTS_RAW_SCHEMA,
     _with_event_time,
+    scratch_root,
 )
 
 
@@ -78,7 +79,7 @@ def upsert_batch(target_dir: str, batch: DataFrame) -> None:
 def run_incremental_upsert(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Replay events as ``n_files`` micro-batches through foreachBatch."""
     ensure_runtime_conf(spark)
-    work = os.path.join(tempfile.gettempdir(), f"lni_upsert_{uuid.uuid4().hex}")
+    work = os.path.join(scratch_root(), f"lni_upsert_{uuid.uuid4().hex}")
     staging = os.path.join(work, "in")
     target = os.path.join(work, "state")
     spark.read.parquet(f"{sf_dir}/events.parquet").repartition(n_files).write.parquet(

@@ -39,6 +39,15 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def scratch_root() -> str:
+    """Root for throwaway streaming fixture state (staging, checkpoints,
+    foreachBatch state dirs): tmpfs when the host has one — the q296
+    fixed-cost diet applied to the whole streaming family.  Disk durability
+    buys nothing for bounded-replay scratch; production deployments supply
+    real sources and durable checkpoints instead."""
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+
+
 def _with_event_time(df: DataFrame) -> DataFrame:
     """Pin the event-time column to TimestampType for watermarking.
 
@@ -55,9 +64,14 @@ def events_file_stream(
 
     Copies the fixture parquet into a staging dir (a file-stream source needs
     a directory it can list) and returns (stream_df, staging_dir).
+
+    The staging dir prefers tmpfs (q296's fixed-cost diet, applied to the
+    whole streaming family): every byte is throwaway bounded-replay fixture
+    state, so file-source listing and read latency on it buys nothing from
+    disk durability.  A production stream reads its real source instead.
     """
     ensure_runtime_conf(spark)
-    staging = os.path.join(tempfile.gettempdir(), f"lni_stream_{uuid.uuid4().hex}")
+    staging = os.path.join(scratch_root(), f"lni_stream_{uuid.uuid4().hex}")
     os.makedirs(staging)
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(staging, "events.parquet"))
     stream = (
@@ -230,17 +244,24 @@ def run_stream(
     name = f"lni_sink_{uuid.uuid4().hex[:12]}"
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # Explicit checkpoint on tmpfs (q296's diet for the whole family): the
+    # per-batch state-store commits + WAL are fsync-bound on local disk and
+    # pure overhead for a bounded replay into a memory sink.  A production
+    # deployment passes a durable checkpoint with its real sink instead.
+    ckpt = os.path.join(scratch_root(), f"lni_ckpt_{uuid.uuid4().hex[:12]}")
     try:
         q = (
             df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

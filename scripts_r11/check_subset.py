@@ -1,0 +1,32 @@
+#!/usr/bin/env python
+"""Oracle-check a subset of declared queries at one or more SFs."""
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import lance_namespace_impls_spark.operators  # noqa: F401
+import lance_namespace_impls_spark.streaming  # noqa: F401
+from lance_namespace_impls_spark import get_spark
+from lance_namespace_impls_spark.plans.oracle import check_all
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+prefixes = sys.argv[1].split(",")
+sfs = sys.argv[2].split(",") if len(sys.argv) > 2 else ["0.001", "0.01"]
+names = [n for n in QUERIES if any(n.startswith(p) for p in prefixes)]
+print("checking:", names, flush=True)
+spark = get_spark(app_name="lni-check-subset")
+spark.sparkContext.setLogLevel("ERROR")
+bad = 0
+for sf in sfs:
+    res = check_all(spark, f"/root/testdata/sf{sf}", names=names)
+    for r in res:
+        status = "ok" if r.get("ok") else ("NO_ORACLE" if r.get("no_oracle") else "FAIL")
+        if not r.get("ok") and not r.get("no_oracle"):
+            bad += 1
+            print(f"sf{sf} {r['name']}: {status} {json.dumps({k: v for k, v in r.items() if k not in ('name',)})[:2000]}", flush=True)
+        else:
+            print(f"sf{sf} {r['name']}: {status}", flush=True)
+print("BAD =", bad)
+sys.exit(1 if bad else 0)

@@ -1,0 +1,29 @@
+#!/usr/bin/env python
+"""Print a canonical md5 of each named query's collected result at a SF.
+
+Usage: row_hash.py q208,q266 /root/testdata/sf0.1
+"""
+import hashlib
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import lance_namespace_impls_spark.operators  # noqa: F401
+import lance_namespace_impls_spark.streaming  # noqa: F401
+from lance_namespace_impls_spark import get_spark
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+prefixes = sys.argv[1].split(",")
+sf_dir = sys.argv[2]
+names = [n for n in QUERIES if any(n.startswith(p) for p in prefixes)]
+spark = get_spark(app_name="lni-row-hash")
+spark.sparkContext.setLogLevel("ERROR")
+for name in names:
+    t0 = time.time()
+    df = QUERIES[name].builder(spark, sf_dir)
+    rows = df.collect()
+    canon = sorted(repr(tuple(r)) for r in rows)
+    h = hashlib.md5(("|".join(df.columns) + "\n" + "\n".join(canon)).encode()).hexdigest()
+    print(f"HASH {name} rows={len(rows)} {h} ({time.time()-t0:.1f}s)", flush=True)
