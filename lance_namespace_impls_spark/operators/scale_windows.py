@@ -207,6 +207,89 @@ def distributed_running_sum(
     )
 
 
+def distributed_dual_running_count(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list,
+    *,
+    num_partitions: int | None = None,
+    group_cum: str = "r",
+    group_total: str = "n_s",
+    global_cum: str = "rg",
+    global_total: str = "n",
+) -> DataFrame:
+    """Exact GLOBAL running count AND per-``group_col`` running count over
+    the same ``order_cols`` total order, from ONE ranged layout.
+
+    Two ``distributed_running_sum`` calls (one with a constant group) build
+    two independent range-partitioned persists of the same input and sample
+    it twice (round-11 q323 measurement: 2.15 s + 1.72 s of a 5.3 s query).
+    One layout serves both ranks because range partitioning on the GLOBAL
+    order keeps ``__pid`` monotone in that order within every group too, so
+    the per-group offset composition is identical to the per-group-ranged
+    form.  The two local windows share the hash exchange: the global window
+    clusters by ``__pid`` and the group window by (group, ``__pid``) — a
+    superset, satisfied by the same hashpartitioning(__pid) distribution, so
+    the second window adds only an in-partition sort.  Counts only (the
+    running value is 1 per row); generalizing to weighted sums is the same
+    composition.
+    """
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    order_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+    ranged = (
+        df.repartitionByRange(p, *order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    _RANGED_CACHES.append(ranged)
+
+    # One (group x P)-row partials pass serves both offset relations: the
+    # per-pid totals are its second-stage roll-up (counts add).
+    partials = ranged.groupBy(group_col, "__pid").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_off_g = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_g = (
+        partials.groupBy("__pid")
+        .agg(F.sum("__c").alias("__cg"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cg").over(w_off_g), F.lit(0)).alias("__offg"),
+            F.sum("__cg").over(Window.partitionBy()).alias(global_total),
+        )
+    )
+    w_off_s = (
+        Window.partitionBy(group_col)
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off_s = partials.select(
+        group_col,
+        "__pid",
+        F.coalesce(F.sum("__c").over(w_off_s), F.lit(0)).alias("__offs"),
+        F.sum("__c").over(Window.partitionBy(group_col)).alias(group_total),
+    )
+    w_g = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_s = (
+        Window.partitionBy(group_col, "__pid")
+        .orderBy(*order_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ranged.join(F.broadcast(off_g), ["__pid"])
+        .join(F.broadcast(off_s), [group_col, "__pid"])
+        .withColumn(global_cum, F.col("__offg") + F.count(F.lit(1)).over(w_g))
+        .withColumn(group_cum, F.col("__offs") + F.count(F.lit(1)).over(w_s))
+        .drop("__pid", "__offg", "__offs")
+    )
+
+
 def distributed_running_max(
     df: DataFrame,
     order_cols: list,

@@ -671,9 +671,11 @@ ORDER BY pct
     "hash-checked, so a compaction bug (wrong offset, wrong weight, lossy "
     "merge) diverges merged_err and the flag.  A one-pass summary at the "
     "same k is measured beside it (merging loses accuracy vs one-pass; "
-    "both are in-bound).  Scale shape: per-shard ranks come from "
-    "distributed_running_sum (range-partitioned two-pass, no per-shard "
-    "single-task sort — the q293 lesson applied at authoring time); "
+    "both are in-bound).  Scale shape: per-shard AND global ranks come "
+    "from ONE range-partitioned two-pass layout "
+    "(distributed_dual_running_count — no per-shard single-task sort, the "
+    "q293 lesson applied at authoring time, and no second sample/shuffle "
+    "pass for the global order); "
     "summaries are k*S-bounded so every downstream window/join is "
     "constant-sized; exact ranks exist only to CHECK the law.",
     tags=("sketch", "law", "quantile"),
@@ -682,7 +684,7 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from lance_namespace_impls_spark.operators.scale_windows import (
-        distributed_running_sum,
+        distributed_dual_running_count,
     )
 
     li = load_table(spark, "lineitem", sf_dir).select(
@@ -691,23 +693,28 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
         (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("kk"),
         ((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % _QS_SHARDS).alias("s"),
-    ).withColumn("__one", F.lit(1))
-
-    ranked_s = distributed_running_sum(
-        li, "s", ["v", "kk"], "__one", cum_col="r", total_col="n_s"
     )
+
+    # ONE ranged layout serves BOTH rank relations (round 11: the two
+    # independent distributed_running_sum passes were 2.15 s + 1.72 s of a
+    # 5.3 s query — each re-scanned and re-sampled the same projection).
+    # Values are bit-identical: the global range order keeps __pid monotone
+    # in (v, kk) within every shard, so the per-shard offset composition is
+    # unchanged (see distributed_dual_running_count).
+    ranked = distributed_dual_running_count(
+        li, "s", ["v", "kk"], group_cum="r", group_total="n_s",
+        global_cum="rg", global_total="n",
+    ).localCheckpoint(eager=False)  # feeds kept, keptg, targets, 3 rank joins
+
     c_s = F.expr(f"CAST((n_s + {_QS_K - 1}) DIV {_QS_K} AS BIGINT)")
     kept = (
-        ranked_s.withColumn("w", c_s)
+        ranked.withColumn("w", c_s)
         .filter(F.col("r") % F.col("w") == 0)
         .select("s", "v", "kk", "w")
         .localCheckpoint(eager=False)  # feeds the summary window AND the bound
     )
 
-    gli = li.withColumn("g", F.lit(0))
-    ranked_g = distributed_running_sum(
-        gli, "g", ["v", "kk"], "__one", cum_col="rg", total_col="n"
-    ).localCheckpoint(eager=False)  # exact ranks: keptg, targets, 3 rank joins
+    ranked_g = ranked  # carries rg / n: exact ranks for keptg, targets, joins
     c_g = F.expr(f"CAST((n + {_QS_K - 1}) DIV {_QS_K} AS BIGINT)")
     keptg = (
         ranked_g.withColumn("w", c_g)

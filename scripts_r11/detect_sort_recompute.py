@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Flag queries whose final-plan range exchange (sort) has expensive
+expressions (decimal math, md5/conv hashing, array transforms, Python eval)
+in the same-stage subtree BELOW it: the range sampler re-executes that
+subtree, so those expressions run twice (guide SS2.4 + the SS2 family).
+
+Usage: detect_sort_recompute.py [prefix,prefix,...]
+"""
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import lance_namespace_impls_spark.operators  # noqa: F401
+import lance_namespace_impls_spark.streaming  # noqa: F401
+from lance_namespace_impls_spark import get_spark
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+EXPENSIVE = re.compile(
+    r"CheckOverflow|MakeDecimal|UnscaledValue|as decimal\(|md5|conv\(|transform\(|"
+    r"aggregate\(|BatchEvalPython|ArrowEvalPython|MapInArrow|FlatMapGroupsInPandas"
+)
+
+prefixes = sys.argv[1].split(",") if len(sys.argv) > 1 else None
+spark = get_spark(app_name="lni-detect")
+spark.sparkContext.setLogLevel("ERROR")
+sf = "/root/testdata/sf0.1"
+for name, spec in QUERIES.items():
+    if prefixes is not None and not any(name.startswith(p) for p in prefixes):
+        continue
+    if "streaming" in spec.tags or "stream" in name:
+        continue
+    try:
+        df = spec.builder(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    except Exception as e:  # builder may need substrates etc.
+        print(f"SKIP {name}: {type(e).__name__}", flush=True)
+        continue
+    lines = plan.splitlines()
+    hits = []
+    for i, ln in enumerate(lines):
+        if "Exchange rangepartitioning" in ln:
+            indent = len(ln) - len(ln.lstrip(" +-:"))
+            # walk the subtree below this exchange until the next exchange
+            j = i + 1
+            seg = []
+            term = "end"
+            while j < len(lines):
+                l2 = lines[j]
+                if "Exchange" in l2 or "Scan ExistingRDD" in l2:
+                    term = "exchange" if "Exchange" in l2 else "rdd"
+                    break
+                if "FileScan" in l2:
+                    term = "FILESCAN"
+                    seg.append(l2)
+                    break
+                seg.append(l2)
+                j += 1
+            m = EXPENSIVE.findall("\n".join(seg))
+            if m:
+                hits.append((term, sorted(set(m))))
+    if hits:
+        print(f"HIT {name}: {hits}", flush=True)
+print("DONE", flush=True)

@@ -1,0 +1,84 @@
+"""Round-11 optimization: distributed_dual_running_count must agree exactly
+with two independent distributed_running_sum passes (the form q323 used
+before the one-layout rewrite) — both the per-group and the global rank,
+including the group totals.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lance_namespace_impls_spark.operators.scale_windows import (
+    distributed_dual_running_count,
+    distributed_running_sum,
+    release_ranged_caches,
+)
+from lance_namespace_impls_spark.sources.tables import load_table
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_dual_running_count_matches_two_single_passes(spark):
+    li = load_table(spark, "lineitem", SF_SMOKE).select(
+        F.expr(
+            "CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100) AS BIGINT)"
+        ).alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("kk"),
+        ((F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 8).alias("s"),
+    )
+
+    got = {
+        (r["kk"]): (r["s"], r["r"], r["n_s"], r["rg"], r["n"])
+        for r in distributed_dual_running_count(
+            li, "s", ["v", "kk"], num_partitions=5
+        ).collect()
+    }
+    release_ranged_caches()
+
+    one = li.withColumn("__one", F.lit(1))
+    want_s = {
+        r["kk"]: (r["s"], r["r"], r["n_s"])
+        for r in distributed_running_sum(
+            one, "s", ["v", "kk"], "__one", num_partitions=5,
+            cum_col="r", total_col="n_s",
+        ).collect()
+    }
+    release_ranged_caches()
+    want_g = {
+        r["kk"]: (r["rg"], r["n"])
+        for r in distributed_running_sum(
+            one.withColumn("g", F.lit(0)), "g", ["v", "kk"], "__one",
+            num_partitions=5, cum_col="rg", total_col="n",
+        ).collect()
+    }
+    release_ranged_caches()
+
+    assert len(got) == len(want_s) == len(want_g) > 0
+    for kk, (s, r, n_s, rg, n) in got.items():
+        assert want_s[kk] == (s, r, n_s), kk
+        assert want_g[kk] == (rg, n), kk
+
+
+def test_dual_running_count_windows_stay_pid_bounded(spark):
+    """No window in the data-sized segment may run unpartitioned: every
+    Window over the ranged relation must carry __pid in its partition spec
+    (the offsets windows run over the tiny (group x P) partials only)."""
+    li = load_table(spark, "lineitem", SF_SMOKE).select(
+        F.col("l_orderkey").alias("v"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("kk"),
+        (F.col("l_linenumber") % 3).alias("s"),
+    )
+    plan = (
+        distributed_dual_running_count(li, "s", ["v", "kk"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one exchange feeds both local windows (hashpartitioning(__pid)
+    # satisfies the (s, __pid) clustering of the second window): the two
+    # count(1) data windows are adjacent with no Exchange between them
+    lines = plan.splitlines()
+    data_idx = [i for i, l in enumerate(lines) if "Window [count(1)" in l]
+    assert len(data_idx) == 2, plan
+    between = lines[data_idx[0] + 1 : data_idx[1]]
+    assert not any("Exchange" in l for l in between), plan
+    release_ranged_caches()
