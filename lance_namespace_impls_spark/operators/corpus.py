@@ -596,9 +596,10 @@ _MH_AUDIT_ORACLE = (
     "collision false positives, so the audited range spans the similarity "
     "spectrum the banding actually surfaces.  Scale shape: identical to "
     "q161 through the banded self-join (signatures checkpointed, shuffles "
-    "carry 8 ints/doc); the exact-verify stage joins the distinct-shingle "
-    "relation only for candidate docs — |candidates| x set-size work, "
-    "exactly the verify cost a production near-dup pipeline already pays.",
+    "carry 8 ints/doc); the exact-verify stage joins ONE shingle-set "
+    "array row per doc against the candidate pairs and intersects "
+    "map-side — |candidates| x set-size work, exactly the verify cost a "
+    "production near-dup pipeline already pays.",
     tags=("llm", "dedup", "lsh"),
 )
 def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,26 +632,25 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    dsh = ex.distinct()
-    sz = dsh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
-    da = dsh.select(F.col("doc_id").alias("doc_a"), "t")
-    db = dsh.select(F.col("doc_id").alias("doc_b2"), F.col("t").alias("tb"))
-    it = (
-        pairs.select("doc_a", "doc_b")
-        .join(da, "doc_a")
-        .join(db, (F.col("doc_b") == F.col("doc_b2")) & (F.col("t") == F.col("tb")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("it"))
-    )
+    # Exact verify via per-doc shingle SETS: one order-free collect_set
+    # aggregate replaces the old distinct + size-aggregate + two exploded
+    # inverted-index joins (four corpus-exploded shuffles); the candidate
+    # joins then move ONE array row per doc and the intersection is a
+    # map-side array_intersect.  Plain shuffle joins (ADVICE r7): the
+    # candidate set is collision-bounded but not provably small, so it is
+    # never broadcast.
+    tarr = ex.groupBy("doc_id").agg(F.collect_set("t").alias("ts"))
+    ta = tarr.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta"))
+    tb = tarr.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("tb"))
     matches = F.expr(
         f"cast(size(filter(sequence(1, {_K}), i -> element_at(sa, i) = element_at(sb, i))) as bigint)"
     )
-    s1 = sz.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s1"))
-    s2 = sz.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2"))
     return (
-        pairs.join(it, ["doc_a", "doc_b"], "left")
-        .join(s1, "doc_a")
-        .join(s2, "doc_b")
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("it", F.size(F.array_intersect("ta", "tb")).cast("long"))
+        .withColumn("s1", F.size("ta").cast("long"))
+        .withColumn("s2", F.size("tb").cast("long"))
         .select(
             F.col("doc_a").cast("long").alias("doc_a"),
             F.col("doc_b").cast("long").alias("doc_b"),

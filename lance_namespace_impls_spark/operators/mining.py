@@ -120,10 +120,11 @@ ORDER BY support DESC, brand_a, brand_b, brand_c LIMIT {_TRI_TOP_K}
     "infrequent pairs are dropped at stage 1 and its candidate triple "
     "at stages 2/3, and the oracle's direct count excludes it by "
     "support, so the twin never reaches the output.  Scale shape: "
-    "basket joins are per-order bounded (never corpus-quadratic), the "
-    "frequent-pair relation is dim-bounded (brands^2), support counts "
-    "combine map-side, top-k is TakeOrdered, and the 1-row basket "
-    "count rides a broadcast.  The sf0.1 oracle is the q99/q311 "
+    "ONE order-keyed shuffle builds the basket arrays; pair/triple "
+    "occurrences are generated map-side from each (per-order bounded) "
+    "basket, the brands^2-bounded frequent-pair set rides broadcast "
+    "semi-joins, support counts combine map-side, top-k is "
+    "TakeOrdered, and the 1-row basket count rides a broadcast.  The sf0.1 oracle is the q99/q311 "
     "quadratic-truth DuckDB class (direct triple expansion); its gate "
     "remains sf0.01 like the rest of that class.",
     tags=("relational", "agg", "joins", "mining"),
@@ -134,25 +135,31 @@ def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = spark.createDataFrame(
         [(-1, br[0]) for br in _TRI_SEED], "l_orderkey long, p_brand string"
     )
-    b = (
+    # One shuffle builds the basket relation: collect_set dedups brands
+    # per order (the old per-row distinct + order-keyed self-join), and
+    # every pair/triple occurrence is generated MAP-SIDE from the sorted
+    # basket array (per-order bounded — a TPC-H basket holds <= 7 brands
+    # at any SF, so the explode never exceeds |basket|^3/6 rows per order).
+    raw = (
         li.join(part, li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
-        .distinct()
         .unionByName(seed)
     )
-    b = b.localCheckpoint(eager=False)  # feeds n, pairs, and the c-extension
-    n = b.agg(F.count_distinct("l_orderkey").cast("long").alias("n"))
-    pairs = (
-        b.alias("x")
-        .join(b.alias("y"), "l_orderkey")
-        .filter(F.col("x.p_brand") < F.col("y.p_brand"))
-        .select(
-            "l_orderkey",
-            F.col("x.p_brand").alias("pa"),
-            F.col("y.p_brand").alias("pb"),
-        )
+    bk = raw.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("br")
     )
-    pairs = pairs.localCheckpoint(eager=False)  # feeds ab, the frequent set, cand
+    bk = bk.localCheckpoint(eager=False)  # feeds n, pair counts, cand
+    n = bk.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Per-basket ordered pairs (pa < pb), basket array retained so the
+    # frequent pairs can be extended with a third brand without re-joining
+    # the corpus.
+    _PAIR_GEN = (
+        "flatten(transform(br, (x, i) -> "
+        "transform(slice(br, i + 2, size(br)), y -> struct(x AS pa, y AS pb))))"
+    )
+    pairs = bk.select("br", F.explode(F.expr(_PAIR_GEN)).alias("p")).select(
+        "br", "p.pa", "p.pb"
+    )
     ab = pairs.groupBy("pa", "pb").agg(F.count(F.lit(1)).cast("long").alias("s"))
     l2 = (
         ab.crossJoin(F.broadcast(n))
@@ -160,18 +167,20 @@ def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pa", "pb", "s")
     )
     l2 = l2.localCheckpoint(eager=False)  # feeds three prune semi-joins + conf
+    # The Apriori candidate path, all map-side: frequent-pair occurrences
+    # (broadcast semi-join — l2 is brands^2-bounded) extended per basket
+    # with every later brand, pruned by the (a,c) and (b,c) sub-pair
+    # broadcast semi-joins BEFORE counting.
     cand = (
-        pairs.join(l2.select("pa", "pb"), ["pa", "pb"], "left_semi")
-        .join(b.alias("z"), "l_orderkey")
-        .filter(F.col("z.p_brand") > F.col("pb"))
-        .select("l_orderkey", "pa", "pb", F.col("z.p_brand").alias("pc"))
+        pairs.join(F.broadcast(l2.select("pa", "pb")), ["pa", "pb"], "left_semi")
+        .select("pa", "pb", F.explode(F.expr("filter(br, z -> z > pb)")).alias("pc"))
         .join(
-            l2.select(F.col("pa").alias("x1"), F.col("pb").alias("x2")),
+            F.broadcast(l2.select(F.col("pa").alias("x1"), F.col("pb").alias("x2"))),
             [F.col("pa") == F.col("x1"), F.col("pc") == F.col("x2")],
             "left_semi",
         )
         .join(
-            l2.select(F.col("pa").alias("y1"), F.col("pb").alias("y2")),
+            F.broadcast(l2.select(F.col("pa").alias("y1"), F.col("pb").alias("y2"))),
             [F.col("pb") == F.col("y1"), F.col("pc") == F.col("y2")],
             "left_semi",
         )
@@ -183,7 +192,7 @@ def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
         _TRI_DENOM * F.col("s3") >= F.col("n")
     )
     return (
-        ft.join(l2.withColumnRenamed("s", "s_ab"), ["pa", "pb"])
+        ft.join(F.broadcast(l2.withColumnRenamed("s", "s_ab")), ["pa", "pb"])
         .select(
             F.col("pa").alias("brand_a"),
             F.col("pb").alias("brand_b"),
