@@ -100,6 +100,19 @@ def get_spark(
         # over-parallelizing; at scale the 128 MB default applies per split.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    # Local-mode scratch (shuffle files, block-manager disk store) on tmpfs
+    # when one is writable: /tmp shares a spindle with whatever else the
+    # host runs, and ambient disk load stalls shuffle fetches exactly the
+    # way it stalled streaming state commits (§3e of OPTIMIZATION_r11 —
+    # measured 3-5x swings).  Scale posture: spark.local.dir only applies
+    # where the deployment doesn't set it — YARN/K8s override it with the
+    # node-local SSD list, and SPARK_GRAFT_LOCAL_DIR overrides it here.
+    local_dir = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        "/dev/shm" if os.access("/dev/shm", os.W_OK) else "",
+    )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for key, value in _RUNTIME_CONF.items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
