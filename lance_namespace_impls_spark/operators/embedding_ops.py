@@ -234,15 +234,38 @@ def ivfpq_search(emb: DataFrame) -> DataFrame:
     cb = proj.filter(F.col("vec_id") < _IVFPQ_CODES).select(
         F.col("vec_id").alias("code"), F.col("v").alias("cv")
     )
-    d2s_arr = F.array(
+    # Both sides' per-slice self-dots are precomputed ONCE (an 8-element
+    # norm array per row / per code) so each (row, code, subspace) encode
+    # candidate costs one cross dot instead of three — d2s values are the
+    # identical exact integers, only their factoring changed.
+    def _slice_norms(col: str):
+        return F.array(
+            *[
+                int_dot(
+                    F.slice(F.col(col), s * _IVFPQ_SUBDIM + 1, _IVFPQ_SUBDIM),
+                    F.slice(F.col(col), s * _IVFPQ_SUBDIM + 1, _IVFPQ_SUBDIM),
+                ).cast("long")
+                for s in range(_IVFPQ_SUBSPACES)
+            ]
+        )
+
+    cbn = cb.withColumn("cns", _slice_norms("cv"))
+    projn = proj.withColumn("sns", _slice_norms("v"))
+    enc_d2s_arr = F.array(
         *[
-            _slice_d2(F.col("v"), F.col("cv"), s, _IVFPQ_SUBDIM)
+            F.col("sns")[s]
+            + F.col("cns")[s]
+            - F.lit(2)
+            * int_dot(
+                F.slice(F.col("v"), s * _IVFPQ_SUBDIM + 1, _IVFPQ_SUBDIM),
+                F.slice(F.col("cv"), s * _IVFPQ_SUBDIM + 1, _IVFPQ_SUBDIM),
+            )
             for s in range(_IVFPQ_SUBSPACES)
         ]
     )
     codes = (
-        proj.crossJoin(F.broadcast(cb))
-        .select("vec_id", "code", F.posexplode(d2s_arr).alias("s", "d2s"))
+        projn.crossJoin(F.broadcast(cbn))
+        .select("vec_id", "code", F.posexplode(enc_d2s_arr).alias("s", "d2s"))
         .groupBy("vec_id", "s")
         .agg(
             (F.min(F.col("d2s") * _IVFPQ_CODES + F.col("code")) % _IVFPQ_CODES)
@@ -598,17 +621,24 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
     proj = proj.withColumn("vt", F.expr(f"slice(v, 1, {_MRL_DIM})"))
+    # Both metrics' per-row squared norms computed once (1 cross dot per
+    # scored pair instead of 3 — same exact d2 values).
+    proj = proj.withColumn("nn", int_dot(F.col("v"), F.col("v")).cast("long"))
+    proj = proj.withColumn("nnt", int_dot(F.col("vt"), F.col("vt")).cast("long"))
     proj = proj.localCheckpoint(eager=False)  # corpus side of both metrics
     qs = proj.filter(F.col("vec_id") < _MRL_Q).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
         F.col("vt").alias("qvt"),
+        F.col("nn").alias("qnn"),
+        F.col("nnt").alias("qnnt"),
     )
+    _NORM_OF = {"v": "nn", "vt": "nnt", "qv": "qnn", "qvt": "qnnt"}
 
     def brute_topk(vcol: str, qcol: str) -> DataFrame:
         d2 = (
-            int_dot(F.col(qcol), F.col(qcol))
-            + int_dot(F.col(vcol), F.col(vcol))
+            F.col(_NORM_OF[qcol])
+            + F.col(_NORM_OF[vcol])
             - F.lit(2) * int_dot(F.col(qcol), F.col(vcol))
         ).cast("long")
         scored = (
@@ -658,9 +688,7 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank of the full-space top-1 under the truncated metric: count of
     # truncated-closer rows + 1 — a broadcast aggregate, not a window
     d2t = (
-        int_dot(F.col("qvt"), F.col("qvt"))
-        + int_dot(F.col("vt"), F.col("vt"))
-        - F.lit(2) * int_dot(F.col("qvt"), F.col("vt"))
+        F.col("qnnt") + F.col("nnt") - F.lit(2) * int_dot(F.col("qvt"), F.col("vt"))
     ).cast("long")
     tall = (
         proj.crossJoin(F.broadcast(qs))
@@ -791,12 +819,18 @@ def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qv"
         )
     )
+    # Per-row norms for both metrics computed once before the checkpoint:
+    # each scored pair costs one cross dot per metric, not three.
     u = e.join(qv, "vec_id")
+    u = u.withColumn("ne", int_dot(F.col("v"), F.col("v")).cast("long"))
+    u = u.withColumn("nq", int_dot(F.col("qv"), F.col("qv")).cast("long"))
     u = u.localCheckpoint(eager=False)  # query side AND candidate side
     qs = u.filter(F.col("vec_id") < _SQ_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qe"),
         F.col("qv").alias("qq"),
+        F.col("ne").alias("qne"),
+        F.col("nq").alias("qnq"),
     )
     pairs = u.join(
         F.broadcast(qs), F.col("vec_id") != F.col("query_id")
@@ -804,14 +838,10 @@ def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.col("vec_id").alias("did"),
         (
-            int_dot(F.col("qe"), F.col("qe"))
-            - 2 * int_dot(F.col("qe"), F.col("v"))
-            + int_dot(F.col("v"), F.col("v"))
+            F.col("qne") - 2 * int_dot(F.col("qe"), F.col("v")) + F.col("ne")
         ).alias("d2e"),
         (
-            int_dot(F.col("qq"), F.col("qq"))
-            - 2 * int_dot(F.col("qq"), F.col("qv"))
-            + int_dot(F.col("qv"), F.col("qv"))
+            F.col("qnq") - 2 * int_dot(F.col("qq"), F.col("qv")) + F.col("nq")
         ).alias("d2q"),
     )
     we = Window.partitionBy("query_id").orderBy("d2e", "did")
@@ -937,21 +967,23 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("bit").cast("long").alias("sig"))
     )
+    # Per-row norm computed once before the checkpoint: one cross dot per
+    # scored pair instead of three (same exact d2e).
     u = e.join(sg, "vec_id")
+    u = u.withColumn("ne", int_dot(F.col("v"), F.col("v")).cast("long"))
     u = u.localCheckpoint(eager=False)  # query side AND candidate side
     qs = u.filter(F.col("vec_id") < _MP_NQ).select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("sig").alias("qsig"),
+        F.col("ne").alias("qne"),
     )
     pairs = u.join(F.broadcast(qs), F.col("vec_id") != F.col("qid")).select(
         "qid",
         F.col("vec_id").alias("did"),
         F.expr("bit_count(qsig ^ sig)").cast("long").alias("ham"),
         (
-            int_dot(F.col("qv"), F.col("qv"))
-            - 2 * int_dot(F.col("qv"), F.col("v"))
-            + int_dot(F.col("v"), F.col("v"))
+            F.col("qne") - 2 * int_dot(F.col("qv"), F.col("v")) + F.col("ne")
         ).alias("d2e"),
     )
     rk = pairs.select(

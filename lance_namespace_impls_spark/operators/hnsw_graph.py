@@ -314,30 +314,33 @@ def q394(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def layer_edges(lvl: int) -> DataFrame:
         """M-capped directed NN lists among lvl>= members within their cell
-        (the ranked_cell_pairs construction restricted to the layer)."""
-        mem = nodes.filter(F.col("lvl") >= lvl).select("vec_id", "v", "cluster")
-        a = mem.alias("a")
+        (the ranked_cell_pairs construction restricted to the layer).
+        Per-member norms precomputed: one cross dot per pair, not three."""
+        mem = nodes.filter(F.col("lvl") >= lvl).select(
+            "vec_id",
+            "v",
+            "cluster",
+            int_dot(F.col("v"), F.col("v")).cast("long").alias("nn"),
+        )
+        a = mem.select("cluster", "vec_id", "v", F.col("nn").alias("an"))
         b = mem.select(
             F.col("cluster").alias("b_cluster"),
             F.col("vec_id").alias("dst"),
             F.col("v").alias("bv"),
+            F.col("nn").alias("bn"),
         )
-        pd2 = (
-            int_dot(F.col("a.v"), F.col("a.v"))
-            + int_dot(F.col("bv"), F.col("bv"))
-            - 2 * int_dot(F.col("a.v"), F.col("bv"))
-        )
+        pd2 = F.col("an") + F.col("bn") - 2 * int_dot(F.col("v"), F.col("bv"))
         directed = (
             a.join(
                 b,
-                (F.col("a.cluster") == F.col("b_cluster"))
-                & (F.col("dst") != F.col("a.vec_id")),
+                (F.col("cluster") == F.col("b_cluster"))
+                & (F.col("dst") != F.col("vec_id")),
             )
             .select(
-                F.col("a.vec_id").alias("src"),
+                F.col("vec_id").alias("src"),
                 "dst",
                 F.row_number()
-                .over(Window.partitionBy("a.vec_id").orderBy(pd2, F.col("dst")))
+                .over(Window.partitionBy("vec_id").orderBy(pd2, F.col("dst")))
                 .alias("rn"),
             )
             .filter(F.col("rn") <= _M)
@@ -660,26 +663,30 @@ def _hnswapp_frame(
         per member set and checkpointed — every layer's M-capped directed
         lists are a rank-filter over it (the d2 scoring join is the only
         corpus-proportional work; the per-layer window is cell-bounded)."""
-        a = members.alias("a")
-        b = members.select(
+        m = members.withColumn(
+            "nn", int_dot(F.col("v"), F.col("v")).cast("long")
+        )
+        a = m.select(
+            "cluster", "vec_id", "v", "lvl", F.col("nn").alias("an")
+        )
+        b = m.select(
             F.col("cluster").alias("b_cluster"),
             F.col("vec_id").alias("dst"),
             F.col("v").alias("bv"),
             F.col("lvl").alias("dst_lvl"),
+            F.col("nn").alias("bn"),
         )
         pd2 = (
-            int_dot(F.col("a.v"), F.col("a.v"))
-            + int_dot(F.col("bv"), F.col("bv"))
-            - 2 * int_dot(F.col("a.v"), F.col("bv"))
+            F.col("an") + F.col("bn") - 2 * int_dot(F.col("v"), F.col("bv"))
         ).cast("long")
         return a.join(
             b,
-            (F.col("a.cluster") == F.col("b_cluster"))
-            & (F.col("dst") != F.col("a.vec_id")),
+            (F.col("cluster") == F.col("b_cluster"))
+            & (F.col("dst") != F.col("vec_id")),
         ).select(
-            F.col("a.cluster").alias("cell"),
-            F.col("a.vec_id").alias("src"),
-            F.col("a.lvl").alias("src_lvl"),
+            F.col("cluster").alias("cell"),
+            F.col("vec_id").alias("src"),
+            F.col("lvl").alias("src_lvl"),
             "dst",
             "dst_lvl",
             pd2.alias("d2"),
@@ -762,29 +769,29 @@ def _hnswapp_frame(
             .join(touched, ["lvl", "cell"], "left_semi")
             .select("lvl", "cell", "vec_id", "v")
         )
-        a = nt.alias("a")
-        b = nt.select(
+        ntn = nt.withColumn("nn", int_dot(F.col("v"), F.col("v")).cast("long"))
+        a = ntn.select("lvl", "cell", "vec_id", "v", F.col("nn").alias("an"))
+        b = ntn.select(
             F.col("lvl").alias("b_lvl"),
             F.col("cell").alias("b_cell"),
             F.col("vec_id").alias("dst"),
             F.col("v").alias("bv"),
+            F.col("nn").alias("bn"),
         )
         rd2 = (
-            int_dot(F.col("a.v"), F.col("a.v"))
-            + int_dot(F.col("bv"), F.col("bv"))
-            - 2 * int_dot(F.col("a.v"), F.col("bv"))
+            F.col("an") + F.col("bn") - 2 * int_dot(F.col("v"), F.col("bv"))
         ).cast("long")
         recompute = (
             a.join(
                 b,
-                (F.col("a.lvl") == F.col("b_lvl"))
-                & (F.col("a.cell") == F.col("b_cell"))
-                & (F.col("dst") != F.col("a.vec_id")),
+                (F.col("lvl") == F.col("b_lvl"))
+                & (F.col("cell") == F.col("b_cell"))
+                & (F.col("dst") != F.col("vec_id")),
             )
             .select(
-                F.col("a.lvl").alias("lvl"),
-                F.col("a.cell").alias("cell"),
-                F.col("a.vec_id").alias("src"),
+                "lvl",
+                "cell",
+                F.col("vec_id").alias("src"),
                 "dst",
                 rd2.alias("d2"),
             )

@@ -82,23 +82,26 @@ def ranked_cell_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     proj = spread(emb).select("vec_id", int_projected(F.col("embedding")).alias("v"))
     proj = proj.localCheckpoint(eager=False)  # feeds seeds, routing, pair join
-    asg = routed_assignment(proj, cluster_bounds(emb))
-    a = asg.alias("a")
+    # Per-vector squared norm computed ONCE before the pair join: each pair
+    # then costs a single array fold (the cross dot) instead of three —
+    # same exact integers (d2 = ||a||^2 + ||b||^2 - 2 a.b), ~40% off the
+    # substrate build at sf0.1 (OPTIMIZATION_r12 §2).
+    asg = routed_assignment(proj, cluster_bounds(emb)).withColumn(
+        "nn", int_dot(F.col("v"), F.col("v")).cast("long")
+    )
+    a = asg.select("cluster", "vec_id", "v", F.col("nn").alias("an"))
     b = asg.select(
         F.col("cluster").alias("b_cluster"),
         F.col("vec_id").alias("neighbor"),
         F.col("v").alias("bv"),
+        F.col("nn").alias("bn"),
     )
-    d2 = (
-        int_dot(F.col("a.v"), F.col("a.v"))
-        + int_dot(F.col("bv"), F.col("bv"))
-        - 2 * int_dot(F.col("a.v"), F.col("bv"))
-    )
+    d2 = F.col("an") + F.col("bn") - 2 * int_dot(F.col("v"), F.col("bv"))
     pairs = a.join(
         b,
-        (F.col("a.cluster") == F.col("b_cluster"))
-        & (F.col("neighbor") != F.col("a.vec_id")),
-    ).select(F.col("a.vec_id").alias("vec_id"), "neighbor", d2.alias("d2"))
+        (F.col("cluster") == F.col("b_cluster"))
+        & (F.col("neighbor") != F.col("vec_id")),
+    ).select("vec_id", "neighbor", d2.alias("d2"))
     ranked = (
         pairs.select(
             "vec_id",

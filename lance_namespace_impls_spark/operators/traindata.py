@@ -166,21 +166,26 @@ def routed_assignment(
         .filter(F.col("vec_id") < F.col("kk"))
         .select(F.col("vec_id").alias("c"), F.col("v").alias("cv"))
     )
+    # Per-super squared norm rides the broadcast so each comparison costs
+    # ONE array fold (the cross dot) instead of three: both argmins below
+    # drop the per-row ||v||^2 term entirely — it is constant within each
+    # row's candidate set, so min(struct(d, s)) picks the identical winner
+    # (ties included: equal d stays equal under a shared shift).
     supers = (
         seeds.crossJoin(F.broadcast(kb))
         .filter(F.col("vec_id") < F.col("mm"))
-        .select(F.col("vec_id").alias("s"), F.col("v").alias("sv"))
+        .select(
+            F.col("vec_id").alias("s"),
+            F.col("v").alias("sv"),
+            int_dot(F.col("v"), F.col("v")).cast("long").alias("sn"),
+        )
     )
 
     def _route(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         """Nearest super-centroid per row: broadcast the √k supers, argmin
         via min(struct(d, s)) — map-side combinable, the input never
         shuffles more than its own 1-row-per-key partials."""
-        dist = (
-            int_dot(F.col(vec_col), F.col(vec_col))
-            - 2 * int_dot(F.col(vec_col), F.col("sv"))
-            + int_dot(F.col("sv"), F.col("sv"))
-        )
+        dist = F.col("sn") - 2 * int_dot(F.col(vec_col), F.col("sv"))
         return (
             df.crossJoin(F.broadcast(supers))
             .select(id_col, vec_col, "s", dist.alias("ds"))
@@ -190,21 +195,21 @@ def routed_assignment(
         )
 
     cent_cell = _route(cent.withColumnRenamed("cv", "v_c"), "c", "v_c").select(
-        "cell", "c", F.col("v_c").alias("cv")
+        "cell",
+        "c",
+        F.col("v_c").alias("cv"),
+        int_dot(F.col("v_c"), F.col("v_c")).cast("long").alias("cn"),
     )
     vroute = _route(proj, "vec_id", "v")
     # Stage 2: exact argmin within the routed cell — one shuffle join on the
     # cell key (≈ k/m = √k centroids per cell), then a map-side-combinable
     # argmin: the corpus never meets more than its own cell's centroids.
+    # Same ||v||^2-drop + precomputed centroid norm as the super route.
     d = vroute.join(cent_cell, "cell").select(
         "vec_id",
         "v",
         "c",
-        (
-            int_dot(F.col("v"), F.col("v"))
-            - 2 * int_dot(F.col("v"), F.col("cv"))
-            + int_dot(F.col("cv"), F.col("cv"))
-        ).alias("d"),
+        (F.col("cn") - 2 * int_dot(F.col("v"), F.col("cv"))).alias("d"),
     )
     return (
         d.groupBy("vec_id")

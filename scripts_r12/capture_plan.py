@@ -1,0 +1,30 @@
+#!/usr/bin/env python
+"""Write .explain('formatted') for named queries to plans/r11/<name>_<tag>.txt.
+
+Usage: capture_plan.py q04,q323 before|after
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import lance_namespace_impls_spark.operators  # noqa: F401
+import lance_namespace_impls_spark.streaming  # noqa: F401
+from lance_namespace_impls_spark import get_spark
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+prefixes = sys.argv[1].split(",")
+tag = sys.argv[2]
+names = [n for n in QUERIES if any(n.startswith(p) for p in prefixes)]
+spark = get_spark(app_name="lni-plan")
+spark.sparkContext.setLogLevel("ERROR")
+out = Path(__file__).resolve().parent.parent / "plans" / "r12"
+out.mkdir(parents=True, exist_ok=True)
+for name in names:
+    df = QUERIES[name].builder(spark, "/root/testdata/sf0.1")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    (out / f"{name}_{tag}.txt").write_text(plan)
+    print(f"wrote {name}_{tag}.txt", flush=True)
+print("DONE")

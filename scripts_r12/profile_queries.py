@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Round-12 profiler: per-query (builder seconds, execution seconds, Spark
+job count, and cumulative task count) so optimization targets the right
+cost class — at sf0.1 the fixtures are 2 k-600 k rows, so wall time is
+dominated by job/stage scheduling, not data.
+
+Usage: python scripts_r12/profile_queries.py q396,q296,... [--repeat N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import lance_namespace_impls_spark.operators  # noqa: F401
+from lance_namespace_impls_spark import get_spark
+from lance_namespace_impls_spark.operators.scale_windows import (
+    release_ranged_caches,
+)
+from lance_namespace_impls_spark.plans.registry import QUERIES
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries")
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+    prefixes = [p.strip() for p in args.queries.split(",") if p.strip()]
+    selected = [n for n in QUERIES if any(n.startswith(p) for p in prefixes)]
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="lni-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["q01_scan_count"].builder(spark, sf_dir).collect()
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("long")
+    def _warm_py(s):
+        return s
+
+    spark.range(100).select(_warm_py("id")).collect()
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def job_ids() -> set[int]:
+        return set(tracker.getJobIdsForGroup(None) or [])
+
+    def task_count(ids) -> int:
+        n = 0
+        for j in ids:
+            ji = tracker.getJobInfo(j)
+            if ji is None:
+                continue
+            for s in ji.stageIds:
+                si = tracker.getStageInfo(s)
+                if si is not None:
+                    n += si.numTasks
+        return n
+
+    for name in selected:
+        spec = QUERIES[name]
+        best = None
+        for _ in range(max(args.repeat, 1)):
+            before = job_ids()
+            t0 = time.perf_counter()
+            df = spec.builder(spark, sf_dir)
+            t1 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            t2 = time.perf_counter()
+            after = job_ids()
+            new = after - before
+            row = {
+                "q": name,
+                "build_s": round(t1 - t0, 3),
+                "exec_s": round(t2 - t1, 3),
+                "total_s": round(t2 - t0, 3),
+                "jobs": len(new),
+                "tasks": task_count(new),
+            }
+            if best is None or row["total_s"] < best["total_s"]:
+                best = row
+            release_ranged_caches()
+        print(json.dumps(best))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
